@@ -1,0 +1,36 @@
+"""Operator inventory (SURVEY.md §2) + LLM-pipeline extensions.
+
+Each module exposes:
+
+- ``QUERIES``: dict[name -> Callable[(SparkSession, sf_dir) -> DataFrame]]
+- ``ORACLE``:  dict[name -> ANSI SQL string] (DuckDB-runnable oracle; a name
+  missing here is a rows-only operator — non-SQL-expressible or intentionally
+  Spark-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import dedup, relational, search, similarity, textops, tpch
+
+_MODULES = (relational, tpch, search, textops, dedup, similarity)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        overlap = out.keys() & m.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE)
+    return out

@@ -1,0 +1,558 @@
+"""Reference-parity relational operators (SURVEY.md §2.3–§2.12).
+
+Each operator re-expresses a query shape the reference generates (cited
+``file:line`` into /root/reference) as an idiomatic Spark DataFrame plan over
+the driver's fixture tables. Filters/projections are written so Catalyst
+pushes them into the parquet scan; joins are left to AQE (small dims get
+broadcast automatically, and we hint where we know better).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import t
+
+# --------------------------------------------------------------------------
+# Projections / filters (reference P4–P10: api_poc.py:410-414, lake_cli.py:70-84)
+# --------------------------------------------------------------------------
+
+
+def p4_project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-list projection (P4, lake_cli.py:70-72): SELECT c1,c2 — the
+    scan must read only those columns (check ReadSchema)."""
+    return t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+def p5_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter (P5, lake_cli.py:76-84): WHERE col = val, pushed to
+    parquet."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+def p7_multicol_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column substring search (P7, api_poc.py:410-414): OR-chain of
+    CAST(c AS VARCHAR) LIKE '%kw%' over the id column + all string columns."""
+    df = t(spark, sf_dir, "customer")
+    kw = "le"
+    cols = ["c_custkey", "c_name", "c_mktsegment"]
+    pred = reduce(or_, [F.lower(F.col(c).cast("string")).contains(kw) for c in cols])
+    return df.filter(pred).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def p8_numeric_id_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-term fast path (P8, api_poc.py:406-408): digit search term ⇒
+    pk equality on CAST(id AS VARCHAR)."""
+    df = t(spark, sf_dir, "customer")
+    return df.filter(F.col("c_custkey").cast("string") == "42").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+
+
+def p9_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list semi filter (P9, api_poc.py:399-402): search-hit ids rejoined
+    to the authoritative table."""
+    keys = [1, 2, 3, 5, 8, 13, 21, 34]
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isin(keys))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def p10_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed point lookup (P10, api_poc.py:660-661)."""
+    return t(spark, sf_dir, "part").filter(F.col("p_partkey") == 7)
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits (O1–O4: api_poc.py:418, datalake_postman_collection.json:64)
+# --------------------------------------------------------------------------
+
+
+def o1_order_desc_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard page (O1, api_poc.py:418): ORDER BY pk DESC LIMIT 100.
+    Spark plans this as TakeOrderedAndProject — a distributed top-k, no
+    global sort."""
+    return t(spark, sf_dir, "orders").orderBy(F.desc("o_orderkey")).limit(100)
+
+
+def o4_price_filter_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demo query (O4, datalake_postman_collection.json:64):
+    WHERE price > 50 ORDER BY price DESC — pk tiebreak added so the top-200
+    set is total-ordered/deterministic."""
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice") > 50)
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(200)
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1–A3: run_verify.bat:3, lake_shell.py:222)
+# --------------------------------------------------------------------------
+
+
+def a1_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest count-verify (A1, ingest_to_iceberg.py:55-56)."""
+    return t(spark, sf_dir, "lineitem").agg(F.count("*").alias("total_records"))
+
+
+def a2_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden verify query (A2, run_verify.bat:3): count(*) by status.
+    Partial (map-side) aggregation makes this shuffle only one row per
+    (partition, status)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("total_records"))
+    )
+
+
+def a3_history_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-history shape (A3, lake_shell.py:222): DISTINCT key + COUNT
+    GROUP BY ... ORDER BY ... DESC."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("rows_changed"))
+        .orderBy(F.desc("rows_changed"), F.asc("event_type"))
+    )
+
+
+def a_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (passthrough SQL surface, S5 api_poc.py:214-226)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+def a_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (S5 SQL surface): order counts, priorities × status columns."""
+    pivoted = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count("*"))
+    )
+    # pivot yields NULL for empty cells; normalize to 0 (COUNT semantics)
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (S5 SQL surface)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def a_date_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-day aggregate over the event stream (batch analog of a
+    Structured Streaming windowed agg — SURVEY §2.12 T6 notes the reference
+    has none; this is the scalable shape for it)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (W1: cdc_merger_optimized.py:160-161)
+# --------------------------------------------------------------------------
+
+
+def w1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins dedup (W1): row_number over (partition by key order
+    by ts desc) = 1. The exact micro-batch dedup the CDC merger runs."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by price (general top-k-per-group; SURVEY §2.7)."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        t(spark, sf_dir, "part")
+        .withColumn("rank_in_brand", F.row_number().over(w))
+        .filter(F.col("rank_in_brand") <= 3)
+        .select("p_brand", "rank_in_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins / semi / anti / set ops (J1–J2, §2.4, §2.8)
+# --------------------------------------------------------------------------
+
+
+def j_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 order — LEFT SEMI (what Catalyst rewrites the
+    reference's IN-subquery shape to)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def j_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — LEFT ANTI."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (SURVEY §2.8): nations that have customers but no suppliers."""
+    cust_nations = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp_nations = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust_nations.subtract(supp_nations)  # EXCEPT (distinct) semantics
+
+
+def j2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff operator (J2, api_poc.py:443-487) as a distributed
+    full-outer join instead of the reference's driver-side dict probe.
+
+    Two deterministic "versions" are derived from events:
+      parent  = rows with event_id % 10 != 7         (… %10==7 ⇒ NEW later)
+      current = rows with event_id % 10 != 3         (… %10==3 ⇒ DELETED)
+                with value doubled when event_id % 5 == 0  (⇒ MODIFIED)
+    Output: one row per changed key with NEW / MODIFIED / DELETED status and
+    the old→new cell values (reference renders per-cell diffs the same way,
+    api_poc.py:552-557). Scales: shuffle on the pk only, no driver collect.
+    """
+    ev = t(spark, sf_dir, "events")
+    parent = ev.filter(F.col("event_id") % 10 != 7).select(
+        "event_id", F.col("value").alias("old_value")
+    )
+    current = ev.filter(F.col("event_id") % 10 != 3).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") * 2)
+        .otherwise(F.col("value"))
+        .alias("new_value"),
+    )
+    joined = current.join(parent, "event_id", "full_outer")
+    return (
+        joined.withColumn(
+            "status",
+            F.when(F.col("old_value").isNull(), F.lit("NEW"))
+            .when(F.col("new_value").isNull(), F.lit("DELETED"))
+            .when(F.col("new_value") != F.col("old_value"), F.lit("MODIFIED")),
+        )
+        .filter(F.col("status").isNotNull())
+        .select(
+            "event_id",
+            "status",
+            F.round("old_value", 6).alias("old_value"),
+            F.round("new_value", 6).alias("new_value"),
+        )
+    )
+
+
+def k3_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert (K3/J1/M5 — Hudi upsert & MERGE INTO semantics,
+    ingest_csv_hudi.py:80-99, cdc_merger_optimized.py:176-183) as pure
+    DataFrame algebra: result = source ∪ (target ⟕anti source).
+
+    Source is derived deterministically from customer: updated balances for
+    keys ≡0 (mod 3) and brand-new synthetic keys. At scale both sides
+    shuffle once on the pk; with a small source Catalyst broadcasts the
+    anti-join build side.
+    """
+    cust = t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = cust.filter(F.col("c_custkey") % 10 == 1).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    source = updates.unionByName(inserts)
+    target = cust.select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+    untouched = target.join(source.select("c_custkey"), "c_custkey", "left_anti")
+    return source.unionByName(untouched)
+
+
+def k5_cdc_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE semantics (K5, cdc_merger_optimized.py:171-183) as a batch
+    operator with deterministic inputs derived from events:
+
+      target  = latest event per user before 2024-01-15 → (user_id, event_type, value)
+      changes = events on/after 2024-01-15, op = 'd' for 'error' else 'u'
+
+    Apply = last-writer-wins per key (W1 dedup on ts desc), then
+      WHEN MATCHED AND op='d'       → DELETE
+      WHEN MATCHED                  → UPDATE
+      WHEN NOT MATCHED AND op!='d'  → INSERT
+    which reduces to: survivors(changes) ∪ (target ⟕anti all-changed-keys).
+    """
+    ev = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    target = (
+        ev.filter(F.col("ts") < cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.round("value", 6).alias("value"))
+    )
+    changes = (
+        ev.filter(F.col("ts") >= cutoff)
+        .withColumn("op", F.when(F.col("event_type") == "error", "d").otherwise("u"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)  # last-writer-wins within the batch (W1)
+    )
+    survivors = changes.filter(F.col("op") != "d").select(
+        "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    untouched = target.join(changes.select("user_id"), "user_id", "left_anti")
+    return survivors.unionByName(untouched)
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface (§2.9 + S5 passthrough)
+# --------------------------------------------------------------------------
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar functions over orders — the casting surface
+    of the reference's get_cast_val + SQL passthrough (api_poc.py:704-726)."""
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_prio"),
+        F.round(F.col("o_totalprice") * 0.1, 2).alias("tax_amt"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.ceil("o_totalprice").cast("bigint").alias("price_ceil"),
+        F.round(F.abs(F.col("o_totalprice") - 1000.0), 2).alias("abs_diff"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("NONE")).alias("prio_coalesced"),
+        F.length("o_orderpriority").alias("prio_len"),
+    )
+
+
+QUERIES = {
+    "p4_project_columns": p4_project_columns,
+    "p5_filter_eq": p5_filter_eq,
+    "p7_multicol_like": p7_multicol_like,
+    "p8_numeric_id_fastpath": p8_numeric_id_fastpath,
+    "p9_in_list": p9_in_list,
+    "p10_point_lookup": p10_point_lookup,
+    "o1_order_desc_limit": o1_order_desc_limit,
+    "o4_price_filter_sort": o4_price_filter_sort,
+    "a1_count_star": a1_count_star,
+    "a2_groupby_count": a2_groupby_count,
+    "a3_history_style": a3_history_style,
+    "a_having": a_having,
+    "a_pivot_status": a_pivot_status,
+    "a_rollup": a_rollup,
+    "a_date_window": a_date_window,
+    "w1_latest_per_key": w1_latest_per_key,
+    "w_topk_per_group": w_topk_per_group,
+    "j_exists_semi": j_exists_semi,
+    "j_anti": j_anti,
+    "setop_except": setop_except,
+    "j2_snapshot_diff": j2_snapshot_diff,
+    "k3_upsert_merge": k3_upsert_merge,
+    "k5_cdc_merge_batch": k5_cdc_merge_batch,
+    "scalar_functions": scalar_functions,
+}
+
+ORACLE = {
+    "p4_project_columns": "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    "p5_filter_eq": (
+        "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'"
+    ),
+    "p7_multicol_like": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE lower(CAST(c_custkey AS VARCHAR)) LIKE '%le%'
+           OR lower(c_name) LIKE '%le%'
+           OR lower(c_mktsegment) LIKE '%le%'
+    """,
+    "p8_numeric_id_fastpath": """
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+        WHERE CAST(c_custkey AS VARCHAR) = '42'
+    """,
+    "p9_in_list": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_custkey IN (1, 2, 3, 5, 8, 13, 21, 34)
+    """,
+    "p10_point_lookup": "SELECT * FROM part WHERE p_partkey = 7",
+    "o1_order_desc_limit": "SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 100",
+    "o4_price_filter_sort": """
+        SELECT * FROM part WHERE p_retailprice > 50
+        ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 200
+    """,
+    "a1_count_star": "SELECT count(*) AS total_records FROM lineitem",
+    "a2_groupby_count": (
+        "SELECT o_orderstatus, count(*) AS total_records FROM orders GROUP BY o_orderstatus"
+    ),
+    "a3_history_style": """
+        SELECT event_type, count(*) AS rows_changed FROM events
+        GROUP BY event_type ORDER BY rows_changed DESC, event_type ASC
+    """,
+    "a_having": """
+        SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+    """,
+    "a_pivot_status": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "a_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "a_date_window": """
+        SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+    """,
+    "w1_latest_per_key": """
+        SELECT user_id, event_id, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    """,
+    "w_topk_per_group": """
+        SELECT p_brand, rank_in_brand, p_partkey, p_name, p_retailprice FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC
+            ) AS rank_in_brand FROM part) WHERE rank_in_brand <= 3
+    """,
+    "j_exists_semi": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "j_anti": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "setop_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "j2_snapshot_diff": """
+        WITH parent AS (
+            SELECT event_id, value AS old_value FROM events WHERE event_id % 10 != 7
+        ), current AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS new_value
+            FROM events WHERE event_id % 10 != 3
+        )
+        SELECT COALESCE(c.event_id, p.event_id) AS event_id,
+               CASE WHEN p.event_id IS NULL THEN 'NEW'
+                    WHEN c.event_id IS NULL THEN 'DELETED'
+                    ELSE 'MODIFIED' END AS status,
+               round(p.old_value, 6) AS old_value,
+               round(c.new_value, 6) AS new_value
+        FROM current c FULL OUTER JOIN parent p USING (event_id)
+        WHERE p.event_id IS NULL OR c.event_id IS NULL OR c.new_value != p.old_value
+    """,
+    "k3_upsert_merge": """
+        WITH source AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey,
+                   round(c_acctbal, 2), c_mktsegment
+            FROM customer WHERE c_custkey % 10 = 1
+        )
+        SELECT * FROM source
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2), c_mktsegment
+        FROM customer t
+        WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.c_custkey = t.c_custkey)
+    """,
+    "k5_cdc_merge_batch": """
+        WITH ranked_before AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        ), target AS (
+            SELECT user_id, event_type, round(value, 6) AS value
+            FROM ranked_before WHERE rn = 1
+        ), ranked_changes AS (
+            SELECT *, CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        ), changes AS (
+            SELECT * FROM ranked_changes WHERE rn = 1
+        )
+        SELECT user_id, event_type, round(value, 6) AS value
+        FROM changes WHERE op != 'd'
+        UNION ALL
+        SELECT t.user_id, t.event_type, t.value FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.user_id = t.user_id)
+    """,
+    "scalar_functions": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               upper(o_orderstatus) AS status_uc,
+               substring(o_orderpriority, 1, 1) AS prio_code,
+               o_orderstatus || '-' || o_orderpriority AS status_prio,
+               round(o_totalprice * 0.1, 2) AS tax_amt,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+               CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+               round(abs(o_totalprice - 1000.0), 2) AS abs_diff,
+               COALESCE(o_orderpriority, 'NONE') AS prio_coalesced,
+               CAST(length(o_orderpriority) AS INTEGER) AS prio_len
+        FROM orders
+    """,
+}

@@ -1,0 +1,123 @@
+"""Engine-native full-text search (SURVEY.md §2.13, E1–E5).
+
+Reproduces the reference's Elasticsearch semantics (api_poc.py:65-123) without
+an external ES process:
+
+- E1 all-words cross-field match: every query token must appear somewhere in
+  the row (reference: multi_match cross_fields operator=and).
+- E2 phrase boost: exact phrase ranks 10× (reference: multi_match phrase
+  boost=10 in should).
+- E3 top-k: 50 hits.
+- E4 rejoin: hit ids semi-join back to the authoritative table.
+- E5 graceful fallback: LIKE scan when the index/table is absent — here the
+  LIKE scan IS the physical plan, so the fallback chain collapses.
+
+At 100 TB the searchable text column would be a maintained derived table
+(pk, lower(concat_ws(' ', *cols))) partitioned like the base table; the scan
+is embarrassingly parallel and the top-k is TakeOrderedAndProject (per
+partition heap + driver merge, no global sort).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import t
+
+
+def searchable_text(df: DataFrame, cols: list[str]) -> Column:
+    """Build the cross-field searchable text: lower-cased concat of all
+    columns cast to string (the ES fields:["*"] analog)."""
+    return F.lower(F.concat_ws(" ", *[F.col(c).cast("string") for c in cols]))
+
+
+def all_words_predicate(text: Column, query: str) -> Column:
+    """E1: AND over query tokens."""
+    toks = [tok for tok in query.lower().split() if tok]
+    return reduce(and_, [text.contains(tok) for tok in toks])
+
+
+def phrase_boost_score(text: Column, query: str, boost: int = 10) -> Column:
+    """E2: score = boost·[phrase present] + #tokens present."""
+    toks = [tok for tok in query.lower().split() if tok]
+    token_hits = sum(
+        (text.contains(tok).cast("int") for tok in toks), F.lit(0)
+    )
+    phrase_hit = text.contains(query.lower()).cast("int")
+    return (F.lit(boost) * phrase_hit + token_hits).alias("score")
+
+
+def search_allwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 over documents: rows containing both 'spark' and 'merge'."""
+    docs = t(spark, sf_dir, "documents")
+    text = searchable_text(docs, ["text"])
+    return docs.filter(all_words_predicate(text, "spark merge")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def search_phrase_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+E3: ranked search for 'table scan' with phrase boost, top 50
+    (doc_id tiebreak for determinism)."""
+    docs = t(spark, sf_dir, "documents")
+    text = searchable_text(docs, ["text"])
+    query = "table scan"
+    scored = docs.select(
+        "doc_id", phrase_boost_score(text, query).alias("score")
+    ).filter(F.col("score") > 0)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+
+
+def search_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: top-50 ranked hit ids rejoined (semi) to the authoritative table —
+    the ES-hits → SQL IN-list flow (api_poc.py:397-403). Hit set is tiny ⇒
+    broadcast semi-join, no shuffle of the base table."""
+    docs = t(spark, sf_dir, "documents")
+    hits = search_phrase_ranked(spark, sf_dir).select("doc_id")
+    return docs.join(F.broadcast(hits), "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+QUERIES = {
+    "search_allwords": search_allwords,
+    "search_phrase_ranked": search_phrase_ranked,
+    "search_rejoin": search_rejoin,
+}
+
+_TEXT = "lower(CAST(text AS VARCHAR))"
+
+ORACLE = {
+    "search_allwords": f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE {_TEXT} LIKE '%spark%' AND {_TEXT} LIKE '%merge%'
+    """,
+    "search_phrase_ranked": f"""
+        SELECT doc_id, score FROM (
+            SELECT doc_id,
+                   10 * (CASE WHEN {_TEXT} LIKE '%table scan%' THEN 1 ELSE 0 END)
+                   + (CASE WHEN {_TEXT} LIKE '%table%' THEN 1 ELSE 0 END)
+                   + (CASE WHEN {_TEXT} LIKE '%scan%' THEN 1 ELSE 0 END) AS score
+            FROM documents)
+        WHERE score > 0
+        ORDER BY score DESC, doc_id ASC LIMIT 50
+    """,
+    "search_rejoin": f"""
+        WITH hits AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       10 * (CASE WHEN {_TEXT} LIKE '%table scan%' THEN 1 ELSE 0 END)
+                       + (CASE WHEN {_TEXT} LIKE '%table%' THEN 1 ELSE 0 END)
+                       + (CASE WHEN {_TEXT} LIKE '%scan%' THEN 1 ELSE 0 END) AS score
+                FROM documents)
+            WHERE score > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 50
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d WHERE EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+    """,
+}
