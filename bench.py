@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": dir}. Per-query time includes full execution
+(collect to driver via count/collect of the final small result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datalake_on_prem_system_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headliners: scan-agg, broadcast join, multi-join, pushdown, fact-fact
+# shuffle, window dedup, search, term-freq, minhash-lsh, knn
+HEADLINERS = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q_order_lineitem_join_agg",
+    "w1_latest_per_key",
+    "a_date_window",
+    "search_phrase_ranked",
+    "tx_term_freq",
+    "dd_minhash_lsh",
+    "sim_brute_topk",
+    "k5_cdc_merge_batch",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    qs = entry_mod.queries()
+
+    # warm the session (JVM + parquet footer reads) outside timed region
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINERS:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = round(time.perf_counter() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,9 +14,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, relational, search, similarity, textops, tpch
+from . import dedup, multimodal, relational, search, similarity, textops, tpch
 
-_MODULES = (relational, tpch, search, textops, dedup, similarity)
+_MODULES = (relational, tpch, search, textops, dedup, similarity, multimodal)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -5,9 +5,22 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (parquet; column pruning + predicate pushdown
-    handled by the DSv2 parquet source)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    handled by the DSv2 parquet source).
+
+    ``events.ts`` is stored as INT64 TIMESTAMP(NANOS), which Spark 4 only
+    reads with ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in
+    ``session.get_spark``) — it then surfaces as a raw long. Convert back to
+    a microsecond timestamp with exact integer division (``div``), matching
+    DuckDB's nanos→micros truncation bit-for-bit (double division would lose
+    precision above 2^53 ns).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,368 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Beyond-reference capability (the reference's only dedup is the CDC
+last-writer-wins row dedup, cdc_merger_optimized.py:160-161); these are the
+corpus-level near-duplicate passes a 100 TB documents table needs. Everything
+is built-in JVM expressions — no Python UDFs anywhere.
+
+Scale design (the part that matters at 100 TB):
+
+- exact dedup        — hash-groupBy on md5(text): map-side combine, shuffle
+                       carries one row per distinct hash.
+- n-gram jaccard     — inverted-index self-join on shingles (shuffle keyed on
+                       shingle), NEVER an all-pairs cross join. Hot shingles
+                       are the skew risk: production would add the PPJoin
+                       prefix filter (only the (1-t)·|A|+1 globally-rarest
+                       shingles of each doc can seed a candidate pair) which
+                       drops both skew and candidate volume; at fixture scale
+                       the plain index join is exact and fast, and AQE's
+                       skew-join split handles moderate skew.
+- MinHash-LSH        — 64 permutations → 16 bands × 4 rows; candidate pairs
+                       come from a shuffle on (band_id, band_hash) — cost
+                       O(docs × bands), independent of pair count. Candidates
+                       are then exact-verified with array_intersect on the
+                       (small) per-doc shingle arrays. With the fixture's
+                       planted near-dups at j ≥ 0.85 the per-pair detection
+                       probability is 1 - (1 - j⁴)¹⁶ ≥ 0.999993, so the
+                       verified output equals the exact jaccard result (the
+                       oracle) with overwhelming probability.
+- SimHash            — 64-bit per-doc signature from token-hash bit votes;
+                       near-dups = pairs with hamming ≤ 6 found by joining on
+                       16-bit signature bands (pigeonhole: hamming ≤ 6 over 4
+                       bands ⇒ at least one identical band for hamming ≤ 3 per
+                       band... we use 4 bands which guarantees recall for
+                       hamming ≤ 3 and probabilistically catches ≤ 6).
+- embedding cosine   — high-similarity pair mining. Exact variant below is a
+                       block-nested-loop; the 100 TB path is the LSH-bucketed
+                       candidate generation in ``similarity.py`` followed by
+                       the same exact rerank.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import t
+
+_P = 2_147_483_647  # 2^31 - 1; (a*x + b) stays < 2^62 — no int64 overflow
+_N_HASHES = 64
+_N_BANDS = 16
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+
+_rng = random.Random(42)
+_PERMS = [(_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(_N_HASHES)]
+
+JACCARD_THRESHOLD = 0.8
+_SHINGLE_N = 3
+
+
+def _shingles(col: str = "text") -> Column:
+    """Distinct word 3-gram shingles (0-based array subscripts)."""
+    w = F.split(F.col(col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - _SHINGLE_N),
+            lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+        )
+    )
+
+
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash, keep the lowest doc_id per group.
+    Output one survivor row per distinct content with the group size."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def _pair_jaccard_exact(docs: DataFrame) -> DataFrame:
+    """Exact jaccard over word-3-gram shingles for every pair sharing ≥1
+    shingle, via an inverted-index self-join (shuffle on shingle)."""
+    sh = docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
+        "doc_id", _shingles().alias("sh")
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "a_id", "sz": "size_a"}), "a_id")
+        .join(sizes.withColumnsRenamed({"doc_id": "b_id", "sz": "size_b"}), "b_id")
+        .withColumn(
+            "jaccard_raw",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select(
+            "a_id", "b_id", "inter", "size_a", "size_b",
+            F.round("jaccard_raw", 6).alias("jaccard"),
+        )
+    )
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-jaccard near-dup pairs (j ≥ 0.8)."""
+    return _pair_jaccard_exact(t(spark, sf_dir, "documents"))
+
+
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, exact-verified.
+
+    shingle → xxhash64 → 64 universal-hash permutations → per-doc min →
+    16 bands of 4 → shuffle on (band, band_hash) → candidate pairs →
+    exact jaccard verify on the per-doc shingle arrays → j ≥ 0.8.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
+        "doc_id", _shingles().alias("sh")
+    )
+    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle")).withColumn("h", h)
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(_PERMS)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{bi * _ROWS_PER_BAND + r}")
+                            for r in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for bi in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    la = bands.alias("la")
+    lb = bands.alias("lb")
+    cands = (
+        la.join(
+            lb,
+            (F.col("la.band") == F.col("lb.band"))
+            & (F.col("la.bh") == F.col("lb.bh"))
+            & (F.col("la.doc_id") < F.col("lb.doc_id")),
+        )
+        .select(F.col("la.doc_id").alias("a_id"), F.col("lb.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # exact verification: join candidate pairs back to shingle arrays
+    verified = (
+        cands.join(sh.withColumnsRenamed({"doc_id": "a_id", "sh": "sh_a"}), "a_id")
+        .join(sh.withColumnsRenamed({"doc_id": "b_id", "sh": "sh_b"}), "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("size_a", F.size("sh_a"))
+        .withColumn("size_b", F.size("sh_b"))
+        .withColumn(
+            "jaccard_raw",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    )
+    return verified.select(
+        "a_id", "b_id", "inter", "size_a", "size_b",
+        F.round("jaccard_raw", 6).alias("jaccard"),
+    )
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature from per-shingle hash
+    bit votes; pairs joined on any equal 16-bit band (pigeonhole: guarantees
+    recall for hamming ≤ 3), kept if hamming ≤ 6. Engine-specific hashing
+    (xxhash64) ⇒ rows-only check; the pytest suite asserts it recovers the
+    planted near-dup pairs."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
+        "doc_id", F.explode(_shingles()).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    simhash = sum(
+        (
+            # bit 63 is the int64 sign bit: its set-value is -(2^63)
+            F.when(
+                F.col(f"v{j}") > 0,
+                F.lit((1 << j) if j < 63 else -(1 << 63)).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for j in range(64)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    sigs = votes.select("doc_id", simhash.alias("simhash"))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), bi * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bh"),
+            )
+            for bi in range(4)
+        ]
+    )
+    bands = sigs.select("doc_id", "simhash", F.explode(band_arr).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    sa = bands.alias("sa")
+    sb = bands.alias("sb")
+    return (
+        sa.join(
+            sb,
+            (F.col("sa.band") == F.col("sb.band"))
+            & (F.col("sa.bh") == F.col("sb.bh"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .select(
+            F.col("sa.doc_id").alias("a_id"),
+            F.col("sb.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+        .orderBy("a_id", "b_id")
+    )
+
+
+COSINE_PAIR_THRESHOLD = 0.45
+
+
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cosine embedding pair mining (exact). The arithmetic is a
+    sequential fold (zip_with + aggregate) so the oracle can replicate the
+    exact same double-precision summation order. 100 TB path: LSH-bucketed
+    candidates (similarity.sim_ann_lsh machinery) + this exact rerank."""
+    emb = t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
+        .filter(F.col("cosine") >= COSINE_PAIR_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+QUERIES = {
+    "dd_exact": dd_exact,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_simhash": dd_simhash,  # rows-only: engine-specific hash
+    "dd_embedding_cosine": dd_embedding_cosine,
+}
+
+_PAIR_JACCARD_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) s
+        FROM toks WHERE len(w) >= 3
+    ), sizes AS (
+        SELECT doc_id, len(s) sz FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(s) shingle FROM sh
+    ), pairs AS (
+        SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, inter,
+           CAST(sa.sz AS INTEGER) AS size_a, CAST(sb.sz AS INTEGER) AS size_b,
+           round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+"""
+
+ORACLE = {
+    "dd_exact": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS survivor_doc_id,
+               count(*) AS group_size
+        FROM documents GROUP BY 1
+    """,
+    "dd_ngram_jaccard": _PAIR_JACCARD_SQL,
+    # LSH + exact verify equals the exact result w.p. ~1 at the fixture's
+    # planted-dup similarity levels (see module docstring)
+    "dd_minhash_lsh": _PAIR_JACCARD_SQL,
+    "dd_embedding_cosine": """
+        WITH v AS (
+            SELECT vec_id,
+                   [CAST(x AS DOUBLE) for x in embedding] AS vec
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, vec,
+                   sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        [x * x for x in vec]), (acc, x) -> acc + x)) AS norm
+            FROM v
+        )
+        SELECT a.vec_id a_id, b.vec_id b_id,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         [a.vec[i] * b.vec[i] for i in range(1, len(a.vec) + 1)]),
+                         (acc, x) -> acc + x) / (a.norm * b.norm), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  [a.vec[i] * b.vec[i] for i in range(1, len(a.vec) + 1)]),
+                  (acc, x) -> acc + x) / (a.norm * b.norm) >= 0.45
+    """,
+}

@@ -148,7 +148,7 @@ def a_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.count("*"))
+        .agg(F.count(F.lit(1)))  # count("*") is illegal inside pivot().agg() in Spark 4
     )
     # pivot yields NULL for empty cells; normalize to 0 (COUNT semantics)
     return pivoted.select(
@@ -259,21 +259,25 @@ def j2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = t(spark, sf_dir, "events")
     parent = ev.filter(F.col("event_id") % 10 != 7).select(
-        "event_id", F.col("value").alias("old_value")
+        "event_id", F.col("value").alias("old_value"), F.lit(True).alias("in_parent")
     )
     current = ev.filter(F.col("event_id") % 10 != 3).select(
         "event_id",
         F.when(F.col("event_id") % 5 == 0, F.col("value") * 2)
         .otherwise(F.col("value"))
         .alias("new_value"),
+        F.lit(True).alias("in_current"),
     )
     joined = current.join(parent, "event_id", "full_outer")
+    # classify on explicit presence flags (not value nullability — a NULL
+    # value in a matched row must not masquerade as NEW/DELETED), with
+    # null-safe inequality for MODIFIED
     return (
         joined.withColumn(
             "status",
-            F.when(F.col("old_value").isNull(), F.lit("NEW"))
-            .when(F.col("new_value").isNull(), F.lit("DELETED"))
-            .when(F.col("new_value") != F.col("old_value"), F.lit("MODIFIED")),
+            F.when(F.col("in_parent").isNull(), F.lit("NEW"))
+            .when(F.col("in_current").isNull(), F.lit("DELETED"))
+            .when(~F.col("new_value").eqNullSafe(F.col("old_value")), F.lit("MODIFIED")),
         )
         .filter(F.col("status").isNotNull())
         .select(
@@ -369,7 +373,11 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("o_orderstatus").alias("status_uc"),
         F.substring("o_orderpriority", 1, 1).alias("prio_code"),
         F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_prio"),
-        F.round(F.col("o_totalprice") * 0.1, 2).alias("tax_amt"),
+        # round on DECIMAL, not IEEE double: double rounding of half-way
+        # values (e.g. 35355.505) differs between engines
+        F.round((F.col("o_totalprice").cast("decimal(18,4)") * F.lit(0.1).cast("decimal(18,4)")).cast("decimal(18,4)"), 2)
+        .cast("double")
+        .alias("tax_amt"),
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
         F.ceil("o_totalprice").cast("bigint").alias("price_ceil"),
         F.round(F.abs(F.col("o_totalprice") - 1000.0), 2).alias("abs_diff"),
@@ -500,7 +508,8 @@ ORACLE = {
                round(p.old_value, 6) AS old_value,
                round(c.new_value, 6) AS new_value
         FROM current c FULL OUTER JOIN parent p USING (event_id)
-        WHERE p.event_id IS NULL OR c.event_id IS NULL OR c.new_value != p.old_value
+        WHERE p.event_id IS NULL OR c.event_id IS NULL
+           OR c.new_value IS DISTINCT FROM p.old_value
     """,
     "k3_upsert_merge": """
         WITH source AS (
@@ -547,7 +556,7 @@ ORACLE = {
                upper(o_orderstatus) AS status_uc,
                substring(o_orderpriority, 1, 1) AS prio_code,
                o_orderstatus || '-' || o_orderpriority AS status_prio,
-               round(o_totalprice * 0.1, 2) AS tax_amt,
+               CAST(round(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(0.1 AS DECIMAL(18,4)) AS DECIMAL(18,4)), 2) AS DOUBLE) AS tax_amt,
                CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
                CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
                round(abs(o_totalprice - 1000.0), 2) AS abs_diff,

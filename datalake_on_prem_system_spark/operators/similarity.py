@@ -1,0 +1,227 @@
+"""Similarity / nearest-neighbor search over the ``embeddings`` table.
+
+Beyond-reference capability: approximate-nearest-neighbor retrieval over an
+``array<float>`` embedding column, as an LLM-pipeline engine needs for
+embedding-based curation and retrieval.
+
+All vector arithmetic is JVM-side higher-order functions (``zip_with`` +
+``aggregate`` — a sequential fold, so the DuckDB oracle can replicate the
+identical double summation order). No Python UDFs.
+
+Scale design (100 TB / billions of vectors):
+
+- ``sim_brute_topk`` — the exact baseline: broadcast the query vector, one
+  narrow map over the table, TakeOrderedAndProject top-k (per-partition heap
+  + driver merge of k·partitions rows; no global sort, no shuffle of the
+  table). This is THE right plan for one query over any corpus size.
+- ``sim_knn_join`` — small query batch × corpus: broadcast the query batch,
+  per-row top-k via window over a corpus-partitioned join. Queries stay
+  broadcast ⇒ the corpus never shuffles.
+- ``sim_ann_lsh`` — the sublinear path: random-hyperplane signatures bucket
+  the corpus (shuffle keyed on bucket), queries probe their own bucket ±
+  hamming-1 neighbors, exact rerank inside the candidate set. Bucket count
+  scales with corpus size; candidates per query stay O(corpus/buckets ·
+  probes).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import t
+
+_DIM = 64
+_QUERY_VEC_ID = 0
+_TOP_K = 10
+
+_N_PLANES = 4  # 16 buckets — sized for the fixture corpus (~500–2000 vectors)
+_rng = random.Random(7)
+# deterministic random hyperplanes (unit-free; only the sign matters)
+_PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_PLANES)]
+
+
+def _as_double(col: str = "embedding") -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", _as_double().alias("v")).withColumn(
+        "norm", _norm(F.col("v"))
+    )
+
+
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id=0 (self excluded)."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    return (
+        vecs.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .withColumn("cosine_raw", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")))
+        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def sim_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors of vec_id=0 within every label partition (grouped
+    retrieval — e.g. per-source nearest examples)."""
+    from pyspark.sql import Window
+
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+    return (
+        vecs.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .withColumn("cosine_raw", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")))
+        .withColumn("rank_in_label", F.row_number().over(w))
+        .filter(F.col("rank_in_label") <= 3)
+        .select(
+            "label", "rank_in_label", "vec_id", F.round("cosine_raw", 6).alias("cosine")
+        )
+    )
+
+
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: for each of the first 5 vectors, the exact top-5 cosine
+    neighbors. Query batch broadcast; corpus never shuffles (window runs on
+    the joined stream partitioned by query id)."""
+    from pyspark.sql import Window
+
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+    return (
+        vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine_raw", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", F.col("rnk").alias("rank"), "vec_id", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def _plane_sig(v: Column) -> Column:
+    """LSH signature: sign bits against the fixed random hyperplanes."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(c) for c in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(_PLANES)
+    ]
+    return sum(bits[1:], bits[0])
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for vec_id=0 via random-hyperplane LSH: corpus bucketed by
+    signature, query probes its bucket plus all hamming-1 neighbor buckets,
+    exact cosine rerank within candidates. Approximate ⇒ rows-only check;
+    pytest measures recall vs sim_brute_topk."""
+    vecs = _vecs(spark, sf_dir).withColumn("sig", _plane_sig(F.col("v")))
+    q = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("sig").alias("qsig"),
+    )
+    # probe set: own bucket + hamming-1 buckets
+    probes = F.array(
+        F.col("qsig"), *[F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)]
+    )
+    qp = q.select("qv", "qnorm", F.explode(probes).alias("sig"))
+    return (
+        vecs.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(qp), "sig")
+        .withColumn("cosine_raw", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")))
+        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+QUERIES = {
+    "sim_brute_topk": sim_brute_topk,
+    "sim_topk_per_label": sim_topk_per_label,
+    "sim_knn_join": sim_knn_join,
+    "sim_ann_lsh": sim_ann_lsh,  # rows-only: approximate by construction
+}
+
+_VECS_SQL = """
+    v AS (
+        SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS vec
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, label, vec,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    [x * x for x in vec]), (a, x) -> a + x)) AS norm
+        FROM v
+    )
+"""
+
+_COS = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [a.vec[i] * q.vec[i] for i in range(1, len(a.vec) + 1)]),
+              (s, x) -> s + x) / (a.norm * q.norm)"""
+
+ORACLE = {
+    "sim_brute_topk": f"""
+        WITH {_VECS_SQL}
+        SELECT a.vec_id, a.label, round({_COS}, 6) AS cosine
+        FROM n a, (SELECT vec, norm FROM n WHERE vec_id = 0) q
+        WHERE a.vec_id != 0
+        ORDER BY {_COS} DESC, a.vec_id ASC LIMIT 10
+    """,
+    "sim_topk_per_label": f"""
+        WITH {_VECS_SQL}, scored AS (
+            SELECT a.label, a.vec_id, {_COS} AS c
+            FROM n a, (SELECT vec, norm FROM n WHERE vec_id = 0) q
+            WHERE a.vec_id != 0
+        )
+        SELECT label, CAST(rank_in_label AS INTEGER) AS rank_in_label,
+               vec_id, round(c, 6) AS cosine
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY label ORDER BY c DESC, vec_id ASC) AS rank_in_label
+              FROM scored)
+        WHERE rank_in_label <= 3
+    """,
+    "sim_knn_join": f"""
+        WITH {_VECS_SQL}, scored AS (
+            SELECT q.vec_id AS q_id, a.vec_id, {_COS} AS c
+            FROM n a JOIN n q ON q.vec_id < 5 AND a.vec_id != q.vec_id
+        )
+        SELECT q_id, CAST(rnk AS INTEGER) AS rank, vec_id, round(c, 6) AS cosine
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS rnk
+              FROM scored)
+        WHERE rnk <= 5
+    """,
+}

@@ -1,0 +1,251 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond-reference capability (the reference's only text operation is the ES
+keyword search, api_poc.py:65-123); these are the standard corpus-curation
+passes a 100 TB documents table needs. All hot-path logic is built-in
+``pyspark.sql.functions`` (JVM, whole-stage codegen) — no Python UDFs:
+
+- token/char statistics        (tx_token_stats)
+- BPE-ish token-count estimate (tx_bpe_estimate)
+- language ID, n-gram heuristic(tx_lang_id)
+- quality scoring              (tx_quality_score)
+- document fingerprint         (tx_fingerprint — polynomial rolling hash)
+- corpus term frequencies      (tx_term_freq)
+
+Scale notes (100 TB): every operator here is a narrow per-row map over
+``documents`` except ``tx_term_freq``, which is the classic word-count —
+partial (map-side) aggregation means only (token, partial_count) rows
+shuffle, bounded by vocabulary × partitions, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import t
+
+# shared with the oracle SQL: deterministic, engine-agnostic definitions
+_MOD = 1_000_000_007
+_STOPWORDS = ("the", "a", "of", "and", "in")  # 'the'/'a' occur in the fixture vocab
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (whitespace tokenization)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        # single-space-joined text ⇒ avg token length is derivable exactly
+        F.round(
+            (F.length("text") - (F.size(toks) - 1)) / F.size(toks), 4
+        ).alias("avg_token_len"),
+    )
+
+
+def tx_bpe_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimate: word-boundary tokens from a regex split
+    plus a chars/4 subword correction — the standard cheap proxy used for
+    corpus token budgeting when the real tokenizer is too expensive."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), r"[\s\.,;:!\?]+"))
+    subword = F.ceil(F.length("text") / F.lit(4)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        subword.alias("n_subword_est"),
+        F.greatest(words.cast("bigint"), subword).alias("n_tokens_est"),
+    )
+
+
+def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-gram-marker language ID heuristic: count occurrences
+    of per-language marker n-grams and take the argmax with a fixed
+    precedence (en > de > fr > es). The classifier is a pure function of the
+    text (checked against the oracle as such), independent of the stored
+    ``lang`` column."""
+    docs = t(spark, sf_dir, "documents")
+
+    def count_marker(m: str) -> Column:
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(m), F.lit(""))))
+            / len(m)
+        ).cast("int")
+
+    en = count_marker("the ") + count_marker(" th")
+    de = count_marker("sch") + count_marker("ei")
+    fr = count_marker("eau") + count_marker("ou")
+    es = count_marker("ll") + count_marker("ción")
+    best = F.greatest(en, de, fr, es)
+    guess = (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("score_en"),
+        de.alias("score_de"),
+        fr.alias("score_fr"),
+        es.alias("score_es"),
+        guess.alias("lang_guess"),
+    )
+
+
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length score, stopword ratio, digit/punct ratio —
+    the usual heuristic pre-filters before expensive model-based scoring."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_hits = sum(
+        (F.size(F.filter(toks, lambda x: x == F.lit(s))) for s in _STOPWORDS),
+        F.lit(0),
+    )
+    digit_chars = F.length("text") - F.length(F.regexp_replace(F.col("text"), r"[0-9]", ""))
+    len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    stop_ratio = stop_hits / n_tokens
+    digit_ratio = digit_chars / F.length("text")
+    quality = F.round(
+        F.lit(0.5) * len_score + F.lit(0.5) * stop_ratio - F.lit(1.0) * digit_ratio, 6
+    )
+    return docs.select(
+        "doc_id",
+        F.round(len_score, 6).alias("len_score"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: token-level polynomial rolling hash
+    ``h = (h*31 + token_hash) mod p``, where ``token_hash`` is itself a
+    character-level rolling hash — deterministic, engine-agnostic (the
+    DuckDB oracle computes the identical recurrence via list_reduce), and
+    whitespace-normalization-invariant."""
+    docs = t(spark, sf_dir, "documents")
+    # char hash per token, then fold tokens — all JVM-side higher-order funcs
+    tok_hash = F.transform(
+        _tokens(),
+        lambda tok: F.aggregate(
+            F.filter(F.split(tok, ""), lambda ch: ch != F.lit("")),
+            F.lit(0).cast("bigint"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % _MOD,
+        ),
+    )
+    doc_hash = F.aggregate(
+        tok_hash,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 131 + h) % _MOD,
+    )
+    return docs.select("doc_id", doc_hash.alias("fingerprint"))
+
+
+def tx_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top 40 tokens (word-count: map-side combine ⇒
+    shuffle volume bounded by vocab × partitions)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(40)
+    )
+
+
+QUERIES = {
+    "tx_token_stats": tx_token_stats,
+    "tx_bpe_estimate": tx_bpe_estimate,
+    "tx_lang_id": tx_lang_id,
+    "tx_quality_score": tx_quality_score,
+    "tx_fingerprint": tx_fingerprint,
+    "tx_term_freq": tx_term_freq,
+}
+
+ORACLE = {
+    "tx_token_stats": """
+        SELECT doc_id, lang,
+               CAST(length(text) AS INTEGER) AS n_chars_actual,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens,
+               round((length(text) - (len(string_split(text, ' ')) - 1))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
+        FROM documents
+    """,
+    "tx_bpe_estimate": r"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(text, '[\s\.,;:!\?]+')) AS INTEGER) AS n_words,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est,
+               greatest(CAST(len(regexp_split_to_array(text, '[\s\.,;:!\?]+')) AS BIGINT),
+                        CAST(ceil(length(text) / 4.0) AS BIGINT)) AS n_tokens_est
+        FROM documents
+    """,
+    "tx_lang_id": """
+        WITH scored AS (
+            SELECT doc_id,
+                CAST((length(text) - length(replace(text, 'the ', ''))) / 4
+                   + (length(text) - length(replace(text, ' th', ''))) / 3 AS INTEGER) AS score_en,
+                CAST((length(text) - length(replace(text, 'sch', ''))) / 3
+                   + (length(text) - length(replace(text, 'ei', ''))) / 2 AS INTEGER) AS score_de,
+                CAST((length(text) - length(replace(text, 'eau', ''))) / 3
+                   + (length(text) - length(replace(text, 'ou', ''))) / 2 AS INTEGER) AS score_fr,
+                CAST((length(text) - length(replace(text, 'll', ''))) / 2
+                   + (length(text) - length(replace(text, 'ción', ''))) / 4 AS INTEGER) AS score_es
+            FROM documents
+        )
+        SELECT doc_id, score_en, score_de, score_fr, score_es,
+               CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                    WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                    WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                    WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                    ELSE 'es' END AS lang_guess
+        FROM scored
+    """,
+    "tx_quality_score": """
+        WITH f AS (
+            SELECT doc_id,
+                   least(length(text) / 500.0, 1.0) AS len_score,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS stop_ratio,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                     / length(text) AS digit_ratio
+            FROM documents
+        )
+        SELECT doc_id,
+               round(len_score, 6) AS len_score,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(digit_ratio, 6) AS digit_ratio,
+               round(0.5 * len_score + 0.5 * stop_ratio - 1.0 * digit_ratio, 6) AS quality
+        FROM f
+    """,
+    "tx_fingerprint": """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       [list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                [CAST(unicode(c) AS BIGINT) for c in string_split(tok, '')]),
+                            (acc, ch) -> (acc * 31 + ch) % 1000000007)
+                        for tok in string_split(text, ' ')]),
+                   (acc, h) -> (acc * 131 + h) % 1000000007) AS fingerprint
+        FROM documents
+    """,
+    "tx_term_freq": """
+        SELECT token, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY freq DESC, token ASC LIMIT 40
+    """,
+}
