@@ -1,0 +1,76 @@
+"""Snapshot diff: classify rows between two versions of a LakeTable.
+
+The reference computes this driver-side with a Python dict probe
+(api_poc.py:443-453 build, :476-487 classify, :552-557 per-cell diff) over
+LIMIT-100 pages. Re-expressed as a distributed full-outer join keyed on the
+pk — shuffles each side once on the pk, no driver collection, works at any
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .table import LakeTable
+
+
+def snapshot_diff(table: LakeTable, v_old: int, v_new: int, pk: str) -> DataFrame:
+    """Rows that changed between ``v_old`` and ``v_new``:
+
+    output: (pk, status NEW|MODIFIED|DELETED, changed_cells
+    map<col, struct<old string, new string>>) — cell values
+    string-normalized exactly like the reference's rendering
+    (api_poc.py:552-557 compares ``str(old) != str(new)``).
+    """
+    old = table.read(version=v_old)
+    new = table.read(version=v_new)
+    cols = [c for c in new.columns if c != pk and c in old.columns]
+
+    o = old.select(
+        F.col(pk),
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).cast("string").alias(f"__old_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(pk),
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).cast("string").alias(f"__new_{c}") for c in cols],
+    )
+    j = n.join(o, pk, "full_outer")
+
+    changed_cells = F.map_filter(
+        F.create_map(
+            *[
+                x
+                for c in cols
+                for x in (
+                    F.lit(c),
+                    F.when(
+                        ~F.col(f"__new_{c}").eqNullSafe(F.col(f"__old_{c}")),
+                        F.struct(
+                            F.col(f"__old_{c}").alias("old"),
+                            F.col(f"__new_{c}").alias("new"),
+                        ),
+                    ),
+                )
+            ]
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    any_change = F.size(F.map_keys(F.col("changed_cells"))) > 0
+    # per-cell diffs only make sense for rows present on both sides
+    # (api_poc.py:552-557 renders them for matched rows only)
+    both = F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull()
+    empty = F.map_filter(changed_cells, lambda _k, _v: F.lit(False))
+    return (
+        j.withColumn("changed_cells", F.when(both, changed_cells).otherwise(empty))
+        .withColumn(
+            "status",
+            F.when(F.col("__in_old").isNull(), F.lit("NEW"))
+            .when(F.col("__in_new").isNull(), F.lit("DELETED"))
+            .when(any_change, F.lit("MODIFIED")),
+        )
+        .filter(F.col("status").isNotNull())
+        .select(pk, "status", "changed_cells")
+    )

@@ -14,9 +14,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, multimodal, relational, search, similarity, textops, tpch
+from . import (
+    dedup,
+    ingest_ops,
+    lakehouse_ops,
+    multimodal,
+    relational,
+    search,
+    similarity,
+    textops,
+    tpch,
+)
 
-_MODULES = (relational, tpch, search, textops, dedup, similarity, multimodal)
+_MODULES = (
+    relational,
+    tpch,
+    search,
+    textops,
+    dedup,
+    similarity,
+    multimodal,
+    lakehouse_ops,
+    ingest_ops,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

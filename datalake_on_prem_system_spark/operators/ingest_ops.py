@@ -1,0 +1,140 @@
+"""CSV-ingest operator queries (S1/S7/K1-K3/F8 + schema evolution).
+
+Each query writes a real CSV (messy headers and all) from fixture data,
+ingests it through ``sources.csv_ingest`` into a versioned LakeTable, and
+returns the read-back state; the oracle reproduces the same result as SQL
+over the original fixture tables — covering read → sanitize → infer →
+commit → read end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lakehouse import LakeTable
+from ..sources.csv_ingest import ingest_csv
+from .common import t
+
+
+def _write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def in_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+F8+K1: CSV with Avro-hostile headers (spaces, dots, parens) →
+    sanitize → inferSchema → create-or-replace → read back. Output cast to
+    stable widths (inference picks the narrowest int that fits)."""
+    work = tempfile.mkdtemp(prefix="ingest_rt_")
+    src = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("Customer Key"),
+            F.col("c_name").alias("Name.Full"),
+            F.round("c_acctbal", 2).alias("acct (bal)"),
+        )
+    )
+    csv_path = os.path.join(work, "in.csv")
+    _write_csv(src, csv_path)
+    out = ingest_csv(LakeTable(spark, os.path.join(work, "tbl")), csv_path, mode="create")
+    return out.select(
+        F.col("Customer_Key").cast("bigint").alias("customer_key"),
+        F.col("NameFull").alias("name_full"),
+        F.col("acct_bal").cast("double").alias("acct_bal"),
+    )
+
+
+def in_csv_append_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 + schema evolution: second CSV batch adds a column and drops one —
+    union-of-columns alignment (ingest_csv_hudi.py:112-146)."""
+    work = tempfile.mkdtemp(prefix="ingest_ev_")
+    supp = t(spark, sf_dir, "supplier")
+    batch1 = supp.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    batch2 = supp.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_name", F.lit("fresh").alias("batch_tag")  # no s_nationkey
+    )
+    p1, p2 = os.path.join(work, "b1.csv"), os.path.join(work, "b2.csv")
+    _write_csv(batch1, p1)
+    _write_csv(batch2, p2)
+    table = LakeTable(spark, os.path.join(work, "tbl"))
+    ingest_csv(table, p1, mode="create")
+    out = ingest_csv(table, p2, mode="append")
+    return out.select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        "s_name",
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        "batch_tag",
+    )
+
+
+def in_csv_upsert_precombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: Hudi-style keyed upsert with precombine — the change CSV carries
+    two versions of the same keys; the higher precombine wins (W1
+    last-writer-wins), then MERGE applies."""
+    work = tempfile.mkdtemp(prefix="ingest_up_")
+    nation = t(spark, sf_dir, "nation")
+    base = nation.select("n_nationkey", "n_name", "n_regionkey")
+    changes = (
+        nation.filter(F.col("n_nationkey") % 2 == 0)
+        .select(
+            "n_nationkey",
+            F.concat(F.lit("v1_"), F.col("n_name")).alias("n_name"),
+            "n_regionkey",
+            F.lit(1).alias("seq"),
+        )
+        .unionByName(
+            nation.filter(F.col("n_nationkey") % 4 == 0).select(
+                "n_nationkey",
+                F.concat(F.lit("v2_"), F.col("n_name")).alias("n_name"),
+                "n_regionkey",
+                F.lit(2).alias("seq"),
+            )
+        )
+    )
+    pb, pc = os.path.join(work, "base.csv"), os.path.join(work, "chg.csv")
+    _write_csv(base, pb)
+    _write_csv(changes, pc)
+    table = LakeTable(spark, os.path.join(work, "tbl"))
+    ingest_csv(table, pb, mode="create")
+    out = ingest_csv(table, pc, mode="upsert", pk="n_nationkey", precombine="seq")
+    return out.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+QUERIES = {
+    "in_csv_roundtrip": in_csv_roundtrip,
+    "in_csv_append_evolution": in_csv_append_evolution,
+    "in_csv_upsert_precombine": in_csv_upsert_precombine,
+}
+
+ORACLE = {
+    "in_csv_roundtrip": """
+        SELECT c_custkey AS customer_key, c_name AS name_full,
+               round(c_acctbal, 2) AS acct_bal
+        FROM customer WHERE c_custkey % 10 = 0
+    """,
+    "in_csv_append_evolution": """
+        SELECT s_suppkey, s_name, s_nationkey, CAST(NULL AS VARCHAR) AS batch_tag
+        FROM supplier WHERE s_suppkey % 2 = 0
+        UNION ALL
+        SELECT s_suppkey, s_name, NULL, 'fresh'
+        FROM supplier WHERE s_suppkey % 2 = 1
+    """,
+    "in_csv_upsert_precombine": """
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 4 = 0 THEN 'v2_' || n_name
+                    WHEN n_nationkey % 2 = 0 THEN 'v1_' || n_name
+                    ELSE n_name END AS n_name,
+               n_regionkey
+        FROM nation
+    """,
+}

@@ -1,0 +1,254 @@
+"""Lakehouse operator queries: versioned writes, time travel, history,
+MERGE, DML, snapshot diff — exercised end-to-end through ``LakeTable``.
+
+Each query builds a real versioned table (parquet + commit log) in a fresh
+temp dir from fixture data, performs actual commits, and returns a
+DataFrame whose content the DuckDB oracle reproduces as pure SQL algebra
+over the same fixtures — so the correctness gate checks the whole write →
+commit → time-travel-read path, not just a read-only emulation.
+
+Reference parity map:
+- K1/K2 create/append           → table.create_or_replace / append
+- K3/K5/J1/M4/M5 MERGE          → table.merge (op + precombine semantics)
+- K4/M3 keyed delete            → table.delete_where
+- M1/M2 insert/update           → table.insert_rows / update_where
+- D5 $snapshots history         → table.history (api_poc.py:426-493)
+- D6 time travel + fallback     → table.read(version=, fallback_to_latest=)
+                                  (api_poc.py:374-376, 462-468)
+- J2 snapshot diff              → lakehouse.diff.snapshot_diff
+                                  (api_poc.py:443-487, 552-557)
+- D1/D2 SHOW TABLES / DESCRIBE  → LakeCatalog (api_poc.py:131, 382-389)
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lakehouse import LakeCatalog, LakeTable, snapshot_diff
+from .common import t
+
+
+def _base_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+
+
+def _cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    changes = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, "d").otherwise("u").alias("op"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 7 == 1).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("c").alias("op"),
+    )
+    return changes.unionByName(inserts)
+
+
+def _merged_table(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """v0 = base customers; v1 = CDC MERGE (update/delete/insert)."""
+    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_merge_"))
+    table.create_or_replace(_base_customers(spark, sf_dir))
+    table.merge(_cdc_source(spark, sf_dir), pk="c_custkey", op_col="op")
+    return table
+
+
+def lh_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5/M4: real MERGE commit, read back the new version."""
+    return _merged_table(spark, sf_dir).read()
+
+
+def lh_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: read VERSION AS OF 0 after the merge commit — must return the
+    pre-merge state."""
+    return _merged_table(spark, sf_dir).read(version=0)
+
+
+def lh_expired_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 fallback: an expired/unknown version degrades to latest
+    (api_poc.py:462-468)."""
+    return _merged_table(spark, sf_dir).read(version=99, fallback_to_latest=True)
+
+
+def lh_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: $snapshots-style history with deterministic columns (row counts
+    prove the commit contents; committed_at excluded — wall-clock)."""
+    return _merged_table(spark, sf_dir).history().select(
+        "version", "parent", "operation", "n_rows"
+    )
+
+
+def lh_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 on real versions: classify rows between v0 and v1 of the merged
+    table, surfacing the changed acctbal cell old→new."""
+    table = _merged_table(spark, sf_dir)
+    d = snapshot_diff(table, v_old=0, v_new=1, pk="c_custkey")
+    return d.select(
+        "c_custkey",
+        "status",
+        F.col("changed_cells")["c_acctbal"]["old"].cast("double").alias("old_acctbal"),
+        F.col("changed_cells")["c_acctbal"]["new"].cast("double").alias("new_acctbal"),
+    )
+
+
+def lh_dml_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2+M3: typed insert / update / keyed delete round trip — four real
+    commits, final state read back."""
+    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_dml_"))
+    base = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 100)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    )
+    table.create_or_replace(base)
+    table.update_where(F.col("p_partkey") % 10 == 3, {"p_retailprice": 9999.99})
+    table.delete_where(F.col("p_partkey") % 10 == 7)
+    table.insert_rows(
+        [
+            {"p_partkey": 1_000_001, "p_name": "inserted part a", "p_brand": "Brand#99", "p_retailprice": 1.5},
+            {"p_partkey": 1_000_002, "p_name": "inserted part b", "p_brand": "Brand#98", "p_retailprice": 2.5},
+        ]
+    )
+    return table.read()
+
+
+def lh_append_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 + schema evolution: append a batch carrying a new column — old
+    rows take NULL (ingest_csv_hudi.py:112-146 union-of-columns
+    semantics via unionByName(allowMissingColumns))."""
+    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_append_"))
+    nations = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    table.create_or_replace(nations.filter(F.col("n_nationkey") < 10))
+    table.append(
+        nations.filter(F.col("n_nationkey") >= 10).withColumn(
+            "ingest_batch", F.lit("batch2")
+        )
+    )
+    return table.read()
+
+
+def lh_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1+D2: SHOW TABLES + DESCRIBE through the catalog facade."""
+    cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_cat_"), namespace="trino_db")
+    cat.create_namespace()
+    cat.table("regions").create_or_replace(t(spark, sf_dir, "region"))
+    cat.table("nations").create_or_replace(t(spark, sf_dir, "nation"))
+    tables = spark.createDataFrame([(n,) for n in cat.list_tables()], "table_name string")
+    desc = cat.describe("regions").select(
+        F.lit("regions").alias("table_name"),
+        F.concat_ws(":", "col_name", "data_type").alias("detail"),
+    )
+    return tables.withColumn("detail", F.lit("__table__")).unionByName(desc)
+
+
+_MERGED_SQL = """
+    base AS (
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 4 != 0
+    ), src AS (
+        SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal,
+               c_mktsegment,
+               CASE WHEN c_custkey % 5 = 0 THEN 'd' ELSE 'u' END AS op
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'new_' || c_name, round(c_acctbal, 2),
+               c_mktsegment, 'c'
+        FROM customer WHERE c_custkey % 7 = 1
+    ), merged AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM src WHERE op != 'd'
+        UNION ALL
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = b.c_custkey)
+    )
+"""
+
+QUERIES = {
+    "lh_merge_upsert": lh_merge_upsert,
+    "lh_time_travel": lh_time_travel,
+    "lh_expired_fallback": lh_expired_fallback,
+    "lh_history": lh_history,
+    "lh_snapshot_diff": lh_snapshot_diff,
+    "lh_dml_chain": lh_dml_chain,
+    "lh_append_evolution": lh_append_evolution,
+    "lh_catalog": lh_catalog,
+}
+
+ORACLE = {
+    "lh_merge_upsert": f"WITH {_MERGED_SQL} SELECT * FROM merged",
+    "lh_time_travel": f"WITH {_MERGED_SQL} SELECT * FROM base",
+    "lh_expired_fallback": f"WITH {_MERGED_SQL} SELECT * FROM merged",
+    "lh_history": f"""
+        WITH {_MERGED_SQL}
+        SELECT CAST(1 AS INTEGER) AS version, CAST(0 AS INTEGER) AS parent,
+               'merge' AS operation, (SELECT count(*) FROM merged) AS n_rows
+        UNION ALL
+        SELECT 0, NULL, 'create_or_replace', (SELECT count(*) FROM base)
+    """,
+    "lh_snapshot_diff": f"""
+        WITH {_MERGED_SQL}
+        SELECT m.c_custkey, 'NEW' AS status,
+               CAST(NULL AS DOUBLE) AS old_acctbal,
+               CAST(NULL AS DOUBLE) AS new_acctbal
+        FROM merged m WHERE NOT EXISTS
+            (SELECT 1 FROM base b WHERE b.c_custkey = m.c_custkey)
+        UNION ALL
+        SELECT b.c_custkey, 'DELETED', NULL, NULL
+        FROM base b WHERE NOT EXISTS
+            (SELECT 1 FROM merged m WHERE m.c_custkey = b.c_custkey)
+        UNION ALL
+        SELECT b.c_custkey, 'MODIFIED', b.c_acctbal, m.c_acctbal
+        FROM base b JOIN merged m ON b.c_custkey = m.c_custkey
+        WHERE CAST(b.c_acctbal AS VARCHAR) != CAST(m.c_acctbal AS VARCHAR)
+           OR b.c_name != m.c_name OR b.c_mktsegment != m.c_mktsegment
+    """,
+    "lh_dml_chain": """
+        WITH base AS (
+            SELECT p_partkey, p_name, p_brand, p_retailprice
+            FROM part WHERE p_partkey < 100
+        ), updated AS (
+            SELECT p_partkey, p_name, p_brand,
+                   CASE WHEN p_partkey % 10 = 3 THEN 9999.99
+                        ELSE p_retailprice END AS p_retailprice
+            FROM base
+        ), afterdel AS (
+            SELECT * FROM updated WHERE NOT (p_partkey % 10 = 7)
+        )
+        SELECT * FROM afterdel
+        UNION ALL
+        SELECT * FROM (VALUES
+            (CAST(1000001 AS BIGINT), 'inserted part a', 'Brand#99', CAST(1.5 AS DOUBLE)),
+            (CAST(1000002 AS BIGINT), 'inserted part b', 'Brand#98', CAST(2.5 AS DOUBLE))
+        ) v(p_partkey, p_name, p_brand, p_retailprice)
+    """,
+    "lh_append_evolution": """
+        SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS ingest_batch
+        FROM nation WHERE n_nationkey < 10
+        UNION ALL
+        SELECT n_nationkey, n_name, n_regionkey, 'batch2'
+        FROM nation WHERE n_nationkey >= 10
+    """,
+    "lh_catalog": """
+        SELECT 'nations' AS table_name, '__table__' AS detail
+        UNION ALL SELECT 'regions', '__table__'
+        UNION ALL SELECT 'regions', 'r_regionkey:int'
+        UNION ALL SELECT 'regions', 'r_name:string'
+    """,
+}

@@ -1,0 +1,59 @@
+"""CSV ingestion — the reference's front door (S1/K1-K3/F8).
+
+Mirrors ``ingest_to_iceberg.py:43-52`` (header + inferSchema read, then
+create-or-replace) and ``ingest_csv_hudi.py`` (column sanitization :63-64,
+schema evolution :112-146, upsert mode :80-99) on the LakeTable substrate.
+
+Scale notes: ``spark.read.csv`` splits large files by byte ranges and
+distributes inference's sampling pass; at 100 TB you'd pass an explicit
+schema (skip the inference scan) and partition the output by an ingest key —
+both are options here, neither changes the call shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.schema import evolve_to_union, sanitize_columns
+from ..lakehouse.table import LakeTable
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Header + inferred-schema CSV read with Avro-safe column names."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return sanitize_columns(reader.csv(path))
+
+
+def ingest_csv(
+    table: LakeTable,
+    path: str,
+    mode: str = "create",
+    pk: str | None = None,
+    precombine: str | None = None,
+) -> DataFrame:
+    """Ingest a CSV into a versioned table.
+
+    mode='create'  → create-or-replace (K1, ingest_to_iceberg.py:52)
+    mode='append'  → append with schema evolution (K2 + union-of-columns)
+    mode='upsert'  → keyed MERGE with optional precombine dedup (K3,
+                     ingest_csv_hudi.py:80-99)
+
+    Returns the read-back table (the reference count-verifies every ingest,
+    ingest_to_iceberg.py:55-56).
+    """
+    df = read_csv(table.spark, path)
+    if mode == "create" or not table.exists():
+        table.create_or_replace(df)
+    elif mode == "append":
+        table.append(evolve_to_union(df, table.read().schema))
+    elif mode == "upsert":
+        if pk is None:
+            raise ValueError("upsert mode requires pk")
+        table.merge(evolve_to_union(df, table.read().schema), pk=pk, precombine=precombine)
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    return table.read()
