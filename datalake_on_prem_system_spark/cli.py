@@ -1,0 +1,100 @@
+"""Command-line client — mirrors the reference's ``lake_cli.py:122-157`` /
+``lake_shell.py`` verbs against the local engine (no HTTP hop: the CLI talks
+straight to LakeEngine).
+
+    python -m datalake_on_prem_system_spark.cli tables
+    python -m datalake_on_prem_system_spark.cli ingest data.csv mytable [--mode upsert --pk id]
+    python -m datalake_on_prem_system_spark.cli read mytable [--columns a,b] [--filter-col c --filter-val v] [--limit 20]
+    python -m datalake_on_prem_system_spark.cli sql "SELECT ..."
+    python -m datalake_on_prem_system_spark.cli insert mytable col=val [col=val ...]
+    python -m datalake_on_prem_system_spark.cli update mytable <pk> col=val [...]
+    python -m datalake_on_prem_system_spark.cli delete mytable <pk>
+    python -m datalake_on_prem_system_spark.cli history mytable
+    python -m datalake_on_prem_system_spark.cli travel mytable <version>
+    python -m datalake_on_prem_system_spark.cli diff mytable <v_old> <v_new>
+    python -m datalake_on_prem_system_spark.cli search mytable "query words"
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _kv(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for p in pairs:
+        k, _, v = p.partition("=")
+        if not _:
+            raise SystemExit(f"expected col=val, got {p!r}")
+        out[k] = v
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="lake")
+    ap.add_argument("--warehouse", default=os.environ.get("LAKE_WAREHOUSE", "./warehouse"))
+    ap.add_argument("--limit-show", type=int, default=20)
+    sub = ap.add_subparsers(dest="verb", required=True)
+
+    sub.add_parser("tables")
+    p = sub.add_parser("ingest")
+    p.add_argument("csv"); p.add_argument("table")
+    p.add_argument("--mode", default="create", choices=["create", "append", "upsert"])
+    p.add_argument("--pk"); p.add_argument("--precombine")
+    p = sub.add_parser("read")
+    p.add_argument("table"); p.add_argument("--columns"); p.add_argument("--filter-col")
+    p.add_argument("--filter-val"); p.add_argument("--limit", type=int)
+    p = sub.add_parser("sql"); p.add_argument("query")
+    p = sub.add_parser("insert"); p.add_argument("table"); p.add_argument("pairs", nargs="+")
+    p = sub.add_parser("update"); p.add_argument("table"); p.add_argument("pk"); p.add_argument("pairs", nargs="+")
+    p = sub.add_parser("delete"); p.add_argument("table"); p.add_argument("pk")
+    p = sub.add_parser("history"); p.add_argument("table")
+    p = sub.add_parser("travel"); p.add_argument("table"); p.add_argument("version", type=int)
+    p = sub.add_parser("diff"); p.add_argument("table"); p.add_argument("v_old", type=int); p.add_argument("v_new", type=int)
+    p = sub.add_parser("search"); p.add_argument("table"); p.add_argument("query")
+
+    args = ap.parse_args(argv)
+
+    from .engine import LakeEngine
+    from .session import get_spark
+
+    eng = LakeEngine(get_spark(app_name="lake_cli"), args.warehouse)
+    n = args.limit_show
+
+    if args.verb == "tables":
+        for t in eng.list_tables():
+            print(t)
+    elif args.verb == "ingest":
+        df = eng.ingest_csv(args.table, args.csv, mode=args.mode, pk=args.pk, precombine=args.precombine)
+        print(f"ingested {df.count()} rows into {args.table}")  # count-verify (A1)
+    elif args.verb == "read":
+        eng.read(
+            args.table,
+            columns=args.columns.split(",") if args.columns else None,
+            filter_col=args.filter_col,
+            filter_val=args.filter_val,
+            limit=args.limit,
+        ).show(n, truncate=False)
+    elif args.verb == "sql":
+        eng.query(args.query).show(n, truncate=False)
+    elif args.verb == "insert":
+        eng.insert(args.table, _kv(args.pairs)); print("inserted 1 row")
+    elif args.verb == "update":
+        eng.update(args.table, args.pk, _kv(args.pairs)); print(f"updated pk={args.pk}")
+    elif args.verb == "delete":
+        eng.delete(args.table, args.pk); print(f"deleted pk={args.pk}")
+    elif args.verb == "history":
+        eng.history(args.table).show(n, truncate=False)
+    elif args.verb == "travel":
+        eng.time_travel(args.table, args.version).show(n, truncate=False)
+    elif args.verb == "diff":
+        eng.diff(args.table, args.v_old, args.v_new).show(n, truncate=False)
+    elif args.verb == "search":
+        eng.search(args.table, args.query).show(n, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

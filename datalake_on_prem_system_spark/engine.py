@@ -1,0 +1,154 @@
+"""LakeEngine: the engine facade — 1:1 with the reference's public surface.
+
+Maps the FastAPI endpoints + CLI/shell verbs (SURVEY §2.15; api_poc.py,
+lake_cli.py:122-157, lake_shell.py:19-316) onto the Spark-native substrate:
+
+| reference                              | here                       |
+|----------------------------------------|----------------------------|
+| GET /tables (api_poc.py:274-284)       | list_tables()              |
+| DESCRIBE-driven schema (:382-389)      | describe()                 |
+| GET /data/{t}?limit (:286-298)         | read(columns, where, limit)|
+| SQL workspace /query (:208-263)        | query(sql)                 |
+| POST /upload/{t} direct (:300-320)     | ingest_csv(...)            |
+| insert/update/delete (:704-823)        | insert/update/delete       |
+| CDC merge job (cdc_merger_optimized)   | merge_cdc(), stream_cdc()  |
+| $snapshots history (:426-493)          | history()                  |
+| FOR VERSION AS OF + fallback (:374,462)| time_travel()              |
+| snapshot diff (:443-487)               | diff()                     |
+| search incl. ES fallback (:38-42,65+)  | search()                   |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.casting import get_cast_val
+from .functions.keys import find_id_col
+from .lakehouse import LakeCatalog, snapshot_diff
+from .operators.search import all_words_predicate, build_search_df, phrase_boost_score
+from .sources.csv_ingest import ingest_csv as _ingest_csv
+
+
+class LakeEngine:
+    def __init__(self, spark: SparkSession, warehouse: str, namespace: str = "trino_db"):
+        self.spark = spark
+        self.catalog = LakeCatalog(spark, warehouse, namespace)
+        self.catalog.create_namespace()
+
+    # ------------------------------------------------------------- metadata
+
+    def list_tables(self) -> list[str]:
+        return self.catalog.list_tables()
+
+    def describe(self, table: str) -> DataFrame:
+        return self.catalog.describe(table)
+
+    def id_col(self, table: str) -> str:
+        return find_id_col(self.catalog.table(table).read().columns)
+
+    # ------------------------------------------------------------- reads
+
+    def read(
+        self,
+        table: str,
+        columns: list[str] | None = None,
+        filter_col: str | None = None,
+        filter_val: str | None = None,
+        limit: int | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """P4/P5/O1/O3 read surface: column subset, equality filter (typed
+        via get_cast_val), latest-first page."""
+        df = self.catalog.table(table).read(version=version, fallback_to_latest=True)
+        if filter_col is not None:
+            typed = get_cast_val(filter_val, df.schema[filter_col].dataType.simpleString())
+            df = df.filter(F.col(filter_col) == F.lit(typed))
+        if columns:
+            df = df.select(*columns)
+        if limit is not None:
+            df = df.orderBy(F.desc(self.id_col(table))).limit(limit)
+        return df
+
+    def query(self, sql: str) -> DataFrame:
+        """S5 SQL passthrough (trailing-';' strip, api_poc.py:217)."""
+        self.catalog.register_views()
+        return self.spark.sql(sql.strip().rstrip(";"))
+
+    # ------------------------------------------------------------- writes
+
+    def ingest_csv(self, table: str, path: str, mode: str = "create", pk: str | None = None, precombine: str | None = None) -> DataFrame:
+        return _ingest_csv(self.catalog.table(table), path, mode=mode, pk=pk, precombine=precombine)
+
+    def write_table(self, table: str, df: DataFrame, mode: str = "create") -> None:
+        t = self.catalog.table(table)
+        t.create_or_replace(df) if mode == "create" else t.append(df)
+
+    def insert(self, table: str, values: dict[str, str]) -> None:
+        """M1 typed insert from string form values (api_poc.py:781-795)."""
+        t = self.catalog.table(table)
+        schema = t.read().schema
+        typed = {
+            c: get_cast_val(values.get(c), schema[c].dataType.simpleString())
+            for c in schema.fieldNames()
+            if c in values
+        }
+        t.insert_rows([typed])
+
+    def update(self, table: str, pk_val: str, assignments: dict[str, str]) -> None:
+        """M2 typed update by pk (api_poc.py:743-756; pk never updated)."""
+        t = self.catalog.table(table)
+        df = t.read()
+        pk = find_id_col(df.columns)
+        typed_pk = get_cast_val(pk_val, df.schema[pk].dataType.simpleString())
+        typed = {
+            c: get_cast_val(v, df.schema[c].dataType.simpleString())
+            for c, v in assignments.items()
+            if c != pk
+        }
+        t.update_where(F.col(pk) == F.lit(typed_pk), typed)
+
+    def delete(self, table: str, pk_val: str) -> None:
+        """M3 keyed delete (api_poc.py:816-823)."""
+        t = self.catalog.table(table)
+        df = t.read()
+        pk = find_id_col(df.columns)
+        typed_pk = get_cast_val(pk_val, df.schema[pk].dataType.simpleString())
+        t.delete_where(F.col(pk) == F.lit(typed_pk))
+
+    def merge_cdc(self, table: str, source: DataFrame, pk: str, op_col: str = "op", precombine: str | None = None) -> None:
+        """K5 batch MERGE apply."""
+        self.catalog.table(table).merge(source, pk=pk, op_col=op_col, precombine=precombine)
+
+    # ------------------------------------------------------------- history
+
+    def history(self, table: str) -> DataFrame:
+        return self.catalog.table(table).history()
+
+    def time_travel(self, table: str, version: int) -> DataFrame:
+        return self.catalog.table(table).read(version=version, fallback_to_latest=True)
+
+    def diff(self, table: str, v_old: int, v_new: int) -> DataFrame:
+        t = self.catalog.table(table)
+        pk = find_id_col(t.read().columns)
+        return snapshot_diff(t, v_old, v_new, pk)
+
+    # ------------------------------------------------------------- search
+
+    def search(self, table: str, query: str, top_k: int = 50) -> DataFrame:
+        """E1–E5: numeric fast path → ranked all-words/phrase search over
+        the derived search text → rejoin to authoritative rows
+        (api_poc.py:396-415)."""
+        t = self.catalog.table(table)
+        df = t.read()
+        pk = find_id_col(df.columns)
+        if query.isdigit():  # P8 numeric-id fast path
+            return df.filter(F.col(pk).cast("string") == query)
+        idx = build_search_df(df, pk, [c for c in df.columns if c != pk])
+        hits = (
+            idx.filter(all_words_predicate(F.col("text"), query))
+            .select(pk, phrase_boost_score(F.col("text"), query).alias("score"))
+            .orderBy(F.desc("score"), F.asc(pk))
+            .limit(top_k)
+        )
+        return df.join(F.broadcast(hits.select(pk)), pk, "left_semi")

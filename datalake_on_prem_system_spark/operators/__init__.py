@@ -16,12 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     dedup,
+    facade_ops,
     ingest_ops,
     lakehouse_ops,
     multimodal,
     relational,
     search,
     similarity,
+    streaming_ops,
     textops,
     tpch,
 )
@@ -36,6 +38,8 @@ _MODULES = (
     multimodal,
     lakehouse_ops,
     ingest_ops,
+    streaming_ops,
+    facade_ops,
 )
 
 

@@ -9,17 +9,23 @@ an external ES process:
   boost=10 in should).
 - E3 top-k: 50 hits.
 - E4 rejoin: hit ids semi-join back to the authoritative table.
-- E5 graceful fallback: LIKE scan when the index/table is absent — here the
-  LIKE scan IS the physical plan, so the fallback chain collapses.
+- E5 graceful fallback: LIKE scan over the base table when the index is
+  absent (``search_source`` falls back exactly like api_poc.py:38-42).
+- K6 index write: ``sync_search_index`` materializes the derived search
+  table (pk, searchable text) — the ES-sync analog (sync_to_es.py:44-52).
 
-At 100 TB the searchable text column would be a maintained derived table
-(pk, lower(concat_ws(' ', *cols))) partitioned like the base table; the scan
-is embarrassingly parallel and the top-k is TakeOrderedAndProject (per
-partition heap + driver merge, no global sort).
+The search queries below run against the MATERIALIZED search table: a
+two-column (pk, text) parquet table rebuilt by ``sync_search_index`` and
+memoized per (sf_dir, table). At 100 TB this derived table is partitioned
+like its base table, the scan reads two columns instead of the full row
+(check ReadSchema), and the top-k is TakeOrderedAndProject (per-partition
+heap + driver merge, no global sort, no shuffle).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from functools import reduce
 from operator import and_
 
@@ -27,6 +33,41 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .common import t
+
+# (sf_dir, table) → materialized search-table path; rebuilt on first use per
+# process (production rebuilds on base-table commit, like the reference's
+# explicit sync_to_es runs)
+_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def build_search_df(df: DataFrame, pk: str, cols: list[str]) -> DataFrame:
+    """(pk, searchable_text) projection of a base table."""
+    return df.select(F.col(pk), searchable_text(df, cols).alias("text"))
+
+
+def sync_search_index(
+    spark: SparkSession, sf_dir: str, table: str = "documents", pk: str = "doc_id"
+) -> str:
+    """K6: materialize/refresh the derived search table; returns its path."""
+    key = (sf_dir, table)
+    if key not in _INDEX_CACHE:
+        base = t(spark, sf_dir, table)
+        cols = [c for c in base.columns if c != pk]
+        path = os.path.join(tempfile.mkdtemp(prefix="search_idx_"), f"{table}.parquet")
+        build_search_df(base, pk, cols).write.mode("overwrite").parquet(path)
+        _INDEX_CACHE[key] = path
+    return _INDEX_CACHE[key]
+
+
+def search_source(spark: SparkSession, sf_dir: str, table: str = "documents", pk: str = "doc_id") -> DataFrame:
+    """E5: the indexed search table when available, else the LIKE-scan
+    fallback over the base table (same output schema either way)."""
+    try:
+        return spark.read.parquet(sync_search_index(spark, sf_dir, table, pk))
+    except Exception:
+        base = t(spark, sf_dir, table)
+        cols = [c for c in base.columns if c != pk]
+        return build_search_df(base, pk, cols)
 
 
 def searchable_text(df: DataFrame, cols: list[str]) -> Column:
@@ -52,22 +93,23 @@ def phrase_boost_score(text: Column, query: str, boost: int = 10) -> Column:
 
 
 def search_allwords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1 over documents: rows containing both 'spark' and 'merge'."""
+    """E1 over the materialized index: docs containing both 'spark' and
+    'merge'; hit ids rejoined to the authoritative table (ES → SQL flow)."""
+    idx = search_source(spark, sf_dir)
+    hits = idx.filter(all_words_predicate(F.col("text"), "spark merge")).select("doc_id")
     docs = t(spark, sf_dir, "documents")
-    text = searchable_text(docs, ["text"])
-    return docs.filter(all_words_predicate(text, "spark merge")).select(
-        "doc_id", "lang", "n_chars"
-    )
+    return docs.join(hits, "doc_id", "left_semi").select("doc_id", "lang", "n_chars")
 
 
 def search_phrase_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2+E3: ranked search for 'table scan' with phrase boost, top 50
-    (doc_id tiebreak for determinism)."""
-    docs = t(spark, sf_dir, "documents")
-    text = searchable_text(docs, ["text"])
+    """E2+E3 over the materialized index: ranked search for 'table scan'
+    with phrase boost, top 50 (doc_id tiebreak). The scan reads the
+    two-column index table, not the base table; the top-k plans as
+    TakeOrderedAndProject."""
+    idx = search_source(spark, sf_dir)
     query = "table scan"
-    scored = docs.select(
-        "doc_id", phrase_boost_score(text, query).alias("score")
+    scored = idx.select(
+        "doc_id", phrase_boost_score(F.col("text"), query).alias("score")
     ).filter(F.col("score") > 0)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
 
@@ -89,7 +131,8 @@ QUERIES = {
     "search_rejoin": search_rejoin,
 }
 
-_TEXT = "lower(CAST(text AS VARCHAR))"
+# mirror of the materialized index text: lower(concat_ws over all non-pk cols)
+_TEXT = "lower(concat_ws(' ', text, lang, source, CAST(n_chars AS VARCHAR)))"
 
 ORACLE = {
     "search_allwords": f"""

@@ -1,0 +1,195 @@
+"""Streaming operator queries: the CDC pipeline driven end-to-end through
+Structured Streaming's file source (T1–T6, K5/K7, P1/P2/P12, F1).
+
+Each query materializes real Debezium-style envelope JSON from the events
+fixture, streams it through ``readStream → foreachBatch → MERGE`` with a
+checkpoint, and returns the final table state — which the DuckDB oracle
+reproduces as batch SQL. This checks parse, sniff, flatten, key
+resurrection, dedup, merge, trigger and checkpoint in one pass.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..lakehouse.table import LakeTable
+from ..streaming.aggregate import windowed_event_agg
+from ..streaming.cdc import run_cdc_file_stream
+from .common import t
+
+_CUTOFF = "2024-01-15"
+_ROW_DDL = "event_id bigint, user_id bigint, event_type string, value double, ts_us bigint"
+_ROW_STRUCT = "struct<event_id:bigint,user_id:bigint,event_type:string,value:double,ts_us:bigint>"
+
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-cutoff events as CDC change rows: op='d' for errors (delete),
+    else 'u'."""
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+    )
+
+
+def _envelope_json(changes: DataFrame) -> DataFrame:
+    """Render change rows as Debezium envelopes, mixing wrapped and flat
+    formats per row (event_id parity) to exercise the distributed sniff.
+    Delete events carry the row in ``before`` with ``after`` NULL (the real
+    Debezium shape — key resurrection must kick in)."""
+    row = F.struct("event_id", "user_id", "event_type", "value", "ts_us")
+    null_row = F.lit(None).cast(_ROW_STRUCT)
+    before = F.when(F.col("op") == "d", row).otherwise(null_row)
+    after = F.when(F.col("op") != "d", row).otherwise(null_row)
+    flat = F.struct(before.alias("before"), after.alias("after"), F.col("op").alias("op"))
+    wrapped = F.struct(flat.alias("payload"))
+    return changes.select(
+        F.when(F.col("event_id") % 2 == 0, F.to_json(wrapped))
+        .otherwise(F.to_json(flat))
+        .alias("value")
+    )
+
+
+def _seed_target(spark: SparkSession, sf_dir: str, root: str) -> LakeTable:
+    """v0 = latest pre-cutoff event per user (the table the CDC stream
+    updates)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    seed = (
+        ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    table = LakeTable(spark, root)
+    table.create_or_replace(seed)
+    return table
+
+
+def _run_stream(spark: SparkSession, sf_dir: str, n_files: int, max_files: int | None) -> LakeTable:
+    work = tempfile.mkdtemp(prefix="cdc_stream_")
+    src = os.path.join(work, "events")
+    changes = _changes(spark, sf_dir)
+    if n_files == 1:
+        _envelope_json(changes).write.mode("overwrite").text(src)
+    else:
+        # disjoint key ranges per file ⇒ merge order across micro-batches
+        # cannot affect the final state (commutative batches)
+        for i in range(n_files):
+            _envelope_json(changes.filter(F.col("user_id") % n_files == i)).write.mode(
+                "append"
+            ).text(src)
+    table = _seed_target(spark, sf_dir, os.path.join(work, "tbl"))
+    run_cdc_file_stream(
+        spark,
+        table,
+        pk="user_id",
+        row_ddl=_ROW_DDL,
+        src_dir=src,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        order_cols=["ts_us", "event_id"],
+        drop_cols=["event_id", "ts_us"],
+        max_files_per_trigger=max_files,
+    )
+    return table
+
+
+def st_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC pipeline, one micro-batch: file stream of mixed
+    wrapped/flat envelopes → sniff/flatten/dedup/MERGE → final state."""
+    table = _run_stream(spark, sf_dir, n_files=1, max_files=None)
+    return table.read().select(
+        "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+def st_cdc_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline forced through 3 micro-batches (maxFilesPerTrigger=1,
+    T3 admission control) with disjoint key ranges per batch — exercises
+    trigger cadence, checkpoint advance and cross-batch merge composition."""
+    table = _run_stream(spark, sf_dir, n_files=3, max_files=1)
+    return table.read().select(
+        "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+def st_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-day aggregate with watermark over the event
+    stream (readStream on JSON rows → window agg → memory sink). Complete
+    output mode for a deterministic harvest under availableNow; production
+    uses append mode + the same watermark for state eviction."""
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="wm_stream_")
+    src = os.path.join(work, "events")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    ev.write.mode("overwrite").json(src)
+
+    stream = (
+        spark.readStream.schema(_ROW_DDL)
+        .json(src)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    agg = windowed_event_agg(stream, ts_col="ts", window_size="1 day", watermark="1 day")
+    sink = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("w.start").alias("day"), "n_events", "sum_value"
+    )
+
+
+QUERIES = {
+    "st_cdc_merge_stream": st_cdc_merge_stream,
+    "st_cdc_multibatch": st_cdc_multibatch,
+    "st_watermark_window": st_watermark_window,
+}
+
+_CDC_FINAL_SQL = """
+        WITH ranked_before AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        ), target AS (
+            SELECT user_id, event_type, round(value, 6) AS value
+            FROM ranked_before WHERE rn = 1
+        ), ranked_changes AS (
+            SELECT *, CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        ), changes AS (
+            SELECT * FROM ranked_changes WHERE rn = 1
+        )
+        SELECT user_id, event_type, round(value, 6) AS value
+        FROM changes WHERE op != 'd'
+        UNION ALL
+        SELECT t.user_id, t.event_type, t.value FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.user_id = t.user_id)
+"""
+
+ORACLE = {
+    "st_cdc_merge_stream": _CDC_FINAL_SQL,
+    "st_cdc_multibatch": _CDC_FINAL_SQL,
+    "st_watermark_window": """
+        SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1
+    """,
+}

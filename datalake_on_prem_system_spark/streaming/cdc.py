@@ -1,0 +1,153 @@
+"""Streaming CDC merge — the reference's hardest capability, Spark-first.
+
+Reference pipeline (``cdc_merger_optimized.py``): Kafka topics of Debezium
+envelopes → per-micro-batch ``from_json`` parse (:123-126) → wrapped/flat
+envelope sniff (:129-135) → flatten after/before with ``before_`` prefix
+(:137-152) → key coalesce for delete events (:154-157) → last-writer-wins
+dedup (:160-161) → generated MERGE INTO (:171-183), driven by
+``foreachBatch`` + checkpoint + trigger (:206-218).
+
+Differences by design:
+
+- **Sniffing is distributed, not collect-based.** The reference collects one
+  row per batch to check for a ``payload`` key (:129-135). We parse every
+  row with BOTH the wrapped and the flat schema and coalesce — ``from_json``
+  yields NULL structs for the shape that doesn't match, so mixed-format
+  topics work row-by-row with no driver round-trip.
+- **Kafka in prod, JSON file source in tests** — same envelope code path
+  either way (the parse starts from a ``value`` string column in both).
+- **Rate limiting**: ``maxOffsetsPerTrigger`` on Kafka (:211),
+  ``maxFilesPerTrigger`` on the file source — same admission-control knob.
+
+Scale notes: the per-batch work is one window (shuffle on pk) + one MERGE
+(shuffle on pk, change-side broadcast when small). Checkpointing makes
+replays exact: a re-run of a committed batch re-derives the same MERGE
+input, and MERGE is idempotent for upserts/deletes, so end state is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..lakehouse.table import LakeTable
+
+
+def debezium_schemas(row_ddl: str) -> tuple[StructType, StructType]:
+    """Build (wrapped, flat) envelope schemas from a row DDL string — the
+    dynamic-schema construction of cdc_merger_optimized.py:34-51,57-73.
+
+    wrapped: {"payload": {"before": row, "after": row, "op": str}}
+    flat:    {"before": row, "after": row, "op": str}
+    """
+    row = StructType.fromDDL(row_ddl)
+    flat = StructType().add("before", row).add("after", row).add("op", "string")
+    wrapped = StructType().add("payload", flat)
+    return wrapped, flat
+
+
+def normalize_envelope(raw: DataFrame, row_ddl: str, value_col: str = "value") -> DataFrame:
+    """value-string → flat change rows: parse both envelope shapes, coalesce
+    (distributed sniff), flatten after/before, resurrect the key for deletes
+    via coalesce(after.k, before.k) (P1/P2/T5)."""
+    wrapped_schema, flat_schema = debezium_schemas(row_ddl)
+    row = StructType.fromDDL(row_ddl)
+    w = F.from_json(F.col(value_col).cast("string"), wrapped_schema)
+    f = F.from_json(F.col(value_col).cast("string"), flat_schema)
+
+    after = F.coalesce(w["payload"]["after"], f["after"])
+    before = F.coalesce(w["payload"]["before"], f["before"])
+    op = F.coalesce(w["payload"]["op"], f["op"])
+
+    def pick(field: str) -> Column:
+        # delete events carry the row in `before` (after is NULL)
+        return F.coalesce(after[field], before[field]).alias(field)
+
+    return raw.select(*[pick(fld.name) for fld in row.fields], op.alias("op")).filter(
+        F.col("op").isNotNull()
+    )
+
+
+def last_writer_wins(df: DataFrame, pk: str, order_cols: list[str]) -> DataFrame:
+    """W1 within-batch dedup: row_number over (partition by pk, order by
+    order_cols desc) = 1 (cdc_merger_optimized.py:160-161)."""
+    w = Window.partitionBy(pk).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def cdc_apply_batch(
+    table: LakeTable,
+    pk: str,
+    row_ddl: str,
+    order_cols: list[str],
+    drop_cols: list[str],
+    batch_df: DataFrame,
+    batch_id: int,
+) -> None:
+    """The foreachBatch body (cdc_merger_optimized.py:114-183): guard empty
+    batch (P12) → normalize → dedup → MERGE."""
+    if batch_df.isEmpty():
+        return
+    flat = normalize_envelope(batch_df, row_ddl)
+    if flat.isEmpty():  # nothing parseable — don't publish an empty commit
+        return
+    dedup = last_writer_wins(flat, pk, order_cols)
+    table.merge(dedup.drop(*drop_cols), pk=pk, op_col="op")
+
+
+def run_cdc_file_stream(
+    spark: SparkSession,
+    table: LakeTable,
+    pk: str,
+    row_ddl: str,
+    src_dir: str,
+    checkpoint_dir: str,
+    order_cols: list[str],
+    drop_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Run the CDC pipeline over a directory of JSON-line envelope files
+    (the test stand-in for the Kafka source; T1–T4) until all available
+    data is processed (availableNow trigger). Blocks until done."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.text(src_dir)
+
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: cdc_apply_batch(
+                table, pk, row_ddl, order_cols, drop_cols or [], df, bid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def kafka_cdc_stream(
+    spark: SparkSession,
+    subscribe_pattern: str,
+    bootstrap_servers: str,
+    max_offsets_per_trigger: int = 100_000,
+) -> DataFrame:
+    """The production source (S2/T3, cdc_merger_optimized.py:206-212):
+    Kafka by topic regex with admission control. Not exercisable in this
+    environment (no broker) — same downstream code path as the file source
+    (both start from a ``value`` column)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribePattern", subscribe_pattern)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        .option("failOnDataLoss", "false")
+        .load()
+    )

@@ -1,0 +1,62 @@
+"""The round-1 fatal bug was an ImportError nobody caught: these tests make
+the contract surface unbreakable-silently."""
+
+from __future__ import annotations
+
+
+def test_operators_importable():
+    import datalake_on_prem_system_spark.operators as ops
+
+    qs = ops.all_queries()
+    assert len(qs) >= 60
+
+
+def test_entry_module_contract():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert callable(e.entry)
+    assert set(oracles) <= set(qs), "oracle without a query"
+    # every oracle is non-empty SQL
+    assert all(isinstance(s, str) and s.strip() for s in oracles.values())
+
+
+def test_no_duplicate_query_names():
+    import datalake_on_prem_system_spark.operators as ops
+
+    # all_queries raises on duplicates; reaching here is the assertion
+    assert ops.all_queries()
+
+
+def test_every_module_imports_standalone():
+    """Each public module must import in a FRESH interpreter (catches
+    circular imports that in-process tests mask via import order)."""
+    import subprocess
+    import sys
+
+    for mod in (
+        "datalake_on_prem_system_spark.engine",
+        "datalake_on_prem_system_spark.cli",
+        "datalake_on_prem_system_spark.operators",
+        "datalake_on_prem_system_spark.streaming",
+        "datalake_on_prem_system_spark.lakehouse",
+    ):
+        r = subprocess.run(
+            [sys.executable, "-c", f"import {mod}"],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=120,
+        )
+        assert r.returncode == 0, f"{mod}: {r.stderr[-500:]}"
+
+
+def test_subpackages_advertised_exist():
+    """__init__ docstring promises these — they must import."""
+    import datalake_on_prem_system_spark.engine  # noqa: F401
+    import datalake_on_prem_system_spark.functions  # noqa: F401
+    import datalake_on_prem_system_spark.lakehouse  # noqa: F401
+    import datalake_on_prem_system_spark.plans  # noqa: F401
+    import datalake_on_prem_system_spark.sources  # noqa: F401
+    import datalake_on_prem_system_spark.streaming  # noqa: F401

@@ -1,0 +1,103 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_on_prem_system_spark.lakehouse import LakeCatalog, LakeTable, snapshot_diff
+from datalake_on_prem_system_spark.lakehouse.table import ExpiredVersionError
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, name string, v double"
+        )
+    )
+    return t
+
+
+def test_create_read_roundtrip(table):
+    assert {r.id for r in table.read().collect()} == {1, 2, 3}
+    assert table.latest_version() == 0
+
+
+def test_append_and_history(table, spark):
+    table.append(spark.createDataFrame([(4, "d", 40.0)], "id int, name string, v double"))
+    assert table.read().count() == 4
+    hist = {r.version: r.operation for r in table.history().collect()}
+    assert hist == {0: "create_or_replace", 1: "append"}
+
+
+def test_merge_upsert_delete_insert(table, spark):
+    src = spark.createDataFrame(
+        [(2, "b2", 22.0, "u"), (3, None, None, "d"), (9, "i", 90.0, "c")],
+        "id int, name string, v double, op string",
+    )
+    table.merge(src, pk="id", op_col="op")
+    rows = {r.id: (r.name, r.v) for r in table.read().collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 22.0), 9: ("i", 90.0)}
+
+
+def test_merge_precombine_last_writer_wins(table, spark):
+    src = spark.createDataFrame(
+        [(2, "old", 0.0, 1), (2, "new", 99.0, 5)], "id int, name string, v double, seq int"
+    )
+    table.merge(src, pk="id", precombine="seq")
+    rows = {r.id: r.name for r in table.read().collect()}
+    assert rows[2] == "new"
+
+
+def test_merge_is_idempotent(table, spark):
+    src = spark.createDataFrame([(2, "b2", 22.0, "u")], "id int, name string, v double, op string")
+    table.merge(src, pk="id", op_col="op")
+    state1 = sorted(map(tuple, table.read().collect()))
+    table.merge(src, pk="id", op_col="op")
+    state2 = sorted(map(tuple, table.read().collect()))
+    assert state1 == state2
+
+
+def test_time_travel_and_fallback(table, spark):
+    table.delete_where(F.col("id") == 1)
+    assert table.read(version=0).count() == 3
+    assert table.read().count() == 2
+    assert table.read(version=77, fallback_to_latest=True).count() == 2
+    with pytest.raises(ExpiredVersionError):
+        table.read(version=77)
+
+
+def test_update_insert_typed(table):
+    table.update_where(F.col("id") == 1, {"v": 11.5})
+    table.insert_rows([{"id": 5, "name": "e", "v": 50.0}])
+    rows = {r.id: r.v for r in table.read().collect()}
+    assert rows[1] == 11.5 and rows[5] == 50.0
+
+
+def test_snapshot_diff_classification(table, spark):
+    src = spark.createDataFrame(
+        [(2, "b2", 22.0, "u"), (3, None, None, "d"), (9, "i", 90.0, "c")],
+        "id int, name string, v double, op string",
+    )
+    table.merge(src, pk="id", op_col="op")
+    d = {r.id: r for r in snapshot_diff(table, 0, 1, "id").collect()}
+    assert d[2].status == "MODIFIED"
+    assert d[3].status == "DELETED"
+    assert d[9].status == "NEW"
+    assert 1 not in d  # unchanged
+    assert d[2].changed_cells["v"]["old"] == "20.0"
+    assert d[2].changed_cells["v"]["new"] == "22.0"
+    assert d[9].changed_cells == {}  # cell diffs only for matched rows
+
+
+def test_catalog_facade(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path), namespace="ns")
+    cat.create_namespace()
+    cat.table("alpha").create_or_replace(spark.range(3))
+    cat.table("beta").create_or_replace(spark.range(2))
+    assert cat.list_tables() == ["alpha", "beta"]
+    assert [(r.col_name, r.data_type) for r in cat.describe("alpha").collect()] == [
+        ("id", "bigint")
+    ]
+    with pytest.raises(ValueError):
+        cat.table("bad-name!")

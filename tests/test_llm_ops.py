@@ -1,0 +1,85 @@
+"""LLM-pipeline operator quality checks beyond the oracle gate: recall of
+the approximate paths vs their exact counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_on_prem_system_spark.operators import dedup, similarity, textops
+
+
+def _pairs(df):
+    return {(r.a_id, r.b_id) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_equals_exact(spark, sf_dir):
+    exact = _pairs(dedup.dd_ngram_jaccard(spark, sf_dir))
+    lsh = _pairs(dedup.dd_minhash_lsh(spark, sf_dir))
+    assert lsh == exact  # at fixture similarity levels recall ≈ 1 (see module doc)
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    exact = _pairs(dedup.dd_ngram_jaccard(spark, sf_dir))
+    sim = _pairs(dedup.dd_simhash(spark, sf_dir))
+    if exact:
+        # simhash is lossier than minhash: require >= 60% recall, no wild output
+        assert len(sim & exact) >= 0.6 * len(exact)
+        assert len(sim) <= 10 * max(len(exact), 1)
+
+
+def test_ann_lsh_recall_vs_brute(spark, sf_dir):
+    brute = [r.vec_id for r in similarity.sim_brute_topk(spark, sf_dir).collect()]
+    ann = {r.vec_id for r in similarity.sim_ann_lsh(spark, sf_dir).collect()}
+    # hamming-1 multiprobe over 16 buckets: expect at least 30% of true top-10
+    assert len(ann & set(brute)) >= 3
+
+
+def test_exact_dedup_groups_cover_all_docs(spark, sf_dir):
+    out = dedup.dd_exact(spark, sf_dir)
+    total = out.agg(F.sum("group_size")).collect()[0][0]
+    from datalake_on_prem_system_spark.operators.common import t
+
+    assert total == t(spark, sf_dir, "documents").count()
+
+
+def test_fingerprint_distinguishes_documents(spark, sf_dir):
+    fp = textops.tx_fingerprint(spark, sf_dir)
+    n = fp.count()
+    distinct = fp.select("fingerprint").distinct().count()
+    assert distinct >= 0.95 * n  # mod-1e9+7 collisions should be rare
+
+
+def test_multimodal_mapinpandas_matches_jvm(spark, sf_dir):
+    """The Arrow-batched pandas path computes the same byte stats as a pure
+    JVM expression — guards the UDF plumbing (schema, batch iteration)."""
+    from datalake_on_prem_system_spark.operators.multimodal import mm_decode_features
+    from datalake_on_prem_system_spark.operators.common import t
+
+    pandas_out = {r.doc_id: (r.payload_len, r.byte_sum) for r in mm_decode_features(spark, sf_dir).collect()}
+    jvm = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.octet_length(F.encode("text", "utf-8")).alias("plen"),
+            F.aggregate(
+                F.transform(
+                    F.filter(F.split("text", ""), lambda c: c != F.lit("")),
+                    lambda c: F.ascii(c).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("bsum"),
+        )
+        .collect()
+    )
+    for r in jvm:
+        assert pandas_out[r.doc_id] == (r.plen, r.bsum)
+
+
+def test_decode_frame_is_honest_stub():
+    import pytest
+
+    from datalake_on_prem_system_spark.operators.multimodal import decode_frame
+
+    with pytest.raises(NotImplementedError):
+        decode_frame(b"xx", 0)

@@ -1,0 +1,44 @@
+"""Plan-quality gates: the properties that matter at 100 TB, asserted on the
+actual physical plans."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from datalake_on_prem_system_spark.plans import audit_plan
+
+_QS = entry_mod.queries()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    a = audit_plan(_QS["q6_forecast_revenue"](spark, sf_dir))
+    assert a.pushed_filters, "selective filters must reach the parquet reader"
+    assert all("l_" in s for s in a.read_schemas)
+    # scan must be pruned to the 4 referenced columns, not the full lineitem row
+    assert a.read_schemas[0].count(":") <= 4
+
+
+def test_q3_broadcasts_dim_and_topk(spark, sf_dir):
+    a = audit_plan(_QS["q3_top_revenue_orders"](spark, sf_dir))
+    assert a.n_broadcasts >= 1, "customer dim must broadcast"
+    assert a.has_take_ordered, "top-10 must plan as TakeOrderedAndProject"
+
+
+def test_o1_topk_no_global_sort(spark, sf_dir):
+    a = audit_plan(_QS["o1_order_desc_limit"](spark, sf_dir))
+    assert a.has_take_ordered
+    assert a.n_exchanges == 0, "top-k must not shuffle the table"
+
+
+def test_search_reads_derived_index_only(spark, sf_dir):
+    a = audit_plan(_QS["search_phrase_ranked"](spark, sf_dir))
+    assert any(
+        s.startswith("struct<doc_id") and "text" in s and "lang" not in s
+        for s in a.read_schemas
+    ), f"must scan the 2-column index table, got {a.read_schemas}"
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    a = audit_plan(_QS["q1_pricing_summary"](spark, sf_dir))
+    assert a.n_exchanges <= 1, "one shuffle (final agg) max"
+    assert a.has_partial_agg, "map-side combine must run below the exchange"
+    assert a.has_batched_scan, "vectorized parquet reader expected"

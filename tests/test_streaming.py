@@ -1,0 +1,146 @@
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from datalake_on_prem_system_spark.lakehouse import LakeTable
+from datalake_on_prem_system_spark.streaming import (
+    debezium_schemas,
+    last_writer_wins,
+    normalize_envelope,
+    run_cdc_file_stream,
+)
+
+ROW_DDL = "id bigint, name string, seq bigint"
+
+
+def _write_events(path: str, events: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+
+
+def _wrapped(before, after, op):
+    return {"payload": {"before": before, "after": after, "op": op}}
+
+
+def _flat(before, after, op):
+    return {"before": before, "after": after, "op": op}
+
+
+def test_envelope_sniff_mixed_formats(spark):
+    rows = [
+        _wrapped(None, {"id": 1, "name": "w", "seq": 1}, "c"),
+        _flat(None, {"id": 2, "name": "f", "seq": 1}, "c"),
+        _wrapped({"id": 3, "name": "gone", "seq": 2}, None, "d"),  # key resurrection
+    ]
+    df = spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
+    out = {r.id: (r.name, r.op) for r in normalize_envelope(df, ROW_DDL).collect()}
+    assert out == {1: ("w", "c"), 2: ("f", "c"), 3: ("gone", "d")}
+
+
+def test_debezium_schema_shapes():
+    wrapped, flat = debezium_schemas(ROW_DDL)
+    assert wrapped.fieldNames() == ["payload"]
+    assert flat.fieldNames() == ["before", "after", "op"]
+
+
+def test_last_writer_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "old", 1, "u"), (1, "new", 2, "u"), (2, "only", 1, "u")],
+        "id bigint, name string, seq bigint, op string",
+    )
+    out = {r.id: r.name for r in last_writer_wins(df, "id", ["seq"]).collect()}
+    assert out == {1: "new", 2: "only"}
+
+
+def _run(spark, tmp_path, tag, events_by_file):
+    src = str(tmp_path / f"src_{tag}")
+    for i, events in enumerate(events_by_file):
+        _write_events(os.path.join(src, f"{i}.json"), events)
+    table = LakeTable(spark, str(tmp_path / f"tbl_{tag}"))
+    table.create_or_replace(
+        spark.createDataFrame([(1, "base1", 0), (2, "base2", 0)], ROW_DDL)
+    )
+    ckpt = str(tmp_path / f"ckpt_{tag}")
+    run_cdc_file_stream(
+        spark, table, pk="id", row_ddl=ROW_DDL, src_dir=src, checkpoint_dir=ckpt,
+        order_cols=["seq"], max_files_per_trigger=1,
+    )
+    return table, src, ckpt
+
+
+def test_cdc_stream_end_to_end(spark, tmp_path):
+    table, _, _ = _run(
+        spark, tmp_path, "e2e",
+        [[
+            _wrapped(None, {"id": 1, "name": "upd1", "seq": 1}, "u"),
+            _flat({"id": 2, "name": "base2", "seq": 0}, None, "d"),
+            _wrapped(None, {"id": 3, "name": "new3", "seq": 1}, "c"),
+            _wrapped(None, {"id": 3, "name": "new3b", "seq": 2}, "u"),  # same batch, later seq
+        ]],
+    )
+    rows = {r.id: r.name for r in table.read().collect()}
+    assert rows == {1: "upd1", 3: "new3b"}
+
+
+def test_cdc_checkpoint_replay_is_noop(spark, tmp_path):
+    """Re-running the stream with the same checkpoint must not reprocess
+    committed batches (idempotent restart, T2)."""
+    table, src, ckpt = _run(
+        spark, tmp_path, "replay",
+        [[_wrapped(None, {"id": 1, "name": "v1", "seq": 1}, "u")]],
+    )
+    versions_before = table.versions()
+    run_cdc_file_stream(
+        spark, table, pk="id", row_ddl=ROW_DDL, src_dir=src, checkpoint_dir=ckpt,
+        order_cols=["seq"],
+    )
+    assert table.versions() == versions_before  # no new commit
+
+
+def test_cdc_new_file_after_restart_processes_incrementally(spark, tmp_path):
+    table, src, ckpt = _run(
+        spark, tmp_path, "incr",
+        [[_wrapped(None, {"id": 1, "name": "v1", "seq": 1}, "u")]],
+    )
+    _write_events(
+        os.path.join(src, "late.json"),
+        [_wrapped(None, {"id": 1, "name": "v2", "seq": 2}, "u")],
+    )
+    run_cdc_file_stream(
+        spark, table, pk="id", row_ddl=ROW_DDL, src_dir=src, checkpoint_dir=ckpt,
+        order_cols=["seq"],
+    )
+    rows = {r.id: r.name for r in table.read().collect()}
+    assert rows[1] == "v2"
+
+
+def test_empty_batch_guard(spark, tmp_path):
+    """A stream over only-unparseable lines must not commit (P12)."""
+    src = str(tmp_path / "src_empty")
+    _write_events(os.path.join(src, "bad.json"), [{"noise": True}])
+    table = LakeTable(spark, str(tmp_path / "tbl_empty"))
+    table.create_or_replace(spark.createDataFrame([(1, "x", 0)], ROW_DDL))
+    run_cdc_file_stream(
+        spark, table, pk="id", row_ddl=ROW_DDL, src_dir=src,
+        checkpoint_dir=str(tmp_path / "ckpt_empty"), order_cols=["seq"],
+    )
+    assert table.versions() == [0]  # nothing merged
+
+
+def test_windowed_agg_batch_equivalence(spark, sf_dir):
+    """The streaming window agg gives the same answer as the batch plan on
+    the same data (watermark is a no-op in batch)."""
+    from datalake_on_prem_system_spark.operators.common import t
+    from datalake_on_prem_system_spark.streaming.aggregate import windowed_event_agg
+
+    ev = t(spark, sf_dir, "events")
+    agg = windowed_event_agg(ev).select(F.col("w.start").alias("day"), "n_events")
+    direct = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, direct.collect()))
