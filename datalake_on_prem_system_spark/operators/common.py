@@ -24,3 +24,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like ``t`` but repartitioned to the session's core count BEFORE any
+    downstream computation. The fixture tables are single parquet files →
+    single input splits; per-row-expensive operators (shingling, vector
+    math, Arrow kernels) would otherwise run on one core. On a production
+    many-split table this repartition is dropped (splits already ≫ cores).
+    """
+    df = t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df

@@ -45,7 +45,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import t, t_par
 
 _P = 2_147_483_647  # 2^31 - 1; (a*x + b) stays < 2^62 — no int64 overflow
 _N_HASHES = 64
@@ -120,7 +120,7 @@ def _pair_jaccard_exact(docs: DataFrame) -> DataFrame:
 
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-jaccard near-dup pairs (j ≥ 0.8)."""
-    return _pair_jaccard_exact(t(spark, sf_dir, "documents"))
+    return _pair_jaccard_exact(t_par(spark, sf_dir, "documents"))
 
 
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,48 +130,80 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 bands of 4 → shuffle on (band, band_hash) → candidate pairs →
     exact jaccard verify on the per-doc shingle arrays → j ≥ 0.8.
     """
-    docs = t(spark, sf_dir, "documents")
+    from collections.abc import Iterator
+
+    docs = t_par(spark, sf_dir, "documents")
     sh = docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
         "doc_id", _shingles().alias("sh")
     )
-    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P))
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle")).withColumn("h", h)
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
-            for i, (a, b) in enumerate(_PERMS)
-        ]
+
+    # Signature + banding as ONE Arrow-batched vectorized kernel.
+    # Division of labor: shingle *hashing* stays JVM (xxhash64, one pass);
+    # the 64-permutation min-sketch crosses to numpy as a single
+    # minimum.reduceat over the concatenated hash array — no per-doc or
+    # per-row Python loops at all. The pure-expression formulation of the
+    # same sketch is interpreted by Spark (higher-order functions don't
+    # codegen) and measured ~10× slower; per-doc Python looping was ~7s.
+    perms_a = [a for a, _ in _PERMS]
+    perms_b = [b for _, b in _PERMS]
+    n_bands, rows_per_band, p_mod = _N_BANDS, _ROWS_PER_BAND, _P
+
+    hashed = sh.select(
+        "doc_id", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_P))).alias("hs")
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"m{bi * _ROWS_PER_BAND + r}")
-                            for r in range(_ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("bh"),
+
+    def minhash_bands(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        A = np.array(perms_a, dtype=np.uint64)[:, None]  # (64, 1)
+        B = np.array(perms_b, dtype=np.uint64)[:, None]
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        band_idx = np.arange(n_bands, dtype=np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = np.fromiter((len(h) for h in pdf["hs"]), dtype=np.int64, count=len(pdf))
+            h_all = np.concatenate([np.asarray(h, dtype=np.uint64) for h in pdf["hs"]])
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            m = (A * h_all[None, :] + B) % np.uint64(p_mod)  # (64, total_shingles)
+            sig = np.minimum.reduceat(m, offsets, axis=1)  # (64, n_docs)
+            bands3 = sig.reshape(n_bands, rows_per_band, -1)
+            bh = np.zeros((n_bands, sig.shape[1]), dtype=np.uint64)
+            for r in range(rows_per_band):  # 4 iterations — constant
+                bh = (bh ^ bands3[:, r, :]) * mix
+            n_docs = sig.shape[1]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_bands),
+                    "band": np.tile(band_idx, n_docs),
+                    "bh": bh.T.reshape(-1).astype(np.int64),
+                }
             )
-            for bi in range(_N_BANDS)
-        ]
+
+    bands = hashed.mapInPandas(minhash_bands, "doc_id bigint, band int, bh bigint")
+    # candidate generation: ONE shuffle on (band, bucket-hash), then emit
+    # i<j pairs narrowly inside each bucket — the canonical LSH shape (a
+    # band self-join re-derives the signature DAG on both sides and planned
+    # catastrophically here; this form scans it once)
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
-    la = bands.alias("la")
-    lb = bands.alias("lb")
-    cands = (
-        la.join(
-            lb,
-            (F.col("la.band") == F.col("lb.band"))
-            & (F.col("la.bh") == F.col("lb.bh"))
-            & (F.col("la.doc_id") < F.col("lb.doc_id")),
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
         )
-        .select(F.col("la.doc_id").alias("a_id"), F.col("lb.doc_id").alias("b_id"))
+    )
+    cands = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
     # exact verification: join candidate pairs back to shingle arrays
@@ -199,7 +231,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall for hamming ≤ 3), kept if hamming ≤ 6. Engine-specific hashing
     (xxhash64) ⇒ rows-only check; the pytest suite asserts it recovers the
     planted near-dup pairs."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t_par(spark, sf_dir, "documents")
     toks = docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
         "doc_id", F.explode(_shingles()).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
@@ -267,7 +299,7 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential fold (zip_with + aggregate) so the oracle can replicate the
     exact same double-precision summation order. 100 TB path: LSH-bucketed
     candidates (similarity.sim_ann_lsh machinery) + this exact rerank."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_par(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

@@ -29,7 +29,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import t, t_par
 
 if TYPE_CHECKING:
     import pandas as pd
@@ -83,7 +83,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the text's ASCII codepoints."""
     import pandas as pd  # noqa: F401 — required on executors
 
-    m = _manifest(t(spark, sf_dir, "documents")).select("doc_id", "payload")
+    m = _manifest(t_par(spark, sf_dir, "documents")).select("doc_id", "payload")
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np

@@ -31,7 +31,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import t, t_par
 
 _DIM = 64
 _QUERY_VEC_ID = 0
@@ -58,7 +58,7 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_par(spark, sf_dir, "embeddings")
     return emb.select("vec_id", "label", _as_double().alias("v")).withColumn(
         "norm", _norm(F.col("v"))
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import t, t_par
 
 # shared with the oracle SQL: deterministic, engine-agnostic definitions
 _MOD = 1_000_000_007
@@ -134,7 +134,7 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-level rolling hash — deterministic, engine-agnostic (the
     DuckDB oracle computes the identical recurrence via list_reduce), and
     whitespace-normalization-invariant."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t_par(spark, sf_dir, "documents")
     # char hash per token, then fold tokens — all JVM-side higher-order funcs
     tok_hash = F.transform(
         _tokens(),
