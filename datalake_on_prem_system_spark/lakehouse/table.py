@@ -49,6 +49,10 @@ class Commit:
     n_rows: int
     schema_json: str
     committed_at: float
+    # D4 parity: CREATE TABLE ... PARTITIONED BY ... TBLPROPERTIES(...)
+    # (cdc_merger_optimized.py:191-203); carried forward commit-to-commit
+    partition_by: list[str] | None = None
+    properties: dict[str, str] | None = None
 
 
 class ExpiredVersionError(LookupError):
@@ -91,13 +95,26 @@ class LakeTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
-    def _publish(self, df: DataFrame, operation: str) -> Commit:
+    def _publish(
+        self,
+        df: DataFrame,
+        operation: str,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> Commit:
         os.makedirs(self._commits_dir, exist_ok=True)
         os.makedirs(self._data_dir, exist_ok=True)
         parent = self.latest_version()
         version = 0 if parent is None else parent + 1
+        if parent is not None:  # carry table config forward (D4 semantics)
+            prev = self._read_commit(parent)
+            partition_by = partition_by or prev.partition_by
+            properties = properties or prev.properties
         data_path = os.path.join(self._data_dir, f"{version}-{uuid.uuid4().hex[:8]}.parquet")
-        df.write.mode("overwrite").parquet(data_path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_path)
         n_rows = self.spark.read.parquet(data_path).count()
         commit = Commit(
             version=version,
@@ -107,6 +124,8 @@ class LakeTable:
             n_rows=n_rows,
             schema_json=df.schema.json(),
             committed_at=time.time(),
+            partition_by=partition_by,
+            properties=properties,
         )
         tmp = os.path.join(self._commits_dir, f".{version}.json.tmp")
         with open(tmp, "w") as fh:
@@ -148,8 +167,34 @@ class LakeTable:
 
     # ---------------------------------------------------------------- writes
 
-    def create_or_replace(self, df: DataFrame) -> Commit:
-        return self._publish(df, "create_or_replace")
+    def create_or_replace(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> Commit:
+        """K1 + D4: full-table materialization, optionally hive-partitioned
+        with table properties recorded in the commit log."""
+        return self._publish(
+            df, "create_or_replace", partition_by=partition_by, properties=properties
+        )
+
+    def properties(self) -> dict[str, str]:
+        latest = self.latest_version()
+        if latest is None:
+            return {}
+        return self._read_commit(latest).properties or {}
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """P11: commit-time travel — the state as of wall-clock ``ts``
+        (latest commit with committed_at <= ts), the Hudi
+        ``_hoodie_commit_time <= '<ts>'`` idiom (lake_shell.py:268)."""
+        eligible = [
+            c for v in self.versions() if (c := self._read_commit(v)).committed_at <= ts
+        ]
+        if not eligible:
+            raise ExpiredVersionError(f"no commit at or before {ts} in {self.root}")
+        return self.spark.read.parquet(eligible[-1].data_path)
 
     def append(self, df: DataFrame) -> Commit:
         cur = self.read() if self.exists() else None

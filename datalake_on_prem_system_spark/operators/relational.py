@@ -358,6 +358,32 @@ def k5_cdc_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.unionByName(untouched)
 
 
+def a_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a skewed key (event_type has ~5
+    values ⇒ a naive groupBy funnels each key through one reducer at 100 TB).
+    Phase 1 pre-aggregates on (key, salt) spreading each hot key over 16
+    reducers; phase 2 combines the 16 partials per key. sum/count compose
+    exactly (avg derived at the end), so the result is identical to the
+    naive plan — the oracle computes it naively."""
+    n_salts = 16
+    ev = t(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(n_salts))
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pc"), F.sum("value").alias("ps")
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("pc").alias("n_events"), F.sum("ps").alias("sv"))
+        .select(
+            "event_type",
+            "n_events",
+            F.round("sv", 2).alias("sum_value"),
+            F.round(F.col("sv") / F.col("n_events"), 6).alias("avg_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar function surface (§2.9 + S5 passthrough)
 # --------------------------------------------------------------------------
@@ -402,6 +428,7 @@ QUERIES = {
     "a_pivot_status": a_pivot_status,
     "a_rollup": a_rollup,
     "a_date_window": a_date_window,
+    "a_skew_salted": a_skew_salted,
     "w1_latest_per_key": w1_latest_per_key,
     "w_topk_per_group": w_topk_per_group,
     "j_exists_semi": j_exists_semi,
@@ -467,6 +494,12 @@ ORACLE = {
                round(sum(value), 2) AS sum_value,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1
+    """,
+    "a_skew_salted": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(sum(value) / count(*), 6) AS avg_value
+        FROM events GROUP BY event_type
     """,
     "w1_latest_per_key": """
         SELECT user_id, event_id, event_type, value FROM (

@@ -46,6 +46,12 @@ def ingest_csv(
     ingest_to_iceberg.py:55-56).
     """
     df = read_csv(table.spark, path)
+    if precombine == "_ingest_ts":
+        # F5: synthesize the precombine column when the CSV has none
+        # (ingest_csv_hudi.py:68-69: current_timestamp().cast("string"))
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("_ingest_ts", F.current_timestamp().cast("string"))
     if mode == "create" or not table.exists():
         table.create_or_replace(df)
     elif mode == "append":

@@ -90,6 +90,37 @@ def test_snapshot_diff_classification(table, spark):
     assert d[9].changed_cells == {}  # cell diffs only for matched rows
 
 
+def test_partitioned_write_and_properties(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "pt"))
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")], "id int, name string, part string"
+    )
+    t.create_or_replace(
+        df, partition_by=["part"], properties={"write.format": "parquet/zstd"}
+    )
+    assert t.properties() == {"write.format": "parquet/zstd"}
+    # partition pruning: a filter on the partition column prunes directories
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    pruned = t.read().filter(F.col("part") == "x")
+    assert pruned.count() == 2
+    assert "PartitionFilters: [" in capture_plan(pruned, "simple")
+    # config carries forward through subsequent commits (D4 semantics)
+    t.append(spark.createDataFrame([(4, "d", "z")], "id int, name string, part string"))
+    assert t.properties() == {"write.format": "parquet/zstd"}
+    assert t._read_commit(1).partition_by == ["part"]
+
+
+def test_read_as_of_commit_time(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "ts"))
+    c0 = t.create_or_replace(spark.range(3))
+    c1 = t.append(spark.range(3, 6))
+    assert t.read_as_of(c0.committed_at).count() == 3
+    assert t.read_as_of(c1.committed_at + 1).count() == 6
+    with pytest.raises(ExpiredVersionError):
+        t.read_as_of(c0.committed_at - 100)
+
+
 def test_catalog_facade(spark, tmp_path):
     cat = LakeCatalog(spark, str(tmp_path), namespace="ns")
     cat.create_namespace()
