@@ -32,8 +32,13 @@ HEADLINERS = [
     "search_phrase_ranked",
     "tx_term_freq",
     "dd_minhash_lsh",
+    "dd_ngram_jaccard",
     "sim_brute_topk",
+    "sim_knn_join",
     "k5_cdc_merge_batch",
+    "st_cdc_merge_stream",
+    "lh_merge_upsert",
+    "a_skew_salted",
 ]
 
 

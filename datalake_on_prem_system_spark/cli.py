@@ -54,6 +54,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("travel"); p.add_argument("table"); p.add_argument("version", type=int)
     p = sub.add_parser("diff"); p.add_argument("table"); p.add_argument("v_old", type=int); p.add_argument("v_new", type=int)
     p = sub.add_parser("search"); p.add_argument("table"); p.add_argument("query")
+    p = sub.add_parser("compact"); p.add_argument("table"); p.add_argument("--files", type=int); p.add_argument("--cluster-by")
+    p = sub.add_parser("expire"); p.add_argument("table"); p.add_argument("--keep-last", type=int, default=2)
 
     args = ap.parse_args(argv)
 
@@ -93,6 +95,15 @@ def main(argv: list[str] | None = None) -> int:
         eng.diff(args.table, args.v_old, args.v_new).show(n, truncate=False)
     elif args.verb == "search":
         eng.search(args.table, args.query).show(n, truncate=False)
+    elif args.verb == "compact":
+        c = eng.catalog.table(args.table).compact(
+            target_partitions=args.files,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        )
+        print(f"compacted {args.table} at version {c.version}")
+    elif args.verb == "expire":
+        gone = eng.catalog.table(args.table).expire_snapshots(keep_last=args.keep_last)
+        print(f"expired versions: {gone}")
     return 0
 
 

@@ -273,3 +273,37 @@ class LakeTable:
             [tuple(r.get(c) for c in cur.columns) for r in rows], cur.schema
         )
         return self._publish(cur.unionByName(new), "insert")
+
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self, target_partitions: int | None = None, cluster_by: list[str] | None = None) -> Commit:
+        """OPTIMIZE / rewrite_data_files analog: rewrite the current state
+        into ``target_partitions`` files, optionally sorted within files by
+        ``cluster_by`` so min/max stats enable data skipping on those
+        columns (the poor man's Z-order; Iceberg tables in the reference
+        claim 'partitioning & compaction', OZONE_ARCHITECTURE.md:76)."""
+        df = self.read()
+        n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
+        df = df.repartition(n)
+        if cluster_by:
+            df = df.sortWithinPartitions(*cluster_by)
+        return self._publish(df, "compact")
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Metadata/data GC: drop all but the newest ``keep_last`` commits
+        (Iceberg ``write.metadata.delete-after-commit`` +
+        ``previous-versions-max``, cdc_merger_optimized.py:108,200).
+        Returns the expired version numbers; subsequent reads of an expired
+        version raise, or fall back to latest when requested — exactly the
+        reference's expired-snapshot UX (api_poc.py:462-468)."""
+        import shutil
+
+        versions = self.versions()
+        expired = versions[:-keep_last] if keep_last > 0 else versions
+        live = {self._read_commit(v).data_path for v in versions[len(expired):]}
+        for v in expired:
+            commit = self._read_commit(v)
+            if commit.data_path not in live and os.path.isdir(commit.data_path):
+                shutil.rmtree(commit.data_path)
+            os.remove(os.path.join(self._commits_dir, f"{v}.json"))
+        return expired

@@ -131,6 +131,59 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join (orders with ≥1 late lineitem) →
+    priority histogram. Catalyst plans the EXISTS as LeftSemi; only order
+    keys shuffle."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")  # fixture lacks commit/receipt dates
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    Fact-fact join shuffles once; the nation dim broadcasts; top-k is
+    TakeOrderedAndProject."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey")
+        )
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"), "revenue",
+        )
+    )
+
+
 def q_order_lineitem_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact join + aggregate: order fulfillment stats per status/priority
     (the shuffle-sizing workhorse for the bench)."""
@@ -151,8 +204,10 @@ def q_order_lineitem_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q4_order_priority": q4_order_priority,
     "q5_nation_revenue": q5_nation_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
     "q_order_lineitem_join_agg": q_order_lineitem_join_agg,
 }
 
@@ -183,6 +238,29 @@ ORACLE = {
         GROUP BY o_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderkey ASC
         LIMIT 10
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+          AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name, c_acctbal
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
     """,
     "q5_nation_revenue": """
         SELECT n_name,

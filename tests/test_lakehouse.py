@@ -121,6 +121,34 @@ def test_read_as_of_commit_time(spark, tmp_path):
         t.read_as_of(c0.committed_at - 100)
 
 
+def test_compact_and_cluster(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "cp"))
+    t.create_or_replace(spark.range(1000).repartition(16).withColumn("k", F.col("id") % 7))
+    c = t.compact(target_partitions=2, cluster_by=["k"])
+    assert c.operation == "compact"
+    assert t.read().count() == 1000
+    # fewer data files after compaction
+    import glob, os
+
+    files = glob.glob(os.path.join(c.data_path, "*.parquet"))
+    assert 0 < len(files) <= 2
+
+
+def test_expire_snapshots(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "gc"))
+    t.create_or_replace(spark.range(3))
+    t.append(spark.range(3, 5))
+    t.append(spark.range(5, 6))
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [0, 1]
+    assert t.versions() == [2]
+    assert t.read().count() == 6
+    with pytest.raises(ExpiredVersionError):
+        t.read(version=0)
+    # the reference UX: expired version + fallback → latest
+    assert t.read(version=0, fallback_to_latest=True).count() == 6
+
+
 def test_catalog_facade(spark, tmp_path):
     cat = LakeCatalog(spark, str(tmp_path), namespace="ns")
     cat.create_namespace()
