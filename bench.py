@@ -39,6 +39,8 @@ HEADLINERS = [
     "st_cdc_merge_stream",
     "lh_merge_upsert",
     "a_skew_salted",
+    "w_sessionize",
+    "pl_curation",
 ]
 
 

@@ -20,6 +20,7 @@ from . import (
     ingest_ops,
     lakehouse_ops,
     multimodal,
+    pipeline_ops,
     relational,
     search,
     similarity,
@@ -40,6 +41,7 @@ _MODULES = (
     ingest_ops,
     streaming_ops,
     facade_ops,
+    pipeline_ops,
 )
 
 

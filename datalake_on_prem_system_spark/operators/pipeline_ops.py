@@ -1,0 +1,100 @@
+"""Composite corpus-curation pipeline — the LLM-data workflow end-to-end.
+
+Chains the individual operators the way a real 100 TB curation job does:
+
+    quality filter → exact dedup (md5 survivors) → near-dup removal
+    (MinHash-LSH pairs ⇒ drop the higher doc_id of each pair) → per-source
+    token accounting.
+
+Every stage is the already-oracle-checked operator; the composition itself
+is oracle-checked too (the DuckDB side recomputes the same pipeline in SQL,
+with exact jaccard in place of LSH — identical at the fixture's planted-dup
+similarity levels, see dedup.py).
+
+Scale: the stages share one shuffle each (hash by content hash, band
+bucket, source); survivors propagate as semi/anti joins, never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup
+from .common import t_par
+
+
+def pl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t_par(spark, sf_dir, "documents")
+
+    # 1. quality gate: drop very short docs (the cheap pre-filter)
+    quality = docs.filter(F.col("n_chars") >= 100)
+
+    # 2. exact dedup: keep the lowest doc_id per content hash
+    survivors_exact = (
+        quality.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = quality.join(survivors_exact, "doc_id", "left_semi")
+
+    # 3. near-dup removal: LSH pairs (exact-verified) ⇒ drop the b-side
+    pairs = dedup.dd_minhash_lsh(spark, sf_dir)
+    drop_ids = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    kept = deduped.join(drop_ids, "doc_id", "left_anti")
+
+    # 4. per-source accounting of the surviving corpus
+    toks = F.size(F.split("text", " "))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+QUERIES = {"pl_curation": pl_curation}
+
+ORACLE = {
+    "pl_curation": """
+        WITH quality AS (
+            SELECT * FROM documents WHERE n_chars >= 100
+        ), survivors_exact AS (
+            SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+        ), deduped AS (
+            SELECT q.* FROM quality q
+            WHERE EXISTS (SELECT 1 FROM survivors_exact s WHERE s.doc_id = q.doc_id)
+        ), toks AS (
+            SELECT doc_id, string_split(text, ' ') w FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) s
+            FROM toks WHERE len(w) >= 3
+        ), sizes AS (
+            SELECT doc_id, len(s) sz FROM sh
+        ), ex AS (
+            SELECT doc_id, unnest(s) shingle FROM sh
+        ), pairs AS (
+            SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), neardup_b AS (
+            SELECT DISTINCT p.b_id AS doc_id
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.a_id
+            JOIN sizes sb ON sb.doc_id = p.b_id
+            WHERE p.inter / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.8
+        ), kept AS (
+            SELECT d.* FROM deduped d
+            WHERE NOT EXISTS (SELECT 1 FROM neardup_b n WHERE n.doc_id = d.doc_id)
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM kept GROUP BY source
+    """,
+}

@@ -203,6 +203,32 @@ def w1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via gaps-and-islands: lag →
+    new-session flag → running sum = session id → per-session aggregate.
+    The batch shape of Structured Streaming's session_window; shuffles once
+    on user_id and computes both windows over the same partitioning."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            (F.col("prev_ts").isNull() | (F.col("ts_us") - F.col("prev_ts") > gap_us)).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
 def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts per brand by price (general top-k-per-group; SURVEY §2.7)."""
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
@@ -430,6 +456,7 @@ QUERIES = {
     "a_date_window": a_date_window,
     "a_skew_salted": a_skew_salted,
     "w1_latest_per_key": w1_latest_per_key,
+    "w_sessionize": w_sessionize,
     "w_topk_per_group": w_topk_per_group,
     "j_exists_semi": j_exists_semi,
     "j_anti": j_anti,
@@ -506,6 +533,24 @@ ORACLE = {
             SELECT *, row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1
+    """,
+    "w_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), numbered AS (
+            SELECT *, CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+               round(sum(value), 2) AS session_value
+        FROM numbered GROUP BY user_id, session_id
     """,
     "w_topk_per_group": """
         SELECT p_brand, rank_in_brand, p_partkey, p_name, p_retailprice FROM (

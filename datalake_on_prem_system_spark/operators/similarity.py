@@ -169,11 +169,49 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for vec_id=0 via an IVF coarse quantizer: MLlib KMeans
+    (fixed seed) partitions the corpus into nlist cells; the query probes
+    its 4 nearest centroids and exact-reranks inside them. The
+    billion-vector path: cells live as partitioned tables, a probe touches
+    nprobe/nlist of the data. Approximate ⇒ rows-only; pytest measures
+    recall vs sim_brute_topk."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nlist, nprobe = 16, 4
+    vecs = _vecs(spark, sf_dir).withColumn("feat", array_to_vector("v"))
+    km = KMeans(k=nlist, seed=42, featuresCol="feat", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs)
+
+    centers = model.clusterCenters()
+    q_row = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select("v", "norm").head()
+    qv, qnorm = q_row.v, q_row.norm
+    # rank cells by centroid distance to the query (driver-side: nlist floats)
+    d2 = [
+        (ci, sum((c[i] - qv[i]) ** 2 for i in range(len(qv))))
+        for ci, c in enumerate(centers)
+    ]
+    probe_cells = [ci for ci, _ in sorted(d2, key=lambda x: x[1])[:nprobe]]
+
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .withColumn("cosine_raw", _dot(F.col("v"), q_lit) / (F.col("norm") * F.lit(float(qnorm))))
+        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
 QUERIES = {
     "sim_brute_topk": sim_brute_topk,
     "sim_topk_per_label": sim_topk_per_label,
     "sim_knn_join": sim_knn_join,
     "sim_ann_lsh": sim_ann_lsh,  # rows-only: approximate by construction
+    "sim_ann_ivf": sim_ann_ivf,  # rows-only: approximate by construction
 }
 
 _VECS_SQL = """

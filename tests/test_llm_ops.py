@@ -34,6 +34,13 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     assert len(ann & set(brute)) >= 3
 
 
+def test_ann_ivf_recall_vs_brute(spark, sf_dir):
+    brute = [r.vec_id for r in similarity.sim_brute_topk(spark, sf_dir).collect()]
+    ivf = {r.vec_id for r in similarity.sim_ann_ivf(spark, sf_dir).collect()}
+    # 4-of-16 cells probed ⇒ expect at least 30% of true top-10
+    assert len(ivf & set(brute)) >= 3
+
+
 def test_exact_dedup_groups_cover_all_docs(spark, sf_dir):
     out = dedup.dd_exact(spark, sf_dir)
     total = out.agg(F.sum("group_size")).collect()[0][0]

@@ -132,6 +132,43 @@ def test_empty_batch_guard(spark, tmp_path):
     assert table.versions() == [0]  # nothing merged
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    two files forced into separate batches must accumulate, not reset."""
+    import uuid
+
+    from datalake_on_prem_system_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as fh:
+        fh.write('{"user_id": 1, "value": 10.0}\n{"user_id": 2, "value": 5.0}\n')
+    with open(os.path.join(src, "b.json"), "w") as fh:
+        fh.write('{"user_id": 1, "value": 2.5}\n')
+
+    stream = spark.readStream.schema("user_id bigint, value double").option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    sink = f"st_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(sink).collect()
+    # last emission per user reflects accumulated state
+    last = {}
+    for r in rows:
+        last[r.user_id] = (r.n_events, r.total_value)
+    assert last[1] == (2, 12.5)  # 10.0 + 2.5 across two batches
+    assert last[2] == (1, 5.0)
+
+
 def test_windowed_agg_batch_equivalence(spark, sf_dir):
     """The streaming window agg gives the same answer as the batch plan on
     the same data (watermark is a no-op in batch)."""
