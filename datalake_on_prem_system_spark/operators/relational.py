@@ -384,6 +384,33 @@ def k5_cdc_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.unionByName(untouched)
 
 
+def s5_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: arbitrary user SQL through ``spark.sql`` (api_poc.py:214-226) —
+    the full-surface proof: CTE + correlated scalar subquery + window in one
+    statement over registered views."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH seg_avg AS (
+            SELECT c_mktsegment, avg(o_totalprice) AS seg_avg_price
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+        )
+        SELECT o.o_orderkey, c.c_mktsegment,
+               round(o.o_totalprice, 2) AS o_totalprice,
+               round(s.seg_avg_price, 2) AS seg_avg_price,
+               CAST(rank() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INTEGER) AS price_rank
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN seg_avg s ON s.c_mktsegment = c.c_mktsegment
+        WHERE o.o_totalprice > 2 * s.seg_avg_price
+        """
+    )
+
+
 def a_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over a skewed key (event_type has ~5
     values ⇒ a naive groupBy funnels each key through one reducer at 100 TB).
@@ -455,6 +482,7 @@ QUERIES = {
     "a_rollup": a_rollup,
     "a_date_window": a_date_window,
     "a_skew_salted": a_skew_salted,
+    "s5_sql_passthrough": s5_sql_passthrough,
     "w1_latest_per_key": w1_latest_per_key,
     "w_sessionize": w_sessionize,
     "w_topk_per_group": w_topk_per_group,
@@ -521,6 +549,22 @@ ORACLE = {
                round(sum(value), 2) AS sum_value,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1
+    """,
+    "s5_sql_passthrough": """
+        WITH seg_avg AS (
+            SELECT c_mktsegment, avg(o_totalprice) AS seg_avg_price
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+        )
+        SELECT o.o_orderkey, c.c_mktsegment,
+               round(o.o_totalprice, 2) AS o_totalprice,
+               round(s.seg_avg_price, 2) AS seg_avg_price,
+               CAST(rank() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INTEGER) AS price_rank
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN seg_avg s ON s.c_mktsegment = c.c_mktsegment
+        WHERE o.o_totalprice > 2 * s.seg_avg_price
     """,
     "a_skew_salted": """
         SELECT event_type, count(*) AS n_events,

@@ -3,6 +3,8 @@ actual physical plans."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entry_mod
 from datalake_on_prem_system_spark.plans import audit_plan
 
@@ -35,6 +37,38 @@ def test_search_reads_derived_index_only(spark, sf_dir):
         s.startswith("struct<doc_id") and "text" in s and "lang" not in s
         for s in a.read_schemas
     ), f"must scan the 2-column index table, got {a.read_schemas}"
+
+
+def test_bucketed_join_is_co_located(spark, sf_dir, tmp_path):
+    """Fact-fact joins at 100 TB: pre-bucketing both tables on the join key
+    lets the join run shuffle-free (each bucket pair joins locally). Verify
+    the plan contains NO shuffle exchange when both sides are bucketed."""
+    from datalake_on_prem_system_spark.operators.common import t
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}'")
+    t(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("bkt.orders_b")
+    t(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable("bkt.lineitem_b")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt.orders_b").join(
+            spark.table("bkt.lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = capture_plan(joined, "simple")
+        assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan[:600]}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt")
 
 
 def test_q1_partial_aggregation(spark, sf_dir):
