@@ -74,19 +74,32 @@ def _seed_target(spark: SparkSession, sf_dir: str, root: str) -> LakeTable:
     return table
 
 
+# envelope corpora are pure functions of (sf_dir, n_files): generate once
+# per process — the stream under test is the consumer, not the generator
+_ENVELOPE_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _envelope_dir(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    key = (sf_dir, n_files)
+    if key not in _ENVELOPE_CACHE:
+        src = os.path.join(tempfile.mkdtemp(prefix="cdc_src_"), "events")
+        changes = _changes(spark, sf_dir)
+        if n_files == 1:
+            _envelope_json(changes).write.mode("overwrite").text(src)
+        else:
+            # disjoint key ranges per file ⇒ merge order across micro-batches
+            # cannot affect the final state (commutative batches)
+            for i in range(n_files):
+                _envelope_json(
+                    changes.filter(F.col("user_id") % n_files == i)
+                ).write.mode("append").text(src)
+        _ENVELOPE_CACHE[key] = src
+    return _ENVELOPE_CACHE[key]
+
+
 def _run_stream(spark: SparkSession, sf_dir: str, n_files: int, max_files: int | None) -> LakeTable:
     work = tempfile.mkdtemp(prefix="cdc_stream_")
-    src = os.path.join(work, "events")
-    changes = _changes(spark, sf_dir)
-    if n_files == 1:
-        _envelope_json(changes).write.mode("overwrite").text(src)
-    else:
-        # disjoint key ranges per file ⇒ merge order across micro-batches
-        # cannot affect the final state (commutative batches)
-        for i in range(n_files):
-            _envelope_json(changes.filter(F.col("user_id") % n_files == i)).write.mode(
-                "append"
-            ).text(src)
+    src = _envelope_dir(spark, sf_dir, n_files)
     table = _seed_target(spark, sf_dir, os.path.join(work, "tbl"))
     run_cdc_file_stream(
         spark,

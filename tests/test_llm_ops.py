@@ -12,6 +12,22 @@ def _pairs(df):
     return {(r.a_id, r.b_id) for r in df.collect()}
 
 
+def test_prefix_filter_equals_naive_join(spark, sf_dir):
+    """The PPJoin prefix filter is lossless: dd_ngram_jaccard (prefix
+    candidates + verify) must equal the naive full inverted-index join."""
+    from datalake_on_prem_system_spark.operators.common import t_par
+
+    naive = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup._pair_jaccard_exact(t_par(spark, sf_dir, "documents")).collect()
+    }
+    prefix = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup.dd_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert prefix == naive
+
+
 def test_minhash_lsh_recall_equals_exact(spark, sf_dir):
     exact = _pairs(dedup.dd_ngram_jaccard(spark, sf_dir))
     lsh = _pairs(dedup.dd_minhash_lsh(spark, sf_dir))
