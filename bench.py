@@ -68,6 +68,27 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # sustained CDC merge throughput (reference headline: ~50k rows/sec,
+    # OZONE_ARCHITECTURE.md:75): envelope corpus pre-generated, seed table
+    # pre-committed; timed region = the streaming consume + merge only.
+    from datalake_on_prem_system_spark.operators import streaming_ops as so
+    from datalake_on_prem_system_spark.streaming.cdc import run_cdc_file_stream
+    import tempfile
+
+    src = so._envelope_dir(spark, SF_DIR, n_files=1)
+    n_changes = so._changes(spark, SF_DIR).count()
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    table = so._seed_target(spark, SF_DIR, os.path.join(work, "tbl"))
+    t0 = time.perf_counter()
+    run_cdc_file_stream(
+        spark, table, pk="user_id", row_ddl=so._ROW_DDL, src_dir=src,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        order_cols=["ts_us", "event_id"], drop_cols=["event_id", "ts_us"],
+    )
+    cdc_sec = time.perf_counter() - t0
+    cdc_rps = round(n_changes / cdc_sec)
+    print(f"# cdc_throughput: {n_changes} rows in {cdc_sec:.3f}s = {cdc_rps} rows/s", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -75,6 +96,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "cdc_rows_per_sec": cdc_rps,
                 "sf": SF_DIR,
             }
         )

@@ -384,6 +384,39 @@ def k5_cdc_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.unionByName(untouched)
 
 
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group — the
+    analytics surface beyond plain aggregates. At scale the approximate
+    sibling is a_hll_distinct / percentile_approx; this exact form
+    sort-aggregates within each group."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per event_type (Apache DataSketches
+    via hll_sketch_agg): the mergeable, fixed-size state that replaces exact
+    COUNT(DISTINCT) at 100 TB — partials combine associatively across
+    partitions and across time (incremental refresh). Estimates are
+    engine-specific ⇒ rows-only; pytest bounds the error vs exact."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+
+
 def s5_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: arbitrary user SQL through ``spark.sql`` (api_poc.py:214-226) —
     the full-surface proof: CTE + correlated scalar subquery + window in one
@@ -482,6 +515,8 @@ QUERIES = {
     "a_rollup": a_rollup,
     "a_date_window": a_date_window,
     "a_skew_salted": a_skew_salted,
+    "a_percentiles": a_percentiles,
+    "a_hll_distinct": a_hll_distinct,  # rows-only: sketch estimate is engine-specific
     "s5_sql_passthrough": s5_sql_passthrough,
     "w1_latest_per_key": w1_latest_per_key,
     "w_sessionize": w_sessionize,
@@ -549,6 +584,14 @@ ORACLE = {
                round(sum(value), 2) AS sum_value,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1
+    """,
+    "a_percentiles": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
     """,
     "s5_sql_passthrough": """
         WITH seg_avg AS (

@@ -99,6 +99,15 @@ def test_multimodal_mapinpandas_matches_jvm(spark, sf_dir):
         assert pandas_out[r.doc_id] == (r.plen, r.bsum)
 
 
+def test_hll_sketch_error_bounded(spark, sf_dir):
+    """The HLL estimate must sit within 5% of exact COUNT(DISTINCT) at
+    default lgConfigK=12 (~1.6% standard error)."""
+    from datalake_on_prem_system_spark.operators.relational import a_hll_distinct
+
+    for r in a_hll_distinct(spark, sf_dir).collect():
+        assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users), r
+
+
 def test_decode_frame_is_honest_stub():
     import pytest
 
