@@ -59,6 +59,11 @@ class ExpiredVersionError(LookupError):
     pass
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency:
+    the Iceberg commit-conflict model — caller re-reads and retries)."""
+
+
 class LakeTable:
     """One versioned table rooted at ``root`` (a local or object-store path)."""
 
@@ -127,10 +132,22 @@ class LakeTable:
             partition_by=partition_by,
             properties=properties,
         )
-        tmp = os.path.join(self._commits_dir, f".{version}.json.tmp")
+        tmp = os.path.join(self._commits_dir, f".{version}-{uuid.uuid4().hex[:8]}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(commit.__dict__, fh)
-        os.rename(tmp, os.path.join(self._commits_dir, f"{version}.json"))
+        final = os.path.join(self._commits_dir, f"{version}.json")
+        try:
+            # atomic publish that REFUSES to clobber: link fails if a racing
+            # writer already committed this version (os.rename would
+            # silently overwrite — a lost update)
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            raise ConcurrentCommitError(
+                f"version {version} was committed concurrently at {self.root}; "
+                "re-read the table and retry"
+            ) from exc
+        finally:
+            os.unlink(tmp)
         return commit
 
     # ---------------------------------------------------------------- reads

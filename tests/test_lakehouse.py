@@ -4,7 +4,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from datalake_on_prem_system_spark.lakehouse import LakeCatalog, LakeTable, snapshot_diff
-from datalake_on_prem_system_spark.lakehouse.table import ExpiredVersionError
+from datalake_on_prem_system_spark.lakehouse.table import (
+    ConcurrentCommitError,
+    ExpiredVersionError,
+)
 
 
 @pytest.fixture()
@@ -119,6 +122,25 @@ def test_read_as_of_commit_time(spark, tmp_path):
     assert t.read_as_of(c1.committed_at + 1).count() == 6
     with pytest.raises(ExpiredVersionError):
         t.read_as_of(c0.committed_at - 100)
+
+
+def test_concurrent_commit_refused(spark, table, monkeypatch):
+    """A racing writer's commit must never be clobbered: a writer holding a
+    stale view that tries to publish an already-taken version raises
+    instead of overwriting."""
+    import json as _json
+    import os
+
+    # a concurrent writer lands version 1 first
+    racing = os.path.join(table._commits_dir, "1.json")
+    with open(racing, "w") as fh:
+        _json.dump(table._read_commit(0).__dict__ | {"version": 1, "parent": 0}, fh)
+    racing_content = open(racing).read()
+    # our writer read latest=0 BEFORE the racer committed (stale view)
+    monkeypatch.setattr(table, "latest_version", lambda: 0)
+    with pytest.raises(ConcurrentCommitError):
+        table._publish(table.read(version=0), "append")
+    assert open(racing).read() == racing_content  # racer's commit untouched
 
 
 def test_compact_and_cluster(spark, tmp_path):
