@@ -80,6 +80,38 @@ class LakeEngine:
     def ingest_csv(self, table: str, path: str, mode: str = "create", pk: str | None = None, precombine: str | None = None) -> DataFrame:
         return _ingest_csv(self.catalog.table(table), path, mode=mode, pk=pk, precombine=precombine)
 
+    def ingest(
+        self,
+        table: str,
+        path: str,
+        mode: str = "direct",
+        pk: str | None = None,
+        row_ddl: str | None = None,
+        checkpoint_dir: str | None = None,
+        order_cols: list[str] | None = None,
+    ) -> None:
+        """Upload-mode dispatch (api_poc.py:300-360): 'direct' = batch CSV
+        ingest; 'cdc' = stream a directory of Debezium-envelope JSON files
+        into the table via the CDC merge pipeline."""
+        if mode == "direct":
+            self.ingest_csv(table, path, mode="create" if not self.catalog.table(table).exists() else "append")
+        elif mode == "cdc":
+            if not (pk and row_ddl and checkpoint_dir):
+                raise ValueError("cdc mode requires pk, row_ddl, checkpoint_dir")
+            from .streaming.cdc import run_cdc_file_stream
+
+            run_cdc_file_stream(
+                self.spark,
+                self.catalog.table(table),
+                pk=pk,
+                row_ddl=row_ddl,
+                src_dir=path,
+                checkpoint_dir=checkpoint_dir,
+                order_cols=order_cols or [pk],
+            )
+        else:
+            raise ValueError(f"unknown ingest mode: {mode}")
+
     def write_table(self, table: str, df: DataFrame, mode: str = "create") -> None:
         t = self.catalog.table(table)
         t.create_or_replace(df) if mode == "create" else t.append(df)
