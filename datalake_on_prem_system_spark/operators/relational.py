@@ -384,6 +384,24 @@ def k5_cdc_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.unionByName(untouched)
 
 
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1's batch analog: JSON field extraction from the events.props
+    payload column (get_json_object — pushdown-friendly, stays JVM) and an
+    aggregate over the extracted value."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
 def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (continuous interpolation) per group — the
     analytics surface beyond plain aggregates. At scale the approximate
@@ -516,6 +534,7 @@ QUERIES = {
     "a_date_window": a_date_window,
     "a_skew_salted": a_skew_salted,
     "a_percentiles": a_percentiles,
+    "f_json_extract": f_json_extract,
     "a_hll_distinct": a_hll_distinct,  # rows-only: sketch estimate is engine-specific
     "s5_sql_passthrough": s5_sql_passthrough,
     "w1_latest_per_key": w1_latest_per_key,
@@ -584,6 +603,13 @@ ORACLE = {
                round(sum(value), 2) AS sum_value,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1
+    """,
+    "f_json_extract": """
+        SELECT event_type, count(*) AS n,
+               min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+        FROM events GROUP BY event_type
     """,
     "a_percentiles": """
         SELECT o_orderstatus,
