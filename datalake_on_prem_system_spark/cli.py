@@ -25,9 +25,9 @@ import sys
 def _kv(pairs: list[str]) -> dict[str, str]:
     out = {}
     for p in pairs:
-        k, _, v = p.partition("=")
-        if not _:
-            raise SystemExit(f"expected col=val, got {p!r}")
+        k, sep, v = p.partition("=")
+        if not sep:
+            raise ValueError(f"expected col=val, got {p!r}")
         out[k] = v
     return out
 
@@ -64,6 +64,15 @@ def main(argv: list[str] | None = None) -> int:
 
     eng = LakeEngine(get_spark(app_name="lake_cli"), args.warehouse)
     n = args.limit_show
+
+    try:
+        return _dispatch(args, eng, n)
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(args, eng, n: int) -> int:
 
     if args.verb == "tables":
         for t in eng.list_tables():

@@ -61,13 +61,19 @@ class LakeEngine:
         """P4/P5/O1/O3 read surface: column subset, equality filter (typed
         via get_cast_val), latest-first page."""
         df = self.catalog.table(table).read(version=version, fallback_to_latest=True)
+        # derive the pk from THIS snapshot's columns: the latest schema may
+        # have columns an old version lacks (append-based evolution), and it
+        # avoids a second table read
+        pk = find_id_col(df.columns)
         if filter_col is not None:
+            if filter_val is None:
+                raise ValueError(f"filter_col={filter_col!r} requires filter_val")
             typed = get_cast_val(filter_val, df.schema[filter_col].dataType.simpleString())
             df = df.filter(F.col(filter_col) == F.lit(typed))
         if columns:
             df = df.select(*columns)
         if limit is not None:
-            df = df.orderBy(F.desc(self.id_col(table))).limit(limit)
+            df = df.orderBy(F.desc(pk)).limit(limit)
         return df
 
     def query(self, sql: str) -> DataFrame:
@@ -120,6 +126,10 @@ class LakeEngine:
         """M1 typed insert from string form values (api_poc.py:781-795)."""
         t = self.catalog.table(table)
         schema = t.read().schema
+        unknown = set(values) - set(schema.fieldNames())
+        if unknown:
+            # a typo'd column name must not silently insert an all-NULL row
+            raise ValueError(f"unknown columns for {table}: {sorted(unknown)}")
         typed = {
             c: get_cast_val(values.get(c), schema[c].dataType.simpleString())
             for c in schema.fieldNames()

@@ -142,6 +142,11 @@ class LakeTable:
             # silently overwrite — a lost update)
             os.link(tmp, final)
         except FileExistsError as exc:
+            import shutil
+
+            # the loser must not leak its fully-written data directory —
+            # one orphaned table copy per lost race otherwise
+            shutil.rmtree(data_path, ignore_errors=True)
             raise ConcurrentCommitError(
                 f"version {version} was committed concurrently at {self.root}; "
                 "re-read the table and retry"
@@ -250,8 +255,6 @@ class LakeTable:
         else:
             deletes = source.limit(0).select(pk)
             upserts = source
-        if precombine is not None and precombine not in target.columns:
-            upserts = upserts.drop(precombine)
         upserts = upserts.select(*target.columns)
         # survivors of target: keys not touched by any change (update or delete)
         touched = source.select(pk)
@@ -315,8 +318,12 @@ class LakeTable:
         reference's expired-snapshot UX (api_poc.py:462-468)."""
         import shutil
 
+        if keep_last < 1:
+            # Iceberg-style expiry never removes the current snapshot;
+            # keep_last=0 would delete the whole table
+            raise ValueError("keep_last must be >= 1")
         versions = self.versions()
-        expired = versions[:-keep_last] if keep_last > 0 else versions
+        expired = versions[:-keep_last]
         live = {self._read_commit(v).data_path for v in versions[len(expired):]}
         for v in expired:
             commit = self._read_commit(v)

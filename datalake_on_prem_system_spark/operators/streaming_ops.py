@@ -88,11 +88,15 @@ def _envelope_dir(spark: SparkSession, sf_dir: str, n_files: int) -> str:
             _envelope_json(changes).write.mode("overwrite").text(src)
         else:
             # disjoint key ranges per file ⇒ merge order across micro-batches
-            # cannot affect the final state (commutative batches)
+            # cannot affect the final state (commutative batches).
+            # coalesce(1): each write must emit exactly ONE file — a
+            # multi-partition write would split one key range across files,
+            # and maxFilesPerTrigger=1 would then put one user's changes in
+            # different micro-batches in listing order, breaking the oracle
             for i in range(n_files):
                 _envelope_json(
                     changes.filter(F.col("user_id") % n_files == i)
-                ).write.mode("append").text(src)
+                ).coalesce(1).write.mode("append").text(src)
         _ENVELOPE_CACHE[key] = src
     return _ENVELOPE_CACHE[key]
 

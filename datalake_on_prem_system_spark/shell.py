@@ -24,7 +24,15 @@ class LakeShell(cmd.Cmd):
 
         self.eng = LakeEngine(get_spark(app_name="lake_shell"), warehouse)
 
-    # every verb prints and never raises out of the loop
+    # every verb prints and never raises out of the loop — onecmd catches
+    # argument-parse errors (int()/kv splits) too, not just engine calls
+    def onecmd(self, line: str) -> bool:
+        try:
+            return super().onecmd(line)
+        except Exception as exc:  # noqa: BLE001 — REPL surface
+            print(f"error: {exc}")
+            return False
+
     def _safe(self, fn, *a, **kw):
         try:
             return fn(*a, **kw)
@@ -61,16 +69,18 @@ class LakeShell(cmd.Cmd):
         parts = shlex.split(arg)
         if len(parts) < 2:
             return print("usage: insert <table> col=val ...")
-        vals = dict(p.split("=", 1) for p in parts[1:])
-        self._safe(self.eng.insert, parts[0], vals)
+        from .cli import _kv
+
+        self._safe(self.eng.insert, parts[0], _kv(parts[1:]))
 
     def do_update(self, arg: str) -> None:
         """update <table> <pk> col=val [col=val ...]"""
         parts = shlex.split(arg)
         if len(parts) < 3:
             return print("usage: update <table> <pk> col=val ...")
-        vals = dict(p.split("=", 1) for p in parts[2:])
-        self._safe(self.eng.update, parts[0], parts[1], vals)
+        from .cli import _kv
+
+        self._safe(self.eng.update, parts[0], parts[1], _kv(parts[2:]))
 
     def do_delete(self, arg: str) -> None:
         """delete <table> <pk>"""

@@ -93,11 +93,17 @@ def cdc_apply_batch(
     batch (P12) → normalize → dedup → MERGE."""
     if batch_df.isEmpty():
         return
-    flat = normalize_envelope(batch_df, row_ddl)
-    if flat.isEmpty():  # nothing parseable — don't publish an empty commit
-        return
-    dedup = last_writer_wins(flat, pk, order_cols)
-    table.merge(dedup.drop(*drop_cols), pk=pk, op_col="op")
+    # persist the parsed batch: the emptiness probe and the merge would
+    # otherwise each re-run the double from_json parse (two extra passes
+    # per trigger on the streaming hot path)
+    flat = normalize_envelope(batch_df, row_ddl).persist()
+    try:
+        if flat.isEmpty():  # nothing parseable — don't publish an empty commit
+            return
+        dedup = last_writer_wins(flat, pk, order_cols)
+        table.merge(dedup.drop(*drop_cols), pk=pk, op_col="op")
+    finally:
+        flat.unpersist()
 
 
 def run_cdc_file_stream(
