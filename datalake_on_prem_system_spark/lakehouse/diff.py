@@ -25,18 +25,26 @@ def snapshot_diff(table: LakeTable, v_old: int, v_new: int, pk: str) -> DataFram
     """
     old = table.read(version=v_old)
     new = table.read(version=v_new)
-    cols = [c for c in new.columns if c != pk and c in old.columns]
+    # diff the UNION of both schemas: a row whose only change is in a
+    # column added (or dropped) between the versions is still MODIFIED —
+    # the missing side reads as NULL
+    cols = [c for c in new.columns if c != pk]
+    cols += [c for c in old.columns if c != pk and c not in cols]
 
-    o = old.select(
-        F.col(pk),
-        F.lit(True).alias("__in_old"),
-        *[F.col(c).cast("string").alias(f"__old_{c}") for c in cols],
-    )
-    n = new.select(
-        F.col(pk),
-        F.lit(True).alias("__in_new"),
-        *[F.col(c).cast("string").alias(f"__new_{c}") for c in cols],
-    )
+    def side(df: DataFrame, prefix: str, flag: str) -> DataFrame:
+        return df.select(
+            F.col(pk),
+            F.lit(True).alias(flag),
+            *[
+                (F.col(c) if c in df.columns else F.lit(None))
+                .cast("string")
+                .alias(f"{prefix}{c}")
+                for c in cols
+            ],
+        )
+
+    o = side(old, "__old_", "__in_old")
+    n = side(new, "__new_", "__in_new")
     j = n.join(o, pk, "full_outer")
 
     changed_cells = F.map_filter(

@@ -111,7 +111,10 @@ class LakeTable:
         os.makedirs(self._data_dir, exist_ok=True)
         parent = self.latest_version()
         version = 0 if parent is None else parent + 1
-        if parent is not None:  # carry table config forward (D4 semantics)
+        # carry table config forward for incremental commits (D4 semantics);
+        # CREATE OR REPLACE defines the config anew — inheriting there would
+        # make partitioning impossible to ever unset
+        if parent is not None and operation != "create_or_replace":
             prev = self._read_commit(parent)
             partition_by = partition_by or prev.partition_by
             properties = properties or prev.properties
@@ -120,7 +123,7 @@ class LakeTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_path)
-        n_rows = self.spark.read.parquet(data_path).count()
+        n_rows = self._count_from_footers(data_path)
         commit = Commit(
             version=version,
             parent=parent,
@@ -155,6 +158,20 @@ class LakeTable:
             os.unlink(tmp)
         return commit
 
+    @staticmethod
+    def _count_from_footers(data_path: str) -> int:
+        """Row count from parquet footer metadata — no Spark job, no second
+        scan of the just-written table state (material on the CDC hot path
+        where every micro-batch commits)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for dirpath, _dirs, files in os.walk(data_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+        return total
+
     # ---------------------------------------------------------------- reads
 
     def read(self, version: int | None = None, fallback_to_latest: bool = False) -> DataFrame:
@@ -173,7 +190,17 @@ class LakeTable:
             if not fallback_to_latest:
                 raise
             commit = self._read_commit(latest)
-        return self.spark.read.parquet(commit.data_path)
+        return self._read_data(commit)
+
+    def _read_data(self, commit: Commit) -> DataFrame:
+        """Read a commit's data applying its STORED schema: without it,
+        hive-partition column values are re-inferred from directory names
+        (string '0123' → int 123, leading zeros lost) and partition columns
+        migrate to the end of the row."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(commit.schema_json))
+        return self.spark.read.schema(schema).parquet(commit.data_path)
 
     def history(self) -> DataFrame:
         """Commit history, newest first — the ``$snapshots`` metadata table
@@ -216,7 +243,7 @@ class LakeTable:
         ]
         if not eligible:
             raise ExpiredVersionError(f"no commit at or before {ts} in {self.root}")
-        return self.spark.read.parquet(eligible[-1].data_path)
+        return self._read_data(eligible[-1])
 
     def append(self, df: DataFrame) -> Commit:
         cur = self.read() if self.exists() else None
@@ -238,10 +265,17 @@ class LakeTable:
             WHEN NOT MATCHED AND source.op != 'd' THEN INSERT *
 
         ``op_col`` names the CDC op column ('c'/'u'/'d'); absent ⇒ pure
-        upsert. ``precombine`` dedups the source last-writer-wins per key
-        first (Hudi precombine, ingest_csv_hudi.py:78,85) — W1 semantics.
+        upsert. Any op other than 'd' (including NULL/unknown tokens)
+        upserts — MERGE's WHEN MATCHED THEN UPDATE branch — so a malformed
+        op can never silently delete a row. ``precombine`` dedups the
+        source last-writer-wins per key first (Hudi precombine,
+        ingest_csv_hudi.py:78,85) — W1 semantics.
+
+        Schema evolution: source columns absent from the target are ADDED
+        (existing rows take NULL), matching append's union-of-columns
+        semantics; a first merge into a never-created table bootstraps it
+        (CREATE TABLE IF NOT EXISTS parity, cdc_merger_optimized.py:191).
         """
-        target = self.read()
         if precombine is not None:
             w = Window.partitionBy(pk).orderBy(F.desc(precombine))
             source = (
@@ -250,24 +284,33 @@ class LakeTable:
                 .drop("__rn")
             )
         if op_col is not None:
-            deletes = source.filter(F.col(op_col) == "d").select(pk)
-            upserts = source.filter(F.col(op_col) != "d").drop(op_col)
+            # null-safe: op IS DISTINCT FROM 'd' upserts; only op == 'd' deletes
+            upserts = source.filter(~F.col(op_col).eqNullSafe("d")).drop(op_col)
         else:
-            deletes = source.limit(0).select(pk)
             upserts = source
-        upserts = upserts.select(*target.columns)
+        if not self.exists():  # bootstrap from a pure-insert change stream
+            if precombine is not None:
+                upserts = upserts.drop(precombine)
+            return self._publish(upserts, "merge")
+        target = self.read()
+        # precombine is merge metadata, not data — drop unless the table
+        # itself carries that column
+        if precombine is not None and precombine not in target.columns:
+            upserts = upserts.drop(precombine)
         # survivors of target: keys not touched by any change (update or delete)
         touched = source.select(pk)
         untouched = target.join(touched, pk, "left_anti")
-        result = untouched.unionByName(upserts)
-        # deletes need no extra step: deleted keys are in `touched` and not
-        # re-inserted by `upserts`
-        _ = deletes
+        # unionByName with missing columns = schema evolution on both sides
+        result = untouched.unionByName(upserts, allowMissingColumns=True)
         return self._publish(result, "merge")
 
     def delete_where(self, condition) -> Commit:
-        """DELETE FROM t WHERE cond (delete_hudi.py:45-91 / api_poc.py:816-823)."""
-        return self._publish(self.read().filter(~condition), "delete")
+        """DELETE FROM t WHERE cond (delete_hudi.py:45-91 / api_poc.py:816-823).
+        SQL semantics: only rows where the condition is TRUE are removed —
+        a NULL predicate keeps the row (plain ``~cond`` would drop it)."""
+        return self._publish(
+            self.read().filter(~condition.eqNullSafe(True)), "delete"
+        )
 
     def update_where(self, condition, assignments: dict[str, Any]) -> Commit:
         """UPDATE t SET c=v,... WHERE cond (api_poc.py:743-756; pk never

@@ -338,27 +338,18 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential fold (zip_with + aggregate) so the oracle can replicate the
     exact same double-precision summation order. 100 TB path: LSH-bucketed
     candidates (similarity.sim_ann_lsh machinery) + this exact rerank."""
+    # shared numerically-sensitive folds from similarity — the DuckDB
+    # oracles mirror their exact summation order; two drifting copies
+    # would silently break one module's oracle equivalence
+    from .similarity import _as_double, _dot, _norm
+
     emb = t_par(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(
-            F.aggregate(
-                F.transform("v", lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ),
+    vecs = emb.select("vec_id", _as_double().alias("v")).withColumn(
+        "norm", _norm(F.col("v"))
     )
     a = vecs.alias("a")
     b = vecs.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col("a.v"), F.col("b.v"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))

@@ -61,8 +61,16 @@ def normalize_envelope(raw: DataFrame, row_ddl: str, value_col: str = "value") -
     op = F.coalesce(w["payload"]["op"], f["op"])
 
     def pick(field: str) -> Column:
-        # delete events carry the row in `before` (after is NULL)
-        return F.coalesce(after[field], before[field]).alias(field)
+        # delete events carry the row in `before` (after is NULL); for
+        # updates/inserts take `after` VERBATIM — a per-field coalesce
+        # would resurrect the pre-image whenever an update legitimately
+        # sets a column to NULL (Debezium emits both images under
+        # REPLICA IDENTITY FULL)
+        return (
+            F.when(op.eqNullSafe("d"), before[field])
+            .otherwise(after[field])
+            .alias(field)
+        )
 
     return raw.select(*[pick(fld.name) for fld in row.fields], op.alias("op")).filter(
         F.col("op").isNotNull()

@@ -124,6 +124,87 @@ def test_read_as_of_commit_time(spark, tmp_path):
         t.read_as_of(c0.committed_at - 100)
 
 
+def test_merge_null_or_unknown_op_updates_not_deletes(table, spark):
+    """A NULL or unrecognized op token must upsert (WHEN MATCHED THEN
+    UPDATE), never silently delete the matched row."""
+    src = spark.createDataFrame(
+        [(2, "b2", 22.0, None), (3, "c3", 33.0, "weird")],
+        "id int, name string, v double, op string",
+    )
+    table.merge(src, pk="id", op_col="op")
+    rows = {r.id: r.name for r in table.read().collect()}
+    assert rows == {1: "a", 2: "b2", 3: "c3"}
+
+
+def test_merge_bootstraps_missing_table(spark, tmp_path):
+    """First merge into a never-created table creates it (CREATE TABLE IF
+    NOT EXISTS parity) instead of raising."""
+    t = LakeTable(spark, str(tmp_path / "boot"))
+    src = spark.createDataFrame(
+        [(1, "a", "c", 5)], "id int, name string, op string, seq int"
+    )
+    t.merge(src, pk="id", op_col="op", precombine="seq")
+    assert [r.asDict() for r in t.read().collect()] == [{"id": 1, "name": "a"}]
+
+
+def test_merge_evolves_schema(table, spark):
+    """Upsert carrying a new column adds it (existing rows take NULL) —
+    parity with append's union-of-columns."""
+    src = spark.createDataFrame(
+        [(2, "b2", 22.0, "u", "new-col-val")],
+        "id int, name string, v double, op string, tag string",
+    )
+    table.merge(src, pk="id", op_col="op")
+    rows = {r.id: r.tag for r in table.read().collect()}
+    assert rows == {1: None, 2: "new-col-val", 3: None}
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tmp_path):
+    """DELETE removes only rows where the condition is TRUE; rows where it
+    evaluates NULL must survive."""
+    t = LakeTable(spark, str(tmp_path / "dn"))
+    t.create_or_replace(
+        spark.createDataFrame([(1, "x"), (2, None), (3, "y")], "id int, name string")
+    )
+    t.delete_where(F.col("name") == "x")
+    assert {r.id for r in t.read().collect()} == {2, 3}
+
+
+def test_partition_column_type_survives_roundtrip(spark, tmp_path):
+    """String partition values that look numeric must come back as strings
+    with leading zeros intact (stored schema beats directory-name
+    inference)."""
+    t = LakeTable(spark, str(tmp_path / "pi"))
+    t.create_or_replace(
+        spark.createDataFrame([(1, "0123"), (2, "0456")], "id int, code string"),
+        partition_by=["code"],
+    )
+    got = {r.id: r.code for r in t.read().collect()}
+    assert got == {1: "0123", 2: "0456"}
+    assert dict(t.read().dtypes)["code"] == "string"
+    assert t.read().columns == ["id", "code"]  # original order, not part-last
+
+
+def test_create_or_replace_resets_partitioning(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "rp"))
+    df = spark.createDataFrame([(1, "a")], "id int, seg string")
+    t.create_or_replace(df, partition_by=["seg"])
+    t.create_or_replace(spark.createDataFrame([(2,)], "id int"))  # no seg col
+    assert t._read_commit(t.latest_version()).partition_by is None
+    assert {r.id for r in t.read().collect()} == {2}
+
+
+def test_diff_reports_new_only_column_change(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "dnc"))
+    t.create_or_replace(spark.createDataFrame([(1, "a")], "id int, name string"))
+    t.append(spark.createDataFrame([(2, "b", "t2")], "id int, name string, tag string"))
+    t.update_where(F.col("id") == 1, {"tag": "added"})
+    d = {r.id: r for r in snapshot_diff(t, 0, 2, "id").collect()}
+    assert d[1].status == "MODIFIED"
+    assert d[1].changed_cells["tag"]["new"] == "added"
+    assert d[2].status == "NEW"
+
+
 def test_concurrent_commit_refused(spark, table, monkeypatch):
     """A racing writer's commit must never be clobbered: a writer holding a
     stale view that tries to publish an already-taken version raises

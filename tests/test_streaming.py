@@ -48,6 +48,19 @@ def test_debezium_schema_shapes():
     assert flat.fieldNames() == ["before", "after", "op"]
 
 
+def test_update_setting_column_to_null_is_not_resurrected(spark):
+    """An update whose after-image legitimately NULLs a column must keep
+    the NULL — a per-field coalesce with the before-image would silently
+    restore the old value."""
+    rows = [
+        _wrapped({"id": 1, "name": "old", "seq": 1}, {"id": 1, "name": None, "seq": 2}, "u"),
+    ]
+    df = spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
+    out = normalize_envelope(df, ROW_DDL).collect()
+    assert out[0].name is None
+    assert out[0].id == 1
+
+
 def test_last_writer_wins(spark):
     df = spark.createDataFrame(
         [(1, "old", 1, "u"), (1, "new", 2, "u"), (2, "only", 1, "u")],
