@@ -315,6 +315,40 @@ def j2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — an operator Spark has no native form for (DuckDB does:
+    ``ASOF JOIN``, which is the oracle). For every purchase event, the same
+    user's most recent click value at-or-before the purchase time.
+
+    Implementation is the scalable union-window form: tag both sides, union,
+    one shuffle on the key, and a RANGE-framed ``last(value, ignorenulls)``
+    ordered by event time — exactly the ASOF ``p.ts >= c.ts`` semantics
+    (the range frame includes same-timestamp rows). No per-row Python, no
+    broadcast requirement, no equi-join explosion: cost is one sort-shuffle
+    of both sides on the key, identical to a regular window."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    tagged = ev.filter(F.col("event_type").isin("purchase", "click")).withColumn(
+        "click_value", F.when(F.col("event_type") == "click", F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("purchase_value"),
+            F.round("last_click_value", 6).alias("last_click_value"),
+        )
+    )
+
+
 def k3_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed upsert (K3/J1/M5 — Hudi upsert & MERGE INTO semantics,
     ingest_csv_hudi.py:80-99, cdc_merger_optimized.py:176-183) as pure
@@ -544,6 +578,7 @@ QUERIES = {
     "j_anti": j_anti,
     "setop_except": setop_except,
     "j2_snapshot_diff": j2_snapshot_diff,
+    "j_asof_join": j_asof_join,
     "k3_upsert_merge": k3_upsert_merge,
     "k5_cdc_merge_batch": k5_cdc_merge_batch,
     "scalar_functions": scalar_functions,
@@ -701,6 +736,21 @@ ORACLE = {
         FROM current c FULL OUTER JOIN parent p USING (event_id)
         WHERE p.event_id IS NULL OR c.event_id IS NULL
            OR c.new_value IS DISTINCT FROM p.old_value
+    """,
+    "j_asof_join": """
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ), clicks AS (
+            SELECT user_id, ts, value AS click_value FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id,
+               round(p.value, 6) AS purchase_value,
+               round(c.click_value, 6) AS last_click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     "k3_upsert_merge": """
         WITH source AS (
