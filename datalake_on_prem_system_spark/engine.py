@@ -68,6 +68,8 @@ class LakeEngine:
         if filter_col is not None:
             if filter_val is None:
                 raise ValueError(f"filter_col={filter_col!r} requires filter_val")
+            if filter_col not in df.columns:
+                raise ValueError(f"unknown column for {table}: {filter_col!r}")
             typed = get_cast_val(filter_val, df.schema[filter_col].dataType.simpleString())
             df = df.filter(F.col(filter_col) == F.lit(typed))
         if columns:
@@ -97,10 +99,15 @@ class LakeEngine:
         order_cols: list[str] | None = None,
     ) -> None:
         """Upload-mode dispatch (api_poc.py:300-360): 'direct' = batch CSV
-        ingest; 'cdc' = stream a directory of Debezium-envelope JSON files
-        into the table via the CDC merge pipeline."""
+        ingest (keyed upsert when a pk is given, else create/append);
+        'cdc' = stream a directory of Debezium-envelope JSON files into the
+        table via the CDC merge pipeline."""
         if mode == "direct":
-            self.ingest_csv(table, path, mode="create" if not self.catalog.table(table).exists() else "append")
+            t = self.catalog.table(table)
+            if pk is not None and t.exists():
+                self.ingest_csv(table, path, mode="upsert", pk=pk)
+            else:
+                self.ingest_csv(table, path, mode="create" if not t.exists() else "append")
         elif mode == "cdc":
             if not (pk and row_ddl and checkpoint_dir):
                 raise ValueError("cdc mode requires pk, row_ddl, checkpoint_dir")
@@ -142,6 +149,9 @@ class LakeEngine:
         t = self.catalog.table(table)
         df = t.read()
         pk = find_id_col(df.columns)
+        unknown = set(assignments) - set(df.columns)
+        if unknown:
+            raise ValueError(f"unknown columns for {table}: {sorted(unknown)}")
         typed_pk = get_cast_val(pk_val, df.schema[pk].dataType.simpleString())
         typed = {
             c: get_cast_val(v, df.schema[c].dataType.simpleString())

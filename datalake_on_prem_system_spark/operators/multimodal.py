@@ -96,7 +96,8 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "payload_len": [len(a) for a in arrs],
                     "byte_sum": [int(a.sum()) for a in arrs],
-                    "byte_max": [int(a.max()) for a in arrs],
+                    # empty payload (empty document) must not crash the batch
+                    "byte_max": [int(a.max()) if len(a) else 0 for a in arrs],
                 }
             )
 

@@ -349,6 +349,54 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — for every purchase, count and sum the same
+    user's clicks in the preceding hour. A naive theta-join
+    (`c.ts BETWEEN p.ts - 1h AND p.ts`) plans as a nested loop at scale;
+    the scalable form buckets time into interval-sized bins and equi-joins
+    on (user, bucket) for the purchase's bucket and its predecessor — every
+    true match lands in one of the two buckets, so the bucketing is exact,
+    and the shuffle is an ordinary hash join on (user_id, bucket)."""
+    hour_us = 3_600_000_000
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_us").alias("p_ts")
+    )
+    # exact integer division for bucketing (double division loses ulp
+    # precision above 2^53 µs — same rationale as common.py's `div 1000`)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_ts"), F.col("value").alias("c_value")
+    ).withColumn("bucket", F.expr(f"c_ts div {hour_us}"))
+    # each purchase probes its own bucket and the previous one
+    probes = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"p_ts div {hour_us}"),
+                F.expr(f"p_ts div {hour_us}") - 1,
+            )
+        ),
+    )
+    joined = probes.join(clicks, ["user_id", "bucket"]).filter(
+        (F.col("c_ts") >= F.col("p_ts") - hour_us) & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    counts = joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_1h"),
+        F.round(F.sum("c_value"), 6).alias("click_value_1h"),
+    )
+    return (
+        purchases.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
+            "click_value_1h",
+        )
+    )
+
+
 def k3_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed upsert (K3/J1/M5 — Hudi upsert & MERGE INTO semantics,
     ingest_csv_hudi.py:80-99, cdc_merger_optimized.py:176-183) as pure
@@ -579,6 +627,7 @@ QUERIES = {
     "setop_except": setop_except,
     "j2_snapshot_diff": j2_snapshot_diff,
     "j_asof_join": j_asof_join,
+    "j_range_join": j_range_join,
     "k3_upsert_merge": k3_upsert_merge,
     "k5_cdc_merge_batch": k5_cdc_merge_batch,
     "scalar_functions": scalar_functions,
@@ -751,6 +800,24 @@ ORACLE = {
         FROM purchases p
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "j_range_join": """
+        WITH purchases AS (
+            SELECT event_id, user_id, epoch_us(ts) AS p_ts FROM events
+            WHERE event_type = 'purchase'
+        ), clicks AS (
+            SELECT user_id, epoch_us(ts) AS c_ts, value AS c_value FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id,
+               count(c.user_id) AS n_clicks_1h,
+               round(sum(c.c_value), 6) AS click_value_1h
+        FROM purchases p
+        LEFT JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.c_ts >= p.p_ts - 3600000000
+         AND c.c_ts <= p.p_ts
+        GROUP BY p.event_id, p.user_id
     """,
     "k3_upsert_merge": """
         WITH source AS (

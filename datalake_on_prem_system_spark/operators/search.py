@@ -34,10 +34,11 @@ from pyspark.sql import functions as F
 
 from .common import t
 
-# (sf_dir, table) → materialized search-table path; rebuilt on first use per
-# process (production rebuilds on base-table commit, like the reference's
-# explicit sync_to_es runs)
-_INDEX_CACHE: dict[tuple[str, str], str] = {}
+# (sf_dir, table, pk) → materialized search-table path; rebuilt on first use
+# per process (production rebuilds on base-table commit, like the reference's
+# explicit sync_to_es runs). pk is part of the key: the index's id column
+# and searchable text both depend on it.
+_INDEX_CACHE: dict[tuple[str, str, str], str] = {}
 
 
 def build_search_df(df: DataFrame, pk: str, cols: list[str]) -> DataFrame:
@@ -49,7 +50,7 @@ def sync_search_index(
     spark: SparkSession, sf_dir: str, table: str = "documents", pk: str = "doc_id"
 ) -> str:
     """K6: materialize/refresh the derived search table; returns its path."""
-    key = (sf_dir, table)
+    key = (sf_dir, table, pk)
     if key not in _INDEX_CACHE:
         base = t(spark, sf_dir, table)
         cols = [c for c in base.columns if c != pk]
@@ -77,9 +78,9 @@ def searchable_text(df: DataFrame, cols: list[str]) -> Column:
 
 
 def all_words_predicate(text: Column, query: str) -> Column:
-    """E1: AND over query tokens."""
+    """E1: AND over query tokens; an empty query constrains nothing."""
     toks = [tok for tok in query.lower().split() if tok]
-    return reduce(and_, [text.contains(tok) for tok in toks])
+    return reduce(and_, [text.contains(tok) for tok in toks], F.lit(True))
 
 
 def phrase_boost_score(text: Column, query: str, boost: int = 10) -> Column:

@@ -45,6 +45,10 @@ def ingest_csv(
     Returns the read-back table (the reference count-verifies every ingest,
     ingest_to_iceberg.py:55-56).
     """
+    if mode not in ("create", "append", "upsert"):
+        # validate BEFORE the exists() short-circuit: a typo'd mode must
+        # not silently create the table
+        raise ValueError(f"unknown mode: {mode}")
     df = read_csv(table.spark, path)
     if precombine == "_ingest_ts":
         # F5: synthesize the precombine column when the CSV has none
