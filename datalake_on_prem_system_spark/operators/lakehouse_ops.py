@@ -180,8 +180,52 @@ _MERGED_SQL = """
     )
 """
 
+def lh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: a daily rollup table
+    maintained INCREMENTALLY — each event batch contributes partial
+    (count, sum) aggregates that combine with the stored state via a
+    full-outer merge on the day key, never rescanning prior batches.
+    At 100 TB this is the difference between O(batch) and O(history) per
+    refresh; sum/count compose exactly, so the result equals the full
+    recompute (the oracle). Three real commits: empty→batch1→batch2."""
+    ev = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+        )
+
+    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_rollup_"))
+    table.create_or_replace(partial(ev.filter(F.col("ts") < cutoff)))
+    for lo, hi in [("2024-01-15", "2024-01-22"), ("2024-01-22", "2024-12-31")]:
+        batch = ev.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        state = table.read()
+        inc = partial(batch).select(
+            "day",
+            F.col("n_events").alias("inc_n"),
+            F.col("sum_value").alias("inc_sum"),
+        )
+        combined = (
+            state.join(inc, "day", "full_outer")
+            .select(
+                "day",
+                (F.coalesce("n_events", F.lit(0)) + F.coalesce("inc_n", F.lit(0))).alias("n_events"),
+                (F.coalesce("sum_value", F.lit(0.0)) + F.coalesce("inc_sum", F.lit(0.0))).alias("sum_value"),
+            )
+        )
+        table.create_or_replace(combined)
+    return table.read().select(
+        "day", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
 QUERIES = {
     "lh_merge_upsert": lh_merge_upsert,
+    "lh_incremental_rollup": lh_incremental_rollup,
     "lh_time_travel": lh_time_travel,
     "lh_expired_fallback": lh_expired_fallback,
     "lh_history": lh_history,
@@ -193,6 +237,11 @@ QUERIES = {
 
 ORACLE = {
     "lh_merge_upsert": f"WITH {_MERGED_SQL} SELECT * FROM merged",
+    "lh_incremental_rollup": """
+        SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1
+    """,
     "lh_time_travel": f"WITH {_MERGED_SQL} SELECT * FROM base",
     "lh_expired_fallback": f"WITH {_MERGED_SQL} SELECT * FROM merged",
     "lh_history": f"""
