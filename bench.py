@@ -41,6 +41,9 @@ HEADLINERS = [
     "a_skew_salted",
     "w_sessionize",
     "pl_curation",
+    "j_asof_join",
+    "j_range_join",
+    "lh_incremental_rollup",
 ]
 
 

@@ -5,6 +5,22 @@ import os
 from datalake_on_prem_system_spark.cli import main
 
 
+def test_engine_ingest_direct_with_pk_upserts(spark, tmp_path):
+    """ingest(mode='direct', pk=...) on an existing table must upsert by
+    key, not blind-append duplicates."""
+    from datalake_on_prem_system_spark.engine import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    c1 = tmp_path / "c1.csv"
+    c1.write_text("id,name\n1,one\n2,two\n")
+    c2 = tmp_path / "c2.csv"
+    c2.write_text("id,name\n2,two-updated\n3,three\n")
+    eng.ingest("items", str(c1), mode="direct")
+    eng.ingest("items", str(c2), mode="direct", pk="id")
+    rows = {r.id: r.name for r in eng.read("items").collect()}
+    assert rows == {1: "one", 2: "two-updated", 3: "three"}
+
+
 def test_cli_ingest_read_crud_history(spark, tmp_path, capsys):
     csv = tmp_path / "in.csv"
     csv.write_text("id,name,price\n1,alpha,10.5\n2,beta,20.5\n")
