@@ -171,6 +171,18 @@ def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (completes the grouping-sets family with a_rollup)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
 def a_date_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-day aggregate over the event stream (batch analog of a
     Structured Streaming windowed agg — SURVEY §2.12 T6 notes the reference
@@ -613,6 +625,7 @@ QUERIES = {
     "a_having": a_having,
     "a_pivot_status": a_pivot_status,
     "a_rollup": a_rollup,
+    "a_cube": a_cube,
     "a_date_window": a_date_window,
     "a_skew_salted": a_skew_salted,
     "a_percentiles": a_percentiles,
@@ -681,6 +694,11 @@ ORACLE = {
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                round(sum(o_totalprice), 2) AS total_price
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "a_cube": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "a_date_window": """
         SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
