@@ -67,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         return _dispatch(args, eng, n)
-    except ValueError as exc:
+    except (ValueError, LookupError) as exc:
+        # LookupError covers ExpiredVersionError (unknown table/version)
         print(f"error: {exc}", file=sys.stderr)
         return 1
 
@@ -79,7 +80,9 @@ def _dispatch(args, eng, n: int) -> int:
             print(t)
     elif args.verb == "ingest":
         df = eng.ingest_csv(args.table, args.csv, mode=args.mode, pk=args.pk, precombine=args.precombine)
-        print(f"ingested {df.count()} rows into {args.table}")  # count-verify (A1)
+        # count-verify (A1) — the read-back TABLE size, which differs from
+        # the batch size for append/upsert modes
+        print(f"ingested into {args.table}; table now has {df.count()} rows")
     elif args.verb == "read":
         eng.read(
             args.table,

@@ -65,6 +65,8 @@ class LakeEngine:
         # have columns an old version lacks (append-based evolution), and it
         # avoids a second table read
         pk = find_id_col(df.columns)
+        if filter_val is not None and filter_col is None:
+            raise ValueError("filter_val requires filter_col")
         if filter_col is not None:
             if filter_val is None:
                 raise ValueError(f"filter_col={filter_col!r} requires filter_val")

@@ -130,7 +130,7 @@ class LakeShell(cmd.Cmd):
             return print("usage: load_csv <path> <table> [create|append|upsert]")
         mode = parts[2] if len(parts) > 2 else "create"
         df = self._safe(self.eng.ingest_csv, parts[1], parts[0], mode=mode)
-        df is not None and print(f"ingested {df.count()} rows")
+        df is not None and print(f"ingested; table now has {df.count()} rows")
 
     def do_exit(self, _arg: str) -> bool:
         """exit the shell"""
@@ -140,11 +140,12 @@ class LakeShell(cmd.Cmd):
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = argv if argv is not None else sys.argv[1:]
-    warehouse = os.environ.get("LAKE_WAREHOUSE", "./warehouse")
-    if len(args) >= 2 and args[0] == "--warehouse":
-        warehouse = args[1]
-    LakeShell(warehouse).cmdloop()
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="lake-shell")
+    ap.add_argument("--warehouse", default=os.environ.get("LAKE_WAREHOUSE", "./warehouse"))
+    args = ap.parse_args(argv)
+    LakeShell(args.warehouse).cmdloop()
     return 0
 
 

@@ -66,6 +66,11 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not silently pass by matching nothing
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     n_pass = n_fail = n_rows_only = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:

@@ -27,7 +27,7 @@ def test_cli_ingest_read_crud_history(spark, tmp_path, capsys):
     wh = str(tmp_path / "wh")
 
     assert main(["--warehouse", wh, "ingest", str(csv), "items"]) == 0
-    assert "ingested 2 rows" in capsys.readouterr().out
+    assert "table now has 2 rows" in capsys.readouterr().out
 
     assert main(["--warehouse", wh, "tables"]) == 0
     assert "items" in capsys.readouterr().out
