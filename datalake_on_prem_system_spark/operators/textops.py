@@ -20,7 +20,7 @@ shuffle, bounded by vocabulary × partitions, not corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import t, t_par
@@ -152,6 +152,53 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", doc_hash.alias("fingerprint"))
 
 
+def tx_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split (key-hash modulo — stable across
+    runs and machines, unlike randomSplit) with per-split/lang accounting."""
+    docs = t(spark, sf_dir, "documents")
+    split = F.when(F.col("doc_id") % 10 < 8, "train").otherwise("eval")
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_tokens())).alias("n_tokens"),
+        )
+    )
+
+
+def tx_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-quartile binning (ntile over the quality score) — the
+    curriculum/filtering view of the corpus: how much data sits in each
+    quality band and what it looks like."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_hits = sum(
+        (F.size(F.filter(toks, lambda x: x == F.lit(s))) for s in _STOPWORDS),
+        F.lit(0),
+    )
+    quality = F.round(
+        F.lit(0.5) * F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+        + F.lit(0.5) * (stop_hits / F.size(toks)),
+        6,
+    )
+    # NOTE scale: an unpartitioned ntile is a single-reducer global sort —
+    # fine for a per-corpus summary; at 100 TB bin by approx-percentile
+    # cutoffs instead (percentile_approx + comparison, fully parallel)
+    w = Window.orderBy(F.col("q"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", quality.alias("q"))
+        .withColumn("bin", F.ntile(4).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.round(F.max("q"), 6).alias("max_q"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
 def tx_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency, top 40 tokens (word-count: map-side combine ⇒
     shuffle volume bounded by vocab × partitions)."""
@@ -172,6 +219,8 @@ QUERIES = {
     "tx_quality_score": tx_quality_score,
     "tx_fingerprint": tx_fingerprint,
     "tx_term_freq": tx_term_freq,
+    "tx_train_split": tx_train_split,
+    "tx_quality_bins": tx_quality_bins,
 }
 
 ORACLE = {
@@ -242,6 +291,28 @@ ORACLE = {
                         for tok in string_split(text, ' ')]),
                    (acc, h) -> (acc * 131 + h) % 1000000007) AS fingerprint
         FROM documents
+    """,
+    "tx_train_split": """
+        SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'eval' END AS split,
+               lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1, 2
+    """,
+    "tx_quality_bins": """
+        WITH q AS (
+            SELECT doc_id, n_chars,
+                   round(0.5 * least(length(text) / 500.0, 1.0)
+                       + 0.5 * (CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+                              / len(string_split(text, ' '))), 6) AS q
+            FROM documents
+        ), binned AS (
+            SELECT *, ntile(4) OVER (ORDER BY q, doc_id) AS bin FROM q
+        )
+        SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n_docs,
+               round(min(q), 6) AS min_q, round(max(q), 6) AS max_q,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM binned GROUP BY bin
     """,
     "tx_term_freq": """
         SELECT token, count(*) AS freq FROM (
