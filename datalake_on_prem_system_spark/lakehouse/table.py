@@ -316,6 +316,9 @@ class LakeTable:
         """UPDATE t SET c=v,... WHERE cond (api_poc.py:743-756; pk never
         updated by the facade)."""
         cur = self.read()
+        unknown = set(assignments) - set(cur.columns)
+        if unknown:
+            raise ValueError(f"unknown columns: {sorted(unknown)}")
         out = cur.select(
             *[
                 F.when(condition, F.lit(assignments[c]).cast(cur.schema[c].dataType))
@@ -332,6 +335,9 @@ class LakeTable:
         """INSERT INTO t VALUES ... with typed casting against the table
         schema (api_poc.py:781-795 + get_cast_val :704-726)."""
         cur = self.read()
+        unknown = {k for r in rows for k in r} - set(cur.columns)
+        if unknown:
+            raise ValueError(f"unknown columns: {sorted(unknown)}")
         new = self.spark.createDataFrame(
             [tuple(r.get(c) for c in cur.columns) for r in rows], cur.schema
         )

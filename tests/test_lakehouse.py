@@ -77,6 +77,14 @@ def test_update_insert_typed(table):
     assert rows[1] == 11.5 and rows[5] == 50.0
 
 
+def test_update_insert_reject_unknown_columns(table):
+    with pytest.raises(ValueError):
+        table.update_where(F.col("id") == 1, {"typo": 1.0})
+    with pytest.raises(ValueError):
+        table.insert_rows([{"id": 6, "nme": "typo"}])
+    assert table.latest_version() == 0  # nothing committed
+
+
 def test_snapshot_diff_classification(table, spark):
     src = spark.createDataFrame(
         [(2, "b2", 22.0, "u"), (3, None, None, "d"), (9, "i", 90.0, "c")],
