@@ -184,6 +184,97 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between nation pairs (supplier
+    nation ≠ customer nation), by year. Both dims broadcast twice under
+    different aliases; facts shuffle once."""
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation.withColumnsRenamed({"n_nationkey": "sk", "n_name": "supp_nation"})),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(nation.withColumnsRenamed({"n_nationkey": "ck", "n_name": "cust_nation"})),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            # per-row cast to DECIMAL before summing: decimal addition is
+            # exact and order-independent, so Spark's combine order and
+            # DuckDB's agree bit-for-bit (double sums differed at a
+            # rounding boundary here)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in a month window (conditional
+    aggregate ratio over a fact×dim join; part broadcast)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brackets (brand × size ×
+    quantity bands) — the complex-predicate pushdown case."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket1 = (
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10)
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    )
+    bracket2 = (
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 20)
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)
+    )
+    bracket3 = (
+        (F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 30)
+        & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)
+    )
+    return joined.filter(bracket1 | bracket2 | bracket3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_order_lineitem_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact join + aggregate: order fulfillment stats per status/priority
     (the shuffle-sizing workhorse for the bench)."""
@@ -207,7 +298,10 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q5_nation_revenue": q5_nation_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
+    "q14_promo_share": q14_promo_share,
+    "q19_bracket_revenue": q19_bracket_revenue,
     "q_order_lineitem_join_agg": q_order_lineitem_join_agg,
 }
 
@@ -285,6 +379,38 @@ ORACLE = {
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
+    """,
+    "q7_nation_volume": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name != cn.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "q14_promo_share": """
+        SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    "q19_bracket_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#23' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#34' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 40)
     """,
     "q_order_lineitem_join_agg": """
         SELECT o_orderstatus, o_orderpriority,
