@@ -44,8 +44,9 @@ def audit_plan(df: DataFrame) -> PlanAudit:
     plan = capture_plan(df)
     return PlanAudit(
         # broadcast exchanges move only the small side; count real shuffles
+        # ("BroadcastExchange (" must not match the formatted-node pattern)
         n_exchanges=len(re.findall(r"\bExchange (?:hash|range|SinglePartition)", plan))
-        + plan.count("Exchange ("),
+        + len(re.findall(r"(?<!Broadcast)Exchange \(", plan)),
         n_broadcasts=plan.count("BroadcastExchange") + plan.count("BroadcastHashJoin"),
         n_codegen_spans=len(
             set(re.findall(r"\[codegen id : (\d+)\]", plan))

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 from datetime import date, datetime
+from decimal import Decimal
 
 from datalake_on_prem_system_spark.functions import (
     find_id_col,
@@ -25,7 +26,8 @@ def test_find_id_col_suffix_and_fallback():
 def test_get_cast_val_types():
     assert get_cast_val("42", "bigint") == 42
     assert get_cast_val("3.5", "double") == 3.5
-    assert get_cast_val("3.5", "decimal(10,2)") == 3.5
+    assert get_cast_val("3.5", "decimal(10,2)") == Decimal("3.5")
+    assert isinstance(get_cast_val("3.5", "decimal(10,2)"), Decimal)
     assert get_cast_val("yes", "boolean") is True
     assert get_cast_val("no", "boolean") is False
     assert get_cast_val("2024-01-02T03:04:05", "timestamp") == datetime(2024, 1, 2, 3, 4, 5)
@@ -37,6 +39,7 @@ def test_get_cast_val_types():
 def test_get_cast_val_string_fallback_on_bad_input():
     assert get_cast_val("not-a-number", "bigint") == "not-a-number"
     assert get_cast_val("not-a-date", "timestamp") == "not-a-date"
+    assert get_cast_val("not-a-decimal", "decimal(10,2)") == "not-a-decimal"
 
 
 def test_sanitize_column_name():

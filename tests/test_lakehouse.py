@@ -271,3 +271,23 @@ def test_catalog_facade(spark, tmp_path):
     ]
     with pytest.raises(ValueError):
         cat.table("bad-name!")
+
+
+def test_engine_insert_into_decimal_column(spark, tmp_path):
+    """Typed insert through the facade into a DECIMAL column: Spark's type
+    verifier rejects Python float for DecimalType, so get_cast_val must
+    produce a real Decimal."""
+    from decimal import Decimal
+
+    from datalake_on_prem_system_spark.engine import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"), namespace="ns")
+    eng.write_table(
+        "prices",
+        spark.createDataFrame(
+            [(1, Decimal("10.50"))], "id int, price decimal(10,2)"
+        ),
+    )
+    eng.insert("prices", {"id": "2", "price": "3.25"})
+    rows = {r.id: r.price for r in eng.read("prices").collect()}
+    assert rows == {1: Decimal("10.50"), 2: Decimal("3.25")}
