@@ -8,23 +8,37 @@ Hudi precombine upsert ``ingest_csv_hudi.py:78-99``) on plain Spark.
 
 Layout:
 
-    <root>/data/<version>-<uuid>.parquet/   (one Spark parquet dir per commit)
-    <root>/_commits/<version>.json          (version, parent, op, data path,
-                                             row count, schema, committed_at)
+    <root>/data/<version>-<uuid>.parquet/           (segment: plain, hive-
+                                                     partitioned, or bucketed
+                                                     into __bucket=<i> dirs)
+    <root>/_commits/<version>.json                  (version, parent, op,
+                                                     FILE LIST, row count,
+                                                     schema, committed_at)
 
-Every commit is copy-on-write: it references exactly one data directory
-holding the full table state at that version. Commit publication is an
-atomic ``os.rename`` of the JSON file, so a reader never sees a
-half-written commit.
+File-granular copy-on-write (the Iceberg model, not full-state COW): a
+commit references a LIST of data directories, most of them carried forward
+verbatim from the parent commit.
 
-Scale notes (100 TB): full-state COW per commit is the fixture-sized
-simplification of Iceberg's file-granular COW — the public interface
-(version read / merge / history / diff) is unchanged by swapping in
-partition-granular rewrite (repartition by pk → rewrite only partitions
-containing matched keys), which is the production path. MERGE itself is
-pure distributed algebra: one shuffle of each side on the pk; the
-anti-join's build side broadcasts when the change-set is small (AQE
-decides), which is the common CDC case.
+- ``append`` / ``insert_rows`` write ONLY the new batch — O(batch), never
+  O(table).
+- ``merge`` / ``update_where`` / ``delete_where`` on a bucketed table
+  rewrite only the pk-hash buckets that contain touched keys; every other
+  bucket's files are carried forward untouched (byte-identical). The first
+  ``merge`` on a table lays it out into ``pmod(xxhash64(pk), n)`` bucket
+  directories; after that a change batch touching k of n buckets rewrites
+  k/n of the data. At 100 TB with n sized so a bucket ≈ a few GB, a small
+  CDC batch rewrites gigabytes, not the table.
+- Schema evolution never rewrites old files: the commit stores the UNION
+  schema and parquet files missing a column read as NULL.
+
+MERGE itself is pure distributed algebra: one shuffle of each side on the
+pk; the anti-join's build side broadcasts when the change-set is small
+(AQE decides), which is the common CDC case. The touched-bucket set is the
+only driver-side materialization — bounded by n buckets, not data size.
+
+Commit publication is an atomic ``os.link`` of the JSON file that refuses
+to clobber, so a reader never sees a half-written commit and a racing
+writer loses cleanly (its new segments are removed).
 """
 
 from __future__ import annotations
@@ -34,10 +48,19 @@ import os
 import time
 import uuid
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+BUCKET_COL = "__bucket"
+DEFAULT_N_BUCKETS = 32
+
+
+def _bucket_expr(pk: str, n: int):
+    # coalesce: a NULL pk hashes to NULL — park it in bucket 0 instead of a
+    # __HIVE_DEFAULT_PARTITION__ dir (equi-joins never match NULL anyway)
+    return F.coalesce(F.pmod(F.xxhash64(F.col(pk)), F.lit(n)), F.lit(0)).cast("int")
 
 
 @dataclass
@@ -45,10 +68,14 @@ class Commit:
     version: int
     parent: int | None
     operation: str
-    data_path: str
+    # [{"path": <dir>, "bucket": int|None, "n_rows": int}] — the table state
+    # at this version is the union of these directories' parquet files
+    files: list[dict]
     n_rows: int
     schema_json: str
     committed_at: float
+    # pk-hash bucket layout of the bucketed entries: {"pk": str, "n": int}
+    bucket_spec: dict | None = None
     # D4 parity: CREATE TABLE ... PARTITIONED BY ... TBLPROPERTIES(...)
     # (cdc_merger_optimized.py:191-203); carried forward commit-to-commit
     partition_by: list[str] | None = None
@@ -100,45 +127,62 @@ class LakeTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
-    def _publish(
+    # ------------------------------------------------------------- write core
+
+    def _segment_path(self, version: int) -> str:
+        return os.path.join(self._data_dir, f"{version}-{uuid.uuid4().hex[:8]}.parquet")
+
+    def _write_segment(
         self,
         df: DataFrame,
-        operation: str,
+        version: int,
         partition_by: list[str] | None = None,
-        properties: dict[str, str] | None = None,
-    ) -> Commit:
-        os.makedirs(self._commits_dir, exist_ok=True)
+        bucket_pk: str | None = None,
+        n_buckets: int | None = None,
+    ) -> tuple[str, list[dict]]:
+        """Write one data segment; returns (segment dir, file-list entries).
+
+        With ``bucket_pk`` the segment is laid out as ``__bucket=<i>`` leaf
+        dirs (one entry per bucket, ~one file per bucket via a bucket-column
+        repartition); otherwise one entry spanning the segment."""
         os.makedirs(self._data_dir, exist_ok=True)
-        parent = self.latest_version()
-        version = 0 if parent is None else parent + 1
-        # carry table config forward for incremental commits (D4 semantics);
-        # CREATE OR REPLACE defines the config anew — inheriting there would
-        # make partitioning impossible to ever unset
-        if parent is not None and operation != "create_or_replace":
-            prev = self._read_commit(parent)
-            partition_by = partition_by or prev.partition_by
-            properties = properties or prev.properties
-        data_path = os.path.join(self._data_dir, f"{version}-{uuid.uuid4().hex[:8]}.parquet")
+        path = self._segment_path(version)
+        if bucket_pk is not None:
+            n = n_buckets or DEFAULT_N_BUCKETS
+            out = df.withColumn(BUCKET_COL, _bucket_expr(bucket_pk, n))
+            # co-locate each bucket in one task → one file per bucket dir
+            out = out.repartition(n, F.col(BUCKET_COL))
+            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+            entries = []
+            for d in sorted(os.listdir(path)):
+                if d.startswith(f"{BUCKET_COL}="):
+                    leaf = os.path.join(path, d)
+                    entries.append(
+                        {
+                            "path": leaf,
+                            "bucket": int(d.split("=", 1)[1]),
+                            "n_rows": self._count_from_footers(leaf),
+                        }
+                    )
+            return path, entries
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_path)
-        n_rows = self._count_from_footers(data_path)
-        commit = Commit(
-            version=version,
-            parent=parent,
-            operation=operation,
-            data_path=data_path,
-            n_rows=n_rows,
-            schema_json=df.schema.json(),
-            committed_at=time.time(),
-            partition_by=partition_by,
-            properties=properties,
+        writer.parquet(path)
+        return path, [
+            {"path": path, "bucket": None, "n_rows": self._count_from_footers(path)}
+        ]
+
+    def _publish_commit(self, commit: Commit, new_paths: list[str]) -> Commit:
+        """Atomically publish the commit JSON; on a lost race, remove the
+        segments this writer just created (never the carried ones)."""
+        os.makedirs(self._commits_dir, exist_ok=True)
+        tmp = os.path.join(
+            self._commits_dir, f".{commit.version}-{uuid.uuid4().hex[:8]}.json.tmp"
         )
-        tmp = os.path.join(self._commits_dir, f".{version}-{uuid.uuid4().hex[:8]}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(commit.__dict__, fh)
-        final = os.path.join(self._commits_dir, f"{version}.json")
+        final = os.path.join(self._commits_dir, f"{commit.version}.json")
         try:
             # atomic publish that REFUSES to clobber: link fails if a racing
             # writer already committed this version (os.rename would
@@ -147,22 +191,121 @@ class LakeTable:
         except FileExistsError as exc:
             import shutil
 
-            # the loser must not leak its fully-written data directory —
-            # one orphaned table copy per lost race otherwise
-            shutil.rmtree(data_path, ignore_errors=True)
+            for p in new_paths:
+                shutil.rmtree(p, ignore_errors=True)
             raise ConcurrentCommitError(
-                f"version {version} was committed concurrently at {self.root}; "
+                f"version {commit.version} was committed concurrently at {self.root}; "
                 "re-read the table and retry"
             ) from exc
         finally:
             os.unlink(tmp)
         return commit
 
+    def _next_version(
+        self,
+        operation: str,
+        partition_by: list[str] | None,
+        properties: dict[str, str] | None,
+    ) -> tuple[int | None, int, list[str] | None, dict[str, str] | None, Commit | None]:
+        parent = self.latest_version()
+        version = 0 if parent is None else parent + 1
+        prev: Commit | None = None
+        # carry table config forward for incremental commits (D4 semantics);
+        # CREATE OR REPLACE defines the config anew — inheriting there would
+        # make partitioning impossible to ever unset
+        if parent is not None and operation != "create_or_replace":
+            prev = self._read_commit(parent)
+            partition_by = partition_by or prev.partition_by
+            properties = properties or prev.properties
+        return parent, version, partition_by, properties, prev
+
+    def _publish(
+        self,
+        df: DataFrame,
+        operation: str,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        bucket_spec: dict | None = None,
+    ) -> Commit:
+        """Full-state publish: the entire table state as one new segment.
+        Used by create/replace, compaction, and as the bucketization step
+        of the first keyed merge; incremental ops use ``_publish_delta``."""
+        parent, version, partition_by, properties, prev = self._next_version(
+            operation, partition_by, properties
+        )
+        if bucket_spec is None and prev is not None:
+            bucket_spec = prev.bucket_spec
+        if partition_by:
+            bucket_spec = None  # hive layout and bucket layout are exclusive
+        path, entries = self._write_segment(
+            df,
+            version,
+            partition_by=partition_by,
+            bucket_pk=bucket_spec["pk"] if bucket_spec else None,
+            n_buckets=bucket_spec["n"] if bucket_spec else None,
+        )
+        commit = Commit(
+            version=version,
+            parent=parent,
+            operation=operation,
+            files=entries,
+            n_rows=sum(e["n_rows"] for e in entries),
+            schema_json=df.schema.json(),
+            committed_at=time.time(),
+            bucket_spec=bucket_spec,
+            partition_by=partition_by,
+            properties=properties,
+        )
+        return self._publish_commit(commit, [path])
+
+    def _publish_delta(
+        self,
+        operation: str,
+        prev: Commit,
+        carried: list[dict],
+        new_df: DataFrame | None,
+        schema_json: str,
+        bucket_spec: dict | None,
+        segment_bucketed: bool = True,
+    ) -> Commit:
+        """Incremental publish: parent entries in ``carried`` are referenced
+        verbatim (no data movement); only ``new_df`` hits disk — in the
+        table's bucket layout unless ``segment_bucketed`` is False (batch
+        lacking the pk column). ``bucket_spec`` is always recorded on the
+        commit so the table's layout survives unbucketed batches."""
+        version = prev.version + 1
+        new_paths: list[str] = []
+        entries = list(carried)
+        if new_df is not None:
+            seg_spec = bucket_spec if segment_bucketed else None
+            path, new_entries = self._write_segment(
+                new_df,
+                version,
+                bucket_pk=seg_spec["pk"] if seg_spec else None,
+                n_buckets=seg_spec["n"] if seg_spec else None,
+            )
+            new_paths.append(path)
+            entries = carried + new_entries
+        commit = Commit(
+            version=version,
+            parent=prev.version,
+            operation=operation,
+            files=entries,
+            n_rows=sum(e["n_rows"] for e in entries),
+            schema_json=schema_json,
+            committed_at=time.time(),
+            bucket_spec=bucket_spec,
+            partition_by=prev.partition_by,
+            properties=prev.properties,
+        )
+        return self._publish_commit(commit, new_paths)
+
     @staticmethod
     def _count_from_footers(data_path: str) -> int:
         """Row count from parquet footer metadata — no Spark job, no second
-        scan of the just-written table state (material on the CDC hot path
-        where every micro-batch commits)."""
+        scan of the just-written data (material on the CDC hot path where
+        every micro-batch commits). Called only on NEW segments; carried
+        entries keep their recorded counts."""
         import pyarrow.parquet as pq
 
         total = 0
@@ -192,15 +335,28 @@ class LakeTable:
             commit = self._read_commit(latest)
         return self._read_data(commit)
 
-    def _read_data(self, commit: Commit) -> DataFrame:
-        """Read a commit's data applying its STORED schema: without it,
-        hive-partition column values are re-inferred from directory names
-        (string '0123' → int 123, leading zeros lost) and partition columns
-        migrate to the end of the row."""
+    def _schema(self, commit: Commit):
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(json.loads(commit.schema_json))
-        return self.spark.read.schema(schema).parquet(commit.data_path)
+        return StructType.fromJson(json.loads(commit.schema_json))
+
+    def _read_data(self, commit: Commit) -> DataFrame:
+        return self._read_entries(commit.files, commit.schema_json)
+
+    def _read_entries(self, entries: list[dict], schema_json: str) -> DataFrame:
+        """Read a file list applying the STORED schema: files predating a
+        column read it as NULL (schema evolution without rewrites), and
+        hive-partition values coerce to the declared types instead of being
+        re-inferred from directory names (string '0123' → int 123, leading
+        zeros lost). Bucket leaf dirs are passed directly, so ``__bucket``
+        never surfaces as a partition column."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        paths = [e["path"] for e in entries]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def history(self) -> DataFrame:
         """Commit history, newest first — the ``$snapshots`` metadata table
@@ -245,10 +401,47 @@ class LakeTable:
             raise ExpiredVersionError(f"no commit at or before {ts} in {self.root}")
         return self._read_data(eligible[-1])
 
+    @staticmethod
+    def _union_schema_json(cur_schema, batch_schema) -> str | None:
+        """Union-of-columns schema for an incremental append: current fields
+        keep their types; genuinely new fields are added nullable. Returns
+        None when a shared column changes type — that needs a real
+        unionByName rewrite, not a metadata-only evolution."""
+        from pyspark.sql.types import StructField, StructType
+
+        cur_by_name = {f.name: f for f in cur_schema.fields}
+        out = list(cur_schema.fields)
+        for f in batch_schema.fields:
+            existing = cur_by_name.get(f.name)
+            if existing is None:
+                out.append(StructField(f.name, f.dataType, True))
+            elif existing.dataType != f.dataType:
+                return None
+        return StructType(out).json()
+
     def append(self, df: DataFrame) -> Commit:
-        cur = self.read() if self.exists() else None
-        out = cur.unionByName(df, allowMissingColumns=True) if cur is not None else df
-        return self._publish(out, "append")
+        """K2: append = write ONLY the batch and carry the parent's file
+        list — O(batch) regardless of table size. New columns evolve the
+        stored schema; old files read them as NULL."""
+        if not self.exists():
+            return self._publish(df, "append")
+        prev = self._read_commit(self.latest_version())
+        merged = self._union_schema_json(self._schema(prev), df.schema)
+        if merged is None:  # type conflict: resolve via unionByName rewrite
+            out = self._read_data(prev).unionByName(df, allowMissingColumns=True)
+            return self._publish(out, "append")
+        # keep the batch in the table's bucket layout when it carries the pk,
+        # so later merges stay bucket-granular over appended data too
+        bucketable = bool(prev.bucket_spec) and prev.bucket_spec["pk"] in df.columns
+        return self._publish_delta(
+            "append",
+            prev,
+            list(prev.files),
+            df,
+            merged,
+            prev.bucket_spec,
+            segment_bucketed=bucketable,
+        )
 
     def merge(
         self,
@@ -256,6 +449,7 @@ class LakeTable:
         pk: str,
         op_col: str | None = None,
         precombine: str | None = None,
+        n_buckets: int | None = None,
     ) -> Commit:
         """MERGE INTO target USING source ON target.pk = source.pk
         (cdc_merger_optimized.py:171-183):
@@ -270,6 +464,12 @@ class LakeTable:
         op can never silently delete a row. ``precombine`` dedups the
         source last-writer-wins per key first (Hudi precombine,
         ingest_csv_hudi.py:78,85) — W1 semantics.
+
+        File granularity: the first keyed merge lays the table out into
+        pk-hash buckets; subsequent merges rewrite ONLY buckets containing
+        source keys (plus any unbucketed segments from appends/inserts,
+        which get absorbed into the layout). Untouched bucket files are
+        carried forward byte-identical.
 
         Schema evolution: source columns absent from the target are ADDED
         (existing rows take NULL), matching append's union-of-columns
@@ -291,69 +491,145 @@ class LakeTable:
         if not self.exists():  # bootstrap from a pure-insert change stream
             if precombine is not None:
                 upserts = upserts.drop(precombine)
-            return self._publish(upserts, "merge")
-        target = self.read()
+            n = n_buckets or DEFAULT_N_BUCKETS
+            return self._publish(upserts, "merge", bucket_spec={"pk": pk, "n": n})
+        prev = self._read_commit(self.latest_version())
+        target_schema = self._schema(prev)
         # precombine is merge metadata, not data — drop unless the table
         # itself carries that column
-        if precombine is not None and precombine not in target.columns:
+        if precombine is not None and precombine not in target_schema.fieldNames():
             upserts = upserts.drop(precombine)
-        # survivors of target: keys not touched by any change (update or delete)
-        touched = source.select(pk)
-        untouched = target.join(touched, pk, "left_anti")
-        # unionByName with missing columns = schema evolution on both sides
-        result = untouched.unionByName(upserts, allowMissingColumns=True)
-        return self._publish(result, "merge")
+        spec = prev.bucket_spec
+        if prev.partition_by or spec is None or spec["pk"] != pk:
+            # hive-partitioned tables, or a table not (yet) bucketed on this
+            # pk: one full rewrite — which establishes the bucket layout for
+            # every merge after it (unless hive partitioning owns the layout)
+            target = self._read_data(prev)
+            untouched = target.join(source.select(pk), pk, "left_anti")
+            result = untouched.unionByName(upserts, allowMissingColumns=True)
+            new_spec = None if prev.partition_by else {
+                "pk": pk, "n": n_buckets or DEFAULT_N_BUCKETS
+            }
+            return self._publish(result, "merge", bucket_spec=new_spec)
+        # ---- bucket-granular path
+        n = spec["n"]
+        touched = {
+            r["b"]
+            for r in source.select(_bucket_expr(pk, n).alias("b")).distinct().collect()
+        }
+        carried = [
+            e for e in prev.files if e["bucket"] is not None and e["bucket"] not in touched
+        ]
+        candidates = [
+            e for e in prev.files if e["bucket"] is None or e["bucket"] in touched
+        ]
+        subset = self._read_entries(candidates, prev.schema_json)
+        untouched_rows = subset.join(source.select(pk), pk, "left_anti")
+        result = untouched_rows.unionByName(upserts, allowMissingColumns=True)
+        return self._publish_delta(
+            "merge", prev, carried, result, result.schema.json(), spec
+        )
+
+    def _keyed_rewrite(
+        self,
+        operation: str,
+        matches,  # Column predicate selecting rows the op affects
+        transform: Callable[[DataFrame], DataFrame],
+    ) -> Commit:
+        """Shared bucket-granular path for UPDATE/DELETE: find buckets
+        holding affected rows, rewrite only those (plus unbucketed
+        segments); carry the rest."""
+        prev = self._read_commit(self.latest_version())
+        spec = prev.bucket_spec
+        if spec is None or prev.partition_by:
+            return self._publish(transform(self._read_data(prev)), operation)
+        n, pk = spec["n"], spec["pk"]
+        full = self._read_data(prev)
+        touched = {
+            r["b"]
+            for r in full.filter(matches.eqNullSafe(True))
+            .select(_bucket_expr(pk, n).alias("b"))
+            .distinct()
+            .collect()
+        }
+        carried = [
+            e for e in prev.files if e["bucket"] is not None and e["bucket"] not in touched
+        ]
+        candidates = [
+            e for e in prev.files if e["bucket"] is None or e["bucket"] in touched
+        ]
+        if not candidates:  # nothing affected: metadata-only commit
+            return self._publish_delta(
+                operation, prev, carried, None, prev.schema_json, spec
+            )
+        subset = transform(self._read_entries(candidates, prev.schema_json))
+        return self._publish_delta(
+            operation, prev, carried, subset, prev.schema_json, spec
+        )
 
     def delete_where(self, condition) -> Commit:
         """DELETE FROM t WHERE cond (delete_hudi.py:45-91 / api_poc.py:816-823).
         SQL semantics: only rows where the condition is TRUE are removed —
         a NULL predicate keeps the row (plain ``~cond`` would drop it)."""
-        return self._publish(
-            self.read().filter(~condition.eqNullSafe(True)), "delete"
+        return self._keyed_rewrite(
+            "delete", condition, lambda df: df.filter(~condition.eqNullSafe(True))
         )
 
     def update_where(self, condition, assignments: dict[str, Any]) -> Commit:
         """UPDATE t SET c=v,... WHERE cond (api_poc.py:743-756; pk never
         updated by the facade)."""
-        cur = self.read()
-        unknown = set(assignments) - set(cur.columns)
+        cur_schema = self._schema(self._read_commit(self.latest_version()))
+        unknown = set(assignments) - set(cur_schema.fieldNames())
         if unknown:
             raise ValueError(f"unknown columns: {sorted(unknown)}")
-        out = cur.select(
-            *[
-                F.when(condition, F.lit(assignments[c]).cast(cur.schema[c].dataType))
-                .otherwise(F.col(c))
-                .alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in cur.columns
-            ]
-        )
-        return self._publish(out, "update")
+
+        def apply(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.when(condition, F.lit(assignments[c]).cast(cur_schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in cur_schema.fieldNames()
+                ]
+            )
+
+        return self._keyed_rewrite("update", condition, apply)
 
     def insert_rows(self, rows: list[dict[str, Any]]) -> Commit:
         """INSERT INTO t VALUES ... with typed casting against the table
-        schema (api_poc.py:781-795 + get_cast_val :704-726)."""
-        cur = self.read()
-        unknown = {k for r in rows for k in r} - set(cur.columns)
+        schema (api_poc.py:781-795 + get_cast_val :704-726). Writes ONLY
+        the new rows — a 2-row insert commits 2 rows, not the table."""
+        prev = self._read_commit(self.latest_version())
+        schema = self._schema(prev)
+        unknown = {k for r in rows for k in r} - set(schema.fieldNames())
         if unknown:
             raise ValueError(f"unknown columns: {sorted(unknown)}")
         new = self.spark.createDataFrame(
-            [tuple(r.get(c) for c in cur.columns) for r in rows], cur.schema
+            [tuple(r.get(c) for c in schema.fieldNames()) for r in rows], schema
         )
-        return self._publish(cur.unionByName(new), "insert")
+        if prev.partition_by:  # keep hive layout consistent: rewrite path
+            return self._publish(self._read_data(prev).unionByName(new), "insert")
+        return self._publish_delta(
+            "insert", prev, list(prev.files), new, prev.schema_json, prev.bucket_spec
+        )
 
     # ---------------------------------------------------------- maintenance
 
     def compact(self, target_partitions: int | None = None, cluster_by: list[str] | None = None) -> Commit:
-        """OPTIMIZE / rewrite_data_files analog: rewrite the current state
-        into ``target_partitions`` files, optionally sorted within files by
-        ``cluster_by`` so min/max stats enable data skipping on those
-        columns (the poor man's Z-order; Iceberg tables in the reference
-        claim 'partitioning & compaction', OZONE_ARCHITECTURE.md:76)."""
-        df = self.read()
-        n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
-        df = df.repartition(n)
+        """OPTIMIZE / rewrite_data_files analog: fold the accumulated file
+        list back into one segment — ``target_partitions`` files (or one
+        file per bucket when the table is bucketed), optionally sorted
+        within files by ``cluster_by`` so min/max stats enable data
+        skipping on those columns (the poor man's Z-order; Iceberg tables
+        in the reference claim 'partitioning & compaction',
+        OZONE_ARCHITECTURE.md:76)."""
+        prev = self._read_commit(self.latest_version())
+        df = self._read_data(prev)
+        if prev.bucket_spec is None:
+            n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
+            df = df.repartition(n)
         if cluster_by:
             df = df.sortWithinPartitions(*cluster_by)
         return self._publish(df, "compact")
@@ -362,6 +638,8 @@ class LakeTable:
         """Metadata/data GC: drop all but the newest ``keep_last`` commits
         (Iceberg ``write.metadata.delete-after-commit`` +
         ``previous-versions-max``, cdc_merger_optimized.py:108,200).
+        Data files still referenced by a surviving commit are kept (file
+        lists share entries across commits); unreferenced ones are removed.
         Returns the expired version numbers; subsequent reads of an expired
         version raise, or fall back to latest when requested — exactly the
         reference's expired-snapshot UX (api_poc.py:462-468)."""
@@ -373,10 +651,24 @@ class LakeTable:
             raise ValueError("keep_last must be >= 1")
         versions = self.versions()
         expired = versions[:-keep_last]
-        live = {self._read_commit(v).data_path for v in versions[len(expired):]}
+        live = {
+            e["path"]
+            for v in versions[len(expired):]
+            for e in self._read_commit(v).files
+        }
+        dead_parents: set[str] = set()
         for v in expired:
             commit = self._read_commit(v)
-            if commit.data_path not in live and os.path.isdir(commit.data_path):
-                shutil.rmtree(commit.data_path)
+            for e in commit.files:
+                if e["path"] not in live and os.path.isdir(e["path"]):
+                    shutil.rmtree(e["path"])
+                    dead_parents.add(os.path.dirname(e["path"]))
             os.remove(os.path.join(self._commits_dir, f"{v}.json"))
+        # a bucketed segment whose leaves are all gone leaves an empty shell
+        for parent in dead_parents:
+            if parent != self._data_dir and os.path.isdir(parent) and not any(
+                f.endswith(".parquet") or os.path.isdir(os.path.join(parent, f))
+                for f in os.listdir(parent)
+            ):
+                shutil.rmtree(parent)
         return expired

@@ -238,10 +238,11 @@ def test_compact_and_cluster(spark, tmp_path):
     c = t.compact(target_partitions=2, cluster_by=["k"])
     assert c.operation == "compact"
     assert t.read().count() == 1000
-    # fewer data files after compaction
+    # fewer data files after compaction; one segment entry holds the state
     import glob, os
 
-    files = glob.glob(os.path.join(c.data_path, "*.parquet"))
+    assert len(c.files) == 1
+    files = glob.glob(os.path.join(c.files[0]["path"], "*.parquet"))
     assert 0 < len(files) <= 2
 
 
@@ -291,3 +292,65 @@ def test_engine_insert_into_decimal_column(spark, tmp_path):
     eng.insert("prices", {"id": "2", "price": "3.25"})
     rows = {r.id: r.price for r in eng.read("prices").collect()}
     assert rows == {1: Decimal("10.50"), 2: Decimal("3.25")}
+
+
+def _all_data_files(entries):
+    import glob
+    import os
+
+    out = {}
+    for e in entries:
+        for f in glob.glob(os.path.join(e["path"], "**", "*.parquet"), recursive=True):
+            out[f] = (os.path.getsize(f), os.path.getmtime(f))
+    return out
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """File-granular COW: a merge touching a few keys must carry every
+    untouched bucket's files forward byte-identical (same path, size,
+    mtime) — not rewrite the table."""
+    t = LakeTable(spark, str(tmp_path / "fg"))
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # first merge establishes the bucket layout
+    t.merge(base, pk="k")
+    c1 = t._read_commit(t.latest_version())
+    assert c1.bucket_spec is not None and c1.bucket_spec["pk"] == "k"
+    before = _all_data_files(c1.files)
+
+    # second merge touches 3 keys → at most 3 buckets rewritten
+    changes = spark.createDataFrame(
+        [(5, -5), (1000, -1000), (1999, -1999)], "k long, v long"
+    )
+    t.merge(changes, pk="k")
+    c2 = t._read_commit(t.latest_version())
+    carried = [e for e in c2.files if e["path"] in {e2["path"] for e2 in c1.files}]
+    rewritten = [e for e in c2.files if e["path"] not in {e2["path"] for e2 in c1.files}]
+    assert len(rewritten) <= 3
+    assert len(carried) >= len(c1.files) - 3
+    after = _all_data_files(carried)
+    for path, sig in after.items():
+        assert before[path] == sig, f"carried file was rewritten: {path}"
+    # and the merge is still correct
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[5] == -5 and rows[1000] == -1000 and rows[1999] == -1999
+    assert rows[6] == 12 and len(rows) == 2000
+
+
+def test_append_and_insert_write_only_the_batch(spark, tmp_path):
+    """append/insert are O(batch): parent files carried verbatim, the new
+    segment holds only the new rows."""
+    t = LakeTable(spark, str(tmp_path / "ap"))
+    t.create_or_replace(spark.range(10_000).withColumn("v", F.col("id") * 2))
+    c0 = t._read_commit(0)
+    t.append(spark.range(10_000, 10_003).withColumn("v", F.col("id") * 2))
+    c1 = t._read_commit(1)
+    new_entries = [e for e in c1.files if e["path"] not in {x["path"] for x in c0.files}]
+    assert sum(e["n_rows"] for e in new_entries) == 3
+    assert {x["path"] for x in c0.files} <= {x["path"] for x in c1.files}
+    t.insert_rows([{"id": 10_003, "v": 0}])
+    c2 = t._read_commit(2)
+    newest = [e for e in c2.files if e["path"] not in {x["path"] for x in c1.files}]
+    assert sum(e["n_rows"] for e in newest) == 1
+    assert t.read().count() == 10_004
