@@ -55,6 +55,11 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "__bucket"
 DEFAULT_N_BUCKETS = 32
+# reserved metadata column names (bucket layout + merge-on-read resolution)
+_RESERVED_COLS = {"__bucket", "__op", "__seq", "__rn"}
+# fold merge-on-read deltas back into base files once this many delta
+# commits have accumulated (Hudi compaction-on-N-delta-commits policy)
+DEFAULT_DELTA_COMPACT_THRESHOLD = 8
 
 
 def _bucket_expr(pk: str, n: int):
@@ -126,6 +131,21 @@ class LakeTable:
 
     def exists(self) -> bool:
         return self.latest_version() is not None
+
+    def mor_ready(self, pk: str) -> bool:
+        """True when a merge on ``pk`` will take the merge-on-read delta
+        path (O(batch) commit, no-commit on empty batches): table exists,
+        mor mode set, bucket layout established on this pk."""
+        latest = self.latest_version()
+        if latest is None:
+            return False
+        c = self._read_commit(latest)
+        return (
+            (c.properties or {}).get("write.merge.mode") == "mor"
+            and not c.partition_by
+            and c.bucket_spec is not None
+            and c.bucket_spec["pk"] == pk
+        )
 
     # ------------------------------------------------------------- write core
 
@@ -286,12 +306,17 @@ class LakeTable:
             )
             new_paths.append(path)
             entries = carried + new_entries
+        if any(e.get("delta") is not None for e in entries):
+            # delta file rows overlap base keys — table count needs resolution
+            n_rows = self._resolve(entries, schema_json, bucket_spec).count()
+        else:
+            n_rows = sum(e["n_rows"] for e in entries)
         commit = Commit(
             version=version,
             parent=prev.version,
             operation=operation,
             files=entries,
-            n_rows=sum(e["n_rows"] for e in entries),
+            n_rows=n_rows,
             schema_json=schema_json,
             committed_at=time.time(),
             bucket_spec=bucket_spec,
@@ -341,7 +366,50 @@ class LakeTable:
         return StructType.fromJson(json.loads(commit.schema_json))
 
     def _read_data(self, commit: Commit) -> DataFrame:
-        return self._read_entries(commit.files, commit.schema_json)
+        return self._resolve(commit.files, commit.schema_json, commit.bucket_spec)
+
+    def _resolve(
+        self, entries: list[dict], schema_json: str, bucket_spec: dict | None
+    ) -> DataFrame:
+        """Merge-on-read resolution: base files union delta files, latest
+        commit per key wins, op='d' drops the key. Plain read when no delta
+        entries are present (pure COW state). Deltas are written in the
+        same bucket layout as the base, so resolving any bucket-subset of
+        entries is self-contained — the window shuffle only moves rows of
+        the touched buckets."""
+        deltas = [e for e in entries if e.get("delta") is not None]
+        base_entries = [e for e in entries if e.get("delta") is None]
+        if not deltas:
+            return self._read_entries(base_entries, schema_json)
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        pk = bucket_spec["pk"]
+        logical = StructType.fromJson(json.loads(schema_json))
+        delta_schema = StructType(list(logical.fields) + [StructField("__op", StringType(), True)])
+        parts = [
+            self._read_entries(base_entries, schema_json)
+            .withColumn("__op", F.lit("u"))
+            .withColumn("__seq", F.lit(0).cast("long"))
+        ]
+        by_seq: dict[int, list[str]] = {}
+        for e in deltas:
+            by_seq.setdefault(int(e["delta"]), []).append(e["path"])
+        for seq in sorted(by_seq):
+            parts.append(
+                self.spark.read.schema(delta_schema)
+                .parquet(*by_seq[seq])
+                .withColumn("__seq", F.lit(seq).cast("long"))
+            )
+        allr = parts[0]
+        for p in parts[1:]:
+            allr = allr.unionByName(p)
+        w = Window.partitionBy(pk).orderBy(F.desc("__seq"))
+        return (
+            allr.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .filter(~F.col("__op").eqNullSafe("d"))
+            .drop("__rn", "__op", "__seq")
+        )
 
     def _read_entries(self, entries: list[dict], schema_json: str) -> DataFrame:
         """Read a file list applying the STORED schema: files predating a
@@ -360,11 +428,21 @@ class LakeTable:
 
     def history(self) -> DataFrame:
         """Commit history, newest first — the ``$snapshots`` metadata table
-        (api_poc.py:426-428, 490-493)."""
-        rows = [self._read_commit(v).__dict__ for v in self.versions()]
+        (api_poc.py:426-428, 490-493). Merge-on-read delta commits defer
+        their row count (n_rows = -1 at commit time, so the ingest hot path
+        never pays a resolution join); it is resolved here on demand."""
+        rows = [self._read_commit(v) for v in self.versions()]
         return self.spark.createDataFrame(
             [
-                (c["version"], c["parent"], c["operation"], c["n_rows"], c["committed_at"])
+                (
+                    c.version,
+                    c.parent,
+                    c.operation,
+                    c.n_rows
+                    if c.n_rows >= 0
+                    else self._resolve(c.files, c.schema_json, c.bucket_spec).count(),
+                    c.committed_at,
+                )
                 for c in rows
             ],
             "version int, parent int, operation string, n_rows bigint, committed_at double",
@@ -377,11 +455,22 @@ class LakeTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
+        bucket_by: tuple[str, int] | None = None,
     ) -> Commit:
         """K1 + D4: full-table materialization, optionally hive-partitioned
-        with table properties recorded in the commit log."""
+        with table properties recorded in the commit log. ``bucket_by=(pk,
+        n)`` lays the table out in pk-hash buckets at creation (Iceberg's
+        bucket partition transform) so the first keyed merge is already
+        bucket-granular instead of paying a one-time layout rewrite."""
+        if bucket_by and partition_by:
+            raise ValueError("bucket_by and partition_by are mutually exclusive")
+        spec = {"pk": bucket_by[0], "n": bucket_by[1]} if bucket_by else None
         return self._publish(
-            df, "create_or_replace", partition_by=partition_by, properties=properties
+            df,
+            "create_or_replace",
+            partition_by=partition_by,
+            properties=properties,
+            bucket_spec=spec,
         )
 
     def properties(self) -> dict[str, str]:
@@ -450,6 +539,7 @@ class LakeTable:
         op_col: str | None = None,
         precombine: str | None = None,
         n_buckets: int | None = None,
+        mode: str | None = None,
     ) -> Commit:
         """MERGE INTO target USING source ON target.pk = source.pk
         (cdc_merger_optimized.py:171-183):
@@ -475,7 +565,21 @@ class LakeTable:
         (existing rows take NULL), matching append's union-of-columns
         semantics; a first merge into a never-created table bootstraps it
         (CREATE TABLE IF NOT EXISTS parity, cdc_merger_optimized.py:191).
+
+        ``mode`` (or the ``write.merge.mode`` table property): ``"cow"``
+        (default) rewrites touched buckets; ``"mor"`` (merge-on-read, the
+        Hudi model for write-heavy CDC) writes ONLY the change batch as a
+        delta segment — O(batch) per commit regardless of table size — and
+        resolves latest-per-key at read time. After
+        ``write.merge.delta.compact-threshold`` delta commits (default 8)
+        the next merge folds deltas back into base files, bounding read
+        cost. MOR assumes keys are unique in the base (guaranteed when all
+        writes go through merge) and callers pre-deduplicate each batch
+        (``precombine`` or upstream last-writer-wins).
         """
+        bad = _RESERVED_COLS & set(source.columns) - ({op_col} if op_col else set())
+        if bad:
+            raise ValueError(f"source uses reserved column names: {sorted(bad)}")
         if precombine is not None:
             w = Window.partitionBy(pk).orderBy(F.desc(precombine))
             source = (
@@ -497,9 +601,14 @@ class LakeTable:
         target_schema = self._schema(prev)
         # precombine is merge metadata, not data — drop unless the table
         # itself carries that column
-        if precombine is not None and precombine not in target_schema.fieldNames():
+        drop_precombine = (
+            precombine is not None and precombine not in target_schema.fieldNames()
+        )
+        if drop_precombine:
             upserts = upserts.drop(precombine)
         spec = prev.bucket_spec
+        props = prev.properties or {}
+        eff_mode = mode or props.get("write.merge.mode", "cow")
         if prev.partition_by or spec is None or spec["pk"] != pk:
             # hive-partitioned tables, or a table not (yet) bucketed on this
             # pk: one full rewrite — which establishes the bucket layout for
@@ -511,8 +620,24 @@ class LakeTable:
                 "pk": pk, "n": n_buckets or DEFAULT_N_BUCKETS
             }
             return self._publish(result, "merge", bucket_spec=new_spec)
-        # ---- bucket-granular path
         n = spec["n"]
+        if eff_mode == "mor":
+            threshold = int(
+                props.get("write.merge.delta.compact-threshold", DEFAULT_DELTA_COMPACT_THRESHOLD)
+            )
+            n_delta_commits = len({e["delta"] for e in prev.files if e.get("delta") is not None})
+            if n_delta_commits < threshold:
+                return self._merge_mor_delta(
+                    prev, source, pk, op_col, precombine, drop_precombine, spec
+                )
+            # threshold reached: compact — resolve ALL accumulated deltas
+            # (not just touched buckets) into fresh base files while
+            # applying this batch, so the delta chain resets to zero
+            target = self._read_data(prev)
+            untouched = target.join(source.select(pk), pk, "left_anti")
+            result = untouched.unionByName(upserts, allowMissingColumns=True)
+            return self._publish(result, "merge", bucket_spec=spec)
+        # ---- bucket-granular copy-on-write path
         touched = {
             r["b"]
             for r in source.select(_bucket_expr(pk, n).alias("b")).distinct().collect()
@@ -523,12 +648,73 @@ class LakeTable:
         candidates = [
             e for e in prev.files if e["bucket"] is None or e["bucket"] in touched
         ]
-        subset = self._read_entries(candidates, prev.schema_json)
+        subset = self._resolve(candidates, prev.schema_json, spec)
         untouched_rows = subset.join(source.select(pk), pk, "left_anti")
         result = untouched_rows.unionByName(upserts, allowMissingColumns=True)
         return self._publish_delta(
             "merge", prev, carried, result, result.schema.json(), spec
         )
+
+    def _merge_mor_delta(
+        self,
+        prev: Commit,
+        source: DataFrame,
+        pk: str,
+        op_col: str | None,
+        precombine: str | None,
+        drop_precombine: bool,
+        spec: dict,
+    ) -> Commit:
+        """Merge-on-read delta commit: write the change batch (deletes kept,
+        tagged ``__op``) as a bucketed delta segment; the base file list is
+        carried verbatim. Read-time resolution picks the highest commit per
+        key (``_resolve``)."""
+        delta = source.withColumnRenamed(op_col, "__op") if op_col else source.withColumn(
+            "__op", F.lit("u")
+        )
+        if drop_precombine:
+            delta = delta.drop(precombine)
+        logical_schema = self._union_schema_json(
+            self._schema(prev), delta.drop("__op").schema
+        )
+        if logical_schema is None:  # type conflict → COW rewrite resolves it
+            target = self._read_data(prev)
+            upserts = delta.filter(~F.col("__op").eqNullSafe("d")).drop("__op")
+            untouched = target.join(source.select(pk), pk, "left_anti")
+            result = untouched.unionByName(upserts, allowMissingColumns=True)
+            return self._publish(result, "merge", bucket_spec=spec)
+        version = prev.version + 1
+        path, new_entries = self._write_segment(
+            delta, version, bucket_pk=pk, n_buckets=spec["n"]
+        )
+        if sum(e["n_rows"] for e in new_entries) == 0:
+            # empty/unparseable change batch (P12): no commit — checked from
+            # the write's own footers, so the streaming hot path never pays
+            # a separate emptiness-probe job
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            return prev
+        for e in new_entries:
+            e["delta"] = version
+        entries = list(prev.files) + new_entries
+        # the table's row count needs key resolution (delta rows overlap
+        # base keys) — a join the ingest hot path must not pay per batch.
+        # -1 = unknown; history() resolves it lazily on demand.
+        n_rows = -1
+        commit = Commit(
+            version=version,
+            parent=prev.version,
+            operation="merge",
+            files=entries,
+            n_rows=n_rows,
+            schema_json=logical_schema,
+            committed_at=time.time(),
+            bucket_spec=spec,
+            partition_by=prev.partition_by,
+            properties=prev.properties,
+        )
+        return self._publish_commit(commit, [path])
 
     def _keyed_rewrite(
         self,
@@ -562,7 +748,7 @@ class LakeTable:
             return self._publish_delta(
                 operation, prev, carried, None, prev.schema_json, spec
             )
-        subset = transform(self._read_entries(candidates, prev.schema_json))
+        subset = transform(self._resolve(candidates, prev.schema_json, spec))
         return self._publish_delta(
             operation, prev, carried, subset, prev.schema_json, spec
         )

@@ -60,7 +60,10 @@ def _envelope_json(changes: DataFrame) -> DataFrame:
 
 def _seed_target(spark: SparkSession, sf_dir: str, root: str) -> LakeTable:
     """v0 = latest pre-cutoff event per user (the table the CDC stream
-    updates)."""
+    updates). Created pk-bucketed with merge-on-read writes: each CDC
+    micro-batch commits O(batch) delta files (the Hudi MOR model for
+    write-heavy streams); read-time resolution + threshold compaction are
+    exercised by the correctness queries reading the final state."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     seed = (
@@ -70,7 +73,11 @@ def _seed_target(spark: SparkSession, sf_dir: str, root: str) -> LakeTable:
         .select("user_id", "event_type", "value")
     )
     table = LakeTable(spark, root)
-    table.create_or_replace(seed)
+    table.create_or_replace(
+        seed,
+        properties={"write.merge.mode": "mor"},
+        bucket_by=("user_id", 32),
+    )
     return table
 
 
@@ -79,11 +86,28 @@ def _seed_target(spark: SparkSession, sf_dir: str, root: str) -> LakeTable:
 _ENVELOPE_CACHE: dict[tuple[str, int], str] = {}
 
 
-def _envelope_dir(spark: SparkSession, sf_dir: str, n_files: int) -> str:
-    key = (sf_dir, n_files)
+def _envelope_dir(spark: SparkSession, sf_dir: str, n_files: int, copies: int = 1) -> str:
+    """``copies > 1`` replicates the change corpus with shifted key ranges
+    (new users + new event ids per copy) — a larger sustained-throughput
+    corpus for the bench; correctness queries use copies=1."""
+    key = (sf_dir, n_files, copies)
     if key not in _ENVELOPE_CACHE:
         src = os.path.join(tempfile.mkdtemp(prefix="cdc_src_"), "events")
         changes = _changes(spark, sf_dir)
+        if copies > 1:
+            from functools import reduce as _reduce
+
+            changes = _reduce(
+                DataFrame.unionByName,
+                [
+                    changes.withColumn(
+                        "user_id", F.col("user_id") + F.lit(i * 10_000_000)
+                    ).withColumn(
+                        "event_id", F.col("event_id") + F.lit(i * 1_000_000_000)
+                    )
+                    for i in range(copies)
+                ],
+            )
         if n_files == 1:
             _envelope_json(changes).write.mode("overwrite").text(src)
         else:

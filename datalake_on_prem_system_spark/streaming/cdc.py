@@ -48,17 +48,29 @@ def debezium_schemas(row_ddl: str) -> tuple[StructType, StructType]:
 
 
 def normalize_envelope(raw: DataFrame, row_ddl: str, value_col: str = "value") -> DataFrame:
-    """value-string → flat change rows: parse both envelope shapes, coalesce
-    (distributed sniff), flatten after/before, resurrect the key for deletes
-    via coalesce(after.k, before.k) (P1/P2/T5)."""
-    wrapped_schema, flat_schema = debezium_schemas(row_ddl)
+    """value-string → flat change rows: ONE ``from_json`` with the superset
+    of both envelope shapes (wrapped rows populate ``payload``, flat rows
+    populate ``before``/``after``/``op`` directly), coalesce per field
+    (distributed sniff), flatten after/before, resurrect the key for
+    deletes via coalesce(after.k, before.k) (P1/P2/T5). A single parse —
+    the two-schema variant parsed every value twice, which dominated the
+    per-batch cost on the streaming hot path."""
     row = StructType.fromDDL(row_ddl)
-    w = F.from_json(F.col(value_col).cast("string"), wrapped_schema)
-    f = F.from_json(F.col(value_col).cast("string"), flat_schema)
+    flat_schema = (
+        StructType().add("before", row).add("after", row).add("op", "string")
+    )
+    superset = (
+        StructType()
+        .add("payload", flat_schema)
+        .add("before", row)
+        .add("after", row)
+        .add("op", "string")
+    )
+    p = F.from_json(F.col(value_col).cast("string"), superset)
 
-    after = F.coalesce(w["payload"]["after"], f["after"])
-    before = F.coalesce(w["payload"]["before"], f["before"])
-    op = F.coalesce(w["payload"]["op"], f["op"])
+    after = F.coalesce(p["payload"]["after"], p["after"])
+    before = F.coalesce(p["payload"]["before"], p["before"])
+    op = F.coalesce(p["payload"]["op"], p["op"])
 
     def pick(field: str) -> Column:
         # delete events carry the row in `before` (after is NULL); for
@@ -99,19 +111,28 @@ def cdc_apply_batch(
 ) -> None:
     """The foreachBatch body (cdc_merger_optimized.py:114-183): guard empty
     batch (P12) → normalize → dedup → MERGE."""
-    if batch_df.isEmpty():
+    # the file/Kafka source typically delivers a batch as very few input
+    # partitions (often one); spread the parse across the cluster BEFORE
+    # the JSON work — otherwise the whole batch parses on one core
+    spread = batch_df.repartition(batch_df.sparkSession.sparkContext.defaultParallelism)
+    flat = normalize_envelope(spread, row_ddl)
+    dedup = last_writer_wins(flat, pk, order_cols).drop(*drop_cols)
+    if table.mor_ready(pk):
+        # merge-on-read hot path: ONE Spark job — parse → dedup → bucketed
+        # delta write. The empty/unparseable-batch guard (P12) is the
+        # write's own footer count inside merge (no commit when 0 rows),
+        # so no separate probe job runs per micro-batch.
+        table.merge(dedup, pk=pk, op_col="op")
         return
-    # persist the parsed batch: the emptiness probe and the merge would
-    # otherwise each re-run the double from_json parse (two extra passes
-    # per trigger on the streaming hot path)
-    flat = normalize_envelope(batch_df, row_ddl).persist()
+    # copy-on-write path: probe emptiness once on a persisted parse so an
+    # empty batch never publishes a full-rewrite commit (P12)
+    cached = dedup.persist()
     try:
-        if flat.isEmpty():  # nothing parseable — don't publish an empty commit
+        if cached.isEmpty():
             return
-        dedup = last_writer_wins(flat, pk, order_cols)
-        table.merge(dedup.drop(*drop_cols), pk=pk, op_col="op")
+        table.merge(cached, pk=pk, op_col="op")
     finally:
-        flat.unpersist()
+        cached.unpersist()
 
 
 def run_cdc_file_stream(

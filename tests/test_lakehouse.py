@@ -354,3 +354,74 @@ def test_append_and_insert_write_only_the_batch(spark, tmp_path):
     newest = [e for e in c2.files if e["path"] not in {x["path"] for x in c1.files}]
     assert sum(e["n_rows"] for e in newest) == 1
     assert t.read().count() == 10_004
+
+
+def test_mor_delta_merge_roundtrip(spark, tmp_path):
+    """Merge-on-read: a delta commit writes only the batch, carries every
+    base file, and read-time resolution applies update/delete/insert."""
+    t = LakeTable(spark, str(tmp_path / "mor"))
+    t.create_or_replace(
+        spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        properties={"write.merge.mode": "mor"},
+    )
+    t.merge(spark.createDataFrame([(0, 0)], "k long, v long"), pk="k")  # bucketize
+    c1 = t._read_commit(t.latest_version())
+    before = _all_data_files(c1.files)
+
+    src = spark.createDataFrame(
+        [(5, -5, "u"), (7, None, "d"), (5000, 1, "c")], "k long, v long, op string"
+    )
+    t.merge(src, pk="k", op_col="op")
+    c2 = t._read_commit(t.latest_version())
+    # base files carried byte-identical; only delta entries are new
+    deltas = [e for e in c2.files if e.get("delta") is not None]
+    assert deltas and all(e["delta"] == c2.version for e in deltas)
+    assert sum(e["n_rows"] for e in deltas) == 3
+    carried = {e["path"] for e in c2.files} & {e["path"] for e in c1.files}
+    assert carried == {e["path"] for e in c1.files}
+    for path, sig in _all_data_files(c1.files).items():
+        assert before[path] == sig
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[5] == -5 and 7 not in rows and rows[5000] == 1 and rows[6] == 12
+    assert len(rows) == 1000  # 1000 - 1 delete + 1 insert
+    assert c2.n_rows == -1  # deferred on the ingest hot path...
+    hist = {r.version: r.n_rows for r in t.history().collect()}
+    assert hist[c2.version] == 1000  # ...and resolved on demand, not file-sum
+
+
+def test_mor_compaction_threshold_folds_deltas(spark, tmp_path):
+    """After N delta commits the next merge resolves and folds everything
+    back into base files (no delta entries left), with identical state."""
+    t = LakeTable(spark, str(tmp_path / "morc"))
+    t.create_or_replace(
+        spark.range(100).select(F.col("id").alias("k"), F.lit(0).alias("v")),
+        properties={"write.merge.mode": "mor", "write.merge.delta.compact-threshold": "2"},
+    )
+    t.merge(spark.createDataFrame([(0, 1)], "k long, v long"), pk="k")  # bucketize
+    for i in range(2):  # two delta commits
+        t.merge(spark.createDataFrame([(i, 100 + i)], "k long, v long"), pk="k")
+        assert any(e.get("delta") is not None for e in t._read_commit(t.latest_version()).files)
+    # third merge hits the threshold → compacting merge, zero deltas
+    t.merge(spark.createDataFrame([(50, 999)], "k long, v long"), pk="k")
+    c = t._read_commit(t.latest_version())
+    assert not any(e.get("delta") is not None for e in c.files)
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[0] == 100 and rows[1] == 101 and rows[50] == 999 and len(rows) == 100
+
+
+def test_mor_update_delete_over_deltas(spark, tmp_path):
+    """update_where/delete_where on a table carrying deltas resolve the
+    touched buckets and stay correct."""
+    t = LakeTable(spark, str(tmp_path / "moru"))
+    t.create_or_replace(
+        spark.range(200).select(F.col("id").alias("k"), F.lit(1.0).alias("v")),
+        properties={"write.merge.mode": "mor"},
+    )
+    t.merge(spark.createDataFrame([(0, 2.0)], "k long, v double"), pk="k")
+    t.merge(spark.createDataFrame([(10, 3.0)], "k long, v double"), pk="k")  # delta
+    t.update_where(F.col("k") == 10, {"v": 4.0})
+    t.delete_where(F.col("k") == 11)
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[10] == 4.0 and 11 not in rows and rows[0] == 2.0 and len(rows) == 199
+    # time travel back across the delta commits still resolves correctly
+    assert {r.k: r.v for r in t.read(version=2).collect()}[10] == 3.0
