@@ -59,6 +59,23 @@ def main() -> None:
 
     sync_search_index(spark, SF_DIR)
 
+    # warm the Structured Streaming machinery too (first streaming query in
+    # a session pays ~3s of one-time planner/codegen init that would
+    # otherwise land on whichever streaming headliner runs first)
+    import tempfile as _tf
+
+    _wdir = _tf.mkdtemp(prefix="bench_warm_")
+    with open(os.path.join(_wdir, "w.txt"), "w") as _fh:
+        _fh.write("warm\n")
+    (
+        spark.readStream.text(_wdir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(_wdir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINERS:

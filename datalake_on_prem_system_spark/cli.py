@@ -43,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("csv"); p.add_argument("table")
     p.add_argument("--mode", default="create", choices=["create", "append", "upsert"])
     p.add_argument("--pk"); p.add_argument("--precombine")
+    p.add_argument("--partition-by", help="comma-separated Hudi-style partition-path columns")
     p = sub.add_parser("read")
     p.add_argument("table"); p.add_argument("--columns"); p.add_argument("--filter-col")
     p.add_argument("--filter-val"); p.add_argument("--limit", type=int)
@@ -79,7 +80,8 @@ def _dispatch(args, eng, n: int) -> int:
         for t in eng.list_tables():
             print(t)
     elif args.verb == "ingest":
-        df = eng.ingest_csv(args.table, args.csv, mode=args.mode, pk=args.pk, precombine=args.precombine)
+        parts = args.partition_by.split(",") if args.partition_by else None
+        df = eng.ingest_csv(args.table, args.csv, mode=args.mode, pk=args.pk, precombine=args.precombine, partition_by=parts)
         # count-verify (A1) — the read-back TABLE size, which differs from
         # the batch size for append/upsert modes
         print(f"ingested into {args.table}; table now has {df.count()} rows")

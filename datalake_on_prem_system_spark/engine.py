@@ -35,6 +35,8 @@ class LakeEngine:
         self.spark = spark
         self.catalog = LakeCatalog(spark, warehouse, namespace)
         self.catalog.create_namespace()
+        # (table root, commit version) → materialized search-index path
+        self._search_index_cache: dict[tuple[str, int], str] = {}
 
     # ------------------------------------------------------------- metadata
 
@@ -87,8 +89,8 @@ class LakeEngine:
 
     # ------------------------------------------------------------- writes
 
-    def ingest_csv(self, table: str, path: str, mode: str = "create", pk: str | None = None, precombine: str | None = None) -> DataFrame:
-        return _ingest_csv(self.catalog.table(table), path, mode=mode, pk=pk, precombine=precombine)
+    def ingest_csv(self, table: str, path: str, mode: str = "create", pk: str | None = None, precombine: str | None = None, partition_by: list[str] | None = None) -> DataFrame:
+        return _ingest_csv(self.catalog.table(table), path, mode=mode, pk=pk, precombine=precombine, partition_by=partition_by)
 
     def ingest(
         self,
@@ -189,16 +191,40 @@ class LakeEngine:
 
     # ------------------------------------------------------------- search
 
-    def search(self, table: str, query: str, top_k: int = 50) -> DataFrame:
-        """E1–E5: numeric fast path → ranked all-words/phrase search over
-        the derived search text → rejoin to authoritative rows
-        (api_poc.py:396-415)."""
+    def _search_index(self, table: str) -> tuple[DataFrame, DataFrame, str]:
+        """(index df, base df, pk) — the 2-column (pk, text) search table
+        materialized per (table root, commit version): the K6 sync_to_es
+        analog, invalidated by the next commit, so repeat searches scan the
+        narrow index instead of recomputing the projection over the full
+        base table (api_poc.py:38-42 keeps a live ES index the same way)."""
+        import os
+        import shutil
+
         t = self.catalog.table(table)
         df = t.read()
         pk = find_id_col(df.columns)
+        version = t.latest_version()
+        key = (t.root, version)
+        if key not in self._search_index_cache:
+            path = os.path.join(t.root, "_search_index", f"{version}.parquet")
+            build_search_df(df, pk, [c for c in df.columns if c != pk]).write.mode(
+                "overwrite"
+            ).parquet(path)
+            stale = [k for k in self._search_index_cache if k[0] == t.root]
+            for k in stale:
+                shutil.rmtree(self._search_index_cache.pop(k), ignore_errors=True)
+            self._search_index_cache[key] = path
+        return self.spark.read.parquet(self._search_index_cache[key]), df, pk
+
+    def search(self, table: str, query: str, top_k: int = 50) -> DataFrame:
+        """E1–E5: numeric fast path → ranked all-words/phrase search over
+        the MATERIALIZED search index → rejoin to authoritative rows
+        (api_poc.py:396-415)."""
         if query.isdigit():  # P8 numeric-id fast path
+            df = self.catalog.table(table).read()
+            pk = find_id_col(df.columns)
             return df.filter(F.col(pk).cast("string") == query)
-        idx = build_search_df(df, pk, [c for c in df.columns if c != pk])
+        idx, df, pk = self._search_index(table)
         hits = (
             idx.filter(all_words_predicate(F.col("text"), query))
             .select(pk, phrase_boost_score(F.col("text"), query).alias("score"))

@@ -331,32 +331,59 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COSINE_PAIR_THRESHOLD = 0.45
+_GRID_BLOCKS = 8  # B: a cell holds two n/B blocks; size so a cell fits a task
 
 
 def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """High-cosine embedding pair mining (exact). The arithmetic is a
-    sequential fold (zip_with + aggregate) so the oracle can replicate the
-    exact same double-precision summation order. 100 TB path: LSH-bucketed
-    candidates (similarity.sim_ann_lsh machinery) + this exact rerank."""
+    """High-cosine embedding pair mining (exact), as a BLOCK-GRID self-join.
+
+    Exact all-pairs at a low threshold is inherently O(n²) arithmetic (the
+    qualifying pairs sit right at the threshold, so no LSH family reaches
+    recall 1 — hyperplane LSH at cosine 0.45 ≈ 63° collides with
+    probability ≪ 1). What CAN scale is the join shape: instead of a
+    cartesian/broadcast-nested-loop join, hash each vector into one of B
+    blocks and equi-join on the grid-cell key (g, h), g ≤ h — each task
+    computes one bounded block-pair, shuffle volume is O(n·B) rows, load
+    is even by construction, and B tunes task size independently of n.
+    (True near-dup mining at cosine ≥ 0.9 should instead route through the
+    LSH bucketing in ``similarity.sim_ann_lsh`` + exact rerank.)
+
+    The arithmetic is a sequential fold (zip_with + aggregate) so the
+    oracle can replicate the exact same double-precision summation order.
+    """
     # shared numerically-sensitive folds from similarity — the DuckDB
     # oracles mirror their exact summation order; two drifting copies
     # would silently break one module's oracle equivalence
     from .similarity import _as_double, _dot, _norm
 
     emb = t_par(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", _as_double().alias("v")).withColumn(
-        "norm", _norm(F.col("v"))
+    B = _GRID_BLOCKS
+    vecs = (
+        emb.select("vec_id", _as_double().alias("v"))
+        .withColumn("norm", _norm(F.col("v")))
+        .withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int"))
     )
-    a = vecs.alias("a")
-    b = vecs.alias("b")
+    # a-side: block g replicated to every cell (g, h) with h >= g
+    a = vecs.withColumn(
+        "cell", F.explode(F.sequence(F.col("blk") * B + F.col("blk"), F.col("blk") * B + F.lit(B - 1)))
+    ).alias("a")
+    # b-side: block h replicated to every cell (g, h) with g <= h
+    b = vecs.withColumn(
+        "cell", F.explode(F.sequence(F.col("blk"), F.col("blk") * B + F.col("blk"), F.lit(B)))
+    ).alias("b")
     dot = _dot(F.col("a.v"), F.col("b.v"))
+    # diagonal cells see both orders of a pair — keep id< there; off-diagonal
+    # cells see each unordered pair exactly once — normalize ids on output
+    in_cell_once = F.when(
+        F.col("a.blk") == F.col("b.blk"), F.col("a.vec_id") < F.col("b.vec_id")
+    ).otherwise(F.col("a.vec_id") != F.col("b.vec_id"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(b, on=(F.col("a.cell") == F.col("b.cell")) & in_cell_once)
         .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
         .filter(F.col("cosine") >= COSINE_PAIR_THRESHOLD)
         .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
+            F.least("a.vec_id", "b.vec_id").alias("a_id"),
+            F.greatest("a.vec_id", "b.vec_id").alias("b_id"),
             F.round("cosine", 6).alias("cosine"),
         )
     )

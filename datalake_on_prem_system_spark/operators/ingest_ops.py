@@ -110,10 +110,35 @@ def in_csv_upsert_precombine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def in_csv_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi partition-path parity (ingest_csv_hudi.py:101-103): ingest with
+    ``partition_by`` → hive-partitioned layout → a partition-key filter
+    prunes to one directory at the scan (asserted in tests/test_plans.py)."""
+    work = tempfile.mkdtemp(prefix="ingest_pt_")
+    src = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acct_bal")
+    )
+    csv_path = os.path.join(work, "in.csv")
+    _write_csv(src, csv_path)
+    out = ingest_csv(
+        LakeTable(spark, os.path.join(work, "tbl")),
+        csv_path,
+        mode="create",
+        partition_by=["c_mktsegment"],
+    )
+    return out.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_name",
+        "c_mktsegment",
+        F.col("acct_bal").cast("double").alias("acct_bal"),
+    )
+
+
 QUERIES = {
     "in_csv_roundtrip": in_csv_roundtrip,
     "in_csv_append_evolution": in_csv_append_evolution,
     "in_csv_upsert_precombine": in_csv_upsert_precombine,
+    "in_csv_partitioned": in_csv_partitioned,
 }
 
 ORACLE = {
@@ -136,5 +161,9 @@ ORACLE = {
                     ELSE n_name END AS n_name,
                n_regionkey
         FROM nation
+    """,
+    "in_csv_partitioned": """
+        SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS acct_bal
+        FROM customer WHERE c_mktsegment = 'BUILDING'
     """,
 }

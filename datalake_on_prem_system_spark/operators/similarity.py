@@ -169,23 +169,52 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 for vec_id=0 via an IVF coarse quantizer: MLlib KMeans
-    (fixed seed) partitions the corpus into nlist cells; the query probes
-    its 4 nearest centroids and exact-reranks inside them. The
-    billion-vector path: cells live as partitioned tables, a probe touches
-    nprobe/nlist of the data. Approximate ⇒ rows-only; pytest measures
-    recall vs sim_brute_topk."""
+# (sf_dir, nlist) → (assignments parquet path, centroid list); the index
+# is immutable once built — the fixture tables never change mid-process
+_IVF_CACHE: dict[tuple[str, int], tuple[str, list[list[float]]]] = {}
+_IVF_FITS = 0  # test hook: counts actual KMeans fits
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, nlist: int = 16
+) -> tuple[str, list[list[float]]]:
+    """One-time IVF index build (the 'CREATE INDEX' op): MLlib KMeans
+    (fixed seed) partitions the corpus into nlist cells; assignments are
+    persisted as parquet HIVE-PARTITIONED ON cell (so a probe prunes to
+    nprobe/nlist directories at the scan), centroids as driver-side floats
+    (nlist·dim — metadata-sized). Queries never re-fit: at a billion
+    vectors this is the offline index build, re-run only on corpus drift."""
+    global _IVF_FITS
+    import os
+    import tempfile
+
+    key = (os.path.abspath(sf_dir), nlist)
+    if key in _IVF_CACHE:
+        return _IVF_CACHE[key]
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    nlist, nprobe = 16, 4
     vecs = _vecs(spark, sf_dir).withColumn("feat", array_to_vector("v"))
     km = KMeans(k=nlist, seed=42, featuresCol="feat", predictionCol="cell")
     model = km.fit(vecs)
-    assigned = model.transform(vecs)
+    _IVF_FITS += 1
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "assignments")
+    model.transform(vecs).drop("feat").write.partitionBy("cell").parquet(path)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    _IVF_CACHE[key] = (path, centers)
+    return _IVF_CACHE[key]
 
-    centers = model.clusterCenters()
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for vec_id=0 via an IVF coarse quantizer — PROBE-ONLY:
+    reads the persisted cell-partitioned index (``build_ivf_index``,
+    train-once), ranks centroids driver-side (nlist floats), scans only the
+    nprobe nearest cells (partition-pruned), exact cosine rerank inside.
+    Approximate ⇒ rows-only; pytest measures recall vs sim_brute_topk."""
+    nlist, nprobe = 16, 4
+    path, centers = build_ivf_index(spark, sf_dir, nlist)
+    assigned = spark.read.parquet(path)
+
     q_row = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select("v", "norm").head()
     qv, qnorm = q_row.v, q_row.norm
     # rank cells by centroid distance to the query (driver-side: nlist floats)

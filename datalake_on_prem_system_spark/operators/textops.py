@@ -168,9 +168,16 @@ def tx_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tx_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-quartile binning (ntile over the quality score) — the
-    curriculum/filtering view of the corpus: how much data sits in each
-    quality band and what it looks like."""
+    """Quality-quartile binning (exact ntile(4) over the quality score) —
+    the curriculum/filtering view of the corpus: how much data sits in
+    each quality band and what it looks like.
+
+    Scale: an unpartitioned ``ntile`` window would be a single-reducer
+    global sort. This computes the SAME exact result with the distributed
+    global-rank pattern: range-repartition on the sort key (parallel range
+    shuffle), rank locally per partition, then add driver-collected
+    partition-count offsets (32 longs, not data). Every stage is parallel;
+    nothing ever funnels through one task."""
     docs = t(spark, sf_dir, "documents")
     toks = _tokens()
     stop_hits = sum(
@@ -182,13 +189,37 @@ def tx_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5) * (stop_hits / F.size(toks)),
         6,
     )
-    # NOTE scale: an unpartitioned ntile is a single-reducer global sort —
-    # fine for a per-corpus summary; at 100 TB bin by approx-percentile
-    # cutoffs instead (percentile_approx + comparison, fully parallel)
-    w = Window.orderBy(F.col("q"), F.col("doc_id"))
+    scored = docs.select("doc_id", "n_chars", quality.alias("q"))
+    # (q, doc_id) is a total order (doc_id unique) → range partitions are
+    # disjoint rank ranges; local rank + partition offset = exact global rank
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = scored.repartitionByRange(n_parts, F.col("q"), F.col("doc_id")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = dict(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w_local = Window.partitionBy("__pid").orderBy("q", "doc_id")
+    rank = (off_map[F.col("__pid")] + F.row_number().over(w_local)).cast("long")
+    # ntile(k): n%k leading buckets carry one extra row
+    size, rem = divmod(n, 4)
+    big = rem * (size + 1)
+    bin_expr = (
+        F.when(rank <= F.lit(big), F.floor((rank - 1) / F.lit(size + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((rank - 1 - F.lit(big)) / F.lit(max(size, 1))) + 1)
+        .cast("int")
+    )
     return (
-        docs.select("doc_id", "n_chars", quality.alias("q"))
-        .withColumn("bin", F.ntile(4).over(w))
+        ranged.withColumn("bin", bin_expr)
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

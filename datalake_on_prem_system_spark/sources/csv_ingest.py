@@ -34,6 +34,7 @@ def ingest_csv(
     mode: str = "create",
     pk: str | None = None,
     precombine: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Ingest a CSV into a versioned table.
 
@@ -41,6 +42,11 @@ def ingest_csv(
     mode='append'  → append with schema evolution (K2 + union-of-columns)
     mode='upsert'  → keyed MERGE with optional precombine dedup (K3,
                      ingest_csv_hudi.py:80-99)
+
+    ``partition_by`` is the Hudi partition-path analog
+    (ingest_csv_hudi.py:101-103 PARTITIONPATH_FIELD): the created table is
+    hive-partitioned on those columns so partition-key filters prune files
+    at the scan. On append/upsert the table's existing layout is kept.
 
     Returns the read-back table (the reference count-verifies every ingest,
     ingest_to_iceberg.py:55-56).
@@ -57,7 +63,7 @@ def ingest_csv(
 
         df = df.withColumn("_ingest_ts", F.current_timestamp().cast("string"))
     if mode == "create" or not table.exists():
-        table.create_or_replace(df)
+        table.create_or_replace(df, partition_by=partition_by)
     elif mode == "append":
         table.append(evolve_to_union(df, table.read().schema))
     elif mode == "upsert":

@@ -57,6 +57,22 @@ def test_ann_ivf_recall_vs_brute(spark, sf_dir):
     assert len(ivf & set(brute)) >= 3
 
 
+def test_ann_ivf_trains_once_and_prunes_probe_scan(spark, sf_dir):
+    """The IVF index is train-once (no KMeans fit in the repeat-query path)
+    and the probe scan partition-prunes to the nprobe cells."""
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    first = similarity.sim_ann_ivf(spark, sf_dir).collect()
+    fits_after_first = similarity._IVF_FITS
+    again = similarity.sim_ann_ivf(spark, sf_dir)
+    assert again.collect() == first
+    assert similarity._IVF_FITS == fits_after_first, "repeat query must not re-fit"
+    plan = capture_plan(again)
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in seg, f"probe must prune cell partitions, got: [{seg}]"
+
+
 def test_exact_dedup_groups_cover_all_docs(spark, sf_dir):
     out = dedup.dd_exact(spark, sf_dir)
     total = out.agg(F.sum("group_size")).collect()[0][0]

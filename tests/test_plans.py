@@ -76,3 +76,68 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert a.n_exchanges <= 1, "one shuffle (final agg) max"
     assert a.has_partial_agg, "map-side combine must run below the exchange"
     assert a.has_batched_scan, "vectorized parquet reader expected"
+
+
+def test_quality_bins_no_single_partition_funnel(spark, sf_dir):
+    """Exact ntile via distributed global rank: the plan must contain no
+    single-partition exchange (the unpartitioned-window anti-pattern)."""
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    df = _QS["tx_quality_bins"](spark, sf_dir)
+    plan = capture_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan  # parallel range shuffle does the sort
+
+
+def test_embedding_cosine_no_cartesian(spark, sf_dir):
+    """Exact pair mining must be the block-grid EQUI-join, never a
+    cartesian/broadcast-nested-loop all-pairs join."""
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    plan = capture_plan(_QS["dd_embedding_cosine"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_facade_search_scans_materialized_index(spark, sf_dir, tmp_path):
+    """LakeEngine.search must scan the 2-column (pk, text) index parquet —
+    not recompute the search projection over the full base table — and
+    must invalidate it on the next commit."""
+    from datalake_on_prem_system_spark.engine import LakeEngine
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"), namespace="ns")
+    eng.write_table(
+        "parts",
+        spark.createDataFrame(
+            [(1, "alpha widget", 9.5), (2, "beta widget", 3.25)],
+            "part_id int, name string, price double",
+        ),
+    )
+    out = eng.search("parts", "widget")
+    plan = capture_plan(out)
+    assert "_search_index" in plan, "search must read the materialized index"
+    assert len(eng._search_index_cache) == 1
+    # repeat search at the same version reuses the cache (no rebuild)
+    cached = dict(eng._search_index_cache)
+    eng.search("parts", "alpha")
+    assert eng._search_index_cache == cached
+    assert {r.part_id for r in out.collect()} == {1, 2}
+    # a new commit invalidates: next search materializes the new version
+    eng.insert("parts", {"part_id": "3", "name": "gamma widget", "price": "1.0"})
+    hits = eng.search("parts", "widget")
+    assert {r.part_id for r in hits.collect()} == {1, 2, 3}
+    assert list(eng._search_index_cache) != list(cached)
+
+
+def test_partitioned_ingest_prunes_scan(spark, sf_dir):
+    """`ingest_csv(partition_by=...)` lays the table out hive-partitioned;
+    a partition-key filter must prune at the scan (PartitionFilters), not
+    post-filter all files."""
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    df = _QS["in_csv_partitioned"](spark, sf_dir)
+    plan = capture_plan(df)
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "c_mktsegment" in seg, f"partition filter must prune, got: [{seg}]"
