@@ -59,13 +59,68 @@ def eng_search_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric.unionByName(worded)
 
 
+def api_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTTP layer end-to-end (api_poc.py endpoints over live sockets):
+    CSV upload → POST insert/update/delete (string form values) → GET
+    /data page — every hop a real HTTP request against the stdlib server,
+    every mutation a LakeTable commit. The returned DataFrame re-reads the
+    final table state through the engine (the server holds the same
+    catalog)."""
+    import json
+    import urllib.request
+
+    from ..api import LakeApiServer
+    from ..engine import LakeEngine
+
+    eng = LakeEngine(spark, tempfile.mkdtemp(prefix="api_eng_"))
+    srv = LakeApiServer(eng).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        rows = (
+            t(spark, sf_dir, "region")
+            .select("r_regionkey", "r_name")
+            .orderBy("r_regionkey")
+            .collect()
+        )
+        csv = "r_regionkey,r_name\n" + "\n".join(f"{r.r_regionkey},{r.r_name}" for r in rows)
+        urllib.request.urlopen(
+            urllib.request.Request(f"{base}/upload/regions", data=csv.encode(), method="POST")
+        ).read()
+        for path, payload in (
+            ("/insert/regions", {"r_regionkey": "99", "r_name": "ATLANTIS"}),
+            ("/update/regions/1", {"r_name": "AMERICA-2"}),
+            ("/delete/regions/3", {}),
+        ):
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    base + path, data=json.dumps(payload).encode(), method="POST"
+                )
+            ).read()
+        n = json.loads(
+            urllib.request.urlopen(f"{base}/data/regions?limit=50").read()
+        )["rows"]
+        assert len(n) == 5  # 5 - 1 deleted + 1 inserted
+    finally:
+        srv.stop()
+    return eng.read("regions").select(
+        F.col("r_regionkey").cast("bigint").alias("r_regionkey"), "r_name"
+    )
+
+
 QUERIES = {
     "eng_crud_roundtrip": eng_crud_roundtrip,
     "eng_sql_passthrough": eng_sql_passthrough,
     "eng_search_fallback": eng_search_fallback,
+    "api_http_roundtrip": api_http_roundtrip,
 }
 
 ORACLE = {
+    "api_http_roundtrip": """
+        SELECT r_regionkey, r_name FROM region
+        WHERE r_regionkey NOT IN (1, 3)
+        UNION ALL SELECT 1, 'AMERICA-2'
+        UNION ALL SELECT 99, 'ATLANTIS'
+    """,
     "eng_crud_roundtrip": """
         WITH base AS (
             SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
