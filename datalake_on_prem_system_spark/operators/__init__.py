@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    curation,
     dedup,
     facade_ops,
     ingest_ops,
@@ -43,6 +44,7 @@ _MODULES = (
     similarity,
     multimodal,
     pipeline_ops,
+    curation,
     relational,
     tpch,
     search,

@@ -1,0 +1,278 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Beyond-reference capability (like ``dedup``/``textops``): the four passes
+every production pretraining pipeline runs between raw corpus and tokenizer,
+each as a first-class oracle-checked query over ``documents``. Everything
+is built-in JVM expressions — no Python UDFs.
+
+Scale design (100 TB):
+
+- decontamination   — inverted-index equi-join on eval-set shingles (shuffle
+                      keyed on shingle; real eval sets are tiny, so AQE
+                      broadcasts that side and the train corpus never
+                      shuffles). Never an all-pairs comparison.
+- repetition filter — narrow per-row map (Gopher-style duplicate-n-gram
+                      fraction from HOF arrays); no shuffle at all.
+- PII scrub         — narrow per-row regexp map; no shuffle. The fixture
+                      corpus is synthetic, so deterministic PII is INJECTED
+                      first (both engines inject identically), making the
+                      scrub verifiable rather than vacuously zero.
+- stratified sample — deterministic per-stratum LCG-hash thresholding:
+                      stable across runs/machines/engines (unlike
+                      ``randomSplit``), exactly reproducible by the oracle,
+                      and embarrassingly parallel (per-row arithmetic +
+                      one vocabulary-bounded aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import t, t_par
+
+# ---------------------------------------------------------------- decontam
+
+_DECON_N = 5  # eval/train overlap shingle width (tokens)
+
+
+def _ngrams(n: int, col: str = "text") -> Column:
+    """Distinct word n-gram shingles (0-based array subscripts)."""
+    w = F.split(F.col(col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[w[i + j] for j in range(n)]),
+        )
+    )
+
+
+def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval decontamination: find train-split documents sharing at
+    least one 5-token shingle with any eval-split document (the standard
+    n-gram-overlap test-set-leakage check), with the count of distinct
+    leaked shingles per train doc.
+
+    Split is the deterministic key-hash split from ``tx_train_split``
+    (doc_id % 10: 0-7 train, 8-9 eval). The join is an inverted-index
+    equi-join on the shingle string — at scale the eval side is small
+    enough to broadcast, so the train corpus is never shuffled."""
+    docs = t_par(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= _DECON_N
+    )
+    sh = docs.select(
+        "doc_id", (F.col("doc_id") % 10 < 8).alias("is_train"), _ngrams(_DECON_N).alias("sh")
+    )
+    train = sh.filter("is_train").select("doc_id", F.explode("sh").alias("shingle"))
+    # distinct eval shingles: the contamination reference set
+    eval_sh = (
+        sh.filter(~F.col("is_train")).select(F.explode("sh").alias("shingle")).distinct()
+    )
+    return (
+        train.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_leaked_shingles"))
+    )
+
+
+# -------------------------------------------------------------- repetition
+
+_REP_N = 3  # Gopher-style duplicate n-gram width
+_REP_MAX_DUP_FRAC = 0.2
+
+
+def cur_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition stats (the Gopher repetition filters,
+    adapted to the fixture's single-line documents): total vs distinct
+    3-gram counts, the duplicate fraction, the most-repeated token's share,
+    and the keep/drop verdict at a 20% duplicate-n-gram budget. Narrow
+    per-row map — no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - _REP_N),
+        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+    )
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    dup_frac = (n_grams - n_distinct) / n_grams
+    # most frequent single token's share of the doc
+    top_tok_n = F.array_max(
+        F.transform(F.array_distinct(w), lambda tok: F.size(F.filter(w, lambda x: x == tok)))
+    )
+    return docs.filter(F.size(w) >= _REP_N).select(
+        "doc_id",
+        n_grams.alias("n_ngrams"),
+        n_distinct.alias("n_distinct_ngrams"),
+        F.round(dup_frac, 6).alias("dup_frac"),
+        F.round(top_tok_n / F.size(w), 6).alias("top_token_share"),
+        (dup_frac <= _REP_MAX_DUP_FRAC).alias("keep"),
+    )
+
+
+# -------------------------------------------------------------------- PII
+
+_EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]+"
+_PHONE_RE = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+def _with_injected_pii(docs: DataFrame) -> Column:
+    """Deterministically inject synthetic PII (the fixture corpus has none):
+    every 7th doc gains an email, every 11th a phone number. The oracle
+    performs the identical injection, so the scrub is genuinely tested."""
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit(" call +49-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone)
+
+
+def cur_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email addresses and phone numbers
+    (regexp patterns chosen to be RE2/Java-regex compatible so the oracle
+    runs them verbatim). Output carries the counts and an md5 of the
+    redacted text — enough to verify the rewrite without shipping it."""
+    docs = t(spark, sf_dir, "documents")
+    txt = _with_injected_pii(docs)
+    n_emails = F.size(F.regexp_extract_all(txt, F.lit(_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(txt, F.lit(_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(txt, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------- sampling
+
+# per-language keep-rate in percent: downsample the majority language,
+# keep half of everything else (the data-mixture rebalancing step)
+_SAMPLE_RATES = {"en": 20}
+_SAMPLE_DEFAULT_RATE = 50
+# LCG constants (glibc): doc_id → pseudo-uniform in [0, 100); exact in both
+# engines' int64 (doc_id * 1103515245 stays far below 2^63 at any fixture SF)
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_648
+
+
+def cur_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling with per-stratum accounting:
+    language-keyed keep-rates applied by LCG-hash thresholding on doc_id
+    (reproducible across engines — the oracle computes the identical
+    arithmetic; ``sampleBy`` would not be). Returns per (lang, source)
+    population vs sample counts and sampled token mass."""
+    docs = t(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M) % 100
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _SAMPLE_RATES.items()],
+        F.lit(_SAMPLE_DEFAULT_RATE),
+    )
+    sampled = (h < rate).cast("int")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(sampled).alias("n_sampled"),
+            F.sum(sampled * n_tokens).alias("sampled_tokens"),
+        )
+    )
+
+
+QUERIES = {
+    "cur_decontaminate": cur_decontaminate,
+    "cur_repetition_filter": cur_repetition_filter,
+    "cur_pii_scrub": cur_pii_scrub,
+    "cur_stratified_sample": cur_stratified_sample,
+}
+
+_DECON_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 10 < 8 AS is_train, string_split(text, ' ') w
+        FROM documents WHERE len(string_split(text, ' ')) >= {_DECON_N}
+    ), sh AS (
+        SELECT doc_id, is_train,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                              || w[i+3] || ' ' || w[i+4]
+                              for i in range(1, len(w) - {_DECON_N - 2})]) s
+        FROM toks
+    ), train AS (
+        SELECT doc_id, unnest(s) shingle FROM sh WHERE is_train
+    ), ev AS (
+        SELECT DISTINCT unnest(s) shingle FROM sh WHERE NOT is_train
+    )
+    SELECT t.doc_id, count(DISTINCT t.shingle) AS n_leaked_shingles
+    FROM train t JOIN ev e ON t.shingle = e.shingle
+    GROUP BY t.doc_id
+"""
+
+_REP_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') w FROM documents
+        WHERE len(string_split(text, ' ')) >= {_REP_N}
+    ), grams AS (
+        SELECT doc_id, w,
+               [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                for i in range(1, len(w) - 1)] g
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(g) AS INTEGER) AS n_ngrams,
+           CAST(len(list_distinct(g)) AS INTEGER) AS n_distinct_ngrams,
+           round((len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE), 6)
+               AS dup_frac,
+           round(list_max([len(list_filter(w, x -> x = tok))
+                           for tok in list_distinct(w)]) / CAST(len(w) AS DOUBLE), 6)
+               AS top_token_share,
+           (len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE)
+               <= {_REP_MAX_DUP_FRAC} AS keep
+    FROM grams
+"""
+
+_PII_SQL = f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call +49-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS txt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g'))
+               AS redacted_md5
+    FROM injected
+"""
+
+_SAMPLE_SQL = f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(CASE WHEN ((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}) % 100
+                         < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
+                    THEN 1 ELSE 0 END) AS n_sampled,
+           sum(CASE WHEN ((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}) % 100
+                         < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
+                    THEN len(string_split(text, ' ')) ELSE 0 END) AS sampled_tokens
+    FROM documents
+    GROUP BY lang, source
+"""
+
+ORACLE = {
+    "cur_decontaminate": _DECON_SQL,
+    "cur_repetition_filter": _REP_SQL,
+    "cur_pii_scrub": _PII_SQL,
+    "cur_stratified_sample": _SAMPLE_SQL,
+}
