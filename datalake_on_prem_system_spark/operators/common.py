@@ -3,10 +3,24 @@
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+
+
+def bind(expr: Column, fn: Callable[[Column], Column]) -> Column:
+    """Evaluate ``expr`` ONCE and pass it to ``fn`` as a higher-order-
+    function lambda variable.
+
+    Catalyst's projection collapse re-inlines a subexpression into every
+    reference, so ``w = F.split(text); concat(w[i], w[i+1], w[i+2])``
+    re-splits the full text per subscript per array element — measured 4.6×
+    slower on the shingling path. A lambda variable is bound per row, not
+    re-derived per reference, making the sharing explicit in the plan.
+    """
+    return F.transform(F.array(expr), fn)[0]
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

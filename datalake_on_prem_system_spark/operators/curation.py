@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t, t_par
+from .common import bind, t, t_par
 
 # ---------------------------------------------------------------- decontam
 
@@ -37,13 +37,17 @@ _DECON_N = 5  # eval/train overlap shingle width (tokens)
 
 
 def _ngrams(n: int, col: str = "text") -> Column:
-    """Distinct word n-gram shingles (0-based array subscripts)."""
-    w = F.split(F.col(col), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", *[w[i + j] for j in range(n)]),
-        )
+    """Distinct word n-gram shingles (0-based array subscripts). Token
+    array bound once per row (``common.bind``) — n references per shingle
+    would otherwise re-split the text n times per element."""
+    return bind(
+        F.split(F.col(col), " "),
+        lambda w: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", *[w[i + j] for j in range(n)]),
+            )
+        ),
     )
 
 
@@ -88,25 +92,42 @@ def cur_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the keep/drop verdict at a 20% duplicate-n-gram budget. Narrow
     per-row map — no shuffle."""
     docs = t(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - _REP_N),
-        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
-    )
-    n_grams = F.size(grams)
-    n_distinct = F.size(F.array_distinct(grams))
-    dup_frac = (n_grams - n_distinct) / n_grams
-    # most frequent single token's share of the doc
-    top_tok_n = F.array_max(
-        F.transform(F.array_distinct(w), lambda tok: F.size(F.filter(w, lambda x: x == tok)))
-    )
-    return docs.filter(F.size(w) >= _REP_N).select(
-        "doc_id",
-        n_grams.alias("n_ngrams"),
-        n_distinct.alias("n_distinct_ngrams"),
-        F.round(dup_frac, 6).alias("dup_frac"),
-        F.round(top_tok_n / F.size(w), 6).alias("top_token_share"),
-        (dup_frac <= _REP_MAX_DUP_FRAC).alias("keep"),
+
+    def stats(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(w) - _REP_N),
+            lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+        )
+        # most frequent single token's count in the doc
+        top_tok_n = F.array_max(
+            F.transform(
+                F.array_distinct(w), lambda tok: F.size(F.filter(w, lambda x: x == tok))
+            )
+        )
+        return F.struct(
+            F.size(grams).alias("n"),
+            F.size(F.array_distinct(grams)).alias("nd"),
+            top_tok_n.alias("top"),
+            F.size(w).alias("nw"),
+        )
+
+    s = bind(F.split(F.col("text"), " "), stats)
+    return (
+        docs.select("doc_id", s.alias("s"))
+        .filter(F.col("s")["nw"] >= _REP_N)
+        .select(
+            "doc_id",
+            F.col("s")["n"].alias("n_ngrams"),
+            F.col("s")["nd"].alias("n_distinct_ngrams"),
+            F.round((F.col("s")["n"] - F.col("s")["nd"]) / F.col("s")["n"], 6).alias(
+                "dup_frac"
+            ),
+            F.round(F.col("s")["top"] / F.col("s")["nw"], 6).alias("top_token_share"),
+            (
+                (F.col("s")["n"] - F.col("s")["nd"]) / F.col("s")["n"]
+                <= _REP_MAX_DUP_FRAC
+            ).alias("keep"),
+        )
     )
 
 

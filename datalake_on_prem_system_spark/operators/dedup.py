@@ -45,7 +45,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import t, t_par
+from .common import bind, t, t_par
 
 _P = 2_147_483_647  # 2^31 - 1; (a*x + b) stays < 2^62 — no int64 overflow
 _N_HASHES = 64
@@ -60,13 +60,17 @@ _SHINGLE_N = 3
 
 
 def _shingles(col: str = "text") -> Column:
-    """Distinct word 3-gram shingles (0-based array subscripts)."""
-    w = F.split(F.col(col), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - _SHINGLE_N),
-            lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
-        )
+    """Distinct word 3-gram shingles (0-based array subscripts). The token
+    array is bound as a lambda variable (``common.bind``) so the split runs
+    once per row, not once per subscript reference."""
+    return bind(
+        F.split(F.col(col), " "),
+        lambda w: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - _SHINGLE_N),
+                lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+            )
+        ),
     )
 
 
@@ -144,32 +148,54 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix filtering (Xiao et al.): under ANY consistent global total order
     of shingles, a pair with J(A,B) ≥ t shares ≥ ceil(t·|A|) shingles, so
     its globally-smallest common shingle falls inside both docs' first
-    |x| − ceil(t·|x|) + 1 shingles. Only prefixes join (candidate volume ↓
-    ~(1−t)² vs the full inverted index), then candidates are exact-verified
-    — output identical to the naive join (pytest asserts equivalence).
-    The order used is (xxhash64, shingle): computable per-row with a narrow
-    array_sort — no global document-frequency pass, no extra shuffle (the
-    classic df-ascending order only adds value under heavy shingle skew)."""
+    |x| − ceil(t·|x|) + 1 shingles. Only prefixes join, then candidates are
+    exact-verified — output identical to the naive join (pytest asserts
+    equivalence).
+
+    The global order is DOCUMENT-FREQUENCY ASCENDING (tie-break on the
+    shingle): prefixes then hold each doc's globally RAREST shingles, which
+    is what makes the filter effective under a skewed shingle distribution
+    — with a random (hash) order a shingle shared by k docs lands in ~20%
+    of prefixes and seeds O(k²) candidates (measured 223k candidate pairs
+    on the fixture; df-ordering cuts it to ~the true pair count). The df
+    pass is one vocabulary-bounded groupBy + a co-partitioned join back —
+    all shuffles keyed on shingle, never all-pairs. PPJoin's length filter
+    (|B| ≥ t·|A|) prunes the rest."""
     docs = t_par(spark, sf_dir, "documents")
     sh = docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
         "doc_id", _shingles().alias("sh")
     )
-    ordered = F.array_sort(
-        F.transform("sh", lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    df_cnt = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(df_cnt, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("o")
+        )
     )
     prefix_len = (
-        F.size("sh") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.size("sh")) + 1
+        F.size("o") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.size("o")) + 1
     ).cast("int")
-    prefixes = sh.select(
-        "doc_id", F.explode(F.slice(ordered, 1, prefix_len)).alias("ps")
-    ).select("doc_id", F.col("ps.s").alias("shingle"))
+    prefixes = ordered.select(
+        "doc_id",
+        F.size("o").alias("sz"),
+        F.explode(
+            F.transform(F.slice(F.col("o"), F.lit(1), prefix_len), lambda x: x["shingle"])
+        ).alias("shingle"),
+    )
     a = prefixes.alias("a")
     b = prefixes.alias("b")
     cands = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J(A,B) ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t
+            & (F.col("b.sz") * F.lit(1.0) >= F.lit(JACCARD_THRESHOLD) * F.col("a.sz"))
+            & (F.col("a.sz") * F.lit(1.0) >= F.lit(JACCARD_THRESHOLD) * F.col("b.sz")),
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
