@@ -281,12 +281,13 @@ _PII_SQL = f"""
 _SAMPLE_SQL = f"""
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(CASE WHEN ((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}) % 100
-                         < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
-                    THEN 1 ELSE 0 END) AS n_sampled,
-           sum(CASE WHEN ((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}) % 100
-                         < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
-                    THEN len(string_split(text, ' ')) ELSE 0 END) AS sampled_tokens
+           CAST(sum(CASE WHEN ((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}) % 100
+                              < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN ((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}) % 100
+                              < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
+                         THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+               AS sampled_tokens
     FROM documents
     GROUP BY lang, source
 """
