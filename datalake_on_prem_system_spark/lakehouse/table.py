@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 BUCKET_COL = "__bucket"
 DEFAULT_N_BUCKETS = 32
 # reserved metadata column names (bucket layout + merge-on-read resolution)
-_RESERVED_COLS = {"__bucket", "__op", "__seq", "__rn"}
+_RESERVED_COLS = {"__bucket", "__op", "__seq", "__rn", "__is_delta"}
 # fold merge-on-read deltas back into base files once this many delta
 # commits have accumulated (Hudi compaction-on-N-delta-commits policy)
 DEFAULT_DELTA_COMPACT_THRESHOLD = 8
@@ -73,8 +73,12 @@ class Commit:
     version: int
     parent: int | None
     operation: str
-    # [{"path": <dir>, "bucket": int|None, "n_rows": int}] — the table state
-    # at this version is the union of these directories' parquet files
+    # [{"path": <dir>, "bucket": int|None, "n_rows": int, "seq": int,
+    #   "delta": int|None}] — the table state at this version is the union of
+    # these directories' parquet files. ``seq`` is the version of the commit
+    # that WROTE the entry (carried entries keep theirs; absent = 0 for
+    # pre-upgrade commits) and orders merge-on-read resolution: a delta
+    # upserts/deletes only rows written before it, never after.
     files: list[dict]
     n_rows: int
     schema_json: str
@@ -264,6 +268,8 @@ class LakeTable:
             bucket_pk=bucket_spec["pk"] if bucket_spec else None,
             n_buckets=bucket_spec["n"] if bucket_spec else None,
         )
+        for e in entries:
+            e["seq"] = version
         commit = Commit(
             version=version,
             parent=parent,
@@ -304,6 +310,8 @@ class LakeTable:
                 bucket_pk=seg_spec["pk"] if seg_spec else None,
                 n_buckets=seg_spec["n"] if seg_spec else None,
             )
+            for e in new_entries:
+                e["seq"] = version
             new_paths.append(path)
             entries = carried + new_entries
         if any(e.get("delta") is not None for e in entries):
@@ -371,12 +379,20 @@ class LakeTable:
     def _resolve(
         self, entries: list[dict], schema_json: str, bucket_spec: dict | None
     ) -> DataFrame:
-        """Merge-on-read resolution: base files union delta files, latest
-        commit per key wins, op='d' drops the key. Plain read when no delta
-        entries are present (pure COW state). Deltas are written in the
-        same bucket layout as the base, so resolving any bucket-subset of
-        entries is self-contained — the window shuffle only moves rows of
-        the touched buckets."""
+        """Merge-on-read resolution. A delta commit (keyed upsert/delete at
+        sequence v) replaces/removes ALL rows of its key written BEFORE v;
+        base segments written AFTER v (append/insert on a delta-bearing
+        table) simply add rows — append never keys, so it must not lose to
+        an older delta, and duplicate-key appends must all survive. Per key:
+
+            last = max delta __seq for the key (NULL if none)
+            base row  survives  iff last IS NULL or row.__seq > last
+            delta row survives  iff row.__seq == last and op != 'd'
+
+        Plain read when no delta entries are present (pure COW state).
+        Deltas are written in the same bucket layout as the base, so
+        resolving any bucket-subset of entries is self-contained — the
+        window shuffle only moves rows of the touched buckets."""
         deltas = [e for e in entries if e.get("delta") is not None]
         base_entries = [e for e in entries if e.get("delta") is None]
         if not deltas:
@@ -386,11 +402,17 @@ class LakeTable:
         pk = bucket_spec["pk"]
         logical = StructType.fromJson(json.loads(schema_json))
         delta_schema = StructType(list(logical.fields) + [StructField("__op", StringType(), True)])
-        parts = [
-            self._read_entries(base_entries, schema_json)
-            .withColumn("__op", F.lit("u"))
-            .withColumn("__seq", F.lit(0).cast("long"))
-        ]
+        parts = []
+        base_by_seq: dict[int, list[dict]] = {}
+        for e in base_entries:
+            base_by_seq.setdefault(int(e.get("seq", 0)), []).append(e)
+        for seq in sorted(base_by_seq):
+            parts.append(
+                self._read_entries(base_by_seq[seq], schema_json)
+                .withColumn("__op", F.lit("u"))
+                .withColumn("__seq", F.lit(seq).cast("long"))
+                .withColumn("__is_delta", F.lit(False))
+            )
         by_seq: dict[int, list[str]] = {}
         for e in deltas:
             by_seq.setdefault(int(e["delta"]), []).append(e["path"])
@@ -399,16 +421,24 @@ class LakeTable:
                 self.spark.read.schema(delta_schema)
                 .parquet(*by_seq[seq])
                 .withColumn("__seq", F.lit(seq).cast("long"))
+                .withColumn("__is_delta", F.lit(True))
             )
         allr = parts[0]
         for p in parts[1:]:
             allr = allr.unionByName(p)
-        w = Window.partitionBy(pk).orderBy(F.desc("__seq"))
+        w = Window.partitionBy(pk)
+        last = F.col("__last_delta")
+        survives = F.when(
+            F.col("__is_delta"),
+            (F.col("__seq") == last) & ~F.col("__op").eqNullSafe("d"),
+        ).otherwise(last.isNull() | (F.col("__seq") > last))
         return (
-            allr.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .filter(~F.col("__op").eqNullSafe("d"))
-            .drop("__rn", "__op", "__seq")
+            allr.withColumn(
+                "__last_delta",
+                F.max(F.when(F.col("__is_delta"), F.col("__seq"))).over(w),
+            )
+            .filter(survives)
+            .drop("__op", "__seq", "__is_delta", "__last_delta")
         )
 
     def _read_entries(self, entries: list[dict], schema_json: str) -> DataFrame:
@@ -430,23 +460,32 @@ class LakeTable:
         """Commit history, newest first — the ``$snapshots`` metadata table
         (api_poc.py:426-428, 490-493). Merge-on-read delta commits defer
         their row count (n_rows = -1 at commit time, so the ingest hot path
-        never pays a resolution join); it is resolved here on demand."""
-        rows = [self._read_commit(v) for v in self.versions()]
+        never pays a resolution join); it is resolved here on demand, then
+        CACHED back into the commit JSON so a deep delta chain costs one
+        resolution job per commit ever, not per history() call (the HTTP
+        /view endpoint calls this on every request)."""
+        rows = []
+        for v in self.versions():
+            c = self._read_commit(v)
+            if c.n_rows < 0:
+                c.n_rows = self._resolve(c.files, c.schema_json, c.bucket_spec).count()
+                self._rewrite_commit(c)
+            rows.append(c)
         return self.spark.createDataFrame(
-            [
-                (
-                    c.version,
-                    c.parent,
-                    c.operation,
-                    c.n_rows
-                    if c.n_rows >= 0
-                    else self._resolve(c.files, c.schema_json, c.bucket_spec).count(),
-                    c.committed_at,
-                )
-                for c in rows
-            ],
+            [(c.version, c.parent, c.operation, c.n_rows, c.committed_at) for c in rows],
             "version int, parent int, operation string, n_rows bigint, committed_at double",
         ).orderBy(F.desc("version"))
+
+    def _rewrite_commit(self, commit: Commit) -> None:
+        """Atomically replace a PUBLISHED commit's JSON in place (only for
+        backfilling a lazily-resolved n_rows — the file list never changes).
+        A concurrent reader sees either version; both are valid states."""
+        tmp = os.path.join(
+            self._commits_dir, f".{commit.version}-{uuid.uuid4().hex[:8]}.json.tmp"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(commit.__dict__, fh)
+        os.replace(tmp, os.path.join(self._commits_dir, f"{commit.version}.json"))
 
     # ---------------------------------------------------------------- writes
 
@@ -573,9 +612,11 @@ class LakeTable:
         resolves latest-per-key at read time. After
         ``write.merge.delta.compact-threshold`` delta commits (default 8)
         the next merge folds deltas back into base files, bounding read
-        cost. MOR assumes keys are unique in the base (guaranteed when all
-        writes go through merge) and callers pre-deduplicate each batch
-        (``precombine`` or upstream last-writer-wins).
+        cost. Appends/inserts interleave correctly with pending deltas:
+        every segment records the committing version as its resolution
+        sequence, so a delta affects only rows written before it. Callers
+        pre-deduplicate each merge batch (``precombine`` or upstream
+        last-writer-wins).
         """
         bad = _RESERVED_COLS & set(source.columns) - ({op_col} if op_col else set())
         if bad:
@@ -632,7 +673,12 @@ class LakeTable:
                 )
             # threshold reached: compact — resolve ALL accumulated deltas
             # (not just touched buckets) into fresh base files while
-            # applying this batch, so the delta chain resets to zero
+            # applying this batch, so the delta chain resets to zero.
+            # P12 guard: an empty/unparseable batch must not trigger a
+            # full-table-rewrite commit for zero change rows (the probe is
+            # one tiny job, paid only when compaction would run anyway)
+            if source.isEmpty():
+                return prev
             target = self._read_data(prev)
             untouched = target.join(source.select(pk), pk, "left_anti")
             result = untouched.unionByName(upserts, allowMissingColumns=True)
@@ -648,6 +694,13 @@ class LakeTable:
         candidates = [
             e for e in prev.files if e["bucket"] is None or e["bucket"] in touched
         ]
+        if any(e["bucket"] is None for e in candidates) and any(
+            e.get("delta") is not None for e in carried
+        ):
+            # an unbucketed segment may hold keys of UNTOUCHED buckets; its
+            # rewrite would get a seq newer than those buckets' pending
+            # deltas and resurrect deleted/replaced rows — resolve everything
+            candidates, carried = list(prev.files), []
         subset = self._resolve(candidates, prev.schema_json, spec)
         untouched_rows = subset.join(source.select(pk), pk, "left_anti")
         result = untouched_rows.unionByName(upserts, allowMissingColumns=True)
@@ -697,6 +750,7 @@ class LakeTable:
             return prev
         for e in new_entries:
             e["delta"] = version
+            e["seq"] = version
         entries = list(prev.files) + new_entries
         # the table's row count needs key resolution (delta rows overlap
         # base keys) — a join the ingest hot path must not pay per batch.
@@ -744,6 +798,12 @@ class LakeTable:
         candidates = [
             e for e in prev.files if e["bucket"] is None or e["bucket"] in touched
         ]
+        if any(e["bucket"] is None for e in candidates) and any(
+            e.get("delta") is not None for e in carried
+        ):
+            # see merge(): absorbing unbucketed rows must not outrank
+            # untouched buckets' pending deltas
+            candidates, carried = list(prev.files), []
         if not candidates:  # nothing affected: metadata-only commit
             return self._publish_delta(
                 operation, prev, carried, None, prev.schema_json, spec

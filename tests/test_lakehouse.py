@@ -425,3 +425,108 @@ def test_mor_update_delete_over_deltas(spark, tmp_path):
     assert rows[10] == 4.0 and 11 not in rows and rows[0] == 2.0 and len(rows) == 199
     # time travel back across the delta commits still resolves correctly
     assert {r.k: r.v for r in t.read(version=2).collect()}[10] == 3.0
+
+
+def test_mor_insert_after_delta_delete_is_not_resurrected_deleted(spark, tmp_path):
+    """A base write AFTER a MOR delta must outrank it: inserting a key that
+    an earlier (pending) delta deleted brings the key back; appending a row
+    for a key an earlier delta upserted ADDS a row (append never keys)."""
+    t = LakeTable(spark, str(tmp_path / "morseq"))
+    t.create_or_replace(
+        spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")),
+        properties={"write.merge.mode": "mor"},
+    )
+    t.merge(spark.createDataFrame([(0, 0.5)], "k long, v double"), pk="k")  # bucketize
+    t.merge(
+        spark.createDataFrame([(7, None, "d"), (9, 99.0, "u")], "k long, v double, op string"),
+        pk="k",
+        op_col="op",
+    )  # pending delta: delete 7, upsert 9
+    assert 7 not in {r.k for r in t.read().collect()}
+    # later INSERT of the deleted key must win over the older delta
+    t.insert_rows([{"k": 7, "v": 77.0}])
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[7] == 77.0 and rows[9] == 99.0
+    # later APPEND of an upserted key adds a second row for it
+    t.append(spark.createDataFrame([(9, 999.0)], "k long, v double"))
+    vals = sorted(r.v for r in t.read().collect() if r.k == 9)
+    assert vals == [99.0, 999.0]
+    # a NEWER delta then re-deletes every row of the key, appended included
+    t.merge(
+        spark.createDataFrame([(9, None, "d")], "k long, v double, op string"),
+        pk="k",
+        op_col="op",
+    )
+    assert 9 not in {r.k for r in t.read().collect()}
+
+
+def test_mor_duplicate_key_appends_survive_pending_deltas(spark, tmp_path):
+    """Duplicate-key rows appended while a delta is pending must not be
+    collapsed to one row per key by resolution."""
+    t = LakeTable(spark, str(tmp_path / "mordup"))
+    t.create_or_replace(
+        spark.range(20).select(F.col("id").alias("k"), F.lit(1.0).alias("v")),
+        properties={"write.merge.mode": "mor"},
+    )
+    t.merge(spark.createDataFrame([(0, 2.0)], "k long, v double"), pk="k")  # bucketize
+    t.merge(spark.createDataFrame([(1, 3.0)], "k long, v double"), pk="k")  # pending delta
+    t.append(spark.createDataFrame([(15, 10.0), (15, 11.0)], "k long, v double"))
+    rows = [r.v for r in t.read().collect() if r.k == 15]
+    assert sorted(rows) == [1.0, 10.0, 11.0]
+
+
+def test_mor_empty_batch_at_compact_threshold_is_noop(spark, tmp_path):
+    """An empty change batch must not trigger the threshold-compaction
+    branch's full-table-rewrite commit."""
+    t = LakeTable(spark, str(tmp_path / "morempty"))
+    t.create_or_replace(
+        spark.range(30).select(F.col("id").alias("k"), F.lit(0).alias("v")),
+        properties={"write.merge.mode": "mor", "write.merge.delta.compact-threshold": "1"},
+    )
+    t.merge(spark.createDataFrame([(0, 1)], "k long, v long"), pk="k")  # bucketize
+    t.merge(spark.createDataFrame([(1, 2)], "k long, v long"), pk="k")  # delta #1
+    v_before = t.latest_version()
+    empty = spark.createDataFrame([], "k long, v long")
+    t.merge(empty, pk="k")  # at threshold, but empty → no commit
+    assert t.latest_version() == v_before
+
+
+def test_cow_merge_escalates_when_unbucketed_rows_could_outrank_deltas(spark, tmp_path):
+    """A cow-mode merge on a table holding BOTH an unbucketed segment and
+    pending deltas for untouched buckets must not resurrect delta-deleted
+    keys when it absorbs the unbucketed rows at a newer sequence."""
+    t = LakeTable(spark, str(tmp_path / "cowesc"))
+    t.create_or_replace(
+        spark.range(100).select(F.col("id").alias("k"), F.lit(1.0).alias("v")),
+        properties={"write.merge.mode": "mor"},
+    )
+    t.merge(spark.createDataFrame([(0, 2.0)], "k long, v double"), pk="k")  # bucketize
+    t.merge(
+        spark.createDataFrame([(42, None, "d")], "k long, v double, op string"),
+        pk="k",
+        op_col="op",
+    )  # pending delta delete of 42 (before the unbucketed segment lands)
+    # schema-evolving append WITHOUT the pk column → unbucketed segment
+    t.append(spark.createDataFrame([("x",)], "tag string"))
+    assert 42 not in {r.k for r in t.read().collect()}
+    # explicit cow merge touching (almost surely) a different bucket
+    t.merge(spark.createDataFrame([(1, 9.0)], "k long, v double"), pk="k", mode="cow")
+    rows = {r.k for r in t.read().collect() if r.k is not None}
+    assert 42 not in rows and 1 in rows
+
+
+def test_history_caches_resolved_mor_counts(spark, tmp_path):
+    """history() backfills a delta commit's deferred n_rows into the commit
+    JSON so later calls don't re-resolve."""
+    t = LakeTable(spark, str(tmp_path / "morhist"))
+    t.create_or_replace(
+        spark.range(10).select(F.col("id").alias("k"), F.lit(0).alias("v")),
+        properties={"write.merge.mode": "mor"},
+    )
+    t.merge(spark.createDataFrame([(0, 1)], "k long, v long"), pk="k")
+    t.merge(spark.createDataFrame([(3, 5)], "k long, v long"), pk="k")  # delta
+    v = t.latest_version()
+    assert t._read_commit(v).n_rows == -1
+    hist = {r.version: r.n_rows for r in t.history().collect()}
+    assert hist[v] == 10
+    assert t._read_commit(v).n_rows == 10  # cached back into the JSON
