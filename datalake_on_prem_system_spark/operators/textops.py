@@ -193,8 +193,16 @@ def tx_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (q, doc_id) is a total order (doc_id unique) → range partitions are
     # disjoint rank ranges; local rank + partition offset = exact global rank
     n_parts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = scored.repartitionByRange(n_parts, F.col("q"), F.col("doc_id")).withColumn(
-        "__pid", F.spark_partition_id()
+    # persist BEFORE the counts action: repartitionByRange re-samples its
+    # range boundaries per execution (seed derives from the fresh RDD id),
+    # so the counts job and the final job must share ONE materialized
+    # partitioning or the collected offsets describe the wrong partitions.
+    # The cache is pinned to one physical plan; evicted blocks recompute
+    # from the same shuffle output, preserving the boundaries.
+    ranged = (
+        scored.repartitionByRange(n_parts, F.col("q"), F.col("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     counts = dict(
         (r["__pid"], r["cnt"])
