@@ -20,6 +20,8 @@ lake_cli.py:122-157, lake_shell.py:19-316) onto the Spark-native substrate:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,8 +37,11 @@ class LakeEngine:
         self.spark = spark
         self.catalog = LakeCatalog(spark, warehouse, namespace)
         self.catalog.create_namespace()
-        # (table root, commit version) → materialized search-index path
+        # (table root, commit version) → materialized search-index path.
+        # Guarded by a lock: the HTTP facade serves this engine from a
+        # ThreadingHTTPServer, so concurrent searches must not double-build.
         self._search_index_cache: dict[tuple[str, int], str] = {}
+        self._search_index_lock = threading.Lock()
 
     # ------------------------------------------------------------- metadata
 
@@ -196,25 +201,31 @@ class LakeEngine:
         materialized per (table root, commit version): the K6 sync_to_es
         analog, invalidated by the next commit, so repeat searches scan the
         narrow index instead of recomputing the projection over the full
-        base table (api_poc.py:38-42 keeps a live ES index the same way)."""
+        base table (api_poc.py:38-42 keeps a live ES index the same way).
+
+        Thread-safe: the lock prevents concurrent requests from
+        double-building one version's index. Stale versions' index dirs are
+        dropped from the cache but left ON DISK — a still-in-flight lazy
+        search DataFrame may read them; ``expire_snapshots`` GCs them with
+        their commits."""
         import os
-        import shutil
 
         t = self.catalog.table(table)
         df = t.read()
         pk = find_id_col(df.columns)
         version = t.latest_version()
         key = (t.root, version)
-        if key not in self._search_index_cache:
-            path = os.path.join(t.root, "_search_index", f"{version}.parquet")
-            build_search_df(df, pk, [c for c in df.columns if c != pk]).write.mode(
-                "overwrite"
-            ).parquet(path)
-            stale = [k for k in self._search_index_cache if k[0] == t.root]
-            for k in stale:
-                shutil.rmtree(self._search_index_cache.pop(k), ignore_errors=True)
-            self._search_index_cache[key] = path
-        return self.spark.read.parquet(self._search_index_cache[key]), df, pk
+        with self._search_index_lock:
+            if key not in self._search_index_cache:
+                path = os.path.join(t.root, "_search_index", f"{version}.parquet")
+                build_search_df(df, pk, [c for c in df.columns if c != pk]).write.mode(
+                    "overwrite"
+                ).parquet(path)
+                for k in [k for k in self._search_index_cache if k[0] == t.root]:
+                    self._search_index_cache.pop(k)
+                self._search_index_cache[key] = path
+            path = self._search_index_cache[key]
+        return self.spark.read.parquet(path), df, pk
 
     def search(self, table: str, query: str, top_k: int = 50) -> DataFrame:
         """E1–E5: numeric fast path → ranked all-words/phrase search over
