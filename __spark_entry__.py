@@ -18,9 +18,11 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _configure(spark: SparkSession) -> SparkSession:
-    """Session configs the engine needs when the driver owns the session:
-    the fixture events.parquet stores INT64 TIMESTAMP(NANOS), which Spark 4
-    only reads with nanosAsLong (operators.common.t() converts back)."""
+    """Session configs the engine needs when the driver owns the session.
+    nanosAsLong covers the legacy INT64 TIMESTAMP(NANOS) fixture shape (a
+    no-op for the current timestamp[us] fixtures); UTC pins the session tz
+    so operators.common.t()'s TIMESTAMP_NTZ→timestamp normalization is
+    wall-clock-identical to DuckDB's naive timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark

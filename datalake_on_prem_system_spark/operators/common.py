@@ -7,7 +7,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampType
 
 
 def bind(expr: Column, fn: Callable[[Column], Column]) -> Column:
@@ -27,16 +27,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (parquet; column pruning + predicate pushdown
     handled by the DSv2 parquet source).
 
-    ``events.ts`` is stored as INT64 TIMESTAMP(NANOS), which Spark 4 only
-    reads with ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in
-    ``session.get_spark``) — it then surfaces as a raw long. Convert back to
-    a microsecond timestamp with exact integer division (``div``), matching
-    DuckDB's nanos→micros truncation bit-for-bit (double division would lose
-    precision above 2^53 ns).
+    ``events.ts`` has shipped in two physical shapes across fixture
+    generations, so normalize ANY dtype to a session-tz ``TimestampType``:
+
+    - INT64 TIMESTAMP(NANOS): Spark 4 only reads it with
+      ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in
+      ``session.get_spark``), surfacing a raw long — convert with exact
+      integer division (``div``), matching DuckDB's nanos→micros truncation
+      bit-for-bit (double division would lose precision above 2^53 ns).
+    - timestamp[us] without isAdjustedToUTC: Spark 4 surfaces TIMESTAMP_NTZ,
+      which ``unix_micros`` et al. hard-reject — cast to ``timestamp``. The
+      session timezone is pinned UTC (``session.py``), so the NTZ→TZ cast is
+      wall-clock-identical to DuckDB's naive timestamp.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

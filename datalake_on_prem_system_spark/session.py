@@ -48,9 +48,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # Fixture parquet stores INT64 TIMESTAMP(NANOS); Spark 4 refuses it
-        # unless read as long — operators.common.t() converts back to a
-        # microsecond timestamp (matching DuckDB's nanos→micros truncation).
+        # Legacy fixture shape: INT64 TIMESTAMP(NANOS), which Spark 4 refuses
+        # unless read as long. Harmless no-op for the current timestamp[us]
+        # fixtures; operators.common.t() normalizes either shape.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.showConsoleProgress", "false")
