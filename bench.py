@@ -1,14 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": dir}. Per-query time includes full execution
-(collect to driver via count/collect of the final small result).
+"queries": {name: sec}, "cdc_rows_per_sec": N|null, "errors": {...}?,
+"sf": dir}. Per-query time is the median of $SPARK_GRAFT_BENCH_RUNS (default
+3) full executions (collect of the final small result). Every query and the
+CDC block are individually fault-isolated: a failure records an error string
+and the JSON line always prints.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -47,49 +51,81 @@ HEADLINERS = [
 ]
 
 
+def _reset_memoized_work(name: str) -> None:
+    """Some queries memoize their MEASURED work (not just input fixtures)
+    across calls — median-of-N would otherwise time the first (real) run
+    against N-1 cache reads. Input-fixture caches (envelope corpus, search
+    index) stay warm on purpose: they're setup, not the operator."""
+    if name == "lh_merge_upsert":
+        from datalake_on_prem_system_spark.operators import lakehouse_ops
+
+        lakehouse_ops._MERGED_CACHE.clear()
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     qs = entry_mod.queries()
 
     # warm the session (JVM + parquet footer reads) and build the derived
     # search index (a K6 maintenance op, amortized across queries in
-    # production) outside the timed region
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
-    from datalake_on_prem_system_spark.operators.search import sync_search_index
+    # production) outside the timed region; a warm-up failure only costs
+    # accuracy, never the bench itself
+    try:
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+        from datalake_on_prem_system_spark.operators.search import sync_search_index
 
-    sync_search_index(spark, SF_DIR)
+        sync_search_index(spark, SF_DIR)
 
-    # warm the Structured Streaming machinery too (first streaming query in
-    # a session pays ~3s of one-time planner/codegen init that would
-    # otherwise land on whichever streaming headliner runs first)
-    import tempfile as _tf
+        # warm the Structured Streaming machinery too (first streaming query
+        # in a session pays ~3s of one-time planner/codegen init that would
+        # otherwise land on whichever streaming headliner runs first)
+        import tempfile as _tf
 
-    _wdir = _tf.mkdtemp(prefix="bench_warm_")
-    with open(os.path.join(_wdir, "w.txt"), "w") as _fh:
-        _fh.write("warm\n")
-    (
-        spark.readStream.text(_wdir)
-        .writeStream.format("noop")
-        .option("checkpointLocation", os.path.join(_wdir, "ck"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+        _wdir = _tf.mkdtemp(prefix="bench_warm_")
+        with open(os.path.join(_wdir, "w.txt"), "w") as _fh:
+            _fh.write("warm\n")
+        (
+            spark.readStream.text(_wdir)
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(_wdir, "ck"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"# warmup: ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINERS:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        # collect, not count: count() lets Catalyst prune the aggregate
-        # expressions out of the plan, silently excluding the very work
-        # being measured (verified on q1: all 8 aggregates optimized away)
-        n = len(df.collect())
-        dt = round(time.perf_counter() - t0, 3)
+        # per-query fault isolation: one broken query must never erase the
+        # round's other measurements (round-4 lesson — a single
+        # AnalysisException killed the whole bench before the JSON print)
+        samples: list[float] = []
+        try:
+            for _ in range(runs):
+                _reset_memoized_work(name)
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                # collect, not count: count() lets Catalyst prune the aggregate
+                # expressions out of the plan, silently excluding the very work
+                # being measured (verified on q1: all 8 aggregates optimized away)
+                n = len(df.collect())
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 - record and move on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
+        dt = round(statistics.median(samples), 3)
         times[name] = dt
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.3f}s median of {len(samples)} ({n} rows)",
+            file=sys.stderr,
+        )
 
     # sustained CDC merge throughput (reference headline: ~50k rows/sec,
     # OZONE_ARCHITECTURE.md:75): envelope corpus pre-generated at 10x the
@@ -97,37 +133,51 @@ def main() -> None:
     # region = the streaming consume + MOR merge only. 10x amortizes the
     # one-shot availableNow query setup, so this measures the sustained
     # rate a long-running stream sees, not cold-start.
-    from datalake_on_prem_system_spark.operators import streaming_ops as so
-    from datalake_on_prem_system_spark.streaming.cdc import run_cdc_file_stream
-    import tempfile
+    cdc_rps: int | None = None
+    try:
+        from datalake_on_prem_system_spark.operators import streaming_ops as so
+        from datalake_on_prem_system_spark.streaming.cdc import run_cdc_file_stream
+        import tempfile
 
-    _CDC_COPIES = 10
-    src = so._envelope_dir(spark, SF_DIR, n_files=1, copies=_CDC_COPIES)
-    n_changes = so._changes(spark, SF_DIR).count() * _CDC_COPIES
-    work = tempfile.mkdtemp(prefix="bench_cdc_")
-    table = so._seed_target(spark, SF_DIR, os.path.join(work, "tbl"))
-    t0 = time.perf_counter()
-    run_cdc_file_stream(
-        spark, table, pk="user_id", row_ddl=so._ROW_DDL, src_dir=src,
-        checkpoint_dir=os.path.join(work, "ckpt"),
-        order_cols=["ts_us", "event_id"], drop_cols=["event_id", "ts_us"],
-    )
-    cdc_sec = time.perf_counter() - t0
-    cdc_rps = round(n_changes / cdc_sec)
-    print(f"# cdc_throughput: {n_changes} rows in {cdc_sec:.3f}s = {cdc_rps} rows/s", file=sys.stderr)
-
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "cdc_rows_per_sec": cdc_rps,
-                "sf": SF_DIR,
-            }
+        _CDC_COPIES = 10
+        src = so._envelope_dir(spark, SF_DIR, n_files=1, copies=_CDC_COPIES)
+        n_changes = so._changes(spark, SF_DIR).count() * _CDC_COPIES
+        # median-of-N with a fresh target per run: the first pass of this
+        # pipeline shape pays one-time whole-stage-codegen/JIT (measured 9.2s
+        # → 2.3s run-over-run at sf0.1), which a long-running stream never
+        # sees again — the median is the sustained rate the metric claims
+        cdc_secs: list[float] = []
+        for _ in range(runs):
+            work = tempfile.mkdtemp(prefix="bench_cdc_")
+            table = so._seed_target(spark, SF_DIR, os.path.join(work, "tbl"))
+            t0 = time.perf_counter()
+            run_cdc_file_stream(
+                spark, table, pk="user_id", row_ddl=so._ROW_DDL, src_dir=src,
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                order_cols=["ts_us", "event_id"], drop_cols=["event_id", "ts_us"],
+            )
+            cdc_secs.append(time.perf_counter() - t0)
+        cdc_sec = statistics.median(cdc_secs)
+        cdc_rps = round(n_changes / cdc_sec)
+        print(
+            f"# cdc_throughput: {n_changes} rows in {cdc_sec:.3f}s median of "
+            f"{len(cdc_secs)} = {cdc_rps} rows/s", file=sys.stderr,
         )
-    )
+    except Exception as exc:  # noqa: BLE001
+        errors["cdc_throughput"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# cdc_throughput: ERROR {errors['cdc_throughput']}", file=sys.stderr)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "cdc_rows_per_sec": cdc_rps,
+        "sf": SF_DIR,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

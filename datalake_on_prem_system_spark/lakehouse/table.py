@@ -63,9 +63,15 @@ DEFAULT_DELTA_COMPACT_THRESHOLD = 8
 
 
 def _bucket_expr(pk: str, n: int):
-    # coalesce: a NULL pk hashes to NULL — park it in bucket 0 instead of a
-    # __HIVE_DEFAULT_PARTITION__ dir (equi-joins never match NULL anyway)
-    return F.coalesce(F.pmod(F.xxhash64(F.col(pk)), F.lit(n)), F.lit(0)).cast("int")
+    # pmod(hash(pk), n) is EXACTLY Spark's HashPartitioning partition-id
+    # formula (Murmur3, seed 42), so `df.repartition(n, F.col(pk))` places
+    # every row of bucket i in shuffle partition i — each write task then
+    # produces exactly one bucket dir (one open parquet writer, no
+    # multi-value dynamic-partition sort) and bucket-granular layouts stay
+    # aligned with any later repartition on the pk. F.hash never returns
+    # NULL (a NULL pk hashes to the seed), matching the partitioner on
+    # NULLs too — no __HIVE_DEFAULT_PARTITION__ dirs.
+    return F.pmod(F.hash(F.col(pk)), F.lit(n)).cast("int")
 
 
 @dataclass
@@ -174,8 +180,12 @@ class LakeTable:
         if bucket_pk is not None:
             n = n_buckets or DEFAULT_N_BUCKETS
             out = df.withColumn(BUCKET_COL, _bucket_expr(bucket_pk, n))
-            # co-locate each bucket in one task → one file per bucket dir
-            out = out.repartition(n, F.col(BUCKET_COL))
+            # repartition on the PK itself: HashPartitioning's partition id
+            # equals _bucket_expr, so partition i == bucket i — every task
+            # writes exactly ONE leaf dir with one open parquet writer
+            # (hashing BUCKET_COL instead would collide bucket ids across
+            # partitions: multi-dir tasks + idle tasks)
+            out = out.repartition(n, F.col(bucket_pk))
             out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
             entries = []
             for d in sorted(os.listdir(path)):

@@ -36,6 +36,15 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
+        # In local mode every task runs in the driver JVM, whose default 1g
+        # heap starves N concurrent parquet writers (MemoryManager row-group
+        # downscaling → tiny row groups → slow reads) and forces GC churn.
+        # 8g measured best: a 24g heap let G1 accumulate huge mixed
+        # collections (identical CDC batches swung 1.8s→14.6s; at 8g the
+        # spread was 2.0s→3.6s). Only effective before the JVM starts — a
+        # no-op under spark-submit with an explicit --driver-memory, and
+        # irrelevant on a real cluster where executors own the task heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
