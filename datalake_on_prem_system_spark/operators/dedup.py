@@ -293,49 +293,74 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature from per-shingle hash
     bit votes; pairs joined on any equal 16-bit band (pigeonhole: guarantees
-    recall for hamming ≤ 3), kept if hamming ≤ 6. Engine-specific hashing
-    (xxhash64) ⇒ rows-only check; the pytest suite asserts it recovers the
-    planted near-dup pairs."""
+    recall for hamming ≤ 3 over 4 bands, probabilistically catches ≤ 6),
+    kept if hamming ≤ 6.
+
+    The shingle hash is the first 16 hex chars of md5 split into two 32-bit
+    halves — deliberately engine-portable so the DuckDB oracle replays the
+    IDENTICAL signature arithmetic (hash → bit votes → band hashes →
+    banded join → hamming), giving the approximate operator a true
+    hash-checked oracle instead of a rows-only check. md5 costs ~2× a
+    native xxhash64 per shingle; signature build is a tiny fraction of the
+    pass (the banded self-join dominates), and the 64 bit-vote sums and
+    band packing are unchanged. Bands are packed directly from the votes
+    (no 64-bit signature with a sign-bit special case); hamming distance =
+    Σ bit_count(bandᵢ ⊕ bandᵢ′) over the four 16-bit bands.
+    """
     docs = t_par(spark, sf_dir, "documents")
-    toks = docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
-        "doc_id", F.explode(_shingles()).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    md5 = F.md5("tok")
+    toks = (
+        docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N)
+        .select("doc_id", F.explode(_shingles()).alias("tok"))
+        .select(
+            "doc_id",
+            # two 32-bit halves of md5's first 16 hex chars (bits 0..31 and
+            # 32..63 of the signature space); conv() parses hex → decimal
+            F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint").alias("h_lo"),
+            F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint").alias("h_hi"),
+        )
+    )
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+                F.shiftright(F.col("h_lo" if j < 32 else "h_hi"), j % 32)
+                .bitwiseAND(F.lit(1)) * 2 - 1
             ).alias(f"v{j}")
             for j in range(64)
         ]
     )
-    simhash = sum(
-        (
-            # bit 63 is the int64 sign bit: its set-value is -(2^63)
-            F.when(
-                F.col(f"v{j}") > 0,
-                F.lit((1 << j) if j < 63 else -(1 << 63)).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-            for j in range(64)
-        ),
-        F.lit(0).cast("bigint"),
-    )
-    sigs = votes.select("doc_id", simhash.alias("simhash"))
+    band_cols = [
+        sum(
+            (
+                F.when(F.col(f"v{bi * 16 + k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+                for k in range(1, 16)
+            ),
+            F.when(F.col(f"v{bi * 16}") > 0, F.lit(1)).otherwise(F.lit(0)),
+        ).alias(f"bh{bi}")
+        for bi in range(4)
+    ]
+    sigs = votes.select("doc_id", *band_cols)
     band_arr = F.array(
         *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), bi * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("bh"),
-            )
+            F.struct(F.lit(bi).alias("band"), F.col(f"bh{bi}").alias("bh"))
             for bi in range(4)
         ]
     )
-    bands = sigs.select("doc_id", "simhash", F.explode(band_arr).alias("b")).select(
-        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    bands = sigs.select(
+        "doc_id", "bh0", "bh1", "bh2", "bh3", F.explode(band_arr).alias("b")
+    ).select(
+        "doc_id", "bh0", "bh1", "bh2", "bh3",
+        F.col("b.band").alias("band"), F.col("b.bh").alias("bh"),
     )
     sa = bands.alias("sa")
     sb = bands.alias("sb")
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"sa.bh{bi}").bitwiseXOR(F.col(f"sb.bh{bi}")))
+            for bi in range(1, 4)
+        ),
+        F.bit_count(F.col("sa.bh0").bitwiseXOR(F.col("sb.bh0"))),
+    )
     return (
         sa.join(
             sb,
@@ -346,9 +371,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("sa.doc_id").alias("a_id"),
             F.col("sb.doc_id").alias("b_id"),
-            F.bit_count(
-                F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))
-            ).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= 6)
@@ -419,9 +442,65 @@ QUERIES = {
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_minhash_lsh": dd_minhash_lsh,
-    "dd_simhash": dd_simhash,  # rows-only: engine-specific hash
+    "dd_simhash": dd_simhash,
     "dd_embedding_cosine": dd_embedding_cosine,
 }
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replay of dd_simhash's EXACT signature arithmetic: same md5
+    half-hashes, same 64 bit-vote sums, same 16-bit band packing, same
+    banded join + hamming filter — a true hash-checked oracle for the
+    approximate operator (possible because the hash is engine-portable)."""
+    votes = ",\n                   ".join(
+        f"sum((({'h_lo' if j < 32 else 'h_hi'} >> {j % 32}) & 1) * 2 - 1) AS v{j}"
+        for j in range(64)
+    )
+    bands = ",\n                   ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN v{bi * 16 + k} > 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(16)
+        )
+        + f") AS bh{bi}"
+        for bi in range(4)
+    )
+    band_union = "\n            UNION ALL ".join(
+        f"SELECT doc_id, bh0, bh1, bh2, bh3, {bi} AS band, bh{bi} AS bh FROM sigs"
+        for bi in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.bh{bi}, b.bh{bi}))" for bi in range(4))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') w FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) s
+            FROM toks WHERE len(w) >= 3
+        ), ex AS (
+            SELECT doc_id, unnest(s) tok FROM sh
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) h_lo,
+                   CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) h_hi
+            FROM ex
+        ), votes AS (
+            SELECT doc_id, {votes}
+            FROM hashed GROUP BY doc_id
+        ), sigs AS (
+            SELECT doc_id, {bands}
+            FROM votes
+        ), bands AS (
+            {band_union}
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id a_id, b.doc_id b_id,
+                   CAST({hamming} AS INTEGER) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 6
+    """
 
 _PAIR_JACCARD_SQL = """
     WITH toks AS (
@@ -460,6 +539,7 @@ ORACLE = {
     # LSH + exact verify equals the exact result w.p. ~1 at the fixture's
     # planted-dup similarity levels (see module docstring)
     "dd_minhash_lsh": _PAIR_JACCARD_SQL,
+    "dd_simhash": _simhash_oracle_sql(),
     "dd_embedding_cosine": """
         WITH v AS (
             SELECT vec_id,

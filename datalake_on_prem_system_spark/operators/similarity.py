@@ -146,8 +146,9 @@ def _plane_sig(v: Column) -> Column:
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for vec_id=0 via random-hyperplane LSH: corpus bucketed by
     signature, query probes its bucket plus all hamming-1 neighbor buckets,
-    exact cosine rerank within candidates. Approximate ⇒ rows-only check;
-    pytest measures recall vs sim_brute_topk."""
+    exact cosine rerank within candidates. The fixed-plane signatures are
+    deterministic, so the DuckDB oracle replays the identical algorithm
+    (hash-checked); pytest additionally measures recall vs sim_brute_topk."""
     vecs = _vecs(spark, sf_dir).withColumn("sig", _plane_sig(F.col("v")))
     q = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("v").alias("qv"),
@@ -169,21 +170,48 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (sf_dir, nlist) → (assignments parquet path, centroid list); the index
-# is immutable once built — the fixture tables never change mid-process
-_IVF_CACHE: dict[tuple[str, int], tuple[str, list[list[float]]]] = {}
-_IVF_FITS = 0  # test hook: counts actual KMeans fits
+# (sf_dir, nlist) → (assignments parquet path, [(cell_id, centroid)]); the
+# index is immutable once built — the fixture tables never change mid-process
+_IVF_CACHE: dict[tuple[str, int], tuple[str, list[tuple[int, list[float]]]]] = {}
+_IVF_FITS = 0  # test hook: counts actual coarse-quantizer fits
+
+_NLIST = 16
+_NPROBE = 4
+
+
+def _sqdist(v: Column, c: Column) -> Column:
+    """Squared L2 distance as a sequential left fold (zip → square → fold),
+    so the DuckDB oracle reproduces the identical double summation."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
 
 
 def build_ivf_index(
-    spark: SparkSession, sf_dir: str, nlist: int = 16
-) -> tuple[str, list[list[float]]]:
-    """One-time IVF index build (the 'CREATE INDEX' op): MLlib KMeans
-    (fixed seed) partitions the corpus into nlist cells; assignments are
-    persisted as parquet HIVE-PARTITIONED ON cell (so a probe prunes to
-    nprobe/nlist directories at the scan), centroids as driver-side floats
-    (nlist·dim — metadata-sized). Queries never re-fit: at a billion
-    vectors this is the offline index build, re-run only on corpus drift."""
+    spark: SparkSession, sf_dir: str, nlist: int = _NLIST
+) -> tuple[str, list[tuple[int, list[float]]]]:
+    """One-time IVF index build (the 'CREATE INDEX' op), fully DETERMINISTIC
+    so the DuckDB oracle can replay training bit-for-bit:
+
+    1. Forgy init: the ``nlist`` lowest-vec_id vectors seed the cells.
+    2. One Lloyd refinement: every vector joins its nearest seed (argmin of
+       the fold-ordered squared distance, ties to the lower cell id); each
+       cell's centroid is the mean of its members, summed in vec_id order
+       via ``sort_array(collect_list(...))`` + a zip-fold — canonical
+       summation order, identical doubles on any partitioning and in the
+       oracle's ``list(vec ORDER BY vec_id)`` replay.
+    3. Final assignment against the refined centroids; persisted as parquet
+       HIVE-PARTITIONED ON cell (a probe prunes to nprobe/nlist dirs at the
+       scan). Centroids live driver-side (nlist·dim floats — metadata).
+
+    Queries never re-fit: at a billion vectors this is the offline index
+    build (production trains on a bounded sample exactly like this — FAISS
+    trains IVF coarse quantizers on ~256k sampled vectors), re-run only on
+    corpus drift. The per-cell collect_list is training-side only and
+    bounded by the training sample, never by the corpus.
+    """
     global _IVF_FITS
     import os
     import tempfile
@@ -191,16 +219,49 @@ def build_ivf_index(
     key = (os.path.abspath(sf_dir), nlist)
     if key in _IVF_CACHE:
         return _IVF_CACHE[key]
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    vecs = _vecs(spark, sf_dir).withColumn("feat", array_to_vector("v"))
-    km = KMeans(k=nlist, seed=42, featuresCol="feat", predictionCol="cell")
-    model = km.fit(vecs)
+    vecs = _vecs(spark, sf_dir)
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.v])
+        for r in vecs.filter(F.col("vec_id") < nlist).select("vec_id", "v").collect()
+    ]
+    seeds.sort()
+
+    def argmin_cell(centers: list[tuple[int, list[float]]]) -> Column:
+        # array_min over (dist, cell) structs = lexicographic min: nearest
+        # centroid, ties to the lower cell id — same rule the oracle's
+        # row_number() OVER (ORDER BY dist, cell) applies
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sqdist(F.col("v"), F.array(*[F.lit(x) for x in c])).alias("d"),
+                        F.lit(ci).alias("c"),
+                    )
+                    for ci, c in centers
+                ]
+            )
+        )["c"]
+
+    seeded = vecs.withColumn("cell0", argmin_cell([(i, c) for i, (_, c) in enumerate(seeds)]))
+    refined = (
+        seeded.groupBy("cell0")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("vec_id", "v"))),
+                F.array_repeat(F.lit(0.0), _DIM),
+                lambda acc, r: F.zip_with(acc, r["v"], lambda a, x: a + x),
+            ).alias("vsum"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("cell0", F.transform("vsum", lambda s: s / F.col("cnt")).alias("centroid"))
+        .collect()
+    )
+    centers = sorted((int(r.cell0), [float(x) for x in r.centroid]) for r in refined)
     _IVF_FITS += 1
+
     path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "assignments")
-    model.transform(vecs).drop("feat").write.partitionBy("cell").parquet(path)
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    vecs.withColumn("cell", argmin_cell(centers)).write.partitionBy("cell").parquet(path)
     _IVF_CACHE[key] = (path, centers)
     return _IVF_CACHE[key]
 
@@ -210,19 +271,23 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the persisted cell-partitioned index (``build_ivf_index``,
     train-once), ranks centroids driver-side (nlist floats), scans only the
     nprobe nearest cells (partition-pruned), exact cosine rerank inside.
-    Approximate ⇒ rows-only; pytest measures recall vs sim_brute_topk."""
-    nlist, nprobe = 16, 4
+    Training is deterministic (see ``build_ivf_index``), so the DuckDB
+    oracle replays the whole algorithm — index build included — as a
+    hash-checked compare; pytest additionally measures recall."""
+    nlist, nprobe = _NLIST, _NPROBE
     path, centers = build_ivf_index(spark, sf_dir, nlist)
     assigned = spark.read.parquet(path)
 
     q_row = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select("v", "norm").head()
     qv, qnorm = q_row.v, q_row.norm
-    # rank cells by centroid distance to the query (driver-side: nlist floats)
+    # rank cells by centroid distance to the query (driver-side: nlist
+    # floats; python's left-to-right sum reproduces the same fold as
+    # _sqdist, so probe selection matches the oracle's)
     d2 = [
-        (ci, sum((c[i] - qv[i]) ** 2 for i in range(len(qv))))
-        for ci, c in enumerate(centers)
+        (sum((c[i] - qv[i]) * (c[i] - qv[i]) for i in range(len(qv))), ci)
+        for ci, c in centers
     ]
-    probe_cells = [ci for ci, _ in sorted(d2, key=lambda x: x[1])[:nprobe]]
+    probe_cells = [ci for _, ci in sorted(d2)[:nprobe]]
 
     q_lit = F.array(*[F.lit(float(x)) for x in qv])
     return (
@@ -239,9 +304,52 @@ QUERIES = {
     "sim_brute_topk": sim_brute_topk,
     "sim_topk_per_label": sim_topk_per_label,
     "sim_knn_join": sim_knn_join,
-    "sim_ann_lsh": sim_ann_lsh,  # rows-only: approximate by construction
-    "sim_ann_ivf": sim_ann_ivf,  # rows-only: approximate by construction
+    "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
 }
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB replay of sim_ann_lsh's EXACT algorithm — same fixed
+    hyperplanes (repr() round-trips each float64 bit-exactly), same
+    sequential-fold dot products (list_reduce ↔ F.aggregate), same sign-bit
+    signatures, same hamming-1 probe set, same rerank. A true hash-checked
+    oracle for the approximate path: it validates the approximation itself,
+    not a recall assumption."""
+
+    def dot(plane: list[float]) -> str:
+        lits = ", ".join(repr(c) for c in plane)
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[vec[j] * ([{lits}])[j] for j in range(1, len(vec) + 1)]), "
+            "(a, x) -> a + x)"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES)
+    )
+    probe_list = ", ".join(
+        ["sig"] + [f"xor(sig, {1 << i})" for i in range(_N_PLANES)]
+    )
+    cos = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [a.vec[i] * p.qv[i] for i in range(1, len(a.vec) + 1)]),
+              (s, x) -> s + x) / (a.norm * p.qnorm)"""
+    return f"""
+        WITH {_VECS_SQL}, sigs AS (
+            SELECT vec_id, label, vec, norm, {sig} AS sig FROM n
+        ), q AS (
+            SELECT vec, norm, sig FROM sigs WHERE vec_id = {_QUERY_VEC_ID}
+        ), probes AS (
+            SELECT vec AS qv, norm AS qnorm,
+                   unnest([{probe_list}]) AS sig
+            FROM q
+        )
+        SELECT a.vec_id, a.label, round({cos}, 6) AS cosine
+        FROM sigs a JOIN probes p ON a.sig = p.sig
+        WHERE a.vec_id != {_QUERY_VEC_ID}
+        ORDER BY {cos} DESC, a.vec_id ASC LIMIT {_TOP_K}
+    """
 
 _VECS_SQL = """
     v AS (
@@ -291,4 +399,67 @@ ORACLE = {
               FROM scored)
         WHERE rnk <= 5
     """,
+    "sim_ann_lsh": _lsh_oracle_sql(),
 }
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB replay of sim_ann_ivf INCLUDING the index build: Forgy seeds
+    (lowest nlist vec_ids), argmin assignment with the same fold-ordered
+    squared distance and lower-cell tie-break, canonical vec_id-ordered
+    centroid summation (list(... ORDER BY vec_id) ↔ sort_array(
+    collect_list)), final assignment, nprobe probe-cell ranking, exact
+    cosine rerank. Every double is computed in the same sequential order as
+    the Spark side, so the compare is hash-exact."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+            f"for i in range(1, len({a}) + 1)]), (s, x) -> s + x)"
+        )
+
+    zero_vec = "CAST([" + ", ".join(["0.0"] * _DIM) + "] AS DOUBLE[])"
+    return f"""
+        WITH {_VECS_SQL}, seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec
+            FROM n WHERE vec_id < {_NLIST}
+        ), a0 AS (
+            SELECT vec_id, vec, cell FROM (
+                SELECT v.vec_id, v.vec, s.cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {dist("v.vec", "s.vec")} ASC, s.cell ASC) AS rn
+                FROM n v CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ), sums AS (
+            SELECT cell,
+                   list_reduce(list_prepend({zero_vec},
+                       list(vec ORDER BY vec_id)),
+                       (acc, x) -> [acc[i] + x[i] for i in range(1, {_DIM} + 1)]
+                   ) AS vsum,
+                   count(*) AS cnt
+            FROM a0 GROUP BY cell
+        ), cents AS (
+            SELECT cell, [s / cnt for s in vsum] AS cvec FROM sums
+        ), af AS (
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {dist("v.vec", "c.cvec")} ASC, c.cell ASC) AS rn
+                FROM n v CROSS JOIN cents c
+            ) WHERE rn = 1
+        ), qc AS (
+            SELECT c.cell
+            FROM cents c, (SELECT vec FROM n WHERE vec_id = {_QUERY_VEC_ID}) qq
+            ORDER BY {dist("qq.vec", "c.cvec")} ASC, c.cell ASC LIMIT {_NPROBE}
+        )
+        SELECT a.vec_id, a.label, round({_COS}, 6) AS cosine
+        FROM n a
+        JOIN af ON af.vec_id = a.vec_id,
+             (SELECT vec, norm FROM n WHERE vec_id = {_QUERY_VEC_ID}) q
+        WHERE af.cell IN (SELECT cell FROM qc) AND a.vec_id != {_QUERY_VEC_ID}
+        ORDER BY {_COS} DESC, a.vec_id ASC LIMIT {_TOP_K}
+    """
+
+
+ORACLE["sim_ann_ivf"] = _ivf_oracle_sql()
