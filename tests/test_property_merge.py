@@ -1,17 +1,35 @@
-"""Property-based check of the CDC MERGE semantics: any sequence of
-upsert/delete batches applied through LakeTable.merge must equal a plain
-dict reference model (last-writer-wins per batch, MERGE branch semantics).
+"""Property-based checks of the lakehouse write semantics.
+
+1. hypothesis MERGE property: any sequence of upsert/delete batches applied
+   through LakeTable.merge must equal a plain dict reference model
+   (last-writer-wins per batch, MERGE branch semantics).
+2. random-program property over MOR interleavings: random programs of
+   merge/delete/update/append/insert_rows/compact × {MOR, COW} × random
+   compaction thresholds; the invariant is SPEC-level — a multiset replay
+   model must equal ``read()`` at EVERY surviving version, so merge-on-read
+   deltas, compaction folds, and copy-on-write rewrites are
+   indistinguishable to a reader. (The round-4 MOR sequencing bugs —
+   post-delta appends resurrecting deleted rows, duplicate-key append
+   collapse — were found by review, not by the old test; these programs
+   cover exactly those interleavings.)
 
 Examples are kept small (Spark round-trips per example are expensive), but
-hypothesis explores op interleavings a hand-written test never would:
+the generators explore interleavings a hand-written test never would:
 deletes of absent keys, re-inserts after delete, same-key collisions within
-a batch resolved by precombine, multi-batch compositions.
+a batch resolved by precombine, appends of duplicate keys between deltas,
+compaction at every threshold. ``SPARK_GRAFT_PROP_N`` scales the program
+count (default 40 per CI run; a full 200-program pass is run per round).
 """
 
 from __future__ import annotations
 
+import os
+import random
+
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from datalake_on_prem_system_spark.lakehouse import LakeTable
 
@@ -62,3 +80,79 @@ def test_merge_matches_reference_model(spark, tmp_path_factory, scenario):
         _reference_apply(state, batch)
         got = {r.k: r.v for r in table.read().select("k", "v").collect()}
         assert got == state, f"after batch {batch}: {got} != {state}"
+
+
+# --------------------------------------------------------------------------
+# random programs over MOR/COW interleavings
+
+N_PROGRAMS = int(os.environ.get("SPARK_GRAFT_PROP_N", "40"))
+
+
+def _rand_batch(rng: random.Random, allow_delete: bool = True) -> list[tuple]:
+    """Unique-key merge batch (callers pre-deduplicate per the merge
+    contract): [(k, v, op)]."""
+    keys = rng.sample(range(8), rng.randint(1, 4))
+    return [
+        (k, rng.randrange(1000), "d" if allow_delete and rng.random() < 0.3 else "u")
+        for k in keys
+    ]
+
+
+@pytest.mark.parametrize("seed", range(N_PROGRAMS))
+def test_random_program_matches_multiset_model(spark, tmp_path_factory, seed):
+    rng = random.Random(7000 + seed)
+    mode = rng.choice(["cow", "mor"])
+    threshold = rng.choice([1, 2, 3])
+    table = LakeTable(spark, str(tmp_path_factory.mktemp(f"prog{seed}")))
+
+    model: list[tuple[int, int]] = [(k, rng.randrange(1000)) for k in range(rng.randint(1, 4))]
+    table.create_or_replace(
+        spark.createDataFrame(model, "k int, v int"),
+        properties={
+            "write.merge.mode": mode,
+            "write.merge.delta.compact-threshold": str(threshold),
+        },
+    )
+    snapshots: dict[int, list[tuple[int, int]]] = {table.latest_version(): sorted(model)}
+
+    for _ in range(rng.randint(4, 7)):
+        op = rng.choice(["merge", "merge", "delete", "update", "append", "insert", "compact"])
+        if op == "merge":
+            batch = _rand_batch(rng)
+            table.merge(
+                spark.createDataFrame(batch, "k int, v int, op string"),
+                pk="k", op_col="op",
+            )
+            touched = {k for k, _, _ in batch}
+            model = [r for r in model if r[0] not in touched] + [
+                (k, v) for k, v, o in batch if o != "d"
+            ]
+        elif op == "delete":
+            m, r = rng.choice([(2, 0), (3, 1), (4, 2)])
+            table.delete_where(F.col("k") % m == r)
+            model = [row for row in model if row[0] % m != r]
+        elif op == "update":
+            m, r = rng.choice([(2, 1), (3, 0)])
+            nv = rng.randrange(1000)
+            table.update_where(F.col("k") % m == r, {"v": nv})
+            model = [(k, nv if k % m == r else v) for k, v in model]
+        elif op == "append":
+            rows = [(rng.randrange(8), rng.randrange(1000)) for _ in range(rng.randint(1, 3))]
+            table.append(spark.createDataFrame(rows, "k int, v int"))
+            model = model + rows
+        elif op == "insert":
+            rows = [{"k": rng.randrange(8, 12), "v": rng.randrange(1000)}]
+            table.insert_rows(rows)
+            model = model + [(r["k"], r["v"]) for r in rows]
+        elif op == "compact":
+            table.compact()
+        snapshots[table.latest_version()] = sorted(model)
+
+    live = set(table.versions())
+    for ver, want in snapshots.items():
+        if ver not in live:
+            continue
+        got = sorted((r.k, r.v) for r in table.read(version=ver).select("k", "v").collect())
+        assert got == want, (
+            f"seed={seed} mode={mode} thr={threshold} v{ver}: {got} != {want}"
+        )
