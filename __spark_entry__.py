@@ -51,7 +51,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query. Names missing here (vs
-    ``queries()``) are rows-only operators: approximate by construction
-    (LSH ANN) or engine-specific hashing (SimHash)."""
+    """DuckDB-runnable oracle SQL per query. The approximate operators
+    (SimHash, ANN-LSH, ANN-IVF) are hash-checked too — their hashing /
+    plane signatures / index training are deterministic and engine-portable,
+    so the oracle replays the identical algorithm. The single rows-only
+    name is ``a_hll_distinct`` (Apache DataSketches HLL: the sketch
+    estimate is engine-native by design)."""
     return operators.all_oracle_sql()

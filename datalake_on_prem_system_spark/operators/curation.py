@@ -73,7 +73,10 @@ def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(~F.col("is_train")).select(F.explode("sh").alias("shingle")).distinct()
     )
     return (
-        train.join(eval_sh, "shingle")
+        # explicit broadcast (not just AQE's runtime downgrade): the eval
+        # reference set is the small side by construction, and the train
+        # corpus must never shuffle
+        train.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_leaked_shingles"))
     )

@@ -141,3 +141,38 @@ def test_partitioned_ingest_prunes_scan(spark, sf_dir):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "c_mktsegment" in seg, f"partition filter must prune, got: [{seg}]"
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval reference set is small by construction: the inverted-index
+    join must be a broadcast join so the train corpus never shuffles."""
+    a = audit_plan(_QS["cur_decontaminate"](spark, sf_dir))
+    assert a.n_broadcasts >= 1, "eval shingle set must broadcast"
+
+
+def test_jaccard_shingle_frame_cached_once(spark, sf_dir):
+    """Four plan branches consume the shingle frame; it must come from the
+    persisted copy (InMemoryTableScan), not be re-derived per branch."""
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    plan = capture_plan(_QS["dd_ngram_jaccard"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "shingle frame must be persisted"
+
+
+def test_cdc_dedup_is_partial_aggregate_not_window(spark):
+    """last_writer_wins must plan as an aggregate with map-side combine
+    (shuffle carries one candidate per key per partition), never as a
+    row_number window (shuffles + sorts every change row)."""
+    from datalake_on_prem_system_spark.plans import capture_plan
+    from datalake_on_prem_system_spark.streaming.cdc import last_writer_wins
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 5)], "k int, v string, seq int"
+    )
+    out = last_writer_wins(df, "k", ["seq"])
+    a = audit_plan(out)
+    plan = capture_plan(out)
+    assert a.has_partial_agg, "dedup must map-side combine"
+    assert "Window" not in plan and "row_number" not in plan
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "b", 2: "c"}
