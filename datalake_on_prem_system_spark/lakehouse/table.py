@@ -62,6 +62,15 @@ _RESERVED_COLS = {"__bucket", "__op", "__seq", "__rn", "__is_delta"}
 DEFAULT_DELTA_COMPACT_THRESHOLD = 8
 
 
+# Identifier of the bucket-hash function used for the on-disk layout,
+# recorded in every bucket_spec. A probe-side bucket computation (merge
+# touched-set, point-DML pruning) is only valid when the stored layout was
+# written with the SAME function — a spec carrying a different (or absent)
+# id is treated as not-bucketed-on-this-pk and re-laid-out by the next
+# keyed write instead of being silently mis-pruned.
+BUCKET_HASH_ID = "murmur3-pmod-v1"
+
+
 def _bucket_expr(pk: str, n: int):
     # pmod(hash(pk), n) is EXACTLY Spark's HashPartitioning partition-id
     # formula (Murmur3, seed 42), so `df.repartition(n, F.col(pk))` places
@@ -72,6 +81,75 @@ def _bucket_expr(pk: str, n: int):
     # NULL (a NULL pk hashes to the seed), matching the partitioner on
     # NULLs too — no __HIVE_DEFAULT_PARTITION__ dirs.
     return F.pmod(F.hash(F.col(pk)), F.lit(n)).cast("int")
+
+
+def _bucket_spec(pk: str, n: int) -> dict:
+    """Build a bucket_spec stamped with the current layout hash id."""
+    return {"pk": pk, "n": n, "hash": BUCKET_HASH_ID}
+
+
+def _spec_current(spec: dict | None) -> bool:
+    """True iff ``spec`` was written by the current bucket-hash function, so
+    probe-side `_bucket_expr` computations match the on-disk layout."""
+    return spec is not None and spec.get("hash") == BUCKET_HASH_ID
+
+
+def _pk_literal_values(condition, pk: str) -> list | None:
+    """Extract literal pk values from a point predicate, or None.
+
+    Recognizes ``col(pk) == lit`` (either operand order) and
+    ``col(pk).isin(lits...)`` by walking the Column's ColumnNode tree
+    (Spark 4 `org.apache.spark.sql.internal` nodes via py4j). Any other
+    predicate shape — or any introspection surprise — returns None and the
+    caller keeps the scan-based path, so this is a pure fast-path: it can
+    only ever skip work, never change which rows match.
+
+    NULL literals are dropped: ``pk = NULL`` / ``NULL IN (...)`` elements
+    never match a row under SQL three-valued logic.
+    """
+    try:
+        node = condition._jc.node()
+        if node.getClass().getSimpleName() != "UnresolvedFunction":
+            return None
+
+        def attr_name(n):
+            if n.getClass().getSimpleName() != "UnresolvedAttribute":
+                return None
+            parts = n.nameParts()
+            return parts.apply(0) if parts.size() == 1 else None
+
+        def lit_value(n):
+            # (found, value); only plain literals qualify
+            if n.getClass().getSimpleName() != "Literal":
+                return False, None
+            return True, n.value()
+
+        fn = node.functionName()
+        args = node.arguments()
+        argl = [args.apply(i) for i in range(args.size())]
+        if fn == "=" and len(argl) == 2:
+            for a, b in ((argl[0], argl[1]), (argl[1], argl[0])):
+                name = attr_name(a)
+                if name is not None and name.lower() == pk.lower():
+                    ok, v = lit_value(b)
+                    if ok:
+                        return [v] if v is not None else []
+            return None
+        if fn == "in" and len(argl) >= 2:
+            name = attr_name(argl[0])
+            if name is None or name.lower() != pk.lower():
+                return None
+            vals = []
+            for a in argl[1:]:
+                ok, v = lit_value(a)
+                if not ok:
+                    return None
+                if v is not None:
+                    vals.append(v)
+            return vals
+        return None
+    except Exception:
+        return None
 
 
 @dataclass
@@ -153,7 +231,7 @@ class LakeTable:
         return (
             (c.properties or {}).get("write.merge.mode") == "mor"
             and not c.partition_by
-            and c.bucket_spec is not None
+            and _spec_current(c.bucket_spec)
             and c.bucket_spec["pk"] == pk
         )
 
@@ -513,7 +591,7 @@ class LakeTable:
         bucket-granular instead of paying a one-time layout rewrite."""
         if bucket_by and partition_by:
             raise ValueError("bucket_by and partition_by are mutually exclusive")
-        spec = {"pk": bucket_by[0], "n": bucket_by[1]} if bucket_by else None
+        spec = _bucket_spec(bucket_by[0], bucket_by[1]) if bucket_by else None
         return self._publish(
             df,
             "create_or_replace",
@@ -647,7 +725,7 @@ class LakeTable:
             if precombine is not None:
                 upserts = upserts.drop(precombine)
             n = n_buckets or DEFAULT_N_BUCKETS
-            return self._publish(upserts, "merge", bucket_spec={"pk": pk, "n": n})
+            return self._publish(upserts, "merge", bucket_spec=_bucket_spec(pk, n))
         prev = self._read_commit(self.latest_version())
         target_schema = self._schema(prev)
         # precombine is merge metadata, not data — drop unless the table
@@ -660,16 +738,18 @@ class LakeTable:
         spec = prev.bucket_spec
         props = prev.properties or {}
         eff_mode = mode or props.get("write.merge.mode", "cow")
-        if prev.partition_by or spec is None or spec["pk"] != pk:
-            # hive-partitioned tables, or a table not (yet) bucketed on this
-            # pk: one full rewrite — which establishes the bucket layout for
-            # every merge after it (unless hive partitioning owns the layout)
+        if prev.partition_by or not _spec_current(spec) or spec["pk"] != pk:
+            # hive-partitioned tables, a table not (yet) bucketed on this pk,
+            # or a legacy layout written by a different bucket-hash function
+            # (probe-side _bucket_expr would mis-prune it): one full rewrite —
+            # which establishes the current bucket layout for every merge
+            # after it (unless hive partitioning owns the layout)
             target = self._read_data(prev)
             untouched = target.join(source.select(pk), pk, "left_anti")
             result = untouched.unionByName(upserts, allowMissingColumns=True)
-            new_spec = None if prev.partition_by else {
-                "pk": pk, "n": n_buckets or DEFAULT_N_BUCKETS
-            }
+            new_spec = None if prev.partition_by else _bucket_spec(
+                pk, n_buckets or DEFAULT_N_BUCKETS
+            )
             return self._publish(result, "merge", bucket_spec=new_spec)
         n = spec["n"]
         if eff_mode == "mor":
@@ -788,20 +868,33 @@ class LakeTable:
     ) -> Commit:
         """Shared bucket-granular path for UPDATE/DELETE: find buckets
         holding affected rows, rewrite only those (plus unbucketed
-        segments); carry the rest."""
+        segments); carry the rest.
+
+        Point-DML fast path: when the predicate is a pk equality or pk
+        IN-list (the facade's every ``/update/{t}/{id}`` and
+        ``/delete/{t}/{id}`` call), the touched buckets are computed from
+        the LITERAL values — a LocalTableScan over len(literals) rows, zero
+        table I/O — instead of scanning the table. At 100 TB that is the
+        difference between a point DML costing O(1 bucket) and O(table).
+        Arbitrary predicates keep the scan."""
         prev = self._read_commit(self.latest_version())
         spec = prev.bucket_spec
-        if spec is None or prev.partition_by:
+        if spec is None or prev.partition_by or not _spec_current(spec):
             return self._publish(transform(self._read_data(prev)), operation)
         n, pk = spec["n"], spec["pk"]
-        full = self._read_data(prev)
-        touched = {
-            r["b"]
-            for r in full.filter(matches.eqNullSafe(True))
-            .select(_bucket_expr(pk, n).alias("b"))
-            .distinct()
-            .collect()
-        }
+        touched = None
+        literals = _pk_literal_values(matches, pk)
+        if literals is not None:
+            touched = self._buckets_for_literals(literals, pk, n, prev)
+        if touched is None:
+            full = self._read_data(prev)
+            touched = {
+                r["b"]
+                for r in full.filter(matches.eqNullSafe(True))
+                .select(_bucket_expr(pk, n).alias("b"))
+                .distinct()
+                .collect()
+            }
         carried = [
             e for e in prev.files if e["bucket"] is not None and e["bucket"] not in touched
         ]
@@ -822,6 +915,33 @@ class LakeTable:
         return self._publish_delta(
             operation, prev, carried, subset, prev.schema_json, spec
         )
+
+    def _buckets_for_literals(
+        self, values: list, pk: str, n: int, prev: Commit
+    ) -> set[int] | None:
+        """Bucket ids holding the given pk literal values, computed with the
+        SAME JVM expression (`_bucket_expr` = pmod(Murmur3, n)) the layout
+        was written with — over a len(values)-row LocalTableScan, never the
+        table. The literals are cast to the table's pk type first: Murmur3
+        of int32(5) and int64(5) differ, and the predicate is resolved
+        against the column's type. Returns None (caller falls back to the
+        scan path) when the pk is missing from the schema or a literal
+        can't represent the pk type — exactly the cases where Spark's own
+        coercion of the predicate could diverge from a naive hash."""
+        if not values:
+            return set()
+        try:
+            from pyspark.sql.types import StructField, StructType
+
+            pk_field = self._schema(prev)[pk]
+            one_col = StructType([StructField(pk, pk_field.dataType, True)])
+            probe = self.spark.createDataFrame([(v,) for v in values], one_col)
+            return {
+                r["b"]
+                for r in probe.select(_bucket_expr(pk, n).alias("b")).distinct().collect()
+            }
+        except Exception:
+            return None
 
     def delete_where(self, condition) -> Commit:
         """DELETE FROM t WHERE cond (delete_hudi.py:45-91 / api_poc.py:816-823).

@@ -31,13 +31,16 @@ from . import (
 )
 
 # Registration order drives the order external harnesses sweep queries in.
-# Families whose correctness signal is most expensive to re-establish (lakehouse
-# DML, streaming, ingest, facade, dedup/similarity/multimodal/pipeline) come
-# FIRST so a budgeted sweep always reaches them. textops precedes the
-# relational/tpch/search blocks: the sweep has historically cut off around 50
-# queries, and the tx_* family had never received a driver row while the
-# (unchanged, many-times-verified) relational block re-verified every round.
+# The sweep is budget-capped (~50 queries/round), so we ROTATE which families
+# lead each round: whichever family's driver row is oldest goes first, so no
+# family's correctness row ages more than ~2 rounds. Round 5 refreshed
+# lakehouse/streaming/ingest/facade/dedup/similarity/multimodal/pipeline/
+# curation/textops; the relational/tpch/search rows date to r2/r3, so round 6
+# puts them in front.
 _MODULES = (
+    relational,
+    tpch,
+    search,
     lakehouse_ops,
     streaming_ops,
     ingest_ops,
@@ -48,9 +51,6 @@ _MODULES = (
     pipeline_ops,
     curation,
     textops,
-    relational,
-    tpch,
-    search,
 )
 
 

@@ -297,22 +297,37 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_pairs(cands, sh)
 
 
+_SIMHASH_BUCKET_CAP = 512  # max docs per (band, band-hash) bucket considered
+
+
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature from per-shingle hash
-    bit votes; pairs joined on any equal 16-bit band (pigeonhole: guarantees
-    recall for hamming ≤ 3 over 4 bands, probabilistically catches ≤ 6),
-    kept if hamming ≤ 6.
+    bit votes; pairs grouped on any equal 16-bit band (pigeonhole:
+    guarantees recall for hamming ≤ 3 over 4 bands, probabilistically
+    catches ≤ 6), kept if hamming ≤ 6.
 
     The shingle hash is the first 16 hex chars of md5 split into two 32-bit
     halves — deliberately engine-portable so the DuckDB oracle replays the
     IDENTICAL signature arithmetic (hash → bit votes → band hashes →
-    banded join → hamming), giving the approximate operator a true
+    banded grouping → hamming), giving the approximate operator a true
     hash-checked oracle instead of a rows-only check. md5 costs ~2× a
     native xxhash64 per shingle; signature build is a tiny fraction of the
-    pass (the banded self-join dominates), and the 64 bit-vote sums and
+    pass (candidate generation dominates), and the 64 bit-vote sums and
     band packing are unchanged. Bands are packed directly from the votes
     (no 64-bit signature with a sign-bit special case); hamming distance =
     Σ bit_count(bandᵢ ⊕ bandᵢ′) over the four 16-bit bands.
+
+    Candidate generation is bucket-local, not a band self-join: ONE shuffle
+    on (band, band-hash), `collect_list` per bucket, i<j pair emission
+    inside the bucket array (the dd_minhash_lsh shape). A self-join on a
+    degenerate hot signature — boilerplate near-empty docs all voting
+    identically — would seed O(k²) join rows before any dedup; here the
+    bucket size is visible pre-explosion and CAPPED at
+    ``_SIMHASH_BUCKET_CAP``: an oversized bucket is a degenerate
+    boilerplate cluster (identical-text dups belong to dd_exact, which
+    catches them exactly), so it is skipped rather than exploded. The
+    oracle SQL applies the same cap via a window count, so the operator
+    stays hash-exact even when the cap bites.
     """
     docs = t_par(spark, sf_dir, "documents")
     md5 = F.md5("tok")
@@ -359,27 +374,41 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "bh0", "bh1", "bh2", "bh3",
         F.col("b.band").alias("band"), F.col("b.bh").alias("bh"),
     )
-    sa = bands.alias("sa")
-    sb = bands.alias("sb")
+    # bucket-local pair emission with a size cap (see docstring): array_sort
+    # on the member structs orders by doc_id (first field), so slice(i+2..)
+    # yields exactly the a_id < b_id pairs
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "bh0", "bh1", "bh2", "bh3"))
+            ).alias("members")
+        )
+        .filter(
+            (F.size("members") > 1) & (F.size("members") <= _SIMHASH_BUCKET_CAP)
+        )
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice("members", i + 2, F.size("members")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("a_id"),
+                    y["doc_id"].alias("b_id"),
+                    *[x[f"bh{bi}"].alias(f"a{bi}") for bi in range(4)],
+                    *[y[f"bh{bi}"].alias(f"b{bi}") for bi in range(4)],
+                ),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(pair_structs).alias("p")).select("p.*")
     hamming = sum(
-        (
-            F.bit_count(F.col(f"sa.bh{bi}").bitwiseXOR(F.col(f"sb.bh{bi}")))
-            for bi in range(1, 4)
-        ),
-        F.bit_count(F.col("sa.bh0").bitwiseXOR(F.col("sb.bh0"))),
+        (F.bit_count(F.col(f"a{bi}").bitwiseXOR(F.col(f"b{bi}"))) for bi in range(1, 4)),
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0"))),
     )
     return (
-        sa.join(
-            sb,
-            (F.col("sa.band") == F.col("sb.band"))
-            & (F.col("sa.bh") == F.col("sb.bh"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .select(
-            F.col("sa.doc_id").alias("a_id"),
-            F.col("sb.doc_id").alias("b_id"),
-            hamming.alias("hamming"),
-        )
+        pairs.select("a_id", "b_id", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= 6)
         .orderBy("a_id", "b_id")
@@ -500,10 +529,19 @@ def _simhash_oracle_sql() -> str:
             FROM votes
         ), bands AS (
             {band_union}
+        ), capped AS (
+            -- same bucket-size cap as the Spark side: oversized
+            -- (band, band-hash) buckets are degenerate boilerplate
+            -- clusters and are skipped, keeping the oracle hash-exact
+            -- even when the cap bites
+            SELECT * FROM (
+                SELECT bands.*, count(*) OVER (PARTITION BY band, bh) AS bsz
+                FROM bands
+            ) WHERE bsz <= {_SIMHASH_BUCKET_CAP}
         ), pairs AS (
             SELECT DISTINCT a.doc_id a_id, b.doc_id b_id,
                    CAST({hamming} AS INTEGER) AS hamming
-            FROM bands a JOIN bands b
+            FROM capped a JOIN capped b
               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         )
         SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 6

@@ -530,3 +530,80 @@ def test_history_caches_resolved_mor_counts(spark, tmp_path):
     hist = {r.version: r.n_rows for r in t.history().collect()}
     assert hist[v] == 10
     assert t._read_commit(v).n_rows == 10  # cached back into the JSON
+
+
+def test_point_dml_prunes_buckets_from_literals(spark, tmp_path, monkeypatch):
+    """A pk-equality / pk-IN UPDATE/DELETE must compute touched buckets from
+    the predicate's literals — zero table reads to locate them — and rewrite
+    only those buckets. Guarded by poisoning _read_data: the fast path never
+    resolves the full table."""
+    t = LakeTable(spark, str(tmp_path / "pd"))
+    base = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t.merge(base, pk="k")
+    c1 = t._read_commit(t.latest_version())
+    assert c1.bucket_spec and len([e for e in c1.files if e["bucket"] is not None]) > 4
+
+    def _poisoned(self, commit):
+        raise AssertionError("point DML resolved the full table")
+
+    monkeypatch.setattr(LakeTable, "_read_data", _poisoned)
+    t.update_where(F.col("k") == F.lit(7), {"v": -7})
+    c2 = t._read_commit(t.latest_version())
+    rewritten = [e for e in c2.files if e["path"] not in {x["path"] for x in c1.files}]
+    assert len(rewritten) == 1  # exactly the one bucket holding k=7
+
+    t.delete_where(F.col("k").isin(8, 9))  # IN-list point path too
+    monkeypatch.undo()
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[7] == -7 and 8 not in rows and 9 not in rows
+    assert len(rows) == 1998 and rows[6] == 12
+
+
+def test_point_dml_arbitrary_predicate_still_scans_correctly(spark, tmp_path):
+    """Non-point predicates keep the scan-based touched-bucket discovery."""
+    t = LakeTable(spark, str(tmp_path / "ap2"))
+    t.merge(
+        spark.range(500).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v")),
+        pk="k",
+    )
+    t.delete_where(F.col("v") == 3)
+    ks = {r.k for r in t.read().collect()}
+    assert ks == {i for i in range(500) if i % 7 != 3}
+
+
+def test_pk_literal_extraction_shapes(spark):
+    from datalake_on_prem_system_spark.lakehouse.table import _pk_literal_values
+
+    assert _pk_literal_values(F.col("k") == F.lit(5), "k") == [5]
+    assert _pk_literal_values(F.lit(5) == F.col("k"), "k") == [5]
+    assert _pk_literal_values(F.col("k").isin(1, 2, 3), "k") == [1, 2, 3]
+    assert _pk_literal_values(F.col("K") == F.lit("x"), "k") == ["x"]
+    # NULL literal can never match a row -> empty touched set
+    assert _pk_literal_values(F.col("k") == F.lit(None), "k") == []
+    # everything else falls back to the scan path
+    assert _pk_literal_values(F.col("v") == F.lit(5), "k") is None
+    assert _pk_literal_values(F.col("k") > F.lit(5), "k") is None
+    assert _pk_literal_values((F.col("k") == 1) | (F.col("k") == 2), "k") is None
+    assert _pk_literal_values(F.col("k").isin(F.col("v"), 2), "k") is None
+
+
+def test_legacy_bucket_layout_is_relaid_not_mispruned(spark, tmp_path):
+    """A bucket_spec missing the current bucket-hash id (layout written by an
+    older hash function) must NOT be trusted by probe-side bucket math; the
+    next keyed write re-lays the table out and stamps the current id."""
+    from datalake_on_prem_system_spark.lakehouse.table import BUCKET_HASH_ID
+
+    t = LakeTable(spark, str(tmp_path / "lg"))
+    t.merge(
+        spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("v")), pk="k"
+    )
+    c = t._read_commit(t.latest_version())
+    assert c.bucket_spec.get("hash") == BUCKET_HASH_ID
+    c.bucket_spec = {"pk": "k", "n": c.bucket_spec["n"]}  # simulate legacy layout
+    t._rewrite_commit(c)
+
+    t.merge(spark.createDataFrame([(5, -5)], "k long, v long"), pk="k")
+    c2 = t._read_commit(t.latest_version())
+    assert c2.bucket_spec.get("hash") == BUCKET_HASH_ID  # re-laid-out + stamped
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[5] == -5 and len(rows) == 100

@@ -131,3 +131,25 @@ def test_decode_frame_is_honest_stub():
 
     with pytest.raises(NotImplementedError):
         decode_frame(b"xx", 0)
+
+
+def test_simhash_skewed_bucket_is_capped_not_exploded(spark, tmp_path):
+    """1k docs with IDENTICAL text (one degenerate signature -> one hot
+    bucket per band) must not seed an O(k^2) pair explosion: the bucket
+    exceeds _SIMHASH_BUCKET_CAP and is skipped, while normal near-dup pairs
+    elsewhere are still found."""
+    boiler = "lorem ipsum dolor sit amet " * 4
+    rows = [(i, boiler) for i in range(1000)]
+    # two genuine dups (identical text, hamming 0) outside the hot bucket
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows += [(5000, a), (5001, a)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = dedup.dd_simhash(spark, str(tmp_path)).collect()
+    pairs = {(r.a_id, r.b_id) for r in out}
+    assert (5000, 5001) in pairs
+    # nothing from the capped boilerplate cluster (would be ~499,500 pairs)
+    assert all(a_id >= 5000 for a_id, _ in pairs)
+    assert len(pairs) < 100
