@@ -51,10 +51,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query. The approximate operators
-    (SimHash, ANN-LSH, ANN-IVF) are hash-checked too — their hashing /
-    plane signatures / index training are deterministic and engine-portable,
-    so the oracle replays the identical algorithm. The single rows-only
-    name is ``a_hll_distinct`` (Apache DataSketches HLL: the sketch
-    estimate is engine-native by design)."""
+    """DuckDB-runnable oracle SQL per query — every registered query has
+    one. The approximate operators (SimHash, ANN-LSH, ANN-IVF) are
+    hash-checked too: their hashing / plane signatures / index training are
+    deterministic and engine-portable, so the oracle replays the identical
+    algorithm. ``a_hll_distinct`` (DataSketches HLL, engine-native
+    estimate) is checked through its error-bound CONTRACT instead: the
+    query emits (exact, within_bound) and the oracle emits (exact, TRUE)."""
     return operators.all_oracle_sql()

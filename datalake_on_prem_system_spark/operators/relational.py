@@ -513,19 +513,39 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 3x the documented relative standard error of a lgConfigK=12 HLL sketch
+# (1.04 / sqrt(2^12) ~= 1.6%) -- the P(outside) ~ 1e-3 envelope
+_HLL_REL_BOUND = 3 * 1.04 / (2**12) ** 0.5
+
+
 def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch per event_type (Apache DataSketches
     via hll_sketch_agg): the mergeable, fixed-size state that replaces exact
     COUNT(DISTINCT) at 100 TB — partials combine associatively across
-    partitions and across time (incremental refresh). Estimates are
-    engine-specific ⇒ rows-only; pytest bounds the error vs exact."""
-    return (
+    partitions and across time (incremental refresh).
+
+    The estimate itself is engine-specific, so the oracle checks the
+    sketch's CONTRACT instead of its value: ``within_bound`` asserts
+    |estimate − exact| ≤ max(1, 3σ·exact) Spark-side (σ = 1.04/√2¹² for the
+    default lgConfigK=12; floor of 1 covers tiny groups where HLL is
+    exact); DuckDB computes the exact counts and emits literal TRUE. A
+    broken sketch surfaces as a value-hash mismatch on the boolean — this
+    turns the last rows-only operator into a hash-checked one."""
+    agg = (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(1.0), F.lit(_HLL_REL_BOUND) * F.col("exact_users"))
+        ).alias("within_bound"),
     )
 
 
@@ -630,7 +650,7 @@ QUERIES = {
     "a_skew_salted": a_skew_salted,
     "a_percentiles": a_percentiles,
     "f_json_extract": f_json_extract,
-    "a_hll_distinct": a_hll_distinct,  # rows-only: sketch estimate is engine-specific
+    "a_hll_distinct": a_hll_distinct,  # hash-checked via the within_bound contract
     "s5_sql_passthrough": s5_sql_passthrough,
     "w1_latest_per_key": w1_latest_per_key,
     "w_sessionize": w_sessionize,
@@ -647,6 +667,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    # the sketch estimate is engine-specific; the oracle checks the error
+    # CONTRACT: exact counts + literal TRUE vs the Spark-side bound check
+    "a_hll_distinct": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               true AS within_bound
+        FROM events GROUP BY event_type
+    """,
     "p4_project_columns": "SELECT c_custkey, c_name, c_mktsegment FROM customer",
     "p5_filter_eq": (
         "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'"
