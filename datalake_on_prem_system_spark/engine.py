@@ -33,9 +33,18 @@ from .sources.csv_ingest import ingest_csv as _ingest_csv
 
 
 class LakeEngine:
-    def __init__(self, spark: SparkSession, warehouse: str, namespace: str = "trino_db"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        namespace: str = "trino_db",
+        table_format=None,
+    ):
+        """``table_format``: optional ``(spark, path) -> TableFormat``
+        factory (default the bundled ``LakeTable``); the engine only uses
+        the protocol surface, so any binding drops in."""
         self.spark = spark
-        self.catalog = LakeCatalog(spark, warehouse, namespace)
+        self.catalog = LakeCatalog(spark, warehouse, namespace, table_format=table_format)
         self.catalog.create_namespace()
         # (table root, commit version) → materialized search-index path.
         # Guarded by a lock: the HTTP facade serves this engine from a

@@ -16,10 +16,20 @@ from .table import LakeTable
 
 
 class LakeCatalog:
-    def __init__(self, spark: SparkSession, warehouse: str, namespace: str = "db"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        namespace: str = "db",
+        table_format=None,
+    ):
+        """``table_format`` is a ``(spark, path) -> TableFormat`` factory —
+        the seam that swaps the bundled ``LakeTable`` for a connector-backed
+        binding (``DeltaTableFormat``) without touching anything above."""
         self.spark = spark
         self.warehouse = warehouse
         self.namespace = namespace
+        self.table_format = table_format or LakeTable
 
     def _ns_dir(self) -> str:
         return os.path.join(self.warehouse, self.namespace)
@@ -35,7 +45,9 @@ class LakeCatalog:
         return name
 
     def table(self, name: str) -> LakeTable:
-        return LakeTable(self.spark, os.path.join(self._ns_dir(), self._validate(name)))
+        return self.table_format(
+            self.spark, os.path.join(self._ns_dir(), self._validate(name))
+        )
 
     def list_tables(self) -> list[str]:
         """SHOW TABLES."""
@@ -43,7 +55,9 @@ class LakeCatalog:
         if not os.path.isdir(ns):
             return []
         return sorted(
-            d for d in os.listdir(ns) if LakeTable(self.spark, os.path.join(ns, d)).exists()
+            d
+            for d in os.listdir(ns)
+            if self.table_format(self.spark, os.path.join(ns, d)).exists()
         )
 
     def describe(self, name: str) -> DataFrame:

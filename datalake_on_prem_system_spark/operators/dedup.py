@@ -167,6 +167,11 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shares nothing across branches — without the cache the corpus is
     # re-shingled per branch (measured 4.5s → 2.5s cold at sf0.1). The
     # 100 TB equivalent is materializing the shingle table once per pass.
+    # Lifetime: the cache must outlive this function (the returned plan
+    # references it lazily), so there is no in-scope unpersist; harnesses
+    # that sweep many queries clear it between queries
+    # (bench._reset_memoized_work / check_correctness's clearCache), and a
+    # long-lived session falls back to MEMORY_AND_DISK LRU eviction.
     sh = docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
         "doc_id", _shingles().alias("sh")
     ).persist()
@@ -218,8 +223,9 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
 
     docs = t_par(spark, sf_dir, "documents")
-    # persisted for the same branch-sharing reason as dd_ngram_jaccard:
-    # the signature kernel and both verify-join sides re-shingle otherwise
+    # persisted for the same branch-sharing reason (and with the same
+    # harness-cleared / LRU-evicted lifetime) as dd_ngram_jaccard: the
+    # signature kernel and both verify-join sides re-shingle otherwise
     sh = docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
         "doc_id", _shingles().alias("sh")
     ).persist()

@@ -101,9 +101,23 @@ def last_writer_wins(df: DataFrame, pk: str, order_cols: list[str]) -> DataFrame
     (local[32]) and is the difference between shuffling the change stream
     and shuffling ~|keys| at 100 TB. Same tie semantics as the window
     (arbitrary winner on exact order-key ties); ``order_cols`` must be
-    non-null — the CDC writer always stamps them.
+    non-null — the CDC writer always stamps them, and the contract is
+    ENFORCED per row below: a NULL order key would silently shift winner
+    selection (struct comparison ranks null fields differently than the
+    old window sort), so it aborts the batch with a clear error instead.
     """
-    order_key = F.struct(*[F.col(c) for c in order_cols])
+
+    def _checked(c: str):
+        # assert_true evaluates inside the same projection (it returns NULL
+        # on success, so the when() collapses to the raw column) — a narrow
+        # per-row expression, no extra job on the hot path
+        ok = F.assert_true(
+            F.col(c).isNotNull(),
+            F.lit(f"last_writer_wins: NULL order key '{c}' violates the CDC contract"),
+        )
+        return F.when(ok.isNull(), F.col(c)).alias(c)
+
+    order_key = F.struct(*[_checked(c) for c in order_cols])
     payload = F.struct(*[F.col(c) for c in df.columns])
     return (
         df.groupBy(pk)

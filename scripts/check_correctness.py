@@ -76,6 +76,9 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            # persisted mid-plan frames (dedup shingle caches) must not
+            # accumulate in executor storage across a 92-query sweep
+            spark.catalog.clearCache()
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")

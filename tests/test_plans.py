@@ -176,3 +176,32 @@ def test_cdc_dedup_is_partial_aggregate_not_window(spark):
     assert "Window" not in plan and "row_number" not in plan
     got = {r.k: r.v for r in out.collect()}
     assert got == {1: "b", 2: "c"}
+
+
+# --------------------------------------------------------------------------
+# global plan invariants over EVERY registered query
+
+import pytest  # noqa: E402
+
+# literal-broadcast nested-loop joins that are the INTENDED plan: a handful
+# of query-point rows (a lit() array or a tiny trained structure) joined to
+# the corpus without an equi-key — the corpus side never moves
+_BNLJ_ALLOWED = {name for name in _QS if name.startswith("sim_")}
+
+
+@pytest.mark.parametrize("name", sorted(_QS))
+def test_plan_global_invariants(spark, sf_dir, name):
+    """The 100 TB smell test, applied to all registered queries: no
+    cartesian product ever; no nested-loop broadcast join outside the
+    intentional literal-broadcast similarity queries; no row-at-a-time
+    Python UDF (BatchEvalPython) anywhere; every parquet scan vectorized."""
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    df = _QS[name](spark, sf_dir)
+    plan = capture_plan(df)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in _BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if "Scan parquet" in plan:
+        assert "Batched: true" in plan, f"{name}: non-vectorized parquet scan"

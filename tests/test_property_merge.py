@@ -156,3 +156,122 @@ def test_random_program_matches_multiset_model(spark, tmp_path_factory, seed):
         assert got == want, (
             f"seed={seed} mode={mode} thr={threshold} v{ver}: {got} != {want}"
         )
+
+
+# --------------------------------------------------------------------------
+# concurrent-writer races over the optimistic-concurrency commit protocol
+
+N_RACES = int(os.environ.get("SPARK_GRAFT_RACE_N", "50"))
+
+
+def test_concurrent_writers_serialize_and_losers_clean_up(spark, tmp_path):
+    """The os.link refuse-to-clobber + ConcurrentCommitError retry contract
+    (table.py::_publish_commit) under REAL races: per race, two threads
+    prepare commits against the same parent and hit the publish point
+    simultaneously (a barrier inside a patched _publish_commit guarantees
+    the collision). Invariants, per race and at the end:
+
+    - exactly one writer loses and raises ConcurrentCommitError; its retry
+      commits against the new parent, so the table advances exactly 2
+      versions per race;
+    - the final state equals SOME serial order of the two batches (for the
+      merge-vs-merge shared-key races: the shared key holds either tag);
+    - every segment directory on disk is referenced by some commit — the
+      losers' orphaned segments were removed.
+    """
+    import threading
+
+    from datalake_on_prem_system_spark.lakehouse.table import ConcurrentCommitError
+
+    root = str(tmp_path / "race")
+    t = LakeTable(spark, root)
+    t.merge(
+        spark.createDataFrame([(k, 0) for k in range(16)], "k int, v int"),
+        pk="k",
+        n_buckets=4,
+    )
+
+    real_publish = LakeTable._publish_commit
+    barrier_box = {}
+    tls = threading.local()
+    lost = []  # ConcurrentCommitError observations (appends are atomic)
+
+    def patched(self, commit, new_paths):
+        if getattr(tls, "first", False):
+            tls.first = False
+            try:
+                barrier_box["b"].wait()
+            except threading.BrokenBarrierError:
+                pass
+        return real_publish(self, commit, new_paths)
+
+    LakeTable._publish_commit = patched
+    try:
+        for i in range(N_RACES):
+            barrier_box["b"] = threading.Barrier(2, timeout=120)
+            tag_a, tag_b = i * 10 + 1, i * 10 + 2
+            shared = i % 16
+            errs: list[str] = []
+
+            def writer(batch_rows, merge_mode):
+                tls.first = True
+                for _ in range(6):
+                    try:
+                        if merge_mode:
+                            t.merge(
+                                spark.createDataFrame(batch_rows, "k int, v int"),
+                                pk="k",
+                                n_buckets=4,
+                            )
+                        else:
+                            t.append(
+                                spark.createDataFrame(batch_rows, "k int, v int")
+                            )
+                        return
+                    except ConcurrentCommitError:
+                        lost.append(1)
+                        continue
+                errs.append("retries exhausted")
+
+            v_before = t.latest_version()
+            if i % 2 == 0:  # merge vs merge on a shared key
+                ta = threading.Thread(target=writer, args=([(shared, tag_a)], True))
+                tb = threading.Thread(target=writer, args=([(shared, tag_b)], True))
+            else:  # merge vs append, disjoint keys
+                ta = threading.Thread(target=writer, args=([(shared, tag_a)], True))
+                tb = threading.Thread(target=writer, args=([(1000 + i, tag_b)], False))
+            ta.start(), tb.start()
+            ta.join(180), tb.join(180)
+            assert not errs, errs
+            assert t.latest_version() == v_before + 2  # both committed, serially
+
+        state = {r.k: r.v for r in t.read().select("k", "v").collect()}
+        # shared keys are reused every 16 races — only the LAST race per key
+        # is visible in the final state
+        last_race = {i % 16: i for i in range(N_RACES)}
+        for k, i in last_race.items():
+            if i % 2 == 0:
+                # merge-vs-merge: last committer wins the shared key; either
+                # order is a valid serialization, anything else is a lost
+                # update
+                assert state[k] in (i * 10 + 1, i * 10 + 2), (i, k, state[k])
+            else:
+                # merge-vs-append: only the merge touched the shared key
+                assert state[k] == i * 10 + 1, (i, k, state[k])
+        for i in range(1, N_RACES, 2):
+            assert state[1000 + i] == i * 10 + 2
+        # the barrier guarantees both writers contend for the same version,
+        # so every race produced at least one ConcurrentCommitError (a
+        # retry may additionally lose to the other writer's retry)
+        assert len(lost) >= N_RACES, f"only {len(lost)} losses in {N_RACES} races"
+        # orphan sweep: all on-disk segments belong to some commit
+        data_dir = os.path.join(root, "data")
+        referenced = {
+            os.path.relpath(e["path"], data_dir).split(os.sep)[0]
+            for v in t.versions()
+            for e in t._read_commit(v).files
+        }
+        orphans = set(os.listdir(data_dir)) - referenced
+        assert not orphans, f"loser segments not cleaned up: {orphans}"
+    finally:
+        LakeTable._publish_commit = real_publish

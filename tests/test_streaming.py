@@ -194,3 +194,23 @@ def test_windowed_agg_batch_equivalence(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events")
     )
     assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_last_writer_wins_rejects_null_order_key(spark):
+    """The max_by dedup's documented non-null order-key contract is
+    enforced, not assumed: a NULL order key aborts the batch instead of
+    silently shifting winner selection."""
+    import pytest as _pytest
+
+    from datalake_on_prem_system_spark.streaming.cdc import last_writer_wins
+
+    ok = spark.createDataFrame(
+        [(1, 10, "new"), (1, 5, "old")], "k int, seq int, v string"
+    )
+    assert {r.v for r in last_writer_wins(ok, "k", ["seq"]).collect()} == {"new"}
+
+    bad = spark.createDataFrame(
+        [(1, 10, "new"), (1, None, "poison")], "k int, seq int, v string"
+    )
+    with _pytest.raises(Exception, match="NULL order key"):
+        last_writer_wins(bad, "k", ["seq"]).collect()
