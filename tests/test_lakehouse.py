@@ -607,3 +607,31 @@ def test_legacy_bucket_layout_is_relaid_not_mispruned(spark, tmp_path):
     assert c2.bucket_spec.get("hash") == BUCKET_HASH_ID  # re-laid-out + stamped
     rows = {r.k: r.v for r in t.read().collect()}
     assert rows[5] == -5 and len(rows) == 100
+
+
+def test_engine_point_dml_is_bucket_granular(spark, tmp_path):
+    """The facade's /update/{t}/{id} and /delete/{t}/{id} path end-to-end:
+    typed pk literal -> col(pk)==lit -> literal bucket pruning. Each point
+    DML on a bucketed table must rewrite exactly one bucket."""
+    from datalake_on_prem_system_spark.engine import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"), namespace="ns")
+    src = spark.range(500).select(
+        F.col("id").alias("item_id"), (F.col("id") * 2).alias("v")
+    )
+    eng.catalog.table("items").merge(src, pk="item_id", n_buckets=8)
+    t = eng.catalog.table("items")
+    c1 = t._read_commit(t.latest_version())
+
+    eng.update("items", "7", {"v": "-7"})
+    c2 = t._read_commit(t.latest_version())
+    rewritten = [e for e in c2.files if e["path"] not in {x["path"] for x in c1.files}]
+    assert len(rewritten) == 1, [e["path"] for e in rewritten]
+
+    eng.delete("items", "8")
+    c3 = t._read_commit(t.latest_version())
+    rewritten = [e for e in c3.files if e["path"] not in {x["path"] for x in c2.files}]
+    assert len(rewritten) == 1
+
+    rows = {r.item_id: r.v for r in eng.read("items").collect()}
+    assert rows[7] == -7 and 8 not in rows and len(rows) == 499
