@@ -421,6 +421,65 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_MAX_ITERS = 20
+
+
+def dd_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pair graph
+    (``dd_ngram_jaccard`` edges): every document gets ``component_id`` =
+    the minimum doc_id reachable through near-dup pairs (singletons map to
+    themselves) plus the component size. This is the step between pair
+    MINING and dedup ACTION — keep the min-id doc per component, drop the
+    rest; acting on raw pair lists under-deletes transitive duplicate
+    chains (a~b, b~c without a~c).
+
+    Algorithm: min-label propagation to fixpoint. Per round each node takes
+    min(own label, neighbors' labels) — one shuffle per round keyed on
+    doc_id; rounds needed = graph diameter, and near-dup components are
+    tiny dense clusters (diameter ~2), so 2-3 rounds in practice.
+    ``localCheckpoint`` truncates lineage every round so the plan stays
+    flat instead of doubling; the driver loop holds only a per-round
+    changed-count (bounded at ``_CC_MAX_ITERS``, raises rather than spins).
+    At 100 TB the identical per-round dataflow (edge join + min aggregate)
+    runs with the alternating large-star/small-star emission rule
+    (O(log² n) rounds) and a reliable checkpoint dir instead of
+    local checkpoints. Output (min reachable id) is deterministic and
+    engine-portable, so the DuckDB oracle replays it with a recursive
+    reachability CTE.
+    """
+    docs = t_par(spark, sf_dir, "documents").select("doc_id")
+    pairs = dd_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
+    for _ in range(_CC_MAX_ITERS):
+        prop = edges.join(labels, F.col("a_id") == F.col("doc_id")).select(
+            F.col("b_id").alias("doc_id"), "comp"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+            .filter(F.col("comp") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {_CC_MAX_ITERS} rounds")
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
+    return labels.join(sizes, "comp").select(
+        "doc_id", F.col("comp").alias("component_id"), "component_size"
+    )
+
+
 COSINE_PAIR_THRESHOLD = 0.45
 _GRID_BLOCKS = 8  # B: a cell holds two n/B blocks; size so a cell fits a task
 
@@ -483,6 +542,7 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dd_exact": dd_exact,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_components": dd_components,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_simhash": dd_simhash,
     "dd_embedding_cosine": dd_embedding_cosine,
@@ -587,6 +647,29 @@ ORACLE = {
         FROM documents GROUP BY 1
     """,
     "dd_ngram_jaccard": _PAIR_JACCARD_SQL,
+    # connected components = min reachable doc_id — deterministic, so the
+    # oracle replays it with a recursive reachability CTE over the same
+    # pair graph (fixture-sized: reach is O(V·E); the Spark side is the
+    # scalable min-label-propagation loop)
+    "dd_components": f"""
+        WITH RECURSIVE pairs AS (
+            {_PAIR_JACCARD_SQL}
+        ), edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL
+            SELECT b_id, a_id FROM pairs
+        ), reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), comp AS (
+            SELECT src AS doc_id, min(dst) AS component_id
+            FROM reach GROUP BY src
+        )
+        SELECT doc_id, component_id,
+               count(*) OVER (PARTITION BY component_id) AS component_size
+        FROM comp
+    """,
     # LSH + exact verify equals the exact result w.p. ~1 at the fixture's
     # planted-dup similarity levels (see module docstring)
     "dd_minhash_lsh": _PAIR_JACCARD_SQL,

@@ -154,3 +154,31 @@ def test_simhash_skewed_bucket_is_capped_not_exploded(spark, tmp_path):
     # nothing from the capped boilerplate cluster (would be ~499,500 pairs)
     assert all(a_id >= 5000 for a_id, _ in pairs)
     assert len(pairs) < 100
+
+
+def test_components_collapse_transitive_chains(spark, tmp_path):
+    """dd_components is the transitive closure of the near-dup pair graph:
+    a~b and b~c merge into one component even when the direct a~c pair is
+    below the jaccard threshold (acting on raw pairs would under-delete)."""
+    words = [f"w{i}" for i in range(30)]
+    wa, wc = words.copy(), words.copy()
+    wa[5], wc[25] = "xx", "yy"  # each differs from b in 3 shingles, far apart
+    rows = [
+        (1, " ".join(wa)),
+        (2, " ".join(words)),
+        (3, " ".join(wc)),
+        (9, "totally different text about nothing at all here"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    pairs = {(r.a_id, r.b_id) for r in dedup.dd_ngram_jaccard(spark, str(tmp_path)).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+
+    out = {
+        r.doc_id: (r.component_id, r.component_size)
+        for r in dedup.dd_components(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[9] == (9, 1)
