@@ -199,6 +199,7 @@ def main() -> None:
     scaling: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         import math
+        import re as _re
 
         probe_dirs = [
             d
@@ -208,6 +209,11 @@ def main() -> None:
             )
             if os.path.isdir(d) and os.path.abspath(d) != os.path.abspath(SF_DIR)
         ]
+        # decades of data between the sf0.01 probe and the main SF, parsed
+        # from the dir name — the exponent must be normalized per decade or
+        # a linear operator would read as 2.0 when SF_DIR=sf1
+        m = _re.search(r"sf([0-9.]+)$", SF_DIR.rstrip("/"))
+        decades = math.log10(float(m.group(1)) / 0.01) if m else None
         for name in times:
             entry: dict = {}
             for d in probe_dirs:
@@ -218,8 +224,10 @@ def main() -> None:
                 except Exception as exc:  # noqa: BLE001
                     entry[label] = f"ERROR {type(exc).__name__}"[:80]
             t_mid = entry.get("sf0.01")
-            if isinstance(t_mid, float) and t_mid > 0:
-                entry["exponent"] = round(math.log10(times[name] / t_mid), 2)
+            if isinstance(t_mid, float) and t_mid > 0 and decades:
+                entry["exponent"] = round(
+                    math.log10(times[name] / t_mid) / decades, 2
+                )
             scaling[name] = entry
             print(f"# scaling {name}: {entry}", file=sys.stderr)
 

@@ -9,10 +9,14 @@ table-name validation (api_poc.py:304 ``isidentifier``).
 from __future__ import annotations
 
 import os
+from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .table import LakeTable
+
+if TYPE_CHECKING:
+    from .format import TableFormat
 
 
 class LakeCatalog:
@@ -44,7 +48,7 @@ class LakeCatalog:
             raise ValueError(f"invalid table name: {name!r}")
         return name
 
-    def table(self, name: str) -> LakeTable:
+    def table(self, name: str) -> "TableFormat":
         return self.table_format(
             self.spark, os.path.join(self._ns_dir(), self._validate(name))
         )

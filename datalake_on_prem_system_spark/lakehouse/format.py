@@ -153,8 +153,16 @@ class DeltaTableFormat:
             df = reader.option("versionAsOf", version).load(self.root)
             df.schema  # force analysis so a missing version raises HERE
             return df
-        except Exception:
-            if fallback_to_latest:
+        except Exception as exc:
+            # fall back ONLY for expired/absent versions (LakeTable's
+            # contract) — a transient analysis failure must surface, not
+            # silently serve the latest state
+            from pyspark.errors import AnalysisException
+
+            is_version_miss = isinstance(exc, AnalysisException) and (
+                "version" in str(exc).lower() or "time travel" in str(exc).lower()
+            )
+            if fallback_to_latest and is_version_miss:
                 return self.spark.read.format("delta").load(self.root)
             raise
 
@@ -207,7 +215,10 @@ class DeltaTableFormat:
             writer = writer.partitionBy(*partition_by)
         writer.save(self.root)
         if properties:
-            props = ", ".join(f"'{k}'='{v}'" for k, v in properties.items())
+            esc = lambda s: str(s).replace("'", "''")  # noqa: E731 — SQL literal escape
+            props = ", ".join(
+                f"'{esc(k)}'='{esc(v)}'" for k, v in properties.items()
+            )
             self.spark.sql(
                 f"ALTER TABLE delta.`{self.root}` SET TBLPROPERTIES ({props})"
             )
@@ -265,7 +276,19 @@ class DeltaTableFormat:
             )
         else:
             merge = merge.whenMatchedUpdateAll().whenNotMatchedInsertAll()
-        merge.execute()
+        # LakeTable parity: source columns absent from the target are ADDED
+        # (existing rows read NULL) — Delta's schema evolution flag, scoped
+        # to this merge and restored after
+        evolve_key = "spark.databricks.delta.schema.autoMerge.enabled"
+        prev = self.spark.conf.get(evolve_key, None)
+        self.spark.conf.set(evolve_key, "true")
+        try:
+            merge.execute()
+        finally:
+            if prev is None:
+                self.spark.conf.unset(evolve_key)
+            else:
+                self.spark.conf.set(evolve_key, prev)
         return self.latest_version()
 
     def delete_where(self, condition):
@@ -304,7 +327,9 @@ class DeltaTableFormat:
         return self.latest_version()
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        if keep_last < 1:  # LakeTable parity: never expire the live state
+            raise ValueError("keep_last must be >= 1")
         vs = self.versions()
-        expired = vs[:-keep_last] if keep_last else list(vs)
+        expired = vs[:-keep_last]
         self._dt().vacuum()
         return expired

@@ -102,7 +102,12 @@ def _pk_literal_values(condition, pk: str) -> list | None:
     (Spark 4 `org.apache.spark.sql.internal` nodes via py4j). Any other
     predicate shape — or any introspection surprise — returns None and the
     caller keeps the scan-based path, so this is a pure fast-path: it can
-    only ever skip work, never change which rows match.
+    only ever skip work, never change which rows match. The column name
+    must match the pk EXACTLY: under the default case-insensitive
+    resolution a differently-cased reference still resolves to the pk, but
+    under ``spark.sql.caseSensitive=true`` it could be a DIFFERENT column —
+    exact-match-only keeps the fast path correct in both modes (the cased
+    variant merely falls back to the scan).
 
     NULL literals are dropped: ``pk = NULL`` / ``NULL IN (...)`` elements
     never match a row under SQL three-valued logic.
@@ -129,15 +134,13 @@ def _pk_literal_values(condition, pk: str) -> list | None:
         argl = [args.apply(i) for i in range(args.size())]
         if fn == "=" and len(argl) == 2:
             for a, b in ((argl[0], argl[1]), (argl[1], argl[0])):
-                name = attr_name(a)
-                if name is not None and name.lower() == pk.lower():
+                if attr_name(a) == pk:
                     ok, v = lit_value(b)
                     if ok:
                         return [v] if v is not None else []
             return None
         if fn == "in" and len(argl) >= 2:
-            name = attr_name(argl[0])
-            if name is None or name.lower() != pk.lower():
+            if attr_name(argl[0]) != pk:
                 return None
             vals = []
             for a in argl[1:]:

@@ -433,34 +433,45 @@ def dd_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest; acting on raw pair lists under-deletes transitive duplicate
     chains (a~b, b~c without a~c).
 
-    Algorithm: min-label propagation to fixpoint. Per round each node takes
-    min(own label, neighbors' labels) — one shuffle per round keyed on
-    doc_id; rounds needed = graph diameter, and near-dup components are
-    tiny dense clusters (diameter ~2), so 2-3 rounds in practice.
-    ``localCheckpoint`` truncates lineage every round so the plan stays
-    flat instead of doubling; the driver loop holds only a per-round
-    changed-count (bounded at ``_CC_MAX_ITERS``, raises rather than spins).
-    At 100 TB the identical per-round dataflow (edge join + min aggregate)
-    runs with the alternating large-star/small-star emission rule
-    (O(log² n) rounds) and a reliable checkpoint dir instead of
-    local checkpoints. Output (min reachable id) is deterministic and
-    engine-portable, so the DuckDB oracle replays it with a recursive
-    reachability CTE.
+    Algorithm: min-label propagation with POINTER JUMPING. Per round each
+    node takes min(own label, neighbors' labels), then labels are
+    compressed one hop (comp ← comp's comp), which halves label-chain
+    depth — convergence in O(log diameter) rounds, so even a pathological
+    drifting-boilerplate chain thousands of docs long converges well
+    inside ``_CC_MAX_ITERS`` (2^20 diameter equivalent; raises rather than
+    spins). The edge list is materialized ONCE before the loop
+    (localCheckpoint) — otherwise every round would re-run the
+    dd_ngram_jaccard pair-mining join, the most expensive stage of the
+    query. ``localCheckpoint`` also truncates per-round lineage so the
+    plan stays flat; at 100 TB the identical per-round dataflow runs with
+    a reliable checkpoint dir instead. Output (min reachable id) is
+    deterministic and engine-portable, so the DuckDB oracle replays it
+    with a recursive reachability CTE.
     """
     docs = t_par(spark, sf_dir, "documents").select("doc_id")
     pairs = dd_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    )
+    ).localCheckpoint()
     labels = docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
     for _ in range(_CC_MAX_ITERS):
         prop = edges.join(labels, F.col("a_id") == F.col("doc_id")).select(
             F.col("b_id").alias("doc_id"), "comp"
         )
+        merged = (
+            labels.unionByName(prop).groupBy("doc_id").agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: comp values are themselves doc_ids, so following
+        # one hop (comp -> that doc's comp) always joins and only lowers
         new = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("comp").alias("comp"))
+            merged.alias("l")
+            .join(
+                merged.select(
+                    F.col("doc_id").alias("c_id"), F.col("comp").alias("c_comp")
+                ),
+                F.col("comp") == F.col("c_id"),
+            )
+            .select("doc_id", F.least("comp", "c_comp").alias("comp"))
             .localCheckpoint()
         )
         changed = (

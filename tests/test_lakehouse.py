@@ -577,7 +577,9 @@ def test_pk_literal_extraction_shapes(spark):
     assert _pk_literal_values(F.col("k") == F.lit(5), "k") == [5]
     assert _pk_literal_values(F.lit(5) == F.col("k"), "k") == [5]
     assert _pk_literal_values(F.col("k").isin(1, 2, 3), "k") == [1, 2, 3]
-    assert _pk_literal_values(F.col("K") == F.lit("x"), "k") == ["x"]
+    # exact-name match only: a cased variant may be a DIFFERENT column under
+    # spark.sql.caseSensitive=true, so it must fall back to the scan path
+    assert _pk_literal_values(F.col("K") == F.lit("x"), "k") is None
     # NULL literal can never match a row -> empty touched set
     assert _pk_literal_values(F.col("k") == F.lit(None), "k") == []
     # everything else falls back to the scan path
