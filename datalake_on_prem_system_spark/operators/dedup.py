@@ -650,19 +650,10 @@ _PAIR_JACCARD_SQL = """
     WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
 """
 
-ORACLE = {
-    "dd_exact": """
-        SELECT md5(text) AS content_hash,
-               min(doc_id) AS survivor_doc_id,
-               count(*) AS group_size
-        FROM documents GROUP BY 1
-    """,
-    "dd_ngram_jaccard": _PAIR_JACCARD_SQL,
-    # connected components = min reachable doc_id — deterministic, so the
-    # oracle replays it with a recursive reachability CTE over the same
-    # pair graph (fixture-sized: reach is O(V·E); the Spark side is the
-    # scalable min-label-propagation loop)
-    "dd_components": f"""
+# shared by the dd_components oracle and pipeline_ops' canonical-dedup
+# oracle: recursive reachability closure over the exact near-dup pair graph,
+# ending in `comp(doc_id, component_id)`
+COMPONENTS_CTE_SQL = f"""
         WITH RECURSIVE pairs AS (
             {_PAIR_JACCARD_SQL}
         ), edges AS (
@@ -677,6 +668,22 @@ ORACLE = {
             SELECT src AS doc_id, min(dst) AS component_id
             FROM reach GROUP BY src
         )
+"""
+
+ORACLE = {
+    "dd_exact": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS survivor_doc_id,
+               count(*) AS group_size
+        FROM documents GROUP BY 1
+    """,
+    "dd_ngram_jaccard": _PAIR_JACCARD_SQL,
+    # connected components = min reachable doc_id — deterministic, so the
+    # oracle replays it with a recursive reachability CTE over the same
+    # pair graph (fixture-sized: reach is O(V·E); the Spark side is the
+    # scalable min-label-propagation loop)
+    "dd_components": f"""
+        {COMPONENTS_CTE_SQL}
         SELECT doc_id, component_id,
                count(*) OVER (PARTITION BY component_id) AS component_size
         FROM comp

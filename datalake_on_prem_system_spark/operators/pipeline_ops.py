@@ -56,7 +56,39 @@ def pl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"pl_curation": pl_curation}
+def pl_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION over transitive near-dup clusters: per non-trivial
+    component (dd_components), keep the canonical min-id document and
+    account for what the removal saves — (component_id = the survivor,
+    n_docs, n_removed, chars_removed). This is the report a 100 TB
+    curation job emits before committing the delete: cluster-aware, so
+    transitive chains a~b~c remove BOTH b and c (pair-based dropping
+    misses c when only a~b, b~c were mined).
+
+    Scale: composes the already-bounded components loop with one join to
+    the documents table and a component-keyed aggregate — one extra
+    shuffle; nothing collected."""
+    comp = dedup.dd_components(spark, sf_dir)
+    docs = t_par(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        comp.filter(F.col("component_size") > 1)
+        .join(docs, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_removed"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") != F.col("component_id"), F.col("n_chars")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("chars_removed"),
+        )
+    )
+
+
+QUERIES = {"pl_curation": pl_curation, "pl_dedup_canonical": pl_dedup_canonical}
 
 ORACLE = {
     "pl_curation": """
@@ -96,5 +128,17 @@ ORACLE = {
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
                round(avg(n_chars), 4) AS avg_chars
         FROM kept GROUP BY source
+    """,
+    "pl_dedup_canonical": dedup.COMPONENTS_CTE_SQL
+    + """
+        SELECT c.component_id,
+               count(*) AS n_docs,
+               CAST(count(*) - 1 AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN c.doc_id <> c.component_id
+                             THEN d.n_chars ELSE 0 END) AS BIGINT)
+                   AS chars_removed
+        FROM comp c JOIN documents d USING (doc_id)
+        GROUP BY c.component_id
+        HAVING count(*) > 1
     """,
 }
