@@ -637,3 +637,33 @@ def test_engine_point_dml_is_bucket_granular(spark, tmp_path):
 
     rows = {r.item_id: r.v for r in eng.read("items").collect()}
     assert rows[7] == -7 and 8 not in rows and len(rows) == 499
+
+
+def test_point_dml_prunes_for_int_and_string_pks(spark, tmp_path):
+    """Murmur3(int32) != Murmur3(int64): the literal probe must cast to the
+    TABLE's pk type or it prunes the wrong bucket and the DML silently
+    no-ops. Cover int32 and string pks end-to-end."""
+    t1 = LakeTable(spark, str(tmp_path / "i32"))
+    t1.merge(
+        spark.createDataFrame([(i, i) for i in range(300)], "k int, v int"),
+        pk="k",
+        n_buckets=8,
+    )
+    c1 = t1._read_commit(t1.latest_version())
+    t1.update_where(F.col("k") == F.lit(7), {"v": -7})
+    c2 = t1._read_commit(t1.latest_version())
+    assert len([e for e in c2.files if e["path"] not in {x["path"] for x in c1.files}]) == 1
+    assert [r.v for r in t1.read().filter("k = 7").collect()] == [-7]
+
+    t2 = LakeTable(spark, str(tmp_path / "spk"))
+    t2.merge(
+        spark.createDataFrame([(f"u{i}", i) for i in range(300)], "k string, v int"),
+        pk="k",
+        n_buckets=8,
+    )
+    d1 = t2._read_commit(t2.latest_version())
+    t2.delete_where(F.col("k") == F.lit("u7"))
+    d2 = t2._read_commit(t2.latest_version())
+    assert len([e for e in d2.files if e["path"] not in {x["path"] for x in d1.files}]) == 1
+    assert t2.read().filter("k = 'u7'").count() == 0
+    assert t2.read().count() == 299

@@ -116,7 +116,12 @@ def test_random_program_matches_multiset_model(spark, tmp_path_factory, seed):
     snapshots: dict[int, list[tuple[int, int]]] = {table.latest_version(): sorted(model)}
 
     for _ in range(rng.randint(4, 7)):
-        op = rng.choice(["merge", "merge", "delete", "update", "append", "insert", "compact"])
+        op = rng.choice(
+            [
+                "merge", "merge", "delete", "update", "append", "insert",
+                "compact", "pdelete", "pupdate",
+            ]
+        )
         if op == "merge":
             batch = _rand_batch(rng)
             table.merge(
@@ -144,6 +149,21 @@ def test_random_program_matches_multiset_model(spark, tmp_path_factory, seed):
             rows = [{"k": rng.randrange(8, 12), "v": rng.randrange(1000)}]
             table.insert_rows(rows)
             model = model + [(r["k"], r["v"]) for r in rows]
+        elif op == "pdelete":
+            # point DML: pk-equality / pk-IN literals exercise the
+            # touched-bucket-from-literals fast path across MOR/COW states
+            ks = rng.sample(range(12), rng.randint(1, 2))
+            cond = (
+                F.col("k") == F.lit(ks[0])
+                if len(ks) == 1
+                else F.col("k").isin(*ks)
+            )
+            table.delete_where(cond)
+            model = [row for row in model if row[0] not in set(ks)]
+        elif op == "pupdate":
+            k, nv = rng.randrange(12), rng.randrange(1000)
+            table.update_where(F.col("k") == F.lit(k), {"v": nv})
+            model = [(kk, nv if kk == k else v) for kk, v in model]
         elif op == "compact":
             table.compact()
         snapshots[table.latest_version()] = sorted(model)
