@@ -250,12 +250,16 @@ class LakeTable:
         partition_by: list[str] | None = None,
         bucket_pk: str | None = None,
         n_buckets: int | None = None,
+        sort_within: list[str] | None = None,
     ) -> tuple[str, list[dict]]:
         """Write one data segment; returns (segment dir, file-list entries).
 
         With ``bucket_pk`` the segment is laid out as ``__bucket=<i>`` leaf
         dirs (one entry per bucket, ~one file per bucket via a bucket-column
-        repartition); otherwise one entry spanning the segment."""
+        repartition); otherwise one entry spanning the segment.
+        ``sort_within`` sorts rows within each written file (applied AFTER
+        the bucket repartition, which would otherwise destroy it) so
+        per-file min/max stats enable data skipping on those columns."""
         os.makedirs(self._data_dir, exist_ok=True)
         path = self._segment_path(version)
         if bucket_pk is not None:
@@ -267,6 +271,13 @@ class LakeTable:
             # (hashing BUCKET_COL instead would collide bucket ids across
             # partitions: multi-dir tasks + idle tasks)
             out = out.repartition(n, F.col(bucket_pk))
+            if sort_within:
+                # the dynamic-partition writer requires a sort on the
+                # partition column and would inject its own (non-stable)
+                # one, destroying any prior order — lead with BUCKET_COL so
+                # this sort SATISFIES the writer's requirement and the
+                # cluster order survives to the files
+                out = out.sortWithinPartitions(BUCKET_COL, *sort_within)
             out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
             entries = []
             for d in sorted(os.listdir(path)):
@@ -280,6 +291,8 @@ class LakeTable:
                         }
                     )
             return path, entries
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -341,6 +354,7 @@ class LakeTable:
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
         bucket_spec: dict | None = None,
+        sort_within: list[str] | None = None,
     ) -> Commit:
         """Full-state publish: the entire table state as one new segment.
         Used by create/replace, compaction, and as the bucketization step
@@ -358,6 +372,7 @@ class LakeTable:
             partition_by=partition_by,
             bucket_pk=bucket_spec["pk"] if bucket_spec else None,
             n_buckets=bucket_spec["n"] if bucket_spec else None,
+            sort_within=sort_within,
         )
         for e in entries:
             e["seq"] = version
@@ -406,8 +421,12 @@ class LakeTable:
             new_paths.append(path)
             entries = carried + new_entries
         if any(e.get("delta") is not None for e in entries):
-            # delta file rows overlap base keys — table count needs resolution
-            n_rows = self._resolve(entries, schema_json, bucket_spec).count()
+            # delta file rows overlap base keys — the table count needs a
+            # key-resolution join the WRITE path must not pay (append/insert
+            # on a delta-bearing table are O(batch) by contract). -1 =
+            # unknown; history() resolves and caches it lazily on demand,
+            # exactly like _merge_mor_delta's commits.
+            n_rows = -1
         else:
             n_rows = sum(e["n_rows"] for e in entries)
         commit = Commit(
@@ -519,10 +538,22 @@ class LakeTable:
             allr = allr.unionByName(p)
         w = Window.partitionBy(pk)
         last = F.col("__last_delta")
-        survives = F.when(
-            F.col("__is_delta"),
-            (F.col("__seq") == last) & ~F.col("__op").eqNullSafe("d"),
-        ).otherwise(last.isNull() | (F.col("__seq") > last))
+        survives = (
+            F.when(
+                # COW parity on NULL pks: SQL equality matches nothing, so
+                # the anti-join path leaves base NULL-pk rows untouched,
+                # inserts NULL-pk upserts, and deletes nothing. The window
+                # would instead lump all NULL-pk rows into ONE group and let
+                # a single NULL-pk delta wipe them — resolve row-locally.
+                F.col(pk).isNull(),
+                ~F.col("__is_delta") | ~F.col("__op").eqNullSafe("d"),
+            )
+            .when(
+                F.col("__is_delta"),
+                (F.col("__seq") == last) & ~F.col("__op").eqNullSafe("d"),
+            )
+            .otherwise(last.isNull() | (F.col("__seq") > last))
+        )
         return (
             allr.withColumn(
                 "__last_delta",
@@ -695,6 +726,13 @@ class LakeTable:
         (existing rows take NULL), matching append's union-of-columns
         semantics; a first merge into a never-created table bootstraps it
         (CREATE TABLE IF NOT EXISTS parity, cdc_merger_optimized.py:191).
+        The reverse direction is whole-row replacement (UPDATE SET *):
+        source rows REPLACE matched target rows in full, so a source
+        missing target columns writes NULL for them — upstream must send
+        complete rows, which Debezium does under REPLICA IDENTITY FULL and
+        ``normalize_envelope`` preserves. A type CONFLICT on a shared
+        column always resolves via a full rewrite (never a delta commit
+        whose declared schema diverges from carried files' physical types).
 
         ``mode`` (or the ``write.merge.mode`` table property): ``"cow"``
         (default) rewrites touched buckets; ``"mor"`` (merge-on-read, the
@@ -767,16 +805,35 @@ class LakeTable:
             # threshold reached: compact — resolve ALL accumulated deltas
             # (not just touched buckets) into fresh base files while
             # applying this batch, so the delta chain resets to zero.
+            # The streaming batch reaches here UNPERSISTED (cdc_apply_batch
+            # caches only on the COW path), and this branch evaluates it
+            # three times (emptiness probe, anti-join build, upsert union) —
+            # persist for the branch so the parse/dedup pipeline runs once.
             # P12 guard: an empty/unparseable batch must not trigger a
             # full-table-rewrite commit for zero change rows (the probe is
             # one tiny job, paid only when compaction would run anyway)
-            if source.isEmpty():
-                return prev
+            source = source.persist()
+            try:
+                if source.isEmpty():
+                    return prev
+                target = self._read_data(prev)
+                untouched = target.join(source.select(pk), pk, "left_anti")
+                result = untouched.unionByName(upserts, allowMissingColumns=True)
+                return self._publish(result, "merge", bucket_spec=spec)
+            finally:
+                source.unpersist()
+        # ---- bucket-granular copy-on-write path
+        merged_schema = self._union_schema_json(target_schema, upserts.schema)
+        if merged_schema is None:
+            # a source column's type CONFLICTS with the target's: committing
+            # the coerced union schema would leave carried (untouched-bucket)
+            # files physically typed differently than the declared schema —
+            # a successful commit that breaks the next read. Same contract
+            # as append/_merge_mor_delta: resolve via one full rewrite.
             target = self._read_data(prev)
             untouched = target.join(source.select(pk), pk, "left_anti")
             result = untouched.unionByName(upserts, allowMissingColumns=True)
             return self._publish(result, "merge", bucket_spec=spec)
-        # ---- bucket-granular copy-on-write path
         touched = {
             r["b"]
             for r in source.select(_bucket_expr(pk, n).alias("b")).distinct().collect()
@@ -797,9 +854,7 @@ class LakeTable:
         subset = self._resolve(candidates, prev.schema_json, spec)
         untouched_rows = subset.join(source.select(pk), pk, "left_anti")
         result = untouched_rows.unionByName(upserts, allowMissingColumns=True)
-        return self._publish_delta(
-            "merge", prev, carried, result, result.schema.json(), spec
-        )
+        return self._publish_delta("merge", prev, carried, result, merged_schema, spec)
 
     def _merge_mor_delta(
         self,
@@ -1009,9 +1064,10 @@ class LakeTable:
         if prev.bucket_spec is None:
             n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
             df = df.repartition(n)
-        if cluster_by:
-            df = df.sortWithinPartitions(*cluster_by)
-        return self._publish(df, "compact")
+        # the sort must survive to the files: on a bucketed table
+        # _write_segment repartitions on the pk AFTER this point, so the
+        # sort is applied inside _write_segment (post-repartition), not here
+        return self._publish(df, "compact", sort_within=cluster_by)
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Metadata/data GC: drop all but the newest ``keep_last`` commits

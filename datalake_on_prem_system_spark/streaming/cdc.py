@@ -54,17 +54,23 @@ def normalize_envelope(raw: DataFrame, row_ddl: str, value_col: str = "value") -
     (distributed sniff), flatten after/before, resurrect the key for
     deletes via coalesce(after.k, before.k) (P1/P2/T5). A single parse —
     the two-schema variant parsed every value twice, which dominated the
-    per-batch cost on the streaming hot path."""
-    row = StructType.fromDDL(row_ddl)
-    flat_schema = (
-        StructType().add("before", row).add("after", row).add("op", "string")
-    )
-    superset = (
-        StructType()
-        .add("payload", flat_schema)
-        .add("before", row)
-        .add("after", row)
-        .add("op", "string")
+    per-batch cost on the streaming hot path.
+
+    ``op`` is reserved: the output carries the CDC op under that name, so a
+    row schema containing its own ``op`` column would emit two ambiguous
+    columns and break every downstream reference — rejected up front with
+    a clear error instead."""
+    _, flat_schema = debezium_schemas(row_ddl)  # single source of the shape
+    row = flat_schema["before"].dataType
+    if any(f.name.lower() == "op" for f in row.fields):
+        raise ValueError(
+            "row schema must not contain a column named 'op' — it is the "
+            "CDC envelope's op column in the normalized output"
+        )
+    from pyspark.sql.types import StructField
+
+    superset = StructType(
+        [StructField("payload", flat_schema, True), *flat_schema.fields]
     )
     p = F.from_json(F.col(value_col).cast("string"), superset)
 

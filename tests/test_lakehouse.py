@@ -667,3 +667,92 @@ def test_point_dml_prunes_for_int_and_string_pks(spark, tmp_path):
     assert len([e for e in d2.files if e["path"] not in {x["path"] for x in d1.files}]) == 1
     assert t2.read().filter("k = 'u7'").count() == 0
     assert t2.read().count() == 299
+
+
+def test_cow_merge_type_conflict_falls_back_to_rewrite(spark, tmp_path):
+    """A source column whose type conflicts with the target must trigger a
+    full rewrite: a delta commit would declare the coerced schema while
+    carried buckets keep the old physical type — a successful commit that
+    breaks the next read."""
+    t = LakeTable(spark, str(tmp_path / "tc"))
+    t.merge(
+        spark.createDataFrame([(i, i) for i in range(100)], "k int, v int"),
+        pk="k",
+        n_buckets=4,
+    )
+    c1 = t._read_commit(t.latest_version())
+    t.merge(spark.createDataFrame([(2, 20.5)], "k int, v double"), pk="k")
+    c2 = t._read_commit(t.latest_version())
+    # full rewrite: nothing carried from the previous commit
+    assert not ({e["path"] for e in c2.files} & {e["path"] for e in c1.files})
+    rows = {r.k: r.v for r in t.read().collect()}  # read must not break
+    assert rows[2] == 20.5 and rows[3] == 3.0 and len(rows) == 100
+
+
+def test_compact_cluster_by_sorts_bucketed_files(spark, tmp_path):
+    """cluster_by must survive to the written files on a BUCKETED table
+    (the bucket repartition runs after compact's transform, so the sort is
+    applied inside the segment writer): per-file rows sorted, enabling
+    min/max data skipping."""
+    import glob
+    import os as _os
+
+    t = LakeTable(spark, str(tmp_path / "cl"))
+    df = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"),
+        F.pmod(F.hash("id"), F.lit(997)).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    t.create_or_replace(df, bucket_by=("k", 4))
+    t.compact(cluster_by=["ts"])
+    c = t._read_commit(t.latest_version())
+    checked = 0
+    for e in c.files:
+        for f in glob.glob(_os.path.join(e["path"], "*.parquet")):
+            vals = [r.ts for r in spark.read.parquet(f).collect()]
+            assert vals == sorted(vals), f"file not sorted by ts: {f}"
+            checked += 1
+    assert checked >= 4
+
+
+def test_append_on_delta_table_defers_row_count(spark, tmp_path):
+    """append/insert on a delta-bearing table are O(batch): the commit must
+    NOT pay the key-resolution count (n_rows = -1, resolved lazily by
+    history)."""
+    t = LakeTable(spark, str(tmp_path / "lz"))
+    t.create_or_replace(
+        spark.createDataFrame([(1, 1), (2, 2)], "k int, v int"),
+        properties={"write.merge.mode": "mor"},
+        bucket_by=("k", 4),
+    )
+    t.merge(spark.createDataFrame([(1, 10)], "k int, v int"), pk="k")  # delta
+    assert any(e.get("delta") is not None for e in t._read_commit(t.latest_version()).files)
+    t.append(spark.createDataFrame([(9, 9)], "k int, v int"))
+    v = t.latest_version()
+    assert t._read_commit(v).n_rows == -1  # deferred, not resolved inline
+    hist = {r.version: r.n_rows for r in t.history().collect()}
+    assert hist[v] == 3
+    assert t._read_commit(v).n_rows == 3  # cached back
+
+
+def test_mor_null_pk_rows_match_cow_semantics(spark, tmp_path):
+    """NULL pks never match in SQL: base NULL-pk rows survive any merge, a
+    NULL-pk delete removes nothing, a NULL-pk upsert is a plain insert —
+    in BOTH write modes (the MOR window resolution must not lump all
+    NULL-pk rows into one key group)."""
+    states = {}
+    for mode in ("cow", "mor"):
+        t = LakeTable(spark, str(tmp_path / mode))
+        t.merge(spark.createDataFrame([(1, 1)], "k int, v int"), pk="k", mode=mode)
+        t.append(spark.createDataFrame([(None, 100), (None, 101)], "k int, v int"))
+        src = spark.createDataFrame(
+            [(None, 999, "u"), (None, None, "d")], "k int, v int, op string"
+        )
+        t.merge(src, pk="k", op_col="op", mode=mode)
+        states[mode] = sorted(
+            ((r.k, r.v) for r in t.read().collect()), key=lambda x: (str(x[0]), str(x[1]))
+        )
+    assert states["cow"] == states["mor"]
+    assert (None, 100) in states["mor"] and (None, 101) in states["mor"]
+    assert (None, 999) in states["mor"] and (1, 1) in states["mor"]
+    assert len(states["mor"]) == 4

@@ -214,3 +214,16 @@ def test_last_writer_wins_rejects_null_order_key(spark):
     )
     with _pytest.raises(Exception, match="NULL order key"):
         last_writer_wins(bad, "k", ["seq"]).collect()
+
+
+def test_normalize_envelope_rejects_reserved_op_column(spark):
+    """A row schema with its own 'op' column would collide with the CDC op
+    in the normalized output (ambiguous reference on every batch) — reject
+    up front."""
+    import pytest as _pytest
+
+    from datalake_on_prem_system_spark.streaming.cdc import normalize_envelope
+
+    df = spark.createDataFrame([("x",)], "value string")
+    with _pytest.raises(ValueError, match="op"):
+        normalize_envelope(df, "id INT, op STRING")
