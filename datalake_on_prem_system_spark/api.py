@@ -33,7 +33,7 @@ import os
 import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 from pyspark.sql import DataFrame
 
@@ -78,14 +78,22 @@ class _Handler(BaseHTTPRequestHandler):
         data = json.loads(raw.decode()) if raw else {}
         if not isinstance(data, dict):
             raise ValueError("body must be a JSON object")
-        return {k: (None if v is None else str(v)) for k, v in data.items()}
+        out: dict = {}
+        for k, v in data.items():
+            if isinstance(v, (dict, list)):
+                # str() would silently commit the Python repr as the cell
+                raise ValueError(f"column {k!r}: nested JSON values are not supported")
+            out[k] = None if v is None else str(v)
+        return out
 
     # ------------------------------------------------------------- routes
 
     def do_GET(self) -> None:  # noqa: N802 (stdlib casing)
         url = urlparse(self.path)
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
-        parts = [p for p in url.path.split("/") if p]
+        # percent-decode segments: /edit/t/John%20Doe must address pk
+        # 'John Doe' (parse_qs already decodes the query side)
+        parts = [unquote(p) for p in url.path.split("/") if p]
         try:
             if not parts:
                 return self._portal()
@@ -117,7 +125,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802
         url = urlparse(self.path)
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
-        parts = [p for p in url.path.split("/") if p]
+        parts = [unquote(p) for p in url.path.split("/") if p]
         try:
             if parts[0:1] == ["upload"] and len(parts) == 2:
                 return self._upload(parts[1], q)
@@ -173,13 +181,15 @@ class _Handler(BaseHTTPRequestHandler):
     def _view(self, table: str, q: dict[str, str]) -> None:
         """Dashboard view (api_poc.py:362-646): optional full-text search,
         optional snapshot (time travel; expired → latest fallback)."""
+        limit = int(q.get("limit", "50"))
         if "snapshot" in q:
             df = self.engine.time_travel(table, int(q["snapshot"]))
         elif "search" in q and q["search"]:
             df = self.engine.search(table, q["search"])
         else:
-            df = self.engine.read(table)
-        limit = int(q.get("limit", "50"))
+            # latest-first page like /data — engine.read(limit=) orders by
+            # pk desc; without it the page is an arbitrary partition sample
+            df = self.engine.read(table, limit=limit)
         self._send(
             200,
             {
@@ -209,22 +219,34 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(400, "empty upload body")
         work = tempfile.mkdtemp(prefix="api_upload_")
         path = os.path.join(work, f"upload{suffix}")
-        with open(path, "wb") as fh:
-            fh.write(body)
-        if mode == "cdc":
-            self.engine.ingest(
-                table,
-                work,  # the CDC file stream reads a directory
-                mode="cdc",
-                pk=q.get("pk"),
-                row_ddl=q.get("row_ddl"),
-                checkpoint_dir=os.path.join(work, "_ck"),
-                order_cols=q["order_cols"].split(",") if q.get("order_cols") else None,
-            )
-        else:
-            self.engine.ingest(table, path, mode="direct", pk=q.get("pk"))
-        n = self.engine.read(table).count()
-        self._send(200, {"status": "ingested", "table": table, "mode": mode, "rows": n})
+        try:
+            with open(path, "wb") as fh:
+                fh.write(body)
+            if mode == "cdc":
+                self.engine.ingest(
+                    table,
+                    work,  # the CDC file stream reads a directory
+                    mode="cdc",
+                    pk=q.get("pk"),
+                    row_ddl=q.get("row_ddl"),
+                    checkpoint_dir=os.path.join(work, "_ck"),
+                    order_cols=q["order_cols"].split(",") if q.get("order_cols") else None,
+                )
+            else:
+                self.engine.ingest(table, path, mode="direct", pk=q.get("pk"))
+            # count-verify from commit metadata (O(1); history resolves the
+            # rare unknown lazily) — not an O(table) scan per upload
+            hist = _df_rows(self.engine.history(table), limit=1)
+            n = hist[0]["n_rows"] if hist else 0
+            if n is None or n < 0:
+                n = self.engine.read(table).count()
+            self._send(200, {"status": "ingested", "table": table, "mode": mode, "rows": n})
+        finally:
+            # the upload body and CDC checkpoint are dead once ingested — a
+            # long-running server must not accumulate one dir per request
+            import shutil
+
+            shutil.rmtree(work, ignore_errors=True)
 
 
 def make_server(engine: LakeEngine, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:

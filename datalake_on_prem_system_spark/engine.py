@@ -212,29 +212,37 @@ class LakeEngine:
         narrow index instead of recomputing the projection over the full
         base table (api_poc.py:38-42 keeps a live ES index the same way).
 
-        Thread-safe: the lock prevents concurrent requests from
-        double-building one version's index. Stale versions' index dirs are
+        Thread-safe without serializing unrelated tables behind one cold
+        build: the cache is consulted under the lock, but the (potentially
+        long) index materialization runs OUTSIDE it — two racing requests
+        for the same new version at worst both build it (idempotent
+        overwrite of the same versioned path) and the second registration
+        wins benignly. The version is read FIRST and the base data read
+        pinned to it, so a commit landing mid-call can never cache version
+        N's data under version N+1's key. Stale versions' index dirs are
         dropped from the cache but left ON DISK — a still-in-flight lazy
         search DataFrame may read them; ``expire_snapshots`` GCs them with
         their commits."""
         import os
 
         t = self.catalog.table(table)
-        df = t.read()
-        pk = find_id_col(df.columns)
         version = t.latest_version()
+        df = t.read(version=version) if version is not None else t.read()
+        pk = find_id_col(df.columns)
         key = (t.root, version)
         with self._search_index_lock:
-            if key not in self._search_index_cache:
-                path = os.path.join(t.root, "_search_index", f"{version}.parquet")
-                build_search_df(df, pk, [c for c in df.columns if c != pk]).write.mode(
-                    "overwrite"
-                ).parquet(path)
+            cached = self._search_index_cache.get(key)
+        if cached is None:
+            path = os.path.join(t.root, "_search_index", f"{version}.parquet")
+            build_search_df(df, pk, [c for c in df.columns if c != pk]).write.mode(
+                "overwrite"
+            ).parquet(path)
+            with self._search_index_lock:
                 for k in [k for k in self._search_index_cache if k[0] == t.root]:
                     self._search_index_cache.pop(k)
                 self._search_index_cache[key] = path
-            path = self._search_index_cache[key]
-        return self.spark.read.parquet(path), df, pk
+                cached = path
+        return self.spark.read.parquet(cached), df, pk
 
     def search(self, table: str, query: str, top_k: int = 50) -> DataFrame:
         """E1–E5: numeric fast path → ranked all-words/phrase search over

@@ -49,6 +49,10 @@ class TableFormat(Protocol):
     above the seam only rely on reads, not on commit internals).
     """
 
+    # the table's storage location — part of the protocol because the
+    # engine keys derived state (the materialized search index) on it
+    root: str
+
     # ---- existence / lineage
     def exists(self) -> bool: ...
     def versions(self) -> list[int]: ...

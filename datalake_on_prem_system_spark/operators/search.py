@@ -42,7 +42,15 @@ _INDEX_CACHE: dict[tuple[str, str, str], str] = {}
 
 
 def build_search_df(df: DataFrame, pk: str, cols: list[str]) -> DataFrame:
-    """(pk, searchable_text) projection of a base table."""
+    """(pk, searchable_text) projection of a base table. ``text`` is the
+    index's reserved output name — a table whose id column is itself named
+    'text' would produce two ambiguous columns, so it is rejected with a
+    clear error instead of failing downstream."""
+    if pk.lower() == "text":
+        raise ValueError(
+            "search index reserves the column name 'text'; a table whose id "
+            "column is named 'text' cannot be indexed"
+        )
     return df.select(F.col(pk), searchable_text(df, cols).alias("text"))
 
 
@@ -84,12 +92,15 @@ def all_words_predicate(text: Column, query: str) -> Column:
 
 
 def phrase_boost_score(text: Column, query: str, boost: int = 10) -> Column:
-    """E2: score = boost·[phrase present] + #tokens present."""
+    """E2: score = boost·[phrase present] + #tokens present. The phrase is
+    the WHITESPACE-NORMALIZED token join, not the raw query — the indexed
+    text is built with single-space concat_ws, so a stray double/trailing
+    space in user input must not silently defeat the boost."""
     toks = [tok for tok in query.lower().split() if tok]
     token_hits = sum(
         (text.contains(tok).cast("int") for tok in toks), F.lit(0)
     )
-    phrase_hit = text.contains(query.lower()).cast("int")
+    phrase_hit = text.contains(" ".join(toks)).cast("int") if toks else F.lit(0)
     return (F.lit(boost) * phrase_hit + token_hits).alias("score")
 
 

@@ -141,3 +141,46 @@ def test_history_and_diff(served):
     assert len(hist) >= 2  # create + the CRUD churn above
     diff = _get(base, "/diff/products?v_old=0&v_new=1")["diff"]
     assert diff, "insert between v0 and v1 must show up"
+
+
+def test_percent_encoded_pk_roundtrip(served):
+    """Path segments are percent-decoded: a string pk containing a space
+    must be addressable through /edit, /update, and /delete."""
+    eng, base = served
+    eng.write_table(
+        "people",
+        eng.spark.createDataFrame(
+            [("John Doe", 30), ("Jane Roe", 40)], "person_id string, age int"
+        ),
+    )
+    enc = urllib.parse.quote("John Doe")
+    row = _get(base, f"/edit/people/{enc}")["row"]
+    assert row["person_id"] == "John Doe"
+    _post(base, f"/update/people/{enc}", json_body={"age": "31"})
+    assert _get(base, f"/edit/people/{enc}")["row"]["age"] == 31
+    _post(base, f"/delete/people/{enc}")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(base, f"/edit/people/{enc}")
+    assert exc.value.code == 404
+
+
+def test_insert_rejects_nested_json_values(served):
+    """Nested JSON values must be rejected with 400, never committed as a
+    Python repr string."""
+    _, base = served
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(
+            base,
+            "/insert/products",
+            json_body={"product_id": "77", "name": ["a", "b"], "price": "1.0"},
+        )
+    assert exc.value.code == 400
+
+
+def test_view_default_page_is_latest_first(served):
+    """/view without search/snapshot must serve the same latest-first page
+    as /data, not an arbitrary partition sample."""
+    _, base = served
+    view_ids = [r["product_id"] for r in _get(base, "/view/products?limit=2")["rows"]]
+    data_ids = [r["product_id"] for r in _get(base, "/data/products?limit=2")["rows"]]
+    assert view_ids == data_ids == sorted(view_ids, reverse=True)
