@@ -80,7 +80,7 @@ def _dispatch(args, eng, n: int) -> int:
         for t in eng.list_tables():
             print(t)
     elif args.verb == "ingest":
-        parts = args.partition_by.split(",") if args.partition_by else None
+        parts = [c.strip() for c in args.partition_by.split(",") if c.strip()] if args.partition_by else None
         df = eng.ingest_csv(args.table, args.csv, mode=args.mode, pk=args.pk, precombine=args.precombine, partition_by=parts)
         # count-verify (A1) — the read-back TABLE size, which differs from
         # the batch size for append/upsert modes
@@ -88,7 +88,7 @@ def _dispatch(args, eng, n: int) -> int:
     elif args.verb == "read":
         eng.read(
             args.table,
-            columns=args.columns.split(",") if args.columns else None,
+            columns=[c.strip() for c in args.columns.split(",") if c.strip()] if args.columns else None,
             filter_col=args.filter_col,
             filter_val=args.filter_val,
             limit=args.limit,
@@ -112,7 +112,7 @@ def _dispatch(args, eng, n: int) -> int:
     elif args.verb == "compact":
         c = eng.catalog.table(args.table).compact(
             target_partitions=args.files,
-            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            cluster_by=[c.strip() for c in args.cluster_by.split(",") if c.strip()] if args.cluster_by else None,
         )
         print(f"compacted {args.table} at version {c.version}")
     elif args.verb == "expire":

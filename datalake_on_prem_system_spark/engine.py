@@ -88,7 +88,17 @@ class LakeEngine:
                 raise ValueError(f"filter_col={filter_col!r} requires filter_val")
             if filter_col not in df.columns:
                 raise ValueError(f"unknown column for {table}: {filter_col!r}")
-            typed = get_cast_val(filter_val, df.schema[filter_col].dataType.simpleString())
+            dtype = df.schema[filter_col].dataType.simpleString()
+            typed = get_cast_val(filter_val, dtype)
+            numeric = dtype in (
+                "tinyint", "smallint", "int", "bigint", "float", "double",
+            ) or dtype.startswith("decimal")
+            if numeric and isinstance(typed, str):
+                # unparseable value against a numeric column: no row can
+                # match — return the empty result the reference serves
+                # instead of letting ANSI throw CAST_INVALID_INPUT at
+                # execution time deep in a Spark job
+                return df.filter(F.lit(False)).select(*(columns or df.columns))
             df = df.filter(F.col(filter_col) == F.lit(typed))
         if columns:
             df = df.select(*columns)

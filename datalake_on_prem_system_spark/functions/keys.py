@@ -12,7 +12,13 @@ superset of the server behavior for the names the server recognizes).
 
 from __future__ import annotations
 
+import re
+
 _KNOWN = ("id", "index", "internal id", "internal_id", "uid", "customer_id", "product_id")
+
+# '..._key', or the TPC-H prefixed style 'x_yyykey' (o_orderkey, c_custkey) —
+# a bare endswith("key") would claim ordinary words like 'whiskey' as pks
+_KEY_SUFFIX = re.compile(r"(_key|^[a-z]+_[a-z]*key)$")
 
 
 def find_id_col(columns: list[str]) -> str | None:
@@ -23,6 +29,6 @@ def find_id_col(columns: list[str]) -> str | None:
         if k in lowered:
             return lowered[k]
     for c in columns:
-        if c.lower().endswith("_id") or c.lower().endswith("key"):
+        if c.lower().endswith("_id") or _KEY_SUFFIX.search(c.lower()):
             return c
     return columns[0]

@@ -25,8 +25,19 @@ def sanitize_column_name(name: str) -> str:
 
 
 def sanitize_columns(df: DataFrame) -> DataFrame:
-    """toDF(*sanitized) rename-all (F8, ingest_csv_hudi.py:63-64)."""
-    return df.toDF(*[sanitize_column_name(c) for c in df.columns])
+    """toDF(*sanitized) rename-all (F8, ingest_csv_hudi.py:63-64).
+
+    Distinct raw headers can sanitize to the SAME name ('a b' and 'a_b');
+    duplicates get a positional suffix so the frame never carries ambiguous
+    columns that break every later select-by-name."""
+    seen: dict[str, int] = {}
+    names = []
+    for c in df.columns:
+        base = sanitize_column_name(c)
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        names.append(base if n == 0 else f"{base}_{n + 1}")
+    return df.toDF(*names)
 
 
 def evolve_to_union(df: DataFrame, existing_schema: StructType) -> DataFrame:
@@ -37,7 +48,12 @@ def evolve_to_union(df: DataFrame, existing_schema: StructType) -> DataFrame:
     cols = []
     for field in existing_schema.fields:
         if field.name in df.columns:
-            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            # keep the BATCH's own type: append/merge detect a type
+            # conflict themselves (_union_schema_json → None) and resolve
+            # it with a widening rewrite; a forced cast here would
+            # ANSI-throw on unparseable values (or silently NULL them with
+            # ANSI off) before that machinery ever ran
+            cols.append(F.col(field.name))
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     for c in df.columns:

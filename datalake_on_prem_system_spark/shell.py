@@ -33,6 +33,11 @@ class LakeShell(cmd.Cmd):
             print(f"error: {exc}")
             return False
 
+    def emptyline(self) -> bool:
+        # cmd.Cmd's default re-executes the LAST command on a blank line —
+        # a stray Enter must never repeat an insert/update/delete
+        return False
+
     def _safe(self, fn, *a, **kw):
         try:
             return fn(*a, **kw)
@@ -61,6 +66,8 @@ class LakeShell(cmd.Cmd):
             return print("usage: get <table> <pk>")
         t, pk_val = parts
         pk = self._safe(self.eng.id_col, t)
+        if pk is None:  # the first error already printed; don't stack a second
+            return
         df = self._safe(self.eng.read, t, filter_col=pk, filter_val=pk_val)
         df is not None and df.show(truncate=False)
 

@@ -62,14 +62,21 @@ def ingest_csv(
         from pyspark.sql import functions as F
 
         df = df.withColumn("_ingest_ts", F.current_timestamp().cast("string"))
-    if mode == "create" or not table.exists():
+    if mode == "create" or (mode == "append" and not table.exists()):
         table.create_or_replace(df, partition_by=partition_by)
     elif mode == "append":
         table.append(evolve_to_union(df, table.read().schema))
-    elif mode == "upsert":
+    else:  # upsert — ALWAYS routed through merge, including a missing
+        # table: merge's bootstrap enforces the pk, applies the precombine
+        # dedup to the first batch, and lays the table out pk-bucketed —
+        # a create_or_replace short-circuit would persist duplicate keys
         if pk is None:
             raise ValueError("upsert mode requires pk")
-        table.merge(evolve_to_union(df, table.read().schema), pk=pk, precombine=precombine)
-    else:
-        raise ValueError(f"unknown mode: {mode}")
+        if partition_by and not table.exists():
+            raise ValueError(
+                "partition_by applies to create mode; create the partitioned "
+                "table first, then upsert into it"
+            )
+        src = df if not table.exists() else evolve_to_union(df, table.read().schema)
+        table.merge(src, pk=pk, precombine=precombine)
     return table.read()
