@@ -97,10 +97,17 @@ def cur_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
 
     def stats(w: Column) -> Column:
-        grams = F.transform(
-            F.sequence(F.lit(0), F.size(w) - _REP_N),
-            lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
-        )
+        # guard short docs INSIDE the expression: the nw>=N filter below
+        # runs on this same struct, so without the when() a 1-2-token doc
+        # would evaluate sequence(0, negative) -> descending indices ->
+        # ANSI INVALID_ARRAY_INDEX before the filter could drop it
+        grams = F.when(
+            F.size(w) >= _REP_N,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - _REP_N),
+                lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
         # most frequent single token's count in the doc
         top_tok_n = F.array_max(
             F.transform(
@@ -281,14 +288,20 @@ _PII_SQL = f"""
     FROM injected
 """
 
+# the CASE arms derive from _SAMPLE_RATES so editing the rates can never
+# desynchronize the oracle from the Spark side
+_RATE_CASE = "(CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items()
+) + f" ELSE {_SAMPLE_DEFAULT_RATE} END)"
+
 _SAMPLE_SQL = f"""
     SELECT lang, source,
            count(*) AS n_docs,
            CAST(sum(CASE WHEN ((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}) % 100
-                              < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
+                              < {_RATE_CASE}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
            CAST(sum(CASE WHEN ((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}) % 100
-                              < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
+                              < {_RATE_CASE}
                          THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
                AS sampled_tokens
     FROM documents

@@ -164,10 +164,10 @@ ORACLE = {
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INTEGER) AS payload_len,
                list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   [CAST(unicode(c) AS BIGINT) for c in string_split(text, '')]),
+                   [CAST(unicode(c) AS BIGINT) for c in string_split(text, '') if c <> '']),
                    (a, x) -> a + x) AS byte_sum,
                CAST(list_reduce(list_prepend(0,
-                   [unicode(c) for c in string_split(text, '')]),
+                   [unicode(c) for c in string_split(text, '') if c <> '']),
                    (a, x) -> greatest(a, x)) AS INTEGER) AS byte_max
         FROM documents
     """,

@@ -59,8 +59,14 @@ def _dot(a: Column, b: Column) -> Column:
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t_par(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", "label", _as_double().alias("v")).withColumn(
-        "norm", _norm(F.col("v"))
+    return (
+        emb.select("vec_id", "label", _as_double().alias("v"))
+        .withColumn("norm", _norm(F.col("v")))
+        # zero-norm vectors (failed encodes, padding rows) are unrankable —
+        # cosine is undefined and the division would ANSI-throw
+        # DIVIDE_BY_ZERO — so they are excluded from the similarity corpus;
+        # the oracle's `n` CTE applies the identical filter
+        .filter(F.col("norm") > 0)
     )
 
 
@@ -172,7 +178,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (sf_dir, nlist) → (assignments parquet path, [(cell_id, centroid)]); the
 # index is immutable once built — the fixture tables never change mid-process
-_IVF_CACHE: dict[tuple[str, int], tuple[str, list[tuple[int, list[float]]]]] = {}
+_IVF_CACHE: dict[tuple[str, int, float], tuple[str, list[tuple[int, list[float]]]]] = {}
 _IVF_FITS = 0  # test hook: counts actual coarse-quantizer fits
 
 _NLIST = 16
@@ -216,7 +222,14 @@ def build_ivf_index(
     import os
     import tempfile
 
-    key = (os.path.abspath(sf_dir), nlist)
+    # the embeddings file's mtime is part of the cache key: a fixture
+    # regenerated in place (corpus drift) must trigger a re-fit, not serve
+    # assignments computed from the old data. Index dirs live for the
+    # process (tempdir-per-fit; a superseded fit's dir is simply orphaned
+    # until process exit — bounded by the number of distinct fits).
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = os.path.getmtime(emb) if os.path.exists(emb) else 0.0
+    key = (os.path.abspath(sf_dir), nlist, stamp)
     if key in _IVF_CACHE:
         return _IVF_CACHE[key]
 
@@ -355,11 +368,15 @@ _VECS_SQL = """
     v AS (
         SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS vec
         FROM embeddings
-    ), n AS (
+    ), n_all AS (
         SELECT vec_id, label, vec,
                sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                     [x * x for x in vec]), (a, x) -> a + x)) AS norm
         FROM v
+    ), n AS (
+        -- zero-norm vectors are unrankable (cosine undefined) and excluded
+        -- from the similarity corpus, matching the Spark-side _vecs filter
+        SELECT * FROM n_all WHERE norm > 0
     )
 """
 

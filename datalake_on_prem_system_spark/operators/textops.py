@@ -115,7 +115,9 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit_chars = F.length("text") - F.length(F.regexp_replace(F.col("text"), r"[0-9]", ""))
     len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
     stop_ratio = stop_hits / n_tokens
-    digit_ratio = digit_chars / F.length("text")
+    # greatest(len,1): an empty document must score 0, not ANSI-throw
+    # DIVIDE_BY_ZERO (mirrored in the oracle)
+    digit_ratio = digit_chars / F.greatest(F.length("text"), F.lit(1))
     quality = F.round(
         F.lit(0.5) * len_score + F.lit(0.5) * stop_ratio - F.lit(1.0) * digit_ratio, 6
     )
@@ -184,9 +186,15 @@ def tx_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.filter(toks, lambda x: x == F.lit(s))) for s in _STOPWORDS),
         F.lit(0),
     )
+    # the SAME formula as tx_quality_score (incl. the digit penalty) — the
+    # bins must rank by the published quality, not a silent variant
+    digit_chars = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[0-9]", "")
+    )
     quality = F.round(
         F.lit(0.5) * F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
-        + F.lit(0.5) * (stop_hits / F.size(toks)),
+        + F.lit(0.5) * (stop_hits / F.size(toks))
+        - F.lit(1.0) * (digit_chars / F.greatest(F.length("text"), F.lit(1))),
         6,
     )
     scored = docs.select("doc_id", "n_chars", quality.alias("q"))
@@ -199,6 +207,10 @@ def tx_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning or the collected offsets describe the wrong partitions.
     # The cache is pinned to one physical plan; evicted blocks recompute
     # from the same shuffle output, preserving the boundaries.
+    # Lifetime: the returned plan references the cache lazily, so there is
+    # no in-scope unpersist — sweep harnesses clearCache between queries
+    # (bench/check_correctness), and long sessions rely on LRU eviction,
+    # the same documented policy as the dedup shingle caches.
     ranged = (
         scored.repartitionByRange(n_parts, F.col("q"), F.col("doc_id"))
         .withColumn("__pid", F.spark_partition_id())
@@ -309,7 +321,7 @@ ORACLE = {
                         x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
                      / len(string_split(text, ' ')) AS stop_ratio,
                    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-                     / length(text) AS digit_ratio
+                     / greatest(length(text), 1) AS digit_ratio
             FROM documents
         )
         SELECT doc_id,
@@ -325,7 +337,7 @@ ORACLE = {
                    list_prepend(CAST(0 AS BIGINT),
                        [list_reduce(
                             list_prepend(CAST(0 AS BIGINT),
-                                [CAST(unicode(c) AS BIGINT) for c in string_split(tok, '')]),
+                                [CAST(unicode(c) AS BIGINT) for c in string_split(tok, '') if c <> '']),
                             (acc, ch) -> (acc * 31 + ch) % 1000000007)
                         for tok in string_split(text, ' ')]),
                    (acc, h) -> (acc * 131 + h) % 1000000007) AS fingerprint
@@ -343,7 +355,10 @@ ORACLE = {
                    round(0.5 * least(length(text) / 500.0, 1.0)
                        + 0.5 * (CAST(len(list_filter(string_split(text, ' '),
                               x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
-                              / len(string_split(text, ' '))), 6) AS q
+                              / len(string_split(text, ' ')))
+                       - 1.0 * (CAST(length(text)
+                              - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                              / greatest(length(text), 1)), 6) AS q
             FROM documents
         ), binned AS (
             SELECT *, ntile(4) OVER (ORDER BY q, doc_id) AS bin FROM q

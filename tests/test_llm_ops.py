@@ -182,3 +182,68 @@ def test_components_collapse_transitive_chains(spark, tmp_path):
     }
     assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
     assert out[9] == (9, 1)
+
+
+def test_edge_corpus_matches_oracle_and_does_not_crash(spark, tmp_path):
+    """Adversarial fixture the synthetic tables never produce — empty text,
+    1-2 token docs, multi-space runs, digits, a zero embedding vector.
+    Under Spark 4's default ANSI mode the affected operators must neither
+    crash (DIVIDE_BY_ZERO / INVALID_ARRAY_INDEX) nor diverge from their
+    DuckDB oracles (empty-token hashing, zero-length denominators)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_correctness import compare
+
+    docs = [
+        (1, "", "en", "w"),
+        (2, "one", "en", "w"),
+        (3, "two tok", "de", "w"),
+        (4, "a  b   c 123 456 the of", "en", "x"),
+        (5, "the quick brown fox jumps over the lazy dog again and again", "en", "w"),
+        (6, "the quick brown fox jumps over the lazy dog again and again", "fr", "x"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    import random
+
+    rng = random.Random(3)
+    embs = []
+    for vid in range(20):
+        vec = [0.0] * 64 if vid == 7 else [rng.uniform(-1, 1) for _ in range(64)]
+        embs.append((vid, vec, vid % 3))
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    spark.createDataFrame(embs, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        # Spark writes a directory of part files
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet/*.parquet'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    names = [
+        "tx_quality_score", "tx_quality_bins", "tx_fingerprint",
+        "tx_token_stats", "cur_repetition_filter", "cur_stratified_sample",
+        "mm_decode_features", "sim_brute_topk", "sim_ann_lsh",
+    ]
+    for name in names:
+        spark.catalog.clearCache()
+        sdf = qs[name](spark, str(tmp_path)).toPandas()
+        ddf = con.sql(oracles[name]).df()
+        msg = compare(name, sdf, ddf)
+        assert not msg, f"{name}: {msg}"
+    # the zero vector is excluded from the similarity corpus, not ranked
+    assert 7 not in {r.vec_id for r in qs["sim_brute_topk"](spark, str(tmp_path)).collect()}
