@@ -172,15 +172,22 @@ def main() -> None:
         # sees again — the median is the sustained rate the metric claims
         cdc_secs: list[float] = []
         for _ in range(runs):
+            import shutil
+
             work = tempfile.mkdtemp(prefix="bench_cdc_")
-            table = so._seed_target(spark, SF_DIR, os.path.join(work, "tbl"))
-            t0 = time.perf_counter()
-            run_cdc_file_stream(
-                spark, table, pk="user_id", row_ddl=so._ROW_DDL, src_dir=src,
-                checkpoint_dir=os.path.join(work, "ckpt"),
-                order_cols=["ts_us", "event_id"], drop_cols=["event_id", "ts_us"],
-            )
-            cdc_secs.append(time.perf_counter() - t0)
+            try:
+                table = so._seed_target(spark, SF_DIR, os.path.join(work, "tbl"))
+                t0 = time.perf_counter()
+                run_cdc_file_stream(
+                    spark, table, pk="user_id", row_ddl=so._ROW_DDL, src_dir=src,
+                    checkpoint_dir=os.path.join(work, "ckpt"),
+                    order_cols=["ts_us", "event_id"], drop_cols=["event_id", "ts_us"],
+                )
+                cdc_secs.append(time.perf_counter() - t0)
+            finally:
+                # each run's target table + checkpoint are dead after the
+                # measurement — repeated benches must not fill /tmp
+                shutil.rmtree(work, ignore_errors=True)
         cdc_sec = statistics.median(cdc_secs)
         cdc_rps = round(n_changes / cdc_sec)
         print(
