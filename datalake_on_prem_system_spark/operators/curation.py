@@ -39,15 +39,25 @@ _DECON_N = 5  # eval/train overlap shingle width (tokens)
 def _ngrams(n: int, col: str = "text") -> Column:
     """Distinct word n-gram shingles (0-based array subscripts). Token
     array bound once per row (``common.bind``) — n references per shingle
-    would otherwise re-split the text n times per element."""
+    would otherwise re-split the text n times per element.
+
+    The short-doc guard lives INSIDE the expression (when()), not in a
+    DataFrame filter: codegen subexpression elimination hoists shared
+    expressions to the top of a fused predicate, so a `size >= n` filter
+    conjunct does NOT prevent the shingle expr from evaluating on short
+    rows first — observed as ANSI INVALID_ARRAY_INDEX from inside
+    FilterEvaluator. CaseWhen branches are exempt from that hoisting."""
     return bind(
         F.split(F.col(col), " "),
-        lambda w: F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - n),
-                lambda i: F.concat_ws(" ", *[w[i + j] for j in range(n)]),
-            )
-        ),
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.concat_ws(" ", *[w[i + j] for j in range(n)]),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
 
 

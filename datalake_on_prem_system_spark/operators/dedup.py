@@ -62,15 +62,24 @@ _SHINGLE_N = 3
 def _shingles(col: str = "text") -> Column:
     """Distinct word 3-gram shingles (0-based array subscripts). The token
     array is bound as a lambda variable (``common.bind``) so the split runs
-    once per row, not once per subscript reference."""
+    once per row, not once per subscript reference.
+
+    Short docs are guarded INSIDE the expression: codegen subexpression
+    elimination can hoist this expr to the top of a fused filter predicate
+    (ahead of the `size >= 3` conjunct the callers add), where a 1-2-token
+    row would ANSI-throw INVALID_ARRAY_INDEX. CaseWhen branches are exempt
+    from the hoisting; callers' DataFrame filters still own the semantics."""
     return bind(
         F.split(F.col(col), " "),
-        lambda w: F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - _SHINGLE_N),
-                lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
-            )
-        ),
+        lambda w: F.when(
+            F.size(w) >= _SHINGLE_N,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - _SHINGLE_N),
+                    lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
 
 
