@@ -28,6 +28,7 @@ from . import (
     streaming_ops,
     textops,
     tpch,
+    tpch2,
 )
 
 # Registration order drives the order external harnesses sweep queries in.
@@ -41,6 +42,7 @@ _MODULES = (
     relational,
     tpch,
     search,
+    tpch2,
     lakehouse_ops,
     streaming_ops,
     ingest_ops,

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..lakehouse.table import LakeTable
 from ..streaming.aggregate import windowed_event_agg
 from ..streaming.cdc import run_cdc_file_stream
+from ..streaming.join import interval_join_streams
 from .common import t
 
 _CUTOFF = "2024-01-15"
@@ -196,10 +197,69 @@ def st_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 1 hour of a click by
+    the same user, both sides live streams (readStream × 2 → watermarked
+    inner join → memory sink). State is bounded by the watermark + range
+    condition (`streaming/join.py`); the oracle is the equivalent batch
+    self-join."""
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="ss_join_")
+    src = os.path.join(work, "events")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    ev.write.mode("overwrite").json(src)
+
+    def _stream() -> DataFrame:
+        return (
+            spark.readStream.schema(_ROW_DDL)
+            .json(src)
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+        )
+
+    clicks = _stream().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = _stream().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = interval_join_streams(
+        clicks,
+        buys,
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        equi_cond="c_user = user_id",
+        max_delay="1 hour",
+        watermark="1 hour",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("delta_us"),
+    )
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 QUERIES = {
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
     "st_watermark_window": st_watermark_window,
+    "st_stream_interval_join": st_stream_interval_join,
 }
 
 _CDC_FINAL_SQL = """
@@ -232,5 +292,12 @@ ORACLE = {
         SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1
+    """,
+    "st_stream_interval_join": """
+        SELECT b.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        FROM events a JOIN events b ON a.user_id = b.user_id
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
     """,
 }
