@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    analytics,
     curation,
     dedup,
     facade_ops,
@@ -43,6 +44,7 @@ _MODULES = (
     tpch,
     search,
     tpch2,
+    analytics,
     lakehouse_ops,
     streaming_ops,
     ingest_ops,

@@ -1,0 +1,195 @@
+"""Window-analytic operators (SURVEY §2.6 beyond-reference breadth): the
+canonical SQL-analytics window shapes a reference user reaches through the
+Trino passthrough (api_poc.py:214-226) — running totals, lag deltas, moving
+averages, distribution ranks, first/last per partition — plus the
+approx-quantile sketch, the order-statistics sibling of ``a_hll_distinct``.
+
+Scale design: every window here partitions by a bounded-cardinality key
+(customer, user, segment) — ONE shuffle on the partition key, then
+per-partition sorted evaluation; no global sort, no driver materialization.
+State per key is O(frame) (constant for ROWS frames, one row for lag).
+Skewed or single-key GLOBAL running totals need the range-partition +
+per-partition-offset form instead (``textops.py::tx_quality_bins`` shows
+that pattern) — a window with one giant partition serializes.
+
+Determinism contract shared with the DuckDB oracles: every ORDER BY inside
+a window carries a unique tiebreak column, frames are explicit ROWS (the
+SQL default RANGE frame is tie-sensitive), and money sums go through
+per-row ``decimal`` casts so both engines add exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import t
+
+_DEC = "decimal(18,4)"
+
+
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative customer spend over order history (SUM OVER ROWS
+    UNBOUNDED PRECEDING — the running-total shape)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(w), 2)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value change between consecutive events (LAG — the
+    event-delta shape; first event per user yields NULL)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-event moving average (ROWS 2 PRECEDING frame). The frame
+    sum is an exact decimal, divided once as double — both engines compute
+    the identical value."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("mavg"),
+    )
+
+
+def w_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer balance distribution within market segment: PERCENT_RANK
+    (integer-ratio — deterministic) + NTILE(4) over a totally-ordered
+    window."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last event value per user (FIRST_VALUE/LAST_VALUE over the
+    full-partition ROWS frame, collapsed to one row per user). Values are
+    copied, never recomputed — exact in both engines."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.first("value").over(w).alias("first_val"),
+            F.last("value").over(w).alias("last_val"),
+        )
+        .distinct()
+    )
+
+
+def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median per event_type via Spark's approx_percentile
+    (Greenwald-Khanna sketch: mergeable, bounded-memory order statistics —
+    the 100 TB replacement for exact sort-based percentiles).
+
+    Like ``a_hll_distinct``, the estimate is engine-specific, so the oracle
+    checks the sketch's CONTRACT: with accuracy parameter 10000 the
+    returned value's rank error is ≤ n/10000, so it must lie between the
+    exact 45th and 55th percentiles (a ±5 % rank window, 500× the
+    guarantee). ``within_bound`` computes that Spark-side against the exact
+    interpolated percentiles; DuckDB recomputes the exact group size and
+    emits literal TRUE."""
+    agg = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+            F.expr("percentile(value, 0.45)").alias("p45_exact"),
+            F.expr("percentile(value, 0.55)").alias("p55_exact"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            (F.col("p50_approx") >= F.col("p45_exact"))
+            & (F.col("p50_approx") <= F.col("p55_exact"))
+        ).alias("within_bound"),
+    )
+
+
+QUERIES = {
+    "w_running_total": w_running_total,
+    "w_lag_delta": w_lag_delta,
+    "w_moving_avg": w_moving_avg,
+    "w_quartiles": w_quartiles,
+    "w_first_last": w_first_last,
+    "a_approx_quantiles": a_approx_quantiles,
+}
+
+ORACLE = {
+    "w_running_total": """
+        SELECT o_custkey, o_orderkey,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+    "w_lag_delta": """
+        SELECT event_id, user_id,
+               round(value - lag(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+        FROM events
+    """,
+    "w_moving_avg": """
+        SELECT event_id, user_id,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                     / count(*) OVER w, 6) AS mavg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "w_quartiles": """
+        SELECT c_custkey, c_mktsegment,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               ntile(4) OVER w AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    "w_first_last": """
+        SELECT DISTINCT user_id,
+               first_value(value) OVER w AS first_val,
+               last_value(value) OVER w AS last_val
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "a_approx_quantiles": """
+        SELECT event_type, count(*) AS n_exact, TRUE AS within_bound
+        FROM events GROUP BY event_type
+    """,
+}

@@ -134,14 +134,75 @@ def in_csv_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def in_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest — the de-facto LLM training-corpus interchange format:
+    write documents as JSON Lines with a NESTED ``meta`` struct, read back
+    with an explicit schema (no inference pass over 100 TB) plus
+    PERMISSIVE corrupt-record capture, flatten, commit to a LakeTable,
+    read back. The flatten is a plain nested-field projection — pushed into
+    the scan, no UDF."""
+    work = tempfile.mkdtemp(prefix="ingest_jl_")
+    src = os.path.join(work, "docs.jsonl")
+    t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.struct("lang", "source", "n_chars").alias("meta"),
+    ).write.mode("overwrite").json(src)
+
+    schema = (
+        "doc_id bigint, text string, "
+        "meta struct<lang:string,source:string,n_chars:bigint>, "
+        "_corrupt string"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(src)
+    )
+    flat = raw.filter(F.col("_corrupt").isNull()).select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.col("meta.n_chars").alias("n_chars"),
+    )
+    table = LakeTable(spark, os.path.join(work, "tbl"))
+    table.create_or_replace(flat)
+    return table.read()
+
+
+def in_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format-path scan (S4 breadth beyond parquet/CSV/JSON): write
+    orders as ORC, read back through the columnar reader with a pushed
+    filter + pruned projection — same declarative path as the parquet
+    scans, different on-disk format."""
+    work = tempfile.mkdtemp(prefix="ingest_orc_")
+    src = os.path.join(work, "orders.orc")
+    t(spark, sf_dir, "orders").write.mode("overwrite").orc(src)
+    return (
+        spark.read.orc(src)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
 QUERIES = {
     "in_csv_roundtrip": in_csv_roundtrip,
     "in_csv_append_evolution": in_csv_append_evolution,
     "in_csv_upsert_precombine": in_csv_upsert_precombine,
     "in_csv_partitioned": in_csv_partitioned,
+    "in_jsonl_roundtrip": in_jsonl_roundtrip,
+    "in_orc_roundtrip": in_orc_roundtrip,
 }
 
 ORACLE = {
+    "in_jsonl_roundtrip": """
+        SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+    "in_orc_roundtrip": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
     "in_csv_roundtrip": """
         SELECT c_custkey AS customer_key, c_name AS name_full,
                round(c_acctbal, 2) AS acct_bal

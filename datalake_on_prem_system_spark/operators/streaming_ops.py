@@ -255,11 +255,52 @@ def st_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark``: the
+    at-least-once-delivery guard (T6) as a built-in stateful operator.
+    The source is written TWICE (two files of identical rows — a redelivery)
+    and the stream must emit each event exactly once. State is keyed on
+    event_id and evicted once the watermark passes the event's time —
+    bounded by rate × watermark, not stream length. Oracle: batch DISTINCT.
+    """
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="st_dedup_")
+    src = os.path.join(work, "events")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    # two physical copies = duplicate delivery of every event
+    ev.write.mode("overwrite").json(os.path.join(src, "d1"))
+    ev.write.mode("overwrite").json(os.path.join(src, "d2"))
+
+    stream = (
+        spark.readStream.schema(_ROW_DDL)
+        .option("recursiveFileLookup", "true")
+        .json(src)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value"))
+    )
+    sink = f"sdd_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 QUERIES = {
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
     "st_watermark_window": st_watermark_window,
     "st_stream_interval_join": st_stream_interval_join,
+    "st_dedup_stream": st_dedup_stream,
 }
 
 _CDC_FINAL_SQL = """
@@ -299,5 +340,9 @@ ORACLE = {
         FROM events a JOIN events b ON a.user_id = b.user_id
         WHERE a.event_type = 'click' AND b.event_type = 'purchase'
           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+    "st_dedup_stream": """
+        SELECT event_id, user_id, event_type, round(value, 6) AS value
+        FROM events
     """,
 }
