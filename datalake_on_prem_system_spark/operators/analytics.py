@@ -115,29 +115,37 @@ def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB replacement for exact sort-based percentiles).
 
     Like ``a_hll_distinct``, the estimate is engine-specific, so the oracle
-    checks the sketch's CONTRACT: with accuracy parameter 10000 the
-    returned value's rank error is ≤ n/10000, so it must lie between the
-    exact 45th and 55th percentiles (a ±5 % rank window, 500× the
-    guarantee). ``within_bound`` computes that Spark-side against the exact
-    interpolated percentiles; DuckDB recomputes the exact group size and
-    emits literal TRUE."""
-    agg = (
-        t(spark, sf_dir, "events")
-        .groupBy("event_type")
+    checks the sketch's CONTRACT — and in RANK space, not value space: the
+    sketch guarantees rank error ≤ max(1, n/10000), so the returned value's
+    rank must fall in a ±5 % rank window around the median (500× the
+    guarantee). Interpolated-percentile value bounds would be WRONG for
+    discrete distributions (the exact p45/p55 can interpolate strictly
+    between data points while the sketch returns an actual data point — a
+    real failure the edge-events fixture catches). ``within_bound``
+    therefore re-joins the estimate and asserts its tie run
+    [#(< p50)+1, #(≤ p50)] intersects [⌊0.45n⌋, ⌈0.55n⌉]; DuckDB recomputes
+    the exact group size and emits literal TRUE."""
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    ranked = (
+        ev.join(F.broadcast(agg), "event_type")
+        .groupBy("event_type", "n_exact", "p50")
         .agg(
-            F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
-            F.expr("percentile(value, 0.45)").alias("p45_exact"),
-            F.expr("percentile(value, 0.55)").alias("p55_exact"),
-            F.count(F.lit(1)).alias("n_exact"),
+            F.count(F.when(F.col("value") < F.col("p50"), 1)).alias("rank_lt"),
+            F.count(F.when(F.col("value") <= F.col("p50"), 1)).alias("rank_le"),
         )
     )
-    return agg.select(
+    lo = F.greatest(F.lit(1), F.floor(F.lit(0.45) * F.col("n_exact")))
+    hi = F.ceil(F.lit(0.55) * F.col("n_exact"))
+    return ranked.select(
         "event_type",
         "n_exact",
-        (
-            (F.col("p50_approx") >= F.col("p45_exact"))
-            & (F.col("p50_approx") <= F.col("p55_exact"))
-        ).alias("within_bound"),
+        ((F.col("rank_le") >= lo) & (F.col("rank_lt") + 1 <= hi)).alias(
+            "within_bound"
+        ),
     )
 
 

@@ -17,11 +17,11 @@ bucket, source); survivors propagate as semi/anti joins, never collected.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import dedup
-from .common import t_par
+from .common import t, t_par
 
 
 def pl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,9 +88,69 @@ def pl_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"pl_curation": pl_curation, "pl_dedup_canonical": pl_dedup_canonical}
+_CTX_TOKENS = 2048
+
+
+def pl_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate documents per source in
+    doc_id order and chunk into fixed 2048-token context windows — the
+    standard concat-then-chunk packing that turns a curated corpus into
+    training sequences. A document's window is determined by the cumulative
+    token offset BEFORE it: ``pack_id = floor(cum_before / ctx)``. Integer
+    token counts end-to-end, so both engines agree exactly.
+
+    Scale: one window cumsum per source partition (shuffle on source), then
+    a partial-aggregated groupBy on (source, pack_id). Sources are
+    many-and-bounded here; a single monolithic source would need the
+    range-partition + per-partition-offset cumsum instead
+    (``textops.py::tx_quality_bins`` shows that pattern)."""
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.select("source", "doc_id", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    return (
+        cum.withColumn(
+            "pack_id", F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_CTX_TOKENS))
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+QUERIES = {
+    "pl_curation": pl_curation,
+    "pl_dedup_canonical": pl_dedup_canonical,
+    "pl_sequence_pack": pl_sequence_pack,
+}
 
 ORACLE = {
+    "pl_sequence_pack": """
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ), cum AS (
+            SELECT source, doc_id, n_tok,
+                   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM toks
+        )
+        SELECT source, CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS pack_id,
+               count(*) AS n_docs, sum(n_tok) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM cum GROUP BY 1, 2
+    """,
     "pl_curation": """
         WITH quality AS (
             SELECT * FROM documents WHERE n_chars >= 100

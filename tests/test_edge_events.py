@@ -1,0 +1,119 @@
+"""Adversarial events/orders/customer fixture for the window-analytic
+family — shapes the synthetic tables never produce, checked Spark-vs-DuckDB
+by the same value compare the driver uses:
+
+- a user with a SINGLE event (lag → NULL delta, 1-row moving-avg frame)
+- two events of one user at the IDENTICAL timestamp (window order must
+  resolve on the event_id tiebreak, not fall to nondeterminism)
+- zero and negative values (decimal frame sums, delta signs)
+- a customer segment with fewer rows than NTILE buckets (ntile(4) of 2)
+- equal account balances within a segment (tiebreak on c_custkey)
+- orders of one customer on the SAME date (running-total order tiebreak)
+- a session boundary at EXACTLY the 30-min gap (strict > contract)
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+
+import __spark_entry__ as entry
+from check_correctness import compare
+
+_T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _ts(minutes: float) -> datetime.datetime:
+    return _T0 + datetime.timedelta(minutes=minutes)
+
+
+def test_edge_events_windows_match_oracle(spark, tmp_path):
+    events = [
+        # user 1: single event
+        (1, _ts(0), 1, "click", -3.5),
+        # user 2: identical-timestamp pair (tiebreak on event_id) + zero value
+        (10, _ts(5), 2, "view", 0.0),
+        (11, _ts(5), 2, "view", 2.25),
+        (12, _ts(10), 2, "purchase", -1.0),
+        # user 3: session boundary exactly at the 30-min gap (NOT a new
+        # session: the contract is gap STRICTLY greater) and one beyond it
+        (20, _ts(0), 3, "click", 1.0),
+        (21, _ts(30), 3, "click", 1.0),
+        (22, _ts(60.001), 3, "click", 4.0),
+        # user 4: enough rows to slide the 3-row frame fully
+        (30, _ts(1), 4, "view", 10.0),
+        (31, _ts(2), 4, "view", 20.0),
+        (32, _ts(3), 4, "view", 30.0),
+        (33, _ts(4), 4, "view", 40.0),
+    ]
+    spark.createDataFrame(
+        [(e, t, u, et, v, "{}") for e, t, u, et, v in events],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    orders = [
+        # customer 1: two orders on the SAME date — running total must
+        # order on o_orderkey within the date
+        (100, 1, "O", 10.10, _ts(0), "1-URGENT"),
+        (101, 1, "O", 5.05, _ts(0), "5-LOW"),
+        (102, 1, "F", 1.00, _ts(60 * 24), "2-HIGH"),
+        # customer 2: single order
+        (103, 2, "P", 99.99, _ts(0), "3-MEDIUM"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    customers = [
+        # BUILDING: 2 rows (< 4 ntile buckets), EQUAL balances (tiebreak key)
+        (1, "Customer#1", 0, 500.0, "BUILDING"),
+        (2, "Customer#2", 1, 500.0, "BUILDING"),
+        # AUTO: 5 rows incl. a negative balance
+        (3, "Customer#3", 2, -10.0, "AUTO"),
+        (4, "Customer#4", 3, 0.0, "AUTO"),
+        (5, "Customer#5", 4, 1.0, "AUTO"),
+        (6, "Customer#6", 0, 2.0, "AUTO"),
+        (7, "Customer#7", 1, 3.0, "AUTO"),
+    ]
+    spark.createDataFrame(
+        customers,
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    con = duckdb.connect()
+    for t in ("events", "orders", "customer"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet/*.parquet'"
+        )
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    names = [
+        "w_running_total",
+        "w_lag_delta",
+        "w_moving_avg",
+        "w_quartiles",
+        "w_first_last",
+        "a_approx_quantiles",
+        "w_sessionize",
+        "w1_latest_per_key",
+        "a_date_window",
+    ]
+    for name in names:
+        spark.catalog.clearCache()
+        sdf = qs[name](spark, str(tmp_path)).toPandas()
+        ddf = con.sql(oracles[name]).df()
+        msg = compare(name, sdf, ddf)
+        assert not msg, f"{name}: {msg}"
+
+    # the exact-30-min gap stayed inside one session; the 30.001-min gap split
+    sess = {
+        (r.user_id, r.session_id): r.n_events
+        for r in qs["w_sessionize"](spark, str(tmp_path)).collect()
+        if r.user_id == 3
+    }
+    assert sess == {(3, 1): 2, (3, 2): 1}, sess
