@@ -186,8 +186,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partsupp adaptation: value = Σ l_extendedprice × l_quantity over that
     nation's lineitems. The scalar total is a 1-row aggregate cross-joined
-    in (broadcast — constant cost). The comparison is ``value×1000 > total``
-    — exact decimal×integer against exact decimal, no division."""
+    in (broadcast — constant cost). The comparison is ``value×10000 > total``
+    — exact decimal×integer against exact decimal, no division. (The
+    original's fraction scales with 1/SF; 1/10000 keeps the result set
+    non-empty across every fixture sf — 0.1 % of total would already
+    return nothing at sf0.1's part count.)"""
     supp3 = (
         t(spark, sf_dir, "supplier")
         .filter(F.col("s_nationkey") == 3)
@@ -206,7 +209,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = value.agg(F.sum("value_dec").alias("total_dec"))
     return (
         value.crossJoin(F.broadcast(total))
-        .filter(F.col("value_dec") * 1000 > F.col("total_dec"))
+        .filter(F.col("value_dec") * 10000 > F.col("total_dec"))
         .select(
             "l_partkey",
             F.round("value_dec", 2).cast("double").alias("stock_value"),
@@ -558,7 +561,7 @@ ORACLE = {
             GROUP BY l_partkey)
         SELECT l_partkey, CAST(round(value_dec, 2) AS DOUBLE) AS stock_value
         FROM v
-        WHERE value_dec * 1000 > (SELECT sum(value_dec) FROM v)
+        WHERE value_dec * 10000 > (SELECT sum(value_dec) FROM v)
         ORDER BY stock_value DESC, l_partkey
     """,
     "q12_priority_shipping": """
