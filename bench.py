@@ -75,6 +75,34 @@ def _reset_memoized_work(spark, name: str) -> None:
         lakehouse_ops._MERGED_CACHE.clear()
 
 
+def _bench_runs() -> int:
+    """$SPARK_GRAFT_BENCH_RUNS, clamped ≥ 1: 0 / negative / unparsable must
+    degrade to 1 run, not crash the bench (empty samples would raise
+    StatisticsError before the JSON line)."""
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    except ValueError:
+        return 3
+
+
+def _warm_streaming(spark) -> None:
+    """Absorb the one-time Structured Streaming planner/codegen init (~3 s)
+    that would otherwise land on the first streaming query timed."""
+    import tempfile
+
+    wdir = tempfile.mkdtemp(prefix="bench_warm_")
+    with open(os.path.join(wdir, "w.txt"), "w") as fh:
+        fh.write("warm\n")
+    (
+        spark.readStream.text(wdir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(wdir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def _time_query(spark, fn, name: str, sf_dir: str) -> tuple[float, int]:
     """One full cold-cache execution; returns (seconds, result rows)."""
     _reset_memoized_work(spark, name)
@@ -101,34 +129,14 @@ def main() -> None:
 
         sync_search_index(spark, SF_DIR)
 
-        # warm the Structured Streaming machinery too (first streaming query
-        # in a session pays ~3s of one-time planner/codegen init that would
-        # otherwise land on whichever streaming headliner runs first)
-        import tempfile as _tf
-
-        _wdir = _tf.mkdtemp(prefix="bench_warm_")
-        with open(os.path.join(_wdir, "w.txt"), "w") as _fh:
-            _fh.write("warm\n")
-        (
-            spark.readStream.text(_wdir)
-            .writeStream.format("noop")
-            .option("checkpointLocation", os.path.join(_wdir, "ck"))
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        _warm_streaming(spark)
     except Exception as exc:  # noqa: BLE001
         print(f"# warmup: ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
-    # clamp: 0 / negative / unparsable must degrade to 1 run, not crash the
-    # bench (empty samples would raise StatisticsError before the JSON line)
-    try:
-        runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    except ValueError:
-        runs = 3
+    runs = _bench_runs()
     for name in HEADLINERS:
         fn = qs[name]
         # per-query fault isolation: one broken query must never erase the
@@ -169,11 +177,22 @@ def main() -> None:
         # vs a reproducible 1.8-2.5 s for the identical pipeline in a fresh
         # session). The worker discards one warmup run (JIT) and reports
         # median-of-N sustained runs.
+        # timeout scales with the run count (2 warmups + N timed runs, each
+        # bounded by the ~11 s cold pass at sf0.1, ~10× that at sf1) plus
+        # session startup + corpus generation headroom — a fixed cap would
+        # silently erase the metric at exactly the scales worth measuring
+        worker_runs = _bench_runs() + 2
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cdc-worker"],
-            capture_output=True, text=True, timeout=420, env=os.environ.copy(),
+            capture_output=True, text=True,
+            timeout=max(600, 180 * worker_runs), env=os.environ.copy(),
         )
-        sys.stderr.write(proc.stderr[-2000:] if len(proc.stderr) > 2000 else proc.stderr)
+        sys.stderr.write(proc.stderr[-2000:])
+        if proc.returncode != 0 or not proc.stdout.strip():
+            tail = proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else ""
+            raise RuntimeError(
+                f"cdc worker rc={proc.returncode}, stderr tail: {tail[:300]}"
+            )
         payload = json.loads(proc.stdout.strip().splitlines()[-1])
         cdc_sec = statistics.median(payload["cdc_secs"])
         n_changes = payload["n_changes"]
@@ -244,8 +263,8 @@ def main() -> None:
 
 def cdc_worker() -> None:
     """Dedicated-session CDC throughput measurement (see the subprocess
-    call in main): warm the streaming machinery, run one discarded warmup
-    pass, then N timed passes with a fresh target table each; print ONE
+    call in main): warm the streaming machinery, run two discarded warmup
+    passes, then N timed passes with a fresh target table each; print ONE
     JSON line {"cdc_secs": [...], "n_changes": N} on stdout."""
     import shutil
     import tempfile
@@ -254,27 +273,12 @@ def cdc_worker() -> None:
     from datalake_on_prem_system_spark.streaming.cdc import run_cdc_file_stream
 
     spark = get_spark(app_name="bench_cdc")
-    try:
-        runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    except ValueError:
-        runs = 3
+    runs = _bench_runs()
 
     _CDC_COPIES = 10
     src = so._envelope_dir(spark, SF_DIR, n_files=1, copies=_CDC_COPIES)
     n_changes = so._changes(spark, SF_DIR).count() * _CDC_COPIES
-
-    # absorb the one-time Structured Streaming planner/codegen init
-    wdir = tempfile.mkdtemp(prefix="bench_cdc_warm_")
-    with open(os.path.join(wdir, "w.txt"), "w") as fh:
-        fh.write("warm\n")
-    (
-        spark.readStream.text(wdir)
-        .writeStream.format("noop")
-        .option("checkpointLocation", os.path.join(wdir, "ck"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _warm_streaming(spark)
 
     # two discarded warmup passes: JIT keeps amortizing over the first few
     # executions of this pipeline shape (measured 11.1 → 3.5 → 3.2 → 2.4 s
@@ -301,7 +305,6 @@ def cdc_worker() -> None:
             # each run's target table + checkpoint are dead after the
             # measurement — repeated benches must not fill /tmp
             shutil.rmtree(work, ignore_errors=True)
-    shutil.rmtree(wdir, ignore_errors=True)
     print(json.dumps({"cdc_secs": cdc_secs, "n_changes": n_changes}))
 
 

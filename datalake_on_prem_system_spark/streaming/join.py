@@ -41,8 +41,11 @@ def interval_join_streams(
         lf = lf.withWatermark(left_ts, watermark)
     if rf.isStreaming:
         rf = rf.withWatermark(right_ts, watermark)
+    # equi_cond is parenthesized: an OR inside it must not outbind the ANDed
+    # time-range (AND binds tighter than OR — an unparenthesized OR branch
+    # would join with NO time bound, i.e. unbounded stream state)
     cond = F.expr(
-        f"{equi_cond} AND {right_ts} >= {left_ts} "
+        f"({equi_cond}) AND {right_ts} >= {left_ts} "
         f"AND {right_ts} <= {left_ts} + INTERVAL {max_delay}"
     )
     return lf.join(rf, cond)
