@@ -54,6 +54,15 @@ HEADLINERS = [
     "lh_incremental_rollup",
 ]
 
+# opt-in extra headliners (comma-separated registered query names) —
+# appended, so the default 22-query headline_total stays comparable
+# across rounds
+HEADLINERS += [
+    n.strip()
+    for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",")
+    if n.strip() and n.strip() not in HEADLINERS
+]
+
 
 def _reset_memoized_work(spark, name: str) -> None:
     """Some queries memoize their MEASURED work (not just input fixtures)

@@ -278,12 +278,32 @@ def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stream, "sdd", "append")
 
 
+def st_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the live event stream joined to a
+    BATCH dimension (customer) with an explicit broadcast, then aggregated
+    per segment. The canonical lookup-enrichment shape — the static side is
+    re-broadcast per micro-batch, the stream side never shuffles for the
+    join (only for the aggregate), and no state store is involved (unlike
+    stream-stream joins). Oracle: the equivalent batch join."""
+    stream = _events_stream(spark, _events_json_dir(spark, sf_dir))
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return _run_to_memory(agg, "sse", "complete")
+
+
 QUERIES = {
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
     "st_watermark_window": st_watermark_window,
     "st_stream_interval_join": st_stream_interval_join,
     "st_dedup_stream": st_dedup_stream,
+    "st_static_enrich": st_static_enrich,
 }
 
 _CDC_FINAL_SQL = """
@@ -327,5 +347,12 @@ ORACLE = {
     "st_dedup_stream": """
         SELECT event_id, user_id, event_type, round(value, 6) AS value
         FROM events
+    """,
+    "st_static_enrich": """
+        SELECT c_mktsegment, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                   AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
     """,
 }
