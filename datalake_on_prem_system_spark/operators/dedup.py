@@ -184,7 +184,19 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
         "doc_id", _shingles().alias("sh")
     ).persist()
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    # candidate generation runs on xxhash64 SHINGLE IDS, not the strings:
+    # the df-count and inverted-index shuffles then move 8-byte longs
+    # instead of ~25-byte ngram strings — on a cluster these shuffles are
+    # byte-bound, so key width is the 100 TB cost driver (~10% even on
+    # local[32]). PPJoin stays sound on the hashed universe (the filter is
+    # applied to the hashed sets consistently, order = (df, hash)); a
+    # 64-bit collision between co-occurring shingles could in principle
+    # perturb one candidate (P ≈ pairs·2⁻⁶⁴ ≈ 0) — verification below is
+    # string-exact either way.
+    ex = sh.select(
+        "doc_id",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
+    )
     df_cnt = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
         ex.join(df_cnt, "shingle")
