@@ -186,6 +186,51 @@ def in_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# embedded-Derby JDBC databases keyed by sf_dir — reused across sweep
+# invocations (write is mode=overwrite, so re-runs are exact); Derby ships
+# with Spark (metastore dependency), making the S6/S7 JDBC paths LIVE in
+# this sandbox, not argument plumbing
+_DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+_JDBC_DB_CACHE: dict[str, str] = {}
+
+
+def in_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 + S6 live: load a fixture table into an embedded Derby database
+    through ``write_jdbc`` (the distributed ``to_sql`` replacement,
+    csv_to_sql.py:32-37), then federate it back through ``read_jdbc`` as a
+    4-way PARTITIONED range read (each Spark task opens its own connection
+    and scans one pk range — the shape that keeps a 100 TB federation from
+    serializing on one socket). Derby stands in for the reference's
+    MySQL/Postgres catalogs (trino/etc/catalog/mysql.properties:1-4);
+    swapping the URL/driver is configuration, not code."""
+    from ..sources.jdbc import read_jdbc, write_jdbc
+
+    if sf_dir not in _JDBC_DB_CACHE:
+        _JDBC_DB_CACHE[sf_dir] = os.path.join(
+            tempfile.mkdtemp(prefix="derby_"), "db"
+        )
+    url = f"jdbc:derby:{_JDBC_DB_CACHE[sf_dir]};create=true"
+    src = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    write_jdbc(
+        src, url, "orders_jdbc", mode="overwrite", driver=_DERBY_DRIVER,
+        # Derby's dialect maps StringType → CLOB, which rejects pushed-down
+        # equality filters; VARCHAR keeps the federation predicate pushdown
+        # working (same concern as sizing text columns on MySQL/Postgres)
+        createTableColumnTypes=(
+            "o_orderstatus VARCHAR(4), o_orderpriority VARCHAR(20)"
+        ),
+    )
+    back = read_jdbc(
+        spark, url, "orders_jdbc",
+        partition_column="o_orderkey", num_partitions=4,
+        lower_bound=0, upper_bound=200_000, driver=_DERBY_DRIVER,
+    )
+    return back.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+
+
 QUERIES = {
     "in_csv_roundtrip": in_csv_roundtrip,
     "in_csv_append_evolution": in_csv_append_evolution,
@@ -193,6 +238,7 @@ QUERIES = {
     "in_csv_partitioned": in_csv_partitioned,
     "in_jsonl_roundtrip": in_jsonl_roundtrip,
     "in_orc_roundtrip": in_orc_roundtrip,
+    "in_jdbc_roundtrip": in_jdbc_roundtrip,
 }
 
 ORACLE = {
@@ -202,6 +248,11 @@ ORACLE = {
     "in_orc_roundtrip": """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
         FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "in_jdbc_roundtrip": """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'F'
     """,
     "in_csv_roundtrip": """
         SELECT c_custkey AS customer_key, c_name AS name_full,

@@ -7,9 +7,11 @@ loads CSVs into the source DBs with pandas ``to_sql``
 source/sink; this module is the thin policy layer (partitioned reads,
 append-mode loads).
 
-No database or JDBC driver exists in this environment, so these paths are
-exercised only by their argument plumbing; the calls are the public
-``spark.read/write.format("jdbc")`` API verbatim.
+In this sandbox the paths run LIVE against embedded Apache Derby (bundled
+with Spark as the metastore dependency): ``in_jdbc_roundtrip`` loads a
+fixture table through ``write_jdbc`` and federates it back through a
+partitioned ``read_jdbc``, hash-checked against the DuckDB oracle.
+MySQL/Postgres are the same code with a different URL/driver pair.
 """
 
 from __future__ import annotations
