@@ -149,12 +149,61 @@ def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling (the hypertable/`time_bucket`
+    rollup shape): per user, average events into hourly buckets, DENSIFY to
+    every hour between the user's first and last bucket, and forward-fill
+    the gaps with the last observed value.
+
+    Scale: bucket aggregation is one shuffle with map-side combine; the
+    dense hour spine is generated per user with ``sequence`` + ``explode``
+    (bounded by the time range, never by event count); the forward fill is
+    a per-user window, so state per partition is one row. The bucket
+    average is an exact decimal sum divided once as double — identical in
+    both engines."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket"), "value"
+    )
+    agg = ev.groupBy("user_id", "bucket").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bval")
+    )
+    spine = (
+        agg.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(agg, ["user_id", "bucket"], "left_outer")
+        .select(
+            "user_id",
+            "bucket",
+            F.last("bval", ignorenulls=True).over(w).alias("val"),
+            F.col("bval").isNull().alias("is_gap"),
+        )
+    )
+
+
 QUERIES = {
     "w_running_total": w_running_total,
     "w_lag_delta": w_lag_delta,
     "w_moving_avg": w_moving_avg,
     "w_quartiles": w_quartiles,
     "w_first_last": w_first_last,
+    "w_gapfill_resample": w_gapfill_resample,
     "a_approx_quantiles": a_approx_quantiles,
 }
 
@@ -195,6 +244,26 @@ ORACLE = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "w_gapfill_resample": """
+        WITH agg AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 6) AS bval
+            FROM events GROUP BY 1, 2
+        ), spine AS (
+            SELECT user_id,
+                   unnest(generate_series(min(bucket), max(bucket),
+                                          INTERVAL 1 HOUR)) AS bucket
+            FROM agg GROUP BY user_id
+        )
+        SELECT s.user_id, s.bucket,
+               last_value(a.bval IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val,
+               a.bval IS NULL AS is_gap
+        FROM spine s LEFT JOIN agg a
+          ON s.user_id = a.user_id AND s.bucket = a.bucket
     """,
     "a_approx_quantiles": """
         SELECT event_type, count(*) AS n_exact, TRUE AS within_bound
