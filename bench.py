@@ -147,7 +147,13 @@ def main() -> None:
     total = 0.0
     runs = _bench_runs()
     for name in HEADLINERS:
-        fn = qs[name]
+        # a typo'd SPARK_GRAFT_BENCH_EXTRA name must not crash the bench
+        # after every measurement and before the JSON line
+        fn = qs.get(name)
+        if fn is None:
+            errors[name] = "unknown query name (not in queries())"
+            print(f"# {name}: SKIPPED — {errors[name]}", file=sys.stderr)
+            continue
         # per-query fault isolation: one broken query must never erase the
         # round's other measurements (round-4 lesson — a single
         # AnalysisException killed the whole bench before the JSON print)

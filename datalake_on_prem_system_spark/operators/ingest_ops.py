@@ -211,6 +211,10 @@ def in_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     url = f"jdbc:derby:{_JDBC_DB_CACHE[sf_dir]};create=true"
     src = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    # partition bounds come from the DATA, not a constant: a hardcoded
+    # upper bound below the real max collapses everything above it into
+    # the last range partition — one socket doing most of the scan
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
     write_jdbc(
         src, url, "orders_jdbc", mode="overwrite", driver=_DERBY_DRIVER,
         # Derby's dialect maps StringType → CLOB, which rejects pushed-down
@@ -223,7 +227,7 @@ def in_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_jdbc(
         spark, url, "orders_jdbc",
         partition_column="o_orderkey", num_partitions=4,
-        lower_bound=0, upper_bound=200_000, driver=_DERBY_DRIVER,
+        lower_bound=int(lo), upper_bound=int(hi) + 1, driver=_DERBY_DRIVER,
     )
     return back.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_custkey", "o_orderdate",

@@ -197,13 +197,26 @@ def _events_stream(spark: SparkSession, src: str) -> DataFrame:
     )
 
 
+# last memory-sink name per prefix: the sink table pins a full result copy
+# in driver memory, so each new invocation drops its predecessor — retention
+# is capped at ONE result per query prefix instead of growing per call
+# (st_dedup_stream's result is fact-sized, not a small aggregate)
+_LAST_SINK: dict[str, str] = {}
+
+
 def _run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
     """Drain a streaming frame into a uniquely-named memory sink under an
-    availableNow trigger and return the harvested table."""
+    availableNow trigger and return the harvested table. The PREVIOUS
+    invocation's sink for the same prefix is dropped (its returned frame is
+    consumed by then — harnesses collect before re-invoking)."""
     import uuid
 
     spark = df.sparkSession
+    prev = _LAST_SINK.get(prefix)
+    if prev is not None:
+        spark.catalog.dropTempView(prev)
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    _LAST_SINK[prefix] = sink
     q = (
         df.writeStream.format("memory")
         .queryName(sink)

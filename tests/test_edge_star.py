@@ -82,6 +82,7 @@ def test_edge_star_schema_matches_oracle(spark, tmp_path):
             (103, 4, "O", 40.0, _D(1996, 8, 1), "4-NOT SPECIFIED"),  # q13 filtered
             (104, 1, "F", 50.0, _D(1996, 9, 1), "3-MEDIUM"),
             (105, 3, "O", 60.0, _D(1997, 2, 1), "5-LOW"),
+            (106, 2, "F", 5.0, _D(1996, 10, 1), "5-LOW"),  # q21: lone supplier fails
         ],
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string")
     _mk(spark, tmp_path, "lineitem",
@@ -118,6 +119,9 @@ def test_edge_star_schema_matches_oracle(spark, tmp_path):
             # must NOT count; and one inside 1997
             (103, 3, 5, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", _D(1998, 1, 1)),
             (103, 3, 5, 2, 1.0, 5.0, 0.0, 0.0, "N", "O", _D(1997, 12, 31)),
+            # q21 order 106 (status F): its ONLY supplier fails → excluded by
+            # the "exists another supplier" guard (nsupp=1), not by status
+            (106, 3, 5, 1, 2.0, 5.0, 0.0, 0.0, "R", "F", _D(1996, 10, 2)),
         ],
         "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
         "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
@@ -163,8 +167,8 @@ def test_edge_star_schema_matches_oracle(spark, tmp_path):
     q21 = results["q21_waiting_suppliers"]
     assert dict(zip(q21["s_name"], q21["numwait"])) == {
         "Supplier#2": 1,  # order 100: three suppliers, only #2 failed
-        "Supplier#5": 1,  # order 101: two suppliers, only #5 failed
-    }, q21  # order 104 (both failed) and single-supplier orders excluded
+        "Supplier#5": 1,  # order 101: three suppliers, only #5 failed
+    }, q21  # order 104 (both failed) and order 106 (lone supplier) excluded
 
     q22 = results["q22_sales_opportunity"]
     assert list(q22["c_nationkey"]) == [0] and list(q22["numcust"]) == [1], q22
