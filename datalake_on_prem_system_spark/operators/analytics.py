@@ -109,6 +109,30 @@ def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an arbitrary (non-prefix, non-lattice) set list —
+    ((status, priority), (priority), ()) — the shape neither ROLLUP
+    (`relational.a_rollup`) nor CUBE (`relational.a_cube`) expresses.
+    `grouping_id()` disambiguates NULL-as-subtotal from NULL data. One
+    pass over the fact with map-side partial aggregation, exactly like a
+    plain GROUP BY — the sets expand in the aggregate, not as re-scans."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
 def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate median per event_type via Spark's approx_percentile
     (Greenwald-Khanna sketch: mergeable, bounded-memory order statistics —
@@ -204,6 +228,7 @@ QUERIES = {
     "w_quartiles": w_quartiles,
     "w_first_last": w_first_last,
     "w_gapfill_resample": w_gapfill_resample,
+    "a_grouping_sets": a_grouping_sets,
     "a_approx_quantiles": a_approx_quantiles,
 }
 
@@ -264,6 +289,16 @@ ORACLE = {
                a.bval IS NULL AS is_gap
         FROM spine s LEFT JOIN agg a
           ON s.user_id = a.user_id AND s.bucket = a.bucket
+    """,
+    "a_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+               count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
     """,
     "a_approx_quantiles": """
         SELECT event_type, count(*) AS n_exact, TRUE AS within_bound
