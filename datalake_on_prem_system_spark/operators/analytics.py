@@ -109,6 +109,31 @@ def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user rolling 1-hour event count
+    and sum — the frame is defined by the ORDER-BY VALUE (microseconds),
+    not a row count, so it handles irregular event spacing correctly
+    (ROWS frames cannot). Spark range frames need a numeric order column:
+    ``unix_micros(ts)`` with a ±3.6e9 µs bound ≡ DuckDB's
+    ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``."""
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4
+        )
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
+
+
 def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with an arbitrary (non-prefix, non-lattice) set list —
     ((status, priority), (priority), ()) — the shape neither ROLLUP
@@ -130,6 +155,26 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_price"),
         )
+    )
+
+
+def f_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — the
+    vector-math surface done entirely JVM-side (no UDF): filter, exists,
+    array_max, and sequential ``aggregate`` folds (L1, squared-L2).
+
+    Oracle parity: Spark ``F.aggregate`` is a LEFT sequential fold, matched
+    by DuckDB ``list_reduce`` (also a left fold) — NOT ``list_sum``, whose
+    summation order is unspecified. Elements are cast to double up front on
+    both sides so the folds run in the same precision."""
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(e, F.lit(0.0), lambda a, x: a + F.abs(x)), 4).alias("l1"),
+        F.round(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x), 4).alias("l2_sq"),
+        F.round(F.array_max(e), 6).alias("max_dim"),
+        F.exists(e, lambda x: x > 0.9).alias("has_big"),
     )
 
 
@@ -228,7 +273,9 @@ QUERIES = {
     "w_quartiles": w_quartiles,
     "w_first_last": w_first_last,
     "w_gapfill_resample": w_gapfill_resample,
+    "w_range_frame": w_range_frame,
     "a_grouping_sets": a_grouping_sets,
+    "f_array_hof": f_array_hof,
     "a_approx_quantiles": a_approx_quantiles,
 }
 
@@ -290,6 +337,15 @@ ORACLE = {
         FROM spine s LEFT JOIN agg a
           ON s.user_id = a.user_id AND s.bucket = a.bucket
     """,
+    "w_range_frame": """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_last_hour,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 4)
+                    AS DOUBLE) AS sum_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
     "a_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority,
                grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
@@ -299,6 +355,21 @@ ORACLE = {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderpriority), ())
+    """,
+    "f_array_hof": """
+        WITH t AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings)
+        SELECT vec_id,
+               len(list_filter(e, x -> x > 0)) AS n_pos,
+               round(list_reduce(list_transform(e, x -> abs(x)),
+                                 (a, b) -> a + b), 4) AS l1,
+               round(list_reduce(list_transform(e, x -> x * x),
+                                 (a, b) -> a + b), 4) AS l2_sq,
+               round(list_max(e), 6) AS max_dim,
+               len(list_filter(e, x -> x > 0.9)) > 0 AS has_big
+        FROM t
     """,
     "a_approx_quantiles": """
         SELECT event_type, count(*) AS n_exact, TRUE AS within_bound
