@@ -25,6 +25,12 @@ def _configure(spark: SparkSession) -> SparkSession:
     wall-clock-identical to DuckDB's naive timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # right-size shuffles for the sweep's data scale: AQE coalesces batch
+    # shuffles anyway, but stateful STREAMING aggregations cannot use AQE —
+    # in a bare driver session they would otherwise run 200 state-store
+    # partitions per micro-batch (fresh checkpoints per query, so changing
+    # this is safe)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark
 
 
