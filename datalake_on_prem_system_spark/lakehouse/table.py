@@ -1069,6 +1069,43 @@ class LakeTable:
         # sort is applied inside _write_segment (post-repartition), not here
         return self._publish(df, "compact", sort_within=cluster_by)
 
+    def clone_to(self, dest_root: str, version: int | None = None) -> "LakeTable":
+        """Zero-copy SHALLOW CLONE (Delta `CLONE` / Iceberg snapshot-ref
+        parity): publish a bootstrap commit at ``dest_root`` whose file
+        entries reference THIS table's segments — O(metadata) regardless of
+        table size, so a 100 TB table clones in milliseconds for dev/test
+        forks. The clone is independently writable: its own DML creates
+        segments under its own root, copy-on-write carrying untouched
+        source-segment references forward.
+
+        Caveat (same as Delta shallow clones): expiring/vacuuming the
+        SOURCE below the cloned snapshot breaks the clone. The clone's own
+        ``expire_snapshots`` never deletes source segments (ownership
+        guard)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError(f"cannot clone empty table at {self.root}")
+        src = self._read_commit(v)
+        dest = LakeTable(self.spark, dest_root)
+        if dest.exists():
+            raise ValueError(f"clone destination already exists: {dest_root}")
+        commit = Commit(
+            version=0,
+            parent=None,
+            operation=f"clone:{self.root}@{v}",
+            files=src.files,
+            n_rows=src.n_rows,
+            schema_json=src.schema_json,
+            committed_at=time.time(),
+            bucket_spec=src.bucket_spec,
+            partition_by=src.partition_by,
+            properties=src.properties,
+        )
+        # new_paths=[]: this writer owns no segments — a lost race must not
+        # delete the source's data
+        dest._publish_commit(commit, [])
+        return dest
+
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Metadata/data GC: drop all but the newest ``keep_last`` commits
         (Iceberg ``write.metadata.delete-after-commit`` +
@@ -1092,9 +1129,16 @@ class LakeTable:
             for e in self._read_commit(v).files
         }
         dead_parents: set[str] = set()
+        own_prefix = self.root.rstrip(os.sep) + os.sep
         for v in expired:
             commit = self._read_commit(v)
             for e in commit.files:
+                # ownership guard: a shallow clone's early commits reference
+                # segments under the SOURCE table's root — expiry must never
+                # delete data this table does not own (only the source's own
+                # expiry may, which is the documented clone caveat)
+                if not e["path"].startswith(own_prefix):
+                    continue
                 if e["path"] not in live and os.path.isdir(e["path"]):
                     shutil.rmtree(e["path"])
                     dead_parents.add(os.path.dirname(e["path"]))

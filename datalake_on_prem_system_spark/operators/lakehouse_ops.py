@@ -231,7 +231,26 @@ def lh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lh_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy shallow clone + divergent writes: clone a bucketed nation
+    table (O(metadata), no data copied), update one row in the CLONE and a
+    different row in the SOURCE, and return both sides tagged — proving
+    snapshot isolation between the two tables over shared segments."""
+    src = LakeTable(spark, tempfile.mkdtemp(prefix="lake_clone_src_"))
+    src.create_or_replace(
+        t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        bucket_by=("n_nationkey", 4),
+    )
+    clone = src.clone_to(tempfile.mkdtemp(prefix="lake_clone_dst_") + "/t")
+    clone.update_where(F.col("n_nationkey") == 3, {"n_name": F.lit("CLONE_EDIT")})
+    src.update_where(F.col("n_nationkey") == 5, {"n_name": F.lit("SRC_EDIT")})
+    return src.read().withColumn("side", F.lit("src")).unionByName(
+        clone.read().withColumn("side", F.lit("clone"))
+    )
+
+
 QUERIES = {
+    "lh_clone_divergence": lh_clone_divergence,
     "lh_merge_upsert": lh_merge_upsert,
     "lh_incremental_rollup": lh_incremental_rollup,
     "lh_time_travel": lh_time_travel,
@@ -244,6 +263,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lh_clone_divergence": """
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey = 5 THEN 'SRC_EDIT' ELSE n_name END
+                   AS n_name,
+               n_regionkey, 'src' AS side
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey = 3 THEN 'CLONE_EDIT' ELSE n_name END
+                   AS n_name,
+               n_regionkey, 'clone' AS side
+        FROM nation
+    """,
     "lh_merge_upsert": f"WITH {_MERGED_SQL} SELECT * FROM merged",
     "lh_incremental_rollup": """
         SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
