@@ -57,6 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("search"); p.add_argument("table"); p.add_argument("query")
     p = sub.add_parser("compact"); p.add_argument("table"); p.add_argument("--files", type=int); p.add_argument("--cluster-by")
     p = sub.add_parser("expire"); p.add_argument("table"); p.add_argument("--keep-last", type=int, default=2)
+    p = sub.add_parser("clone"); p.add_argument("table"); p.add_argument("dest"); p.add_argument("--version", type=int)
 
     args = ap.parse_args(argv)
 
@@ -118,6 +119,9 @@ def _dispatch(args, eng, n: int) -> int:
     elif args.verb == "expire":
         gone = eng.catalog.table(args.table).expire_snapshots(keep_last=args.keep_last)
         print(f"expired versions: {gone}")
+    elif args.verb == "clone":
+        eng.clone(args.table, args.dest, version=args.version)
+        print(f"cloned {args.table} -> {args.dest} (zero-copy)")
     return 0
 
 

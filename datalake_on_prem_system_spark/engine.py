@@ -213,6 +213,20 @@ class LakeEngine:
         pk = find_id_col(t.read().columns)
         return snapshot_diff(t, v_old, v_new, pk)
 
+    def clone(self, table: str, dest_table: str, version: int | None = None) -> None:
+        """Zero-copy shallow clone of ``table`` (optionally as of
+        ``version``) into ``dest_table`` in the same namespace — O(metadata)
+        dev/test forks of any-size tables. Bindings without a clone
+        operation (the TableFormat protocol doesn't require one) raise."""
+        src = self.catalog.table(table)
+        dest = self.catalog.table(dest_table)
+        clone_to = getattr(src, "clone_to", None)
+        if clone_to is None:
+            raise NotImplementedError(
+                f"table format {type(src).__name__} does not support clone"
+            )
+        clone_to(dest.root, version=version)
+
     # ------------------------------------------------------------- search
 
     def _search_index(self, table: str) -> tuple[DataFrame, DataFrame, str]:

@@ -56,3 +56,12 @@ def test_cli_ingest_read_crud_history(spark, tmp_path, capsys):
     assert main(["--warehouse", wh, "sql", "SELECT count(*) AS n FROM items;"]) == 0
     assert main(["--warehouse", wh, "search", "items", "gamma"]) == 0
     assert "gamma" in capsys.readouterr().out
+
+    assert main(["--warehouse", wh, "clone", "items", "items_fork"]) == 0
+    assert "zero-copy" in capsys.readouterr().out
+    assert main(["--warehouse", wh, "update", "items_fork", "1", "price=77.7"]) == 0
+    capsys.readouterr()
+    assert main(["--warehouse", wh, "read", "items_fork", "--columns", "id,price"]) == 0
+    assert "77.7" in capsys.readouterr().out
+    assert main(["--warehouse", wh, "read", "items", "--columns", "id,price"]) == 0
+    assert "11.5" in capsys.readouterr().out  # original untouched

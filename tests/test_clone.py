@@ -56,6 +56,21 @@ def test_clone_as_of_version(spark, tmp_path):
     assert {r.s for r in src.read().filter(F.col("id") == 1).collect()} == {"v1b"}
 
 
+def test_engine_clone_facade(spark, tmp_path):
+    from datalake_on_prem_system_spark.engine import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    eng.write_table("orig", df)
+    eng.clone("orig", "fork")
+    assert sorted(eng.list_tables()) == ["fork", "orig"]
+    assert {(r.id, r.s) for r in eng.read("fork").collect()} == {(1, "a"), (2, "b")}
+    # divergence: updating the fork leaves the original untouched
+    eng.update("fork", "1", {"s": "FORKED"})
+    assert {r.s for r in eng.read("fork").collect()} == {"FORKED", "b"}
+    assert {r.s for r in eng.read("orig").collect()} == {"a", "b"}
+
+
 def test_clone_expiry_never_deletes_source_segments(spark, tmp_path):
     src = _mk_source(spark, tmp_path / "src")
     clone = src.clone_to(str(tmp_path / "clone"))
