@@ -138,6 +138,12 @@ class _Handler(BaseHTTPRequestHandler):
             if parts[0:1] == ["delete"] and len(parts) == 3:
                 self.engine.delete(parts[1], parts[2])
                 return self._send(200, {"status": "deleted", "table": parts[1], "id": parts[2]})
+            if parts[0:1] == ["clone"] and len(parts) == 3:
+                version = int(q["version"]) if "version" in q else None
+                self.engine.clone(parts[1], parts[2], version=version)
+                return self._send(
+                    200, {"status": "cloned", "table": parts[1], "dest": parts[2]}
+                )
             return self._error(404, f"no route: {url.path}")
         except ValueError as e:
             return self._error(400, str(e))

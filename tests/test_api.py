@@ -184,3 +184,13 @@ def test_view_default_page_is_latest_first(served):
     view_ids = [r["product_id"] for r in _get(base, "/view/products?limit=2")["rows"]]
     data_ids = [r["product_id"] for r in _get(base, "/data/products?limit=2")["rows"]]
     assert view_ids == data_ids == sorted(view_ids, reverse=True)
+
+
+def test_clone_endpoint(served):
+    _, base = served
+    out = _post(base, "/clone/products/products_fork")
+    assert out == {"status": "cloned", "table": "products", "dest": "products_fork"}
+    _post(base, "/update/products_fork/1", json_body={"price": 123.0})
+    fork = {r["product_id"]: r["price"] for r in _get(base, "/data/products_fork")["rows"]}
+    orig = {r["product_id"]: r["price"] for r in _get(base, "/data/products")["rows"]}
+    assert fork[1] == 123.0 and orig[1] != 123.0
