@@ -82,3 +82,36 @@ def snapshot_diff(table: LakeTable, v_old: int, v_new: int, pk: str) -> DataFram
         .filter(F.col("status").isNotNull())
         .select(pk, "status", "changed_cells")
     )
+
+
+def changes_feed(table: LakeTable, v_from: int, v_to: int, pk: str) -> DataFrame:
+    """Change-data-feed (Delta CDF / Iceberg changelog parity): one record
+    per changed row per commit step in (``v_from``, ``v_to``] —
+    (pk, _change_type insert|update|delete, _commit_version,
+    changed_cells) — the contract an incremental downstream consumer reads
+    instead of re-diffing snapshots itself.
+
+    Implemented as a union of per-step snapshot diffs over the RETAINED
+    version chain: each step shuffles once on the pk and steps are bounded
+    by the history length. Honest scale note: this recomputes diffs from
+    snapshots at read time, O(steps × table); a write-optimized CDF
+    materializes change files at commit time — the read contract here is
+    identical, so that swap stays behind this function."""
+    versions = [v for v in table.versions() if v_from <= v <= v_to]
+    if len(versions) < 2:
+        raise ValueError(
+            f"changes_feed needs >= 2 retained versions in [{v_from}, {v_to}]"
+        )
+    out: DataFrame | None = None
+    for a, b in zip(versions, versions[1:]):
+        step = snapshot_diff(table, a, b, pk).select(
+            F.col(pk),
+            F.when(F.col("status") == "NEW", "insert")
+            .when(F.col("status") == "DELETED", "delete")
+            .otherwise("update")
+            .alias("_change_type"),
+            F.lit(b).alias("_commit_version"),
+            "changed_cells",
+        )
+        out = step if out is None else out.unionByName(step)
+    return out

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lakehouse import LakeCatalog, LakeTable, snapshot_diff
+from ..lakehouse.diff import changes_feed
 from .common import t
 
 
@@ -231,6 +232,41 @@ def lh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# three-commit table for the change-data-feed query (separate from
+# _MERGED_CACHE — the feed's extra commit must not shift the five queries
+# reading that table's latest state)
+_FEED_CACHE: dict[str, str] = {}
+
+
+def _feed_table(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """v0 = base customers; v1 = CDC MERGE; v2 = segment update."""
+    if sf_dir not in _FEED_CACHE:
+        root = tempfile.mkdtemp(prefix="lake_feed_")
+        table = LakeTable(spark, root)
+        table.create_or_replace(_base_customers(spark, sf_dir))
+        table.merge(_cdc_source(spark, sf_dir), pk="c_custkey", op_col="op")
+        table.update_where(F.col("c_custkey") % 11 == 2, {"c_mktsegment": "VIP"})
+        _FEED_CACHE[sf_dir] = root
+    return LakeTable(spark, _FEED_CACHE[sf_dir])
+
+
+def lh_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed (Delta CDF parity) over three real commits: one
+    row-level change record per commit step — inserts/updates/deletes from
+    the v1 MERGE, then the v2 segment update — with before/after cell
+    values surfaced for updates. The oracle replays the same change
+    algebra per step in SQL."""
+    feed = changes_feed(_feed_table(spark, sf_dir), 0, 2, pk="c_custkey")
+    return feed.select(
+        "c_custkey",
+        "_change_type",
+        "_commit_version",
+        F.col("changed_cells")["c_acctbal"]["old"].cast("double").alias("old_acctbal"),
+        F.col("changed_cells")["c_acctbal"]["new"].cast("double").alias("new_acctbal"),
+        F.col("changed_cells")["c_mktsegment"]["new"].alias("new_segment"),
+    )
+
+
 def lh_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy shallow clone + divergent writes: clone a bucketed nation
     table (O(metadata), no data copied), update one row in the CLONE and a
@@ -250,6 +286,7 @@ def lh_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "lh_changes_feed": lh_changes_feed,
     "lh_clone_divergence": lh_clone_divergence,
     "lh_merge_upsert": lh_merge_upsert,
     "lh_incremental_rollup": lh_incremental_rollup,
@@ -263,6 +300,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lh_changes_feed": f"""
+        WITH {_MERGED_SQL}
+        SELECT m.c_custkey, 'insert' AS _change_type,
+               CAST(1 AS INTEGER) AS _commit_version,
+               CAST(NULL AS DOUBLE) AS old_acctbal,
+               CAST(NULL AS DOUBLE) AS new_acctbal,
+               CAST(NULL AS VARCHAR) AS new_segment
+        FROM merged m WHERE NOT EXISTS
+            (SELECT 1 FROM base b WHERE b.c_custkey = m.c_custkey)
+        UNION ALL
+        SELECT b.c_custkey, 'delete', 1, NULL, NULL, NULL
+        FROM base b WHERE NOT EXISTS
+            (SELECT 1 FROM merged m WHERE m.c_custkey = b.c_custkey)
+        UNION ALL
+        SELECT b.c_custkey, 'update', 1, b.c_acctbal, m.c_acctbal, NULL
+        FROM base b JOIN merged m ON b.c_custkey = m.c_custkey
+        WHERE CAST(b.c_acctbal AS VARCHAR) != CAST(m.c_acctbal AS VARCHAR)
+           OR b.c_name != m.c_name OR b.c_mktsegment != m.c_mktsegment
+        UNION ALL
+        SELECT c_custkey, 'update', 2, NULL, NULL, 'VIP'
+        FROM merged WHERE c_custkey % 11 = 2 AND c_mktsegment != 'VIP'
+    """,
     "lh_clone_divergence": """
         SELECT n_nationkey,
                CASE WHEN n_nationkey = 5 THEN 'SRC_EDIT' ELSE n_name END
