@@ -76,7 +76,8 @@ class LakeEngine:
     ) -> DataFrame:
         """P4/P5/O1/O3 read surface: column subset, equality filter (typed
         via get_cast_val), latest-first page."""
-        df = self.catalog.table(table).read(version=version, fallback_to_latest=True)
+        tbl = self.catalog.table(table)
+        df = tbl.read(version=version, fallback_to_latest=True)
         # derive the pk from THIS snapshot's columns: the latest schema may
         # have columns an old version lacks (append-based evolution), and it
         # avoids a second table read
@@ -99,7 +100,15 @@ class LakeEngine:
                 # instead of letting ANSI throw CAST_INVALID_INPUT at
                 # execution time deep in a Spark job
                 return df.filter(F.lit(False)).select(*(columns or df.columns))
-            df = df.filter(F.col(filter_col) == F.lit(typed))
+            cond = F.col(filter_col) == F.lit(typed)
+            read_where = getattr(tbl, "read_where", None)
+            if read_where is not None:
+                # bucket-pruned point path: a pk-equality filter resolves
+                # only the bucket holding the key (P10 at O(1 bucket));
+                # non-pk filters fall through inside read_where unchanged
+                df = read_where(cond, version=version, fallback_to_latest=True)
+            else:
+                df = df.filter(cond)
         if columns:
             df = df.select(*columns)
         if limit is not None:

@@ -478,6 +478,48 @@ class LakeTable:
             commit = self._read_commit(latest)
         return self._read_data(commit)
 
+    def read_where(
+        self,
+        condition,
+        version: int | None = None,
+        fallback_to_latest: bool = False,
+    ) -> DataFrame:
+        """Filtered read with BUCKET PRUNING for point predicates: a pk
+        equality / IN-list resolves only the bucket dirs holding those keys
+        (plus unbucketed segments; matching-bucket MOR deltas are kept by
+        the same filter since a key's delta lands in the key's bucket) —
+        the P10 point-read serve path costs O(touched buckets) instead of
+        O(table). Arbitrary predicates read the full snapshot with the
+        filter applied (parquet min/max stats still skip row groups)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ExpiredVersionError(f"no commits at {self.root}")
+        if version is None:
+            version = latest
+        try:
+            commit = self._read_commit(version)
+        except ExpiredVersionError:
+            if not fallback_to_latest:
+                raise
+            commit = self._read_commit(latest)
+        spec = commit.bucket_spec
+        if spec and _spec_current(spec) and not commit.partition_by:
+            literals = _pk_literal_values(condition, spec["pk"])
+            if literals is not None:
+                touched = self._buckets_for_literals(
+                    literals, spec["pk"], spec["n"], commit
+                )
+                if touched is not None:
+                    entries = [
+                        e
+                        for e in commit.files
+                        if e["bucket"] is None or e["bucket"] in touched
+                    ]
+                    return self._resolve(
+                        entries, commit.schema_json, commit.bucket_spec
+                    ).filter(condition)
+        return self._read_data(commit).filter(condition)
+
     def _schema(self, commit: Commit):
         from pyspark.sql.types import StructType
 

@@ -211,3 +211,35 @@ def test_plan_global_invariants(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if "Scan parquet" in plan:
         assert "Batched: true" in plan, f"{name}: non-vectorized parquet scan"
+
+
+def test_point_read_prunes_to_one_bucket(spark, tmp_path):
+    """P10 read path: a pk-equality read through read_where must resolve
+    ONLY the bucket dir holding the key — O(1 bucket), not O(table) —
+    while returning exactly the matching row (MOR deltas included via the
+    shared bucket filter)."""
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "pt"))
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "id bigint, s string"
+    )
+    t.create_or_replace(df, bucket_by=("id", 8))
+    # MOR delta on the same key's bucket must still be visible
+    t.merge(
+        spark.createDataFrame([(7, "v7_new")], "id bigint, s string"), pk="id"
+    )
+
+    out = t.read_where(F.col("id") == 7)
+    files = out.inputFiles()
+    buckets = {f.split("__bucket=")[1].split("/")[0] for f in files if "__bucket=" in f}
+    assert len(buckets) == 1, files  # one bucket dir, not eight
+    assert [(r.id, r.s) for r in out.collect()] == [(7, "v7_new")]
+
+    # arbitrary predicate falls back to the full snapshot (all buckets)
+    full = t.read_where(F.col("s") == "v9")
+    fb = {f.split("__bucket=")[1].split("/")[0] for f in full.inputFiles() if "__bucket=" in f}
+    assert len(fb) == 8
+    assert [(r.id, r.s) for r in full.collect()] == [(9, "v9")]
