@@ -112,6 +112,12 @@ class _Handler(BaseHTTPRequestHandler):
             if parts[0] == "diff" and len(parts) == 2:
                 d = self.engine.diff(parts[1], int(q["v_old"]), int(q["v_new"]))
                 return self._send(200, {"table": parts[1], "diff": _df_rows(d)})
+            if parts[0] == "changes" and len(parts) == 2:
+                c = self.engine.changes(parts[1], int(q["v_from"]), int(q["v_to"]))
+                return self._send(
+                    200,
+                    {"table": parts[1], "changes": _df_rows(c.drop("changed_cells"))},
+                )
             if parts[0] == "edit" and len(parts) == 3:
                 return self._edit(parts[1], parts[2])
             return self._error(404, f"no route: {url.path}")

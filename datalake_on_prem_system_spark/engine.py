@@ -222,6 +222,16 @@ class LakeEngine:
         pk = find_id_col(t.read().columns)
         return snapshot_diff(t, v_old, v_new, pk)
 
+    def changes(self, table: str, v_from: int, v_to: int) -> DataFrame:
+        """Change-data-feed between two versions: per-commit-step row-level
+        insert/update/delete records (the incremental-consumer contract —
+        `diff` collapses the same interval into one net classification)."""
+        from .lakehouse.diff import changes_feed
+
+        t = self.catalog.table(table)
+        pk = find_id_col(t.read().columns)
+        return changes_feed(t, v_from, v_to, pk)
+
     def clone(self, table: str, dest_table: str, version: int | None = None) -> None:
         """Zero-copy shallow clone of ``table`` (optionally as of
         ``version``) into ``dest_table`` in the same namespace — O(metadata)

@@ -87,9 +87,13 @@ def snapshot_diff(table: LakeTable, v_old: int, v_new: int, pk: str) -> DataFram
 def changes_feed(table: LakeTable, v_from: int, v_to: int, pk: str) -> DataFrame:
     """Change-data-feed (Delta CDF / Iceberg changelog parity): one record
     per changed row per commit step in (``v_from``, ``v_to``] —
-    (pk, _change_type insert|update|delete, _commit_version,
-    changed_cells) — the contract an incremental downstream consumer reads
-    instead of re-diffing snapshots itself.
+    (pk, _change_type insert|update|delete, _commit_version, changed_cells,
+    row_json) — the contract an incremental downstream consumer reads
+    instead of re-diffing snapshots itself. ``row_json`` is the FULL
+    post-image of insert/update records (JSON, so steps with evolved
+    schemas still union; NULL for deletes): replaying the feed over the
+    ``v_from`` snapshot reconstructs the ``v_to`` snapshot exactly
+    (property-tested).
 
     Implemented as a union of per-step snapshot diffs over the RETAINED
     version chain: each step shuffles once on the pk and steps are bounded
@@ -104,14 +108,26 @@ def changes_feed(table: LakeTable, v_from: int, v_to: int, pk: str) -> DataFrame
         )
     out: DataFrame | None = None
     for a, b in zip(versions, versions[1:]):
-        step = snapshot_diff(table, a, b, pk).select(
-            F.col(pk),
-            F.when(F.col("status") == "NEW", "insert")
-            .when(F.col("status") == "DELETED", "delete")
-            .otherwise("update")
-            .alias("_change_type"),
-            F.lit(b).alias("_commit_version"),
-            "changed_cells",
+        new = table.read(version=b)
+        post = new.select(
+            F.col(pk), F.to_json(F.struct(*new.columns)).alias("row_json")
+        )
+        step = (
+            snapshot_diff(table, a, b, pk)
+            .select(
+                F.col(pk),
+                F.when(F.col("status") == "NEW", "insert")
+                .when(F.col("status") == "DELETED", "delete")
+                .otherwise("update")
+                .alias("_change_type"),
+                F.lit(b).alias("_commit_version"),
+                "changed_cells",
+            )
+            .join(post, pk, "left_outer")
+            .withColumn(
+                "row_json",
+                F.when(F.col("_change_type") != "delete", F.col("row_json")),
+            )
         )
         out = step if out is None else out.unionByName(step)
     return out

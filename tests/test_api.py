@@ -194,3 +194,14 @@ def test_clone_endpoint(served):
     fork = {r["product_id"]: r["price"] for r in _get(base, "/data/products_fork")["rows"]}
     orig = {r["product_id"]: r["price"] for r in _get(base, "/data/products")["rows"]}
     assert fork[1] == 123.0 and orig[1] != 123.0
+
+
+def test_changes_endpoint(served):
+    _, base = served
+    hist = _get(base, "/history/products")["snapshots"]
+    v_to = max(s["version"] for s in hist)
+    out = _get(base, f"/changes/products?v_from=0&v_to={v_to}")
+    assert out["table"] == "products"
+    assert out["changes"], "CRUD churn above must surface as change records"
+    assert {c["_change_type"] for c in out["changes"]} <= {"insert", "update", "delete"}
+    assert all("_commit_version" in c for c in out["changes"])
