@@ -80,3 +80,48 @@ def test_feed_replay_reconstructs_final_state(spark, tmp_path):
             f"trial {trial}: replayed state diverges; "
             f"extra={set(state) - set(want)}, missing={set(want) - set(state)}"
         )
+
+
+def test_compact_contributes_no_change_records(spark, tmp_path):
+    """OPTIMIZE rewrites bytes, not content: a compact commit must appear
+    in the feed as ZERO records — an incremental consumer sees no phantom
+    updates from maintenance."""
+    table = LakeTable(spark, str(tmp_path / "c"))
+    table.create_or_replace(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id bigint, s string"),
+        bucket_by=("id", 4),
+    )
+    table.merge(spark.createDataFrame([(3, "v3b")], "id bigint, s string"), pk="id")
+    compact_v = table.compact().version
+    feed = changes_feed(table, 0, compact_v, pk="id").collect()
+    assert all(r._commit_version != compact_v for r in feed), feed
+    assert {(r.id, r._change_type) for r in feed} == {(3, "update")}
+
+
+def test_feed_replays_over_expired_intermediate_versions(spark, tmp_path):
+    """Expiring intermediate snapshots collapses feed steps into the
+    surviving neighbors; the replay invariant must still hold end-to-end."""
+    table = LakeTable(spark, str(tmp_path / "e"))
+    table.create_or_replace(
+        spark.createDataFrame([(i, f"v{i}") for i in range(12)], "id bigint, s string"),
+        bucket_by=("id", 4),
+    )
+    table.merge(spark.createDataFrame([(1, "m1")], "id bigint, s string"), pk="id")
+    table.delete_where(F.col("id") == 2)
+    table.merge(spark.createDataFrame([(99, "new")], "id bigint, s string"), pk="id")
+    # keep v0 and the last two commits; v1 (the first merge) expires
+    table.expire_snapshots(keep_last=2)
+    retained = table.versions()
+    assert 0 not in retained or len(retained) == 2  # v0 gone with keep_last=2
+
+    v_from, v_to = retained[0], retained[-1]
+    state = _snapshot_json(table, v_from, "id")
+    for rec in sorted(
+        changes_feed(table, v_from, v_to, pk="id").collect(),
+        key=lambda r: r._commit_version,
+    ):
+        if rec._change_type == "delete":
+            state.pop(rec.id, None)
+        else:
+            state[rec.id] = json.loads(rec.row_json)
+    assert state == _snapshot_json(table, v_to, "id")
