@@ -12,19 +12,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .table import LakeTable
+from .table import ExpiredVersionError, LakeTable
 
 
-def snapshot_diff(table: LakeTable, v_old: int, v_new: int, pk: str) -> DataFrame:
+def snapshot_diff(
+    table: LakeTable,
+    v_old: int,
+    v_new: int,
+    pk: str,
+    old_df: DataFrame | None = None,
+    new_df: DataFrame | None = None,
+) -> DataFrame:
     """Rows that changed between ``v_old`` and ``v_new``:
 
     output: (pk, status NEW|MODIFIED|DELETED, changed_cells
     map<col, struct<old string, new string>>) — cell values
     string-normalized exactly like the reference's rendering
     (api_poc.py:552-557 compares ``str(old) != str(new)``).
+    ``old_df``/``new_df`` let a caller that already resolved the version
+    frames (changes_feed shares one frame per version across step roles)
+    pass them in instead of re-reading.
     """
-    old = table.read(version=v_old)
-    new = table.read(version=v_new)
+    old = old_df if old_df is not None else table.read(version=v_old)
+    new = new_df if new_df is not None else table.read(version=v_new)
     # diff the UNION of both schemas: a row whose only change is in a
     # column added (or dropped) between the versions is still MODIFIED —
     # the missing side reads as NULL
@@ -90,30 +100,48 @@ def changes_feed(table: LakeTable, v_from: int, v_to: int, pk: str) -> DataFrame
     (pk, _change_type insert|update|delete, _commit_version, changed_cells,
     row_json) — the contract an incremental downstream consumer reads
     instead of re-diffing snapshots itself. ``row_json`` is the FULL
-    post-image of insert/update records (JSON, so steps with evolved
-    schemas still union; NULL for deletes): replaying the feed over the
-    ``v_from`` snapshot reconstructs the ``v_to`` snapshot exactly
-    (property-tested).
+    post-image of insert/update records, as a JSON ARRAY of the key's rows
+    sorted deterministically (duplicate-pk appends are legal, so a key's
+    post-image is a row SET; JSON keeps steps with evolved schemas
+    unionable; NULL for deletes): replaying the feed over the ``v_from``
+    snapshot reconstructs the ``v_to`` snapshot exactly (property-tested,
+    including across expired intermediates and compaction commits).
 
-    Implemented as a union of per-step snapshot diffs over the RETAINED
+    Both endpoints must be RETAINED versions — a silently truncated feed
+    would let a consumer replay an incomplete change set and reconstruct
+    wrong state with no error, so non-retained endpoints raise instead.
+
+    Implemented as a union of per-step snapshot diffs over the retained
     version chain: each step shuffles once on the pk and steps are bounded
-    by the history length. Honest scale note: this recomputes diffs from
-    snapshots at read time, O(steps × table); a write-optimized CDF
-    materializes change files at commit time — the read contract here is
-    identical, so that swap stays behind this function."""
-    versions = [v for v in table.versions() if v_from <= v <= v_to]
+    by the history length (each version's frame is built once and shared
+    between its old-side, new-side, and post-image roles). Honest scale
+    note: this recomputes diffs from snapshots at read time,
+    O(steps × table); a write-optimized CDF materializes change files at
+    commit time — the read contract here is identical, so that swap stays
+    behind this function."""
+    retained = table.versions()
+    if v_from not in retained or v_to not in retained:
+        raise ExpiredVersionError(
+            f"changes_feed endpoints must be retained versions "
+            f"(requested [{v_from}, {v_to}], retained {retained}) — a "
+            f"truncated feed would replay to wrong state"
+        )
+    versions = [v for v in retained if v_from <= v <= v_to]
     if len(versions) < 2:
         raise ValueError(
             f"changes_feed needs >= 2 retained versions in [{v_from}, {v_to}]"
         )
+    frames = {v: table.read(version=v) for v in versions}
     out: DataFrame | None = None
     for a, b in zip(versions, versions[1:]):
-        new = table.read(version=b)
-        post = new.select(
-            F.col(pk), F.to_json(F.struct(*new.columns)).alias("row_json")
+        new = frames[b]
+        post = new.groupBy(pk).agg(
+            F.to_json(
+                F.sort_array(F.collect_list(F.struct(*new.columns)))
+            ).alias("row_json")
         )
         step = (
-            snapshot_diff(table, a, b, pk)
+            snapshot_diff(table, a, b, pk, old_df=frames[a], new_df=new)
             .select(
                 F.col(pk),
                 F.when(F.col("status") == "NEW", "insert")

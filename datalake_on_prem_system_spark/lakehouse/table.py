@@ -460,23 +460,26 @@ class LakeTable:
 
     # ---------------------------------------------------------------- reads
 
-    def read(self, version: int | None = None, fallback_to_latest: bool = False) -> DataFrame:
-        """Table state at ``version`` (default: latest). With
-        ``fallback_to_latest`` an expired/unknown version degrades to the
-        latest snapshot — the reference's expired-snapshot behavior
-        (api_poc.py:462-468)."""
+    def _commit_at(self, version: int | None, fallback_to_latest: bool) -> Commit:
+        """Resolve a version to its commit: None → latest; expired/unknown
+        raises, or degrades to latest with ``fallback_to_latest`` — the
+        reference's expired-snapshot behavior (api_poc.py:462-468). Shared
+        by every read entry point so fallback semantics cannot drift."""
         latest = self.latest_version()
         if latest is None:
             raise ExpiredVersionError(f"no commits at {self.root}")
         if version is None:
             version = latest
         try:
-            commit = self._read_commit(version)
+            return self._read_commit(version)
         except ExpiredVersionError:
             if not fallback_to_latest:
                 raise
-            commit = self._read_commit(latest)
-        return self._read_data(commit)
+            return self._read_commit(latest)
+
+    def read(self, version: int | None = None, fallback_to_latest: bool = False) -> DataFrame:
+        """Table state at ``version`` (default: latest)."""
+        return self._read_data(self._commit_at(version, fallback_to_latest))
 
     def read_where(
         self,
@@ -491,17 +494,7 @@ class LakeTable:
         the P10 point-read serve path costs O(touched buckets) instead of
         O(table). Arbitrary predicates read the full snapshot with the
         filter applied (parquet min/max stats still skip row groups)."""
-        latest = self.latest_version()
-        if latest is None:
-            raise ExpiredVersionError(f"no commits at {self.root}")
-        if version is None:
-            version = latest
-        try:
-            commit = self._read_commit(version)
-        except ExpiredVersionError:
-            if not fallback_to_latest:
-                raise
-            commit = self._read_commit(latest)
+        commit = self._commit_at(version, fallback_to_latest)
         spec = commit.bucket_spec
         if spec and _spec_current(spec) and not commit.partition_by:
             literals = _pk_literal_values(condition, spec["pk"])
@@ -1131,8 +1124,15 @@ class LakeTable:
         dest = LakeTable(self.spark, dest_root)
         if dest.exists():
             raise ValueError(f"clone destination already exists: {dest_root}")
+        # the clone's version counter CONTINUES from the source's: carried
+        # file entries keep their merge-on-read ``seq`` values (stamped from
+        # the source's counter), so a bootstrap at version 0 would hand the
+        # clone's first own delta seq=1 — losing to (or duplicating against)
+        # carried source deltas with higher seq. Starting at ``v`` makes
+        # every clone write seq > every carried seq, exactly as a
+        # continuation of the source would order them.
         commit = Commit(
-            version=0,
+            version=v,
             parent=None,
             operation=f"clone:{self.root}@{v}",
             files=src.files,

@@ -166,7 +166,9 @@ def f_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle parity: Spark ``F.aggregate`` is a LEFT sequential fold, matched
     by DuckDB ``list_reduce`` (also a left fold) — NOT ``list_sum``, whose
     summation order is unspecified. Elements are cast to double up front on
-    both sides so the folds run in the same precision."""
+    both sides so the folds run in the same precision. Empty arrays are
+    total on both sides: Spark's fold returns its 0.0 init; the oracle
+    guards ``list_reduce`` (which ERRORS on empty lists) with a CASE."""
     e = F.transform("embedding", lambda x: x.cast("double"))
     return t(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -363,10 +365,12 @@ ORACLE = {
             FROM embeddings)
         SELECT vec_id,
                len(list_filter(e, x -> x > 0)) AS n_pos,
-               round(list_reduce(list_transform(e, x -> abs(x)),
-                                 (a, b) -> a + b), 4) AS l1,
-               round(list_reduce(list_transform(e, x -> x * x),
-                                 (a, b) -> a + b), 4) AS l2_sq,
+               CASE WHEN len(e) = 0 THEN 0.0
+                    ELSE round(list_reduce(list_transform(e, x -> abs(x)),
+                                           (a, b) -> a + b), 4) END AS l1,
+               CASE WHEN len(e) = 0 THEN 0.0
+                    ELSE round(list_reduce(list_transform(e, x -> x * x),
+                                           (a, b) -> a + b), 4) END AS l2_sq,
                round(list_max(e), 6) AS max_dim,
                len(list_filter(e, x -> x > 0.9)) > 0 AS has_big
         FROM t

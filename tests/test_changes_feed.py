@@ -16,10 +16,14 @@ from datalake_on_prem_system_spark.lakehouse.diff import changes_feed
 
 
 def _snapshot_json(table: LakeTable, version: int, pk: str) -> dict:
+    """pk → that key's row SET as the feed renders it (sorted JSON array —
+    duplicate-pk appends are legal, so a key maps to a list of rows)."""
     df = table.read(version=version)
-    rows = df.select(
-        F.col(pk), F.to_json(F.struct(*df.columns)).alias("j")
-    ).collect()
+    rows = (
+        df.groupBy(pk)
+        .agg(F.to_json(F.sort_array(F.collect_list(F.struct(*df.columns)))).alias("j"))
+        .collect()
+    )
     return {r[pk]: json.loads(r.j) for r in rows}
 
 
@@ -125,3 +129,49 @@ def test_feed_replays_over_expired_intermediate_versions(spark, tmp_path):
         else:
             state[rec.id] = json.loads(rec.row_json)
     assert state == _snapshot_json(table, v_to, "id")
+
+
+def test_feed_with_duplicate_pk_appends(spark, tmp_path):
+    """Duplicate-key appends are legal table states ('duplicate-key appends
+    must all survive' — table.py _resolve); the feed renders such a key's
+    post-image as the full row SET, identically on every record for that
+    key, so replay converges instead of keeping an arbitrary row."""
+    table = LakeTable(spark, str(tmp_path / "d"))
+    table.create_or_replace(
+        spark.createDataFrame([(1, "a"), (2, "x")], "id bigint, s string")
+    )
+    table.insert_rows([{"id": 1, "s": "b"}])  # id=1 now has TWO rows
+    feed = changes_feed(table, 0, 1, pk="id").collect()
+    recs = [r for r in feed if r.id == 1]
+    assert recs and len({r.row_json for r in recs}) == 1  # one consistent image
+    assert sorted(row["s"] for row in json.loads(recs[0].row_json)) == ["a", "b"]
+    # replay over v0 reconstructs the 2-row final state
+    state = _snapshot_json(table, 0, "id")
+    for rec in feed:
+        if rec._change_type == "delete":
+            state.pop(rec.id, None)
+        else:
+            state[rec.id] = json.loads(rec.row_json)
+    assert state == _snapshot_json(table, 1, "id")
+
+
+def test_feed_rejects_non_retained_endpoints(spark, tmp_path):
+    """A truncated feed replays to wrong state with no error — non-retained
+    endpoints must raise instead."""
+    import pytest
+
+    from datalake_on_prem_system_spark.lakehouse.table import ExpiredVersionError
+
+    table = LakeTable(spark, str(tmp_path / "r"))
+    table.create_or_replace(
+        spark.createDataFrame([(1, "a")], "id bigint, s string")
+    )
+    for i in range(3):
+        table.merge(
+            spark.createDataFrame([(1, f"m{i}")], "id bigint, s string"), pk="id"
+        )
+    table.expire_snapshots(keep_last=2)
+    with pytest.raises(ExpiredVersionError):
+        changes_feed(table, 0, table.latest_version(), pk="id")
+    with pytest.raises(ExpiredVersionError):
+        changes_feed(table, table.versions()[0], 999, pk="id")

@@ -88,3 +88,35 @@ def test_clone_expiry_never_deletes_source_segments(spark, tmp_path):
     assert src.read().count() == 20
     # and the clone still reads its own latest state
     assert clone.read().count() == 20
+
+
+def test_clone_of_mor_table_with_pending_deltas(spark, tmp_path):
+    """Regression (review-found, reproduced): a clone of a merge-on-read
+    source with PENDING delta commits must order its own writes after the
+    carried source deltas. The bootstrap commit now continues the source's
+    version counter, so clone deltas always get higher MOR seq values than
+    carried ones — a bootstrap at version 0 served BOTH the stale source
+    row and the clone's new row for the same key."""
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.create_or_replace(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id bigint, s string"),
+        bucket_by=("id", 4),
+        properties={"write.merge.mode": "mor"},
+    )
+    # pending MOR deltas (below the compact threshold)
+    src.merge(spark.createDataFrame([(3, "src_d1")], "id bigint, s string"), pk="id")
+    src.merge(spark.createDataFrame([(5, "src_d2")], "id bigint, s string"), pk="id")
+
+    clone = src.clone_to(str(tmp_path / "clone"))
+    clone.merge(
+        spark.createDataFrame([(3, "CLONE_NEW")], "id bigint, s string"), pk="id"
+    )
+    got = {r.id: r.s for r in clone.read().collect()}
+    rows = clone.read().filter(F.col("id") == 3).collect()
+    assert len(rows) == 1, rows  # no duplicate: clone delta wins outright
+    assert got[3] == "CLONE_NEW" and got[5] == "src_d2"
+    # inserts of fresh keys must not be swallowed by carried deltas either
+    clone.insert_rows([{"id": 100, "s": "ins"}])
+    assert {r.s for r in clone.read().filter(F.col("id") == 100).collect()} == {"ins"}
+    # source state untouched throughout
+    assert {r.s for r in src.read().filter(F.col("id") == 3).collect()} == {"src_d1"}
