@@ -58,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact"); p.add_argument("table"); p.add_argument("--files", type=int); p.add_argument("--cluster-by")
     p = sub.add_parser("expire"); p.add_argument("table"); p.add_argument("--keep-last", type=int, default=2)
     p = sub.add_parser("clone"); p.add_argument("table"); p.add_argument("dest"); p.add_argument("--version", type=int)
+    p = sub.add_parser("changes"); p.add_argument("table"); p.add_argument("v_from", type=int); p.add_argument("v_to", type=int)
 
     args = ap.parse_args(argv)
 
@@ -122,6 +123,10 @@ def _dispatch(args, eng, n: int) -> int:
     elif args.verb == "clone":
         eng.clone(args.table, args.dest, version=args.version)
         print(f"cloned {args.table} -> {args.dest} (zero-copy)")
+    elif args.verb == "changes":
+        eng.changes(args.table, args.v_from, args.v_to).drop("changed_cells").show(
+            n, truncate=False
+        )
     return 0
 
 

@@ -65,3 +65,9 @@ def test_cli_ingest_read_crud_history(spark, tmp_path, capsys):
     assert "77.7" in capsys.readouterr().out
     assert main(["--warehouse", wh, "read", "items", "--columns", "id,price"]) == 0
     assert "11.5" in capsys.readouterr().out  # original untouched
+
+
+    capsys.readouterr()
+    assert main(["--warehouse", wh, "changes", "items", "0", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "_change_type" in out and ("update" in out or "insert" in out)
