@@ -240,7 +240,7 @@ def test_edge_corpus_matches_oracle_and_does_not_crash(spark, tmp_path):
         "tx_term_freq", "cur_repetition_filter", "cur_stratified_sample",
         "cur_pii_scrub", "cur_decontaminate", "dd_exact", "dd_simhash",
         "mm_decode_features", "mm_manifest_stats", "mm_frame_sample_plan",
-        "sim_brute_topk", "sim_ann_lsh",
+        "sim_brute_topk", "sim_ann_lsh", "pl_sequence_pack",
     ]
     for name in names:
         spark.catalog.clearCache()
