@@ -1,8 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "cdc_rows_per_sec": N|null, "scaling": {...},
-"errors": {...}?, "sf": dir}. Per-query time is the median of
+Prints ONE compact JSON line (also mirrored to BENCH_LINE.json so a
+harness tail window can never lose it): {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: sec}, "cdc_rows_per_sec":
+N|null, "errors": {...}?, "sf": dir}. The bulky per-SF scaling map goes
+to BENCH_SCALING.json + stderr, NOT the stdout line (the round-6 driver
+capture truncated the long line). Per-query time is the median of
 $SPARK_GRAFT_BENCH_RUNS (default 3, clamped >= 1) full cold-cache
 executions (collect of the final small result; Spark cache cleared before
 every run so persisted mid-plan frames can't turn runs 2..N into cache
@@ -269,11 +272,32 @@ def main() -> None:
         "cdc_rows_per_sec": cdc_rps,
         "sf": SF_DIR,
     }
-    if scaling:
-        out["scaling"] = scaling
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # Driver-proof output (round-6 lesson: the driver's stdout tail window
+    # truncated the single long JSON line once "scaling" grew, leaving
+    # BENCH_r06.json unparseable). Three defenses:
+    #   1. the bulky per-SF scaling map goes to a sidecar file + stderr,
+    #      never the headline stdout line;
+    #   2. the compact headline line is ALSO written to BENCH_LINE.json, so
+    #      a harness can recover it even if its pipe window clips stdout;
+    #   3. the headline line prints LAST, so a tail-capture window always
+    #      contains it whole.
+    here = os.path.dirname(os.path.abspath(__file__))
+    if scaling:
+        print(f"# scaling (full): {json.dumps(scaling)}", file=sys.stderr)
+        try:
+            with open(os.path.join(here, "BENCH_SCALING.json"), "w") as fh:
+                json.dump(scaling, fh, indent=1)
+        except OSError as exc:
+            print(f"# BENCH_SCALING.json write failed: {exc}", file=sys.stderr)
+    line = json.dumps(out)
+    try:
+        with open(os.path.join(here, "BENCH_LINE.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        print(f"# BENCH_LINE.json write failed: {exc}", file=sys.stderr)
+    print(line)
 
 
 def cdc_worker() -> None:

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from .engine import LakeEngine
 
 _DEFAULT_LIMIT = 10  # api_poc.py:287 `limit: int = 10`
+_DIFF_LIMIT = 100  # /diff + /changes page size (api_poc.py:436 LIMIT-100 diff)
 
 
 def _df_rows(df: DataFrame, limit: int | None = None) -> list[dict]:
@@ -110,13 +111,23 @@ class _Handler(BaseHTTPRequestHandler):
                     200, {"table": parts[1], "snapshots": _df_rows(self.engine.history(parts[1]))}
                 )
             if parts[0] == "diff" and len(parts) == 2:
+                # page-bounded like the reference's LIMIT-scoped diff
+                # (api_poc.py:436): an unbounded diff of two large versions
+                # would collect the whole table into one HTTP response.
+                # Ordered by pk so pages are deterministic (TakeOrdered —
+                # no full sort materializes)
+                limit = int(q.get("limit", _DIFF_LIMIT))
                 d = self.engine.diff(parts[1], int(q["v_old"]), int(q["v_new"]))
-                return self._send(200, {"table": parts[1], "diff": _df_rows(d)})
-            if parts[0] == "changes" and len(parts) == 2:
-                c = self.engine.changes(parts[1], int(q["v_from"]), int(q["v_to"]))
+                d = d.orderBy(d.columns[0])
                 return self._send(
-                    200,
-                    {"table": parts[1], "changes": _df_rows(c.drop("changed_cells"))},
+                    200, {"table": parts[1], "diff": _df_rows(d, limit=limit)}
+                )
+            if parts[0] == "changes" and len(parts) == 2:
+                limit = int(q.get("limit", _DIFF_LIMIT))
+                c = self.engine.changes(parts[1], int(q["v_from"]), int(q["v_to"]))
+                c = c.drop("changed_cells").orderBy("_commit_version", c.columns[0])
+                return self._send(
+                    200, {"table": parts[1], "changes": _df_rows(c, limit=limit)}
                 )
             if parts[0] == "edit" and len(parts) == 3:
                 return self._edit(parts[1], parts[2])

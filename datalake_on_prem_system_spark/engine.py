@@ -77,7 +77,15 @@ class LakeEngine:
         """P4/P5/O1/O3 read surface: column subset, equality filter (typed
         via get_cast_val), latest-first page."""
         tbl = self.catalog.table(table)
-        df = tbl.read(version=version, fallback_to_latest=True)
+        # resolve the snapshot ONCE and pin it: pk/type derivation and the
+        # (possibly bucket-pruned) filtered scan below must see the same
+        # commit — a write landing between two independent 'latest'
+        # resolutions would otherwise type the filter literal against a
+        # different schema than the scan it filters
+        commit_at = getattr(tbl, "commit_at", None)
+        commit = commit_at(version, fallback_to_latest=True) if commit_at else None
+        df = tbl.read(version=version, fallback_to_latest=True, commit=commit) \
+            if commit is not None else tbl.read(version=version, fallback_to_latest=True)
         # derive the pk from THIS snapshot's columns: the latest schema may
         # have columns an old version lacks (append-based evolution), and it
         # avoids a second table read
@@ -105,8 +113,11 @@ class LakeEngine:
             if read_where is not None:
                 # bucket-pruned point path: a pk-equality filter resolves
                 # only the bucket holding the key (P10 at O(1 bucket));
-                # non-pk filters fall through inside read_where unchanged
-                df = read_where(cond, version=version, fallback_to_latest=True)
+                # non-pk filters fall through inside read_where unchanged;
+                # `commit` pins the same snapshot typing was derived from
+                df = read_where(
+                    cond, version=version, fallback_to_latest=True, commit=commit
+                )
             else:
                 df = df.filter(cond)
         if columns:

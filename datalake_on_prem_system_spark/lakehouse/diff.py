@@ -32,6 +32,19 @@ def snapshot_diff(
     ``old_df``/``new_df`` let a caller that already resolved the version
     frames (changes_feed shares one frame per version across step roles)
     pass them in instead of re-reading.
+
+    Keys are compared as per-key row SETS, not row pairs: each side is
+    pre-aggregated to (pk, sort_array(collect_list(struct))) before the
+    join, so a key holding >= 2 rows (duplicate-pk appends are legal)
+    joins 1:1 instead of cross-producting, and a key is MODIFIED only
+    when its row set actually differs between the versions — a commit
+    that rewrites files without changing content (compaction) therefore
+    contributes zero diff records even on duplicate-pk tables. One output
+    row per changed KEY. ``changed_cells`` carries per-cell old→new for
+    keys with exactly one row on each side (the reference renders cell
+    diffs for matched row pairs, api_poc.py:552-557); for multi-row keys
+    there is no meaningful row pairing, so it stays empty and the
+    per-key post-image (changes_feed's ``row_json``) is the authority.
     """
     old = old_df if old_df is not None else table.read(version=v_old)
     new = new_df if new_df is not None else table.read(version=v_new)
@@ -41,21 +54,27 @@ def snapshot_diff(
     cols = [c for c in new.columns if c != pk]
     cols += [c for c in old.columns if c != pk and c not in cols]
 
-    def side(df: DataFrame, prefix: str, flag: str) -> DataFrame:
-        return df.select(
-            F.col(pk),
-            F.lit(True).alias(flag),
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        row = F.struct(
             *[
                 (F.col(c) if c in df.columns else F.lit(None))
                 .cast("string")
-                .alias(f"{prefix}{c}")
+                .alias(c)
                 for c in cols
-            ],
+            ]
+        )
+        # one shuffle on the pk; the full-outer join below reuses the same
+        # hash partitioning, so set-semantics costs no extra exchange
+        return (
+            df.select(F.col(pk), row.alias("__r"))
+            .groupBy(pk)
+            .agg(F.sort_array(F.collect_list("__r")).alias(f"{prefix}rows"))
         )
 
-    o = side(old, "__old_", "__in_old")
-    n = side(new, "__new_", "__in_new")
-    j = n.join(o, pk, "full_outer")
+    j = side(new, "__new_").join(side(old, "__old_"), pk, "full_outer")
+
+    def cell(rows: str, c: str):
+        return F.element_at(F.col(rows), 1).getField(c)
 
     changed_cells = F.map_filter(
         F.create_map(
@@ -65,10 +84,10 @@ def snapshot_diff(
                 for x in (
                     F.lit(c),
                     F.when(
-                        ~F.col(f"__new_{c}").eqNullSafe(F.col(f"__old_{c}")),
+                        ~cell("__new_rows", c).eqNullSafe(cell("__old_rows", c)),
                         F.struct(
-                            F.col(f"__old_{c}").alias("old"),
-                            F.col(f"__new_{c}").alias("new"),
+                            cell("__old_rows", c).alias("old"),
+                            cell("__new_rows", c).alias("new"),
                         ),
                     ),
                 )
@@ -76,18 +95,19 @@ def snapshot_diff(
         ),
         lambda _, v: v.isNotNull(),
     )
-    any_change = F.size(F.map_keys(F.col("changed_cells"))) > 0
-    # per-cell diffs only make sense for rows present on both sides
-    # (api_poc.py:552-557 renders them for matched rows only)
-    both = F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull()
+    # cell diffs only for 1:1-matched keys (see docstring)
+    paired = (F.size("__old_rows") == 1) & (F.size("__new_rows") == 1)
     empty = F.map_filter(changed_cells, lambda _k, _v: F.lit(False))
     return (
-        j.withColumn("changed_cells", F.when(both, changed_cells).otherwise(empty))
+        j.withColumn("changed_cells", F.when(paired, changed_cells).otherwise(empty))
         .withColumn(
             "status",
-            F.when(F.col("__in_old").isNull(), F.lit("NEW"))
-            .when(F.col("__in_new").isNull(), F.lit("DELETED"))
-            .when(any_change, F.lit("MODIFIED")),
+            F.when(F.col("__old_rows").isNull(), F.lit("NEW"))
+            .when(F.col("__new_rows").isNull(), F.lit("DELETED"))
+            .when(
+                ~F.col("__new_rows").eqNullSafe(F.col("__old_rows")),
+                F.lit("MODIFIED"),
+            ),
         )
         .filter(F.col("status").isNotNull())
         .select(pk, "status", "changed_cells")

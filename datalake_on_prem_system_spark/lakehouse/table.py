@@ -477,15 +477,30 @@ class LakeTable:
                 raise
             return self._read_commit(latest)
 
-    def read(self, version: int | None = None, fallback_to_latest: bool = False) -> DataFrame:
-        """Table state at ``version`` (default: latest)."""
-        return self._read_data(self._commit_at(version, fallback_to_latest))
+    def commit_at(self, version: int | None = None, fallback_to_latest: bool = False) -> Commit:
+        """Public pinning handle: resolve a version to its Commit ONCE so a
+        caller doing schema derivation + a filtered scan reads one
+        consistent snapshot (a commit landing between two independent
+        resolutions of 'latest' could otherwise type a filter literal
+        against a different schema than the scan it filters)."""
+        return self._commit_at(version, fallback_to_latest)
+
+    def read(
+        self,
+        version: int | None = None,
+        fallback_to_latest: bool = False,
+        commit: Commit | None = None,
+    ) -> DataFrame:
+        """Table state at ``version`` (default: latest); ``commit`` pins a
+        pre-resolved snapshot (see ``commit_at``)."""
+        return self._read_data(commit or self._commit_at(version, fallback_to_latest))
 
     def read_where(
         self,
         condition,
         version: int | None = None,
         fallback_to_latest: bool = False,
+        commit: Commit | None = None,
     ) -> DataFrame:
         """Filtered read with BUCKET PRUNING for point predicates: a pk
         equality / IN-list resolves only the bucket dirs holding those keys
@@ -494,7 +509,7 @@ class LakeTable:
         the P10 point-read serve path costs O(touched buckets) instead of
         O(table). Arbitrary predicates read the full snapshot with the
         filter applied (parquet min/max stats still skip row groups)."""
-        commit = self._commit_at(version, fallback_to_latest)
+        commit = commit or self._commit_at(version, fallback_to_latest)
         spec = commit.bucket_spec
         if spec and _spec_current(spec) and not commit.partition_by:
             literals = _pk_literal_values(condition, spec["pk"])
@@ -1120,6 +1135,20 @@ class LakeTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError(f"cannot clone empty table at {self.root}")
+        # nesting guard: a clone root inside the source root (or containing
+        # it) would make the clone's expiry ownership test claim SOURCE
+        # segments as its own (and vice versa) — rmtree'ing shared data
+        src_r = os.path.realpath(self.root)
+        dst_r = os.path.realpath(dest_root)
+        try:
+            common = os.path.commonpath([src_r, dst_r])
+        except ValueError:  # mixed drives/anchors: disjoint, allowed
+            common = None
+        if common in (src_r, dst_r):
+            raise ValueError(
+                f"clone destination must not be nested inside (or contain) "
+                f"the source root: src={src_r}, dest={dst_r}"
+            )
         src = self._read_commit(v)
         dest = LakeTable(self.spark, dest_root)
         if dest.exists():
@@ -1171,7 +1200,20 @@ class LakeTable:
             for e in self._read_commit(v).files
         }
         dead_parents: set[str] = set()
-        own_prefix = self.root.rstrip(os.sep) + os.sep
+        # ownership test on REAL paths: a raw string-prefix check both
+        # misses owned segments recorded under a symlinked / relative /
+        # trailing-sep spelling of the same root (permanent leak) and —
+        # combined with unnormalized roots — could claim a foreign path
+        # that merely shares a name prefix
+        own_root = os.path.realpath(self.root)
+
+        def _owned(path: str) -> bool:
+            p = os.path.realpath(path)
+            try:
+                return p != own_root and os.path.commonpath([own_root, p]) == own_root
+            except ValueError:  # mixed drives/anchors
+                return False
+
         for v in expired:
             commit = self._read_commit(v)
             for e in commit.files:
@@ -1179,7 +1221,7 @@ class LakeTable:
                 # segments under the SOURCE table's root — expiry must never
                 # delete data this table does not own (only the source's own
                 # expiry may, which is the documented clone caveat)
-                if not e["path"].startswith(own_prefix):
+                if not _owned(e["path"]):
                     continue
                 if e["path"] not in live and os.path.isdir(e["path"]):
                     shutil.rmtree(e["path"])

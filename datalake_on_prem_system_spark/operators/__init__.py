@@ -35,24 +35,26 @@ from . import (
 # Registration order drives the order external harnesses sweep queries in.
 # The sweep is budget-capped (~50 queries/round), so we ROTATE which families
 # lead each round: whichever family's driver row is oldest goes first, so no
-# family's correctness row ages more than ~2 rounds. Round 5 refreshed
-# lakehouse/streaming/ingest/facade/dedup/similarity/multimodal/pipeline/
-# curation/textops; the relational/tpch/search rows date to r2/r3, so round 6
-# puts them in front.
+# family's correctness row ages more than ~2 rounds. Round 6 refreshed
+# relational/tpch/search; the 30 round-6 additions (tpch2 q12-q22, analytics
+# windows/grouping-sets, lh_changes_feed/lh_clone_divergence, streaming
+# interval-join/dedup/enrich, in_jsonl/in_orc/in_jdbc, dd_components,
+# pl_dedup_canonical/pl_sequence_pack) have never had a driver row, so round 7
+# fronts exactly those families, smallest-first so all 30 fit the budget.
 _MODULES = (
+    pipeline_ops,
+    dedup,
+    tpch2,
+    analytics,
+    streaming_ops,
+    ingest_ops,
+    lakehouse_ops,
     relational,
     tpch,
     search,
-    tpch2,
-    analytics,
-    lakehouse_ops,
-    streaming_ops,
-    ingest_ops,
     facade_ops,
-    dedup,
     similarity,
     multimodal,
-    pipeline_ops,
     curation,
     textops,
 )

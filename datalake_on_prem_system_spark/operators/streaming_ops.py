@@ -204,11 +204,23 @@ def _events_stream(spark: SparkSession, src: str) -> DataFrame:
 _LAST_SINK: dict[str, str] = {}
 
 
-def _run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+def _run_to_memory(
+    df: DataFrame,
+    prefix: str,
+    output_mode: str,
+    expect_single_batch: bool = False,
+) -> DataFrame:
     """Drain a streaming frame into a uniquely-named memory sink under an
     availableNow trigger and return the harvested table. The PREVIOUS
     invocation's sink for the same prefix is dropped (its returned frame is
-    consumed by then — harnesses collect before re-invoking)."""
+    consumed by then — harnesses collect before re-invoking).
+
+    ``expect_single_batch`` pins the assumption the watermarked append-mode
+    queries' batch oracles rest on: if the file source ever splits the
+    corpus across micro-batches (maxFilesPerTrigger set, or enough files),
+    watermark advancement between batches starts dropping later-batch rows
+    as late data and the result silently diverges from the batch SQL. The
+    guard turns that silent order-dependence into a loud error."""
     import uuid
 
     spark = df.sparkSession
@@ -225,6 +237,14 @@ def _run_to_memory(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if expect_single_batch:
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(data_batches) != 1:
+            raise RuntimeError(
+                f"{prefix}: corpus drained in {len(data_batches)} micro-batches; "
+                f"the batch oracle is only equivalent when all rows land in ONE "
+                f"batch (cross-batch watermark advancement drops late rows)"
+            )
     return spark.table(sink)
 
 
@@ -271,7 +291,7 @@ def st_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("delta_us"),
     )
-    return _run_to_memory(joined, "ssj", "append")
+    return _run_to_memory(joined, "ssj", "append", expect_single_batch=True)
 
 
 def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,7 +308,7 @@ def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value"))
     )
-    return _run_to_memory(stream, "sdd", "append")
+    return _run_to_memory(stream, "sdd", "append", expect_single_batch=True)
 
 
 def st_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -205,3 +205,30 @@ def test_changes_endpoint(served):
     assert out["changes"], "CRUD churn above must surface as change records"
     assert {c["_change_type"] for c in out["changes"]} <= {"insert", "update", "delete"}
     assert all("_commit_version" in c for c in out["changes"])
+
+
+def test_diff_and_changes_responses_are_bounded(served):
+    """/diff and /changes default to a LIMIT-100 page (the reference scopes
+    its diff to the rendered page, api_poc.py:436) — a large diff must not
+    collect the whole table into one HTTP response, and ?limit= overrides."""
+    eng, base = served
+    spark = eng.spark
+    eng.write_table(
+        "bulk",
+        spark.createDataFrame(
+            [(i, f"a{i}") for i in range(300)], "bulk_id int, s string"
+        ),
+    )
+    eng.write_table(
+        "bulk",
+        spark.createDataFrame(
+            [(i, f"b{i}") for i in range(300)], "bulk_id int, s string"
+        ),
+    )
+    diff = _get(base, "/diff/bulk?v_old=0&v_new=1")["diff"]
+    assert len(diff) == 100  # 300 modified keys, default page of 100
+    assert [r["bulk_id"] for r in diff] == sorted(r["bulk_id"] for r in diff)
+    assert len(_get(base, "/diff/bulk?v_old=0&v_new=1&limit=7")["diff"]) == 7
+    changes = _get(base, "/changes/bulk?v_from=0&v_to=1")["changes"]
+    assert len(changes) == 100
+    assert len(_get(base, "/changes/bulk?v_from=0&v_to=1&limit=5")["changes"]) == 5

@@ -102,6 +102,57 @@ def test_compact_contributes_no_change_records(spark, tmp_path):
     assert {(r.id, r._change_type) for r in feed} == {(3, "update")}
 
 
+def test_compact_silent_on_duplicate_pk_table(spark, tmp_path):
+    """The zero-records-from-compaction contract must hold for tables that
+    HOLD duplicate-pk rows: the diff compares per-key row SETS, so a key
+    with two identical-content rows on both sides joins 1:1 instead of
+    cross-producting into phantom MODIFIED records on the compact step."""
+    table = LakeTable(spark, str(tmp_path / "cd"))
+    table.create_or_replace(
+        spark.createDataFrame([(1, "a"), (2, "x")], "id bigint, s string"),
+        bucket_by=("id", 4),
+    )
+    table.insert_rows([{"id": 1, "s": "b"}, {"id": 1, "s": "c"}])  # id=1 → 3 rows
+    compact_v = table.compact().version
+    feed = changes_feed(table, 0, compact_v, pk="id").collect()
+    assert all(r._commit_version != compact_v for r in feed), (
+        f"compaction produced phantom records: {feed}"
+    )
+    # the only real change is id=1 growing from 1 to 3 rows — ONE record
+    recs = [r for r in feed if r._commit_version == 1]
+    assert {(r.id, r._change_type) for r in recs} == {(1, "update")}
+    assert len(recs) == 1  # per-key set diff: no cross-product fanout
+    # unrelated row pairs must not fabricate cell diffs on multi-row keys
+    assert recs[0].changed_cells == {}
+
+
+def test_snapshot_diff_multirow_key_set_semantics(spark, tmp_path):
+    """snapshot_diff emits one row per changed KEY and stays silent for a
+    key whose row multiset is unchanged, even when that key holds several
+    rows (duplicate-pk appends are legal)."""
+    from datalake_on_prem_system_spark.lakehouse.diff import snapshot_diff
+
+    table = LakeTable(spark, str(tmp_path / "sd"))
+    table.create_or_replace(
+        spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "x"), (3, "q")], "id bigint, s string"
+        )
+    )
+    # v1: id=1 keeps the same two rows (rewritten), id=2 gains a row,
+    # id=3 loses its row, id=4 appears
+    table.create_or_replace(
+        spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "x"), (2, "y"), (4, "n")],
+            "id bigint, s string",
+        )
+    )
+    d = {r.id: r for r in snapshot_diff(table, 0, 1, pk="id").collect()}
+    assert set(d) == {2, 3, 4}, d  # id=1 unchanged as a SET → no record
+    assert d[2].status == "MODIFIED" and d[2].changed_cells == {}
+    assert d[3].status == "DELETED"
+    assert d[4].status == "NEW"
+
+
 def test_feed_replays_over_expired_intermediate_versions(spark, tmp_path):
     """Expiring intermediate snapshots collapses feed steps into the
     surviving neighbors; the replay invariant must still hold end-to-end."""

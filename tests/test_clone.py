@@ -120,3 +120,49 @@ def test_clone_of_mor_table_with_pending_deltas(spark, tmp_path):
     assert {r.s for r in clone.read().filter(F.col("id") == 100).collect()} == {"ins"}
     # source state untouched throughout
     assert {r.s for r in src.read().filter(F.col("id") == 3).collect()} == {"src_d1"}
+
+
+def test_clone_rejects_nested_dest_root(spark, tmp_path):
+    """A clone root inside the source root (or containing it) would make
+    the clone's expiry ownership test claim source segments — both
+    directions must be rejected up front, in any path spelling."""
+    import pytest
+
+    src = _mk_source(spark, tmp_path / "src")
+    with pytest.raises(ValueError, match="nested"):
+        src.clone_to(str(tmp_path / "src" / "inner_clone"))
+    with pytest.raises(ValueError, match="nested"):
+        src.clone_to(str(tmp_path))  # contains the source root
+    with pytest.raises(ValueError, match="nested"):
+        # same root under a different spelling (trailing sep + dot segment)
+        src.clone_to(str(tmp_path / "src") + os.sep + "." + os.sep)
+
+
+def test_expiry_gc_works_through_symlinked_root(spark, tmp_path):
+    """Opening a table through a symlink (or trailing-sep) spelling of its
+    root must not silently skip GC of owned segments: the ownership test
+    compares realpaths, not raw string prefixes."""
+    real_root = tmp_path / "real_tbl"
+    t = LakeTable(spark, str(real_root))
+    t.create_or_replace(
+        spark.createDataFrame([(i, f"v{i}") for i in range(8)], "id bigint, s string")
+    )
+    link = tmp_path / "alias_tbl"
+    os.symlink(str(real_root), str(link))
+    alias = LakeTable(spark, str(link) + os.sep)  # symlink + trailing sep
+    # two full rewrites via the alias spelling → v0/v1 segments become dead
+    for i in range(2):
+        alias.create_or_replace(
+            spark.createDataFrame([(i, "rw")], "id bigint, s string")
+        )
+    n_before = len(
+        glob.glob(str(real_root / "data" / "**" / "*.parquet"), recursive=True)
+    )
+    expired = alias.expire_snapshots(keep_last=1)
+    assert expired  # something actually expired
+    n_after = len(
+        glob.glob(str(real_root / "data" / "**" / "*.parquet"), recursive=True)
+    )
+    assert n_after < n_before, "symlink-spelling expiry leaked dead segments"
+    # the surviving version still reads correctly through both spellings
+    assert alias.read().count() == 1 and t.read().count() == 1

@@ -227,3 +227,42 @@ def test_normalize_envelope_rejects_reserved_op_column(spark):
     df = spark.createDataFrame([("x",)], "value string")
     with _pytest.raises(ValueError, match="op"):
         normalize_envelope(df, "id INT, op STRING")
+
+
+def test_single_batch_guard_fires_on_split_corpus(spark, tmp_path):
+    """The watermarked append-mode queries' batch oracles assume the whole
+    corpus drains in ONE micro-batch (cross-batch watermark advancement
+    drops later-batch rows as late). The guard must turn a split into a
+    loud error instead of a silently-diverging result."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.operators.streaming_ops import _run_to_memory
+
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, f"2024-01-0{i + 1} 00:00:00")], "id bigint, ts_s string"
+        ).write.mode("overwrite").json(str(tmp_path / f"d{i}"))
+    stream = (
+        spark.readStream.schema("id bigint, ts_s string")
+        .option("maxFilesPerTrigger", 1)  # force a multi-batch drain
+        .option("recursiveFileLookup", "true")
+        .json(str(tmp_path))
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    with _pytest.raises(RuntimeError, match="ONE batch"):
+        _run_to_memory(stream, "guard_test", "append", expect_single_batch=True)
+    # and a one-batch drain passes the same guard
+    single = (
+        spark.readStream.schema("id bigint, ts_s string")
+        .option("recursiveFileLookup", "true")
+        .json(str(tmp_path))
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    out = _run_to_memory(single, "guard_test_ok", "append", expect_single_batch=True)
+    assert out.count() == 3
