@@ -137,9 +137,13 @@ def main() -> None:
     # accuracy, never the bench itself
     try:
         spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
-        from datalake_on_prem_system_spark.operators.search import sync_search_index
+        from datalake_on_prem_system_spark.operators.search import (
+            sync_posting_index,
+            sync_search_index,
+        )
 
         sync_search_index(spark, SF_DIR)
+        sync_posting_index(spark, SF_DIR)
 
         _warm_streaming(spark)
     except Exception as exc:  # noqa: BLE001

@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 from .functions.casting import get_cast_val
 from .functions.keys import find_id_col
 from .lakehouse import LakeCatalog, snapshot_diff
-from .operators.search import all_words_predicate, build_search_df, phrase_boost_score
+from .operators.search import (
+    all_words_predicate,
+    build_posting_df,
+    build_search_df,
+    phrase_boost_score,
+    ranked_hits_postings,
+)
 from .sources.csv_ingest import ingest_csv as _ingest_csv
 
 
@@ -291,6 +297,18 @@ class LakeEngine:
             build_search_df(df, pk, [c for c in df.columns if c != pk]).write.mode(
                 "overwrite"
             ).parquet(path)
+            # inverted index beside the text table (same lifecycle): the
+            # primary serve path reads postings, not rows — ES-parity
+            # (the reference's primary path IS the inverted index,
+            # api_poc.py:79-101)
+            post_path = os.path.join(t.root, "_search_index", f"{version}_postings.parquet")
+            build_posting_df(self.spark.read.parquet(path), pk).repartition(
+                "token"
+            ).write.mode("overwrite").parquet(post_path)
+            tok_path = os.path.join(t.root, "_search_index", f"{version}_tokens.parquet")
+            self.spark.read.parquet(post_path).select("token").distinct().coalesce(
+                1
+            ).write.mode("overwrite").parquet(tok_path)
             with self._search_index_lock:
                 for k in [k for k in self._search_index_cache if k[0] == t.root]:
                     self._search_index_cache.pop(k)
@@ -300,17 +318,36 @@ class LakeEngine:
 
     def search(self, table: str, query: str, top_k: int = 50) -> DataFrame:
         """E1–E5: numeric fast path → ranked all-words/phrase search over
-        the MATERIALIZED search index → rejoin to authoritative rows
-        (api_poc.py:396-415)."""
+        the MATERIALIZED inverted index (token postings; all-words =
+        posting intersection, phrase verified on candidates only) → rejoin
+        to authoritative rows (api_poc.py:396-415). Flat index scan remains
+        the fallback when postings are absent (older index builds)."""
         if query.isdigit():  # P8 numeric-id fast path
             df = self.catalog.table(table).read()
             pk = find_id_col(df.columns)
             return df.filter(F.col(pk).cast("string") == query)
         idx, df, pk = self._search_index(table)
-        hits = (
-            idx.filter(all_words_predicate(F.col("text"), query))
-            .select(pk, phrase_boost_score(F.col("text"), query).alias("score"))
-            .orderBy(F.desc("score"), F.asc(pk))
-            .limit(top_k)
-        )
+        scored = None
+        try:
+            import os
+
+            t = self.catalog.table(table)
+            v = t.latest_version()
+            base = os.path.join(t.root, "_search_index")
+            postings = self.spark.read.parquet(
+                os.path.join(base, f"{v}_postings.parquet")
+            )
+            dict_df = self.spark.read.parquet(
+                os.path.join(base, f"{v}_tokens.parquet")
+            )
+            scored = ranked_hits_postings(
+                idx, postings, dict_df, query, pk, require_all=True
+            )
+        except Exception:
+            scored = None
+        if scored is None:
+            scored = idx.filter(all_words_predicate(F.col("text"), query)).select(
+                pk, phrase_boost_score(F.col("text"), query).alias("score")
+            )
+        hits = scored.orderBy(F.desc("score"), F.asc(pk)).limit(top_k)
         return df.join(F.broadcast(hits.select(pk)), pk, "left_semi")

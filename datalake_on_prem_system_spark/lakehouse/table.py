@@ -1229,9 +1229,10 @@ class LakeTable:
             os.remove(os.path.join(self._commits_dir, f"{v}.json"))
             # an engine-materialized search index for an expired version can
             # have no readers left (deferred deletion, LakeEngine._search_index)
-            idx = os.path.join(self.root, "_search_index", f"{v}.parquet")
-            if os.path.isdir(idx):
-                shutil.rmtree(idx, ignore_errors=True)
+            for leaf in (f"{v}.parquet", f"{v}_postings.parquet", f"{v}_tokens.parquet"):
+                idx = os.path.join(self.root, "_search_index", leaf)
+                if os.path.isdir(idx):
+                    shutil.rmtree(idx, ignore_errors=True)
         # a bucketed segment whose leaves are all gone leaves an empty shell
         for parent in dead_parents:
             if parent != self._data_dir and os.path.isdir(parent) and not any(

@@ -14,12 +14,34 @@ an external ES process:
 - K6 index write: ``sync_search_index`` materializes the derived search
   table (pk, searchable text) — the ES-sync analog (sync_to_es.py:44-52).
 
-The search queries below run against the MATERIALIZED search table: a
-two-column (pk, text) parquet table rebuilt by ``sync_search_index`` and
-memoized per (sf_dir, table). At 100 TB this derived table is partitioned
-like its base table, the scan reads two columns instead of the full row
-(check ReadSchema), and the top-k is TakeOrderedAndProject (per-partition
-heap + driver merge, no global sort, no shuffle).
+The search queries below run against MATERIALIZED derived tables:
+
+- the (pk, text) search table (``sync_search_index``) — the exact-verify
+  and fallback surface;
+- an INVERTED INDEX next to it (``sync_posting_index``): a (token, pk)
+  posting table plus its token dictionary — the primary serve path, the
+  analog of ES's inverted index (the reference's primary path,
+  api_poc.py:79-101).
+
+Why the posting path is EXACT for this engine's semantics (not just a
+candidate pre-filter): the indexed text is a whitespace-join of values and
+query tokens are whitespace-free (``query.split()``), so a query token can
+never span a token boundary in the text — ``text.contains(tok)`` holds iff
+some indexed token has ``tok`` as a substring. All-words therefore equals
+the intersection of per-token posting sets after expanding each query
+token against the token DICTIONARY by substring (the dictionary is tiny
+relative to the corpus, so the LIKE scan that used to touch every row now
+touches only distinct tokens). Only the PHRASE test (contains a space)
+cannot come from single-token postings; it is verified on the all-tokens
+candidate set alone, via a join against the (pk, text) table — O(candidates),
+not O(corpus).
+
+At 100 TB: the posting table is partitioned/bucketed by token (per-token
+posting lists are co-located; the dictionary semi-join prunes to the
+touched tokens), the per-query cost is Σ posting-list lengths of the
+matched tokens + the candidate verify, and the top-k remains
+TakeOrderedAndProject. The (pk, text) scan fallback (E5) survives for
+index-less tables.
 """
 
 from __future__ import annotations
@@ -68,6 +90,152 @@ def sync_search_index(
     return _INDEX_CACHE[key]
 
 
+# (sf_dir, table, pk) → (postings_path, dict_path); same lifecycle as
+# _INDEX_CACHE (rebuilt per process; production refreshes on commit)
+_POSTING_CACHE: dict[tuple[str, str, str], tuple[str, str]] = {}
+
+
+def build_posting_df(search_df: DataFrame, pk: str) -> DataFrame:
+    """(token, pk) inverted postings from a (pk, text) search table: split
+    on any whitespace, distinct per (token, doc). Deterministic, pure
+    column ops — no UDF."""
+    return (
+        search_df.select(
+            F.col(pk), F.explode(F.split(F.col("text"), "\\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+        .select("token", pk)
+    )
+
+
+def sync_posting_index(
+    spark: SparkSession, sf_dir: str, table: str = "documents", pk: str = "doc_id"
+) -> tuple[str, str]:
+    """K6 maintenance op #2: materialize the inverted index — a (token, pk)
+    posting table REPARTITIONED BY TOKEN (each token's posting list lands in
+    one partition; at 100 TB this is the bucket/partition key so a query's
+    dictionary matches prune to the touched partitions) plus the token
+    dictionary (distinct tokens — the substring-expansion scan surface,
+    corpus-vocabulary-sized, not corpus-sized)."""
+    key = (sf_dir, table, pk)
+    if key not in _POSTING_CACHE:
+        idx = spark.read.parquet(sync_search_index(spark, sf_dir, table, pk))
+        work = tempfile.mkdtemp(prefix="search_postings_")
+        postings_path = os.path.join(work, f"{table}_postings.parquet")
+        dict_path = os.path.join(work, f"{table}_tokens.parquet")
+        build_posting_df(idx, pk).repartition("token").write.mode(
+            "overwrite"
+        ).parquet(postings_path)
+        # dictionary derived FROM the written postings (no recompute of the
+        # explode); single file at these SFs — at 100 TB keep it partitioned
+        # alongside the postings
+        spark.read.parquet(postings_path).select("token").distinct().coalesce(
+            1
+        ).write.mode("overwrite").parquet(dict_path)
+        _POSTING_CACHE[key] = (postings_path, dict_path)
+    return _POSTING_CACHE[key]
+
+
+def _query_tokens(query: str) -> list[str]:
+    return [tok for tok in query.lower().split() if tok]
+
+
+def _token_doc_sets(
+    postings: DataFrame, dict_df: DataFrame, toks: list[str], pk: str
+) -> list[DataFrame]:
+    """Per query token: the EXACT doc set matching ``text.contains(tok)``,
+    via dictionary substring expansion → posting semi-join (see module
+    docstring for the exactness argument). The dictionary filter is the
+    only place the substring scan happens — over distinct tokens, not
+    rows; the expanded token set then prunes the posting scan."""
+    out = []
+    for tok in toks:
+        matches = dict_df.filter(F.col("token").contains(tok))
+        out.append(
+            postings.join(matches, "token", "left_semi").select(pk).distinct()
+        )
+    return out
+
+
+def allwords_hits_postings(
+    postings: DataFrame, dict_df: DataFrame, query: str, pk: str
+) -> DataFrame | None:
+    """E1 via the inverted index: intersection of per-token posting sets
+    (k-1 semi-joins on the pk). None for an empty query (caller falls back
+    to the unconstrained scan semantics)."""
+    toks = sorted(set(_query_tokens(query)))
+    if not toks:
+        return None
+    sets = _token_doc_sets(postings, dict_df, toks, pk)
+    hits = sets[0]
+    for s in sets[1:]:
+        hits = hits.join(s, pk, "left_semi")
+    return hits
+
+
+def ranked_hits_postings(
+    idx: DataFrame,
+    postings: DataFrame,
+    dict_df: DataFrame,
+    query: str,
+    pk: str,
+    boost: int = 10,
+    require_all: bool = False,
+) -> DataFrame | None:
+    """E2 via the inverted index: (pk, score) for every doc with score>0,
+    bit-identical to the flat-scan ``phrase_boost_score`` path.
+
+    token_hits comes entirely from postings (duplicate query tokens weight
+    their set once per occurrence, matching the flat sum over the token
+    LIST). The phrase indicator — the one signal postings can't express —
+    is verified against the (pk, text) table ONLY for docs holding ALL
+    tokens (phrase present ⇒ every token present), so the text join is
+    O(all-words candidates). A single-token query needs no verify at all:
+    its 'phrase' IS the token. ``require_all`` keeps only all-words docs
+    (the engine's ES-parity search filters all-words BEFORE ranking,
+    api_poc.py:79-88)."""
+    toks = _query_tokens(query)
+    if not toks:
+        return None
+    uniq = sorted(set(toks))
+    weight = {tok: toks.count(tok) for tok in uniq}
+    sets = dict(zip(uniq, _token_doc_sets(postings, dict_df, uniq, pk)))
+    counts = reduce(
+        DataFrame.unionByName,
+        [
+            sets[tok].select(
+                F.col(pk),
+                F.lit(weight[tok]).alias("w"),
+                F.lit(1).alias("present"),
+            )
+            for tok in uniq
+        ],
+    ).groupBy(pk).agg(
+        F.sum("w").cast("int").alias("token_hits"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    if require_all:
+        counts = counts.filter(F.col("n_present") == len(uniq))
+    phrase = " ".join(toks)
+    if " " not in phrase:
+        # single-token query: phrase hit ⟺ token hit, no verify join
+        return counts.select(
+            F.col(pk), (F.lit(boost) + F.col("token_hits")).alias("score")
+        )
+    inter = counts.filter(F.col("n_present") == len(uniq)).select(pk)
+    verified = inter.join(idx, pk).select(
+        F.col(pk), F.col("text").contains(phrase).cast("int").alias("phrase_hit")
+    )
+    return counts.join(verified, pk, "left_outer").select(
+        F.col(pk),
+        (
+            F.lit(boost) * F.coalesce(F.col("phrase_hit"), F.lit(0))
+            + F.col("token_hits")
+        ).alias("score"),
+    )
+
+
 def search_source(spark: SparkSession, sf_dir: str, table: str = "documents", pk: str = "doc_id") -> DataFrame:
     """E5: the indexed search table when available, else the LIKE-scan
     fallback over the base table (same output schema either way)."""
@@ -104,25 +272,56 @@ def phrase_boost_score(text: Column, query: str, boost: int = 10) -> Column:
     return (F.lit(boost) * phrase_hit + token_hits).alias("score")
 
 
+def _posting_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """(postings, dictionary) when the inverted index is available, None
+    when it can't be built (degradation chain: postings → flat index scan
+    → LIKE over base, E5)."""
+    try:
+        postings_path, dict_path = sync_posting_index(spark, sf_dir)
+        return spark.read.parquet(postings_path), spark.read.parquet(dict_path)
+    except Exception:
+        return None
+
+
 def search_allwords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1 over the materialized index: docs containing both 'spark' and
-    'merge'; hit ids rejoined to the authoritative table (ES → SQL flow)."""
-    idx = search_source(spark, sf_dir)
-    hits = idx.filter(all_words_predicate(F.col("text"), "spark merge")).select("doc_id")
+    """E1, primary path = inverted index: per-token dictionary expansion →
+    posting-set intersection (the (pk, text) table is NOT scanned at all —
+    plan-asserted); hit ids rejoined to the authoritative table (ES → SQL
+    flow). Falls back to the flat index scan when postings are absent."""
+    query = "spark merge"
+    posting = _posting_frames(spark, sf_dir)
+    hits = (
+        allwords_hits_postings(posting[0], posting[1], query, "doc_id")
+        if posting is not None
+        else None
+    )
+    if hits is None:
+        idx = search_source(spark, sf_dir)
+        hits = idx.filter(all_words_predicate(F.col("text"), query)).select("doc_id")
     docs = t(spark, sf_dir, "documents")
     return docs.join(hits, "doc_id", "left_semi").select("doc_id", "lang", "n_chars")
 
 
 def search_phrase_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2+E3 over the materialized index: ranked search for 'table scan'
-    with phrase boost, top 50 (doc_id tiebreak). The scan reads the
-    two-column index table, not the base table; the top-k plans as
-    TakeOrderedAndProject."""
-    idx = search_source(spark, sf_dir)
+    """E2+E3, primary path = inverted index: token_hits from postings,
+    phrase verified only on the all-tokens candidate set against the
+    two-column index table (O(candidates), not O(corpus) — plan-asserted:
+    the index scan carries no Contains filter), top 50 (doc_id tiebreak)
+    as TakeOrderedAndProject. Bit-identical to the flat-scan scoring."""
     query = "table scan"
-    scored = idx.select(
-        "doc_id", phrase_boost_score(F.col("text"), query).alias("score")
-    ).filter(F.col("score") > 0)
+    idx = search_source(spark, sf_dir)
+    posting = _posting_frames(spark, sf_dir)
+    scored = (
+        ranked_hits_postings(idx, posting[0], posting[1], query, "doc_id")
+        if posting is not None
+        else None
+    )
+    if scored is None:
+        scored = idx.select(
+            "doc_id", phrase_boost_score(F.col("text"), query).alias("score")
+        ).filter(F.col("score") > 0)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
 
 

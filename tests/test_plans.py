@@ -39,6 +39,36 @@ def test_search_reads_derived_index_only(spark, sf_dir):
     ), f"must scan the 2-column index table, got {a.read_schemas}"
 
 
+def test_search_allwords_never_scans_text_table(spark, sf_dir):
+    """E1's primary path is the inverted index: posting intersection over
+    (token, doc_id) — the corpus-wide (pk, text) table must not appear in
+    the plan AT ALL (its only former role was the per-row contains scan)."""
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    plan = capture_plan(_QS["search_allwords"](spark, sf_dir))
+    assert "search_postings_" in plan, "postings must drive the query"
+    assert "search_idx" not in plan, "the flat text table must not be scanned"
+
+
+def test_search_phrase_text_scan_is_candidate_join_only(spark, sf_dir):
+    """E2's phrase verify touches the text table only through the
+    all-words-candidate join: no corpus-wide Contains FILTER over the text
+    scan survives in the plan (the contains is a projection over joined
+    candidates), and the postings feed the scoring."""
+    import re as _re
+
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    plan = capture_plan(_QS["search_phrase_ranked"](spark, sf_dir))
+    assert "search_postings_" in plan
+    # every Filter line in the formatted plan must be free of Contains(text
+    for line in plan.splitlines():
+        if _re.search(r"\bFilter \[", line) or "PushedFilters" in line:
+            assert "Contains(text" not in line and "StringContains(text" not in line, (
+                f"corpus-wide substring filter survived: {line.strip()}"
+            )
+
+
 def test_bucketed_join_is_co_located(spark, sf_dir, tmp_path):
     """Fact-fact joins at 100 TB: pre-bucketing both tables on the join key
     lets the join run shuffle-free (each bucket pair joins locally). Verify

@@ -1,0 +1,137 @@
+"""Inverted-index search path: the posting intersection must be
+BIT-EQUIVALENT to the flat ``contains`` scan it replaces (the exactness
+argument: whitespace-joined text + whitespace-free query tokens means a
+query token can never span an indexed-token boundary), including the
+adversarial corners — substring-of-token matches, tabs/newlines inside
+values, duplicate query tokens, single-token phrases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_on_prem_system_spark.operators.search import (
+    all_words_predicate,
+    allwords_hits_postings,
+    build_posting_df,
+    build_search_df,
+    phrase_boost_score,
+    ranked_hits_postings,
+)
+
+_DOCS = [
+    (1, "full table scan is slow", "en"),
+    (2, "scanning the table", "en"),  # 'scan' matches INSIDE 'scanning'
+    (3, "table\tscan with a tab", "en"),  # tab boundary, not a space
+    (4, "merge into the table", "de"),
+    (5, "scan", "en"),  # exact single-token doc
+    (6, "a table  scan with  double spaces", "en"),
+    (7, "tablescan smashed together", "en"),  # 'table scan' phrase absent
+    (8, "nothing relevant", "fr"),
+]
+
+_QUERIES = [
+    "table scan",  # classic phrase
+    "scan",  # single token, substring hits
+    "scan scan",  # duplicate query tokens
+    "table scan table",  # duplicate + phrase with repeat
+    " table   scan ",  # messy whitespace in the query
+    "merge",
+    "absent_token",
+]
+
+
+def _fixtures(spark):
+    base = spark.createDataFrame(_DOCS, "doc_id int, body string, lang string")
+    idx = build_search_df(base, "doc_id", ["body", "lang"])
+    postings = build_posting_df(idx, "doc_id")
+    dict_df = postings.select("token").distinct()
+    return idx, postings, dict_df
+
+
+def test_allwords_postings_equals_flat_scan(spark):
+    idx, postings, dict_df = _fixtures(spark)
+    for q in _QUERIES:
+        flat = {
+            r.doc_id
+            for r in idx.filter(all_words_predicate(F.col("text"), q)).collect()
+        }
+        hits = allwords_hits_postings(postings, dict_df, q, "doc_id")
+        assert hits is not None
+        got = {r.doc_id for r in hits.collect()}
+        assert got == flat, f"query {q!r}: postings {got} != flat {flat}"
+
+
+def test_ranked_postings_equals_flat_scan(spark):
+    idx, postings, dict_df = _fixtures(spark)
+    for q in _QUERIES:
+        flat = {
+            (r.doc_id, r.score)
+            for r in idx.select(
+                "doc_id", phrase_boost_score(F.col("text"), q).alias("score")
+            )
+            .filter(F.col("score") > 0)
+            .collect()
+        }
+        scored = ranked_hits_postings(idx, postings, dict_df, q, "doc_id")
+        assert scored is not None
+        got = {(r.doc_id, r.score) for r in scored.collect()}
+        assert got == flat, f"query {q!r}: postings {got} != flat {flat}"
+
+
+def test_ranked_postings_require_all_matches_engine_semantics(spark):
+    """require_all keeps only all-words docs — the engine's ES-parity
+    filter-then-rank order."""
+    idx, postings, dict_df = _fixtures(spark)
+    q = "table scan"
+    flat = {
+        (r.doc_id, r.score)
+        for r in idx.filter(all_words_predicate(F.col("text"), q))
+        .select("doc_id", phrase_boost_score(F.col("text"), q).alias("score"))
+        .collect()
+    }
+    got = {
+        (r.doc_id, r.score)
+        for r in ranked_hits_postings(
+            idx, postings, dict_df, q, "doc_id", require_all=True
+        ).collect()
+    }
+    assert got == flat
+
+
+def test_empty_query_returns_none_for_fallback(spark):
+    _, postings, dict_df = _fixtures(spark)
+    assert allwords_hits_postings(postings, dict_df, "   ", "doc_id") is None
+    assert (
+        ranked_hits_postings(None, postings, dict_df, "", "doc_id") is None
+    )
+
+
+def test_engine_search_uses_postings_and_survives_their_loss(spark, tmp_path):
+    """LakeEngine.search serves from the materialized inverted index and
+    degrades to the flat index scan when the posting dirs are missing
+    (older index build) — same results either way."""
+    import shutil
+
+    from datalake_on_prem_system_spark.engine import LakeEngine
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    eng = LakeEngine(spark, str(tmp_path), namespace="srch_ns")
+    eng.write_table(
+        "docs",
+        spark.createDataFrame(_DOCS, "doc_id int, body string, lang string"),
+    )
+    out = eng.search("docs", "table scan")
+    plan = capture_plan(out)
+    assert "_postings.parquet" in plan, "primary path must read the postings"
+    want = {r.doc_id for r in out.collect()}
+    # all-words docs only — substring semantics include 'scanning'/'tablescan'
+    assert want == {1, 2, 3, 6, 7}
+
+    # simulate a pre-postings index: drop the posting + dict dirs
+    root = eng.catalog.table("docs").root
+    v = eng.catalog.table("docs").latest_version()
+    for leaf in (f"{v}_postings.parquet", f"{v}_tokens.parquet"):
+        shutil.rmtree(f"{root}/_search_index/{leaf}")
+    out2 = eng.search("docs", "table scan")
+    assert "_postings.parquet" not in capture_plan(out2)
+    assert {r.doc_id for r in out2.collect()} == want
