@@ -55,6 +55,10 @@ HEADLINERS = [
     "j_asof_join",
     "j_range_join",
     "lh_incremental_rollup",
+    # round-7 addition: read through 7 pending MOR deltas (read
+    # amplification worst case; the table build is memoized setup, so
+    # runs 2..N time the read alone and the median reflects it)
+    "lh_mor_read_amp",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —
@@ -228,6 +232,21 @@ def main() -> None:
         errors["cdc_throughput"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"# cdc_throughput: ERROR {errors['cdc_throughput']}", file=sys.stderr)
 
+    # ---- MOR read-amplification profile: full-read seconds at 0/4/7
+    # pending delta commits and right after the threshold-8 compaction —
+    # the read cost of deferring compaction, as measured data
+    mor_profile: dict | None = None
+    try:
+        from datalake_on_prem_system_spark.operators.lakehouse_ops import (
+            mor_read_profile,
+        )
+
+        mor_profile = mor_read_profile(spark, SF_DIR)
+        print(f"# mor_read_amp: {mor_profile}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["mor_read_amp"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# mor_read_amp: ERROR {errors['mor_read_amp']}", file=sys.stderr)
+
     # ---- scaling probe: the 100×-scale question as DATA. Each headliner is
     # re-timed once at the smaller SFs; "exponent" is the per-decade growth
     # from sf0.01 → the main SF (log10(t_main / t_0.01)). ≈0 means fixed
@@ -274,6 +293,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "cdc_rows_per_sec": cdc_rps,
+        "mor_read_amp": mor_profile,
         "sf": SF_DIR,
     }
     if errors:

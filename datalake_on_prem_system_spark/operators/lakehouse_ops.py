@@ -80,6 +80,93 @@ def _merged_table(spark: SparkSession, sf_dir: str) -> LakeTable:
     return LakeTable(spark, _MERGED_CACHE[sf_dir])
 
 
+_MOR_AMP_CACHE: dict[str, str] = {}
+
+
+def _mor_amplified_table(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Seed + 7 pending MOR delta commits (one under the compaction
+    threshold of 8, table.py DEFAULT_DELTA_COMPACT_THRESHOLD): the
+    worst-case read-amplification state a reader can see. Each delta
+    updates the disjoint slice c_custkey % 7 == i, so every customer key
+    is covered by exactly one delta — SQL-expressible final state."""
+    if sf_dir not in _MOR_AMP_CACHE:
+        root = tempfile.mkdtemp(prefix="lake_moramp_")
+        table = LakeTable(spark, root)
+        table.create_or_replace(
+            _base_customers(spark, sf_dir), bucket_by=("c_custkey", 8)
+        )
+        for i in range(7):
+            table.merge(_mor_amp_delta(spark, sf_dir, i), pk="c_custkey")
+        _MOR_AMP_CACHE[sf_dir] = root
+    return LakeTable(spark, _MOR_AMP_CACHE[sf_dir])
+
+
+def _mor_amp_delta(spark: SparkSession, sf_dir: str, i: int) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == i)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 10.0 * (i + 1), 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+
+
+def lh_mor_read_amp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read amplification path under load: a full read through 7
+    pending delta commits (per-bucket base+delta resolve at read time,
+    table.py _merge_mor_delta) aggregated per segment. Bench carries a
+    depth profile (``mor_read_profile``) so the amplification is measured
+    data, not design intent."""
+    df = _mor_amplified_table(spark, sf_dir).read()
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_acctbal"),
+    )
+
+
+def mor_read_profile(spark: SparkSession, sf_dir: str) -> dict:
+    """Measured read amplification for the bench: seconds to fully read
+    (collect) a bucketed table at 0 / 4 / 7 pending MOR deltas and again
+    right after the threshold-8 compaction folds them. Builds and removes
+    its own throwaway table; one timed read per depth."""
+    import shutil
+    import time as _time
+
+    root = tempfile.mkdtemp(prefix="lake_morprof_")
+    out: dict = {}
+    try:
+        table = LakeTable(spark, root)
+        table.create_or_replace(
+            _base_customers(spark, sf_dir), bucket_by=("c_custkey", 8)
+        )
+
+        def timed_read(label: str) -> None:
+            spark.catalog.clearCache()
+            t0 = _time.perf_counter()
+            n = len(table.read().collect())
+            out[label] = round(_time.perf_counter() - t0, 3)
+            out.setdefault("n_rows", n)
+
+        timed_read("deltas_0")
+        for i in range(4):
+            table.merge(_mor_amp_delta(spark, sf_dir, i), pk="c_custkey")
+        timed_read("deltas_4")
+        for i in range(4, 7):
+            table.merge(_mor_amp_delta(spark, sf_dir, i), pk="c_custkey")
+        timed_read("deltas_7")
+        # 8th merge reaches the threshold: compaction folds all deltas
+        table.merge(_mor_amp_delta(spark, sf_dir, 0), pk="c_custkey")
+        timed_read("after_compact")
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def lh_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5/M4: real MERGE commit, read back the new version."""
     return _merged_table(spark, sf_dir).read()
@@ -288,6 +375,7 @@ def lh_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "lh_changes_feed": lh_changes_feed,
     "lh_clone_divergence": lh_clone_divergence,
+    "lh_mor_read_amp": lh_mor_read_amp,
     "lh_merge_upsert": lh_merge_upsert,
     "lh_incremental_rollup": lh_incremental_rollup,
     "lh_time_travel": lh_time_travel,
@@ -334,6 +422,12 @@ ORACLE = {
                    AS n_name,
                n_regionkey, 'clone' AS side
         FROM nation
+    """,
+    "lh_mor_read_amp": """
+        SELECT c_mktsegment, count(*) AS n_rows,
+               CAST(round(sum(CAST(round(c_acctbal + 10.0 * (c_custkey % 7 + 1), 2)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_acctbal
+        FROM customer GROUP BY c_mktsegment
     """,
     "lh_merge_upsert": f"WITH {_MERGED_SQL} SELECT * FROM merged",
     "lh_incremental_rollup": """

@@ -167,6 +167,34 @@ def cdc_apply_batch(
         cached.unpersist()
 
 
+def _drive_cdc(
+    raw: DataFrame,
+    table: LakeTable,
+    pk: str,
+    row_ddl: str,
+    order_cols: list[str],
+    drop_cols: list[str] | None,
+    checkpoint_dir: str,
+) -> None:
+    """The single CDC drive path: ANY source that yields a ``value`` string
+    column (file or Kafka) funnels through here into ``cdc_apply_batch``,
+    which calls ``normalize_envelope`` — the file-source tests therefore
+    exercise the exact batch pipeline the Kafka source would feed, by
+    construction (there is no second code path to drift). Drains all
+    available data under availableNow and blocks until done."""
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: cdc_apply_batch(
+                table, pk, row_ddl, order_cols, drop_cols or [], df, bid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_cdc_file_stream(
     spark: SparkSession,
     table: LakeTable,
@@ -185,18 +213,25 @@ def run_cdc_file_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.text(src_dir)
+    _drive_cdc(raw, table, pk, row_ddl, order_cols, drop_cols, checkpoint_dir)
 
-    q = (
-        raw.writeStream.foreachBatch(
-            lambda df, bid: cdc_apply_batch(
-                table, pk, row_ddl, order_cols, drop_cols or [], df, bid
-            )
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+def kafka_source_options(
+    subscribe_pattern: str,
+    bootstrap_servers: str,
+    max_offsets_per_trigger: int = 100_000,
+) -> dict[str, str]:
+    """The Kafka reader's exact option set (cdc_merger_optimized.py:206-212)
+    as data, so the contract is pinnable by test without a broker:
+    topic-regex subscription, from-earliest start, per-trigger admission
+    control (T3), and no hard failure on expired offsets."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribePattern": subscribe_pattern,
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+        "failOnDataLoss": "false",
+    }
 
 
 def kafka_cdc_stream(
@@ -207,14 +242,36 @@ def kafka_cdc_stream(
 ) -> DataFrame:
     """The production source (S2/T3, cdc_merger_optimized.py:206-212):
     Kafka by topic regex with admission control. Not exercisable in this
-    environment (no broker) — same downstream code path as the file source
-    (both start from a ``value`` column)."""
+    environment (no broker/connector) — the value is normalized to the
+    same ``value`` string column the file source yields, so everything
+    downstream is shared (see ``_drive_cdc``)."""
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribePattern", subscribe_pattern)
-        .option("startingOffsets", "earliest")
-        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-        .option("failOnDataLoss", "false")
+        .options(**kafka_source_options(
+            subscribe_pattern, bootstrap_servers, max_offsets_per_trigger
+        ))
         .load()
+        .select(F.col("value").cast("string").alias("value"))
     )
+
+
+def run_cdc_kafka_stream(
+    spark: SparkSession,
+    table: LakeTable,
+    pk: str,
+    row_ddl: str,
+    subscribe_pattern: str,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+    order_cols: list[str],
+    drop_cols: list[str] | None = None,
+    max_offsets_per_trigger: int = 100_000,
+) -> None:
+    """Kafka-fed CDC merge: identical to ``run_cdc_file_stream`` from the
+    ``value`` column on — one shared drive path (``_drive_cdc``), so the
+    oracle-verified file-source behavior IS the Kafka behavior modulo the
+    source connector."""
+    raw = kafka_cdc_stream(
+        spark, subscribe_pattern, bootstrap_servers, max_offsets_per_trigger
+    )
+    _drive_cdc(raw, table, pk, row_ddl, order_cols, drop_cols, checkpoint_dir)

@@ -266,3 +266,30 @@ def test_single_batch_guard_fires_on_split_corpus(spark, tmp_path):
     )
     out = _run_to_memory(single, "guard_test_ok", "append", expect_single_batch=True)
     assert out.count() == 3
+
+
+def test_kafka_source_contract(spark):
+    """No broker exists here, but the Kafka wrapper's contract is still
+    pinnable: (1) the exact option set the reference configures
+    (cdc_merger_optimized.py:206-212) is data, asserted verbatim; (2) the
+    reader really carries format 'kafka' (resolving it fails with the
+    missing-connector error, not a silent fallback); (3) both the file and
+    Kafka paths drive the same `_drive_cdc` funnel — shared
+    normalize_envelope path by construction, not by convention."""
+    import inspect
+
+    import pytest as _pytest
+
+    from datalake_on_prem_system_spark.streaming import cdc
+
+    assert cdc.kafka_source_options("lake\\..*", "broker:9092", 5000) == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribePattern": "lake\\..*",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "5000",
+        "failOnDataLoss": "false",
+    }
+    with _pytest.raises(Exception, match="(?i)kafka"):
+        cdc.kafka_cdc_stream(spark, "lake\\..*", "broker:9092")
+    for fn in (cdc.run_cdc_file_stream, cdc.run_cdc_kafka_stream):
+        assert "_drive_cdc(" in inspect.getsource(fn), fn.__name__
