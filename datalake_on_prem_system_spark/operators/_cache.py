@@ -1,0 +1,59 @@
+"""Lifecycle for operator-INTERNAL persisted frames.
+
+Some operators persist a mid-plan frame because several plan branches
+consume it (the dedup shingle frames: Catalyst shares nothing across
+branches, so without the cache the corpus is re-shingled per branch). The
+returned DataFrame references the cached relation lazily, so the operator
+itself has no safe point to unpersist — and relying on the sweep harness's
+``clearCache()`` (or MEMORY_AND_DISK LRU) made long sessions accumulate
+storage until eviction pressure (round-6 ADVICE).
+
+``persist_bounded`` makes the lifecycle harness-independent: every
+operator-internal persist registers here, and the registry keeps at most
+``_MAX_LIVE`` frames alive — inserting beyond the cap unpersists the
+oldest (FIFO ≈ least-recently-created). Unpersisting a frame a still-lazy
+result references is safe by construction (Spark falls back to
+recomputing the lineage), it only costs the cache benefit — and only for
+a consumer that held a result across ≥ ``_MAX_LIVE`` subsequent queries.
+
+``release_all()`` is the explicit boundary hook for harnesses/services
+that want storage back NOW (end of request, between sweeps).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame
+
+# small: each tracked frame is corpus-shingle-sized; the cap bounds worst
+# case storage at a handful of concurrently-useful frames
+_MAX_LIVE = 4
+_live: OrderedDict[int, DataFrame] = OrderedDict()
+
+
+def persist_bounded(df: DataFrame) -> DataFrame:
+    """persist() + register; evicts (unpersists) the oldest tracked frame
+    beyond the cap. Returns ``df`` for chaining."""
+    df.persist()
+    _live[id(df)] = df
+    while len(_live) > _MAX_LIVE:
+        _, old = _live.popitem(last=False)
+        try:
+            old.unpersist(blocking=True)
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return df
+
+
+def release_all() -> int:
+    """Unpersist every tracked frame; returns how many were released."""
+    n = 0
+    while _live:
+        _, old = _live.popitem(last=False)
+        try:
+            old.unpersist(blocking=True)
+        except Exception:
+            pass
+        n += 1
+    return n

@@ -45,6 +45,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ._cache import persist_bounded
 from .common import bind, t, t_par
 
 _P = 2_147_483_647  # 2^31 - 1; (a*x + b) stays < 2^62 — no int64 overflow
@@ -177,13 +178,16 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-shingled per branch (measured 4.5s → 2.5s cold at sf0.1). The
     # 100 TB equivalent is materializing the shingle table once per pass.
     # Lifetime: the cache must outlive this function (the returned plan
-    # references it lazily), so there is no in-scope unpersist; harnesses
-    # that sweep many queries clear it between queries
-    # (bench._reset_memoized_work / check_correctness's clearCache), and a
-    # long-lived session falls back to MEMORY_AND_DISK LRU eviction.
-    sh = docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
-        "doc_id", _shingles().alias("sh")
-    ).persist()
+    # references it lazily), so there is no in-scope unpersist —
+    # persist_bounded registers it with the operator-cache registry, which
+    # caps live operator-internal caches and unpersists the oldest beyond
+    # the cap (harness-independent; sweep harnesses may still clearCache
+    # between queries, and _cache.release_all() frees storage on demand).
+    sh = persist_bounded(
+        docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
+            "doc_id", _shingles().alias("sh")
+        )
+    )
     # candidate generation runs on xxhash64 SHINGLE IDS, not the strings:
     # the df-count and inverted-index shuffles then move 8-byte longs
     # instead of ~25-byte ngram strings — on a cluster these shuffles are
@@ -245,11 +249,13 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t_par(spark, sf_dir, "documents")
     # persisted for the same branch-sharing reason (and with the same
-    # harness-cleared / LRU-evicted lifetime) as dd_ngram_jaccard: the
-    # signature kernel and both verify-join sides re-shingle otherwise
-    sh = docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
-        "doc_id", _shingles().alias("sh")
-    ).persist()
+    # bounded-registry lifetime) as dd_ngram_jaccard: the signature kernel
+    # and both verify-join sides re-shingle otherwise
+    sh = persist_bounded(
+        docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
+            "doc_id", _shingles().alias("sh")
+        )
+    )
 
     # Signature + banding as ONE Arrow-batched vectorized kernel.
     # Division of labor: shingle *hashing* stays JVM (xxhash64, one pass);

@@ -276,6 +276,16 @@ def build_ivf_index(
     path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "assignments")
     vecs.withColumn("cell", argmin_cell(centers)).write.partitionBy("cell").parquet(path)
     _IVF_CACHE[key] = (path, centers)
+    # GC superseded fits of the same (sf_dir, nlist): a re-fit only happens
+    # on corpus drift (the mtime is in the key), so the old index dir has no
+    # valid readers left — remove it instead of orphaning one tempdir per
+    # drift until process exit (round-6 ADVICE: harness-independent
+    # lifecycle).
+    import shutil
+
+    for stale in [k for k in _IVF_CACHE if k[:2] == key[:2] and k != key]:
+        old_path, _ = _IVF_CACHE.pop(stale)
+        shutil.rmtree(os.path.dirname(old_path), ignore_errors=True)
     return _IVF_CACHE[key]
 
 
