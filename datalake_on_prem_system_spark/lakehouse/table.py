@@ -48,6 +48,8 @@ import os
 import time
 import uuid
 from dataclasses import dataclass
+from functools import reduce
+from operator import or_
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -83,9 +85,33 @@ def _bucket_expr(pk: str, n: int):
     return F.pmod(F.hash(F.col(pk)), F.lit(n)).cast("int")
 
 
-def _bucket_spec(pk: str, n: int) -> dict:
-    """Build a bucket_spec stamped with the current layout hash id."""
-    return {"pk": pk, "n": n, "hash": BUCKET_HASH_ID}
+def _normalize_pks(pk) -> list[str]:
+    """Accept ``pk`` as a single column name or a sequence (composite key).
+    The FIRST column is the 'leading' key — the bucket-layout and
+    point-prune key; the full list drives merge/delete identity."""
+    pks = [pk] if isinstance(pk, str) else list(pk)
+    if not pks or any(not isinstance(p, str) or not p for p in pks):
+        raise ValueError(f"pk must name at least one column, got {pk!r}")
+    if len(set(pks)) != len(pks):
+        raise ValueError(f"duplicate columns in composite pk: {pks}")
+    return pks
+
+
+def _spec_pks(spec: dict) -> list[str]:
+    """Full key-column list of a bucket spec (commits predating composite
+    keys carry only the single 'pk')."""
+    return list(spec.get("pks") or [spec["pk"]])
+
+
+def _bucket_spec(pk: str, n: int, pks: list[str] | None = None) -> dict:
+    """Build a bucket_spec stamped with the current layout hash id. For a
+    composite key ``pks`` records the FULL column list; layout/pruning stay
+    on the leading ``pk`` column (a point read on the leading key prunes
+    buckets; the trailing columns only narrow row identity)."""
+    spec = {"pk": pk, "n": n, "hash": BUCKET_HASH_ID}
+    if pks is not None and list(pks) != [pk]:
+        spec["pks"] = list(pks)
+    return spec
 
 
 def _spec_current(spec: dict | None) -> bool:
@@ -223,10 +249,11 @@ class LakeTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
-    def mor_ready(self, pk: str) -> bool:
-        """True when a merge on ``pk`` will take the merge-on-read delta
-        path (O(batch) commit, no-commit on empty batches): table exists,
-        mor mode set, bucket layout established on this pk."""
+    def mor_ready(self, pk: str | list[str] | tuple[str, ...]) -> bool:
+        """True when a merge on ``pk`` (single or composite) will take the
+        merge-on-read delta path (O(batch) commit, no-commit on empty
+        batches): table exists, mor mode set, bucket layout established on
+        this exact key-column list."""
         latest = self.latest_version()
         if latest is None:
             return False
@@ -235,7 +262,7 @@ class LakeTable:
             (c.properties or {}).get("write.merge.mode") == "mor"
             and not c.partition_by
             and _spec_current(c.bucket_spec)
-            and c.bucket_spec["pk"] == pk
+            and _spec_pks(c.bucket_spec) == _normalize_pks(pk)
         )
 
     # ------------------------------------------------------------- write core
@@ -559,7 +586,7 @@ class LakeTable:
             return self._read_entries(base_entries, schema_json)
         from pyspark.sql.types import StringType, StructField, StructType
 
-        pk = bucket_spec["pk"]
+        pks = _spec_pks(bucket_spec)
         logical = StructType.fromJson(json.loads(schema_json))
         delta_schema = StructType(list(logical.fields) + [StructField("__op", StringType(), True)])
         parts = []
@@ -586,16 +613,18 @@ class LakeTable:
         allr = parts[0]
         for p in parts[1:]:
             allr = allr.unionByName(p)
-        w = Window.partitionBy(pk)
+        w = Window.partitionBy(*pks)
         last = F.col("__last_delta")
+        any_pk_null = reduce(or_, [F.col(p).isNull() for p in pks])
         survives = (
             F.when(
-                # COW parity on NULL pks: SQL equality matches nothing, so
-                # the anti-join path leaves base NULL-pk rows untouched,
-                # inserts NULL-pk upserts, and deletes nothing. The window
-                # would instead lump all NULL-pk rows into ONE group and let
-                # a single NULL-pk delta wipe them — resolve row-locally.
-                F.col(pk).isNull(),
+                # COW parity on NULL pks: SQL equality matches nothing (any
+                # NULL key component), so the anti-join path leaves base
+                # NULL-key rows untouched, inserts NULL-key upserts, and
+                # deletes nothing. The window would instead lump all
+                # NULL-key rows into ONE group and let a single NULL-key
+                # delta wipe them — resolve row-locally.
+                any_pk_null,
                 ~F.col("__is_delta") | ~F.col("__op").eqNullSafe("d"),
             )
             .when(
@@ -675,7 +704,12 @@ class LakeTable:
         bucket-granular instead of paying a one-time layout rewrite."""
         if bucket_by and partition_by:
             raise ValueError("bucket_by and partition_by are mutually exclusive")
-        spec = _bucket_spec(bucket_by[0], bucket_by[1]) if bucket_by else None
+        spec = None
+        if bucket_by:
+            # bucket_by=("k", n) or (("k1","k2"), n) — composite keys lay
+            # out (and later prune) on the LEADING column
+            bpks = _normalize_pks(bucket_by[0])
+            spec = _bucket_spec(bpks[0], bucket_by[1], pks=bpks)
         return self._publish(
             df,
             "create_or_replace",
@@ -746,7 +780,7 @@ class LakeTable:
     def merge(
         self,
         source: DataFrame,
-        pk: str,
+        pk: str | list[str] | tuple[str, ...],
         op_col: str | None = None,
         precombine: str | None = None,
         n_buckets: int | None = None,
@@ -797,11 +831,17 @@ class LakeTable:
         pre-deduplicate each merge batch (``precombine`` or upstream
         last-writer-wins).
         """
+        # composite keys: a list/tuple pk keys rows on ALL columns; the
+        # LEADING column owns the bucket layout (so point reads and touched-
+        # bucket pruning work on leading-key literals, the common case for
+        # (entity_id, sub_id)-shaped keys)
+        pks = _normalize_pks(pk)
+        lead = pks[0]
         bad = _RESERVED_COLS & set(source.columns) - ({op_col} if op_col else set())
         if bad:
             raise ValueError(f"source uses reserved column names: {sorted(bad)}")
         if precombine is not None:
-            w = Window.partitionBy(pk).orderBy(F.desc(precombine))
+            w = Window.partitionBy(*pks).orderBy(F.desc(precombine))
             source = (
                 source.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
@@ -816,7 +856,9 @@ class LakeTable:
             if precombine is not None:
                 upserts = upserts.drop(precombine)
             n = n_buckets or DEFAULT_N_BUCKETS
-            return self._publish(upserts, "merge", bucket_spec=_bucket_spec(pk, n))
+            return self._publish(
+                upserts, "merge", bucket_spec=_bucket_spec(lead, n, pks=pks)
+            )
         prev = self._read_commit(self.latest_version())
         target_schema = self._schema(prev)
         # precombine is merge metadata, not data — drop unless the table
@@ -829,17 +871,18 @@ class LakeTable:
         spec = prev.bucket_spec
         props = prev.properties or {}
         eff_mode = mode or props.get("write.merge.mode", "cow")
-        if prev.partition_by or not _spec_current(spec) or spec["pk"] != pk:
-            # hive-partitioned tables, a table not (yet) bucketed on this pk,
-            # or a legacy layout written by a different bucket-hash function
-            # (probe-side _bucket_expr would mis-prune it): one full rewrite —
-            # which establishes the current bucket layout for every merge
-            # after it (unless hive partitioning owns the layout)
+        if prev.partition_by or not _spec_current(spec) or _spec_pks(spec) != pks:
+            # hive-partitioned tables, a table not (yet) bucketed on this pk
+            # (or keyed on a different column list), or a legacy layout
+            # written by a different bucket-hash function (probe-side
+            # _bucket_expr would mis-prune it): one full rewrite — which
+            # establishes the current bucket layout for every merge after it
+            # (unless hive partitioning owns the layout)
             target = self._read_data(prev)
-            untouched = target.join(source.select(pk), pk, "left_anti")
+            untouched = target.join(source.select(*pks), pks, "left_anti")
             result = untouched.unionByName(upserts, allowMissingColumns=True)
             new_spec = None if prev.partition_by else _bucket_spec(
-                pk, n_buckets or DEFAULT_N_BUCKETS
+                lead, n_buckets or DEFAULT_N_BUCKETS, pks=pks
             )
             return self._publish(result, "merge", bucket_spec=new_spec)
         n = spec["n"]
@@ -850,7 +893,7 @@ class LakeTable:
             n_delta_commits = len({e["delta"] for e in prev.files if e.get("delta") is not None})
             if n_delta_commits < threshold:
                 return self._merge_mor_delta(
-                    prev, source, pk, op_col, precombine, drop_precombine, spec
+                    prev, source, pks, op_col, precombine, drop_precombine, spec
                 )
             # threshold reached: compact — resolve ALL accumulated deltas
             # (not just touched buckets) into fresh base files while
@@ -867,7 +910,7 @@ class LakeTable:
                 if source.isEmpty():
                     return prev
                 target = self._read_data(prev)
-                untouched = target.join(source.select(pk), pk, "left_anti")
+                untouched = target.join(source.select(*pks), pks, "left_anti")
                 result = untouched.unionByName(upserts, allowMissingColumns=True)
                 return self._publish(result, "merge", bucket_spec=spec)
             finally:
@@ -881,12 +924,12 @@ class LakeTable:
             # a successful commit that breaks the next read. Same contract
             # as append/_merge_mor_delta: resolve via one full rewrite.
             target = self._read_data(prev)
-            untouched = target.join(source.select(pk), pk, "left_anti")
+            untouched = target.join(source.select(*pks), pks, "left_anti")
             result = untouched.unionByName(upserts, allowMissingColumns=True)
             return self._publish(result, "merge", bucket_spec=spec)
         touched = {
             r["b"]
-            for r in source.select(_bucket_expr(pk, n).alias("b")).distinct().collect()
+            for r in source.select(_bucket_expr(lead, n).alias("b")).distinct().collect()
         }
         carried = [
             e for e in prev.files if e["bucket"] is not None and e["bucket"] not in touched
@@ -902,7 +945,7 @@ class LakeTable:
             # deltas and resurrect deleted/replaced rows — resolve everything
             candidates, carried = list(prev.files), []
         subset = self._resolve(candidates, prev.schema_json, spec)
-        untouched_rows = subset.join(source.select(pk), pk, "left_anti")
+        untouched_rows = subset.join(source.select(*pks), pks, "left_anti")
         result = untouched_rows.unionByName(upserts, allowMissingColumns=True)
         return self._publish_delta("merge", prev, carried, result, merged_schema, spec)
 
@@ -910,7 +953,7 @@ class LakeTable:
         self,
         prev: Commit,
         source: DataFrame,
-        pk: str,
+        pks: list[str],
         op_col: str | None,
         precombine: str | None,
         drop_precombine: bool,
@@ -931,12 +974,12 @@ class LakeTable:
         if logical_schema is None:  # type conflict → COW rewrite resolves it
             target = self._read_data(prev)
             upserts = delta.filter(~F.col("__op").eqNullSafe("d")).drop("__op")
-            untouched = target.join(source.select(pk), pk, "left_anti")
+            untouched = target.join(source.select(*pks), pks, "left_anti")
             result = untouched.unionByName(upserts, allowMissingColumns=True)
             return self._publish(result, "merge", bucket_spec=spec)
         version = prev.version + 1
         path, new_entries = self._write_segment(
-            delta, version, bucket_pk=pk, n_buckets=spec["n"]
+            delta, version, bucket_pk=pks[0], n_buckets=spec["n"]
         )
         if sum(e["n_rows"] for e in new_entries) == 0:
             # empty/unparseable change batch (P12): no commit — checked from

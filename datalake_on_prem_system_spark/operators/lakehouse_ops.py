@@ -167,6 +167,35 @@ def mor_read_profile(spark: SparkSession, sf_dir: str) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def lh_composite_key_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-primary-key DML (beyond the single-pk reference): lineitem's
+    natural (l_orderkey, l_linenumber) key, bucket layout + pruning on the
+    leading l_orderkey. Three real commits — create (composite-bucketed),
+    merge-update of every linenumber=1 row, merge-delete of every
+    linenumber=3 row — then the final state. Rows sharing a leading key are
+    individually addressed (the whole point of the composite key)."""
+    pk = ["l_orderkey", "l_linenumber"]
+    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_cpk_"))
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        )
+    )
+    table.create_or_replace(base, bucket_by=(tuple(pk), 8))
+    upd = base.filter(F.col("l_linenumber") == 1).withColumn(
+        "l_quantity", F.col("l_quantity") + 5
+    )
+    table.merge(upd, pk=pk)
+    dels = base.filter(F.col("l_linenumber") == 3).withColumn("op", F.lit("d"))
+    table.merge(dels, pk=pk, op_col="op")
+    return table.read()
+
+
 def lh_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5/M4: real MERGE commit, read back the new version."""
     return _merged_table(spark, sf_dir).read()
@@ -376,6 +405,7 @@ QUERIES = {
     "lh_changes_feed": lh_changes_feed,
     "lh_clone_divergence": lh_clone_divergence,
     "lh_mor_read_amp": lh_mor_read_amp,
+    "lh_composite_key_dml": lh_composite_key_dml,
     "lh_merge_upsert": lh_merge_upsert,
     "lh_incremental_rollup": lh_incremental_rollup,
     "lh_time_travel": lh_time_travel,
@@ -422,6 +452,14 @@ ORACLE = {
                    AS n_name,
                n_regionkey, 'clone' AS side
         FROM nation
+    """,
+    "lh_composite_key_dml": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_linenumber = 1 THEN l_quantity + 5
+                    ELSE l_quantity END AS l_quantity,
+               round(l_extendedprice, 2) AS l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey < 2000 AND l_linenumber != 3
     """,
     "lh_mor_read_amp": """
         SELECT c_mktsegment, count(*) AS n_rows,
