@@ -141,37 +141,48 @@ def _query_tokens(query: str) -> list[str]:
     return [tok for tok in query.lower().split() if tok]
 
 
-def _token_doc_sets(
-    postings: DataFrame, dict_df: DataFrame, toks: list[str], pk: str
-) -> list[DataFrame]:
-    """Per query token: the EXACT doc set matching ``text.contains(tok)``,
-    via dictionary substring expansion → posting semi-join (see module
-    docstring for the exactness argument). The dictionary filter is the
-    only place the substring scan happens — over distinct tokens, not
-    rows; the expanded token set then prunes the posting scan."""
-    out = []
-    for tok in toks:
-        matches = dict_df.filter(F.col("token").contains(tok))
-        out.append(
-            postings.join(matches, "token", "left_semi").select(pk).distinct()
-        )
-    return out
+def _doc_token_counts(
+    postings: DataFrame, dict_df: DataFrame, uniq: list[str], pk: str
+) -> DataFrame:
+    """ONE pass over the postings for the whole query: the dictionary
+    (vocabulary-sized) is expanded to (dict token → matching query-token
+    index) pairs — the only place the substring scan happens — then
+    broadcast-joined into the posting scan. Output: (pk, qidx) distinct —
+    the EXACT doc set of ``text.contains(uniq[qidx])`` for every query
+    token at once (see module docstring for the exactness argument), so a
+    k-token query costs one posting scan + one shuffle instead of k."""
+    qidx_for = F.filter(
+        F.array(*[F.lit(i) for i in range(len(uniq))]),
+        lambda i: F.col("token").contains(
+            F.element_at(F.array(*[F.lit(tk) for tk in uniq]), i + 1)
+        ),
+    )
+    matches = (
+        dict_df.select("token", F.explode(qidx_for).alias("qidx"))
+    )
+    return (
+        postings.join(F.broadcast(matches), "token")
+        .select(pk, "qidx")
+        .distinct()
+    )
 
 
 def allwords_hits_postings(
     postings: DataFrame, dict_df: DataFrame, query: str, pk: str
 ) -> DataFrame | None:
-    """E1 via the inverted index: intersection of per-token posting sets
-    (k-1 semi-joins on the pk). None for an empty query (caller falls back
-    to the unconstrained scan semantics)."""
-    toks = sorted(set(_query_tokens(query)))
-    if not toks:
+    """E1 via the inverted index: docs present for ALL query-token indexes
+    (count over the single-pass (pk, qidx) set). None for an empty query
+    (caller falls back to the unconstrained scan semantics)."""
+    uniq = sorted(set(_query_tokens(query)))
+    if not uniq:
         return None
-    sets = _token_doc_sets(postings, dict_df, toks, pk)
-    hits = sets[0]
-    for s in sets[1:]:
-        hits = hits.join(s, pk, "left_semi")
-    return hits
+    return (
+        _doc_token_counts(postings, dict_df, uniq, pk)
+        .groupBy(pk)
+        .agg(F.count(F.lit(1)).alias("__np"))
+        .filter(F.col("__np") == len(uniq))
+        .select(pk)
+    )
 
 
 def ranked_hits_postings(
@@ -199,21 +210,18 @@ def ranked_hits_postings(
     if not toks:
         return None
     uniq = sorted(set(toks))
-    weight = {tok: toks.count(tok) for tok in uniq}
-    sets = dict(zip(uniq, _token_doc_sets(postings, dict_df, uniq, pk)))
-    counts = reduce(
-        DataFrame.unionByName,
-        [
-            sets[tok].select(
-                F.col(pk),
-                F.lit(weight[tok]).alias("w"),
-                F.lit(1).alias("present"),
-            )
-            for tok in uniq
-        ],
-    ).groupBy(pk).agg(
-        F.sum("w").cast("int").alias("token_hits"),
-        F.count(F.lit(1)).alias("n_present"),
+    # duplicate query tokens weight their set once per occurrence, matching
+    # the flat sum over the token LIST
+    weights = F.array(*[F.lit(toks.count(tok)) for tok in uniq])
+    counts = (
+        _doc_token_counts(postings, dict_df, uniq, pk)
+        .groupBy(pk)
+        .agg(
+            F.sum(F.element_at(weights, F.col("qidx") + 1))
+            .cast("int")
+            .alias("token_hits"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
     )
     if require_all:
         counts = counts.filter(F.col("n_present") == len(uniq))
