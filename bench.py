@@ -287,9 +287,14 @@ def main() -> None:
             scaling[name] = entry
             print(f"# scaling {name}: {entry}", file=sys.stderr)
 
+    # value_r6_set: the sum over the round-6 22-query headliner set, so the
+    # headline stays comparable round-over-round as new entries join
+    # (lh_mor_read_amp is new in r7); "value" covers every current headliner
+    r7_new = {"lh_mor_read_amp"}
     out = {
         "metric": "headline_total",
         "value": round(total, 3),
+        "value_r6_set": round(sum(v for k, v in times.items() if k not in r7_new), 3),
         "unit": "sec",
         "queries": times,
         "cdc_rows_per_sec": cdc_rps,

@@ -19,7 +19,7 @@ def snapshot_diff(
     table: LakeTable,
     v_old: int,
     v_new: int,
-    pk: str,
+    pk: str | list[str],
     old_df: DataFrame | None = None,
     new_df: DataFrame | None = None,
 ) -> DataFrame:
@@ -46,13 +46,14 @@ def snapshot_diff(
     there is no meaningful row pairing, so it stays empty and the
     per-key post-image (changes_feed's ``row_json``) is the authority.
     """
+    pks = [pk] if isinstance(pk, str) else list(pk)
     old = old_df if old_df is not None else table.read(version=v_old)
     new = new_df if new_df is not None else table.read(version=v_new)
     # diff the UNION of both schemas: a row whose only change is in a
     # column added (or dropped) between the versions is still MODIFIED —
     # the missing side reads as NULL
-    cols = [c for c in new.columns if c != pk]
-    cols += [c for c in old.columns if c != pk and c not in cols]
+    cols = [c for c in new.columns if c not in pks]
+    cols += [c for c in old.columns if c not in pks and c not in cols]
 
     def side(df: DataFrame, prefix: str) -> DataFrame:
         row = F.struct(
@@ -66,12 +67,12 @@ def snapshot_diff(
         # one shuffle on the pk; the full-outer join below reuses the same
         # hash partitioning, so set-semantics costs no extra exchange
         return (
-            df.select(F.col(pk), row.alias("__r"))
-            .groupBy(pk)
+            df.select(*[F.col(p) for p in pks], row.alias("__r"))
+            .groupBy(*pks)
             .agg(F.sort_array(F.collect_list("__r")).alias(f"{prefix}rows"))
         )
 
-    j = side(new, "__new_").join(side(old, "__old_"), pk, "full_outer")
+    j = side(new, "__new_").join(side(old, "__old_"), pks, "full_outer")
 
     def cell(rows: str, c: str):
         return F.element_at(F.col(rows), 1).getField(c)
@@ -110,11 +111,13 @@ def snapshot_diff(
             ),
         )
         .filter(F.col("status").isNotNull())
-        .select(pk, "status", "changed_cells")
+        .select(*pks, "status", "changed_cells")
     )
 
 
-def changes_feed(table: LakeTable, v_from: int, v_to: int, pk: str) -> DataFrame:
+def changes_feed(
+    table: LakeTable, v_from: int, v_to: int, pk: str | list[str]
+) -> DataFrame:
     """Change-data-feed (Delta CDF / Iceberg changelog parity): one record
     per changed row per commit step in (``v_from``, ``v_to``] —
     (pk, _change_type insert|update|delete, _commit_version, changed_cells,
@@ -151,19 +154,20 @@ def changes_feed(table: LakeTable, v_from: int, v_to: int, pk: str) -> DataFrame
         raise ValueError(
             f"changes_feed needs >= 2 retained versions in [{v_from}, {v_to}]"
         )
+    pks = [pk] if isinstance(pk, str) else list(pk)
     frames = {v: table.read(version=v) for v in versions}
     out: DataFrame | None = None
     for a, b in zip(versions, versions[1:]):
         new = frames[b]
-        post = new.groupBy(pk).agg(
+        post = new.groupBy(*pks).agg(
             F.to_json(
                 F.sort_array(F.collect_list(F.struct(*new.columns)))
             ).alias("row_json")
         )
         step = (
-            snapshot_diff(table, a, b, pk, old_df=frames[a], new_df=new)
+            snapshot_diff(table, a, b, pks, old_df=frames[a], new_df=new)
             .select(
-                F.col(pk),
+                *[F.col(p) for p in pks],
                 F.when(F.col("status") == "NEW", "insert")
                 .when(F.col("status") == "DELETED", "delete")
                 .otherwise("update")
@@ -171,7 +175,7 @@ def changes_feed(table: LakeTable, v_from: int, v_to: int, pk: str) -> DataFrame
                 F.lit(b).alias("_commit_version"),
                 "changed_cells",
             )
-            .join(post, pk, "left_outer")
+            .join(post, pks, "left_outer")
             .withColumn(
                 "row_json",
                 F.when(F.col("_change_type") != "delete", F.col("row_json")),
