@@ -29,14 +29,23 @@ from pyspark.sql import DataFrame
 # small: each tracked frame is corpus-shingle-sized; the cap bounds worst
 # case storage at a handful of concurrently-useful frames
 _MAX_LIVE = 4
-_live: OrderedDict[int, DataFrame] = OrderedDict()
+_live: OrderedDict[str, DataFrame] = OrderedDict()
 
 
-def persist_bounded(df: DataFrame) -> DataFrame:
-    """persist() + register; evicts (unpersists) the oldest tracked frame
-    beyond the cap. Returns ``df`` for chaining."""
+def persist_bounded(df: DataFrame, key: str) -> DataFrame:
+    """persist() + register under ``key``; evicts (unpersists) the oldest
+    tracked frame beyond the cap. Returns ``df`` for chaining.
+
+    ``key`` must identify the LOGICAL PLAN (operator name + inputs, e.g.
+    ``f"jaccard_shingles:{sf_dir}"``): Spark's CacheManager dedups cached
+    data by plan, and ``unpersist()`` uncaches BY PLAN — so evicting an
+    old same-plan frame would silently kill the cache entry a newer frame
+    relies on. Re-registering a key therefore just replaces the registry
+    entry (same plan ⇒ same shared cache entry; the fresh ``persist()`` is
+    an idempotent no-op) and only *different*-key evictions unpersist."""
     df.persist()
-    _live[id(df)] = df
+    _live.pop(key, None)  # same plan: replace, never unpersist
+    _live[key] = df
     while len(_live) > _MAX_LIVE:
         _, old = _live.popitem(last=False)
         try:

@@ -186,7 +186,8 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = persist_bounded(
         docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
             "doc_id", _shingles().alias("sh")
-        )
+        ),
+        key=f"shingles:{sf_dir}",
     )
     # candidate generation runs on xxhash64 SHINGLE IDS, not the strings:
     # the df-count and inverted-index shuffles then move 8-byte longs
@@ -254,7 +255,8 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = persist_bounded(
         docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
             "doc_id", _shingles().alias("sh")
-        )
+        ),
+        key=f"shingles:{sf_dir}",  # same plan as jaccard's frame — shared cache entry, shared key
     )
 
     # Signature + banding as ONE Arrow-batched vectorized kernel.

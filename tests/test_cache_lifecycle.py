@@ -60,3 +60,25 @@ def test_ivf_refit_removes_superseded_index_dir(spark, sf_dir, tmp_path):
     assert path2 != path1
     assert not os.path.exists(dir1), "superseded index dir must be GC'd"
     assert os.path.isdir(os.path.dirname(path2))
+
+
+def test_eviction_pressure_never_kills_newest_same_plan_cache(spark, sf_dir):
+    """Regression (round-7 full-suite failure): Spark uncaches BY PLAN, so
+    evicting an old frame whose plan equals a newer one would silently
+    uncache the newer frame too. The keyed registry replaces same-key
+    entries without unpersisting; only different-key evictions unpersist.
+    After heavy different-key pressure, a fresh dedup query must still
+    serve its shingle frame from cache (InMemoryTableScan in the plan)."""
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    _cache.release_all()
+    # churn: many distinct-plan registrations force evictions
+    for i in range(10):
+        _cache.persist_bounded(
+            spark.range(5).withColumn("tag", F.lit(i)), key=f"churn:{i}"
+        )
+    plan = capture_plan(dedup.QUERIES["dd_ngram_jaccard"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "eviction killed the fresh cache entry"
+    _cache.release_all()
