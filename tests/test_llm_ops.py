@@ -202,6 +202,11 @@ def test_edge_corpus_matches_oracle_and_does_not_crash(spark, tmp_path):
         (4, "a  b   c 123 456 the of", "en", "x"),
         (5, "the quick brown fox jumps over the lazy dog again and again", "en", "w"),
         (6, "the quick brown fox jumps over the lazy dog again and again", "fr", "x"),
+        # search-path adversaries: substring-of-token hits (sparkly/merged,
+        # tablescan), phrase split by a double space, exact phrase
+        (7, "sparkly merged history", "en", "w"),
+        (8, "full table scan then table  scan again", "en", "w"),
+        (9, "tablescan spark merge", "de", "x"),
     ]
     spark.createDataFrame(
         [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
@@ -241,6 +246,9 @@ def test_edge_corpus_matches_oracle_and_does_not_crash(spark, tmp_path):
         "cur_pii_scrub", "cur_decontaminate", "dd_exact", "dd_simhash",
         "mm_decode_features", "mm_manifest_stats", "mm_frame_sample_plan",
         "sim_brute_topk", "sim_ann_lsh", "pl_sequence_pack",
+        # posting-path search over the adversarial corpus (empty text,
+        # substring-of-token hits, double-space phrase defeat)
+        "search_allwords", "search_phrase_ranked", "search_rejoin",
     ]
     for name in names:
         spark.catalog.clearCache()
