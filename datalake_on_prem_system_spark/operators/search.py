@@ -141,46 +141,43 @@ def _query_tokens(query: str) -> list[str]:
     return [tok for tok in query.lower().split() if tok]
 
 
-def _doc_token_counts(
+def _doc_qidx_sets(
     postings: DataFrame, dict_df: DataFrame, uniq: list[str], pk: str
 ) -> DataFrame:
     """ONE pass over the postings for the whole query: the dictionary
     (vocabulary-sized) is expanded to (dict token → matching query-token
     index) pairs — the only place the substring scan happens — then
-    broadcast-joined into the posting scan. Output: (pk, qidx) distinct —
-    the EXACT doc set of ``text.contains(uniq[qidx])`` for every query
-    token at once (see module docstring for the exactness argument), so a
-    k-token query costs one posting scan + one shuffle instead of k."""
+    broadcast-joined into the posting scan and aggregated straight to
+    (pk, qidxs: set of matched query-token indexes). collect_set
+    partial-aggregates map-side, so the EXACT per-doc matched-token set
+    (see module docstring for the exactness argument) costs one posting
+    scan + ONE shuffle for the whole k-token query."""
     qidx_for = F.filter(
         F.array(*[F.lit(i) for i in range(len(uniq))]),
         lambda i: F.col("token").contains(
             F.element_at(F.array(*[F.lit(tk) for tk in uniq]), i + 1)
         ),
     )
-    matches = (
-        dict_df.select("token", F.explode(qidx_for).alias("qidx"))
-    )
+    matches = dict_df.select("token", F.explode(qidx_for).alias("qidx"))
     return (
         postings.join(F.broadcast(matches), "token")
-        .select(pk, "qidx")
-        .distinct()
+        .groupBy(pk)
+        .agg(F.collect_set("qidx").alias("qidxs"))
     )
 
 
 def allwords_hits_postings(
     postings: DataFrame, dict_df: DataFrame, query: str, pk: str
 ) -> DataFrame | None:
-    """E1 via the inverted index: docs present for ALL query-token indexes
-    (count over the single-pass (pk, qidx) set). None for an empty query
-    (caller falls back to the unconstrained scan semantics)."""
+    """E1 via the inverted index: docs whose matched-index set covers every
+    query token. None for an empty query (caller falls back to the
+    unconstrained scan semantics)."""
     uniq = sorted(set(_query_tokens(query)))
     if not uniq:
         return None
     return (
-        _doc_token_counts(postings, dict_df, uniq, pk)
-        .groupBy(pk)
-        .agg(F.count(F.lit(1)).alias("__np"))
-        .filter(F.col("__np") == len(uniq))
+        _doc_qidx_sets(postings, dict_df, uniq, pk)
+        .filter(F.size("qidxs") == len(uniq))
         .select(pk)
     )
 
@@ -213,15 +210,14 @@ def ranked_hits_postings(
     # duplicate query tokens weight their set once per occurrence, matching
     # the flat sum over the token LIST
     weights = F.array(*[F.lit(toks.count(tok)) for tok in uniq])
-    counts = (
-        _doc_token_counts(postings, dict_df, uniq, pk)
-        .groupBy(pk)
-        .agg(
-            F.sum(F.element_at(weights, F.col("qidx") + 1))
-            .cast("int")
-            .alias("token_hits"),
-            F.count(F.lit(1)).alias("n_present"),
+    counts = _doc_qidx_sets(postings, dict_df, uniq, pk).select(
+        F.col(pk),
+        F.aggregate(
+            "qidxs", F.lit(0), lambda acc, i: acc + F.element_at(weights, i + 1)
         )
+        .cast("int")
+        .alias("token_hits"),
+        F.size("qidxs").alias("n_present"),
     )
     if require_all:
         counts = counts.filter(F.col("n_present") == len(uniq))
