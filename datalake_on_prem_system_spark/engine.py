@@ -30,10 +30,10 @@ from .functions.keys import find_id_col
 from .lakehouse import LakeCatalog, snapshot_diff
 from .operators.search import (
     all_words_predicate,
-    build_posting_df,
     build_search_df,
     phrase_boost_score,
     ranked_hits_postings,
+    write_posting_index,
 )
 from .sources.csv_ingest import ingest_csv as _ingest_csv
 
@@ -120,9 +120,13 @@ class LakeEngine:
                 # bucket-pruned point path: a pk-equality filter resolves
                 # only the bucket holding the key (P10 at O(1 bucket));
                 # non-pk filters fall through inside read_where unchanged;
-                # `commit` pins the same snapshot typing was derived from
+                # `commit` pins the same snapshot typing was derived from —
+                # passed only when this binding produced one (a binding
+                # without commit_at keeps its pre-composite read_where
+                # signature and must not see the kwarg)
+                kw = {"commit": commit} if commit is not None else {}
                 df = read_where(
-                    cond, version=version, fallback_to_latest=True, commit=commit
+                    cond, version=version, fallback_to_latest=True, **kw
                 )
             else:
                 df = df.filter(cond)
@@ -265,8 +269,8 @@ class LakeEngine:
 
     # ------------------------------------------------------------- search
 
-    def _search_index(self, table: str) -> tuple[DataFrame, DataFrame, str]:
-        """(index df, base df, pk) — the 2-column (pk, text) search table
+    def _search_index(self, table: str) -> tuple[DataFrame, DataFrame, str, int | None]:
+        """(index df, base df, pk, version) — the 2-column (pk, text) search table
         materialized per (table root, commit version): the K6 sync_to_es
         analog, invalidated by the next commit, so repeat searches scan the
         narrow index instead of recomputing the projection over the full
@@ -297,24 +301,24 @@ class LakeEngine:
             build_search_df(df, pk, [c for c in df.columns if c != pk]).write.mode(
                 "overwrite"
             ).parquet(path)
-            # inverted index beside the text table (same lifecycle): the
+            # inverted index beside the text table (same lifecycle + same
+            # build recipe as the operator path, write_posting_index): the
             # primary serve path reads postings, not rows — ES-parity
             # (the reference's primary path IS the inverted index,
             # api_poc.py:79-101)
-            post_path = os.path.join(t.root, "_search_index", f"{version}_postings.parquet")
-            build_posting_df(self.spark.read.parquet(path), pk).repartition(
-                "token"
-            ).write.mode("overwrite").parquet(post_path)
-            tok_path = os.path.join(t.root, "_search_index", f"{version}_tokens.parquet")
-            self.spark.read.parquet(post_path).select("token").distinct().coalesce(
-                1
-            ).write.mode("overwrite").parquet(tok_path)
+            write_posting_index(
+                self.spark,
+                self.spark.read.parquet(path),
+                pk,
+                os.path.join(t.root, "_search_index", f"{version}_postings.parquet"),
+                os.path.join(t.root, "_search_index", f"{version}_tokens.parquet"),
+            )
             with self._search_index_lock:
                 for k in [k for k in self._search_index_cache if k[0] == t.root]:
                     self._search_index_cache.pop(k)
                 self._search_index_cache[key] = path
                 cached = path
-        return self.spark.read.parquet(cached), df, pk
+        return self.spark.read.parquet(cached), df, pk, version
 
     def search(self, table: str, query: str, top_k: int = 50) -> DataFrame:
         """E1–E5: numeric fast path → ranked all-words/phrase search over
@@ -326,19 +330,20 @@ class LakeEngine:
             df = self.catalog.table(table).read()
             pk = find_id_col(df.columns)
             return df.filter(F.col(pk).cast("string") == query)
-        idx, df, pk = self._search_index(table)
+        # the VERSION _search_index resolved pins the posting paths too — a
+        # commit landing mid-request must not mix version-N idx/base frames
+        # with version-N+1 postings (round-7 review catch)
+        idx, df, pk, version = self._search_index(table)
         scored = None
         try:
             import os
 
-            t = self.catalog.table(table)
-            v = t.latest_version()
-            base = os.path.join(t.root, "_search_index")
+            base = os.path.join(self.catalog.table(table).root, "_search_index")
             postings = self.spark.read.parquet(
-                os.path.join(base, f"{v}_postings.parquet")
+                os.path.join(base, f"{version}_postings.parquet")
             )
             dict_df = self.spark.read.parquet(
-                os.path.join(base, f"{v}_tokens.parquet")
+                os.path.join(base, f"{version}_tokens.parquet")
             )
             scored = ranked_hits_postings(
                 idx, postings, dict_df, query, pk, require_all=True

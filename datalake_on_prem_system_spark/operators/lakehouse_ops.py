@@ -92,13 +92,37 @@ def _mor_amplified_table(spark: SparkSession, sf_dir: str) -> LakeTable:
     if sf_dir not in _MOR_AMP_CACHE:
         root = tempfile.mkdtemp(prefix="lake_moramp_")
         table = LakeTable(spark, root)
+        # mor mode is a TABLE PROPERTY — without it every merge is a
+        # copy-on-write rewrite and there are no deltas to read through
+        # (round-7 review catch: the first version of this helper measured
+        # exactly that nothing)
         table.create_or_replace(
-            _base_customers(spark, sf_dir), bucket_by=("c_custkey", 8)
+            _full_customers(spark, sf_dir),
+            bucket_by=("c_custkey", 8),
+            properties={"write.merge.mode": "mor"},
         )
         for i in range(7):
             table.merge(_mor_amp_delta(spark, sf_dir, i), pk="c_custkey")
+        pending = {
+            e["delta"]
+            for e in table.commit_at().files
+            if e.get("delta") is not None
+        }
+        assert len(pending) == 7, f"expected 7 pending deltas, got {pending}"
         _MOR_AMP_CACHE[sf_dir] = root
     return LakeTable(spark, _MOR_AMP_CACHE[sf_dir])
+
+
+def _full_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL customer keys (unlike _base_customers' %4 filter) so every MOR
+    delta is a pure per-key UPDATE — depth timings then measure read
+    amplification alone, not corpus growth from upsert-inserts."""
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
 
 
 def _mor_amp_delta(spark: SparkSession, sf_dir: str, i: int) -> DataFrame:
@@ -131,9 +155,16 @@ def lh_mor_read_amp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mor_read_profile(spark: SparkSession, sf_dir: str) -> dict:
     """Measured read amplification for the bench: seconds to fully read
-    (collect) a bucketed table at 0 / 4 / 7 pending MOR deltas and again
-    right after the threshold-8 compaction folds them. Builds and removes
-    its own throwaway table; one timed read per depth."""
+    (collect) a MOR-mode bucketed table at 0 / 4 / 8 pending delta commits
+    and again right after threshold compaction folds them. Every delta is
+    a pure update over the full-customer seed, so the row count is
+    CONSTANT across depths — the timing deltas are amplification alone.
+    Builds and removes its own throwaway table; one timed read per depth.
+
+    Threshold semantics (table.py merge): a merge COMPACTS only when
+    n_delta_commits >= threshold (8), i.e. deltas accumulate to 8 and the
+    NINTH merge folds — so the worst case readers see is 8 pending deltas,
+    and 'after_compact' times the read following that ninth merge."""
     import shutil
     import time as _time
 
@@ -142,29 +173,45 @@ def mor_read_profile(spark: SparkSession, sf_dir: str) -> dict:
     try:
         table = LakeTable(spark, root)
         table.create_or_replace(
-            _base_customers(spark, sf_dir), bucket_by=("c_custkey", 8)
+            _full_customers(spark, sf_dir),
+            bucket_by=("c_custkey", 8),
+            properties={"write.merge.mode": "mor"},
         )
 
-        def timed_read(label: str) -> None:
+        def n_pending() -> int:
+            return len({
+                e["delta"]
+                for e in table.commit_at().files
+                if e.get("delta") is not None
+            })
+
+        def timed_read(label: str, want_deltas: int) -> None:
+            assert n_pending() == want_deltas, (
+                f"{label}: {n_pending()} pending deltas, wanted {want_deltas}"
+            )
             spark.catalog.clearCache()
             t0 = _time.perf_counter()
             n = len(table.read().collect())
             out[label] = round(_time.perf_counter() - t0, 3)
             out.setdefault("n_rows", n)
+            assert n == out["n_rows"], "row count must stay constant"
 
-        timed_read("deltas_0")
+        timed_read("deltas_0", 0)
         for i in range(4):
             table.merge(_mor_amp_delta(spark, sf_dir, i), pk="c_custkey")
-        timed_read("deltas_4")
-        for i in range(4, 7):
-            table.merge(_mor_amp_delta(spark, sf_dir, i), pk="c_custkey")
-        timed_read("deltas_7")
-        # 8th merge reaches the threshold: compaction folds all deltas
-        table.merge(_mor_amp_delta(spark, sf_dir, 0), pk="c_custkey")
-        timed_read("after_compact")
+        timed_read("deltas_4", 4)
+        for i in range(4, 8):
+            table.merge(_mor_amp_delta(spark, sf_dir, i % 7), pk="c_custkey")
+        timed_read("deltas_8", 8)
+        # ninth merge sees n_delta_commits >= threshold: compaction folds
+        table.merge(_mor_amp_delta(spark, sf_dir, 1), pk="c_custkey")
+        timed_read("after_compact", 0)
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_CPK_CACHE: dict[str, str] = {}
 
 
 def lh_composite_key_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,27 +220,32 @@ def lh_composite_key_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     leading l_orderkey. Three real commits — create (composite-bucketed),
     merge-update of every linenumber=1 row, merge-delete of every
     linenumber=3 row — then the final state. Rows sharing a leading key are
-    individually addressed (the whole point of the composite key)."""
+    individually addressed (the whole point of the composite key). The
+    built table memoizes per sf_dir (same precedent as _MERGED_CACHE):
+    repeat sweeps re-read, not re-commit, and no tempdir-per-call leak."""
     pk = ["l_orderkey", "l_linenumber"]
-    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_cpk_"))
-    base = (
-        t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") < 2000)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            "l_quantity",
-            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+    if sf_dir not in _CPK_CACHE:
+        root = tempfile.mkdtemp(prefix="lake_cpk_")
+        table = LakeTable(spark, root)
+        base = (
+            t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") < 2000)
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_quantity",
+                F.round("l_extendedprice", 2).alias("l_extendedprice"),
+            )
         )
-    )
-    table.create_or_replace(base, bucket_by=(tuple(pk), 8))
-    upd = base.filter(F.col("l_linenumber") == 1).withColumn(
-        "l_quantity", F.col("l_quantity") + 5
-    )
-    table.merge(upd, pk=pk)
-    dels = base.filter(F.col("l_linenumber") == 3).withColumn("op", F.lit("d"))
-    table.merge(dels, pk=pk, op_col="op")
-    return table.read()
+        table.create_or_replace(base, bucket_by=(tuple(pk), 8))
+        upd = base.filter(F.col("l_linenumber") == 1).withColumn(
+            "l_quantity", F.col("l_quantity") + 5
+        )
+        table.merge(upd, pk=pk)
+        dels = base.filter(F.col("l_linenumber") == 3).withColumn("op", F.lit("d"))
+        table.merge(dels, pk=pk, op_col="op")
+        _CPK_CACHE[sf_dir] = root
+    return LakeTable(spark, _CPK_CACHE[sf_dir]).read()
 
 
 def lh_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

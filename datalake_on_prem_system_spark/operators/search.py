@@ -64,16 +64,30 @@ _INDEX_CACHE: dict[tuple[str, str, str], str] = {}
 
 
 def build_search_df(df: DataFrame, pk: str, cols: list[str]) -> DataFrame:
-    """(pk, searchable_text) projection of a base table. ``text`` is the
+    """(pk, searchable_text) search table, ONE ROW PER KEY. ``text`` is the
     index's reserved output name — a table whose id column is itself named
     'text' would produce two ambiguous columns, so it is rejected with a
-    clear error instead of failing downstream."""
+    clear error instead of failing downstream.
+
+    Per-KEY semantics are the contract (the ES analog: one document per
+    _id): a key holding several rows (duplicate-pk appends are legal)
+    indexes as the newline-join of its rows' texts in deterministic
+    (sorted) order — all-words can match across the key's rows, exactly
+    like the posting path's per-key aggregation, so the flat scan and the
+    inverted index can never disagree. The NEWLINE separator keeps a
+    multi-word PHRASE from matching across a row boundary (phrases are
+    space-joined and never contain \\n; single tokens are \\s+-split either
+    way). Unique-pk tables — every registered fixture — aggregate to the
+    identical single-text rows they had before."""
     if pk.lower() == "text":
         raise ValueError(
             "search index reserves the column name 'text'; a table whose id "
             "column is named 'text' cannot be indexed"
         )
-    return df.select(F.col(pk), searchable_text(df, cols).alias("text"))
+    per_row = df.select(F.col(pk), searchable_text(df, cols).alias("__t"))
+    return per_row.groupBy(pk).agg(
+        F.array_join(F.sort_array(F.collect_list("__t")), "\n").alias("text")
+    )
 
 
 def sync_search_index(
@@ -109,6 +123,29 @@ def build_posting_df(search_df: DataFrame, pk: str) -> DataFrame:
     )
 
 
+def write_posting_index(
+    spark: SparkSession,
+    search_df: DataFrame,
+    pk: str,
+    postings_path: str,
+    dict_path: str,
+) -> None:
+    """THE inverted-index build recipe, shared by the operator path
+    (``sync_posting_index``) and the engine's per-version index build —
+    one place to change the partitioning or dictionary layout. Postings
+    are repartitioned by token (each token's posting list lands in one
+    partition; at 100 TB this is the bucket/partition key so a query's
+    dictionary matches prune to the touched partitions); the dictionary is
+    derived FROM the written postings (no recompute of the explode),
+    single-file at test SFs — at 100 TB keep it partitioned alongside."""
+    build_posting_df(search_df, pk).repartition("token").write.mode(
+        "overwrite"
+    ).parquet(postings_path)
+    spark.read.parquet(postings_path).select("token").distinct().coalesce(
+        1
+    ).write.mode("overwrite").parquet(dict_path)
+
+
 def sync_posting_index(
     spark: SparkSession, sf_dir: str, table: str = "documents", pk: str = "doc_id"
 ) -> tuple[str, str]:
@@ -124,15 +161,7 @@ def sync_posting_index(
         work = tempfile.mkdtemp(prefix="search_postings_")
         postings_path = os.path.join(work, f"{table}_postings.parquet")
         dict_path = os.path.join(work, f"{table}_tokens.parquet")
-        build_posting_df(idx, pk).repartition("token").write.mode(
-            "overwrite"
-        ).parquet(postings_path)
-        # dictionary derived FROM the written postings (no recompute of the
-        # explode); single file at these SFs — at 100 TB keep it partitioned
-        # alongside the postings
-        spark.read.parquet(postings_path).select("token").distinct().coalesce(
-            1
-        ).write.mode("overwrite").parquet(dict_path)
+        write_posting_index(spark, idx, pk, postings_path, dict_path)
         _POSTING_CACHE[key] = (postings_path, dict_path)
     return _POSTING_CACHE[key]
 

@@ -756,3 +756,15 @@ def test_mor_null_pk_rows_match_cow_semantics(spark, tmp_path):
     assert (None, 100) in states["mor"] and (None, 101) in states["mor"]
     assert (None, 999) in states["mor"] and (1, 1) in states["mor"]
     assert len(states["mor"]) == 4
+
+
+def test_mor_read_profile_measures_real_deltas(spark):
+    """The bench's read-amplification profile must measure MERGE-ON-READ
+    states: the helper's internal assertions pin pending-delta counts at
+    each labeled depth (0/4/8/after-compact) and a constant row count —
+    a COW regression (round-7 review catch) would trip them."""
+    from datalake_on_prem_system_spark.operators.lakehouse_ops import mor_read_profile
+
+    out = mor_read_profile(spark, "/root/testdata/sf0.001")
+    assert set(out) == {"deltas_0", "deltas_4", "deltas_8", "after_compact", "n_rows"}
+    assert out["n_rows"] > 0

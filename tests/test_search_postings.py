@@ -135,3 +135,62 @@ def test_engine_search_uses_postings_and_survives_their_loss(spark, tmp_path):
     out2 = eng.search("docs", "table scan")
     assert "_postings.parquet" not in capture_plan(out2)
     assert {r.doc_id for r in out2.collect()} == want
+
+
+def test_duplicate_pk_key_searches_per_key_on_both_paths(spark, tmp_path):
+    """Per-KEY search is the contract (ES analog: one document per _id): a
+    key holding two rows matches an all-words query whose tokens split
+    across the rows — identically on the flat scan and the posting path —
+    and a PHRASE never matches across the row boundary (newline join)."""
+    df = spark.createDataFrame(
+        [(7, "alpha spark"), (7, "merge beta"), (8, "spark merge here"), (9, "unrelated")],
+        "id int, body string",
+    )
+    idx = build_search_df(df, "id", ["body"])
+    texts = {r.id: r.text for r in idx.collect()}
+    assert "\n" in texts[7] and idx.count() == 3  # one row per key
+
+    q = "spark merge"
+    flat = {
+        (r.id, r.s)
+        for r in idx.select("id", phrase_boost_score(F.col("text"), q).alias("s"))
+        .filter(F.col("s") > 0)
+        .collect()
+    }
+    postings = build_posting_df(idx, "id")
+    posted = {
+        (r.id, r.score)
+        for r in ranked_hits_postings(
+            idx, postings, postings.select("token").distinct(), q, "id"
+        ).collect()
+    }
+    assert posted == flat
+    by_id = dict(flat)
+    assert by_id[7] == 2, "tokens across the key's rows count, no phrase"
+    assert by_id[8] == 12, "true phrase keeps the boost"
+
+
+def test_engine_search_on_duplicate_pk_table(spark, tmp_path):
+    """LakeEngine.search on a duplicate-pk table: the key matches when its
+    rows jointly hold all words; primary (postings) and fallback (flat)
+    agree; every row of the matched key is returned."""
+    import shutil
+
+    from datalake_on_prem_system_spark.engine import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path), namespace="dup_ns")
+    eng.write_table(
+        "dup",
+        spark.createDataFrame(
+            [(7, "alpha spark"), (7, "merge beta"), (9, "nothing")],
+            "rec_id int, body string",
+        ),
+    )
+    out = eng.search("dup", "spark merge").collect()
+    assert {(r.rec_id, r.body) for r in out} == {(7, "alpha spark"), (7, "merge beta")}
+    root = eng.catalog.table("dup").root
+    v = eng.catalog.table("dup").latest_version()
+    for leaf in (f"{v}_postings.parquet", f"{v}_tokens.parquet"):
+        shutil.rmtree(f"{root}/_search_index/{leaf}")
+    out2 = eng.search("dup", "spark merge").collect()
+    assert {(r.rec_id, r.body) for r in out2} == {(7, "alpha spark"), (7, "merge beta")}
