@@ -295,3 +295,87 @@ def test_concurrent_writers_serialize_and_losers_clean_up(spark, tmp_path):
         assert not orphans, f"loser segments not cleaned up: {orphans}"
     finally:
         LakeTable._publish_commit = real_publish
+
+
+# --------------------------------------------------------------------------
+# composite-key random programs (round 7): the same multiset-replay
+# invariant, keyed on (k1, k2) — full-key row identity, leading-key layout
+
+N_CPK_PROGRAMS = int(os.environ.get("SPARK_GRAFT_PROP_CPK_N", "10"))
+
+_K2 = ["a", "b", "c"]
+
+
+def _rand_cpk_batch(rng: random.Random) -> list[tuple]:
+    keys = rng.sample([(k1, k2) for k1 in range(4) for k2 in _K2], rng.randint(1, 5))
+    return [
+        (k1, k2, rng.randrange(1000), "d" if rng.random() < 0.3 else "u")
+        for k1, k2 in keys
+    ]
+
+
+@pytest.mark.parametrize("seed", range(N_CPK_PROGRAMS))
+def test_random_composite_key_program_matches_multiset_model(
+    spark, tmp_path_factory, seed
+):
+    rng = random.Random(9000 + seed)
+    mode = rng.choice(["cow", "mor"])
+    threshold = rng.choice([1, 2, 3])
+    table = LakeTable(spark, str(tmp_path_factory.mktemp(f"cpk{seed}")))
+
+    model: list[tuple[int, str, int]] = [
+        (k1, rng.choice(_K2), rng.randrange(1000)) for k1 in range(rng.randint(1, 3))
+    ]
+    table.create_or_replace(
+        spark.createDataFrame(model, "k1 int, k2 string, v int"),
+        bucket_by=(("k1", "k2"), 4),
+        properties={
+            "write.merge.mode": mode,
+            "write.merge.delta.compact-threshold": str(threshold),
+        },
+    )
+    snapshots = {table.latest_version(): sorted(model)}
+
+    for _ in range(rng.randint(4, 7)):
+        op = rng.choice(["merge", "merge", "lead_delete", "update", "append", "compact"])
+        if op == "merge":
+            batch = _rand_cpk_batch(rng)
+            table.merge(
+                spark.createDataFrame(batch, "k1 int, k2 string, v int, op string"),
+                pk=["k1", "k2"], op_col="op",
+            )
+            touched = {(k1, k2) for k1, k2, _, _ in batch}
+            model = [r for r in model if (r[0], r[1]) not in touched] + [
+                (k1, k2, v) for k1, k2, v, o in batch if o != "d"
+            ]
+        elif op == "lead_delete":
+            # leading-key point literal: the bucket-pruned DML fast path
+            k1 = rng.randrange(5)
+            table.delete_where(F.col("k1") == F.lit(k1))
+            model = [r for r in model if r[0] != k1]
+        elif op == "update":
+            k2, nv = rng.choice(_K2), rng.randrange(1000)
+            table.update_where(F.col("k2") == k2, {"v": nv})
+            model = [(a, b, nv if b == k2 else v) for a, b, v in model]
+        elif op == "append":
+            rows = [
+                (rng.randrange(4), rng.choice(_K2), rng.randrange(1000))
+                for _ in range(rng.randint(1, 2))
+            ]
+            table.append(spark.createDataFrame(rows, "k1 int, k2 string, v int"))
+            model = model + rows  # duplicate composite keys are legal
+        elif op == "compact":
+            table.compact()
+        snapshots[table.latest_version()] = sorted(model)
+
+    live = set(table.versions())
+    for ver, want in snapshots.items():
+        if ver not in live:
+            continue
+        got = sorted(
+            (r.k1, r.k2, r.v)
+            for r in table.read(version=ver).select("k1", "k2", "v").collect()
+        )
+        assert got == want, (
+            f"seed={seed} mode={mode} thr={threshold} v{ver}: {got} != {want}"
+        )
