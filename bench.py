@@ -232,9 +232,10 @@ def main() -> None:
         errors["cdc_throughput"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"# cdc_throughput: ERROR {errors['cdc_throughput']}", file=sys.stderr)
 
-    # ---- MOR read-amplification profile: full-read seconds at 0/4/7
-    # pending delta commits and right after the threshold-8 compaction —
-    # the read cost of deferring compaction, as measured data
+    # ---- MOR read-amplification profile: full-read seconds at 0/4/8
+    # pending delta commits and right after the ninth merge triggers the
+    # threshold compaction — the read cost of deferring compaction, as
+    # measured data
     mor_profile: dict | None = None
     try:
         from datalake_on_prem_system_spark.operators.lakehouse_ops import (

@@ -83,6 +83,15 @@ def _merged_table(spark: SparkSession, sf_dir: str) -> LakeTable:
 _MOR_AMP_CACHE: dict[str, str] = {}
 
 
+def _n_pending_deltas(table: LakeTable) -> int:
+    """Distinct un-compacted MOR delta commits in the latest snapshot —
+    one place for the commit-file delta encoding (delta id == committing
+    version), used by the fixture assertion and the depth profile."""
+    return len({
+        e["delta"] for e in table.commit_at().files if e.get("delta") is not None
+    })
+
+
 def _mor_amplified_table(spark: SparkSession, sf_dir: str) -> LakeTable:
     """Seed + 7 pending MOR delta commits (one under the compaction
     threshold of 8, table.py DEFAULT_DELTA_COMPACT_THRESHOLD): the
@@ -103,12 +112,7 @@ def _mor_amplified_table(spark: SparkSession, sf_dir: str) -> LakeTable:
         )
         for i in range(7):
             table.merge(_mor_amp_delta(spark, sf_dir, i), pk="c_custkey")
-        pending = {
-            e["delta"]
-            for e in table.commit_at().files
-            if e.get("delta") is not None
-        }
-        assert len(pending) == 7, f"expected 7 pending deltas, got {pending}"
+        assert _n_pending_deltas(table) == 7, "expected 7 pending deltas"
         _MOR_AMP_CACHE[sf_dir] = root
     return LakeTable(spark, _MOR_AMP_CACHE[sf_dir])
 
@@ -178,16 +182,10 @@ def mor_read_profile(spark: SparkSession, sf_dir: str) -> dict:
             properties={"write.merge.mode": "mor"},
         )
 
-        def n_pending() -> int:
-            return len({
-                e["delta"]
-                for e in table.commit_at().files
-                if e.get("delta") is not None
-            })
-
         def timed_read(label: str, want_deltas: int) -> None:
-            assert n_pending() == want_deltas, (
-                f"{label}: {n_pending()} pending deltas, wanted {want_deltas}"
+            assert _n_pending_deltas(table) == want_deltas, (
+                f"{label}: {_n_pending_deltas(table)} pending deltas, "
+                f"wanted {want_deltas}"
             )
             spark.catalog.clearCache()
             t0 = _time.perf_counter()

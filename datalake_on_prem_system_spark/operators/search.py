@@ -206,10 +206,25 @@ def incremental_posting_sync(
     frame the query functions consume."""
     changed = changed_search_df  # (pk, text)
     new_posts = build_posting_df(changed, pk)
-    keys = [r[0] for r in changed.select(pk).distinct().collect()]
+    # small batches: collect the keys and point-read their old postings
+    # (bucket-pruned on the leading doc key). Beyond the cap, a driver-side
+    # literal list stops being the optimization it claims to be (multi-
+    # million-arm In expressions, driver memory) — degrade to a distributed
+    # semi-join against the changed-key frame, which scans but never
+    # collects.
+    _POINT_READ_KEY_CAP = 10_000
+    keys = [
+        r[0]
+        for r in changed.select(pk).distinct().limit(_POINT_READ_KEY_CAP + 1).collect()
+    ]
     if not keys:
         return
-    old_posts = posting_table.read_where(F.col(pk).isin(keys)).select("token", pk)
+    if len(keys) <= _POINT_READ_KEY_CAP:
+        old_posts = posting_table.read_where(F.col(pk).isin(keys)).select("token", pk)
+    else:
+        old_posts = posting_table.read().join(
+            changed.select(pk).distinct(), pk, "left_semi"
+        ).select("token", pk)
     stale = old_posts.join(new_posts, ["token", pk], "left_anti")
     batch = new_posts.withColumn("op", F.lit("u")).unionByName(
         stale.withColumn("op", F.lit("d"))
@@ -437,8 +452,15 @@ def search_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes from the post-change corpus directly — proving the
     incrementally-maintained index equals a full rebuild."""
     if sf_dir not in _INCR_CACHE:
+        from ._cache import persist_bounded
+
         docs = t(spark, sf_dir, "documents")
-        idx = build_search_df(docs, "doc_id", [c for c in docs.columns if c != "doc_id"])
+        # the projection feeds the table build, both change filters, and
+        # the sync's own evaluations — one persisted pass, not five
+        idx = persist_bounded(
+            build_search_df(docs, "doc_id", [c for c in docs.columns if c != "doc_id"]),
+            key=f"incr_sync_idx:{sf_dir}",
+        )
         root = tempfile.mkdtemp(prefix="search_incr_")
         table = create_posting_table(spark, idx, "doc_id", root)
         updates = idx.filter(

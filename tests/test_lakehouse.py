@@ -765,6 +765,8 @@ def test_mor_read_profile_measures_real_deltas(spark):
     a COW regression (round-7 review catch) would trip them."""
     from datalake_on_prem_system_spark.operators.lakehouse_ops import mor_read_profile
 
-    out = mor_read_profile(spark, "/root/testdata/sf0.001")
+    from conftest import SF_SMALL
+
+    out = mor_read_profile(spark, SF_SMALL)
     assert set(out) == {"deltas_0", "deltas_4", "deltas_8", "after_compact", "n_rows"}
     assert out["n_rows"] > 0
