@@ -276,8 +276,14 @@ def main() -> None:
             for d in probe_dirs:
                 label = os.path.basename(d.rstrip("/"))
                 try:
-                    sec, _ = _time_query(spark, qs[name], name, d)
-                    entry[label] = round(sec, 3)
+                    # run twice, keep the min: queries with memoized disk
+                    # fixtures (the lake_* tables, envelope corpus) pay a
+                    # one-time build on the first call at a NEW sf_dir —
+                    # that's setup, not the operator, and it was inflating
+                    # probe cells into negative exponents
+                    sec1, _ = _time_query(spark, qs[name], name, d)
+                    sec2, _ = _time_query(spark, qs[name], name, d)
+                    entry[label] = round(min(sec1, sec2), 3)
                 except Exception as exc:  # noqa: BLE001
                     entry[label] = f"ERROR {type(exc).__name__}"[:80]
             t_mid = entry.get("sf0.01")
