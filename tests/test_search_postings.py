@@ -236,3 +236,52 @@ def test_incremental_posting_sync_matches_full_rebuild(spark, tmp_path):
         table.read(), table.read().select("token").distinct(), "gamma zeta", "doc_id"
     )
     assert {r.doc_id for r in hits.collect()} == {2}
+
+
+def test_posting_flat_equivalence_property(spark):
+    """Hypothesis sweep of the exactness argument over arbitrary unicode
+    corpora and queries: for ANY docs and ANY query, the posting path must
+    equal the flat contains() scan — token-boundary unicode (NBSP vs ASCII
+    whitespace), regex metacharacters in tokens, and empty/degenerate
+    strings included."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet="ab1.*()[\\^$|?+ \t\n é",  # regex metas + unicode ws
+        min_size=0,
+        max_size=8,
+    )
+    corpus = st.lists(word, min_size=1, max_size=6)
+    query = st.text(alphabet="ab1.*(  é", min_size=1, max_size=10)
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(bodies=corpus, q=query)
+    def run(bodies, q):
+        if not q.split():
+            return  # empty query: posting path defers to fallback by contract
+        df = spark.createDataFrame(
+            list(enumerate(bodies)), "doc_id int, body string"
+        )
+        idx = build_search_df(df, "doc_id", ["body"])
+        postings = build_posting_df(idx, "doc_id")
+        dict_df = postings.select("token").distinct()
+        flat = {
+            (r.doc_id, r.score)
+            for r in idx.select(
+                "doc_id", phrase_boost_score(F.col("text"), q).alias("score")
+            )
+            .filter(F.col("score") > 0)
+            .collect()
+        }
+        posted = {
+            (r.doc_id, r.score)
+            for r in ranked_hits_postings(idx, postings, dict_df, q, "doc_id").collect()
+        }
+        assert posted == flat, f"query {q!r} over {bodies!r}: {posted} != {flat}"
+
+    run()
