@@ -181,6 +181,69 @@ def _pk_literal_values(condition, pk: str) -> list | None:
         return None
 
 
+def _range_predicates(condition) -> list[tuple[str, str, Any]]:
+    """Extract (column, op, literal) conjuncts usable for FILE SKIPPING
+    from a filter Column: a conjunction of simple comparisons
+    (``col <op> literal`` / ``literal <op> col``, op ∈ {=, <, <=, >, >=})
+    yields every recognizable conjunct; anything else in the tree is
+    ignored (conjunction semantics: pruning by ANY sound conjunct is
+    sound). Pure fast-path — introspection surprises return []."""
+    flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+
+    def attr_name(n):
+        if n.getClass().getSimpleName() != "UnresolvedAttribute":
+            return None
+        parts = n.nameParts()
+        return parts.apply(0) if parts.size() == 1 else None
+
+    def walk(node) -> list[tuple[str, str, Any]]:
+        if node.getClass().getSimpleName() != "UnresolvedFunction":
+            return []
+        fn = node.functionName()
+        args = node.arguments()
+        argl = [args.apply(i) for i in range(args.size())]
+        if fn == "and" and len(argl) == 2:
+            return walk(argl[0]) + walk(argl[1])
+        if fn in flip and len(argl) == 2:
+            for a, b, op in ((argl[0], argl[1], fn), (argl[1], argl[0], flip[fn])):
+                name = attr_name(a)
+                if name is not None and b.getClass().getSimpleName() == "Literal":
+                    v = b.value()
+                    if v is not None:
+                        return [(name, op, v)]
+            return []
+        return []
+
+    try:
+        return walk(condition._jc.node())
+    except Exception:
+        return []
+
+
+def _entry_may_match(entry: dict, preds: list[tuple[str, str, Any]]) -> bool:
+    """False only when the entry's recorded [min, max] PROVES a conjunct
+    can't match any of its rows — missing stats, unknown columns, or
+    incomparable types keep the entry (conservative)."""
+    stats = entry.get("stats") or {}
+    for col, op, val in preds:
+        rng = stats.get(col)
+        if not rng:
+            continue
+        lo, hi = rng
+        try:
+            if (
+                (op == "=" and (val < lo or val > hi))
+                or (op == "<" and lo >= val)
+                or (op == "<=" and lo > val)
+                or (op == ">" and hi <= val)
+                or (op == ">=" and hi < val)
+            ):
+                return False
+        except TypeError:  # incomparable literal/stat types (e.g. tz objects)
+            continue
+    return True
+
+
 @dataclass
 class Commit:
     version: int
@@ -310,11 +373,13 @@ class LakeTable:
             for d in sorted(os.listdir(path)):
                 if d.startswith(f"{BUCKET_COL}="):
                     leaf = os.path.join(path, d)
+                    n, stats = self._footer_summary(leaf)
                     entries.append(
                         {
                             "path": leaf,
                             "bucket": int(d.split("=", 1)[1]),
-                            "n_rows": self._count_from_footers(leaf),
+                            "n_rows": n,
+                            "stats": stats,
                         }
                     )
             return path, entries
@@ -324,9 +389,8 @@ class LakeTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        return path, [
-            {"path": path, "bucket": None, "n_rows": self._count_from_footers(path)}
-        ]
+        n, stats = self._footer_summary(path)
+        return path, [{"path": path, "bucket": None, "n_rows": n, "stats": stats}]
 
     def _publish_commit(self, commit: Commit, new_paths: list[str]) -> Commit:
         """Atomically publish the commit JSON; on a lost race, remove the
@@ -476,14 +540,57 @@ class LakeTable:
         scan of the just-written data (material on the CDC hot path where
         every micro-batch commits). Called only on NEW segments; carried
         entries keep their recorded counts."""
+        return LakeTable._footer_summary(data_path)[0]
+
+    @staticmethod
+    def _footer_summary(data_path: str) -> tuple[int, dict[str, list]]:
+        """(n_rows, per-column [min, max]) from parquet footers — ONE
+        metadata pass, no data read. The stats map is the commit-manifest
+        data-skipping surface (Iceberg manifest min/max analog): a column
+        appears only when EVERY row group in the entry carries usable
+        min/max of a JSON-able scalar type, so recorded bounds are always
+        sound. Nested/binary/temporal columns are simply absent (never
+        pruned on)."""
         import pyarrow.parquet as pq
 
         total = 0
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        dropped: set[str] = set()
         for dirpath, _dirs, files in os.walk(data_path):
             for f in files:
-                if f.endswith(".parquet"):
-                    total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
-        return total
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+                total += md.num_rows
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        name = col.path_in_schema
+                        if name in dropped or "." in name:
+                            continue
+                        try:
+                            st = col.statistics
+                            _ = st is not None and st.has_min_max and (st.min, st.max)
+                        except Exception:  # pyarrow can't extract for some
+                            st = None  # physical types (e.g. decimals)
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or not isinstance(st.min, (int, float, str, bool))
+                            or not isinstance(st.max, (int, float, str, bool))
+                            or isinstance(st.min, bool) != isinstance(st.max, bool)
+                        ):
+                            dropped.add(name)
+                            mins.pop(name, None)
+                            maxs.pop(name, None)
+                            continue
+                        if name not in mins or st.min < mins[name]:
+                            mins[name] = st.min
+                        if name not in maxs or st.max > maxs[name]:
+                            maxs[name] = st.max
+        return total, {c: [mins[c], maxs[c]] for c in mins if c in maxs}
 
     # ---------------------------------------------------------------- reads
 
@@ -529,14 +636,28 @@ class LakeTable:
         fallback_to_latest: bool = False,
         commit: Commit | None = None,
     ) -> DataFrame:
-        """Filtered read with BUCKET PRUNING for point predicates: a pk
-        equality / IN-list resolves only the bucket dirs holding those keys
-        (plus unbucketed segments; matching-bucket MOR deltas are kept by
-        the same filter since a key's delta lands in the key's bucket) —
-        the P10 point-read serve path costs O(touched buckets) instead of
-        O(table). Arbitrary predicates read the full snapshot with the
-        filter applied (parquet min/max stats still skip row groups)."""
+        """Filtered read with two manifest-level pruning layers:
+
+        1. BUCKET PRUNING for point predicates: a pk equality / IN-list
+           resolves only the bucket dirs holding those keys (plus
+           unbucketed segments; matching-bucket MOR deltas are kept by the
+           same filter since a key's delta lands in the key's bucket) —
+           the P10 point-read serve path costs O(touched buckets) instead
+           of O(table).
+        2. STATS-BASED FILE SKIPPING (Iceberg manifest min/max analog):
+           comparison conjuncts drop every BASE entry whose recorded
+           column range proves no row can match. Delta entries are NEVER
+           stats-pruned — a delta's rows decide other rows' merge-on-read
+           survival, so dropping one by its VALUES could resurrect
+           replaced/deleted base rows; dropping a base entry is sound
+           because base rows never influence another row's survival and a
+           proven-non-matching resolved row fails the filter anyway.
+           ``compact(cluster_by=...)`` tightens these ranges file-by-file.
+
+        Anything unrecognized degrades to the full snapshot scan with the
+        filter applied (parquet row-group stats still skip within files)."""
         commit = commit or self._commit_at(version, fallback_to_latest)
+        entries = commit.files
         spec = commit.bucket_spec
         if spec and _spec_current(spec) and not commit.partition_by:
             literals = _pk_literal_values(condition, spec["pk"])
@@ -547,12 +668,20 @@ class LakeTable:
                 if touched is not None:
                     entries = [
                         e
-                        for e in commit.files
+                        for e in entries
                         if e["bucket"] is None or e["bucket"] in touched
                     ]
-                    return self._resolve(
-                        entries, commit.schema_json, commit.bucket_spec
-                    ).filter(condition)
+        preds = _range_predicates(condition)
+        if preds:
+            entries = [
+                e
+                for e in entries
+                if e.get("delta") is not None or _entry_may_match(e, preds)
+            ]
+        if len(entries) < len(commit.files):
+            return self._resolve(
+                entries, commit.schema_json, commit.bucket_spec
+            ).filter(condition)
         return self._read_data(commit).filter(condition)
 
     def _schema(self, commit: Commit):

@@ -106,3 +106,79 @@ def test_engine_constructible_with_either_binding(spark, tmp_path, binding):
     )
     assert eng.catalog.list_tables() == ["t1"]
     assert {r.id for r in eng.read("t1").collect()} == {1}
+
+
+# ---------------------------------------------------------------------------
+# stats-based file skipping (round 7): Iceberg-manifest min/max analog
+
+
+def _n_input_files(df) -> int:
+    return len(df.inputFiles())
+
+
+def test_commit_entries_record_column_stats(spark, tmp_path):
+    from datalake_on_prem_system_spark.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "st"))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(i, float(i * 10), f"s{i:03d}") for i in range(1, 6)],
+            "k int, v double, s string",
+        )
+    )
+    stats = t.commit_at().files[0]["stats"]
+    assert stats["k"] == [1, 5]
+    assert stats["v"] == [10.0, 50.0]
+    assert stats["s"] == ["s001", "s005"]
+
+
+def test_read_where_skips_files_by_stats(spark, tmp_path):
+    """A range predicate must resolve only the bucket entries whose
+    recorded min/max can match — same rows as the unpruned filter, fewer
+    files scanned."""
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "sk"))
+    # bucket on k; v correlates with k so different buckets hold disjoint
+    # v ranges often enough that stats exclude some buckets
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(64)], "k int, v double"
+        ),
+        bucket_by=("k", 8),
+    )
+    pred = F.col("v") >= 60.0
+    got = {(r.k, r.v) for r in t.read_where(pred).collect()}
+    want = {(r.k, r.v) for r in t.read().filter(pred).collect()}
+    assert got == want and len(got) == 4
+    assert _n_input_files(t.read_where(pred)) < _n_input_files(t.read()), (
+        "stats pruning must drop provably-non-matching bucket files"
+    )
+
+
+def test_stats_pruning_never_drops_delta_entries(spark, tmp_path):
+    """The MOR soundness rule: a delta that moves a key's value OUT of the
+    predicate range must still suppress the (in-range) base row — pruning
+    the delta by its own values would resurrect the stale base row."""
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "mor_sk"))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(1, 100.0), (2, 200.0), (3, 5.0)], "k int, v double"
+        ),
+        bucket_by=("k", 2),
+        properties={"write.merge.mode": "mor"},
+    )
+    # delta: key 1 drops to v=1.0 (outside pred), key 3 rises to 300.0
+    t.merge(
+        spark.createDataFrame([(1, 1.0), (3, 300.0)], "k int, v double"), pk="k"
+    )
+    got = {(r.k, r.v) for r in t.read_where(F.col("v") > 50.0).collect()}
+    assert got == {(2, 200.0), (3, 300.0)}, (
+        f"stale base row resurrected or fresh delta row lost: {got}"
+    )
