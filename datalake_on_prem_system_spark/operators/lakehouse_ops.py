@@ -246,6 +246,45 @@ def lh_composite_key_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LakeTable(spark, _CPK_CACHE[sf_dir]).read()
 
 
+_STATS_SKIP_CACHE: dict[str, str] = {}
+
+
+def _orders_epoch_table(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Time-series ingest shape: three commits each covering a disjoint
+    o_ym (month-string) range — the entry-level min/max then lets a range
+    filter skip whole historical segments (the classic append-by-time
+    data-skipping case)."""
+    if sf_dir not in _STATS_SKIP_CACHE:
+        root = tempfile.mkdtemp(prefix="lake_statskip_")
+        table = LakeTable(spark, root)
+        base = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_ym"),
+        )
+        table.create_or_replace(base.filter(F.col("o_ym") < "1995-01"))
+        table.append(base.filter((F.col("o_ym") >= "1995-01") & (F.col("o_ym") < "1997-01")))
+        table.append(base.filter(F.col("o_ym") >= "1997-01"))
+        _STATS_SKIP_CACHE[sf_dir] = root
+    return LakeTable(spark, _STATS_SKIP_CACHE[sf_dir])
+
+
+def lh_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping on the serve path: a month-range
+    filter over the epoch-appended orders table resolves only the entries
+    whose recorded [min, max] overlap (2 of 3 segments skipped —
+    inputFiles-asserted in pytest), then aggregates per month."""
+    table = _orders_epoch_table(spark, sf_dir)
+    df = table.read_where(F.col("o_ym") >= "1997-01")
+    return df.groupBy("o_ym").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def lh_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5/M4: real MERGE commit, read back the new version."""
     return _merged_table(spark, sf_dir).read()
@@ -456,6 +495,7 @@ QUERIES = {
     "lh_clone_divergence": lh_clone_divergence,
     "lh_mor_read_amp": lh_mor_read_amp,
     "lh_composite_key_dml": lh_composite_key_dml,
+    "lh_stats_skipping": lh_stats_skipping,
     "lh_merge_upsert": lh_merge_upsert,
     "lh_incremental_rollup": lh_incremental_rollup,
     "lh_time_travel": lh_time_travel,
@@ -510,6 +550,15 @@ ORACLE = {
                round(l_extendedprice, 2) AS l_extendedprice
         FROM lineitem
         WHERE l_orderkey < 2000 AND l_linenumber != 3
+    """,
+    "lh_stats_skipping": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_ym,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        GROUP BY 1
     """,
     "lh_mor_read_amp": """
         SELECT c_mktsegment, count(*) AS n_rows,

@@ -182,3 +182,22 @@ def test_stats_pruning_never_drops_delta_entries(spark, tmp_path):
     assert got == {(2, 200.0), (3, 300.0)}, (
         f"stale base row resurrected or fresh delta row lost: {got}"
     )
+
+
+def test_epoch_append_query_skips_old_segments(spark, sf_dir):
+    """The registered lh_stats_skipping serve path really skips: the
+    month-range read touches fewer files than the full snapshot."""
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.operators.lakehouse_ops import (
+        _orders_epoch_table,
+    )
+
+    t = _orders_epoch_table(spark, sf_dir)
+    pruned = _n_input_files(t.read_where(F.col("o_ym") >= "1997-01"))
+    full = _n_input_files(t.read())
+    assert pruned < full, f"pruned={pruned} full={full}"
+    # and the pruned read returns exactly the filtered rows
+    got = t.read_where(F.col("o_ym") >= "1997-01").count()
+    want = t.read().filter(F.col("o_ym") >= "1997-01").count()
+    assert got == want > 0
