@@ -1167,7 +1167,20 @@ class LakeTable:
         if literals is not None:
             touched = self._buckets_for_literals(literals, pk, n, prev)
         if touched is None:
-            full = self._read_data(prev)
+            # the touched-bucket DISCOVERY scan honors manifest stats: base
+            # entries a comparison conjunct proves empty can't contribute a
+            # matching row, so they're skipped (deltas always read — same
+            # MOR soundness rule as read_where). The REWRITE below still
+            # covers whole touched buckets; this only trims discovery I/O.
+            preds = _range_predicates(matches)
+            scan_entries = prev.files
+            if preds:
+                scan_entries = [
+                    e
+                    for e in scan_entries
+                    if e.get("delta") is not None or _entry_may_match(e, preds)
+                ]
+            full = self._resolve(scan_entries, prev.schema_json, spec)
             touched = {
                 r["b"]
                 for r in full.filter(matches.eqNullSafe(True))
