@@ -60,6 +60,35 @@ _MODULES = (
 )
 
 
+# Fine-grained sweep priority (round 7): the ~50-query/round budget should
+# go to queries with NO driver correctness row yet — the 30 round-6
+# additions the driver never swept plus the round-7 additions; the module
+# rotation above puts the right FAMILIES first, this list pulls the exact
+# names to the very front (47 names — 3 budget slots left for the names
+# that follow in module order). Names here must exist in some module
+# (asserted in all_queries).
+_SWEEP_FIRST = [
+    "pl_curation", "pl_dedup_canonical", "pl_sequence_pack",
+    "dd_exact", "dd_ngram_jaccard", "dd_components", "dd_minhash_lsh",
+    "dd_simhash", "dd_embedding_cosine",
+    "q12_priority_shipping", "q13_cust_order_histogram", "q15_top_supplier",
+    "q16_part_supplier_variety", "q17_small_qty_revenue",
+    "q18_large_volume_customers", "q20_promo_part_suppliers",
+    "q21_waiting_suppliers", "q22_sales_opportunity",
+    "w_running_total", "w_lag_delta", "w_moving_avg", "w_quartiles",
+    "w_first_last", "w_gapfill_resample", "w_range_frame",
+    "a_grouping_sets", "f_array_hof", "a_approx_quantiles",
+    "st_cdc_merge_stream", "st_cdc_multibatch", "st_watermark_window",
+    "st_stream_interval_join", "st_dedup_stream", "st_static_enrich",
+    "in_csv_roundtrip", "in_csv_append_evolution", "in_csv_upsert_precombine",
+    "in_csv_partitioned", "in_jsonl_roundtrip", "in_orc_roundtrip",
+    "in_jdbc_roundtrip",
+    "lh_changes_feed", "lh_clone_divergence", "lh_mor_read_amp",
+    "lh_composite_key_dml", "lh_stats_skipping",
+    "search_incremental_sync",
+]
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
@@ -67,7 +96,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
-    return out
+    missing = [n for n in _SWEEP_FIRST if n not in out]
+    if missing:
+        raise ValueError(f"_SWEEP_FIRST names not registered: {missing}")
+    ordered = {n: out[n] for n in _SWEEP_FIRST}
+    ordered.update(out)
+    return ordered
 
 
 def all_oracle_sql() -> dict[str, str]:
