@@ -55,10 +55,13 @@ HEADLINERS = [
     "j_asof_join",
     "j_range_join",
     "lh_incremental_rollup",
-    # round-7 addition: read through 7 pending MOR deltas (read
-    # amplification worst case; the table build is memoized setup, so
-    # runs 2..N time the read alone and the median reflects it)
+    # round-7 additions: read through 7 pending MOR deltas (read
+    # amplification worst case) and the manifest-stats skipping serve path
+    # (month-range read over the epoch-append table); both tables are
+    # memoized setup, so runs 2..N time the read alone and the median
+    # reflects it
     "lh_mor_read_amp",
+    "lh_stats_skipping",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —
@@ -297,7 +300,7 @@ def main() -> None:
     # value_r6_set: the sum over the round-6 22-query headliner set, so the
     # headline stays comparable round-over-round as new entries join
     # (lh_mor_read_amp is new in r7); "value" covers every current headliner
-    r7_new = {"lh_mor_read_amp"}
+    r7_new = {"lh_mor_read_amp", "lh_stats_skipping"}
     out = {
         "metric": "headline_total",
         "value": round(total, 3),
