@@ -201,3 +201,22 @@ def test_epoch_append_query_skips_old_segments(spark, sf_dir):
     got = t.read_where(F.col("o_ym") >= "1997-01").count()
     want = t.read().filter(F.col("o_ym") >= "1997-01").count()
     assert got == want > 0
+
+
+def test_facade_equality_filter_prunes_by_stats(spark, tmp_path):
+    """engine.read(filter_col=, filter_val=) on a non-pk DOUBLE column
+    benefits from manifest stats: an equality literal outside an entry's
+    range skips that entry's files."""
+    from datalake_on_prem_system_spark.engine import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path), namespace="prune_ns")
+    eng.write_table(
+        "ev", spark.range(0, 200).selectExpr("id AS ev_id", "CAST(id * 1.5 AS DOUBLE) AS v")
+    )
+    t = eng.catalog.table("ev")
+    t.append(
+        spark.range(200, 400).selectExpr("id AS ev_id", "CAST(id * 1.5 AS DOUBLE) AS v")
+    )
+    df = eng.read("ev", filter_col="v", filter_val="450.0")
+    assert len(df.inputFiles()) < len(t.read().inputFiles())
+    assert [r.ev_id for r in df.collect()] == [300]
