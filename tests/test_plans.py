@@ -268,8 +268,15 @@ def test_point_read_prunes_to_one_bucket(spark, tmp_path):
     assert len(buckets) == 1, files  # one bucket dir, not eight
     assert [(r.id, r.s) for r in out.collect()] == [(7, "v7_new")]
 
-    # arbitrary predicate falls back to the full snapshot (all buckets)
-    full = t.read_where(F.col("s") == "v9")
+    # a non-pk EQUALITY now prunes too — via manifest column stats, not
+    # buckets (round 7): only entries whose s-range can hold 'v9' resolve
+    stat = t.read_where(F.col("s") == "v9")
+    sb = {f.split("__bucket=")[1].split("/")[0] for f in stat.inputFiles() if "__bucket=" in f}
+    assert len(sb) < 8, "stats should exclude provably-non-matching buckets"
+    assert [(r.id, r.s) for r in stat.collect()] == [(9, "v9")]
+
+    # a predicate stats can't reason about falls back to the full snapshot
+    full = t.read_where(F.col("s").contains("v9"))
     fb = {f.split("__bucket=")[1].split("/")[0] for f in full.inputFiles() if "__bucket=" in f}
     assert len(fb) == 8
     assert [(r.id, r.s) for r in full.collect()] == [(9, "v9")]
