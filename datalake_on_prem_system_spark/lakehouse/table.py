@@ -56,9 +56,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 BUCKET_COL = "__bucket"
+RANGE_COL = "__range"  # compact_clustered leaf-dir column (never surfaces)
 DEFAULT_N_BUCKETS = 32
 # reserved metadata column names (bucket layout + merge-on-read resolution)
-_RESERVED_COLS = {"__bucket", "__op", "__seq", "__rn", "__is_delta"}
+_RESERVED_COLS = {"__bucket", "__range", "__op", "__seq", "__rn", "__is_delta"}
 # fold merge-on-read deltas back into base files once this many delta
 # commits have accumulated (Hudi compaction-on-N-delta-commits policy)
 DEFAULT_DELTA_COMPACT_THRESHOLD = 8
@@ -1303,6 +1304,86 @@ class LakeTable:
         # _write_segment repartitions on the pk AFTER this point, so the
         # sort is applied inside _write_segment (post-repartition), not here
         return self._publish(df, "compact", sort_within=cluster_by)
+
+    def compact_clustered(self, key, n_ranges: int | None = None) -> Commit:
+        """OPTIMIZE ... ZORDER analog: rewrite the table into ``n_ranges``
+        segments each covering a DISJOINT range of ``key`` (a column name
+        or expression — ``lakehouse.zorder.zorder_key`` builds the
+        multi-column interleaved key), one manifest ENTRY per range. The
+        entry-level [min, max] stats then let ``read_where`` drop whole
+        segments for range/equality predicates on the clustered column(s)
+        — the piece plain ``compact(cluster_by=...)`` can't provide for an
+        unbucketed table (its single entry spans everything; only
+        row-group stats help there).
+
+        Range boundaries come from approx quantiles of the key (equi-DEPTH
+        cells — skew-robust, unlike equi-width). NULL keys land in range
+        0. Trade-off recorded in the commit: the range layout REPLACES any
+        bucket layout (they're different physical orders — Delta makes the
+        same choice for ZORDER), so the next keyed merge pays one
+        re-bucketing rewrite."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ExpiredVersionError(f"no commits at {self.root}")
+        prev = self._read_commit(latest)
+        if prev.partition_by:
+            raise ValueError("compact_clustered does not apply to hive-partitioned tables")
+        df = self._read_data(prev)
+        key_col = F.col(key) if isinstance(key, str) else key
+        kd = key_col.cast("double")
+        n = n_ranges or max(1, self.spark.sparkContext.defaultParallelism // 4)
+        bounds: list[float] = []
+        if n > 1:
+            bounds = sorted(
+                set(
+                    df.select(kd.alias("__ck")).approxQuantile(
+                        "__ck", [i / n for i in range(1, n)], 0.001
+                    )
+                )
+            )
+        rid = F.lit(0)
+        for b in bounds:
+            rid = rid + F.when(kd > F.lit(b), 1).otherwise(0)
+        parent, version, _pb, properties, _prev2 = self._next_version(
+            "compact", None, None
+        )
+        os.makedirs(self._data_dir, exist_ok=True)
+        path = self._segment_path(version)
+        (
+            df.withColumn(RANGE_COL, rid.cast("int"))
+            .repartition(max(1, len(bounds) + 1), F.col(RANGE_COL))
+            .sortWithinPartitions(RANGE_COL, key_col)
+            .write.mode("overwrite")
+            .partitionBy(RANGE_COL)
+            .parquet(path)
+        )
+        entries = []
+        for d in sorted(os.listdir(path)):
+            if d.startswith(f"{RANGE_COL}="):
+                leaf = os.path.join(path, d)
+                n_rows, stats = self._footer_summary(leaf)
+                entries.append(
+                    {
+                        "path": leaf,
+                        "bucket": None,
+                        "n_rows": n_rows,
+                        "stats": stats,
+                        "seq": version,
+                    }
+                )
+        commit = Commit(
+            version=version,
+            parent=parent,
+            operation="compact",
+            files=entries,
+            n_rows=sum(e["n_rows"] for e in entries),
+            schema_json=df.schema.json(),
+            committed_at=time.time(),
+            bucket_spec=None,
+            partition_by=None,
+            properties=properties,
+        )
+        return self._publish_commit(commit, [path])
 
     def clone_to(self, dest_root: str, version: int | None = None) -> "LakeTable":
         """Zero-copy SHALLOW CLONE (Delta `CLONE` / Iceberg snapshot-ref

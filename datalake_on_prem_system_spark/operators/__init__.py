@@ -84,7 +84,7 @@ _SWEEP_FIRST = [
     "in_csv_partitioned", "in_jsonl_roundtrip", "in_orc_roundtrip",
     "in_jdbc_roundtrip",
     "lh_changes_feed", "lh_clone_divergence", "lh_mor_read_amp",
-    "lh_composite_key_dml", "lh_stats_skipping",
+    "lh_composite_key_dml", "lh_stats_skipping", "lh_zorder_skipping",
     "search_incremental_sync",
 ]
 

@@ -285,6 +285,46 @@ def lh_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_CACHE: dict[str, str] = {}
+
+
+def lh_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER serve path: orders rewritten by
+    ``compact_clustered(zorder_key([o_custkey, o_totalprice]))`` into 16
+    range segments, then a narrow o_totalprice range read — manifest
+    stats skip most segments on the SECOND clustered dimension (the one
+    lexicographic clustering can never serve; pruning inputFiles-pinned
+    in tests/test_table_format.py). Result = per-custkey-bucket aggregate
+    of the band, oracle-recomputed from raw orders (clustering is layout,
+    not semantics)."""
+    from ..lakehouse.zorder import zorder_key
+
+    if sf_dir not in _ZORDER_CACHE:
+        root = tempfile.mkdtemp(prefix="lake_zorder_")
+        table = LakeTable(spark, root)
+        table.create_or_replace(
+            t(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_custkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+            )
+        )
+        table.compact_clustered(
+            zorder_key(table.read(), ["o_custkey", "o_totalprice"]), n_ranges=16
+        )
+        _ZORDER_CACHE[sf_dir] = root
+    table = LakeTable(spark, _ZORDER_CACHE[sf_dir])
+    band = table.read_where(
+        (F.col("o_totalprice") >= 100000.0) & (F.col("o_totalprice") < 120000.0)
+    )
+    return band.groupBy((F.col("o_custkey") % 10).alias("cust_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def lh_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5/M4: real MERGE commit, read back the new version."""
     return _merged_table(spark, sf_dir).read()
@@ -496,6 +536,7 @@ QUERIES = {
     "lh_mor_read_amp": lh_mor_read_amp,
     "lh_composite_key_dml": lh_composite_key_dml,
     "lh_stats_skipping": lh_stats_skipping,
+    "lh_zorder_skipping": lh_zorder_skipping,
     "lh_merge_upsert": lh_merge_upsert,
     "lh_incremental_rollup": lh_incremental_rollup,
     "lh_time_travel": lh_time_travel,
@@ -558,6 +599,15 @@ ORACLE = {
                     AS DOUBLE) AS revenue
         FROM orders
         WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        GROUP BY 1
+    """,
+    "lh_zorder_skipping": """
+        SELECT o_custkey % 10 AS cust_bucket, count(*) AS n_orders,
+               CAST(round(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders
+        WHERE round(o_totalprice, 2) >= 100000.0
+          AND round(o_totalprice, 2) < 120000.0
         GROUP BY 1
     """,
     "lh_mor_read_amp": """

@@ -220,3 +220,61 @@ def test_facade_equality_filter_prunes_by_stats(spark, tmp_path):
     df = eng.read("ev", filter_col="v", filter_val="450.0")
     assert len(df.inputFiles()) < len(t.read().inputFiles())
     assert [r.ev_id for r in df.collect()] == [300]
+
+
+def test_compact_clustered_zorder_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering makes manifest stats effective on EVERY
+    clustered column: after compact_clustered(zorder_key([a, b])), narrow
+    range predicates on a AND on b each resolve a strict subset of the
+    range segments — lexicographic clustering can only ever do this for
+    the leading column."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.lakehouse import LakeTable
+    from datalake_on_prem_system_spark.lakehouse.zorder import zorder_key
+
+    rng = _random.Random(11)
+    rows = [(i, rng.randrange(1000), rng.randrange(1000)) for i in range(4000)]
+    t = LakeTable(spark, str(tmp_path / "z"))
+    t.create_or_replace(spark.createDataFrame(rows, "id bigint, a bigint, b bigint"))
+    before = {(r.id, r.a, r.b) for r in t.read().collect()}
+
+    t.compact_clustered(zorder_key(t.read(), ["a", "b"]), n_ranges=16)
+    assert len(t.commit_at().files) == 16  # one manifest entry per range
+    assert {(r.id, r.a, r.b) for r in t.read().collect()} == before  # lossless
+
+    full = len(t.read().inputFiles())
+    for col in ("a", "b"):
+        pred = (F.col(col) >= 100) & (F.col(col) < 200)
+        pruned = t.read_where(pred)
+        assert len(pruned.inputFiles()) < full, f"no skipping on {col}"
+        got = {(r.id, r.a, r.b) for r in pruned.collect()}
+        want = {r for r in before if 100 <= (r[1] if col == "a" else r[2]) < 200}
+        assert got == want
+
+
+def test_compact_clustered_null_keys_and_merge_after(spark, tmp_path):
+    """NULL key components land in range 0 (never lost); a keyed merge
+    after clustering still works (one re-bucketing rewrite — the layout
+    trade-off the docstring records)."""
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.lakehouse import LakeTable
+    from datalake_on_prem_system_spark.lakehouse.zorder import zorder_key
+
+    t = LakeTable(spark, str(tmp_path / "zn"))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 900), (4, 500)], "id bigint, a bigint"
+        ),
+        bucket_by=("id", 4),
+    )
+    t.compact_clustered(zorder_key(t.read(), ["a"]), n_ranges=2)
+    assert t.commit_at().bucket_spec is None  # range layout replaced buckets
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 4}
+    t.merge(spark.createDataFrame([(2, 77)], "id bigint, a bigint"), pk="id")
+    assert {(r.id, r.a) for r in t.read().collect()} == {
+        (1, 10), (2, 77), (3, 900), (4, 500)
+    }
