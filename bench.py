@@ -62,6 +62,7 @@ HEADLINERS = [
     # reflects it
     "lh_mor_read_amp",
     "lh_stats_skipping",
+    "lh_zorder_skipping",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —
@@ -308,7 +309,7 @@ def main() -> None:
     # value_r6_set: the sum over the round-6 22-query headliner set, so the
     # headline stays comparable round-over-round as new entries join
     # (lh_mor_read_amp is new in r7); "value" covers every current headliner
-    r7_new = {"lh_mor_read_amp", "lh_stats_skipping"}
+    r7_new = {"lh_mor_read_amp", "lh_stats_skipping", "lh_zorder_skipping"}
     out = {
         "metric": "headline_total",
         "value": round(total, 3),

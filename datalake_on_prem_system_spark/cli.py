@@ -55,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("travel"); p.add_argument("table"); p.add_argument("version", type=int)
     p = sub.add_parser("diff"); p.add_argument("table"); p.add_argument("v_old", type=int); p.add_argument("v_new", type=int)
     p = sub.add_parser("search"); p.add_argument("table"); p.add_argument("query")
-    p = sub.add_parser("compact"); p.add_argument("table"); p.add_argument("--files", type=int); p.add_argument("--cluster-by")
+    p = sub.add_parser("compact"); p.add_argument("table"); p.add_argument("--files", type=int); p.add_argument("--cluster-by"); p.add_argument("--zorder-by", help="comma-separated numeric columns: Morton-key range clustering (one manifest entry per range)"); p.add_argument("--ranges", type=int, default=16)
     p = sub.add_parser("expire"); p.add_argument("table"); p.add_argument("--keep-last", type=int, default=2)
     p = sub.add_parser("clone"); p.add_argument("table"); p.add_argument("dest"); p.add_argument("--version", type=int)
     p = sub.add_parser("changes"); p.add_argument("table"); p.add_argument("v_from", type=int); p.add_argument("v_to", type=int)
@@ -112,10 +112,19 @@ def _dispatch(args, eng, n: int) -> int:
     elif args.verb == "search":
         eng.search(args.table, args.query).show(n, truncate=False)
     elif args.verb == "compact":
-        c = eng.catalog.table(args.table).compact(
-            target_partitions=args.files,
-            cluster_by=[c.strip() for c in args.cluster_by.split(",") if c.strip()] if args.cluster_by else None,
-        )
+        tbl = eng.catalog.table(args.table)
+        if args.zorder_by:
+            from .lakehouse.zorder import zorder_key
+
+            cols = [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+            c = tbl.compact_clustered(
+                zorder_key(tbl.read(), cols), n_ranges=args.ranges
+            )
+        else:
+            c = tbl.compact(
+                target_partitions=args.files,
+                cluster_by=[c.strip() for c in args.cluster_by.split(",") if c.strip()] if args.cluster_by else None,
+            )
         print(f"compacted {args.table} at version {c.version}")
     elif args.verb == "expire":
         gone = eng.catalog.table(args.table).expire_snapshots(keep_last=args.keep_last)

@@ -71,3 +71,25 @@ def test_cli_ingest_read_crud_history(spark, tmp_path, capsys):
     assert main(["--warehouse", wh, "changes", "items", "0", "3"]) == 0
     out = capsys.readouterr().out
     assert "_change_type" in out and ("update" in out or "insert" in out)
+
+
+def test_cli_compact_zorder(spark, tmp_path, capsys):
+    """`compact --zorder-by a,b` rewrites into range segments through the
+    CLI surface."""
+    from datalake_on_prem_system_spark.engine import LakeEngine
+
+    wh = str(tmp_path / "wh")
+    eng = LakeEngine(spark, wh)
+    eng.write_table(
+        "m",
+        spark.createDataFrame(
+            [(i, i % 13, (i * 7) % 11) for i in range(500)],
+            "id bigint, a bigint, b bigint",
+        ),
+    )
+    assert main(["--warehouse", wh, "compact", "m", "--zorder-by", "a,b",
+                 "--ranges", "4"]) == 0
+    assert "compacted m" in capsys.readouterr().out
+    t = eng.catalog.table("m")
+    assert len(t.commit_at().files) == 4
+    assert t.read().count() == 500
