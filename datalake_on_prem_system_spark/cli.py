@@ -114,6 +114,11 @@ def _dispatch(args, eng, n: int) -> int:
     elif args.verb == "compact":
         tbl = eng.catalog.table(args.table)
         if args.zorder_by:
+            if args.cluster_by or args.files:
+                raise SystemExit(
+                    "--zorder-by is its own layout: it conflicts with "
+                    "--cluster-by/--files (range count comes from --ranges)"
+                )
             from .lakehouse.zorder import zorder_key
 
             cols = [c.strip() for c in args.zorder_by.split(",") if c.strip()]

@@ -370,20 +370,7 @@ class LakeTable:
                 # cluster order survives to the files
                 out = out.sortWithinPartitions(BUCKET_COL, *sort_within)
             out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
-            entries = []
-            for d in sorted(os.listdir(path)):
-                if d.startswith(f"{BUCKET_COL}="):
-                    leaf = os.path.join(path, d)
-                    n, stats = self._footer_summary(leaf)
-                    entries.append(
-                        {
-                            "path": leaf,
-                            "bucket": int(d.split("=", 1)[1]),
-                            "n_rows": n,
-                            "stats": stats,
-                        }
-                    )
-            return path, entries
+            return path, self._harvest_leaf_entries(path, BUCKET_COL, bucket_ids=True)
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
         writer = df.write.mode("overwrite")
@@ -392,6 +379,29 @@ class LakeTable:
         writer.parquet(path)
         n, stats = self._footer_summary(path)
         return path, [{"path": path, "bucket": None, "n_rows": n, "stats": stats}]
+
+    def _harvest_leaf_entries(
+        self, path: str, dir_col: str, bucket_ids: bool
+    ) -> list[dict]:
+        """One manifest entry per ``dir_col=<i>`` leaf of a just-written
+        segment — n_rows + column stats from a single footer pass. The
+        shared shape for bucket layouts (``bucket_ids=True``: the dir
+        value IS the bucket id) and range-clustered layouts (entries stay
+        bucket=None)."""
+        entries = []
+        for d in sorted(os.listdir(path)):
+            if d.startswith(f"{dir_col}="):
+                leaf = os.path.join(path, d)
+                n, stats = self._footer_summary(leaf)
+                entries.append(
+                    {
+                        "path": leaf,
+                        "bucket": int(d.split("=", 1)[1]) if bucket_ids else None,
+                        "n_rows": n,
+                        "stats": stats,
+                    }
+                )
+        return entries
 
     def _publish_commit(self, commit: Commit, new_paths: list[str]) -> Commit:
         """Atomically publish the commit JSON; on a lost race, remove the
@@ -1317,60 +1327,57 @@ class LakeTable:
         row-group stats help there).
 
         Range boundaries come from approx quantiles of the key (equi-DEPTH
-        cells — skew-robust, unlike equi-width). NULL keys land in range
-        0. Trade-off recorded in the commit: the range layout REPLACES any
-        bucket layout (they're different physical orders — Delta makes the
-        same choice for ZORDER), so the next keyed merge pays one
-        re-bucketing rewrite."""
+        cells — skew-robust, unlike equi-width; duplicate quantile bounds
+        collapse, so a low-cardinality key yields UP TO ``n_ranges``
+        segments, possibly fewer). NULL keys land in range 0. Trade-off
+        recorded in the commit: the range layout REPLACES any bucket
+        layout (they're different physical orders — Delta makes the same
+        choice for ZORDER), so the next keyed merge pays one re-bucketing
+        rewrite."""
         latest = self.latest_version()
         if latest is None:
             raise ExpiredVersionError(f"no commits at {self.root}")
         prev = self._read_commit(latest)
         if prev.partition_by:
             raise ValueError("compact_clustered does not apply to hive-partitioned tables")
-        df = self._read_data(prev)
-        key_col = F.col(key) if isinstance(key, str) else key
-        kd = key_col.cast("double")
-        n = n_ranges or max(1, self.spark.sparkContext.defaultParallelism // 4)
-        bounds: list[float] = []
-        if n > 1:
-            bounds = sorted(
-                set(
-                    df.select(kd.alias("__ck")).approxQuantile(
-                        "__ck", [i / n for i in range(1, n)], 0.001
+        # persisted: the quantile pass and the clustered write both consume
+        # the resolved frame — on a MOR table an unpersisted plan would
+        # repeat the delta-resolution window shuffle per consumer
+        df = self._read_data(prev).persist()
+        try:
+            key_col = F.col(key) if isinstance(key, str) else key
+            kd = key_col.cast("double")
+            n = n_ranges or max(1, self.spark.sparkContext.defaultParallelism // 4)
+            bounds: list[float] = []
+            if n > 1:
+                bounds = sorted(
+                    set(
+                        df.select(kd.alias("__ck")).approxQuantile(
+                            "__ck", [i / n for i in range(1, n)], 0.001
+                        )
                     )
                 )
+            rid = F.lit(0)
+            for b in bounds:
+                rid = rid + F.when(kd > F.lit(b), 1).otherwise(0)
+            parent, version, _pb, properties, _prev2 = self._next_version(
+                "compact", None, None
             )
-        rid = F.lit(0)
-        for b in bounds:
-            rid = rid + F.when(kd > F.lit(b), 1).otherwise(0)
-        parent, version, _pb, properties, _prev2 = self._next_version(
-            "compact", None, None
-        )
-        os.makedirs(self._data_dir, exist_ok=True)
-        path = self._segment_path(version)
-        (
-            df.withColumn(RANGE_COL, rid.cast("int"))
-            .repartition(max(1, len(bounds) + 1), F.col(RANGE_COL))
-            .sortWithinPartitions(RANGE_COL, key_col)
-            .write.mode("overwrite")
-            .partitionBy(RANGE_COL)
-            .parquet(path)
-        )
-        entries = []
-        for d in sorted(os.listdir(path)):
-            if d.startswith(f"{RANGE_COL}="):
-                leaf = os.path.join(path, d)
-                n_rows, stats = self._footer_summary(leaf)
-                entries.append(
-                    {
-                        "path": leaf,
-                        "bucket": None,
-                        "n_rows": n_rows,
-                        "stats": stats,
-                        "seq": version,
-                    }
-                )
+            os.makedirs(self._data_dir, exist_ok=True)
+            path = self._segment_path(version)
+            (
+                df.withColumn(RANGE_COL, rid.cast("int"))
+                .repartition(max(1, len(bounds) + 1), F.col(RANGE_COL))
+                .sortWithinPartitions(RANGE_COL, key_col)
+                .write.mode("overwrite")
+                .partitionBy(RANGE_COL)
+                .parquet(path)
+            )
+        finally:
+            df.unpersist()
+        entries = self._harvest_leaf_entries(path, RANGE_COL, bucket_ids=False)
+        for e in entries:
+            e["seq"] = version
         commit = Commit(
             version=version,
             parent=parent,

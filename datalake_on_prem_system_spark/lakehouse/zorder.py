@@ -33,9 +33,14 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
     skew, pre-transform (log) or rank-normalize the column first."""
     if not cols:
         raise ValueError("zorder_key needs at least one column")
-    if bits * len(cols) > 63:
+    if bits * len(cols) > 53:
+        # not 63: compact_clustered computes range bounds on the key CAST
+        # TO DOUBLE (approxQuantile), whose 53-bit mantissa would silently
+        # collapse distinct keys — and with it the promised skipping —
+        # above this width
         raise ValueError(
-            f"bits * n_cols must fit a signed 64-bit key; got {bits}×{len(cols)}"
+            f"bits * n_cols must fit a double mantissa (53 bits); "
+            f"got {bits}×{len(cols)}"
         )
     row = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],

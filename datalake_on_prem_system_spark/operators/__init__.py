@@ -64,7 +64,7 @@ _MODULES = (
 # go to queries with NO driver correctness row yet — the 30 round-6
 # additions the driver never swept plus the round-7 additions; the module
 # rotation above puts the right FAMILIES first, this list pulls the exact
-# names to the very front (47 names — 3 budget slots left for the names
+# names to the very front (48 names — ~2 budget slots left for the names
 # that follow in module order). Names here must exist in some module
 # (asserted in all_queries).
 _SWEEP_FIRST = [

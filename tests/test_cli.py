@@ -91,5 +91,19 @@ def test_cli_compact_zorder(spark, tmp_path, capsys):
                  "--ranges", "4"]) == 0
     assert "compacted m" in capsys.readouterr().out
     t = eng.catalog.table("m")
-    assert len(t.commit_at().files) == 4
+    assert 1 < len(t.commit_at().files) <= 4
     assert t.read().count() == 500
+
+
+def test_cli_compact_zorder_rejects_conflicting_flags(spark, tmp_path):
+    import pytest as _pytest
+
+    from datalake_on_prem_system_spark.engine import LakeEngine
+
+    wh = str(tmp_path / "wh")
+    LakeEngine(spark, wh).write_table(
+        "m2", spark.createDataFrame([(1, 2)], "id bigint, a bigint")
+    )
+    with _pytest.raises(SystemExit, match="conflicts"):
+        main(["--warehouse", wh, "compact", "m2", "--zorder-by", "a",
+              "--cluster-by", "id"])
