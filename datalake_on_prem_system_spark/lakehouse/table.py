@@ -55,6 +55,8 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .bloom import attach_blooms, bloom_config, bloom_excludes
+
 BUCKET_COL = "__bucket"
 RANGE_COL = "__range"  # compact_clustered leaf-dir column (never surfaces)
 DEFAULT_N_BUCKETS = 32
@@ -222,11 +224,15 @@ def _range_predicates(condition) -> list[tuple[str, str, Any]]:
 
 
 def _entry_may_match(entry: dict, preds: list[tuple[str, str, Any]]) -> bool:
-    """False only when the entry's recorded [min, max] PROVES a conjunct
-    can't match any of its rows — missing stats, unknown columns, or
-    incomparable types keep the entry (conservative)."""
+    """False only when the entry's recorded [min, max] stats or bloom
+    bitset PROVES a conjunct can't match any of its rows — missing
+    stats/blooms, unknown columns, or incomparable types keep the entry
+    (conservative). Callers apply this to BASE entries only; delta entries
+    decide other rows' merge-on-read survival and are never pruned."""
     stats = entry.get("stats") or {}
     for col, op, val in preds:
+        if op == "=" and bloom_excludes(entry, col, val):
+            return False
         rng = stats.get(col)
         if not rng:
             continue
@@ -478,6 +484,7 @@ class LakeTable:
         )
         for e in entries:
             e["seq"] = version
+        self._maybe_attach_blooms(path, entries, properties)
         commit = Commit(
             version=version,
             parent=parent,
@@ -491,6 +498,19 @@ class LakeTable:
             properties=properties,
         )
         return self._publish_commit(commit, [path])
+
+    def _maybe_attach_blooms(
+        self, path: str, entries: list[dict], properties: dict[str, str] | None
+    ) -> None:
+        """Attach per-entry bloom bitsets to just-written BASE entries when
+        the table configures ``bloom.columns``. Never called for MOR delta
+        segments: deltas are exempt from all value-based pruning (their rows
+        decide other rows' survival), so a delta bloom could never be
+        consulted — building one would be pure waste."""
+        cfg = bloom_config(properties)
+        if cfg:
+            cols, m, k = cfg
+            attach_blooms(self.spark, path, entries, cols, m, k)
 
     def _publish_delta(
         self,
@@ -520,6 +540,10 @@ class LakeTable:
             )
             for e in new_entries:
                 e["seq"] = version
+            # every _publish_delta caller writes new_df as a BASE segment
+            # (appends / COW bucket rewrites); MOR deltas go through
+            # _merge_mor_delta's own commit construction and stay bloom-free
+            self._maybe_attach_blooms(path, new_entries, prev.properties)
             new_paths.append(path)
             entries = carried + new_entries
         if any(e.get("delta") is not None for e in entries):
@@ -1378,6 +1402,7 @@ class LakeTable:
         entries = self._harvest_leaf_entries(path, RANGE_COL, bucket_ids=False)
         for e in entries:
             e["seq"] = version
+        self._maybe_attach_blooms(path, entries, properties)
         commit = Commit(
             version=version,
             parent=parent,

@@ -285,6 +285,39 @@ def lh_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_CACHE: dict[str, str] = {}
+
+
+def lh_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping on the serve path ("find this customer's
+    orders" over an append-only table): orders land in 8 epoch segments
+    whose o_custkey [min, max] ranges all span the whole domain — min/max
+    stats can prune NOTHING for a custkey point predicate — but each
+    segment's manifest entry carries a per-column bloom
+    (``bloom.columns=o_custkey``), so ``read_where`` drops every epoch the
+    customer never ordered in. The 100 TB shape: a point lookup on a
+    high-cardinality non-layout column costs O(segments containing the
+    key), not O(table). Soundness + parity pinned in tests/test_bloom.py."""
+    if sf_dir not in _BLOOM_CACHE:
+        root = tempfile.mkdtemp(prefix="lake_bloom_")
+        table = LakeTable(spark, root)
+        base = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        table.create_or_replace(
+            base.filter(F.col("o_orderkey") % 8 == 0),
+            properties={"bloom.columns": "o_custkey", "bloom.m": str(1 << 17)},
+        )
+        for epoch in range(1, 8):
+            table.append(base.filter(F.col("o_orderkey") % 8 == epoch))
+        _BLOOM_CACHE[sf_dir] = root
+    table = LakeTable(spark, _BLOOM_CACHE[sf_dir])
+    target = table.read().agg(F.min("o_custkey")).collect()[0][0]
+    return table.read_where(F.col("o_custkey") == int(target))
+
+
 _ZORDER_CACHE: dict[str, str] = {}
 
 
@@ -536,6 +569,7 @@ QUERIES = {
     "lh_mor_read_amp": lh_mor_read_amp,
     "lh_composite_key_dml": lh_composite_key_dml,
     "lh_stats_skipping": lh_stats_skipping,
+    "lh_bloom_skipping": lh_bloom_skipping,
     "lh_zorder_skipping": lh_zorder_skipping,
     "lh_merge_upsert": lh_merge_upsert,
     "lh_incremental_rollup": lh_incremental_rollup,
@@ -600,6 +634,11 @@ ORACLE = {
         FROM orders
         WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
         GROUP BY 1
+    """,
+    "lh_bloom_skipping": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
     """,
     "lh_zorder_skipping": """
         SELECT o_custkey % 10 AS cust_bucket, count(*) AS n_orders,

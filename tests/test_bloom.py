@@ -1,0 +1,205 @@
+"""Bloom-filter file skipping: build/probe parity, manifest plumbing, and
+the soundness rules (base-only pruning, type-mismatch conservatism).
+
+The scenario every test builds on: segments whose min/max RANGES overlap
+(so stats skipping can never help) but whose value MEMBERSHIP differs —
+the point-predicate shape blooms exist for.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_on_prem_system_spark.lakehouse.bloom import (
+    DEFAULT_K,
+    DEFAULT_M,
+    _canonical_str,
+    _positions,
+    bloom_config,
+    bloom_excludes,
+)
+from datalake_on_prem_system_spark.lakehouse.table import LakeTable
+
+
+def _mk(spark, clerks, base):
+    return spark.createDataFrame(
+        [(base + i, c, float(base + i)) for i, c in enumerate(clerks)],
+        "pk long, clerk string, v double",
+    )
+
+
+@pytest.fixture(scope="module")
+def bloom_table(spark):
+    """Three base segments with overlapping clerk ranges, disjoint beyond
+    the shared endpoints: v0={a,c,e} v1={a,b,f} v2={b,e,z}."""
+    root = tempfile.mkdtemp(prefix="lake_bloom_")
+    t = LakeTable(spark, root)
+    t.create_or_replace(_mk(spark, ["a", "c", "e"], 0), properties={"bloom.columns": "clerk"})
+    t.append(_mk(spark, ["a", "b", "f"], 10))
+    t.append(_mk(spark, ["b", "e", "z"], 20))
+    return t
+
+
+def test_every_base_entry_carries_a_bloom(bloom_table):
+    commit = bloom_table.commit_at()
+    assert len(commit.files) == 3
+    for e in commit.files:
+        info = e["bloom"]["clerk"]
+        assert info["m"] == DEFAULT_M and info["k"] == DEFAULT_K and info["t"] == "s"
+
+
+def test_no_false_negatives_on_present_values(bloom_table):
+    """A value present in a segment must never be excluded by its bloom —
+    the correctness-critical direction of the JVM-build/Python-probe
+    hash-parity contract."""
+    commit = bloom_table.commit_at()
+    membership = {0: "ace", 1: "abf", 2: "bez"}
+    for e in commit.files:
+        version = int(e["seq"])
+        for clerk in membership[version]:
+            assert not bloom_excludes(e, "clerk", clerk)
+
+
+def test_point_read_skips_bloom_excluded_segments(bloom_table):
+    """clerk='c' lives only in v0, but every segment's [min,max] range
+    covers 'c' — only the bloom can prune v1/v2, and it does."""
+    commit = bloom_table.commit_at()
+    for e in commit.files:
+        lo, hi = e["stats"]["clerk"]
+        assert lo <= "c" <= hi  # stats alone prune nothing
+    df = bloom_table.read_where(F.col("clerk") == "c")
+    assert sorted(r["pk"] for r in df.collect()) == [1]
+    v0_entry = next(e for e in commit.files if int(e["seq"]) == 0)
+    assert all(f.replace("file:", "").replace("///", "/").startswith(v0_entry["path"]) for f in df.inputFiles())
+
+
+def test_absent_value_prunes_every_segment(bloom_table):
+    df = bloom_table.read_where(F.col("clerk") == "nowhere")
+    assert df.count() == 0
+    assert df.inputFiles() == []
+
+
+def test_results_match_full_scan_for_all_values(bloom_table):
+    for clerk in "abcefz":
+        pruned = sorted(
+            r["pk"] for r in bloom_table.read_where(F.col("clerk") == clerk).collect()
+        )
+        full = sorted(
+            r["pk"]
+            for r in bloom_table.read().filter(F.col("clerk") == clerk).collect()
+        )
+        assert pruned == full, clerk
+
+
+def test_blooms_survive_carry_and_respect_conjunctions(spark, bloom_table):
+    """Carried entries keep their blooms verbatim; a bloom conjunct
+    composes with an unrelated comparison conjunct."""
+    df = bloom_table.read_where((F.col("clerk") == "z") & (F.col("v") >= 0.0))
+    assert [r["pk"] for r in df.collect()] == [22]
+    commit = bloom_table.commit_at()
+    v2 = next(e for e in commit.files if int(e["seq"]) == 2)
+    assert all(f.replace("file:", "").replace("///", "/").startswith(v2["path"]) for f in df.inputFiles())
+
+
+def test_type_mismatched_literal_never_prunes(spark):
+    """An int literal probed against a string-column bloom must be ignored
+    (conservative), not hashed into a spurious exclusion."""
+    root = tempfile.mkdtemp(prefix="lake_bloom_ty_")
+    t = LakeTable(spark, root)
+    t.create_or_replace(
+        spark.createDataFrame([(1, "123")], "pk long, code string"),
+        properties={"bloom.columns": "code"},
+    )
+    e = t.commit_at().files[0]
+    assert not bloom_excludes(e, "code", 123)  # int vs string-kind bloom
+    assert not bloom_excludes(e, "code", None)
+    assert bloom_excludes(e, "code", "124")
+
+
+def test_integer_and_boolean_columns(spark):
+    root = tempfile.mkdtemp(prefix="lake_bloom_ib_")
+    t = LakeTable(spark, root)
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(1, 7, True), (2, -40, True)], "pk long, n long, flag boolean"
+        ),
+        properties={"bloom.columns": "n,flag"},
+    )
+    e = t.commit_at().files[0]
+    assert not bloom_excludes(e, "n", 7)
+    assert not bloom_excludes(e, "n", -40)
+    assert bloom_excludes(e, "n", 8)
+    assert not bloom_excludes(e, "flag", True)
+    assert bloom_excludes(e, "flag", False)
+    # bool literal against the int bloom: ignored, not treated as 0/1
+    assert not bloom_excludes(e, "n", True)
+
+
+def test_mor_delta_entries_have_no_bloom_and_are_always_read(spark):
+    """Soundness: a MOR delta deleting clerk 'c' must be consulted by the
+    clerk='c' read even though the delta batch's own values say nothing
+    about 'c' membership of other rows. Deltas carry no bloom (never
+    built) and the read path exempts them from pruning, so the delete is
+    honored."""
+    root = tempfile.mkdtemp(prefix="lake_bloom_mor_")
+    t = LakeTable(spark, root)
+    t.create_or_replace(
+        _mk(spark, ["a", "c", "e"], 0),
+        properties={"bloom.columns": "clerk", "write.merge.mode": "mor"},
+    )
+    t.merge(_mk(spark, ["a", "b"], 10), pk="pk")  # bucketize
+    # MOR delete of pk=1 (the clerk='c' row) via op column
+    chg = spark.createDataFrame(
+        [(1, "c", 1.0, "d")], "pk long, clerk string, v double, op string"
+    )
+    t.merge(chg, pk="pk", op_col="op")
+    commit = t.commit_at()
+    deltas = [e for e in commit.files if e.get("delta") is not None]
+    assert deltas and all("bloom" not in e for e in deltas)
+    assert t.read_where(F.col("clerk") == "c").count() == 0
+
+
+def test_hive_partitioned_single_entry_bloom(spark):
+    """A hive-layout segment is one manifest entry whose files live in
+    partition SUBDIRS — leaf-dir groups must roll up to the entry by
+    prefix."""
+    root = tempfile.mkdtemp(prefix="lake_bloom_hive_")
+    t = LakeTable(spark, root)
+    df = spark.createDataFrame(
+        [(1, "x", "p1"), (2, "y", "p2"), (3, "z", "p1")],
+        "pk long, code string, part string",
+    )
+    t.create_or_replace(df, partition_by=["part"], properties={"bloom.columns": "code"})
+    e = t.commit_at().files[0]
+    for present in "xyz":
+        assert not bloom_excludes(e, "code", present)
+    assert bloom_excludes(e, "code", "w")
+
+
+def test_probe_matches_reference_hash():
+    """Pin the probe's position derivation to the documented sha256-slice
+    scheme so a refactor can't silently break parity with written blooms."""
+    d = hashlib.sha256("abc".encode()).hexdigest()
+    assert _positions("abc", 1 << 15, 4) == [
+        int(d[0:12], 16) % (1 << 15),
+        int(d[12:24], 16) % (1 << 15),
+        int(d[24:36], 16) % (1 << 15),
+        int(d[36:48], 16) % (1 << 15),
+    ]
+    assert _canonical_str(True, "b") == "true"
+    assert _canonical_str(True, "i") is None
+    assert _canonical_str(5, "i") == "5"
+    assert _canonical_str("5", "i") is None
+
+
+def test_bloom_config_validation():
+    assert bloom_config(None) is None
+    assert bloom_config({"bloom.columns": "  "}) is None
+    cols, m, k = bloom_config({"bloom.columns": "a, b", "bloom.m": "1024", "bloom.k": "2"})
+    assert cols == ["a", "b"] and m == 1024 and k == 2
+    with pytest.raises(ValueError):
+        bloom_config({"bloom.columns": "a", "bloom.k": "9"})  # 9*12 > 64 hex
