@@ -268,7 +268,88 @@ def w_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream (view → click →
+    purchase): a user completes step k only with an event of step k's type
+    STRICTLY AFTER their step-(k-1) completion time. The classic product-
+    analytics operator (Amplitude/Mixpanel funnels; Snowplow does it with
+    N self-joins).
+
+    Scale shape: ONE shuffle — events filtered to funnel types, grouped by
+    user, per-user time-sorted array folded through a (stage, t) state
+    struct with a native HOF (``F.aggregate``: whole-stage-codegen, no
+    Python). Per-user state is O(events-of-user) for the sorted array —
+    the same bound any per-user sessionization carries — and the final
+    count is a partial-aggregated global sum. The N-self-join formulation
+    (the oracle's) shuffles N times; this shuffles once."""
+    steps = ["view", "click", "purchase"]
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(steps))
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts_us", "event_type"))).alias("evs")
+    )
+    init = F.struct(F.lit(0).alias("stage"), F.lit(None).cast("long").alias("t"))
+
+    def advance(acc, e):
+        def step_hit(k):
+            cond = (acc["stage"] == k - 1) & (e["event_type"] == F.lit(steps[k - 1]))
+            if k > 1:
+                cond = cond & (e["ts_us"] > acc["t"])
+            return cond
+
+        out = acc
+        for k in (3, 2, 1):  # when-chains evaluate top-down; build bottom-up
+            out = F.when(
+                step_hit(k),
+                F.struct(F.lit(k).alias("stage"), e["ts_us"].alias("t")),
+            ).otherwise(out)
+        return out
+
+    staged = per_user.select(F.aggregate("evs", init, advance)["stage"].alias("stage"))
+    total = (
+        t(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").alias("total_users"))
+    )
+    counts = staged.agg(
+        *[
+            F.sum((F.col("stage") >= k).cast("long")).alias(f"step{k}_users")
+            for k in (1, 2, 3)
+        ]
+    )
+    return total.crossJoin(counts)
+
+
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of their
+    first event; a cell (cohort_week, week_offset) counts distinct cohort
+    members active that many weeks later — the triangle every growth
+    dashboard draws.
+
+    Scale shape: first-touch is one user-keyed aggregation; the cohort
+    join re-uses the same user_id hash partitioning (co-partitioned, and
+    the first-touch side broadcasts when small); the cell rollup is a
+    partial-aggregated distinct over (cohort, offset, user). No windows,
+    no driver materialization."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.col("cohort").cast("string").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 QUERIES = {
+    "ev_funnel": ev_funnel,
+    "ev_retention": ev_retention,
     "w_running_total": w_running_total,
     "w_lag_delta": w_lag_delta,
     "w_moving_avg": w_moving_avg,
@@ -282,6 +363,38 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ev_funnel": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+        )
+        SELECT (SELECT count(DISTINCT user_id) FROM events) AS total_users,
+               (SELECT count(*) FROM s1) AS step1_users,
+               (SELECT count(*) FROM s2) AS step2_users,
+               (SELECT count(*) FROM s3) AS step3_users
+    """,
+    "ev_retention": """
+        WITH wk AS (
+            SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+            FROM events
+        ),
+        first AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1)
+        SELECT CAST(first.cohort AS VARCHAR) AS cohort_week,
+               CAST((wk.wk - first.cohort) / 7 AS BIGINT) AS week_offset,
+               count(DISTINCT wk.user_id) AS active_users
+        FROM wk JOIN first ON wk.user_id = first.user_id
+        GROUP BY 1, 2
+    """,
     "w_running_total": """
         SELECT o_custkey, o_orderkey,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (

@@ -46,6 +46,16 @@ def test_edge_events_windows_match_oracle(spark, tmp_path):
         (31, _ts(2), 4, "view", 20.0),
         (32, _ts(3), 4, "view", 30.0),
         (33, _ts(4), 4, "view", 40.0),
+        # user 5: funnel gauntlet — pre-view purchase/click must not count;
+        # the click and purchase at ts EQUAL to the prior step's completion
+        # must not count (strictly-after contract); the later ones do
+        (40, _ts(0), 5, "purchase", 1.0),
+        (41, _ts(1), 5, "click", 1.0),
+        (42, _ts(2), 5, "view", 1.0),
+        (43, _ts(2), 5, "click", 1.0),
+        (44, _ts(3), 5, "click", 1.0),
+        (45, _ts(3), 5, "purchase", 1.0),
+        (46, _ts(4), 5, "purchase", 1.0),
     ]
     spark.createDataFrame(
         [(e, t, u, et, v, "{}") for e, t, u, et, v in events],
@@ -102,6 +112,8 @@ def test_edge_events_windows_match_oracle(spark, tmp_path):
         "w_sessionize",
         "w1_latest_per_key",
         "a_date_window",
+        "ev_funnel",
+        "ev_retention",
     ]
     for name in names:
         spark.catalog.clearCache()
@@ -117,3 +129,13 @@ def test_edge_events_windows_match_oracle(spark, tmp_path):
         if r.user_id == 3
     }
     assert sess == {(3, 1): 2, (3, 2): 1}, sess
+
+    # funnel pin: only user 5 completes view→click→purchase, and only via
+    # the strictly-later click@3/purchase@4 (the same-ts ones don't count)
+    funnel = qs["ev_funnel"](spark, str(tmp_path)).collect()[0]
+    assert (
+        funnel.total_users,
+        funnel.step1_users,
+        funnel.step2_users,
+        funnel.step3_users,
+    ) == (5, 3, 1, 1), funnel
