@@ -68,7 +68,7 @@ _MODULES = (
 # that follow in module order). Names here must exist in some module
 # (asserted in all_queries).
 _SWEEP_FIRST = [
-    "lh_bloom_skipping", "ev_funnel", "ev_retention",
+    "lh_bloom_skipping", "ev_funnel", "ev_retention", "st_session_window",
     "pl_curation", "pl_dedup_canonical", "pl_sequence_pack",
     "dd_exact", "dd_ngram_jaccard", "dd_components", "dd_minhash_lsh",
     "dd_simhash", "dd_embedding_cosine",

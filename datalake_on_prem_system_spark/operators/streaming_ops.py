@@ -260,6 +260,27 @@ def st_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user SESSION windows (30-min inactivity gap) via the
+    native ``session_window`` operator — dynamic-length windows merged in
+    the state store, the capability the reference's batch stack has no
+    analog for (T6 beyond-parity, like st_watermark_window). Complete
+    output mode for a deterministic harvest under availableNow. The oracle
+    is the batch gaps-and-islands rewrite with the session_window boundary
+    rule (a successor exactly gap later opens a NEW session)."""
+    from ..streaming.aggregate import session_event_agg
+
+    stream = _events_stream(spark, _events_json_dir(spark, sf_dir))
+    agg = session_event_agg(stream, key_col="user_id", ts_col="ts", gap="30 minutes")
+    return _run_to_memory(agg, "ssw", "complete").select(
+        "user_id",
+        F.unix_micros("sw.start").alias("session_start_us"),
+        F.unix_micros("sw.end").alias("session_end_us"),
+        "n_events",
+        "session_value",
+    )
+
+
 def st_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases within 1 hour of a click by
     the same user, both sides live streams (readStream × 2 → watermarked
@@ -334,6 +355,7 @@ QUERIES = {
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
     "st_watermark_window": st_watermark_window,
+    "st_session_window": st_session_window,
     "st_stream_interval_join": st_stream_interval_join,
     "st_dedup_stream": st_dedup_stream,
     "st_static_enrich": st_static_enrich,
@@ -369,6 +391,31 @@ ORACLE = {
         SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1
+    """,
+    "st_session_window": """
+        WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                >= 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts_us, value,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id, min(ts_us) AS session_start_us,
+               max(ts_us) + 1800000000 AS session_end_us,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                   AS session_value
+        FROM sess GROUP BY user_id, sid
     """,
     "st_stream_interval_join": """
         SELECT b.user_id, a.event_id AS click_id, b.event_id AS purchase_id,

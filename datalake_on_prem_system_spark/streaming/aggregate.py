@@ -25,3 +25,34 @@ def windowed_event_agg(
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.approx_count_distinct("user_id").alias("approx_users"),
     )
+
+
+def session_event_agg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-key SESSION windows (dynamic-length, inactivity-gap-closed) via
+    Spark's native ``session_window`` — the streaming form of the batch
+    gaps-and-islands sessionization (``operators/relational.py::
+    w_sessionize``). State per key is one open session, evicted when the
+    watermark passes its close — bounded by active keys, not stream length.
+
+    Boundary contract (differs from the batch operator by design):
+    ``session_window`` merges events whose [ts, ts+gap) intervals OVERLAP,
+    so a successor exactly ``gap`` later starts a NEW session (half-open
+    interval), where the batch operator's ``diff > gap`` keeps it. The
+    oracle encodes the streaming (>=) rule."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("session_value"),
+    )
