@@ -188,9 +188,10 @@ def _range_predicates(condition) -> list[tuple[str, str, Any]]:
     """Extract (column, op, literal) conjuncts usable for FILE SKIPPING
     from a filter Column: a conjunction of simple comparisons
     (``col <op> literal`` / ``literal <op> col``, op ∈ {=, <, <=, >, >=})
-    yields every recognizable conjunct; anything else in the tree is
-    ignored (conjunction semantics: pruning by ANY sound conjunct is
-    sound). Pure fast-path — introspection surprises return []."""
+    plus all-literal IN-lists (op "in", literal tuple) yields every
+    recognizable conjunct; anything else in the tree is ignored
+    (conjunction semantics: pruning by ANY sound conjunct is sound).
+    Pure fast-path — introspection surprises return []."""
     flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
 
     def attr_name(n):
@@ -215,12 +216,43 @@ def _range_predicates(condition) -> list[tuple[str, str, Any]]:
                     if v is not None:
                         return [(name, op, v)]
             return []
+        if fn == "in" and len(argl) >= 2:
+            # col IN (lits...): prunable iff NO element may match. NULL
+            # elements drop (never match a row); all-literal lists only —
+            # a non-literal element disqualifies the whole conjunct.
+            name = attr_name(argl[0])
+            if name is None:
+                return []
+            vals = []
+            for a in argl[1:]:
+                if a.getClass().getSimpleName() != "Literal":
+                    return []
+                v = a.value()
+                if v is not None:
+                    vals.append(v)
+            return [(name, "in", tuple(vals))]
         return []
 
     try:
         return walk(condition._jc.node())
     except Exception:
         return []
+
+
+def _point_may_match(entry: dict, stats: dict, col: str, val: Any) -> bool:
+    """Can any row of ``entry`` have ``col = val``? Consults the bloom
+    bitset first (exact membership up to FPP), then the [min, max] range."""
+    if bloom_excludes(entry, col, val):
+        return False
+    rng = stats.get(col)
+    if rng:
+        lo, hi = rng
+        try:
+            if val < lo or val > hi:
+                return False
+        except TypeError:  # incomparable literal/stat types
+            pass
+    return True
 
 
 def _entry_may_match(entry: dict, preds: list[tuple[str, str, Any]]) -> bool:
@@ -231,16 +263,23 @@ def _entry_may_match(entry: dict, preds: list[tuple[str, str, Any]]) -> bool:
     decide other rows' merge-on-read survival and are never pruned."""
     stats = entry.get("stats") or {}
     for col, op, val in preds:
-        if op == "=" and bloom_excludes(entry, col, val):
-            return False
+        if op == "=":
+            if not _point_may_match(entry, stats, col, val):
+                return False
+            continue
+        if op == "in":
+            # an IN conjunct matches only if SOME element can; the empty
+            # list (all elements were NULL) matches nothing
+            if not any(_point_may_match(entry, stats, col, v) for v in val):
+                return False
+            continue
         rng = stats.get(col)
         if not rng:
             continue
         lo, hi = rng
         try:
             if (
-                (op == "=" and (val < lo or val > hi))
-                or (op == "<" and lo >= val)
+                (op == "<" and lo >= val)
                 or (op == "<=" and lo > val)
                 or (op == ">" and hi <= val)
                 or (op == ">=" and hi < val)

@@ -275,21 +275,31 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics operator (Amplitude/Mixpanel funnels; Snowplow does it with
     N self-joins).
 
-    Scale shape: ONE shuffle — events filtered to funnel types, grouped by
-    user, per-user time-sorted array folded through a (stage, t) state
-    struct with a native HOF (``F.aggregate``: whole-stage-codegen, no
-    Python). Per-user state is O(events-of-user) for the sorted array —
-    the same bound any per-user sessionization carries — and the final
-    count is a partial-aggregated global sum. The N-self-join formulation
+    Scale shape: ONE shuffle — events grouped by user (step events
+    collected, every user counted for the denominator), per-user
+    time-sorted array folded through a (stage, t) state struct with a
+    native HOF (``F.aggregate``: whole-stage-codegen, no Python).
+    Per-user state is O(step-events-of-user) for the sorted array — the
+    same bound any per-user sessionization carries — and the final count
+    is a partial-aggregated global sum with no join (the plan sweep
+    rejects even a single-row cross join). The N-self-join formulation
     (the oracle's) shuffles N times; this shuffles once."""
     steps = ["view", "click", "purchase"]
-    ev = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin(steps))
-        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
     )
+    # collect only funnel-step events, but group ALL users — a user with no
+    # step events folds an empty array to stage 0 and still counts in the
+    # denominator, so no second scan / single-row join is ever needed
     per_user = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("ts_us", "event_type"))).alias("evs")
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("event_type").isin(steps),
+                    F.struct("ts_us", "event_type"),
+                )
+            )
+        ).alias("evs")
     )
     init = F.struct(F.lit(0).alias("stage"), F.lit(None).cast("long").alias("t"))
 
@@ -309,17 +319,13 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     staged = per_user.select(F.aggregate("evs", init, advance)["stage"].alias("stage"))
-    total = (
-        t(spark, sf_dir, "events")
-        .agg(F.countDistinct("user_id").alias("total_users"))
-    )
-    counts = staged.agg(
+    return staged.agg(
+        F.count(F.lit(1)).alias("total_users"),
         *[
             F.sum((F.col("stage") >= k).cast("long")).alias(f"step{k}_users")
             for k in (1, 2, 3)
-        ]
+        ],
     )
-    return total.crossJoin(counts)
 
 
 def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

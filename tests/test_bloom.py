@@ -105,6 +105,25 @@ def test_blooms_survive_carry_and_respect_conjunctions(spark, bloom_table):
     assert all(f.replace("file:", "").replace("///", "/").startswith(v2["path"]) for f in df.inputFiles())
 
 
+def test_in_list_prunes_by_membership(bloom_table):
+    """IN-list pruning: an entry survives iff SOME element may be present.
+    {'c','nope'} keeps only v0; {'no1','no2'} prunes everything; results
+    always equal the full scan."""
+    df = bloom_table.read_where(F.col("clerk").isin("c", "nope"))
+    assert sorted(r["pk"] for r in df.collect()) == [1]
+    commit = bloom_table.commit_at()
+    v0 = next(e for e in commit.files if int(e["seq"]) == 0)
+    assert all(
+        f.replace("file:", "").replace("///", "/").startswith(v0["path"])
+        for f in df.inputFiles()
+    )
+    empty = bloom_table.read_where(F.col("clerk").isin("no1", "no2"))
+    assert empty.count() == 0 and empty.inputFiles() == []
+    # multi-segment membership stays complete
+    multi = bloom_table.read_where(F.col("clerk").isin("a", "z"))
+    assert sorted(r["pk"] for r in multi.collect()) == [0, 10, 22]
+
+
 def test_type_mismatched_literal_never_prunes(spark):
     """An int literal probed against a string-column bloom must be ignored
     (conservative), not hashed into a spurious exclusion."""
