@@ -161,6 +161,12 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(
                     200, {"status": "cloned", "table": parts[1], "dest": parts[2]}
                 )
+            if parts[0:1] == ["restore"] and len(parts) == 3:
+                self.engine.restore(parts[1], int(parts[2]))
+                return self._send(
+                    200,
+                    {"status": "restored", "table": parts[1], "version": int(parts[2])},
+                )
             return self._error(404, f"no route: {url.path}")
         except ValueError as e:
             return self._error(400, str(e))

@@ -58,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact"); p.add_argument("table"); p.add_argument("--files", type=int); p.add_argument("--cluster-by"); p.add_argument("--zorder-by", help="comma-separated numeric columns: Morton-key range clustering (one manifest entry per range)"); p.add_argument("--ranges", type=int, default=16)
     p = sub.add_parser("expire"); p.add_argument("table"); p.add_argument("--keep-last", type=int, default=2)
     p = sub.add_parser("clone"); p.add_argument("table"); p.add_argument("dest"); p.add_argument("--version", type=int)
+    p = sub.add_parser("restore"); p.add_argument("table"); p.add_argument("version", type=int)
     p = sub.add_parser("changes"); p.add_argument("table"); p.add_argument("v_from", type=int); p.add_argument("v_to", type=int)
 
     args = ap.parse_args(argv)
@@ -137,6 +138,9 @@ def _dispatch(args, eng, n: int) -> int:
     elif args.verb == "clone":
         eng.clone(args.table, args.dest, version=args.version)
         print(f"cloned {args.table} -> {args.dest} (zero-copy)")
+    elif args.verb == "restore":
+        eng.restore(args.table, args.version)
+        print(f"restored {args.table} to version {args.version} (new commit)")
     elif args.verb == "changes":
         eng.changes(args.table, args.v_from, args.v_to).drop("changed_cells").show(
             n, truncate=False

@@ -253,6 +253,19 @@ class LakeEngine:
         pk = find_id_col(t.read().columns)
         return changes_feed(t, v_from, v_to, pk)
 
+    def restore(self, table: str, version: int) -> None:
+        """RESTORE the table to a historical version as a NEW commit —
+        O(metadata) rollback of a botched write, with the bad interval
+        still time-travelable. Bindings without a restore operation (the
+        TableFormat protocol doesn't require one) raise."""
+        t = self.catalog.table(table)
+        restore = getattr(t, "restore", None)
+        if restore is None:
+            raise NotImplementedError(
+                f"table format {type(t).__name__} does not support restore"
+            )
+        restore(version)
+
     def clone(self, table: str, dest_table: str, version: int | None = None) -> None:
         """Zero-copy shallow clone of ``table`` (optionally as of
         ``version``) into ``dest_table`` in the same namespace — O(metadata)

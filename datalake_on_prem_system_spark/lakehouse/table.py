@@ -1456,6 +1456,35 @@ class LakeTable:
         )
         return self._publish_commit(commit, [path])
 
+    def restore(self, version: int) -> Commit:
+        """RESTORE TABLE ... TO VERSION AS OF (Delta `RESTORE` / Iceberg
+        rollback parity): publish a NEW commit whose file list, schema,
+        layout and properties are the target version's — O(metadata)
+        regardless of table size, with the botched interval still fully
+        time-travelable (restore never rewrites history; it appends to it).
+        The restore commit re-references the target's segments, so
+        ``expire_snapshots``' live-set computation keeps them on disk even
+        after the intermediate commits expire. Restoring the current
+        version is a legal no-op commit; an expired target raises
+        ``ExpiredVersionError`` (the data may be gone)."""
+        target = self._read_commit(version)
+        latest = self.latest_version()
+        if latest is None:  # unreachable: _read_commit would have raised
+            raise ExpiredVersionError(f"no commits at {self.root}")
+        commit = Commit(
+            version=latest + 1,
+            parent=latest,
+            operation="restore",
+            files=[dict(e) for e in target.files],
+            n_rows=target.n_rows,
+            schema_json=target.schema_json,
+            committed_at=time.time(),
+            bucket_spec=target.bucket_spec,
+            partition_by=target.partition_by,
+            properties=target.properties,
+        )
+        return self._publish_commit(commit, [])
+
     def clone_to(self, dest_root: str, version: int | None = None) -> "LakeTable":
         """Zero-copy SHALLOW CLONE (Delta `CLONE` / Iceberg snapshot-ref
         parity): publish a bootstrap commit at ``dest_root`` whose file

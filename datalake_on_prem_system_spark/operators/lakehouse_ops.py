@@ -417,6 +417,26 @@ def lh_dml_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def lh_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE / Iceberg rollback parity: v0 base → a botched UPDATE
+    and a botched DELETE → ``restore(0)`` publishes a NEW commit
+    re-referencing v0's files (O(metadata), no rewrite), and the read
+    returns exactly the pre-damage state — which is the oracle: plain SQL
+    over the fixture, because the damage never happened. History keeps the
+    botched interval time-travelable (asserted in pytest)."""
+    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_restore_"))
+    base = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 150)
+        .select("p_partkey", "p_name", "p_brand", F.round("p_retailprice", 2).alias("p_retailprice"))
+    )
+    table.create_or_replace(base)
+    table.update_where(F.col("p_partkey") % 2 == 0, {"p_retailprice": -1.0})
+    table.delete_where(F.col("p_partkey") % 3 == 0)
+    table.restore(0)
+    return table.read()
+
+
 def lh_append_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 + schema evolution: append a batch carrying a new column — old
     rows take NULL (ingest_csv_hudi.py:112-146 union-of-columns
@@ -570,6 +590,7 @@ QUERIES = {
     "lh_composite_key_dml": lh_composite_key_dml,
     "lh_stats_skipping": lh_stats_skipping,
     "lh_bloom_skipping": lh_bloom_skipping,
+    "lh_restore": lh_restore,
     "lh_zorder_skipping": lh_zorder_skipping,
     "lh_merge_upsert": lh_merge_upsert,
     "lh_incremental_rollup": lh_incremental_rollup,
@@ -639,6 +660,10 @@ ORACLE = {
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         FROM orders
         WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+    """,
+    "lh_restore": """
+        SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS p_retailprice
+        FROM part WHERE p_partkey < 150
     """,
     "lh_zorder_skipping": """
         SELECT o_custkey % 10 AS cust_bucket, count(*) AS n_orders,

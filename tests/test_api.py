@@ -194,6 +194,15 @@ def test_clone_endpoint(served):
     fork = {r["product_id"]: r["price"] for r in _get(base, "/data/products_fork")["rows"]}
     orig = {r["product_id"]: r["price"] for r in _get(base, "/data/products")["rows"]}
     assert fork[1] == 123.0 and orig[1] != 123.0
+    # restore the fork to its bootstrap (the clone preserves the source's
+    # version numbering, so resolve it from history rather than assuming 0)
+    boot = min(
+        s["version"] for s in _get(base, "/history/products_fork")["snapshots"]
+    )
+    out = _post(base, f"/restore/products_fork/{boot}")
+    assert out == {"status": "restored", "table": "products_fork", "version": boot}
+    fork = {r["product_id"]: r["price"] for r in _get(base, "/data/products_fork")["rows"]}
+    assert fork[1] == orig[1]
 
 
 def test_changes_endpoint(served):

@@ -72,6 +72,13 @@ def test_cli_ingest_read_crud_history(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "_change_type" in out and ("update" in out or "insert" in out)
 
+    # restore items to the pre-update/delete create state (version 0)
+    assert main(["--warehouse", wh, "restore", "items", "0"]) == 0
+    assert "restored" in capsys.readouterr().out
+    assert main(["--warehouse", wh, "read", "items", "--columns", "id,price"]) == 0
+    out = capsys.readouterr().out
+    assert "20.5" in out and "11.5" not in out
+
 
 def test_cli_compact_zorder(spark, tmp_path, capsys):
     """`compact --zorder-by a,b` rewrites into range segments through the
