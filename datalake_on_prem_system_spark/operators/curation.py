@@ -227,8 +227,42 @@ def cur_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cur_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning: per-source token mass, its share of the
+    corpus, and the up/down-sampling weight that would equalize the mix
+    (weight = total / (n_sources * source_tokens) — multiply each source's
+    sampling rate by its weight and every source contributes equal
+    tokens). The report every data-mixture ablation starts from.
+
+    Determinism: shares/weights are single IEEE divisions of exact
+    integers (both engines correctly round), then rounded — no float
+    accumulation anywhere. Scale shape: one source-keyed aggregation
+    (map-side combined, group count = n_sources), then a window over that
+    tiny aggregate — the global-window funnel is over n_sources rows, not
+    data."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens.cast("long")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+        F.round(total / (n_sources * F.col("n_tokens")), 6).alias("uniform_weight"),
+    )
+
+
 QUERIES = {
     "cur_decontaminate": cur_decontaminate,
+    "cur_source_mix": cur_source_mix,
     "cur_repetition_filter": cur_repetition_filter,
     "cur_pii_scrub": cur_pii_scrub,
     "cur_stratified_sample": cur_stratified_sample,
@@ -320,6 +354,19 @@ _SAMPLE_SQL = f"""
 
 ORACLE = {
     "cur_decontaminate": _DECON_SQL,
+    "cur_source_mix": """
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+                   AS token_share,
+               round(CAST(sum(n_tokens) OVER () AS DOUBLE)
+                     / (count(*) OVER () * n_tokens), 6) AS uniform_weight
+        FROM per_src
+    """,
     "cur_repetition_filter": _REP_SQL,
     "cur_pii_scrub": _PII_SQL,
     "cur_stratified_sample": _SAMPLE_SQL,

@@ -263,8 +263,43 @@ def tx_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the cheap "perplexity"
+    quality filter training pipelines run before the expensive model-based
+    one (CCNet/Gopher-style): score each doc by the summed surprisal
+    -ln p(token) under the corpus's own unigram distribution; gibberish
+    and boilerplate-heavy docs score high.
+
+    Scale shape: unigram counts are one vocab-bounded shuffle with
+    map-side combine; the surprisal table is vocab-sized and BROADCAST to
+    the token stream (the fact side never shuffles for the join); the
+    per-doc rollup is the only data-sized shuffle. Determinism contract:
+    per-token surprisal is rounded to 6 before the per-doc sum runs in
+    decimal space, so both engines add exactly; the p=freq/N division is
+    a single IEEE op on identical doubles."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    n_total = toks.count()  # driver scalar: one metadata-cheap agg
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    surp = freq.select(
+        "token",
+        F.round(-F.log(F.col("freq") / F.lit(float(n_total))), 6).alias("s"),
+    )
+    return (
+        toks.join(F.broadcast(surp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(F.col("s").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("xent_sum"),
+        )
+    )
+
+
 QUERIES = {
     "tx_token_stats": tx_token_stats,
+    "tx_lm_score": tx_lm_score,
     "tx_bpe_estimate": tx_bpe_estimate,
     "tx_lang_id": tx_lang_id,
     "tx_quality_score": tx_quality_score,
@@ -275,6 +310,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tx_lm_score": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+        total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        surp AS (
+            SELECT token,
+                   round(-ln(CAST(freq AS DOUBLE) / (SELECT n FROM total)), 6) AS s
+            FROM freq
+        )
+        SELECT toks.doc_id, count(*) AS n_tokens,
+               CAST(round(sum(CAST(s AS DECIMAL(18,6))), 4) AS DOUBLE) AS xent_sum
+        FROM toks JOIN surp ON toks.token = surp.token
+        GROUP BY toks.doc_id
+    """,
     "tx_token_stats": """
         SELECT doc_id, lang,
                CAST(length(text) AS INTEGER) AS n_chars_actual,
