@@ -281,6 +281,31 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming conversion funnel: per-user (stage, t) state advanced by
+    ``applyInPandasWithState`` across micro-batches (`streaming/
+    stateful.py::funnel_stage_stream`), then rolled up to the same
+    (total, step1..step3) shape as the batch ``ev_funnel`` — whose oracle
+    SQL this query shares verbatim. The custom-stateful-operator tier of
+    the funnel: state is one tuple per user (not a collected event array),
+    so an unbounded stream funnels in bounded memory."""
+    from ..streaming.stateful import funnel_stage_stream
+
+    stream = _events_stream(spark, _events_json_dir(spark, sf_dir)).select(
+        "user_id", "ts_us", "event_type"
+    )
+    staged = _run_to_memory(
+        funnel_stage_stream(stream), "sfn", "update", expect_single_batch=True
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("total_users"),
+        *[
+            F.sum((F.col("stage") >= k).cast("long")).alias(f"step{k}_users")
+            for k in (1, 2, 3)
+        ],
+    )
+
+
 def st_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases within 1 hour of a click by
     the same user, both sides live streams (readStream × 2 → watermarked
@@ -356,6 +381,7 @@ QUERIES = {
     "st_cdc_multibatch": st_cdc_multibatch,
     "st_watermark_window": st_watermark_window,
     "st_session_window": st_session_window,
+    "st_funnel_stream": st_funnel_stream,
     "st_stream_interval_join": st_stream_interval_join,
     "st_dedup_stream": st_dedup_stream,
     "st_static_enrich": st_static_enrich,
@@ -436,3 +462,9 @@ ORACLE = {
         GROUP BY c_mktsegment
     """,
 }
+
+# the streaming funnel must equal the batch funnel on a drained stream —
+# one oracle, two execution tiers (HOF fold vs state-store operator)
+from .analytics import ORACLE as _ANALYTICS_ORACLE  # noqa: E402
+
+ORACLE["st_funnel_stream"] = _ANALYTICS_ORACLE["ev_funnel"]

@@ -51,3 +51,52 @@ def running_user_totals(events: "DataFrame") -> "DataFrame":
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_STATE_SCHEMA = "stage int, t bigint"
+FUNNEL_OUTPUT_SCHEMA = "user_id bigint, stage int"
+
+
+def _advance_funnel(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    """Fold this batch's events (time-sorted; (ts_us, event_type) tiebreak
+    matching the batch operator's struct sort) through the per-user
+    (stage, t) funnel state. A step counts only STRICTLY AFTER the
+    previous step's completion — the same contract as
+    ``operators/analytics.py::ev_funnel``. t=-1 encodes "no step yet"."""
+    import pandas as pd
+
+    stage, t = state.get if state.exists else (0, -1)
+    for pdf in pdfs:
+        for row in pdf.sort_values(["ts_us", "event_type"]).itertuples():
+            if stage < len(FUNNEL_STEPS) and row.event_type == FUNNEL_STEPS[stage]:
+                if stage == 0 or row.ts_us > t:
+                    stage, t = stage + 1, int(row.ts_us)
+    state.update((stage, t))
+    yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+
+def funnel_stage_stream(events: "DataFrame") -> "DataFrame":
+    """Per-user conversion-funnel stage maintained ACROSS micro-batches —
+    the streaming form of the batch ``ev_funnel`` fold, with the state
+    store holding each user's (stage, last-step-time) instead of a
+    collected event array. Emits each user's current stage per batch
+    (outputMode='update'); state is one tiny tuple per user, partitioned
+    by user across executors.
+
+    Ordering contract: events are folded in time order WITHIN each batch;
+    cross-batch order is the arrival order (a step event arriving in a
+    later batch than a chronologically-later one can over-advance the
+    funnel). Equivalence with the batch oracle therefore holds when the
+    source delivers batches in event-time order — the availableNow
+    single-batch harness pins that, and the multi-batch pytest feeds
+    time-ordered files."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _advance_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -182,6 +182,58 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert last[2] == (1, 5.0)
 
 
+def test_stateful_funnel_advances_across_batches(spark, tmp_path):
+    """The streaming funnel's per-user (stage, t) state must carry across
+    micro-batches (view in batch 1, click+purchase in batch 2 → stage 3)
+    and must enforce the strictly-after contract within a batch (a click
+    at the same ts_us as the view does not count)."""
+    import time as _time
+    import uuid
+
+    from datalake_on_prem_system_spark.streaming.stateful import funnel_stage_stream
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    # batch 1: user 1 views; user 2 views and same-ts clicks (no advance)
+    with open(os.path.join(src, "a.json"), "w") as fh:
+        fh.write(
+            '{"user_id": 1, "ts_us": 100, "event_type": "view"}\n'
+            '{"user_id": 2, "ts_us": 100, "event_type": "view"}\n'
+            '{"user_id": 2, "ts_us": 100, "event_type": "click"}\n'
+        )
+    _time.sleep(0.05)
+    # batch 2: user 1 completes; user 2's click now strictly later
+    with open(os.path.join(src, "b.json"), "w") as fh:
+        fh.write(
+            '{"user_id": 1, "ts_us": 200, "event_type": "click"}\n'
+            '{"user_id": 1, "ts_us": 300, "event_type": "purchase"}\n'
+            '{"user_id": 2, "ts_us": 250, "event_type": "click"}\n'
+        )
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts_us bigint, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    sink = f"sfn_{uuid.uuid4().hex[:8]}"
+    q = (
+        funnel_stage_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 2
+    rows = spark.table(sink).collect()
+    last = {}
+    for r in rows:  # memory sink appends per-batch updates; last wins
+        last[r.user_id] = r.stage
+    assert last == {1: 3, 2: 2}
+
+
 def test_windowed_agg_batch_equivalence(spark, sf_dir):
     """The streaming window agg gives the same answer as the batch plan on
     the same data (watermark is a no-op in batch)."""
