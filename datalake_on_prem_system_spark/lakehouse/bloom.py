@@ -149,7 +149,15 @@ def attach_blooms(
     ``collect_set`` partial-aggregates map-side and its result is bounded
     by ``m`` per group, so driver transfer is O(entries * cols * m) bits —
     independent of row count.  Columns absent from the files or of
-    non-canonical types are skipped."""
+    non-canonical types are skipped.
+
+    Zero-row segments short-circuit: a dynamic-partition write of an empty
+    frame (e.g. a DELETE matching every row of its touched buckets, or
+    create/compact of an empty partitioned frame) emits NO parquet files,
+    so the read-back would fail schema inference — and there is nothing to
+    index anyway."""
+    if not entries or all(int(e.get("n_rows") or 0) == 0 for e in entries):
+        return
     src = spark.read.parquet(segment_path)
     kinds: dict[str, str] = {}
     for f in src.schema.fields:

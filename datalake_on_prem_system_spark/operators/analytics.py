@@ -319,6 +319,13 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     staged = per_user.select(F.aggregate("evs", init, advance)["stage"].alias("stage"))
+    return funnel_rollup(staged)
+
+
+def funnel_rollup(staged: DataFrame) -> DataFrame:
+    """(total_users, step1..step3_users) from a per-user ``stage`` frame —
+    shared by the batch fold and the streaming state-store funnel so the
+    two tiers pinned to the same oracle can never drift apart."""
     return staged.agg(
         F.count(F.lit(1)).alias("total_users"),
         *[

@@ -290,6 +290,7 @@ def st_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the funnel: state is one tuple per user (not a collected event array),
     so an unbounded stream funnels in bounded memory."""
     from ..streaming.stateful import funnel_stage_stream
+    from .analytics import funnel_rollup
 
     stream = _events_stream(spark, _events_json_dir(spark, sf_dir)).select(
         "user_id", "ts_us", "event_type"
@@ -297,13 +298,7 @@ def st_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _run_to_memory(
         funnel_stage_stream(stream), "sfn", "update", expect_single_batch=True
     )
-    return staged.agg(
-        F.count(F.lit(1)).alias("total_users"),
-        *[
-            F.sum((F.col("stage") >= k).cast("long")).alias(f"step{k}_users")
-            for k in (1, 2, 3)
-        ],
-    )
+    return funnel_rollup(staged)
 
 
 def st_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -277,8 +277,16 @@ def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token surprisal is rounded to 6 before the per-doc sum runs in
     decimal space, so both engines add exactly; the p=freq/N division is
     a single IEEE op on identical doubles."""
+    from ._cache import persist_bounded
+
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    # three plan branches consume the exploded token frame (total count,
+    # vocab counts, probe side of the join) — persist it once or the
+    # corpus re-tokenizes per branch
+    toks = persist_bounded(
+        docs.select("doc_id", F.explode(_tokens()).alias("token")),
+        key=f"lm_toks:{sf_dir}",
+    )
     n_total = toks.count()  # driver scalar: one metadata-cheap agg
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     surp = freq.select(

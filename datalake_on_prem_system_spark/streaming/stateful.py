@@ -69,8 +69,13 @@ def _advance_funnel(
     import pandas as pd
 
     stage, t = state.get if state.exists else (0, -1)
-    for pdf in pdfs:
-        for row in pdf.sort_values(["ts_us", "event_type"]).itertuples():
+    # one user's batch arrives as MULTIPLE Arrow chunks (split at
+    # maxRecordsPerBatch) — the time sort must span all of them, or a
+    # later chunk's earlier event would fold out of order
+    chunks = list(pdfs)  # NoTimeout ⇒ called only with data, but stay safe
+    batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(batch):
+        for row in batch.sort_values(["ts_us", "event_type"]).itertuples():
             if stage < len(FUNNEL_STEPS) and row.event_type == FUNNEL_STEPS[stage]:
                 if stage == 0 or row.ts_us > t:
                     stage, t = stage + 1, int(row.ts_us)

@@ -199,6 +199,30 @@ def test_hive_partitioned_single_entry_bloom(spark):
     assert bloom_excludes(e, "code", "w")
 
 
+def test_delete_all_and_empty_partitioned_writes_survive_blooms(spark):
+    """Zero-row segments emit no parquet files under dynamic-partition
+    writes — bloom building must short-circuit, not fail schema inference
+    (regression: DELETE matching every row of a bloom-configured bucketed
+    table crashed instead of committing)."""
+    root = tempfile.mkdtemp(prefix="lake_bloom_del_")
+    t = LakeTable(spark, root)
+    t.create_or_replace(
+        _mk(spark, ["a", "b", "c"], 0), properties={"bloom.columns": "clerk"}
+    )
+    t.merge(_mk(spark, ["d"], 10), pk="pk")  # bucketize
+    t.delete_where(F.col("pk") >= 0)  # wipes every touched bucket
+    assert t.read().count() == 0
+    # empty partitioned create with blooms configured
+    root2 = tempfile.mkdtemp(prefix="lake_bloom_empty_")
+    t2 = LakeTable(spark, root2)
+    t2.create_or_replace(
+        spark.createDataFrame([], "pk long, code string, part string"),
+        partition_by=["part"],
+        properties={"bloom.columns": "code"},
+    )
+    assert t2.read().count() == 0
+
+
 def test_probe_matches_reference_hash():
     """Pin the probe's position derivation to the documented sha256-slice
     scheme so a refactor can't silently break parity with written blooms."""
