@@ -52,7 +52,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("update"); p.add_argument("table"); p.add_argument("pk"); p.add_argument("pairs", nargs="+")
     p = sub.add_parser("delete"); p.add_argument("table"); p.add_argument("pk")
     p = sub.add_parser("history"); p.add_argument("table")
-    p = sub.add_parser("travel"); p.add_argument("table"); p.add_argument("version", type=int)
+    p = sub.add_parser("travel"); p.add_argument("table"); p.add_argument("version")
+    p = sub.add_parser("tag"); p.add_argument("table"); p.add_argument("name"); p.add_argument("--version", type=int)
     p = sub.add_parser("diff"); p.add_argument("table"); p.add_argument("v_old", type=int); p.add_argument("v_new", type=int)
     p = sub.add_parser("search"); p.add_argument("table"); p.add_argument("query")
     p = sub.add_parser("compact"); p.add_argument("table"); p.add_argument("--files", type=int); p.add_argument("--cluster-by"); p.add_argument("--zorder-by", help="comma-separated numeric columns: Morton-key range clustering (one manifest entry per range)"); p.add_argument("--ranges", type=int, default=16)
@@ -141,6 +142,9 @@ def _dispatch(args, eng, n: int) -> int:
     elif args.verb == "restore":
         eng.restore(args.table, args.version)
         print(f"restored {args.table} to version {args.version} (new commit)")
+    elif args.verb == "tag":
+        v = eng.tag(args.table, args.name, version=args.version)
+        print(f"tagged {args.table}@{v} as {args.name}")
     elif args.verb == "changes":
         eng.changes(args.table, args.v_from, args.v_to).drop("changed_cells").show(
             n, truncate=False

@@ -235,8 +235,22 @@ class LakeEngine:
     def history(self, table: str) -> DataFrame:
         return self.catalog.table(table).history()
 
-    def time_travel(self, table: str, version: int) -> DataFrame:
+    def time_travel(self, table: str, version: int | str) -> DataFrame:
+        """Snapshot read by version number OR tag name (digit strings
+        coerce to versions); unknown/expired refs fall back to latest —
+        the reference's expired-snapshot UX."""
         return self.catalog.table(table).read(version=version, fallback_to_latest=True)
+
+    def tag(self, table: str, name: str, version: int | None = None) -> int:
+        """Name a version (GC root — survives expire_snapshots until the
+        tag is deleted). Returns the resolved version."""
+        t = self.catalog.table(table)
+        tag = getattr(t, "tag", None)
+        if tag is None:
+            raise NotImplementedError(
+                f"table format {type(t).__name__} does not support tags"
+            )
+        return tag(name, version=version)
 
     def diff(self, table: str, v_old: int, v_new: int) -> DataFrame:
         t = self.catalog.table(table)

@@ -330,6 +330,7 @@ class LakeTable:
         self.root = root
         self._commits_dir = os.path.join(root, "_commits")
         self._data_dir = os.path.join(root, "data")
+        self._refs_dir = os.path.join(root, "_refs")
 
     # ---------------------------------------------------------------- commits
 
@@ -357,6 +358,64 @@ class LakeTable:
 
     def exists(self) -> bool:
         return self.latest_version() is not None
+
+    # ------------------------------------------------------------------ refs
+
+    _TAG_RE = r"[A-Za-z][A-Za-z0-9._-]*"
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a version (Iceberg TAG analog): ``read(version="name")``
+        resolves through it, and ``expire_snapshots`` treats tagged
+        versions as GC ROOTS — a tagged snapshot (and its data) survives
+        retention, exactly Iceberg's ref-retention rule. Names must start
+        with a letter (so a version NUMBER can never be shadowed);
+        re-tagging an existing name moves it (publish is atomic via
+        rename). Returns the resolved version."""
+        import re
+
+        if not re.fullmatch(self._TAG_RE, name):
+            raise ValueError(f"invalid tag name: {name!r} (must match {self._TAG_RE})")
+        v = self.latest_version() if version is None else version
+        self._read_commit(v)  # must exist (raises ExpiredVersionError)
+        os.makedirs(self._refs_dir, exist_ok=True)
+        tmp = os.path.join(self._refs_dir, f".{name}-{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v}, fh)
+        os.replace(tmp, os.path.join(self._refs_dir, f"{name}.json"))
+        return v
+
+    def tags(self) -> dict[str, int]:
+        if not os.path.isdir(self._refs_dir):
+            return {}
+        out: dict[str, int] = {}
+        for f in sorted(os.listdir(self._refs_dir)):
+            if f.endswith(".json") and not f.startswith("."):
+                with open(os.path.join(self._refs_dir, f)) as fh:
+                    out[f[: -len(".json")]] = int(json.load(fh)["version"])
+        return out
+
+    def delete_tag(self, name: str) -> bool:
+        """Remove a tag; the version it pointed at becomes expirable again.
+        Returns whether the tag existed."""
+        path = os.path.join(self._refs_dir, f"{name}.json")
+        try:
+            os.remove(path)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def resolve_ref(self, ref: int | str) -> int:
+        """A version number passes through; a string resolves as a tag
+        (digit strings coerce to version numbers so facade layers can pass
+        either form)."""
+        if isinstance(ref, int):
+            return ref
+        if ref.isdigit():
+            return int(ref)
+        refs = self.tags()
+        if ref not in refs:
+            raise ExpiredVersionError(f"unknown tag {ref!r} at {self.root}")
+        return refs[ref]
 
     def mor_ready(self, pk: str | list[str] | tuple[str, ...]) -> bool:
         """True when a merge on ``pk`` (single or composite) will take the
@@ -668,24 +727,25 @@ class LakeTable:
 
     # ---------------------------------------------------------------- reads
 
-    def _commit_at(self, version: int | None, fallback_to_latest: bool) -> Commit:
-        """Resolve a version to its commit: None → latest; expired/unknown
-        raises, or degrades to latest with ``fallback_to_latest`` — the
-        reference's expired-snapshot behavior (api_poc.py:462-468). Shared
-        by every read entry point so fallback semantics cannot drift."""
+    def _commit_at(self, version: int | str | None, fallback_to_latest: bool) -> Commit:
+        """Resolve a version (or tag name) to its commit: None → latest;
+        expired/unknown raises, or degrades to latest with
+        ``fallback_to_latest`` — the reference's expired-snapshot behavior
+        (api_poc.py:462-468). Shared by every read entry point so fallback
+        semantics cannot drift."""
         latest = self.latest_version()
         if latest is None:
             raise ExpiredVersionError(f"no commits at {self.root}")
         if version is None:
             version = latest
         try:
-            return self._read_commit(version)
+            return self._read_commit(self.resolve_ref(version))
         except ExpiredVersionError:
             if not fallback_to_latest:
                 raise
             return self._read_commit(latest)
 
-    def commit_at(self, version: int | None = None, fallback_to_latest: bool = False) -> Commit:
+    def commit_at(self, version: int | str | None = None, fallback_to_latest: bool = False) -> Commit:
         """Public pinning handle: resolve a version to its Commit ONCE so a
         caller doing schema derivation + a filtered scan reads one
         consistent snapshot (a commit landing between two independent
@@ -695,7 +755,7 @@ class LakeTable:
 
     def read(
         self,
-        version: int | None = None,
+        version: int | str | None = None,
         fallback_to_latest: bool = False,
         commit: Commit | None = None,
     ) -> DataFrame:
@@ -706,7 +766,7 @@ class LakeTable:
     def read_where(
         self,
         condition,
-        version: int | None = None,
+        version: int | str | None = None,
         fallback_to_latest: bool = False,
         commit: Commit | None = None,
     ) -> DataFrame:
@@ -1559,10 +1619,15 @@ class LakeTable:
             # keep_last=0 would delete the whole table
             raise ValueError("keep_last must be >= 1")
         versions = self.versions()
-        expired = versions[:-keep_last]
+        # tagged versions are GC ROOTS (Iceberg ref retention): retention
+        # counts from the tail, but a tag anywhere in history pins its
+        # commit AND its data until the tag is deleted
+        retained = set(versions[-keep_last:]) | set(self.tags().values())
+        expired = [v for v in versions if v not in retained]
         live = {
             e["path"]
-            for v in versions[len(expired):]
+            for v in versions
+            if v in retained
             for e in self._read_commit(v).files
         }
         dead_parents: set[str] = set()

@@ -72,6 +72,13 @@ def test_cli_ingest_read_crud_history(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "_change_type" in out and ("update" in out or "insert" in out)
 
+    # tag the current items version, travel by tag name
+    capsys.readouterr()
+    assert main(["--warehouse", wh, "tag", "items", "prerestore"]) == 0
+    assert "tagged items@" in capsys.readouterr().out
+    assert main(["--warehouse", wh, "travel", "items", "prerestore"]) == 0
+    assert "11.5" in capsys.readouterr().out
+
     # restore items to the pre-update/delete create state (version 0)
     assert main(["--warehouse", wh, "restore", "items", "0"]) == 0
     assert "restored" in capsys.readouterr().out
