@@ -1516,6 +1516,39 @@ class LakeTable:
         )
         return self._publish_commit(commit, [path])
 
+    def vacuum_orphans(self, older_than_s: float = 3600.0) -> list[str]:
+        """Iceberg ``remove_orphan_files`` analog: delete segment dirs
+        under ``data/`` that NO commit references — the leftovers of
+        writers that crashed between writing a segment and publishing (or
+        that lost the publish race but died before their own cleanup).
+
+        A segment is live when any commit entry's path equals it or lives
+        beneath it (bucket/range entries are leaf dirs inside the segment
+        dir). The ``older_than_s`` age guard (mtime) keeps an IN-FLIGHT
+        writer's just-written, not-yet-published segment safe — same
+        contract as Iceberg's ``older_than`` timestamp. Returns the
+        removed dirs."""
+        import shutil
+
+        if not os.path.isdir(self._data_dir):
+            return []
+        referenced: set[str] = set()
+        for v in self.versions():
+            for e in self._read_commit(v).files:
+                referenced.add(os.path.realpath(e["path"]))
+        removed: list[str] = []
+        cutoff = time.time() - older_than_s
+        for d in sorted(os.listdir(self._data_dir)):
+            seg = os.path.join(self._data_dir, d)
+            if not os.path.isdir(seg):
+                continue
+            real = os.path.realpath(seg)
+            live = any(r == real or r.startswith(real + os.sep) for r in referenced)
+            if not live and os.path.getmtime(seg) < cutoff:
+                shutil.rmtree(seg)
+                removed.append(seg)
+        return removed
+
     def restore(self, version: int) -> Commit:
         """RESTORE TABLE ... TO VERSION AS OF (Delta `RESTORE` / Iceberg
         rollback parity): publish a NEW commit whose file list, schema,

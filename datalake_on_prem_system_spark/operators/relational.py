@@ -159,6 +159,30 @@ def a_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of a_pivot_status): wide per-line
+    charge columns into long (measure, val) rows — `DataFrame.melt`,
+    Spark's native unpivot (a generate, no shuffle, no UDF). DuckDB's
+    UNPIVOT is the oracle."""
+    src = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+    )
+    return src.melt(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["extendedprice", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
 def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate (S5 SQL surface)."""
     return (
@@ -645,6 +669,7 @@ QUERIES = {
     "a_having": a_having,
     "a_pivot_status": a_pivot_status,
     "a_rollup": a_rollup,
+    "a_unpivot": a_unpivot,
     "a_cube": a_cube,
     "a_date_window": a_date_window,
     "a_skew_salted": a_skew_salted,
@@ -717,6 +742,15 @@ ORACLE = {
                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
                count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
         FROM orders GROUP BY o_orderpriority
+    """,
+    "a_unpivot": """
+        WITH src AS (
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice, 2) AS extendedprice,
+                   l_discount AS discount, l_tax AS tax
+            FROM lineitem WHERE l_orderkey < 100
+        )
+        UNPIVOT src ON extendedprice, discount, tax INTO NAME measure VALUE val
     """,
     "a_rollup": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,

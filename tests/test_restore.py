@@ -124,6 +124,34 @@ def test_restore_mor_table_with_pending_deltas(spark, tmp_path):
     assert sorted((r.id, r.x) for r in t.read().collect()) == mor_state
 
 
+def test_vacuum_orphans_removes_only_old_unreferenced_segments(spark, tmp_path):
+    """A crashed writer's unpublished segment is removed once old enough;
+    live segments and young orphans survive."""
+    import os
+    import time
+
+    t = _mk(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([(100, "new", 1.0)], "id bigint, s string, x double"))
+    before = _state(t)
+    data_dir = os.path.join(str(tmp_path / "t"), "data")
+    old_orphan = os.path.join(data_dir, "9-deadbeef.parquet")
+    young_orphan = os.path.join(data_dir, "9-cafebabe.parquet")
+    for d in (old_orphan, young_orphan):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "wb") as fh:
+            fh.write(b"junk")
+    past = time.time() - 7200
+    os.utime(old_orphan, (past, past))
+    removed = t.vacuum_orphans(older_than_s=3600)
+    assert removed == [old_orphan]
+    assert not os.path.exists(old_orphan) and os.path.exists(young_orphan)
+    assert _state(t) == before  # every referenced segment untouched
+    # second pass once the young orphan ages out
+    os.utime(young_orphan, (past, past))
+    assert t.vacuum_orphans(older_than_s=3600) == [young_orphan]
+    assert _state(t) == before
+
+
 def test_engine_facade_restore(spark, tmp_path):
     from datalake_on_prem_system_spark.engine import LakeEngine
 
