@@ -573,6 +573,54 @@ def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters — the frequency sketch completing
+    the classic trio (HLL distinct, KLL/GK quantiles, CMS frequencies).
+    The sketch is built DISTRIBUTED (mergeable per-partition partials,
+    fixed size eps×confidence regardless of data volume — the 100 TB
+    replacement for exact per-key counts) and probed on the driver for
+    the exact top-10 customers.
+
+    Same contract-check shape as ``a_hll_distinct``: CMS guarantees
+    estimate ∈ [exact, exact + eps·N] with the configured confidence;
+    ``within_bound`` asserts it Spark-side, the oracle computes the exact
+    counts and emits literal TRUE — a broken sketch hash-mismatches on
+    the boolean."""
+    orders = t(spark, sf_dir, "orders")
+    eps, confidence, seed = 0.001, 0.99, 42
+    # distributed build: count_min_sketch is a mergeable SQL aggregate
+    # (per-partition partials combine); the driver gets one fixed-size
+    # binary blob and probes it via the JVM sketch class
+    blob = orders.agg(
+        F.expr(
+            f"count_min_sketch(o_custkey, cast({eps} as double), "
+            f"cast({confidence} as double), {seed})"
+        ).alias("s")
+    ).collect()[0]["s"]
+    sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(blob)
+    )
+    slack = int(eps * sketch.totalCount()) + 1
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("o_custkey"))
+        .limit(10)
+        .collect()
+    )
+    rows = [
+        (
+            r["o_custkey"],
+            r["n_exact"],
+            bool(r["n_exact"] <= sketch.estimateCount(r["o_custkey"]) <= r["n_exact"] + slack),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "o_custkey bigint, n_exact bigint, within_bound boolean"
+    )
+
+
 def s5_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: arbitrary user SQL through ``spark.sql`` (api_poc.py:214-226) —
     the full-surface proof: CTE + correlated scalar subquery + window in one
@@ -676,6 +724,7 @@ QUERIES = {
     "a_percentiles": a_percentiles,
     "f_json_extract": f_json_extract,
     "a_hll_distinct": a_hll_distinct,  # hash-checked via the within_bound contract
+    "a_heavy_hitters": a_heavy_hitters,  # same contract shape (CMS bound)
     "s5_sql_passthrough": s5_sql_passthrough,
     "w1_latest_per_key": w1_latest_per_key,
     "w_sessionize": w_sessionize,
@@ -699,6 +748,11 @@ ORACLE = {
                count(DISTINCT user_id) AS exact_users,
                true AS within_bound
         FROM events GROUP BY event_type
+    """,
+    "a_heavy_hitters": """
+        SELECT o_custkey, count(*) AS n_exact, true AS within_bound
+        FROM orders GROUP BY o_custkey
+        ORDER BY n_exact DESC, o_custkey ASC LIMIT 10
     """,
     "p4_project_columns": "SELECT c_custkey, c_name, c_mktsegment FROM customer",
     "p5_filter_eq": (
