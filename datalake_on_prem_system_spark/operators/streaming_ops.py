@@ -267,7 +267,8 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog for (T6 beyond-parity, like st_watermark_window). Complete
     output mode for a deterministic harvest under availableNow. The oracle
     is the batch gaps-and-islands rewrite with the session_window boundary
-    rule (a successor exactly gap later opens a NEW session)."""
+    rule (a new session only when the silence STRICTLY exceeds the gap —
+    an exactly-at-gap successor merges; edge-fixture-pinned)."""
     from ..streaming.aggregate import session_event_agg
 
     stream = _events_stream(spark, _events_json_dir(spark, sf_dir))
@@ -418,7 +419,7 @@ ORACLE = {
             SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
                    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                                >= 1800000000
+                                > 1800000000
                         THEN 1 ELSE 0 END AS new_s
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -40,11 +40,12 @@ def session_event_agg(
     w_sessionize``). State per key is one open session, evicted when the
     watermark passes its close — bounded by active keys, not stream length.
 
-    Boundary contract (differs from the batch operator by design):
-    ``session_window`` merges events whose [ts, ts+gap) intervals OVERLAP,
-    so a successor exactly ``gap`` later starts a NEW session (half-open
-    interval), where the batch operator's ``diff > gap`` keeps it. The
-    oracle encodes the streaming (>=) rule."""
+    Boundary contract: ``session_window`` MERGES a successor arriving
+    exactly ``gap`` later (a new session starts only when the silence is
+    STRICTLY greater than the gap) — the same rule as the batch
+    gaps-and-islands operator, pinned by the edge-events fixture whose
+    user 3 has an exactly-at-gap successor. The session end is
+    ``last event + gap`` (the oracle adds the gap to ``max(ts)``)."""
     df = events
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)

@@ -114,6 +114,12 @@ def test_edge_events_windows_match_oracle(spark, tmp_path):
         "a_date_window",
         "ev_funnel",
         "ev_retention",
+        # streaming tiers over the same adversarial corpus: user 3's
+        # EXACT-30-min gap pins session_window's boundary (it MERGES the
+        # at-gap successor — same strictly-greater rule as w_sessionize),
+        # and the stateful funnel must match ev_funnel's oracle verbatim
+        "st_session_window",
+        "st_funnel_stream",
     ]
     for name in names:
         spark.catalog.clearCache()
