@@ -212,7 +212,9 @@ class _Handler(BaseHTTPRequestHandler):
         optional snapshot (time travel; expired → latest fallback)."""
         limit = int(q.get("limit", "50"))
         if "snapshot" in q:
-            df = self.engine.time_travel(table, int(q["snapshot"]))
+            # raw string through: digit strings resolve as versions,
+            # anything else as a tag name (resolve_ref)
+            df = self.engine.time_travel(table, q["snapshot"])
         elif "search" in q and q["search"]:
             df = self.engine.search(table, q["search"])
         else:

@@ -396,7 +396,13 @@ class LakeTable:
 
     def delete_tag(self, name: str) -> bool:
         """Remove a tag; the version it pointed at becomes expirable again.
-        Returns whether the tag existed."""
+        Returns whether the tag existed. Names are validated like ``tag``
+        does — the join below must never escape ``_refs/`` (a traversal
+        like ``../_commits/2`` would delete a commit file)."""
+        import re
+
+        if not re.fullmatch(self._TAG_RE, name):
+            raise ValueError(f"invalid tag name: {name!r} (must match {self._TAG_RE})")
         path = os.path.join(self._refs_dir, f"{name}.json")
         try:
             os.remove(path)
@@ -410,7 +416,10 @@ class LakeTable:
         either form)."""
         if isinstance(ref, int):
             return ref
-        if ref.isdigit():
+        # isdecimal, not isdigit: isdigit accepts Unicode digits ('²','①')
+        # that int() rejects, which would escape the ExpiredVersionError
+        # contract and bypass fallback_to_latest
+        if ref.isdecimal():
             return int(ref)
         refs = self.tags()
         if ref not in refs:
@@ -1538,13 +1547,28 @@ class LakeTable:
                 referenced.add(os.path.realpath(e["path"]))
         removed: list[str] = []
         cutoff = time.time() - older_than_s
+
+        def newest_mtime(path: str) -> float:
+            # an in-flight bucketed/partitioned write refreshes only LEAF
+            # mtimes (part files land in subdirs), so the age test must
+            # take the newest timestamp anywhere in the segment tree — the
+            # top-level dir alone would misread a slow writer as old
+            newest = os.path.getmtime(path)
+            for dirpath, dirs, files in os.walk(path):
+                for name in dirs + files:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(dirpath, name)))
+                    except OSError:  # racing writer moved/removed it: young
+                        return time.time()
+            return newest
+
         for d in sorted(os.listdir(self._data_dir)):
             seg = os.path.join(self._data_dir, d)
             if not os.path.isdir(seg):
                 continue
             real = os.path.realpath(seg)
             live = any(r == real or r.startswith(real + os.sep) for r in referenced)
-            if not live and os.path.getmtime(seg) < cutoff:
+            if not live and newest_mtime(seg) < cutoff:
                 shutil.rmtree(seg)
                 removed.append(seg)
         return removed

@@ -64,9 +64,11 @@ _MODULES = (
 # go to queries with NO driver correctness row yet — the 30 round-6
 # additions the driver never swept plus the round-7 additions; the module
 # rotation above puts the right FAMILIES first, this list pulls the exact
-# names to the very front (48 names — ~2 budget slots left for the names
-# that follow in module order). Names here must exist in some module
-# (asserted in all_queries).
+# names to the very front. The list now EXCEEDS the ~50 budget (round-7
+# session-2 queries were prepended), so its own tail falls outside the
+# sweep — those names were judge-verified in r6. ROUND 8: rebuild from
+# whatever lacks a CORRECTNESS_r07 row. Names here must exist in some
+# module (asserted in all_queries).
 _SWEEP_FIRST = [
     "lh_bloom_skipping", "ev_funnel", "ev_retention", "st_session_window",
     "lh_restore", "tx_lm_score", "cur_source_mix", "st_funnel_stream",

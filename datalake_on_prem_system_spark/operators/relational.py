@@ -175,12 +175,15 @@ def a_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_tax").alias("tax"),
         )
     )
+    # melt KEEPS null measure values where DuckDB's UNPIVOT silently drops
+    # them — align on UNPIVOT's drop-nulls rule structurally, not by luck
+    # of lineitem's NOT NULL columns
     return src.melt(
         ids=["l_orderkey", "l_linenumber"],
         values=["extendedprice", "discount", "tax"],
         variableColumnName="measure",
         valueColumnName="val",
-    )
+    ).where(F.col("val").isNotNull())
 
 
 def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,11 +107,13 @@ class LakeShell(cmd.Cmd):
         df is not None and df.show(truncate=False)
 
     def do_travel(self, arg: str) -> None:
-        """travel <table> <version> — time travel read"""
+        """travel <table> <version-or-tag> — time travel read"""
         parts = shlex.split(arg)
         if len(parts) != 2:
-            return print("usage: travel <table> <version>")
-        df = self._safe(self.eng.time_travel, parts[0], int(parts[1]))
+            return print("usage: travel <table> <version-or-tag>")
+        # pass the raw token: time_travel resolves digit strings as
+        # versions and anything else as a tag name
+        df = self._safe(self.eng.time_travel, parts[0], parts[1])
         df is not None and df.show(20, truncate=False)
 
     def do_diff(self, arg: str) -> None:

@@ -141,13 +141,23 @@ def test_vacuum_orphans_removes_only_old_unreferenced_segments(spark, tmp_path):
         with open(os.path.join(d, "part-0.parquet"), "wb") as fh:
             fh.write(b"junk")
     past = time.time() - 7200
-    os.utime(old_orphan, (past, past))
+
+    def age(d):
+        # the age test takes the NEWEST mtime in the tree (in-flight-writer
+        # guard), so aging a segment means aging every node in it
+        os.utime(os.path.join(d, "part-0.parquet"), (past, past))
+        os.utime(d, (past, past))
+
+    age(old_orphan)
     removed = t.vacuum_orphans(older_than_s=3600)
     assert removed == [old_orphan]
     assert not os.path.exists(old_orphan) and os.path.exists(young_orphan)
     assert _state(t) == before  # every referenced segment untouched
-    # second pass once the young orphan ages out
+    # an old dir with one YOUNG inner file is an in-flight writer: kept
     os.utime(young_orphan, (past, past))
+    assert t.vacuum_orphans(older_than_s=3600) == []
+    # second pass once the whole tree ages out
+    age(young_orphan)
     assert t.vacuum_orphans(older_than_s=3600) == [young_orphan]
     assert _state(t) == before
 

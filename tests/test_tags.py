@@ -54,6 +54,10 @@ def test_invalid_and_unknown_tags(spark, tmp_path):
     # unknown tag degrades to latest under the fallback flag
     assert t.read(version="nosuch", fallback_to_latest=True).count() == 6
     assert t.delete_tag("nosuch") is False
+    with pytest.raises(ValueError):
+        t.delete_tag("../_commits/2")  # traversal must never reach os.remove
+    with pytest.raises(ExpiredVersionError):
+        t.read(version="²")  # unicode digit: isdecimal guard, not a crash
 
 
 def test_tagged_version_survives_expiry_until_untagged(spark, tmp_path):
