@@ -63,6 +63,10 @@ HEADLINERS = [
     "lh_mor_read_amp",
     "lh_stats_skipping",
     "lh_zorder_skipping",
+    # bloom-filter skipping serve path: a customer point lookup over the
+    # 8-epoch append table where min/max ranges prune nothing (memoized
+    # setup like the other lakehouse headliners — runs 2..N time the read)
+    "lh_bloom_skipping",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —
@@ -309,7 +313,12 @@ def main() -> None:
     # value_r6_set: the sum over the round-6 22-query headliner set, so the
     # headline stays comparable round-over-round as new entries join
     # (lh_mor_read_amp is new in r7); "value" covers every current headliner
-    r7_new = {"lh_mor_read_amp", "lh_stats_skipping", "lh_zorder_skipping"}
+    r7_new = {
+        "lh_mor_read_amp",
+        "lh_stats_skipping",
+        "lh_zorder_skipping",
+        "lh_bloom_skipping",
+    }
     out = {
         "metric": "headline_total",
         "value": round(total, 3),
