@@ -119,7 +119,7 @@ def test_random_program_matches_multiset_model(spark, tmp_path_factory, seed):
         op = rng.choice(
             [
                 "merge", "merge", "delete", "update", "append", "insert",
-                "compact", "pdelete", "pupdate",
+                "compact", "pdelete", "pupdate", "restore",
             ]
         )
         if op == "merge":
@@ -164,6 +164,13 @@ def test_random_program_matches_multiset_model(spark, tmp_path_factory, seed):
             k, nv = rng.randrange(12), rng.randrange(1000)
             table.update_where(F.col("k") == F.lit(k), {"v": nv})
             model = [(kk, nv if kk == k else v) for kk, v in model]
+        elif op == "restore":
+            # rollback to any earlier snapshot, including MOR states with
+            # pending deltas and pre-bucketization layouts — the model
+            # simply becomes that snapshot's rows
+            v = rng.choice(sorted(snapshots))
+            table.restore(v)
+            model = list(snapshots[v])
         elif op == "compact":
             table.compact()
         snapshots[table.latest_version()] = sorted(model)
