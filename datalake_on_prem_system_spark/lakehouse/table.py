@@ -313,6 +313,13 @@ class Commit:
     properties: dict[str, str] | None = None
 
 
+CONSTRAINT_PREFIX = "constraint."
+
+
+class CheckViolation(ValueError):
+    """A write batch violated a ``constraint.<name>`` table property."""
+
+
 class ExpiredVersionError(LookupError):
     pass
 
@@ -605,6 +612,39 @@ class LakeTable:
             properties=properties,
         )
         return self._publish_commit(commit, [path])
+
+    def _enforce_constraints(
+        self, df: DataFrame, properties: dict[str, str] | None, operation: str
+    ) -> None:
+        """CHECK-constraint enforcement (Delta `ALTER TABLE ADD CONSTRAINT`
+        parity): every ``constraint.<name>`` table property holds a SQL
+        boolean expression each WRITTEN row must satisfy. SQL-standard
+        CHECK semantics: only a definite FALSE violates (NULL/unknown
+        passes). Enforced on the rows a commit writes — create/append/
+        insert batches and merge upserts; deletes can't violate. A
+        constraint referencing a column the batch lacks (schema-evolution
+        append) passes: absent columns read as NULL, and NULL passes.
+
+        Cost: one ``limit(1)`` probe job per constraint per write — early-
+        exits at the first violation; at cluster scale you'd fold the
+        predicate into the write job itself (the manifest/property format
+        wouldn't change)."""
+        from pyspark.sql.utils import AnalysisException
+
+        props = properties or {}
+        for key in sorted(props):
+            if not key.startswith(CONSTRAINT_PREFIX):
+                continue
+            name, expr = key[len(CONSTRAINT_PREFIX):], props[key]
+            try:
+                bad = df.filter(F.expr(expr).eqNullSafe(False)).limit(1).collect()
+            except AnalysisException:
+                continue  # references a column this batch doesn't carry
+            if bad:
+                raise CheckViolation(
+                    f"{operation} violates CHECK constraint {name!r} ({expr}): "
+                    f"{bad[0].asDict()}"
+                )
 
     def _maybe_attach_blooms(
         self, path: str, entries: list[dict], properties: dict[str, str] | None
@@ -976,6 +1016,7 @@ class LakeTable:
         bucket-granular instead of paying a one-time layout rewrite."""
         if bucket_by and partition_by:
             raise ValueError("bucket_by and partition_by are mutually exclusive")
+        self._enforce_constraints(df, properties, "create_or_replace")
         spec = None
         if bucket_by:
             # bucket_by=("k", n) or (("k1","k2"), n) — composite keys lay
@@ -1032,6 +1073,7 @@ class LakeTable:
         if not self.exists():
             return self._publish(df, "append")
         prev = self._read_commit(self.latest_version())
+        self._enforce_constraints(df, prev.properties, "append")
         merged = self._union_schema_json(self._schema(prev), df.schema)
         if merged is None:  # type conflict: resolve via unionByName rewrite
             out = self._read_data(prev).unionByName(df, allowMissingColumns=True)
@@ -1132,6 +1174,7 @@ class LakeTable:
                 upserts, "merge", bucket_spec=_bucket_spec(lead, n, pks=pks)
             )
         prev = self._read_commit(self.latest_version())
+        self._enforce_constraints(upserts, prev.properties, "merge")
         target_schema = self._schema(prev)
         # precombine is merge metadata, not data — drop unless the table
         # itself carries that column
@@ -1421,6 +1464,7 @@ class LakeTable:
         new = self.spark.createDataFrame(
             [tuple(r.get(c) for c in schema.fieldNames()) for r in rows], schema
         )
+        self._enforce_constraints(new, prev.properties, "insert")
         if prev.partition_by:  # keep hive layout consistent: rewrite path
             return self._publish(self._read_data(prev).unionByName(new), "insert")
         return self._publish_delta(

@@ -1,0 +1,71 @@
+"""CHECK constraints (Delta ADD CONSTRAINT parity): ``constraint.<name>``
+table properties enforced on every written batch — SQL-standard semantics
+(only definite FALSE violates; NULL passes), schema-evolution tolerant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_on_prem_system_spark.lakehouse import LakeTable
+from datalake_on_prem_system_spark.lakehouse.table import CheckViolation
+
+PROPS = {"constraint.positive_x": "x > 0", "constraint.has_id": "id IS NOT NULL"}
+
+
+def _df(spark, rows, ddl="id bigint, x double"):
+    return spark.createDataFrame(rows, ddl)
+
+
+def test_create_enforces_and_violation_publishes_nothing(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    with pytest.raises(CheckViolation, match="positive_x"):
+        t.create_or_replace(_df(spark, [(1, 1.0), (2, -3.0)]), properties=PROPS)
+    assert not t.exists()  # nothing committed
+    t.create_or_replace(_df(spark, [(1, 1.0), (2, 3.0)]), properties=PROPS)
+    assert t.read().count() == 2
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(_df(spark, [(1, 1.0), (2, 3.0)]), properties=PROPS)
+    return t
+
+
+def test_append_and_insert_enforce_carried_constraints(spark, table):
+    v = table.latest_version()
+    with pytest.raises(CheckViolation, match="positive_x"):
+        table.append(_df(spark, [(3, -1.0)]))
+    with pytest.raises(CheckViolation, match="has_id"):
+        table.insert_rows([{"id": None, "x": 5.0}])
+    assert table.latest_version() == v  # both writes rejected pre-commit
+    table.append(_df(spark, [(3, 1.5)]))
+    assert table.read().count() == 3
+
+
+def test_merge_enforces_on_upserts_but_deletes_pass(spark, table):
+    table.merge(_df(spark, [(1, 9.0)]), pk="id")  # valid upsert, bucketizes
+    with pytest.raises(CheckViolation, match="positive_x"):
+        table.merge(_df(spark, [(2, -9.0)]), pk="id")
+    # a delete row carries x=-1 but deletes can't violate (op='d' filtered
+    # out before enforcement)
+    chg = _df(spark, [(1, -1.0, "d")], "id bigint, x double, op string")
+    table.merge(chg, pk="id", op_col="op")
+    assert sorted(r.id for r in table.read().collect()) == [2]
+
+
+def test_null_expression_result_passes_sql_standard(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    # x > 0 over NULL x is UNKNOWN, not FALSE — SQL CHECK passes it
+    t.create_or_replace(
+        _df(spark, [(1, None)]), properties={"constraint.positive_x": "x > 0"}
+    )
+    assert t.read().count() == 1
+
+
+def test_schema_evolution_batch_missing_constrained_column_passes(spark, table):
+    # evolve with a new column; the batch lacks x entirely — absent column
+    # reads as NULL for these rows, and NULL passes CHECK
+    table.append(_df(spark, [(10, "tag")], "id bigint, label string"))
+    assert table.read().filter(F.col("id") == 10).count() == 1
