@@ -370,6 +370,15 @@ class LakeTable:
 
     _TAG_RE = r"[A-Za-z][A-Za-z0-9._-]*"
 
+    def _validate_tag_name(self, name: str) -> None:
+        """Shared by every ref operation: the ``_refs/<name>.json`` join
+        must never escape ``_refs/`` (a traversal like ``../_commits/2``
+        would reach commit files)."""
+        import re
+
+        if not re.fullmatch(self._TAG_RE, name):
+            raise ValueError(f"invalid tag name: {name!r} (must match {self._TAG_RE})")
+
     def tag(self, name: str, version: int | None = None) -> int:
         """Name a version (Iceberg TAG analog): ``read(version="name")``
         resolves through it, and ``expire_snapshots`` treats tagged
@@ -378,10 +387,7 @@ class LakeTable:
         with a letter (so a version NUMBER can never be shadowed);
         re-tagging an existing name moves it (publish is atomic via
         rename). Returns the resolved version."""
-        import re
-
-        if not re.fullmatch(self._TAG_RE, name):
-            raise ValueError(f"invalid tag name: {name!r} (must match {self._TAG_RE})")
+        self._validate_tag_name(name)
         v = self.latest_version() if version is None else version
         self._read_commit(v)  # must exist (raises ExpiredVersionError)
         os.makedirs(self._refs_dir, exist_ok=True)
@@ -403,13 +409,8 @@ class LakeTable:
 
     def delete_tag(self, name: str) -> bool:
         """Remove a tag; the version it pointed at becomes expirable again.
-        Returns whether the tag existed. Names are validated like ``tag``
-        does — the join below must never escape ``_refs/`` (a traversal
-        like ``../_commits/2`` would delete a commit file)."""
-        import re
-
-        if not re.fullmatch(self._TAG_RE, name):
-            raise ValueError(f"invalid tag name: {name!r} (must match {self._TAG_RE})")
+        Returns whether the tag existed."""
+        self._validate_tag_name(name)
         path = os.path.join(self._refs_dir, f"{name}.json")
         try:
             os.remove(path)
@@ -614,37 +615,76 @@ class LakeTable:
         return self._publish_commit(commit, [path])
 
     def _enforce_constraints(
-        self, df: DataFrame, properties: dict[str, str] | None, operation: str
+        self,
+        df: DataFrame,
+        properties: dict[str, str] | None,
+        operation: str,
+        table_schema=None,
     ) -> None:
         """CHECK-constraint enforcement (Delta `ALTER TABLE ADD CONSTRAINT`
         parity): every ``constraint.<name>`` table property holds a SQL
         boolean expression each WRITTEN row must satisfy. SQL-standard
         CHECK semantics: only a definite FALSE violates (NULL/unknown
         passes). Enforced on the rows a commit writes — create/append/
-        insert batches and merge upserts; deletes can't violate. A
-        constraint referencing a column the batch lacks (schema-evolution
-        append) passes: absent columns read as NULL, and NULL passes.
+        insert batches, merge upserts, and update rewrites; deletes can't
+        violate.
 
-        Cost: one ``limit(1)`` probe job per constraint per write — early-
-        exits at the first violation; at cluster scale you'd fold the
-        predicate into the write job itself (the manifest/property format
-        wouldn't change)."""
-        from pyspark.sql.utils import AnalysisException
+        Schema evolution: ``table_schema`` (the TABLE's full schema) fills
+        columns the batch doesn't carry with typed NULLs before
+        evaluation, so the NULL-passes rule applies PER COLUMN — a batch
+        lacking ``y`` still violates ``x > 0 AND y IS NOT NULL`` when its
+        ``x`` is negative (FALSE AND NULL = FALSE). Expressions that
+        still fail analysis raise loudly (never silently skip — a typo'd
+        constraint must not read as "enforced"); ``create_or_replace``
+        additionally validates every expression against the full frame up
+        front, the Delta ADD-CONSTRAINT behavior.
 
+        Cost: ONE ``limit(1)`` probe job for all constraints combined
+        (violated names attributed on the one offending row afterwards).
+        The probe re-executes the input plan, so a NONDETERMINISTIC
+        source expression (e.g. rand()) can pass the probe yet write
+        different values — at cluster scale you'd fold the predicate into
+        the write job itself, which also removes that caveat; the
+        property format wouldn't change."""
         props = properties or {}
-        for key in sorted(props):
-            if not key.startswith(CONSTRAINT_PREFIX):
-                continue
-            name, expr = key[len(CONSTRAINT_PREFIX):], props[key]
-            try:
-                bad = df.filter(F.expr(expr).eqNullSafe(False)).limit(1).collect()
-            except AnalysisException:
-                continue  # references a column this batch doesn't carry
-            if bad:
-                raise CheckViolation(
-                    f"{operation} violates CHECK constraint {name!r} ({expr}): "
-                    f"{bad[0].asDict()}"
-                )
+        checks = [
+            (key[len(CONSTRAINT_PREFIX):], props[key])
+            for key in sorted(props)
+            if key.startswith(CONSTRAINT_PREFIX)
+        ]
+        if not checks:
+            return
+        if table_schema is not None:
+            present = set(df.columns)
+            fillers = [
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in table_schema.fields
+                if f.name not in present
+            ]
+            if fillers:
+                df = df.select("*", *fillers)
+        try:
+            violated = reduce(
+                or_, (F.expr(e).eqNullSafe(False) for _, e in checks)
+            )
+            bad = df.filter(violated).limit(1).collect()
+        except Exception as exc:
+            raise CheckViolation(
+                f"{operation}: CHECK constraint expression failed to analyze "
+                f"against the write batch ({[e for _, e in checks]}): {exc}"
+            ) from exc
+        if bad:
+            row = bad[0]
+            one = self.spark.createDataFrame([row], df.schema)
+            names = [
+                name
+                for name, e in checks
+                if one.filter(F.expr(e).eqNullSafe(False)).count() > 0
+            ]
+            raise CheckViolation(
+                f"{operation} violates CHECK constraint(s) {names} "
+                f"({dict(checks)}): {row.asDict()}"
+            )
 
     def _maybe_attach_blooms(
         self, path: str, entries: list[dict], properties: dict[str, str] | None
@@ -1073,7 +1113,7 @@ class LakeTable:
         if not self.exists():
             return self._publish(df, "append")
         prev = self._read_commit(self.latest_version())
-        self._enforce_constraints(df, prev.properties, "append")
+        self._enforce_constraints(df, prev.properties, "append", self._schema(prev))
         merged = self._union_schema_json(self._schema(prev), df.schema)
         if merged is None:  # type conflict: resolve via unionByName rewrite
             out = self._read_data(prev).unionByName(df, allowMissingColumns=True)
@@ -1174,8 +1214,8 @@ class LakeTable:
                 upserts, "merge", bucket_spec=_bucket_spec(lead, n, pks=pks)
             )
         prev = self._read_commit(self.latest_version())
-        self._enforce_constraints(upserts, prev.properties, "merge")
         target_schema = self._schema(prev)
+        self._enforce_constraints(upserts, prev.properties, "merge", target_schema)
         # precombine is merge metadata, not data — drop unless the table
         # itself carries that column
         drop_precombine = (
@@ -1450,6 +1490,14 @@ class LakeTable:
                 ]
             )
 
+        props = self._read_commit(self.latest_version()).properties or {}
+        if any(k.startswith(CONSTRAINT_PREFIX) for k in props):
+            # Delta enforces CHECK on UPDATE too: probe the post-assignment
+            # image of the affected rows (bucket/stats-pruned scan) before
+            # any rewrite commits
+            self._enforce_constraints(
+                apply(self.read_where(condition)), props, "update", cur_schema
+            )
         return self._keyed_rewrite("update", condition, apply)
 
     def insert_rows(self, rows: list[dict[str, Any]]) -> Commit:
@@ -1597,7 +1645,10 @@ class LakeTable:
             # mtimes (part files land in subdirs), so the age test must
             # take the newest timestamp anywhere in the segment tree — the
             # top-level dir alone would misread a slow writer as old
-            newest = os.path.getmtime(path)
+            try:
+                newest = os.path.getmtime(path)
+            except OSError:  # segment vanished since listdir: nothing to GC
+                return time.time()
             for dirpath, dirs, files in os.walk(path):
                 for name in dirs + files:
                     try:

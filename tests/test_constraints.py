@@ -69,3 +69,38 @@ def test_schema_evolution_batch_missing_constrained_column_passes(spark, table):
     # reads as NULL for these rows, and NULL passes CHECK
     table.append(_df(spark, [(10, "tag")], "id bigint, label string"))
     assert table.read().filter(F.col("id") == 10).count() == 1
+
+
+def test_update_enforces_constraints(spark, table):
+    v = table.latest_version()
+    with pytest.raises(CheckViolation, match="positive_x"):
+        table.update_where(F.col("id") == 1, {"x": -4.0})
+    assert table.latest_version() == v
+    table.update_where(F.col("id") == 1, {"x": 4.0})
+    assert table.read().filter(F.col("id") == 1).collect()[0].x == 4.0
+
+
+def test_multi_column_constraint_violates_on_present_column(spark, tmp_path):
+    """A batch lacking one referenced column must still violate when the
+    PRESENT column makes the expression definitely FALSE (FALSE AND NULL =
+    FALSE) — missing columns fill as typed NULLs, they don't disable the
+    whole constraint."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(
+        _df(spark, [(1, 1.0, "a")], "id bigint, x double, label string"),
+        properties={"constraint.both": "x > 0 AND label != 'bad'"},
+    )
+    with pytest.raises(CheckViolation, match="both"):
+        t.append(_df(spark, [(2, -5.0)], "id bigint, x double"))  # no label
+    # x positive, label absent → TRUE AND NULL = NULL → passes
+    t.append(_df(spark, [(3, 5.0)], "id bigint, x double"))
+    assert t.read().count() == 2
+
+
+def test_malformed_constraint_raises_loudly_never_skips(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    with pytest.raises(CheckViolation, match="failed to analyze"):
+        t.create_or_replace(
+            _df(spark, [(1, 1.0)]), properties={"constraint.bad": "x >< 0"}
+        )
+    assert not t.exists()
