@@ -183,9 +183,21 @@ class LakeEngine:
         else:
             raise ValueError(f"unknown ingest mode: {mode}")
 
-    def write_table(self, table: str, df: DataFrame, mode: str = "create") -> None:
+    def write_table(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "create",
+        properties: dict[str, str] | None = None,
+    ) -> None:
+        """``properties`` reach the commit log on create — table config
+        like ``bloom.columns`` or CHECK ``constraint.<name>`` expressions
+        (enforced on this and every later write)."""
         t = self.catalog.table(table)
-        t.create_or_replace(df) if mode == "create" else t.append(df)
+        if mode == "create":
+            t.create_or_replace(df, properties=properties)
+        else:
+            t.append(df)
 
     def insert(self, table: str, values: dict[str, str]) -> None:
         """M1 typed insert from string form values (api_poc.py:781-795)."""

@@ -97,6 +97,24 @@ def test_multi_column_constraint_violates_on_present_column(spark, tmp_path):
     assert t.read().count() == 2
 
 
+def test_engine_facade_carries_constraints(spark, tmp_path):
+    """Constraints set through write_table properties gate every later
+    facade write (insert/update return a 4xx-able error upstream)."""
+    from datalake_on_prem_system_spark.engine import LakeEngine
+
+    eng = LakeEngine(spark, str(tmp_path / "wh"))
+    eng.write_table(
+        "items",
+        _df(spark, [(1, 1.0)]),
+        properties={"constraint.positive_x": "x > 0"},
+    )
+    with pytest.raises(CheckViolation):
+        eng.insert("items", {"id": "2", "x": "-9.5"})
+    with pytest.raises(CheckViolation):
+        eng.update("items", "1", {"x": "-1.0"})
+    assert eng.read("items").count() == 1
+
+
 def test_malformed_constraint_raises_loudly_never_skips(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t"))
     with pytest.raises(CheckViolation, match="failed to analyze"):
