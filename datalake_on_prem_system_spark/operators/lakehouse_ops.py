@@ -441,6 +441,34 @@ def lh_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def lh_constrained_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints on the serve path: a table created with two
+    ``constraint.*`` properties takes a full create → insert → update →
+    delete chain of VALID writes (each gated by the pre-commit probe —
+    tests/test_constraints.py pins the rejection side) and reads back the
+    final state, which the oracle reproduces as plain SQL. Proves
+    enforcement never perturbs committed data."""
+    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_constr_"))
+    base = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 120)
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("p_retailprice"))
+    )
+    table.create_or_replace(
+        base,
+        properties={
+            "constraint.price_nonneg": "p_retailprice >= 0",
+            "constraint.has_key": "p_partkey IS NOT NULL",
+        },
+    )
+    table.insert_rows(
+        [{"p_partkey": 2_000_001, "p_name": "constrained part", "p_retailprice": 10.5}]
+    )
+    table.update_where(F.col("p_partkey") % 5 == 0, {"p_retailprice": 1.25})
+    table.delete_where(F.col("p_partkey") % 7 == 0)
+    return table.read()
+
+
 def lh_append_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 + schema evolution: append a batch carrying a new column — old
     rows take NULL (ingest_csv_hudi.py:112-146 union-of-columns
@@ -595,6 +623,7 @@ QUERIES = {
     "lh_stats_skipping": lh_stats_skipping,
     "lh_bloom_skipping": lh_bloom_skipping,
     "lh_restore": lh_restore,
+    "lh_constrained_dml": lh_constrained_dml,
     "lh_zorder_skipping": lh_zorder_skipping,
     "lh_merge_upsert": lh_merge_upsert,
     "lh_incremental_rollup": lh_incremental_rollup,
@@ -668,6 +697,18 @@ ORACLE = {
     "lh_restore": """
         SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS p_retailprice
         FROM part WHERE p_partkey < 150
+    """,
+    "lh_constrained_dml": """
+        WITH base AS (
+            SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+            FROM part WHERE p_partkey < 120
+            UNION ALL
+            SELECT 2000001, 'constrained part', 10.5
+        )
+        SELECT p_partkey, p_name,
+               CASE WHEN p_partkey % 5 = 0 THEN 1.25 ELSE p_retailprice END
+                   AS p_retailprice
+        FROM base WHERE p_partkey % 7 != 0
     """,
     "lh_zorder_skipping": """
         SELECT o_custkey % 10 AS cust_bucket, count(*) AS n_orders,
