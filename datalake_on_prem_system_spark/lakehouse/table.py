@@ -184,14 +184,29 @@ def _pk_literal_values(condition, pk: str) -> list | None:
         return None
 
 
-def _range_predicates(condition) -> list[tuple[str, str, Any]]:
-    """Extract (column, op, literal) conjuncts usable for FILE SKIPPING
-    from a filter Column: a conjunction of simple comparisons
-    (``col <op> literal`` / ``literal <op> col``, op ∈ {=, <, <=, >, >=})
-    plus all-literal IN-lists (op "in", literal tuple) yields every
-    recognizable conjunct; anything else in the tree is ignored
-    (conjunction semantics: pruning by ANY sound conjunct is sound).
-    Pure fast-path — introspection surprises return []."""
+_MAX_DISJUNCTS = 16
+
+
+def _skip_disjuncts(condition) -> list[list[tuple[str, str, Any]]]:
+    """Predicate structure for FILE SKIPPING, as a bounded DNF: a list of
+    DISJUNCTS, each a list of (column, op, literal) conjuncts. An entry
+    may match the filter iff SOME disjunct may match it, so a caller
+    prunes an entry only when EVERY disjunct proves empty.
+
+    Recognized leaves: simple comparisons (``col <op> literal`` /
+    ``literal <op> col``, op ∈ {=, <, <=, >, >=}) and all-literal
+    IN-lists (op "in", literal tuple; NULL elements drop — they never
+    match a row). Combinators: AND is the disjunct cross-product, OR the
+    disjunct union — so ``tenant = 'a' OR tenant = 'b'`` (the
+    multi-tenant point-lookup shape) prunes every segment containing
+    neither, which pure-conjunction extraction could never do.
+
+    Conservatism: any unrecognized subtree becomes the empty disjunct
+    ``[]``, which may match ANYTHING — under AND the product keeps the
+    other side's conjuncts (sound: proving A empty proves A∧B empty);
+    under OR it poisons pruning entirely (sound: B unknown means the OR
+    may match anywhere). DNF blow-up past ``_MAX_DISJUNCTS`` and
+    introspection surprises degrade to ``[[]]`` (no pruning)."""
     flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
 
     def attr_name(n):
@@ -200,43 +215,65 @@ def _range_predicates(condition) -> list[tuple[str, str, Any]]:
         parts = n.nameParts()
         return parts.apply(0) if parts.size() == 1 else None
 
-    def walk(node) -> list[tuple[str, str, Any]]:
-        if node.getClass().getSimpleName() != "UnresolvedFunction":
-            return []
-        fn = node.functionName()
-        args = node.arguments()
-        argl = [args.apply(i) for i in range(args.size())]
-        if fn == "and" and len(argl) == 2:
-            return walk(argl[0]) + walk(argl[1])
+    def leaf(fn, argl) -> tuple[str, str, Any] | None:
         if fn in flip and len(argl) == 2:
             for a, b, op in ((argl[0], argl[1], fn), (argl[1], argl[0], flip[fn])):
                 name = attr_name(a)
                 if name is not None and b.getClass().getSimpleName() == "Literal":
                     v = b.value()
                     if v is not None:
-                        return [(name, op, v)]
-            return []
+                        return (name, op, v)
+            return None
         if fn == "in" and len(argl) >= 2:
-            # col IN (lits...): prunable iff NO element may match. NULL
-            # elements drop (never match a row); all-literal lists only —
-            # a non-literal element disqualifies the whole conjunct.
             name = attr_name(argl[0])
             if name is None:
-                return []
+                return None
             vals = []
             for a in argl[1:]:
                 if a.getClass().getSimpleName() != "Literal":
-                    return []
+                    return None
                 v = a.value()
                 if v is not None:
                     vals.append(v)
-            return [(name, "in", tuple(vals))]
-        return []
+            return (name, "in", tuple(vals))
+        return None
+
+    def walk(node) -> list[list[tuple[str, str, Any]]]:
+        if node.getClass().getSimpleName() != "UnresolvedFunction":
+            return [[]]
+        fn = node.functionName()
+        args = node.arguments()
+        argl = [args.apply(i) for i in range(args.size())]
+        if fn == "and" and len(argl) == 2:
+            left, right = walk(argl[0]), walk(argl[1])
+            if len(left) * len(right) > _MAX_DISJUNCTS:
+                return [[]]
+            return [dl + dr for dl in left for dr in right]
+        if fn == "or" and len(argl) == 2:
+            out = walk(argl[0]) + walk(argl[1])
+            return out if len(out) <= _MAX_DISJUNCTS else [[]]
+        p = leaf(fn, argl)
+        return [[p]] if p is not None else [[]]
 
     try:
         return walk(condition._jc.node())
     except Exception:
-        return []
+        return [[]]
+
+
+def _prune_by_disjuncts(entries: list[dict], condition) -> list[dict]:
+    """Drop BASE entries every disjunct proves empty; delta entries are
+    never value-pruned (MOR soundness). No-op when any disjunct is
+    unrecognized (may match anything)."""
+    disjuncts = _skip_disjuncts(condition)
+    if not disjuncts or not all(disjuncts):
+        return entries
+    return [
+        e
+        for e in entries
+        if e.get("delta") is not None
+        or any(_entry_may_match(e, d) for d in disjuncts)
+    ]
 
 
 def _point_may_match(entry: dict, stats: dict, col: str, val: Any) -> bool:
@@ -867,9 +904,11 @@ class LakeTable:
            same filter since a key's delta lands in the key's bucket) —
            the P10 point-read serve path costs O(touched buckets) instead
            of O(table).
-        2. STATS-BASED FILE SKIPPING (Iceberg manifest min/max analog):
-           comparison conjuncts drop every BASE entry whose recorded
-           column range proves no row can match. Delta entries are NEVER
+        2. STATS/BLOOM FILE SKIPPING (Iceberg manifest min/max + Delta
+           bloom-index analogs) over a bounded DNF of the predicate:
+           every BASE entry that EVERY disjunct's ranges/blooms prove
+           empty drops — so conjunctions, IN-lists, and OR-of-point-
+           lookups all prune. Delta entries are NEVER
            stats-pruned — a delta's rows decide other rows' merge-on-read
            survival, so dropping one by its VALUES could resurrect
            replaced/deleted base rows; dropping a base entry is sound
@@ -894,13 +933,7 @@ class LakeTable:
                         for e in entries
                         if e["bucket"] is None or e["bucket"] in touched
                     ]
-        preds = _range_predicates(condition)
-        if preds:
-            entries = [
-                e
-                for e in entries
-                if e.get("delta") is not None or _entry_may_match(e, preds)
-            ]
+        entries = _prune_by_disjuncts(entries, condition)
         if len(entries) < len(commit.files):
             return self._resolve(
                 entries, commit.schema_json, commit.bucket_spec
@@ -1398,14 +1431,7 @@ class LakeTable:
             # matching row, so they're skipped (deltas always read — same
             # MOR soundness rule as read_where). The REWRITE below still
             # covers whole touched buckets; this only trims discovery I/O.
-            preds = _range_predicates(matches)
-            scan_entries = prev.files
-            if preds:
-                scan_entries = [
-                    e
-                    for e in scan_entries
-                    if e.get("delta") is not None or _entry_may_match(e, preds)
-                ]
+            scan_entries = _prune_by_disjuncts(prev.files, matches)
             full = self._resolve(scan_entries, prev.schema_json, spec)
             touched = {
                 r["b"]

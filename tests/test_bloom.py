@@ -124,6 +124,33 @@ def test_in_list_prunes_by_membership(bloom_table):
     assert sorted(r["pk"] for r in multi.collect()) == [0, 10, 22]
 
 
+def test_or_predicates_prune_by_disjunct_union(bloom_table):
+    """OR-of-point-lookups (the multi-tenant shape): an entry survives iff
+    SOME branch may match it — segments containing neither clerk drop."""
+    commit = bloom_table.commit_at()
+    # 'c' only in v0, 'z' only in v2 → v1 {a,b,f} must be skipped
+    df = bloom_table.read_where((F.col("clerk") == "c") | (F.col("clerk") == "z"))
+    assert sorted(r["pk"] for r in df.collect()) == [1, 22]
+    v1 = next(e for e in commit.files if int(e["seq"]) == 1)
+    assert not any(
+        f.replace("file:", "").replace("///", "/").startswith(v1["path"])
+        for f in df.inputFiles()
+    )
+    # neither branch present anywhere → everything prunes
+    none = bloom_table.read_where((F.col("clerk") == "q1") | (F.col("clerk") == "q2"))
+    assert none.count() == 0 and none.inputFiles() == []
+    # an OR with an unprunable branch must not prune at all
+    mixed = bloom_table.read_where(
+        (F.col("clerk") == "nowhere") | F.col("clerk").startswith("z")
+    )
+    assert sorted(r["pk"] for r in mixed.collect()) == [22]
+    # AND-of-OR composes: (c|z) AND v >= 20 → only v2 rows
+    both = bloom_table.read_where(
+        ((F.col("clerk") == "c") | (F.col("clerk") == "z")) & (F.col("v") >= 20.0)
+    )
+    assert sorted(r["pk"] for r in both.collect()) == [22]
+
+
 def test_type_mismatched_literal_never_prunes(spark):
     """An int literal probed against a string-column bloom must be ignored
     (conservative), not hashed into a spurious exclusion."""
