@@ -73,6 +73,7 @@ _SWEEP_FIRST = [
     "lh_bloom_skipping", "ev_funnel", "ev_retention", "st_session_window",
     "lh_restore", "tx_lm_score", "cur_source_mix", "st_funnel_stream",
     "a_unpivot", "a_heavy_hitters", "lh_constrained_dml",
+    "sim_ann_ivf_incremental",
     "pl_curation", "pl_dedup_canonical", "pl_sequence_pack",
     "dd_exact", "dd_ngram_jaccard", "dd_components", "dd_minhash_lsh",
     "dd_simhash", "dd_embedding_cosine",

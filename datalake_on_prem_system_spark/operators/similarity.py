@@ -195,6 +195,65 @@ def _sqdist(v: Column, c: Column) -> Column:
     )
 
 
+def _argmin_cell(centers: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id: array_min over (dist, cell) structs =
+    lexicographic min — ties to the lower cell id, the same rule the
+    oracle's ``row_number() OVER (ORDER BY dist, cell)`` applies."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist(F.col("v"), F.array(*[F.lit(x) for x in c])).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, c in centers
+            ]
+        )
+    )["c"]
+
+
+def _fit_centers(
+    train: DataFrame, seeds: list[tuple[int, list[float]]]
+) -> list[tuple[int, list[float]]]:
+    """One deterministic Lloyd refinement of the Forgy ``seeds`` over
+    ``train``: assign to nearest seed, per-cell centroid = mean summed in
+    vec_id order (``sort_array(collect_list)`` + zip-fold — canonical
+    summation, identical doubles on any partitioning and in the oracle's
+    ``list(vec ORDER BY vec_id)`` replay)."""
+    seeded = train.withColumn(
+        "cell0", _argmin_cell([(i, c) for i, (_, c) in enumerate(seeds)])
+    )
+    refined = (
+        seeded.groupBy("cell0")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("vec_id", "v"))),
+                F.array_repeat(F.lit(0.0), _DIM),
+                lambda acc, r: F.zip_with(acc, r["v"], lambda a, x: a + x),
+            ).alias("vsum"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("cell0", F.transform("vsum", lambda s: s / F.col("cnt")).alias("centroid"))
+        .collect()
+    )
+    return sorted((int(r.cell0), [float(x) for x in r.centroid]) for r in refined)
+
+
+def append_to_ivf_index(
+    path: str, centers: list[tuple[int, list[float]]], new_vecs: DataFrame
+) -> None:
+    """INCREMENTAL index maintenance: assign a batch of NEW vectors against
+    the FROZEN coarse quantizer and append to the cell-partitioned index —
+    O(batch) regardless of index size, no retrain, no rewrite (the FAISS
+    ``add`` operation; production re-fits only on corpus drift). The
+    assignment is a narrow per-row map against nlist broadcast-literal
+    centroids — no shuffle; the dynamic-partition append touches only the
+    cells the batch lands in."""
+    new_vecs.withColumn("cell", _argmin_cell(centers)).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
 def build_ivf_index(
     spark: SparkSession, sf_dir: str, nlist: int = _NLIST
 ) -> tuple[str, list[tuple[int, list[float]]]]:
@@ -239,42 +298,11 @@ def build_ivf_index(
         for r in vecs.filter(F.col("vec_id") < nlist).select("vec_id", "v").collect()
     ]
     seeds.sort()
-
-    def argmin_cell(centers: list[tuple[int, list[float]]]) -> Column:
-        # array_min over (dist, cell) structs = lexicographic min: nearest
-        # centroid, ties to the lower cell id — same rule the oracle's
-        # row_number() OVER (ORDER BY dist, cell) applies
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sqdist(F.col("v"), F.array(*[F.lit(x) for x in c])).alias("d"),
-                        F.lit(ci).alias("c"),
-                    )
-                    for ci, c in centers
-                ]
-            )
-        )["c"]
-
-    seeded = vecs.withColumn("cell0", argmin_cell([(i, c) for i, (_, c) in enumerate(seeds)]))
-    refined = (
-        seeded.groupBy("cell0")
-        .agg(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct("vec_id", "v"))),
-                F.array_repeat(F.lit(0.0), _DIM),
-                lambda acc, r: F.zip_with(acc, r["v"], lambda a, x: a + x),
-            ).alias("vsum"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .select("cell0", F.transform("vsum", lambda s: s / F.col("cnt")).alias("centroid"))
-        .collect()
-    )
-    centers = sorted((int(r.cell0), [float(x) for x in r.centroid]) for r in refined)
+    centers = _fit_centers(vecs, seeds)
     _IVF_FITS += 1
 
     path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "assignments")
-    vecs.withColumn("cell", argmin_cell(centers)).write.partitionBy("cell").parquet(path)
+    vecs.withColumn("cell", _argmin_cell(centers)).write.partitionBy("cell").parquet(path)
     _IVF_CACHE[key] = (path, centers)
     # GC superseded fits of the same (sf_dir, nlist): a re-fit only happens
     # on corpus drift (the mtime is in the key), so the old index dir has no
@@ -299,8 +327,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked compare; pytest additionally measures recall."""
     nlist, nprobe = _NLIST, _NPROBE
     path, centers = build_ivf_index(spark, sf_dir, nlist)
-    assigned = spark.read.parquet(path)
+    return _probe_ivf(spark.read.parquet(path), centers, nprobe)
 
+
+def _probe_ivf(
+    assigned: DataFrame, centers: list[tuple[int, list[float]]], nprobe: int
+) -> DataFrame:
+    """Probe-only read shared by the one-shot and incremental indexes."""
     q_row = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select("v", "norm").head()
     qv, qnorm = q_row.v, q_row.norm
     # rank cells by centroid distance to the query (driver-side: nlist
@@ -323,12 +356,47 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INC_IVF_CACHE: dict[str, tuple[str, list[tuple[int, list[float]]]]] = {}
+
+
+def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe over an INCREMENTALLY-BUILT IVF index: the coarse
+    quantizer trains once on the initial 80% of the corpus (vec_id % 5
+    != 0, Forgy seeds = its lowest-nlist vec_ids), then the remaining 20%
+    — including the query vector itself — arrives later and is appended
+    via ``append_to_ivf_index``: assignment against FROZEN centroids,
+    O(batch), no retrain (FAISS ``add``). The oracle replays train-on-
+    subset + assign-all bit-for-bit, so the hash check proves the
+    appended vectors land in exactly the cells a from-scratch assignment
+    against those centroids would give them."""
+    if sf_dir not in _INC_IVF_CACHE:
+        vecs = _vecs(spark, sf_dir)
+        train = vecs.filter(F.col("vec_id") % 5 != 0)
+        seeds = [
+            (int(r.vec_id), [float(x) for x in r.v])
+            for r in train.orderBy("vec_id").limit(_NLIST).select("vec_id", "v").collect()
+        ]
+        centers = _fit_centers(train, seeds)
+        import os
+        import tempfile
+
+        path = os.path.join(tempfile.mkdtemp(prefix="ivf_inc_"), "assignments")
+        train.withColumn("cell", _argmin_cell(centers)).write.partitionBy(
+            "cell"
+        ).parquet(path)
+        append_to_ivf_index(path, centers, vecs.filter(F.col("vec_id") % 5 == 0))
+        _INC_IVF_CACHE[sf_dir] = (path, centers)
+    path, centers = _INC_IVF_CACHE[sf_dir]
+    return _probe_ivf(spark.read.parquet(path), centers, _NPROBE)
+
+
 QUERIES = {
     "sim_brute_topk": sim_brute_topk,
     "sim_topk_per_label": sim_topk_per_label,
     "sim_knn_join": sim_knn_join,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_ivf_incremental": sim_ann_ivf_incremental,
 }
 
 
@@ -490,3 +558,67 @@ def _ivf_oracle_sql() -> str:
 
 
 ORACLE["sim_ann_ivf"] = _ivf_oracle_sql()
+
+
+def _ivf_inc_oracle_sql() -> str:
+    """DuckDB replay of sim_ann_ivf_incremental: the quantizer trains on
+    the 80% subset only (seeds = its lowest-nlist vec_ids via row_number),
+    then EVERY vector — trained-on and appended alike — assigns against
+    those frozen centroids; probe and rerank as in the one-shot oracle.
+    Hash-exact: same fold orders, same tie rules."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+            f"for i in range(1, len({a}) + 1)]), (s, x) -> s + x)"
+        )
+
+    zero_vec = "CAST([" + ", ".join(["0.0"] * _DIM) + "] AS DOUBLE[])"
+    return f"""
+        WITH {_VECS_SQL}, train AS (
+            SELECT * FROM n WHERE vec_id % 5 != 0
+        ), seeds AS (
+            SELECT cell, vec FROM (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec
+                FROM train
+            ) WHERE cell < {_NLIST}
+        ), a0 AS (
+            SELECT vec_id, vec, cell FROM (
+                SELECT v.vec_id, v.vec, s.cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {dist("v.vec", "s.vec")} ASC, s.cell ASC) AS rn
+                FROM train v CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ), sums AS (
+            SELECT cell,
+                   list_reduce(list_prepend({zero_vec},
+                       list(vec ORDER BY vec_id)),
+                       (acc, x) -> [acc[i] + x[i] for i in range(1, {_DIM} + 1)]
+                   ) AS vsum,
+                   count(*) AS cnt
+            FROM a0 GROUP BY cell
+        ), cents AS (
+            SELECT cell, [s / cnt for s in vsum] AS cvec FROM sums
+        ), af AS (
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {dist("v.vec", "c.cvec")} ASC, c.cell ASC) AS rn
+                FROM n v CROSS JOIN cents c
+            ) WHERE rn = 1
+        ), qc AS (
+            SELECT c.cell
+            FROM cents c, (SELECT vec FROM n WHERE vec_id = {_QUERY_VEC_ID}) qq
+            ORDER BY {dist("qq.vec", "c.cvec")} ASC, c.cell ASC LIMIT {_NPROBE}
+        )
+        SELECT a.vec_id, a.label, round({_COS}, 6) AS cosine
+        FROM n a
+        JOIN af ON af.vec_id = a.vec_id,
+             (SELECT vec, norm FROM n WHERE vec_id = {_QUERY_VEC_ID}) q
+        WHERE af.cell IN (SELECT cell FROM qc) AND a.vec_id != {_QUERY_VEC_ID}
+        ORDER BY {_COS} DESC, a.vec_id ASC LIMIT {_TOP_K}
+    """
+
+
+ORACLE["sim_ann_ivf_incremental"] = _ivf_inc_oracle_sql()
