@@ -197,6 +197,14 @@ class LakeEngine:
         if mode == "create":
             t.create_or_replace(df, properties=properties)
         else:
+            if properties is not None:
+                # appends inherit the table's recorded properties; silently
+                # dropping new ones here would let a caller believe a
+                # constraint/bloom config took effect when it never did
+                raise ValueError(
+                    "properties apply on create only; append inherits the "
+                    "table's existing properties"
+                )
             t.append(df)
 
     def insert(self, table: str, values: dict[str, str]) -> None:

@@ -356,7 +356,7 @@ def _probe_ivf(
     )
 
 
-_INC_IVF_CACHE: dict[str, tuple[str, list[tuple[int, list[float]]]]] = {}
+_INC_IVF_CACHE: dict[tuple[str, float], tuple[str, list[tuple[int, list[float]]]]] = {}
 
 
 def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,7 +369,18 @@ def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset + assign-all bit-for-bit, so the hash check proves the
     appended vectors land in exactly the cells a from-scratch assignment
     against those centroids would give them."""
-    if sf_dir not in _INC_IVF_CACHE:
+    import os
+    import shutil
+    import tempfile
+
+    # same cache-key discipline as build_ivf_index: abspath (one build per
+    # spelling) + embeddings mtime (corpus drift re-builds, so the index
+    # can never serve assignments from regenerated-in-place data), with
+    # superseded index dirs GC'd
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = os.path.getmtime(emb) if os.path.exists(emb) else 0.0
+    key = (os.path.abspath(sf_dir), stamp)
+    if key not in _INC_IVF_CACHE:
         vecs = _vecs(spark, sf_dir)
         train = vecs.filter(F.col("vec_id") % 5 != 0)
         seeds = [
@@ -377,16 +388,16 @@ def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in train.orderBy("vec_id").limit(_NLIST).select("vec_id", "v").collect()
         ]
         centers = _fit_centers(train, seeds)
-        import os
-        import tempfile
-
         path = os.path.join(tempfile.mkdtemp(prefix="ivf_inc_"), "assignments")
-        train.withColumn("cell", _argmin_cell(centers)).write.partitionBy(
-            "cell"
-        ).parquet(path)
+        # append-to-empty creates the index: the initial load and every
+        # later add share ONE write recipe
+        append_to_ivf_index(path, centers, train)
         append_to_ivf_index(path, centers, vecs.filter(F.col("vec_id") % 5 == 0))
-        _INC_IVF_CACHE[sf_dir] = (path, centers)
-    path, centers = _INC_IVF_CACHE[sf_dir]
+        _INC_IVF_CACHE[key] = (path, centers)
+        for stale in [k for k in _INC_IVF_CACHE if k[0] == key[0] and k != key]:
+            old_path, _ = _INC_IVF_CACHE.pop(stale)
+            shutil.rmtree(os.path.dirname(old_path), ignore_errors=True)
+    path, centers = _INC_IVF_CACHE[key]
     return _probe_ivf(spark.read.parquet(path), centers, _NPROBE)
 
 

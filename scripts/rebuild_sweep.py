@@ -30,8 +30,13 @@ sys.path.insert(0, HERE)
 
 def main() -> None:
     limit = 50
-    if "--limit" in sys.argv:
-        limit = int(sys.argv[sys.argv.index("--limit") + 1])
+    for i, arg in enumerate(sys.argv[1:], start=1):
+        if arg == "--limit":
+            if i + 1 >= len(sys.argv):
+                sys.exit("usage: rebuild_sweep.py [--limit N]")
+            limit = int(sys.argv[i + 1])
+        elif arg.startswith("--limit="):
+            limit = int(arg.split("=", 1)[1])
 
     from datalake_on_prem_system_spark import operators
 

@@ -139,11 +139,17 @@ def test_or_predicates_prune_by_disjunct_union(bloom_table):
     # neither branch present anywhere → everything prunes
     none = bloom_table.read_where((F.col("clerk") == "q1") | (F.col("clerk") == "q2"))
     assert none.count() == 0 and none.inputFiles() == []
-    # an OR with an unprunable branch must not prune at all
+    # an OR with an unprunable branch must not prune at all — pin via
+    # inputFiles: every segment stays in the scan, not just the right rows
     mixed = bloom_table.read_where(
         (F.col("clerk") == "nowhere") | F.col("clerk").startswith("z")
     )
     assert sorted(r["pk"] for r in mixed.collect()) == [22]
+    scanned_dirs = {
+        f.replace("file:", "").replace("///", "/").rsplit("/", 1)[0]
+        for f in mixed.inputFiles()
+    }
+    assert scanned_dirs == {e["path"] for e in commit.files}
     # AND-of-OR composes: (c|z) AND v >= 20 → only v2 rows
     both = bloom_table.read_where(
         ((F.col("clerk") == "c") | (F.col("clerk") == "z")) & (F.col("v") >= 20.0)
