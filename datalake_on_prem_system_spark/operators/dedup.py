@@ -239,33 +239,35 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_pairs(cands, sh)
 
 
-def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup detection, exact-verified.
-
-    shingle → xxhash64 → 64 universal-hash permutations → per-doc min →
-    16 bands of 4 → shuffle on (band, band_hash) → candidate pairs →
-    exact jaccard verify on the per-doc shingle arrays → j ≥ 0.8.
-    """
-    from collections.abc import Iterator
-
+def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared, persisted ``(doc_id, sh)`` shingle frame — one plan (and
+    therefore ONE cache entry, see ``persist_bounded``) for dd_ngram_jaccard,
+    dd_minhash_lsh, the incremental index build and the probe path."""
     docs = t_par(spark, sf_dir, "documents")
     # persisted for the same branch-sharing reason (and with the same
     # bounded-registry lifetime) as dd_ngram_jaccard: the signature kernel
     # and both verify-join sides re-shingle otherwise
-    sh = persist_bounded(
+    return persist_bounded(
         docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
             "doc_id", _shingles().alias("sh")
         ),
         key=f"shingles:{sf_dir}",  # same plan as jaccard's frame — shared cache entry, shared key
     )
 
-    # Signature + banding as ONE Arrow-batched vectorized kernel.
-    # Division of labor: shingle *hashing* stays JVM (xxhash64, one pass);
-    # the 64-permutation min-sketch crosses to numpy as a single
-    # minimum.reduceat over the concatenated hash array — no per-doc or
-    # per-row Python loops at all. The pure-expression formulation of the
-    # same sketch is interpreted by Spark (higher-order functions don't
-    # codegen) and measured ~10× slower; per-doc Python looping was ~7s.
+
+def _band_frame(sh: DataFrame) -> DataFrame:
+    """MinHash band signatures ``(doc_id, band, bh)`` for a shingle frame.
+
+    Signature + banding as ONE Arrow-batched vectorized kernel.
+    Division of labor: shingle *hashing* stays JVM (xxhash64, one pass);
+    the 64-permutation min-sketch crosses to numpy as a single
+    minimum.reduceat over the concatenated hash array — no per-doc or
+    per-row Python loops at all. The pure-expression formulation of the
+    same sketch is interpreted by Spark (higher-order functions don't
+    codegen) and measured ~10× slower; per-doc Python looping was ~7s.
+    """
+    from collections.abc import Iterator
+
     perms_a = [a for a, _ in _PERMS]
     perms_b = [b for _, b in _PERMS]
     n_bands, rows_per_band, p_mod = _N_BANDS, _ROWS_PER_BAND, _P
@@ -304,11 +306,15 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    bands = hashed.mapInPandas(minhash_bands, "doc_id bigint, band int, bh bigint")
-    # candidate generation: ONE shuffle on (band, bucket-hash), then emit
-    # i<j pairs narrowly inside each bucket — the canonical LSH shape (a
-    # band self-join re-derives the signature DAG on both sides and planned
-    # catastrophically here; this form scans it once)
+    return hashed.mapInPandas(minhash_bands, "doc_id bigint, band int, bh bigint")
+
+
+def _bucket_pairs(bands: DataFrame) -> DataFrame:
+    """Candidate ``(a_id, b_id)`` pairs from band buckets: ONE shuffle on
+    (band, bucket-hash), then emit i<j pairs narrowly inside each bucket —
+    the canonical LSH shape (a band self-join re-derives the signature DAG
+    on both sides and planned catastrophically here; this form scans it
+    once)."""
     buckets = (
         bands.groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -323,13 +329,105 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    cands = (
+    return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
+
+
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, exact-verified.
+
+    shingle → xxhash64 → 64 universal-hash permutations → per-doc min →
+    16 bands of 4 → shuffle on (band, band_hash) → candidate pairs →
+    exact jaccard verify on the per-doc shingle arrays → j ≥ 0.8.
+    """
+    sh = _shingle_frame(spark, sf_dir)
+    cands = _bucket_pairs(_band_frame(sh))
     # exact verification: join candidate pairs back to shingle arrays
     return _verify_pairs(cands, sh)
+
+
+# ------------------------------------------------- incremental minhash index
+
+# corpus/batch split for the incremental-dedup demo: the same deterministic
+# key-hash split convention as tx_train_split / cur_decontaminate
+_CORPUS_MOD, _CORPUS_KEEP = 10, 8  # doc_id % 10 < 8 → corpus; >= 8 → new batch
+
+_MINHASH_IDX_CACHE: dict[tuple, str] = {}
+_MINHASH_BUILDS = 0  # test observability: index builds must be train-once
+
+
+def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """One-time LSH index build over the CORPUS split: persist the corpus'
+    ``(doc_id, band, bh)`` band signatures as parquet — the 'CREATE DEDUP
+    INDEX' op. Incremental batches then probe this index without ever
+    re-shingling or re-sketching the corpus (``dd_minhash_incremental``).
+
+    At 100 TB the index is the durable artifact of the historical dedup
+    pass: O(corpus × bands) rows of three 8-byte columns, stored bucketed
+    on (band, bh) so a probe join shuffles only the O(batch) side. Here it
+    is plain parquet (local fixture) and the probe broadcasts the batch
+    side, which achieves the same no-corpus-shuffle plan.
+
+    Cache key includes the fixture file's mtime — a regenerated corpus
+    triggers a rebuild, and the superseded index dir is removed (same
+    lifecycle contract as ``build_ivf_index``).
+    """
+    global _MINHASH_BUILDS
+    import os
+    import shutil
+    import tempfile
+
+    docs_file = os.path.join(sf_dir, "documents.parquet")
+    stamp = os.path.getmtime(docs_file) if os.path.exists(docs_file) else 0.0
+    key = (os.path.abspath(sf_dir), stamp)
+    if key in _MINHASH_IDX_CACHE:
+        return _MINHASH_IDX_CACHE[key]
+    _MINHASH_BUILDS += 1
+
+    sh = _shingle_frame(spark, sf_dir)
+    corpus_sh = sh.filter(F.col("doc_id") % _CORPUS_MOD < _CORPUS_KEEP)
+    path = os.path.join(tempfile.mkdtemp(prefix="minhash_idx_"), "bands")
+    _band_frame(corpus_sh).write.parquet(path)
+    _MINHASH_IDX_CACHE[key] = path
+    for stale in [k for k in _MINHASH_IDX_CACHE if k[0] == key[0] and k != key]:
+        old = _MINHASH_IDX_CACHE.pop(stale)
+        shutil.rmtree(os.path.dirname(old), ignore_errors=True)
+    return path
+
+
+def dd_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup: a NEW batch of documents (doc_id % 10 ≥ 8)
+    is deduped against the existing corpus (doc_id % 10 < 8) by probing the
+    corpus' persisted LSH band index (``build_minhash_index``) — the corpus
+    is never re-shingled or re-sketched — and against itself via the normal
+    in-batch bucket pairing. This is the daily-ingest shape of corpus dedup
+    at 100 TB: per-batch cost is O(batch) sketching + one index probe join,
+    independent of corpus size.
+
+    Plan: batch bands are BROADCAST into the probe join, so the corpus
+    index scan never shuffles (at warehouse scale the index is bucketed on
+    (band, bh) for the same property with large batches). Candidates from
+    both paths are exact-jaccard-verified against the per-doc shingle
+    arrays; output pairs carry ``pair_type`` 'corpus' (batch doc duplicates
+    an indexed corpus doc) or 'batch' (duplicate within the new batch).
+    """
+    idx = spark.read.parquet(build_minhash_index(spark, sf_dir))
+    sh = _shingle_frame(spark, sf_dir)
+    batch_bands = _band_frame(sh.filter(F.col("doc_id") % _CORPUS_MOD >= _CORPUS_KEEP))
+
+    probe = (
+        idx.alias("c")
+        .join(F.broadcast(batch_bands.alias("n")), ["band", "bh"])
+        .select(F.col("c.doc_id").alias("a_id"), F.col("n.doc_id").alias("b_id"))
+        .distinct()
+    )
+    internal = _bucket_pairs(batch_bands)
+    return _verify_pairs(probe, sh).withColumn("pair_type", F.lit("corpus")).unionByName(
+        _verify_pairs(internal, sh).withColumn("pair_type", F.lit("batch"))
+    )
 
 
 _SIMHASH_BUCKET_CAP = 512  # max docs per (band, band-hash) bucket considered
@@ -584,6 +682,7 @@ QUERIES = {
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_components": dd_components,
     "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_minhash_incremental": dd_minhash_incremental,
     "dd_simhash": dd_simhash,
     "dd_embedding_cosine": dd_embedding_cosine,
 }
@@ -720,6 +819,45 @@ ORACLE = {
     # LSH + exact verify equals the exact result w.p. ~1 at the fixture's
     # planted-dup similarity levels (see module docstring)
     "dd_minhash_lsh": _PAIR_JACCARD_SQL,
+    # LSH recall argument identical to dd_minhash_lsh (module docstring);
+    # the oracle is the exact cross-split + in-batch jaccard pair set
+    "dd_minhash_incremental": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') w FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) s
+            FROM toks WHERE len(w) >= 3
+        ), sizes AS (
+            SELECT doc_id, len(s) sz FROM sh
+        ), ex AS (
+            SELECT doc_id, unnest(s) shingle FROM sh
+        ), cpairs AS (
+            SELECT a.doc_id a_id, b.doc_id b_id, 'corpus' AS pair_type,
+                   count(*) inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle
+            WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+            GROUP BY 1, 2, 3
+        ), bpairs AS (
+            SELECT a.doc_id a_id, b.doc_id b_id, 'batch' AS pair_type,
+                   count(*) inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 >= 8
+            GROUP BY 1, 2, 3
+        ), pairs AS (
+            SELECT * FROM cpairs UNION ALL SELECT * FROM bpairs
+        )
+        SELECT a_id, b_id, inter,
+               CAST(sa.sz AS INTEGER) AS size_a, CAST(sb.sz AS INTEGER) AS size_b,
+               round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard,
+               pair_type
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+    """,
     "dd_simhash": _simhash_oracle_sql(),
     "dd_embedding_cosine": """
         WITH v AS (

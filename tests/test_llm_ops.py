@@ -34,6 +34,30 @@ def test_minhash_lsh_recall_equals_exact(spark, sf_dir):
     assert lsh == exact  # at fixture similarity levels recall ≈ 1 (see module doc)
 
 
+def test_minhash_incremental_equals_split_restricted_exact(spark, sf_dir):
+    """The incremental probe path (batch vs persisted corpus index + batch
+    vs batch) finds exactly the exact-jaccard pairs restricted to its two
+    split orientations, and a repeat run never rebuilds the corpus index."""
+    exact = _pairs(dedup.dd_ngram_jaccard(spark, sf_dir))
+    want_corpus = {(a, b) for a, b in exact if a % 10 < 8 and b % 10 >= 8} | {
+        (b, a) for a, b in exact if a % 10 >= 8 and b % 10 < 8
+    }
+    want_batch = {(a, b) for a, b in exact if a % 10 >= 8 and b % 10 >= 8}
+
+    inc = dedup.dd_minhash_incremental(spark, sf_dir).collect()
+    got_corpus = {(r.a_id, r.b_id) for r in inc if r.pair_type == "corpus"}
+    got_batch = {(r.a_id, r.b_id) for r in inc if r.pair_type == "batch"}
+    assert got_corpus == want_corpus
+    assert got_batch == want_batch
+
+    builds = dedup._MINHASH_BUILDS
+    again = dedup.dd_minhash_incremental(spark, sf_dir).collect()
+    assert dedup._MINHASH_BUILDS == builds, "repeat batch must not rebuild the index"
+    assert {(r.a_id, r.b_id, r.pair_type) for r in again} == {
+        (r.a_id, r.b_id, r.pair_type) for r in inc
+    }
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     exact = _pairs(dedup.dd_ngram_jaccard(spark, sf_dir))
     sim = _pairs(dedup.dd_simhash(spark, sf_dir))
