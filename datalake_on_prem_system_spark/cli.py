@@ -61,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("clone"); p.add_argument("table"); p.add_argument("dest"); p.add_argument("--version", type=int)
     p = sub.add_parser("restore"); p.add_argument("table"); p.add_argument("version", type=int)
     p = sub.add_parser("changes"); p.add_argument("table"); p.add_argument("v_from", type=int); p.add_argument("v_to", type=int)
+    p = sub.add_parser("branch"); p.add_argument("table"); p.add_argument("action", choices=["create", "list", "read", "merge", "delete"]); p.add_argument("name", nargs="?"); p.add_argument("--version", type=int)
 
     args = ap.parse_args(argv)
 
@@ -149,6 +150,23 @@ def _dispatch(args, eng, n: int) -> int:
         eng.changes(args.table, args.v_from, args.v_to).drop("changed_cells").show(
             n, truncate=False
         )
+    elif args.verb == "branch":
+        if args.action == "list":
+            for name, head in eng.branches(args.table).items():
+                print(f"{name}\t@{head}")
+        elif args.name is None:
+            raise SystemExit(f"branch {args.action} requires a name")
+        elif args.action == "create":
+            v = eng.create_branch(args.table, args.name, version=args.version)
+            print(f"branched {args.table}@{v} as {args.name}")
+        elif args.action == "read":
+            eng.read_branch(args.table, args.name).show(n, truncate=False)
+        elif args.action == "merge":
+            v = eng.merge_branch(args.table, args.name)
+            print(f"merged {args.name} into {args.table} at version {v}")
+        elif args.action == "delete":
+            existed = eng.delete_branch(args.table, args.name)
+            print(f"deleted branch {args.name}" if existed else f"no branch {args.name}")
     return 0
 
 

@@ -300,6 +300,35 @@ class LakeEngine:
             )
         restore(version)
 
+    def _branch_capable(self, table: str):
+        t = self.catalog.table(table)
+        if getattr(t, "create_branch", None) is None:
+            raise NotImplementedError(
+                f"table format {type(t).__name__} does not support branches"
+            )
+        return t
+
+    def create_branch(self, table: str, name: str, version: int | None = None) -> int:
+        """Fork a writable branch off ``table`` (O(metadata); shares the
+        table's data dir). Returns the fork version."""
+        t = self._branch_capable(table)
+        return t.create_branch(name, version=version).latest_version()
+
+    def branches(self, table: str) -> dict[str, int]:
+        return self._branch_capable(table).branches()
+
+    def read_branch(self, table: str, name: str) -> DataFrame:
+        return self._branch_capable(table).branch_table(name).read()
+
+    def merge_branch(self, table: str, name: str) -> int:
+        """Fast-forward merge of a branch back into the main chain; returns
+        the merge commit's version. Raises BranchConflictError if the main
+        chain advanced past the fork."""
+        return self._branch_capable(table).merge_branch(name).version
+
+    def delete_branch(self, table: str, name: str) -> bool:
+        return self._branch_capable(table).delete_branch(name)
+
     def clone(self, table: str, dest_table: str, version: int | None = None) -> None:
         """Zero-copy shallow clone of ``table`` (optionally as of
         ``version``) into ``dest_table`` in the same namespace — O(metadata)

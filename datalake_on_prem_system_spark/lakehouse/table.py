@@ -361,6 +361,12 @@ class ExpiredVersionError(LookupError):
     pass
 
 
+class BranchConflictError(RuntimeError):
+    """The target chain advanced since the branch forked: a fast-forward
+    merge is impossible (re-create the branch from the new head, replay the
+    work, merge again — the same contract as a git ff-only merge)."""
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first (optimistic concurrency:
     the Iceberg commit-conflict model — caller re-reads and retries)."""
@@ -369,10 +375,18 @@ class ConcurrentCommitError(RuntimeError):
 class LakeTable:
     """One versioned table rooted at ``root`` (a local or object-store path)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, branch: str | None = None):
         self.spark = spark
         self.root = root
-        self._commits_dir = os.path.join(root, "_commits")
+        # a BRANCH is a parallel commit chain in the same root sharing the
+        # same data/ dir (Iceberg branch refs): branch=None is the main
+        # chain; everything below (reads, DML, time travel, history) works
+        # unchanged against whichever chain this handle points at.
+        self.branch = branch
+        if branch is None:
+            self._commits_dir = os.path.join(root, "_commits")
+        else:
+            self._commits_dir = os.path.join(root, "_branches", branch)
         self._data_dir = os.path.join(root, "data")
         self._refs_dir = os.path.join(root, "_refs")
 
@@ -470,6 +484,159 @@ class LakeTable:
         if ref not in refs:
             raise ExpiredVersionError(f"unknown tag {ref!r} at {self.root}")
         return refs[ref]
+
+    # -------------------------------------------------------------- branches
+
+    @property
+    def _branches_dir(self) -> str:
+        return os.path.join(self.root, "_branches")
+
+    def _branch_dir(self, name: str) -> str:
+        # same traversal guard as tags: the name must never escape
+        # _branches/ (e.g. "../_commits")
+        self._validate_tag_name(name)
+        return os.path.join(self._branches_dir, name)
+
+    def create_branch(self, name: str, version: int | None = None) -> "LakeTable":
+        """Create a writable BRANCH (Iceberg branch-ref analog): a parallel
+        commit chain under ``_branches/<name>`` that SHARES this root's
+        ``data/`` dir — O(metadata) to create regardless of table size. The
+        bootstrap commit re-references the fork version's file list at the
+        fork's own version number, so the branch's version counter (and the
+        merge-on-read ``seq`` values its writes stamp) CONTINUE from the
+        fork point — the same counter-continuation rule as ``clone_to``.
+        Unlike a clone, branch writes land in the shared ``data/`` dir, so
+        a later merge hands segments back with no ownership transfer, and
+        both GC passes (``expire_snapshots``, ``vacuum_orphans``) treat
+        every chain's references as live."""
+        v = self.latest_version() if version is None else self.resolve_ref(version)
+        if v is None:
+            raise ValueError(f"cannot branch empty table at {self.root}")
+        src = self._read_commit(v)
+        bdir = self._branch_dir(name)
+        bt = LakeTable(self.spark, self.root, branch=name)
+        if bt.exists():
+            raise ValueError(f"branch already exists: {name!r} at {self.root}")
+        os.makedirs(bdir, exist_ok=True)
+        # fork metadata survives branch-chain expiry (the bootstrap commit
+        # itself may be expired away); merge_branch reads it for the
+        # fast-forward precondition. No .json suffix: _commit_files must
+        # never pick it up as a version.
+        with open(os.path.join(bdir, "FORK"), "w") as fh:
+            json.dump({"fork_version": v, "created_at": time.time()}, fh)
+        commit = Commit(
+            version=v,
+            parent=None,
+            operation=f"branch:{name}@{v}",
+            files=[dict(e) for e in src.files],
+            n_rows=src.n_rows,
+            schema_json=src.schema_json,
+            committed_at=time.time(),
+            bucket_spec=src.bucket_spec,
+            partition_by=src.partition_by,
+            properties=src.properties,
+        )
+        # new_paths=[]: the bootstrap owns no segments — a lost race must
+        # not delete shared data
+        bt._publish_commit(commit, [])
+        return bt
+
+    def branches(self) -> dict[str, int]:
+        """name -> head version for every live branch of this root."""
+        if not os.path.isdir(self._branches_dir):
+            return {}
+        out: dict[str, int] = {}
+        for name in sorted(os.listdir(self._branches_dir)):
+            bt = LakeTable(self.spark, self.root, branch=name)
+            head = bt.latest_version()
+            if head is not None:
+                out[name] = head
+        return out
+
+    def branch_table(self, name: str) -> "LakeTable":
+        """Handle on an existing branch's chain (reads, DML, time travel
+        all work against the branch)."""
+        self._validate_tag_name(name)
+        bt = LakeTable(self.spark, self.root, branch=name)
+        if not bt.exists():
+            raise ExpiredVersionError(f"unknown branch {name!r} at {self.root}")
+        return bt
+
+    def fork_version(self, name: str) -> int:
+        bdir = self._branch_dir(name)
+        with open(os.path.join(bdir, "FORK")) as fh:
+            return int(json.load(fh)["fork_version"])
+
+    def delete_branch(self, name: str) -> bool:
+        """Drop a branch's METADATA (commit chain + fork marker). Shared
+        segments are untouched — ones referenced by no surviving chain
+        become orphans that ``vacuum_orphans`` collects after its age
+        guard. Returns whether the branch existed."""
+        import shutil
+
+        bdir = self._branch_dir(name)
+        if not os.path.isdir(bdir):
+            return False
+        shutil.rmtree(bdir)
+        return True
+
+    def merge_branch(self, name: str) -> Commit:
+        """FAST-FORWARD merge of branch ``name`` into THIS chain: publishes
+        one commit whose file list / schema / layout are the branch head's.
+        O(metadata) — segments already live in the shared ``data/`` dir.
+        Precondition (checked): this chain has not advanced past the fork
+        version, else ``BranchConflictError`` (three-way row merges are a
+        MERGE INTO the user runs explicitly; a silent auto-merge would
+        invent row-level semantics the chain never saw).
+
+        The merge commit's version is ``branch_head + 1`` — NOT this
+        chain's ``latest + 1`` — so every merge-on-read ``seq`` carried
+        from branch commits stays below the next commit's stamp (the same
+        counter-continuation rule as ``clone_to``; version gaps are already
+        legal — expiry leaves them)."""
+        bt = self.branch_table(name)
+        fork_v = self.fork_version(name)
+        latest = self.latest_version()
+        if latest != fork_v:
+            raise BranchConflictError(
+                f"cannot fast-forward {name!r}: chain advanced "
+                f"{fork_v} -> {latest} since the fork"
+            )
+        head = bt.latest_version()
+        src = bt._read_commit(head)
+        commit = Commit(
+            version=max(latest, head) + 1,
+            parent=latest,
+            operation=f"merge_branch:{name}@{head}",
+            files=[dict(e) for e in src.files],
+            n_rows=src.n_rows,
+            schema_json=src.schema_json,
+            committed_at=time.time(),
+            bucket_spec=src.bucket_spec,
+            partition_by=src.partition_by,
+            properties=src.properties,
+        )
+        return self._publish_commit(commit, [])
+
+    def _foreign_live_paths(self) -> set[str]:
+        """Every file path referenced by any OTHER chain of this root (the
+        main chain and every branch except the one this handle points at).
+        GC (expire/vacuum) must treat these as live: chains share data/."""
+        chains: list[LakeTable] = []
+        if self.branch is not None:
+            chains.append(LakeTable(self.spark, self.root))
+        if os.path.isdir(self._branches_dir):
+            for name in os.listdir(self._branches_dir):
+                if name != self.branch and os.path.isdir(
+                    os.path.join(self._branches_dir, name)
+                ):
+                    chains.append(LakeTable(self.spark, self.root, branch=name))
+        out: set[str] = set()
+        for ch in chains:
+            for v in ch.versions():
+                for e in ch._read_commit(v).files:
+                    out.add(e["path"])
+        return out
 
     def mor_ready(self, pk: str | list[str] | tuple[str, ...]) -> bool:
         """True when a merge on ``pk`` (single or composite) will take the
@@ -1663,6 +1830,9 @@ class LakeTable:
         for v in self.versions():
             for e in self._read_commit(v).files:
                 referenced.add(os.path.realpath(e["path"]))
+        # segments referenced only from a branch chain are NOT orphans
+        for p in self._foreign_live_paths():
+            referenced.add(os.path.realpath(p))
         removed: list[str] = []
         cutoff = time.time() - older_than_s
 
@@ -1808,6 +1978,9 @@ class LakeTable:
             if v in retained
             for e in self._read_commit(v).files
         }
+        # branches share this root's data/: every OTHER chain's references
+        # are live no matter what this chain retains
+        live |= self._foreign_live_paths()
         dead_parents: set[str] = set()
         # ownership test on REAL paths: a raw string-prefix check both
         # misses owned segments recorded under a symlinked / relative /

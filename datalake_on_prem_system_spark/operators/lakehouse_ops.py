@@ -441,6 +441,28 @@ def lh_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def lh_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style BRANCH workflow: main holds the even-keyed suppliers;
+    an 'etl' branch forks (O(metadata) — a parallel commit chain sharing
+    main's data/ dir), takes an append of the odd-keyed suppliers, an
+    update and a delete — three branch commits main never sees (isolation
+    pinned in tests/test_branches.py) — then a fast-forward merge publishes
+    the branch head back to main as one commit re-referencing the shared
+    segments. Returns main's post-merge read; the oracle recomputes the
+    same final state as plain SQL, as if the work had run on main."""
+    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_branch_"))
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+    table.create_or_replace(sup.filter(F.col("s_suppkey") % 2 == 0))
+    br = table.create_branch("etl")
+    br.append(sup.filter(F.col("s_suppkey") % 2 == 1))
+    br.update_where(F.col("s_suppkey") % 5 == 0, {"s_acctbal": 1.5})
+    br.delete_where(F.col("s_suppkey") % 7 == 0)
+    table.merge_branch("etl")
+    return table.read()
+
+
 def lh_constrained_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECK constraints on the serve path: a table created with two
     ``constraint.*`` properties takes a full create → insert → update →
@@ -623,6 +645,7 @@ QUERIES = {
     "lh_stats_skipping": lh_stats_skipping,
     "lh_bloom_skipping": lh_bloom_skipping,
     "lh_restore": lh_restore,
+    "lh_branch_merge": lh_branch_merge,
     "lh_constrained_dml": lh_constrained_dml,
     "lh_zorder_skipping": lh_zorder_skipping,
     "lh_merge_upsert": lh_merge_upsert,
@@ -697,6 +720,12 @@ ORACLE = {
     "lh_restore": """
         SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS p_retailprice
         FROM part WHERE p_partkey < 150
+    """,
+    "lh_branch_merge": """
+        SELECT s_suppkey, s_name, s_nationkey,
+               CASE WHEN s_suppkey % 5 = 0 THEN 1.5
+                    ELSE round(s_acctbal, 2) END AS s_acctbal
+        FROM supplier WHERE s_suppkey % 7 != 0
     """,
     "lh_constrained_dml": """
         WITH base AS (

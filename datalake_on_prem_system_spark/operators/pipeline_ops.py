@@ -88,6 +88,67 @@ def pl_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pl_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-admission accounting — the INCREMENTAL counterpart of
+    ``pl_curation``: a new batch of documents (doc_id % 10 ≥ 8) is triaged
+    against the already-admitted corpus (doc_id % 10 < 8) into one of four
+    fates, by precedence:
+
+        'quality'    — fails the cheap length gate (n_chars < 100)
+        'exact_dup'  — md5 matches a corpus doc, or a lower-id batch doc
+        'near_dup'   — the b-side of an exact-verified ≥0.8-jaccard pair
+                       from the incremental LSH probe
+                       (``dd_minhash_incremental``: corpus pairs via the
+                       persisted band index — corpus never re-sketched —
+                       plus in-batch pairs)
+        'admitted'   — everything else
+
+    Each predicate is computed independently and combined by precedence, so
+    the oracle replays them as independent SQL sets. Scale: corpus-side
+    costs are index probes (md5 set semi-join, LSH band index join) — per
+    batch cost is O(batch), never O(corpus).
+    """
+    docs = t_par(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+
+    batch_h = batch.select("doc_id", F.md5("text").alias("h"))
+    corpus_hashes = corpus.select(F.md5("text").alias("h")).distinct()
+    exact_vs_corpus = batch_h.join(corpus_hashes, "h", "left_semi").select("doc_id")
+    # in-batch exact dups: every id above the min of its hash group
+    first_per_hash = batch_h.groupBy("h").agg(F.min("doc_id").alias("min_id"))
+    exact_in_batch = (
+        batch_h.join(first_per_hash, "h")
+        .filter(F.col("doc_id") > F.col("min_id"))
+        .select("doc_id")
+    )
+    exact_ids = exact_vs_corpus.unionByName(exact_in_batch).distinct()
+
+    near_ids = (
+        dedup.dd_minhash_incremental(spark, sf_dir)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+
+    decision = (
+        F.when(F.col("n_chars") < 100, F.lit("quality"))
+        .when(F.col("is_exact"), F.lit("exact_dup"))
+        .when(F.col("is_near"), F.lit("near_dup"))
+        .otherwise(F.lit("admitted"))
+    )
+    return (
+        batch.join(exact_ids.withColumn("is_exact", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("is_near", F.lit(True)), "doc_id", "left")
+        .fillna(False, ["is_exact", "is_near"])
+        .withColumn("decision", decision)
+        .groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("n_tokens"),
+        )
+    )
+
+
 _CTX_TOKENS = 2048
 
 
@@ -130,11 +191,61 @@ def pl_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "pl_curation": pl_curation,
+    "pl_incremental_ingest": pl_incremental_ingest,
     "pl_dedup_canonical": pl_dedup_canonical,
     "pl_sequence_pack": pl_sequence_pack,
 }
 
 ORACLE = {
+    "pl_incremental_ingest": """
+        WITH batch AS (
+            SELECT * FROM documents WHERE doc_id % 10 >= 8
+        ), corpus AS (
+            SELECT * FROM documents WHERE doc_id % 10 < 8
+        ), exact_ids AS (
+            SELECT DISTINCT b.doc_id FROM batch b
+            JOIN corpus c ON md5(b.text) = md5(c.text)
+            UNION
+            SELECT DISTINCT b.doc_id FROM batch b
+            JOIN batch b2 ON md5(b.text) = md5(b2.text)
+                         AND b2.doc_id < b.doc_id
+        ), toks AS (
+            SELECT doc_id, string_split(text, ' ') w FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) s
+            FROM toks WHERE len(w) >= 3
+        ), sizes AS (
+            SELECT doc_id, len(s) sz FROM sh
+        ), ex AS (
+            SELECT doc_id, unnest(s) shingle FROM sh
+        ), pairs AS (
+            SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle
+            WHERE b.doc_id % 10 >= 8
+              AND (a.doc_id % 10 < 8 OR a.doc_id < b.doc_id)
+            GROUP BY 1, 2
+        ), near_ids AS (
+            SELECT DISTINCT p.b_id AS doc_id
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.a_id
+            JOIN sizes sb ON sb.doc_id = p.b_id
+            WHERE p.inter / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.8
+        ), fates AS (
+            SELECT b.*,
+                   CASE WHEN b.n_chars < 100 THEN 'quality'
+                        WHEN EXISTS (SELECT 1 FROM exact_ids e
+                                     WHERE e.doc_id = b.doc_id) THEN 'exact_dup'
+                        WHEN EXISTS (SELECT 1 FROM near_ids n
+                                     WHERE n.doc_id = b.doc_id) THEN 'near_dup'
+                        ELSE 'admitted' END AS decision
+            FROM batch b
+        )
+        SELECT decision, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM fates GROUP BY decision
+    """,
     "pl_sequence_pack": """
         WITH toks AS (
             SELECT source, doc_id,

@@ -1,0 +1,168 @@
+"""Branches (Iceberg branch-ref parity): isolation of branch commits from
+main, fast-forward merge, conflict detection, GC safety of the shared
+data/ dir across chains, and branch lifecycle (list/delete/vacuum)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_on_prem_system_spark.lakehouse import LakeTable
+from datalake_on_prem_system_spark.lakehouse.table import (
+    BranchConflictError,
+    ExpiredVersionError,
+)
+
+
+def _mk(spark, root) -> LakeTable:
+    t = LakeTable(spark, str(root))
+    t.create_or_replace(
+        spark.createDataFrame([(i, i * 10.0) for i in range(5)], "id bigint, x double")
+    )
+    return t
+
+
+def _rows(df) -> dict:
+    return {r.id: r.x for r in df.collect()}
+
+
+def test_branch_isolates_main_and_merges_fast_forward(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    br = t.create_branch("etl")
+    assert t.branches() == {"etl": 0}
+    assert t.fork_version("etl") == 0
+
+    br.append(spark.createDataFrame([(9, 90.0)], "id bigint, x double"))
+    br.update_where(F.col("id") == 1, {"x": 111.0})
+    br.delete_where(F.col("id") == 3)
+    # three branch commits; main untouched
+    assert t.latest_version() == 0
+    assert _rows(t.read()) == {i: i * 10.0 for i in range(5)}
+    assert t.branches() == {"etl": 3}
+
+    merged = t.merge_branch("etl")
+    assert merged.operation == "merge_branch:etl@3"
+    # merge version continues past the branch head so carried MOR seq
+    # values stay below future commit stamps
+    assert merged.version == 4 and merged.parent == 0
+    want = {0: 0.0, 1: 111.0, 2: 20.0, 4: 40.0, 9: 90.0}
+    assert _rows(t.read()) == want
+    # pre-merge main stays time-travelable
+    assert _rows(t.read(version=0)) == {i: i * 10.0 for i in range(5)}
+    # main keeps writing past the merge with correct MOR ordering
+    t.update_where(F.col("id") == 9, {"x": 99.0})
+    assert _rows(t.read())[9] == 99.0
+
+
+def test_merge_conflict_when_main_advances(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    br = t.create_branch("etl")
+    br.append(spark.createDataFrame([(9, 90.0)], "id bigint, x double"))
+    t.append(spark.createDataFrame([(7, 70.0)], "id bigint, x double"))
+    with pytest.raises(BranchConflictError):
+        t.merge_branch("etl")
+    # main is intact after the refused merge
+    assert _rows(t.read())[7] == 70.0 and 9 not in _rows(t.read())
+
+
+def test_branch_lifecycle_and_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.create_branch("dev")
+    with pytest.raises(ValueError):
+        t.create_branch("dev")  # duplicate
+    with pytest.raises(ValueError):
+        t.create_branch("0dev")  # must start with a letter
+    with pytest.raises(ValueError):
+        t.delete_branch("../_commits")  # traversal must never reach rmtree
+    with pytest.raises(ExpiredVersionError):
+        t.branch_table("nosuch")
+    assert t.delete_branch("dev") is True
+    assert t.delete_branch("dev") is False
+    assert t.branches() == {}
+
+
+def test_gc_never_collects_segments_other_chains_reference(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    br = t.create_branch("etl")
+    br.append(spark.createDataFrame([(9, 90.0)], "id bigint, x double"))
+
+    # main churns past retention: branch fork data must survive main expiry
+    for i in range(3):
+        t.append(spark.createDataFrame([(100 + i, 1.0)], "id bigint, x double"))
+    t.expire_snapshots(keep_last=1)
+    assert _rows(br.read())[9] == 90.0 and _rows(br.read())[0] == 0.0
+
+    # main vacuum must not treat branch-only segments as orphans even
+    # with a zero age guard
+    removed = t.vacuum_orphans(older_than_s=-1.0)
+    assert removed == []
+    assert _rows(br.read())[9] == 90.0
+
+    # deleting the branch orphans its exclusive segment; vacuum then
+    # collects it without touching main's live data
+    t.delete_branch("etl")
+    removed = t.vacuum_orphans(older_than_s=-1.0)
+    assert len(removed) >= 1
+    assert 100 in _rows(t.read())
+
+
+def test_branch_expiry_keeps_main_segments(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    br = t.create_branch("etl")
+    for i in range(3):
+        br.append(spark.createDataFrame([(200 + i, 2.0)], "id bigint, x double"))
+    br.expire_snapshots(keep_last=1)
+    # the branch bootstrap (which referenced main's base segment) expired,
+    # but main's chain still owns that segment — it must survive
+    assert _rows(t.read()) == {i: i * 10.0 for i in range(5)}
+    assert 202 in _rows(br.read())
+
+
+def test_engine_and_cli_branch_surface(spark, tmp_path, capsys):
+    from datalake_on_prem_system_spark.cli import main
+    from datalake_on_prem_system_spark.engine import LakeEngine
+
+    wh = str(tmp_path / "wh")
+    eng = LakeEngine(spark, wh)
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,name\n1,one\n2,two\n")
+    eng.ingest("items", str(csv), mode="direct")
+
+    assert eng.create_branch("items", "dev") == 0
+    # branch writes go through the table API; the facade reads them
+    eng.catalog.table("items").branch_table("dev").insert_rows(
+        [{"id": 3, "name": "three"}]
+    )
+    assert {r.id for r in eng.read_branch("items", "dev").collect()} == {1, 2, 3}
+    assert {r.id for r in eng.read("items").collect()} == {1, 2}
+    assert eng.merge_branch("items", "dev") >= 1
+    assert {r.id for r in eng.read("items").collect()} == {1, 2, 3}
+
+    assert main(["--warehouse", wh, "branch", "items", "create", "cli-b"]) == 0
+    assert "branched items" in capsys.readouterr().out
+    assert main(["--warehouse", wh, "branch", "items", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "dev" in out and "cli-b" in out
+    assert main(["--warehouse", wh, "branch", "items", "read", "cli-b"]) == 0
+    assert "three" in capsys.readouterr().out
+    assert main(["--warehouse", wh, "branch", "items", "merge", "cli-b"]) == 0
+    assert "merged cli-b" in capsys.readouterr().out
+    assert main(["--warehouse", wh, "branch", "items", "delete", "cli-b"]) == 0
+    assert "deleted branch cli-b" in capsys.readouterr().out
+
+
+def test_branch_of_branch_and_gap_versions(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    br = t.create_branch("a")
+    br.append(spark.createDataFrame([(9, 90.0)], "id bigint, x double"))
+    # fork a second branch from the first chain's head
+    br2 = br.create_branch("b")
+    br2.update_where(F.col("id") == 9, {"x": 91.0})
+    assert _rows(br2.read())[9] == 91.0
+    assert _rows(br.read())[9] == 90.0  # parent branch isolated
+    # ff-merge b back into a (a has not advanced past b's fork)
+    br.merge_branch("b")
+    assert _rows(br.read())[9] == 91.0
+    assert os.path.isdir(os.path.join(str(tmp_path / "t"), "_branches", "b"))

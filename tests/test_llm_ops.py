@@ -58,6 +58,63 @@ def test_minhash_incremental_equals_split_restricted_exact(spark, sf_dir):
     }
 
 
+def test_incremental_ingest_fates_with_planted_exact_dups(tmp_path, spark):
+    """pl_incremental_ingest's precedence on a mini fixture that plants the
+    exact-dup paths the big fixtures lack: batch-vs-corpus exact dups, an
+    in-batch exact dup whose lowest id is admitted, a quality reject, and
+    clean admits. Expected fates: 18→exact_dup (corpus), 28→quality,
+    38→exact_dup (corpus), 48→admitted (jaccard vs 38 is 0.5), 58→
+    exact_dup (in-batch dup of 48), 78→admitted."""
+    import duckdb
+    import pandas as pd
+
+    from datalake_on_prem_system_spark.operators import pipeline_ops
+
+    long_text = ("tok " * 60).strip()  # 239 chars: passes the length gate
+    other = ("alt " * 60).strip()
+    rows = [
+        (1, long_text), (2, other),                    # corpus
+        (18, long_text),                               # exact dup of corpus 1
+        (28, "short"),                                 # quality reject
+        (38, other),                                   # exact dup of corpus 2
+        (48, "uniq " + other),                         # admitted (j=0.5 vs 38)
+        (58, "uniq " + other),                         # in-batch exact dup of 48
+        (78, "x y z " + long_text.replace("tok", "kot")),  # clean admit
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "unit",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = {
+        r.decision: (r.n_docs, r.n_tokens)
+        for r in pipeline_ops.pl_incremental_ingest(spark, str(tmp_path)).collect()
+    }
+    assert {k: v[0] for k, v in out.items()} == {
+        "exact_dup": 3,
+        "quality": 1,
+        "admitted": 2,
+    }
+    # the oracle SQL agrees on the same mini fixture (precedence included)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    got = dict(
+        (d, (n, t))
+        for d, n, t in con.execute(
+            pipeline_ops.ORACLE["pl_incremental_ingest"]
+        ).fetchall()
+    )
+    assert got == out
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     exact = _pairs(dedup.dd_ngram_jaccard(spark, sf_dir))
     sim = _pairs(dedup.dd_simhash(spark, sf_dir))
