@@ -360,9 +360,66 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    every (prev_type → next_type) pair of CONSECUTIVE events of one user
+    (time order, event_id tiebreak), the transition count and probability
+    P(next | prev) = n / Σ_next' n — the product-analytics path model
+    behind Sankey/flow dashboards.
+
+    Scale shape: one user-keyed window (lag) — the same single shuffle any
+    per-user sequence op pays — then a partial-aggregated groupBy on the
+    (prev, next) pair (bounded by |event-type|²). The probability divides
+    two exact integers, so both engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        (F.col("n_trans") / F.sum("n_trans").over(w_prev)).alias("p"),
+    )
+
+
+def w_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values (α = 0.2) —
+    the recursive smoother SQL windows cannot express (each output depends
+    on the previous output, not a frame of inputs). Implemented as the
+    ev_funnel shape: ONE user-keyed shuffle, per-user time-sorted array,
+    native-HOF fold. Each step rounds to 6 decimals, so the recursion is
+    bit-stable and the DuckDB oracle replays it exactly with list_reduce
+    over the identically-ordered list."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts_us", "event_id", "value"))).alias("evs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    step = lambda acc, e: F.when(  # noqa: E731 — fold kernel reads best inline
+        acc.isNull(), F.round(e["value"], 6)
+    ).otherwise(F.round(F.lit(0.2) * e["value"] + F.lit(0.8) * acc, 6))
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.aggregate("evs", F.lit(None).cast("double"), step).alias("ema"),
+    )
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_retention": ev_retention,
+    "ev_transition_matrix": ev_transition_matrix,
+    "w_ema": w_ema,
     "w_running_total": w_running_total,
     "w_lag_delta": w_lag_delta,
     "w_moving_avg": w_moving_avg,
@@ -395,6 +452,36 @@ ORACLE = {
                (SELECT count(*) FROM s1) AS step1_users,
                (SELECT count(*) FROM s2) AS step2_users,
                (SELECT count(*) FROM s3) AS step3_users
+    """,
+    "ev_transition_matrix": """
+        WITH pairs AS (
+            SELECT event_type AS prev_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ), counts AS (
+            SELECT prev_type, next_type, count(*) AS n_trans
+            FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n_trans,
+               n_trans / CAST(sum(n_trans) OVER (PARTITION BY prev_type)
+                              AS DOUBLE) AS p
+        FROM counts
+    """,
+    "w_ema": """
+        WITH ordered AS (
+            SELECT user_id,
+                   list(value ORDER BY ts, event_id) AS vals,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               list_reduce(
+                   list_prepend(CAST(NULL AS DOUBLE), vals),
+                   (acc, x) -> CASE WHEN acc IS NULL THEN round(x, 6)
+                               ELSE round(0.2 * x + 0.8 * acc, 6) END
+               ) AS ema
+        FROM ordered
     """,
     "ev_retention": """
         WITH wk AS (

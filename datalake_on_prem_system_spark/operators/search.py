@@ -54,7 +54,7 @@ from operator import and_
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import t, t_par
 
 # (sf_dir, table, pk) → materialized search-table path; rebuilt on first use
 # per process (production rebuilds on base-table commit, like the reference's
@@ -435,6 +435,84 @@ def search_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ["stream", "merge", "window"]
+_BM25_TOP = 20
+
+
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking over the raw document tokens — the relevance
+    model behind the reference's ES scoring (sync_to_es.py indexes text for
+    ES's BM25 default; the phrase/boost path above is its heuristic
+    cousin). Per query term t and doc d:
+
+        idf(t)   = round(ln(1 + (N - df + 0.5) / (df + 0.5)), 6)
+        score    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Exactness contract with the oracle: idf is rounded BEFORE use (ln is
+    the one 1-ulp-risk op — same rule as tx_lm_score); every other factor
+    is an int-derived double through an identical expression tree; per-term
+    scores round to 6 and accumulate as DECIMAL(18,6), so the cross-term
+    sum is order-independent.
+
+    Scale: tf postings are the (token, pk, tf) sibling of the posting
+    index (one tokenize pass, shuffle keyed on (doc, token) then token —
+    both bounded by matched postings after the IN-filter pushes to the
+    scan). Corpus constants (N, avgdl) are ONE tiny aggregate job collected
+    driver-side — the IVF-centroid pattern, O(1) rows at any corpus size.
+    Top-k is TakeOrderedAndProject, never a global sort."""
+    from ._cache import persist_bounded
+
+    # one tokenize pass shared by the stats job, tf and dl branches (the
+    # split+lower over full text dominates; Catalyst shares nothing across
+    # plan branches — same rationale as the dedup shingle cache)
+    docs = persist_bounded(
+        t_par(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.filter(F.split(F.lower("text"), "\\s+"), lambda x: x != "").alias("toks"),
+        ),
+        key=f"bm25toks:{sf_dir}",
+    )
+    dls = docs.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dls.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")).first()
+    n_docs, avgdl = int(stats.n), float(stats.total) / int(stats.n)
+
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(_BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf6 = F.round(
+        F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
+        6,
+    )
+    term_score = F.round(
+        idf6
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl))
+        ),
+        6,
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dls, "doc_id")
+        .select("doc_id", term_score.cast("decimal(18,6)").alias("ts"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("ts").cast("double").alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOP)
+    )
+
+
 # memoized incremental-sync posting table per sf_dir: the sync itself runs
 # once; repeat sweeps only read (a re-sync would be content-idempotent but
 # would stack delta commits per call)
@@ -489,6 +567,7 @@ QUERIES = {
     "search_allwords": search_allwords,
     "search_phrase_ranked": search_phrase_ranked,
     "search_rejoin": search_rejoin,
+    "search_bm25": search_bm25,
     "search_incremental_sync": search_incremental_sync,
 }
 
@@ -532,6 +611,42 @@ ORACLE = {
         WHERE token IN ('zzz0', 'zzz1') GROUP BY token
         UNION ALL
         SELECT '__total__', count(*) FROM posts
+    """,
+    # identical expression tree to the Spark side: idf rounded before use,
+    # per-term score rounded to 6, decimal accumulation (order-free sum)
+    "search_bm25": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), dls AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+        ), stats AS (
+            SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dls
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+            WHERE token IN ('stream', 'merge', 'window')
+            GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY 1
+        ), scored AS (
+            SELECT t.doc_id,
+                   CAST(round(
+                       round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6)
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)),
+                   6) AS DECIMAL(18,6)) AS ts
+            FROM tf t
+            JOIN dfreq d USING (token)
+            JOIN dls l USING (doc_id), stats s
+        )
+        SELECT doc_id, count(*) AS n_terms,
+               CAST(sum(ts) AS DOUBLE) AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20
     """,
     "search_rejoin": f"""
         WITH hits AS (

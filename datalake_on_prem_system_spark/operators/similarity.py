@@ -401,11 +401,92 @@ def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_ivf(spark.read.parquet(path), centers, _NPROBE)
 
 
+# sf_dir identity → (per-dim mins, per-dim maxes); same mtime-keyed
+# lifecycle as the IVF/minhash index caches
+_SQ8_CACHE: dict[tuple, tuple[list[float], list[float]]] = {}
+
+
+def _sq8_bounds(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[float]]:
+    """Per-dimension [min, max] over the similarity corpus — the SQ8
+    codebook (128 doubles: metadata at any corpus size, one aggregate
+    job). Train-once per corpus, like the IVF coarse quantizer."""
+    import os
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = os.path.getmtime(emb) if os.path.exists(emb) else 0.0
+    key = (os.path.abspath(sf_dir), stamp)
+    if key not in _SQ8_CACHE:
+        row = (
+            _vecs(spark, sf_dir)
+            .agg(
+                *[F.min(F.col("v")[i]).alias(f"mn{i}") for i in range(_DIM)],
+                *[F.max(F.col("v")[i]).alias(f"mx{i}") for i in range(_DIM)],
+            )
+            .first()
+        )
+        _SQ8_CACHE[key] = (
+            [float(row[f"mn{i}"]) for i in range(_DIM)],
+            [float(row[f"mx{i}"]) for i in range(_DIM)],
+        )
+    return _SQ8_CACHE[key]
+
+
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via SCALAR QUANTIZATION (SQ8, the FAISS
+    ``ScalarQuantizer`` shape): every dimension maps to an 8-bit code against
+    the per-dimension [min, max] codebook, and queries rank by asymmetric
+    distance — exact query vector against the dequantized (bin-center)
+    corpus codes. At scale the uint8 codes are an 8× smaller scan than the
+    raw doubles (the memory-bandwidth win quantization exists for); the
+    codebook is 128 doubles of metadata.
+
+    Everything is deterministic closed-form arithmetic (no training
+    iterations), so the DuckDB oracle replays encode → decode → rank
+    bit-for-bit: floor/least on identical doubles, bin-center dequantize,
+    sequential-fold dot products."""
+    mns, mxs = _sq8_bounds(spark, sf_dir)
+    mn_arr = F.array(*[F.lit(m) for m in mns])
+    mx_arr = F.array(*[F.lit(m) for m in mxs])
+
+    def enc(x, i):
+        mn, mx = F.element_at(mn_arr, i + 1), F.element_at(mx_arr, i + 1)
+        return F.least(
+            F.lit(255.0),
+            F.floor((x - mn) * (F.lit(255.0) / (mx - mn))).cast("double"),
+        )
+
+    def dec(c, i):
+        mn, mx = F.element_at(mn_arr, i + 1), F.element_at(mx_arr, i + 1)
+        return mn + (c + F.lit(0.5)) * ((mx - mn) / F.lit(255.0))
+
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    corpus = (
+        vecs.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        # codes are what a persisted SQ8 index stores; vq is their
+        # query-time bin-center decode
+        .withColumn("codes", F.transform("v", enc))
+        .withColumn("vq", F.transform("codes", dec))
+    )
+    return (
+        corpus.join(F.broadcast(q))
+        .withColumn(
+            "cos_raw", _dot(F.col("vq"), F.col("qv")) / (_norm(F.col("vq")) * F.col("qnorm"))
+        )
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine_sq"))
+    )
+
+
 QUERIES = {
     "sim_brute_topk": sim_brute_topk,
     "sim_topk_per_label": sim_topk_per_label,
     "sim_knn_join": sim_knn_join,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_sq8_topk": sim_sq8_topk,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_incremental": sim_ann_ivf_incremental,
 }
@@ -506,6 +587,37 @@ ORACLE = {
         WHERE rnk <= 5
     """,
     "sim_ann_lsh": _lsh_oracle_sql(),
+    # encode → decode → rank replayed with the identical expression trees;
+    # bounds come from the same min/max aggregation the Spark side collects
+    "sim_sq8_topk": f"""
+        WITH {_VECS_SQL}, dims AS (
+            SELECT i, min(vec[i]) AS mn, max(vec[i]) AS mx
+            FROM n, (SELECT unnest(range(1, {_DIM} + 1)) AS i)
+            GROUP BY 1
+        ), b AS (
+            SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+            FROM dims
+        ), enc AS (
+            SELECT vec_id, label,
+                   [ b.mns[i]
+                     + (least(255.0, floor((vec[i] - b.mns[i])
+                              * (255.0 / (b.mxs[i] - b.mns[i])))) + 0.5)
+                       * ((b.mxs[i] - b.mns[i]) / 255.0)
+                     for i in range(1, len(vec) + 1) ] AS vq
+            FROM n, b WHERE vec_id != 0
+        ), scored AS (
+            SELECT e.vec_id, e.label,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       [e.vq[i] * q.vec[i] for i in range(1, len(e.vq) + 1)]),
+                       (s, x) -> s + x)
+                   / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          [x * x for x in e.vq]), (a, x) -> a + x)) * q.norm)
+                   AS c
+            FROM enc e, (SELECT vec, norm FROM n WHERE vec_id = 0) q
+        )
+        SELECT vec_id, label, round(c, 6) AS cosine_sq
+        FROM scored ORDER BY c DESC, vec_id ASC LIMIT 10
+    """,
 }
 
 

@@ -131,6 +131,21 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     assert len(ann & set(brute)) >= 3
 
 
+def test_sq8_recall_vs_brute(spark, sf_dir):
+    """8-bit scalar quantization distorts cosine by <~1/255 per dim; the
+    quantized top-10 should recover most of the exact top-10 and its
+    scores should track the exact ones closely."""
+    brute = {
+        r.vec_id: r.cosine for r in similarity.sim_brute_topk(spark, sf_dir).collect()
+    }
+    sq = {
+        r.vec_id: r.cosine_sq for r in similarity.sim_sq8_topk(spark, sf_dir).collect()
+    }
+    assert len(sq.keys() & brute.keys()) >= 7
+    for vid in sq.keys() & brute.keys():
+        assert abs(sq[vid] - brute[vid]) < 0.02
+
+
 def test_ann_ivf_recall_vs_brute(spark, sf_dir):
     brute = [r.vec_id for r in similarity.sim_brute_topk(spark, sf_dir).collect()]
     ivf = {r.vec_id for r in similarity.sim_ann_ivf(spark, sf_dir).collect()}
