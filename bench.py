@@ -67,6 +67,12 @@ HEADLINERS = [
     # 8-epoch append table where min/max ranges prune nothing (memoized
     # setup like the other lakehouse headliners — runs 2..N time the read)
     "lh_bloom_skipping",
+    # round-7 session-3 additions: the incremental dedup probe (batch
+    # sketch + index-probe join; the corpus band index is memoized disk
+    # setup, so this times the per-batch increment — compare against
+    # dd_minhash_lsh's full-corpus pass above) and the BM25 ranked scan
+    "dd_minhash_incremental",
+    "search_bm25",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —
@@ -318,6 +324,8 @@ def main() -> None:
         "lh_stats_skipping",
         "lh_zorder_skipping",
         "lh_bloom_skipping",
+        "dd_minhash_incremental",
+        "search_bm25",
     }
     out = {
         "metric": "headline_total",

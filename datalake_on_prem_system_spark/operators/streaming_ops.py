@@ -302,6 +302,23 @@ def st_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_rollup(staged)
 
 
+def st_ema_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user EMA: the recursive smoother maintained across
+    micro-batches by ``applyInPandasWithState`` (two scalars of state per
+    user), per-step arithmetic and rounding identical to the batch
+    ``w_ema`` fold — whose oracle SQL this query shares verbatim. The
+    streaming tier needs O(keys) state where the batch tier collects each
+    user's full value history."""
+    from ..streaming.stateful import ema_stream
+
+    stream = _events_stream(spark, _events_json_dir(spark, sf_dir)).select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    return _run_to_memory(
+        ema_stream(stream), "sem", "update", expect_single_batch=True
+    )
+
+
 def st_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases within 1 hour of a click by
     the same user, both sides live streams (readStream × 2 → watermarked
@@ -378,6 +395,7 @@ QUERIES = {
     "st_watermark_window": st_watermark_window,
     "st_session_window": st_session_window,
     "st_funnel_stream": st_funnel_stream,
+    "st_ema_stream": st_ema_stream,
     "st_stream_interval_join": st_stream_interval_join,
     "st_dedup_stream": st_dedup_stream,
     "st_static_enrich": st_static_enrich,
@@ -464,3 +482,4 @@ ORACLE = {
 from .analytics import ORACLE as _ANALYTICS_ORACLE  # noqa: E402
 
 ORACLE["st_funnel_stream"] = _ANALYTICS_ORACLE["ev_funnel"]
+ORACLE["st_ema_stream"] = _ANALYTICS_ORACLE["w_ema"]

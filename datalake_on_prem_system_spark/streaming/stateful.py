@@ -83,6 +83,49 @@ def _advance_funnel(
     yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
 
 
+EMA_ALPHA = 0.2
+EMA_STATE_SCHEMA = "n bigint, ema double"
+EMA_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, ema double"
+
+
+def _advance_ema(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    """Fold this batch's values (sorted by (ts_us, event_id), the batch
+    operator's struct order) through the per-user (n, ema) state with the
+    SAME per-step arithmetic and 6-decimal rounding as
+    ``operators/analytics.py::w_ema`` — binary ties at 1e-6 are impossible
+    for doubles, so Python round == the engines' HALF_UP here."""
+    import pandas as pd
+
+    n, ema = state.get if state.exists else (0, 0.0)
+    chunks = list(pdfs)
+    batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(batch):
+        for row in batch.sort_values(["ts_us", "event_id"]).itertuples():
+            v = float(row.value)
+            ema = round(v, 6) if n == 0 else round(0.2 * v + 0.8 * ema, 6)
+            n += 1
+    state.update((n, ema))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ema": [ema]})
+
+
+def ema_stream(events: "DataFrame") -> "DataFrame":
+    """Per-user exponential moving average maintained ACROSS micro-batches
+    — the streaming tier of the batch ``w_ema`` fold. State is two scalars
+    per user (the recursion's whole memory), so an unbounded stream smooths
+    in O(keys) state; the batch form must collect each user's full history.
+    Same ordering contract as ``funnel_stage_stream``: time-ordered within
+    a batch, arrival-ordered across batches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _advance_ema,
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def funnel_stage_stream(events: "DataFrame") -> "DataFrame":
     """Per-user conversion-funnel stage maintained ACROSS micro-batches —
     the streaming form of the batch ``ev_funnel`` fold, with the state

@@ -42,7 +42,9 @@ def test_envelope_sniff_mixed_formats(spark):
     assert out == {1: ("w", "c"), 2: ("f", "c"), 3: ("gone", "d")}
 
 
-def test_debezium_schema_shapes():
+def test_debezium_schema_shapes(spark):
+    # the spark fixture is load-bearing: DDL parsing needs an active
+    # context, and without it this test only passed by suite ordering
     wrapped, flat = debezium_schemas(ROW_DDL)
     assert wrapped.fieldNames() == ["payload"]
     assert flat.fieldNames() == ["before", "after", "op"]
@@ -232,6 +234,50 @@ def test_stateful_funnel_advances_across_batches(spark, tmp_path):
     for r in rows:  # memory sink appends per-batch updates; last wins
         last[r.user_id] = r.stage
     assert last == {1: 3, 2: 2}
+
+
+def test_stateful_ema_recurses_across_batches(spark, tmp_path):
+    """The streaming EMA's (n, ema) state must carry the recursion across
+    micro-batches — batch 2's first value folds onto batch 1's smoothed
+    result, with the identical per-step rounding as the batch w_ema fold."""
+    import time as _time
+    import uuid
+
+    from datalake_on_prem_system_spark.streaming.stateful import ema_stream
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as fh:
+        fh.write(
+            '{"user_id": 1, "ts_us": 100, "event_id": 1, "value": 10.0}\n'
+            '{"user_id": 1, "ts_us": 200, "event_id": 2, "value": 20.0}\n'
+        )
+    _time.sleep(0.05)
+    with open(os.path.join(src, "b.json"), "w") as fh:
+        fh.write('{"user_id": 1, "ts_us": 300, "event_id": 3, "value": 30.0}\n')
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts_us bigint, event_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    sink = f"sem_{uuid.uuid4().hex[:8]}"
+    q = (
+        ema_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 2
+    last = {}
+    for r in spark.table(sink).collect():
+        last[r.user_id] = (r.n_events, r.ema)
+    # ema: 10 → 0.2·20+0.8·10 = 12 → 0.2·30+0.8·12 = 15.6
+    assert last == {1: (3, 15.6)}
 
 
 def test_windowed_agg_batch_equivalence(spark, sf_dir):
