@@ -62,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("restore"); p.add_argument("table"); p.add_argument("version", type=int)
     p = sub.add_parser("changes"); p.add_argument("table"); p.add_argument("v_from", type=int); p.add_argument("v_to", type=int)
     p = sub.add_parser("branch"); p.add_argument("table"); p.add_argument("action", choices=["create", "list", "read", "merge", "delete"]); p.add_argument("name", nargs="?"); p.add_argument("--version", type=int)
+    p = sub.add_parser("partition"); p.add_argument("table"); p.add_argument("--by", help="comma-separated hive partition columns; omit to un-partition")
 
     args = ap.parse_args(argv)
 
@@ -150,6 +151,10 @@ def _dispatch(args, eng, n: int) -> int:
         eng.changes(args.table, args.v_from, args.v_to).drop("changed_cells").show(
             n, truncate=False
         )
+    elif args.verb == "partition":
+        cols = [c.strip() for c in args.by.split(",") if c.strip()] if args.by else None
+        v = eng.set_partitioning(args.table, cols)
+        print(f"partition layout of {args.table} set to {cols or 'unpartitioned'} at version {v} (applies at next compact)")
     elif args.verb == "branch":
         if args.action == "list":
             for name, head in eng.branches(args.table).items():

@@ -300,6 +300,17 @@ class LakeEngine:
             )
         restore(version)
 
+    def set_partitioning(self, table: str, partition_by: list[str] | None) -> int:
+        """Partition evolution: O(metadata) layout change applied by the
+        next compaction; returns the new version."""
+        t = self.catalog.table(table)
+        fn = getattr(t, "set_partitioning", None)
+        if fn is None:
+            raise NotImplementedError(
+                f"table format {type(t).__name__} does not support partition evolution"
+            )
+        return fn(partition_by).version
+
     def _branch_capable(self, table: str):
         t = self.catalog.table(table)
         if getattr(t, "create_branch", None) is None:

@@ -1201,13 +1201,41 @@ class LakeTable:
         re-inferred from directory names (string '0123' → int 123, leading
         zeros lost). Bucket leaf dirs are passed directly, so ``__bucket``
         never surfaces as a partition column."""
+        from functools import reduce
+
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(schema_json))
         paths = [e["path"] for e in entries]
         if not paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+
+        # Partition evolution / mixed layouts: a hive-partitioned segment
+        # (subdirs like col=value) and a plain segment cannot share ONE
+        # multi-path scan — Spark raises CONFLICTING_DIRECTORY_STRUCTURES.
+        # Each hive segment reads alone (its own dir is the basePath, so
+        # its partition values materialize); plain/bucket-leaf/range-leaf
+        # segments keep the single shared scan. Column order is normalized
+        # to the stored schema before the union (hive reads append
+        # partition columns last).
+        def _is_hive(p: str) -> bool:
+            try:
+                return any(
+                    "=" in d and os.path.isdir(os.path.join(p, d))
+                    for d in os.listdir(p)
+                )
+            except OSError:
+                return False
+
+        hive = [p for p in paths if _is_hive(p)]
+        if not hive:
+            return self.spark.read.schema(schema).parquet(*paths)
+        names = [f.name for f in schema.fields]
+        plain = [p for p in paths if p not in set(hive)]
+        frames = [self.spark.read.schema(schema).parquet(p).select(names) for p in hive]
+        if plain:
+            frames.append(self.spark.read.schema(schema).parquet(*plain).select(names))
+        return reduce(lambda a, b: a.unionByName(b), frames)
 
     def history(self) -> DataFrame:
         """Commit history, newest first — the ``$snapshots`` metadata table
@@ -1890,6 +1918,43 @@ class LakeTable:
             bucket_spec=target.bucket_spec,
             partition_by=target.partition_by,
             properties=target.properties,
+        )
+        return self._publish_commit(commit, [])
+
+    def set_partitioning(self, partition_by: list[str] | None) -> Commit:
+        """PARTITION EVOLUTION (Iceberg ``REPLACE PARTITION FIELD`` analog):
+        an O(metadata) commit that changes the hive layout FUTURE full
+        rewrites use — the next ``compact()`` (and any COW rewrite) lands
+        in the new layout; existing segments keep their directory layout,
+        stay readable (the read path already mixes hive and plain segments
+        — appends write plain segments against hive bases), and keep their
+        own partition pruning at the scan. No data moves at evolution time;
+        that is the entire point of the operation.
+
+        ``partition_by=None`` un-partitions. A non-empty layout clears the
+        bucket spec (hive and bucket layouts are exclusive — same rule as
+        ``_publish``); the next keyed merge would pay one re-bucketing
+        rewrite, exactly like after ``compact_clustered``."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ExpiredVersionError(f"no commits at {self.root}")
+        prev = self._read_commit(latest)
+        if partition_by:
+            cols = {f.name for f in self._schema(prev).fields}
+            missing = [c for c in partition_by if c not in cols]
+            if missing:
+                raise ValueError(f"unknown partition column(s): {missing}")
+        commit = Commit(
+            version=latest + 1,
+            parent=latest,
+            operation=f"set_partitioning:{','.join(partition_by) if partition_by else '-'}",
+            files=[dict(e) for e in prev.files],
+            n_rows=prev.n_rows,
+            schema_json=prev.schema_json,
+            committed_at=time.time(),
+            bucket_spec=None if partition_by else prev.bucket_spec,
+            partition_by=list(partition_by) if partition_by else None,
+            properties=prev.properties,
         )
         return self._publish_commit(commit, [])
 

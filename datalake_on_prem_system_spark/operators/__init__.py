@@ -72,7 +72,7 @@ _MODULES = (
 _SWEEP_FIRST = [
     "dd_minhash_incremental", "lh_branch_merge", "pl_incremental_ingest",
     "search_bm25", "ev_transition_matrix", "w_ema", "sim_sq8_topk",
-    "st_ema_stream",
+    "st_ema_stream", "lh_partition_evolution",
     "lh_bloom_skipping", "ev_funnel", "ev_retention", "st_session_window",
     "lh_restore", "tx_lm_score", "cur_source_mix", "st_funnel_stream",
     "a_unpivot", "a_heavy_hitters", "lh_constrained_dml",

@@ -441,6 +441,34 @@ def lh_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def lh_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style PARTITION EVOLUTION: a table created hive-partitioned
+    on o_orderpriority takes an append (plain segment against the hive
+    base — already a mixed-layout read), then evolves its layout to
+    o_orderstatus with an O(metadata) commit (``set_partitioning`` — no
+    rewrite at evolution time), and the next ``compact()`` lands the data
+    in the NEW layout. The read after each step is identical — which is
+    the oracle: plain SQL over the fixture, because layout is invisible to
+    query results. Pruning on the new layout is plan-asserted in
+    tests/test_lakehouse.py."""
+    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_pevo_"))
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    table.create_or_replace(
+        orders.filter(F.col("o_orderkey") % 3 == 1),
+        partition_by=["o_orderpriority"],
+    )
+    table.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    table.set_partitioning(["o_orderstatus"])
+    table.compact()
+    return table.read()
+
+
 def lh_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style BRANCH workflow: main holds the even-keyed suppliers;
     an 'etl' branch forks (O(metadata) — a parallel commit chain sharing
@@ -646,6 +674,7 @@ QUERIES = {
     "lh_bloom_skipping": lh_bloom_skipping,
     "lh_restore": lh_restore,
     "lh_branch_merge": lh_branch_merge,
+    "lh_partition_evolution": lh_partition_evolution,
     "lh_constrained_dml": lh_constrained_dml,
     "lh_zorder_skipping": lh_zorder_skipping,
     "lh_merge_upsert": lh_merge_upsert,
@@ -720,6 +749,11 @@ ORACLE = {
     "lh_restore": """
         SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS p_retailprice
         FROM part WHERE p_partkey < 150
+    """,
+    "lh_partition_evolution": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 3 != 0
     """,
     "lh_branch_merge": """
         SELECT s_suppkey, s_name, s_nationkey,

@@ -121,3 +121,23 @@ def test_cli_compact_zorder_rejects_conflicting_flags(spark, tmp_path):
     with _pytest.raises(SystemExit, match="conflicts"):
         main(["--warehouse", wh, "compact", "m2", "--zorder-by", "a",
               "--cluster-by", "id"])
+
+
+def test_cli_partition_evolution(spark, tmp_path, capsys):
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,grp,price\n1,a,10.5\n2,b,20.5\n3,a,30.5\n")
+    wh = str(tmp_path / "wh")
+    assert main(["--warehouse", wh, "ingest", str(csv), "items"]) == 0
+    capsys.readouterr()
+    assert main(["--warehouse", wh, "partition", "items", "--by", "grp"]) == 0
+    assert "applies at next compact" in capsys.readouterr().out
+    assert main(["--warehouse", wh, "compact", "items"]) == 0
+    capsys.readouterr()
+    import os
+
+    data = os.path.join(wh, "trino_db", "items", "data")
+    newest = sorted(os.listdir(data))[-1]
+    assert any(d.startswith("grp=") for d in os.listdir(os.path.join(data, newest)))
+    assert main(["--warehouse", wh, "read", "items"]) == 0
+    out = capsys.readouterr().out
+    assert "10.5" in out and "30.5" in out

@@ -770,3 +770,57 @@ def test_mor_read_profile_measures_real_deltas(spark):
     out = mor_read_profile(spark, SF_SMALL)
     assert set(out) == {"deltas_0", "deltas_4", "deltas_8", "after_compact", "n_rows"}
     assert out["n_rows"] > 0
+
+
+def test_partition_evolution_is_metadata_only_then_compact_relays_out(spark, tmp_path):
+    """set_partitioning publishes O(metadata) (no segment write); the next
+    compact() lands in the NEW hive layout; reads are identical across the
+    whole sequence; pre-evolution versions stay time-travelable; pruning
+    on the new layout reaches the scan as a PartitionFilter."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.lakehouse import LakeTable
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], "xyz"[i % 3], i * 1.0) for i in range(30)],
+        "id bigint, grp string, st string, x double",
+    )
+    t.create_or_replace(df.filter(F.col("id") % 2 == 0), partition_by=["grp"])
+    t.append(df.filter(F.col("id") % 2 == 1))  # plain segment vs hive base
+    want = {(r.id, r.grp, r.st, r.x) for r in df.collect()}
+    assert {(r.id, r.grp, r.st, r.x) for r in t.read().collect()} == want
+
+    c = t.set_partitioning(["st"])
+    assert c.operation == "set_partitioning:st"
+    # metadata-only: same file entries as the parent commit
+    parent = t._read_commit(c.parent)
+    assert [e["path"] for e in c.files] == [e["path"] for e in parent.files]
+    assert {(r.id, r.grp, r.st, r.x) for r in t.read().collect()} == want
+
+    t.compact()
+    seg_dirs = [
+        d for d in os.listdir(os.path.join(str(tmp_path / "t"), "data"))
+        if d.startswith(str(t.latest_version()) + "-")
+    ]
+    assert len(seg_dirs) == 1
+    leaves = os.listdir(os.path.join(str(tmp_path / "t"), "data", seg_dirs[0]))
+    assert any(d.startswith("st=") for d in leaves), leaves
+    assert {(r.id, r.grp, r.st, r.x) for r in t.read().collect()} == want
+    # pre-evolution mixed-layout snapshot still reads
+    assert {(r.id,) for r in t.read(version=1).select("id").collect()} == {
+        (i,) for i in range(30)
+    }
+    # pruning on the evolved layout reaches the scan
+    plan = capture_plan(t.read_where(F.col("st") == "x"))
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "st" in seg, f"expected st partition filter, got [{seg}]"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.set_partitioning(["nope"])
