@@ -165,7 +165,9 @@ def _dispatch(args, eng, n: int) -> int:
             v = eng.create_branch(args.table, args.name, version=args.version)
             print(f"branched {args.table}@{v} as {args.name}")
         elif args.action == "read":
-            eng.read_branch(args.table, args.name).show(n, truncate=False)
+            eng.read_branch(args.table, args.name, version=args.version).show(
+                n, truncate=False
+            )
         elif args.action == "merge":
             v = eng.merge_branch(args.table, args.name)
             print(f"merged {args.name} into {args.table} at version {v}")

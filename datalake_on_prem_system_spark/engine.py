@@ -328,8 +328,10 @@ class LakeEngine:
     def branches(self, table: str) -> dict[str, int]:
         return self._branch_capable(table).branches()
 
-    def read_branch(self, table: str, name: str) -> DataFrame:
-        return self._branch_capable(table).branch_table(name).read()
+    def read_branch(
+        self, table: str, name: str, version: int | str | None = None
+    ) -> DataFrame:
+        return self._branch_capable(table).branch_table(name).read(version=version)
 
     def merge_branch(self, table: str, name: str) -> int:
         """Fast-forward merge of a branch back into the main chain; returns

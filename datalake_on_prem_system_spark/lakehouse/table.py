@@ -520,22 +520,17 @@ class LakeTable:
         os.makedirs(bdir, exist_ok=True)
         # fork metadata survives branch-chain expiry (the bootstrap commit
         # itself may be expired away); merge_branch reads it for the
-        # fast-forward precondition. No .json suffix: _commit_files must
-        # never pick it up as a version.
+        # fast-forward precondition — INCLUDING which chain the fork came
+        # from ("from": branch name, None = main): fast-forward is only
+        # meaningful into the chain that was forked, a matching version
+        # NUMBER on a different chain proves nothing. No .json suffix:
+        # _commit_files must never pick it up as a version.
         with open(os.path.join(bdir, "FORK"), "w") as fh:
-            json.dump({"fork_version": v, "created_at": time.time()}, fh)
-        commit = Commit(
-            version=v,
-            parent=None,
-            operation=f"branch:{name}@{v}",
-            files=[dict(e) for e in src.files],
-            n_rows=src.n_rows,
-            schema_json=src.schema_json,
-            committed_at=time.time(),
-            bucket_spec=src.bucket_spec,
-            partition_by=src.partition_by,
-            properties=src.properties,
-        )
+            json.dump(
+                {"fork_version": v, "from": self.branch, "created_at": time.time()},
+                fh,
+            )
+        commit = self._recommit(src, version=v, parent=None, operation=f"branch:{name}@{v}")
         # new_paths=[]: the bootstrap owns no segments — a lost race must
         # not delete shared data
         bt._publish_commit(commit, [])
@@ -563,9 +558,14 @@ class LakeTable:
         return bt
 
     def fork_version(self, name: str) -> int:
+        return self._fork_meta(name)[0]
+
+    def _fork_meta(self, name: str) -> tuple[int, str | None]:
+        """(fork version, source chain) — source chain None means main."""
         bdir = self._branch_dir(name)
         with open(os.path.join(bdir, "FORK")) as fh:
-            return int(json.load(fh)["fork_version"])
+            meta = json.load(fh)
+        return int(meta["fork_version"]), meta.get("from")
 
     def delete_branch(self, name: str) -> bool:
         """Drop a branch's METADATA (commit chain + fork marker). Shared
@@ -595,7 +595,16 @@ class LakeTable:
         counter-continuation rule as ``clone_to``; version gaps are already
         legal — expiry leaves them)."""
         bt = self.branch_table(name)
-        fork_v = self.fork_version(name)
+        fork_v, fork_from = self._fork_meta(name)
+        # chain identity: a branch fast-forwards only into the chain it was
+        # forked FROM — a matching version NUMBER on some other chain is a
+        # coincidence, and accepting it would silently drop that chain's
+        # own commits (they never flowed into the branch)
+        if fork_from != self.branch:
+            raise BranchConflictError(
+                f"branch {name!r} was forked from "
+                f"{fork_from or 'main'!r}, not {self.branch or 'main'!r}"
+            )
         latest = self.latest_version()
         if latest != fork_v:
             raise BranchConflictError(
@@ -604,19 +613,33 @@ class LakeTable:
             )
         head = bt.latest_version()
         src = bt._read_commit(head)
-        commit = Commit(
+        commit = self._recommit(
+            src,
             version=max(latest, head) + 1,
             parent=latest,
             operation=f"merge_branch:{name}@{head}",
-            files=[dict(e) for e in src.files],
-            n_rows=src.n_rows,
-            schema_json=src.schema_json,
-            committed_at=time.time(),
-            bucket_spec=src.bucket_spec,
-            partition_by=src.partition_by,
-            properties=src.properties,
         )
-        return self._publish_commit(commit, [])
+        self._publish_commit(commit, [])
+        # OCC re-check: the merge publishes at head+1, a DIFFERENT filename
+        # from a racing writer's latest+1 — so the rename-collision guard
+        # every other writer relies on cannot fire here. If a racer landed
+        # a commit strictly between the fork and the merge, the merge's
+        # file list silently omits that commit's rows: withdraw the merge
+        # and raise, mirroring ConcurrentCommitError semantics. (A reader
+        # could observe the merge during this window — the same two-step
+        # exposure any compensating publish has; losing committed rows
+        # silently is the worse failure.)
+        interlopers = [v for v in self.versions() if fork_v < v < commit.version]
+        if interlopers:
+            try:
+                os.remove(os.path.join(self._commits_dir, f"{commit.version}.json"))
+            except FileNotFoundError:
+                pass
+            raise ConcurrentCommitError(
+                f"commit(s) {interlopers} landed during merge_branch({name!r}); "
+                f"merge withdrawn — re-fork and replay"
+            )
+        return commit
 
     def _foreign_live_paths(self) -> set[str]:
         """Every file path referenced by any OTHER chain of this root (the
@@ -703,7 +726,19 @@ class LakeTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         n, stats = self._footer_summary(path)
-        return path, [{"path": path, "bucket": None, "n_rows": n, "stats": stats}]
+        # "hive" recorded on EVERY entry so the read path splits hive-layout
+        # segments from plain ones with a dict lookup, never a per-read
+        # directory sniff (the listdir fallback exists only for entries
+        # written before the flag)
+        return path, [
+            {
+                "path": path,
+                "bucket": None,
+                "n_rows": n,
+                "stats": stats,
+                "hive": bool(partition_by),
+            }
+        ]
 
     def _harvest_leaf_entries(
         self, path: str, dir_col: str, bucket_ids: bool
@@ -724,9 +759,33 @@ class LakeTable:
                         "bucket": int(d.split("=", 1)[1]) if bucket_ids else None,
                         "n_rows": n,
                         "stats": stats,
+                        "hive": False,  # leaf dirs hold plain files
                     }
                 )
         return entries
+
+    def _recommit(
+        self, src: Commit, version: int, parent: int | None, operation: str, **overrides
+    ) -> Commit:
+        """A METADATA re-commit: a new Commit whose file list / schema /
+        layout / properties are ``src``'s (entries deep-copied), at a new
+        (version, parent, operation) — the shared shape of restore,
+        branch bootstrap, branch merge, and partition evolution. Field
+        overrides apply on top (e.g. a new ``partition_by``)."""
+        fields = dict(
+            version=version,
+            parent=parent,
+            operation=operation,
+            files=[dict(e) for e in src.files],
+            n_rows=src.n_rows,
+            schema_json=src.schema_json,
+            committed_at=time.time(),
+            bucket_spec=src.bucket_spec,
+            partition_by=src.partition_by,
+            properties=src.properties,
+        )
+        fields.update(overrides)
+        return Commit(**fields)
 
     def _publish_commit(self, commit: Commit, new_paths: list[str]) -> Commit:
         """Atomically publish the commit JSON; on a lost race, remove the
@@ -1217,17 +1276,22 @@ class LakeTable:
         # its partition values materialize); plain/bucket-leaf/range-leaf
         # segments keep the single shared scan. Column order is normalized
         # to the stored schema before the union (hive reads append
-        # partition columns last).
-        def _is_hive(p: str) -> bool:
+        # partition columns last). Hive-ness comes from the manifest entry
+        # ("hive", stamped at write time) — no per-read directory sniffing
+        # on the hot path; the listdir fallback only ever runs for entries
+        # written before the flag existed.
+        def _is_hive(e: dict) -> bool:
+            if "hive" in e:
+                return bool(e["hive"])
             try:
                 return any(
-                    "=" in d and os.path.isdir(os.path.join(p, d))
-                    for d in os.listdir(p)
+                    "=" in d and os.path.isdir(os.path.join(e["path"], d))
+                    for d in os.listdir(e["path"])
                 )
             except OSError:
                 return False
 
-        hive = [p for p in paths if _is_hive(p)]
+        hive = [e["path"] for e in entries if _is_hive(e)]
         if not hive:
             return self.spark.read.schema(schema).parquet(*paths)
         names = [f.name for f in schema.fields]
@@ -1907,19 +1971,10 @@ class LakeTable:
         latest = self.latest_version()
         if latest is None:  # unreachable: _read_commit would have raised
             raise ExpiredVersionError(f"no commits at {self.root}")
-        commit = Commit(
-            version=latest + 1,
-            parent=latest,
-            operation="restore",
-            files=[dict(e) for e in target.files],
-            n_rows=target.n_rows,
-            schema_json=target.schema_json,
-            committed_at=time.time(),
-            bucket_spec=target.bucket_spec,
-            partition_by=target.partition_by,
-            properties=target.properties,
+        return self._publish_commit(
+            self._recommit(target, version=latest + 1, parent=latest, operation="restore"),
+            [],
         )
-        return self._publish_commit(commit, [])
 
     def set_partitioning(self, partition_by: list[str] | None) -> Commit:
         """PARTITION EVOLUTION (Iceberg ``REPLACE PARTITION FIELD`` analog):
@@ -1944,19 +1999,29 @@ class LakeTable:
             missing = [c for c in partition_by if c not in cols]
             if missing:
                 raise ValueError(f"unknown partition column(s): {missing}")
-        commit = Commit(
-            version=latest + 1,
-            parent=latest,
-            operation=f"set_partitioning:{','.join(partition_by) if partition_by else '-'}",
-            files=[dict(e) for e in prev.files],
-            n_rows=prev.n_rows,
-            schema_json=prev.schema_json,
-            committed_at=time.time(),
-            bucket_spec=None if partition_by else prev.bucket_spec,
-            partition_by=list(partition_by) if partition_by else None,
-            properties=prev.properties,
+        operation = (
+            f"set_partitioning:{','.join(partition_by) if partition_by else '-'}"
         )
-        return self._publish_commit(commit, [])
+        if partition_by and any(e.get("delta") is not None for e in prev.files):
+            # pending MOR deltas need the bucket spec to resolve — carrying
+            # them into a commit that clears it would brick every read.
+            # Resolve them NOW via a full rewrite into the new layout (the
+            # one case evolution pays a data pass; Delta's equivalent is
+            # compacting before a layout change).
+            return self._publish(
+                self._read_data(prev), operation, partition_by=list(partition_by)
+            )
+        return self._publish_commit(
+            self._recommit(
+                prev,
+                version=latest + 1,
+                parent=latest,
+                operation=operation,
+                bucket_spec=None if partition_by else prev.bucket_spec,
+                partition_by=list(partition_by) if partition_by else None,
+            ),
+            [],
+        )
 
     def clone_to(self, dest_root: str, version: int | None = None) -> "LakeTable":
         """Zero-copy SHALLOW CLONE (Delta `CLONE` / Iceberg snapshot-ref

@@ -55,6 +55,23 @@ def persist_bounded(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
+def release(key: str) -> bool:
+    """Unpersist and deregister ONE tracked frame by key. For callers whose
+    input data changed in place (e.g. a regenerated fixture detected by an
+    mtime-keyed index rebuild): the Spark cache is keyed by LOGICAL PLAN,
+    which doesn't change when the file content does, so re-persisting the
+    same plan silently serves stale rows — the old entry must be dropped
+    first. Returns whether the key was live."""
+    old = _live.pop(key, None)
+    if old is None:
+        return False
+    try:
+        old.unpersist(blocking=True)
+    except Exception:
+        pass
+    return True
+
+
 def release_all() -> int:
     """Unpersist every tracked frame; returns how many were released."""
     n = 0

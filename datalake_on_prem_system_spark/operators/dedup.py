@@ -387,6 +387,14 @@ def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
         return _MINHASH_IDX_CACHE[key]
     _MINHASH_BUILDS += 1
 
+    if any(k[0] == key[0] for k in _MINHASH_IDX_CACHE):
+        # corpus regenerated in place: the shared shingle cache is keyed by
+        # LOGICAL PLAN (unchanged by new file content) and would serve the
+        # OLD corpus into the "rebuilt" index — drop it before re-shingling
+        from ._cache import release
+
+        release(f"shingles:{sf_dir}")
+
     sh = _shingle_frame(spark, sf_dir)
     corpus_sh = sh.filter(F.col("doc_id") % _CORPUS_MOD < _CORPUS_KEEP)
     path = os.path.join(tempfile.mkdtemp(prefix="minhash_idx_"), "bands")

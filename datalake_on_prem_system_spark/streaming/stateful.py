@@ -93,18 +93,27 @@ def _advance_ema(
 ) -> Iterator["pd.DataFrame"]:
     """Fold this batch's values (sorted by (ts_us, event_id), the batch
     operator's struct order) through the per-user (n, ema) state with the
-    SAME per-step arithmetic and 6-decimal rounding as
-    ``operators/analytics.py::w_ema`` — binary ties at 1e-6 are impossible
-    for doubles, so Python round == the engines' HALF_UP here."""
+    SAME per-step semantics as ``operators/analytics.py::w_ema``,
+    INCLUDING nulls: in the batch fold a NULL value nulls the accumulator
+    (0.2·NULL + 0.8·acc is NULL) and the next non-null value restarts the
+    EMA via the acc-is-null branch — so the state here is the accumulator
+    itself (nullable), NOT an every-row counter, or one null-valued event
+    would NaN-poison the stream forever while the batch tier recovers.
+    6-decimal rounding per step: binary ties at 1e-6 are impossible for
+    doubles, so Python round == the engines' HALF_UP here."""
     import pandas as pd
 
-    n, ema = state.get if state.exists else (0, 0.0)
+    n, ema = state.get if state.exists else (0, None)
     chunks = list(pdfs)
     batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
     if len(batch):
         for row in batch.sort_values(["ts_us", "event_id"]).itertuples():
-            v = float(row.value)
-            ema = round(v, 6) if n == 0 else round(0.2 * v + 0.8 * ema, 6)
+            if pd.isna(row.value):
+                ema = None  # NULL value nulls the accumulator (batch parity)
+            elif ema is None:
+                ema = round(float(row.value), 6)
+            else:
+                ema = round(0.2 * float(row.value) + 0.8 * ema, 6)
             n += 1
     state.update((n, ema))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ema": [ema]})

@@ -166,3 +166,56 @@ def test_branch_of_branch_and_gap_versions(spark, tmp_path):
     br.merge_branch("b")
     assert _rows(br.read())[9] == 91.0
     assert os.path.isdir(os.path.join(str(tmp_path / "t"), "_branches", "b"))
+
+
+def test_merge_rejects_branch_forked_from_another_chain(spark, tmp_path):
+    """A branch forked from chain 'a' must not fast-forward into main just
+    because the version NUMBERS line up — main's own commits never flowed
+    into it and would silently vanish (review-pass repro)."""
+    t = _mk(spark, tmp_path / "t")
+    a = t.create_branch("a")
+    a.append(spark.createDataFrame([(9, 90.0)], "id bigint, x double"))
+    b = a.create_branch("b")  # forked FROM CHAIN a at version 1
+    b.update_where(F.col("id") == 9, {"x": 91.0})
+    t.append(spark.createDataFrame([(7, 70.0)], "id bigint, x double"))  # main at v1
+    with pytest.raises(BranchConflictError, match="forked from"):
+        t.merge_branch("b")
+    assert _rows(t.read())[7] == 70.0  # main intact
+    a.merge_branch("b")  # the chain it WAS forked from accepts it
+    assert _rows(a.read())[9] == 91.0
+
+
+def test_merge_withdraws_when_a_commit_races_the_publish(spark, tmp_path, monkeypatch):
+    """A commit landing between merge_branch's precondition check and its
+    publish lands at a different version filename, so the rename collision
+    can't fire — the merge must detect the interloper afterwards, withdraw
+    its commit, and raise instead of silently dropping the racer's rows."""
+    from datalake_on_prem_system_spark.lakehouse.table import (
+        ConcurrentCommitError,
+        LakeTable as LT,
+    )
+
+    t = _mk(spark, tmp_path / "t")
+    br = t.create_branch("etl")
+    br.append(spark.createDataFrame([(9, 90.0)], "id bigint, x double"))
+    br.append(spark.createDataFrame([(8, 80.0)], "id bigint, x double"))  # head=2
+
+    real_publish = LT._publish_commit
+    raced = {"done": False}
+
+    def racing_publish(self, commit, new_paths):
+        if not raced["done"] and commit.operation.startswith("merge_branch"):
+            raced["done"] = True
+            racer = LakeTable(spark, str(tmp_path / "t"))
+            racer.append(spark.createDataFrame([(7, 70.0)], "id bigint, x double"))
+        return real_publish(self, commit, new_paths)
+
+    monkeypatch.setattr(LT, "_publish_commit", racing_publish)
+    with pytest.raises(ConcurrentCommitError):
+        t.merge_branch("etl")
+    monkeypatch.undo()
+    # the racer's commit survives and the merge commit is gone
+    assert _rows(t.read())[7] == 70.0 and 9 not in _rows(t.read())
+    assert not any(
+        t._read_commit(v).operation.startswith("merge_branch") for v in t.versions()
+    )

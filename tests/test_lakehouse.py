@@ -824,3 +824,47 @@ def test_partition_evolution_is_metadata_only_then_compact_relays_out(spark, tmp
 
     with _pytest.raises(ValueError):
         t.set_partitioning(["nope"])
+
+
+def test_partition_evolution_resolves_pending_mor_deltas(spark, tmp_path):
+    """set_partitioning on a bucketed table with pending MOR deltas must
+    not carry delta entries into a spec-less commit (that bricked reads —
+    review-pass repro); it resolves them via a full rewrite into the new
+    layout instead."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, "xyz"[i % 3], i * 1.0) for i in range(20)],
+        "id bigint, st string, x double",
+    )
+    t.create_or_replace(df, properties={"write.merge.mode": "mor"}, bucket_by=("id", 4))
+    t.merge(
+        spark.createDataFrame([(1, "x", 111.0)], "id bigint, st string, x double"),
+        pk="id",
+    )
+    latest = t._read_commit(t.latest_version())
+    assert any(e.get("delta") is not None for e in latest.files), "fixture needs a delta"
+
+    c = t.set_partitioning(["st"])
+    assert not any(e.get("delta") is not None for e in c.files)
+    got = {r.id: r.x for r in t.read().collect()}
+    assert got[1] == 111.0 and got[5] == 5.0 and len(got) == 20
+    # the rewrite landed directly in the new hive layout
+    seg = [
+        d for d in os.listdir(os.path.join(str(tmp_path / "t"), "data"))
+        if d.startswith(str(c.version) + "-")
+    ]
+    assert len(seg) == 1
+    assert any(
+        d.startswith("st=")
+        for d in os.listdir(os.path.join(str(tmp_path / "t"), "data", seg[0]))
+    )
+    # un-partitioning a delta-free table stays metadata-only
+    c2 = t.set_partitioning(None)
+    assert [e["path"] for e in c2.files] == [e["path"] for e in c.files]
+    assert {r.id: r.x for r in t.read().collect()} == got

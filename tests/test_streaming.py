@@ -251,10 +251,15 @@ def test_stateful_ema_recurses_across_batches(spark, tmp_path):
         fh.write(
             '{"user_id": 1, "ts_us": 100, "event_id": 1, "value": 10.0}\n'
             '{"user_id": 1, "ts_us": 200, "event_id": 2, "value": 20.0}\n'
+            '{"user_id": 2, "ts_us": 100, "event_id": 4, "value": 5.0}\n'
+            '{"user_id": 2, "ts_us": 200, "event_id": 5, "value": null}\n'
         )
     _time.sleep(0.05)
     with open(os.path.join(src, "b.json"), "w") as fh:
-        fh.write('{"user_id": 1, "ts_us": 300, "event_id": 3, "value": 30.0}\n')
+        fh.write(
+            '{"user_id": 1, "ts_us": 300, "event_id": 3, "value": 30.0}\n'
+            '{"user_id": 2, "ts_us": 300, "event_id": 6, "value": 7.0}\n'
+        )
 
     stream = (
         spark.readStream.schema("user_id bigint, ts_us bigint, event_id bigint, value double")
@@ -276,8 +281,10 @@ def test_stateful_ema_recurses_across_batches(spark, tmp_path):
     last = {}
     for r in spark.table(sink).collect():
         last[r.user_id] = (r.n_events, r.ema)
-    # ema: 10 → 0.2·20+0.8·10 = 12 → 0.2·30+0.8·12 = 15.6
-    assert last == {1: (3, 15.6)}
+    # user 1: 10 → 0.2·20+0.8·10 = 12 → 0.2·30+0.8·12 = 15.6
+    # user 2: a NULL value nulls the accumulator (batch w_ema parity —
+    # 0.2·NULL+0.8·acc is NULL) and the next value restarts the EMA
+    assert last == {1: (3, 15.6), 2: (3, 7.0)}
 
 
 def test_windowed_agg_batch_equivalence(spark, sf_dir):
