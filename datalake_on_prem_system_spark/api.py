@@ -129,6 +129,22 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(
                     200, {"table": parts[1], "changes": _df_rows(c, limit=limit)}
                 )
+            if parts[0] == "branches" and len(parts) == 2:
+                return self._send(
+                    200, {"table": parts[1], "branches": self.engine.branches(parts[1])}
+                )
+            if parts[0] == "branch" and len(parts) == 3:
+                limit = int(q.get("limit", _DEFAULT_LIMIT))
+                df = self.engine.read_branch(parts[1], parts[2]).limit(limit)
+                return self._send(
+                    200,
+                    {
+                        "table": parts[1],
+                        "branch": parts[2],
+                        "columns": df.columns,
+                        "rows": _df_rows(df),
+                    },
+                )
             if parts[0] == "edit" and len(parts) == 3:
                 return self._edit(parts[1], parts[2])
             return self._error(404, f"no route: {url.path}")
@@ -160,6 +176,27 @@ class _Handler(BaseHTTPRequestHandler):
                 self.engine.clone(parts[1], parts[2], version=version)
                 return self._send(
                     200, {"status": "cloned", "table": parts[1], "dest": parts[2]}
+                )
+            if parts[0:1] == ["branch"] and len(parts) == 4 and parts[2] == "create":
+                v = self.engine.create_branch(
+                    parts[1], parts[3],
+                    version=int(q["version"]) if "version" in q else None,
+                )
+                return self._send(
+                    200,
+                    {"status": "branched", "table": parts[1], "branch": parts[3], "fork_version": v},
+                )
+            if parts[0:1] == ["branch"] and len(parts) == 4 and parts[2] == "merge":
+                v = self.engine.merge_branch(parts[1], parts[3])
+                return self._send(
+                    200,
+                    {"status": "merged", "table": parts[1], "branch": parts[3], "version": v},
+                )
+            if parts[0:1] == ["branch"] and len(parts) == 4 and parts[2] == "delete":
+                existed = self.engine.delete_branch(parts[1], parts[3])
+                return self._send(
+                    200,
+                    {"status": "deleted" if existed else "absent", "table": parts[1], "branch": parts[3]},
                 )
             if parts[0:1] == ["restore"] and len(parts) == 3:
                 self.engine.restore(parts[1], int(parts[2]))

@@ -394,6 +394,7 @@ def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
         from ._cache import release
 
         release(f"shingles:{sf_dir}")
+        release(f"batch_shingles:{sf_dir}")  # same staleness, probe-side frame
 
     sh = _shingle_frame(spark, sf_dir)
     corpus_sh = sh.filter(F.col("doc_id") % _CORPUS_MOD < _CORPUS_KEEP)
@@ -423,8 +424,15 @@ def dd_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     an indexed corpus doc) or 'batch' (duplicate within the new batch).
     """
     idx = spark.read.parquet(build_minhash_index(spark, sf_dir))
-    sh = _shingle_frame(spark, sf_dir)
-    batch_bands = _band_frame(sh.filter(F.col("doc_id") % _CORPUS_MOD >= _CORPUS_KEEP))
+    docs = t_par(spark, sf_dir, "documents")
+    batch_sh = persist_bounded(
+        docs.filter(
+            (F.size(F.split("text", " ")) >= _SHINGLE_N)
+            & (F.col("doc_id") % _CORPUS_MOD >= _CORPUS_KEEP)
+        ).select("doc_id", _shingles().alias("sh")),
+        key=f"batch_shingles:{sf_dir}",
+    )
+    batch_bands = _band_frame(batch_sh)
 
     probe = (
         idx.alias("c")
@@ -433,9 +441,26 @@ def dd_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     internal = _bucket_pairs(batch_bands)
-    return _verify_pairs(probe, sh).withColumn("pair_type", F.lit("corpus")).unionByName(
-        _verify_pairs(internal, sh).withColumn("pair_type", F.lit("batch"))
+    # Verify shingles come from CANDIDATES ONLY, never the whole corpus: a
+    # cold increment must cost O(batch sketch + candidate verify), not an
+    # O(corpus) re-shingle — the candidate id set is LSH-bucket-bounded
+    # and broadcasts into a semi-join that prunes the (expensive) shingle
+    # expression to the docs that actually need verifying. The batch side
+    # reuses its own persisted shingle frame across the sketch and both
+    # verify joins.
+    cand_ids = (
+        probe.select(F.col("a_id").alias("doc_id"))
+        .unionByName(probe.select(F.col("b_id").alias("doc_id")))
+        .unionByName(internal.select(F.col("a_id").alias("doc_id")))
+        .unionByName(internal.select(F.col("b_id").alias("doc_id")))
+        .distinct()
     )
+    cand_sh = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+        "doc_id", _shingles().alias("sh")
+    )
+    return _verify_pairs(probe, cand_sh).withColumn(
+        "pair_type", F.lit("corpus")
+    ).unionByName(_verify_pairs(internal, cand_sh).withColumn("pair_type", F.lit("batch")))
 
 
 _SIMHASH_BUCKET_CAP = 512  # max docs per (band, band-hash) bucket considered

@@ -241,3 +241,25 @@ def test_diff_and_changes_responses_are_bounded(served):
     changes = _get(base, "/changes/bulk?v_from=0&v_to=1")["changes"]
     assert len(changes) == 100
     assert len(_get(base, "/changes/bulk?v_from=0&v_to=1&limit=5")["changes"]) == 5
+
+
+def test_branch_routes_roundtrip(served):
+    eng, base = served
+    eng.write_table(
+        "brtab",
+        eng.spark.createDataFrame([(1, "one"), (2, "two")], "id int, name string"),
+    )
+    out = _post(base, "/branch/brtab/create/dev")
+    assert out["status"] == "branched" and out["fork_version"] == 0
+    assert _get(base, "/branches/brtab")["branches"] == {"dev": 0}
+    eng.catalog.table("brtab").branch_table("dev").insert_rows(
+        [{"id": 3, "name": "three"}]
+    )
+    rows = _get(base, "/branch/brtab/dev")["rows"]
+    assert {r["id"] for r in rows} == {1, 2, 3}
+    # main untouched until the merge lands
+    assert {r["id"] for r in _get(base, "/data/brtab")["rows"]} == {1, 2}
+    assert _post(base, "/branch/brtab/merge/dev")["status"] == "merged"
+    assert {r["id"] for r in _get(base, "/data/brtab")["rows"]} == {1, 2, 3}
+    assert _post(base, "/branch/brtab/delete/dev")["status"] == "deleted"
+    assert _get(base, "/branches/brtab")["branches"] == {}
