@@ -305,8 +305,45 @@ def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: each document's top-3 most
+    characteristic tokens — the classic summarization/tagging primitive.
+    idf = round(ln((N+1)/(df+1)), 6) (smoothed; ln rounded before ANY
+    further arithmetic, the tx_lm_score rule), tf·idf rounded to 6 and
+    RANKED ON THE ROUNDED VALUE (token tiebreak), so both engines pick
+    identical keywords even among near-ties.
+
+    Scale shape: (doc, token) counts partial-aggregate before their
+    shuffle; document frequency is a vocab-bounded rollup broadcast back
+    into the token stream; N is one O(1)-row aggregate; the final top-3 is
+    a per-doc window over ≤ vocab rows per doc."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf6 = F.round(
+        F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1))), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("tfidf", F.round(F.col("tf") * idf6, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tfidf")
+    )
+
+
 QUERIES = {
     "tx_token_stats": tx_token_stats,
+    "tx_keyword_extract": tx_keyword_extract,
     "tx_lm_score": tx_lm_score,
     "tx_bpe_estimate": tx_bpe_estimate,
     "tx_lang_id": tx_lang_id,
@@ -318,6 +355,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tx_keyword_extract": """
+        WITH tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT t.doc_id, t.token,
+                   round(t.tf * round(ln((n.n_docs + 1.0) / (d.df + 1)), 6), 6)
+                       AS tfidf
+            FROM tf t JOIN dfreq d USING (token), n
+        )
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tfidf
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+              FROM scored)
+        WHERE rank <= 3
+    """,
     "tx_lm_score": """
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS token
