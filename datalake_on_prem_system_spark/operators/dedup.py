@@ -394,7 +394,9 @@ def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
         from ._cache import release
 
         release(f"shingles:{sf_dir}")
-        release(f"batch_shingles:{sf_dir}")  # same staleness, probe-side frame
+        # same staleness: probe-side frames derived from the old corpus
+        release(f"batch_bands:{sf_dir}")
+        release(f"inc_pairs:{sf_dir}")
 
     sh = _shingle_frame(spark, sf_dir)
     corpus_sh = sh.filter(F.col("doc_id") % _CORPUS_MOD < _CORPUS_KEEP)
@@ -425,42 +427,57 @@ def dd_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     idx = spark.read.parquet(build_minhash_index(spark, sf_dir))
     docs = t_par(spark, sf_dir, "documents")
-    batch_sh = persist_bounded(
-        docs.filter(
-            (F.size(F.split("text", " ")) >= _SHINGLE_N)
-            & (F.col("doc_id") % _CORPUS_MOD >= _CORPUS_KEEP)
-        ).select("doc_id", _shingles().alias("sh")),
-        key=f"batch_shingles:{sf_dir}",
-    )
-    batch_bands = _band_frame(batch_sh)
+    batch_sh = docs.filter(
+        (F.size(F.split("text", " ")) >= _SHINGLE_N)
+        & (F.col("doc_id") % _CORPUS_MOD >= _CORPUS_KEEP)
+    ).select("doc_id", _shingles().alias("sh"))
+    # the band sketch is the O(batch) work — persisted so probe, in-batch
+    # pairing, and the candidate-id derivation all read ONE kernel run
+    # (Catalyst shares nothing across plan branches; unpersisted, the
+    # sketch re-ran per verify branch and cost more than the full pass)
+    batch_bands = persist_bounded(_band_frame(batch_sh), key=f"batch_bands:{sf_dir}")
 
     probe = (
         idx.alias("c")
         .join(F.broadcast(batch_bands.alias("n")), ["band", "bh"])
         .select(F.col("c.doc_id").alias("a_id"), F.col("n.doc_id").alias("b_id"))
         .distinct()
+        .withColumn("pair_type", F.lit("corpus"))
     )
-    internal = _bucket_pairs(batch_bands)
+    internal = _bucket_pairs(batch_bands).withColumn("pair_type", F.lit("batch"))
+    # candidate pairs are LSH-bucket-bounded — persisting them makes the
+    # id-set derivation and both verify-join sides read one materialization
+    pairs = persist_bounded(
+        probe.unionByName(internal), key=f"inc_pairs:{sf_dir}"
+    )
     # Verify shingles come from CANDIDATES ONLY, never the whole corpus: a
-    # cold increment must cost O(batch sketch + candidate verify), not an
-    # O(corpus) re-shingle — the candidate id set is LSH-bucket-bounded
-    # and broadcasts into a semi-join that prunes the (expensive) shingle
-    # expression to the docs that actually need verifying. The batch side
-    # reuses its own persisted shingle frame across the sketch and both
-    # verify joins.
+    # cold increment costs O(batch sketch + candidate verify) — the
+    # candidate id set broadcasts into a semi-join that prunes the
+    # (expensive) shingle expression to the docs that actually need it.
     cand_ids = (
-        probe.select(F.col("a_id").alias("doc_id"))
-        .unionByName(probe.select(F.col("b_id").alias("doc_id")))
-        .unionByName(internal.select(F.col("a_id").alias("doc_id")))
-        .unionByName(internal.select(F.col("b_id").alias("doc_id")))
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
     cand_sh = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
         "doc_id", _shingles().alias("sh")
     )
-    return _verify_pairs(probe, cand_sh).withColumn(
-        "pair_type", F.lit("corpus")
-    ).unionByName(_verify_pairs(internal, cand_sh).withColumn("pair_type", F.lit("batch")))
+    verified = (
+        pairs.join(cand_sh.withColumnsRenamed({"doc_id": "a_id", "sh": "sh_a"}), "a_id")
+        .join(cand_sh.withColumnsRenamed({"doc_id": "b_id", "sh": "sh_b"}), "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("size_a", F.size("sh_a"))
+        .withColumn("size_b", F.size("sh_b"))
+        .withColumn(
+            "jaccard_raw",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    )
+    return verified.select(
+        "a_id", "b_id", "inter", "size_a", "size_b",
+        F.round("jaccard_raw", 6).alias("jaccard"), "pair_type",
+    )
 
 
 _SIMHASH_BUCKET_CAP = 512  # max docs per (band, band-hash) bucket considered
