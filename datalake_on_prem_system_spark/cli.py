@@ -63,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("changes"); p.add_argument("table"); p.add_argument("v_from", type=int); p.add_argument("v_to", type=int)
     p = sub.add_parser("branch"); p.add_argument("table"); p.add_argument("action", choices=["create", "list", "read", "merge", "delete"]); p.add_argument("name", nargs="?"); p.add_argument("--version", type=int)
     p = sub.add_parser("partition"); p.add_argument("table"); p.add_argument("--by", help="comma-separated hive partition columns; omit to un-partition")
+    p = sub.add_parser("files"); p.add_argument("table"); p.add_argument("--version", type=int)
 
     args = ap.parse_args(argv)
 
@@ -149,6 +150,10 @@ def _dispatch(args, eng, n: int) -> int:
         print(f"tagged {args.table}@{v} as {args.name}")
     elif args.verb == "changes":
         eng.changes(args.table, args.v_from, args.v_to).drop("changed_cells").show(
+            n, truncate=False
+        )
+    elif args.verb == "files":
+        eng.files(args.table, version=args.version).drop("stats_json").show(
             n, truncate=False
         )
     elif args.verb == "partition":

@@ -255,6 +255,16 @@ class LakeEngine:
     def history(self, table: str) -> DataFrame:
         return self.catalog.table(table).history()
 
+    def files(self, table: str, version: int | str | None = None) -> DataFrame:
+        """$files metadata table: the snapshot's manifest entries."""
+        t = self.catalog.table(table)
+        fn = getattr(t, "files", None)
+        if fn is None:
+            raise NotImplementedError(
+                f"table format {type(t).__name__} does not expose a files table"
+            )
+        return fn(version=version)
+
     def time_travel(self, table: str, version: int | str) -> DataFrame:
         """Snapshot read by version number OR tag name (digit strings
         coerce to versions); unknown/expired refs fall back to latest —

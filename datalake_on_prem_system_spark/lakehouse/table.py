@@ -690,6 +690,7 @@ class LakeTable:
         bucket_pk: str | None = None,
         n_buckets: int | None = None,
         sort_within: list[str] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> tuple[str, list[dict]]:
         """Write one data segment; returns (segment dir, file-list entries).
 
@@ -701,6 +702,10 @@ class LakeTable:
         per-file min/max stats enable data skipping on those columns."""
         os.makedirs(self._data_dir, exist_ok=True)
         path = self._segment_path(version)
+        # write.parquet.compression table property (Iceberg
+        # write.parquet.compression-codec analog): applied to every segment
+        # write; absent → Spark's default (snappy)
+        codec = (properties or {}).get("write.parquet.compression")
         if bucket_pk is not None:
             n = n_buckets or DEFAULT_N_BUCKETS
             out = df.withColumn(BUCKET_COL, _bucket_expr(bucket_pk, n))
@@ -717,11 +722,16 @@ class LakeTable:
                 # this sort SATISFIES the writer's requirement and the
                 # cluster order survives to the files
                 out = out.sortWithinPartitions(BUCKET_COL, *sort_within)
-            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+            w = out.write.mode("overwrite")
+            if codec:
+                w = w.option("compression", codec)
+            w.partitionBy(BUCKET_COL).parquet(path)
             return path, self._harvest_leaf_entries(path, BUCKET_COL, bucket_ids=True)
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
         writer = df.write.mode("overwrite")
+        if codec:
+            writer = writer.option("compression", codec)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
@@ -858,6 +868,7 @@ class LakeTable:
             partition_by=partition_by,
             bucket_pk=bucket_spec["pk"] if bucket_spec else None,
             n_buckets=bucket_spec["n"] if bucket_spec else None,
+            properties=properties,
             sort_within=sort_within,
         )
         for e in entries:
@@ -987,6 +998,7 @@ class LakeTable:
                 version,
                 bucket_pk=seg_spec["pk"] if seg_spec else None,
                 n_buckets=seg_spec["n"] if seg_spec else None,
+                properties=prev.properties,
             )
             for e in new_entries:
                 e["seq"] = version
@@ -1321,6 +1333,32 @@ class LakeTable:
             "version int, parent int, operation string, n_rows bigint, committed_at double",
         ).orderBy(F.desc("version"))
 
+    def files(self, version: int | str | None = None) -> DataFrame:
+        """``$files`` metadata table (Iceberg analog): one row per manifest
+        entry of the snapshot — path, bucket id, row count, MOR seq,
+        delta/base flag, hive-layout flag, and the per-column min/max stats
+        as JSON. The ops surface for debugging layout, skipping, and
+        read-amplification questions; O(manifest) driver-side, no data
+        files touched."""
+        commit = self._commit_at(version, False)
+        rows = [
+            (
+                e["path"],
+                e.get("bucket"),
+                int(e["n_rows"]),
+                e.get("seq"),
+                e.get("delta") is not None,
+                bool(e.get("hive")),
+                json.dumps(e.get("stats") or {}, sort_keys=True),
+            )
+            for e in commit.files
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, bucket int, n_rows bigint, seq int, "
+            "is_delta boolean, hive boolean, stats_json string",
+        )
+
     def _rewrite_commit(self, commit: Commit) -> None:
         """Atomically replace a PUBLISHED commit's JSON in place (only for
         backfilling a lazily-resolved n_rows — the file list never changes).
@@ -1626,7 +1664,8 @@ class LakeTable:
             return self._publish(result, "merge", bucket_spec=spec)
         version = prev.version + 1
         path, new_entries = self._write_segment(
-            delta, version, bucket_pk=pks[0], n_buckets=spec["n"]
+            delta, version, bucket_pk=pks[0], n_buckets=spec["n"],
+            properties=prev.properties,
         )
         if sum(e["n_rows"] for e in new_entries) == 0:
             # empty/unparseable change batch (P12): no commit — checked from

@@ -219,3 +219,46 @@ def test_merge_withdraws_when_a_commit_races_the_publish(spark, tmp_path, monkey
     assert not any(
         t._read_commit(v).operation.startswith("merge_branch") for v in t.versions()
     )
+
+
+def test_write_audit_publish_via_branch_cdc(spark, tmp_path):
+    """The WAP (write-audit-publish) workflow: a CDC stream applies its
+    merges to a STAGING BRANCH, an audit query validates the branch, and
+    only then does a fast-forward merge publish to main — main never sees
+    unaudited data."""
+    import json as _json
+    import os
+
+    from datalake_on_prem_system_spark.streaming.cdc import run_cdc_file_stream
+
+    t = _mk(spark, tmp_path / "t")  # ids 0..4, x = id*10.0
+    staging = t.create_branch("staging")
+
+    src = str(tmp_path / "cdc")
+    os.makedirs(src)
+    with open(os.path.join(src, "b.jsonl"), "w") as fh:
+        for rec in (
+            {"op": "u", "after": {"id": 1, "x": 111.0, "ts_ms": 1}},
+            {"op": "c", "after": {"id": 9, "x": 90.0, "ts_ms": 2}},
+            {"op": "d", "before": {"id": 3, "x": 30.0, "ts_ms": 3}, "after": None},
+        ):
+            fh.write(_json.dumps(rec) + "\n")
+
+    run_cdc_file_stream(
+        spark,
+        staging,
+        pk="id",
+        row_ddl="id bigint, x double, ts_ms bigint",
+        src_dir=src,
+        checkpoint_dir=str(tmp_path / "ck"),
+        order_cols=["ts_ms"],
+        drop_cols=["ts_ms"],
+    )
+    # audit on the branch: expected row count and no negative values
+    audited = staging.read()
+    assert audited.count() == 5 and audited.filter("x < 0").count() == 0
+    # main is still pre-publish
+    assert _rows(t.read()) == {i: i * 10.0 for i in range(5)}
+    t.merge_branch("staging")
+    got = _rows(t.read())
+    assert got[1] == 111.0 and got[9] == 90.0 and 3 not in got

@@ -868,3 +868,43 @@ def test_partition_evolution_resolves_pending_mor_deltas(spark, tmp_path):
     c2 = t.set_partitioning(None)
     assert [e["path"] for e in c2.files] == [e["path"] for e in c.files]
     assert {r.id: r.x for r in t.read().collect()} == got
+
+
+def test_compression_property_reaches_parquet_footers(spark, tmp_path):
+    """write.parquet.compression applies to every segment write — create,
+    append, and MOR delta — and files() exposes the manifest."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datalake_on_prem_system_spark.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(i, i * 1.0) for i in range(10)], "id bigint, x double")
+    t.create_or_replace(
+        df,
+        properties={"write.parquet.compression": "gzip", "write.merge.mode": "mor"},
+        bucket_by=("id", 2),
+    )
+    t.append(spark.createDataFrame([(20, 2.0)], "id bigint, x double"))
+    t.merge(spark.createDataFrame([(1, 111.0)], "id bigint, x double"), pk="id")
+
+    parts = [
+        p for p in glob.glob(
+            os.path.join(str(tmp_path / "t"), "data", "**", "*.parquet"),
+            recursive=True)
+        if os.path.isfile(p)  # segment DIRS are also named *.parquet
+    ]
+    assert parts
+    codecs = {
+        pq.ParquetFile(p).metadata.row_group(0).column(0).compression
+        for p in parts
+        if pq.ParquetFile(p).metadata.num_row_groups
+    }
+    assert codecs == {"GZIP"}, codecs
+
+    f = {r.path: r for r in t.files().collect()}
+    assert sum(r.n_rows for r in f.values()) == 12  # 10 base + 1 append + 1 delta
+    assert any(r.is_delta for r in f.values())
+    assert all(r.seq is not None for r in f.values())
