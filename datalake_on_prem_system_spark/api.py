@@ -135,7 +135,13 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             if parts[0] == "branch" and len(parts) == 3:
                 limit = int(q.get("limit", _DEFAULT_LIMIT))
-                df = self.engine.read_branch(parts[1], parts[2]).limit(limit)
+                df = self.engine.read_branch(
+                    parts[1], parts[2], version=q.get("version")
+                )
+                # deterministic page, like /data: first-column order +
+                # TakeOrdered (an unordered .limit is an arbitrary
+                # partition sample that changes between requests)
+                df = df.orderBy(df.columns[0]).limit(limit)
                 return self._send(
                     200,
                     {

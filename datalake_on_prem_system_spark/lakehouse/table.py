@@ -561,11 +561,20 @@ class LakeTable:
         return self._fork_meta(name)[0]
 
     def _fork_meta(self, name: str) -> tuple[int, str | None]:
-        """(fork version, source chain) — source chain None means main."""
+        """(fork version, source chain) — source chain None means main. A
+        FORK file without the "from" key predates chain-identity tracking:
+        treating it as main would re-open the silent cross-chain merge this
+        metadata exists to prevent, so merging such a branch is refused
+        outright (re-fork to migrate)."""
         bdir = self._branch_dir(name)
         with open(os.path.join(bdir, "FORK")) as fh:
             meta = json.load(fh)
-        return int(meta["fork_version"]), meta.get("from")
+        if "from" not in meta:
+            raise BranchConflictError(
+                f"branch {name!r} has pre-chain-identity fork metadata; "
+                f"re-create the branch to merge it"
+            )
+        return int(meta["fork_version"]), meta["from"]
 
     def delete_branch(self, name: str) -> bool:
         """Drop a branch's METADATA (commit chain + fork marker). Shared
@@ -613,32 +622,47 @@ class LakeTable:
             )
         head = bt.latest_version()
         src = bt._read_commit(head)
-        commit = self._recommit(
-            src,
-            version=max(latest, head) + 1,
-            parent=latest,
-            operation=f"merge_branch:{name}@{head}",
-        )
-        self._publish_commit(commit, [])
-        # OCC re-check: the merge publishes at head+1, a DIFFERENT filename
-        # from a racing writer's latest+1 — so the rename-collision guard
-        # every other writer relies on cannot fire here. If a racer landed
-        # a commit strictly between the fork and the merge, the merge's
-        # file list silently omits that commit's rows: withdraw the merge
-        # and raise, mirroring ConcurrentCommitError semantics. (A reader
-        # could observe the merge during this window — the same two-step
-        # exposure any compensating publish has; losing committed rows
-        # silently is the worse failure.)
-        interlopers = [v for v in self.versions() if fork_v < v < commit.version]
-        if interlopers:
-            try:
-                os.remove(os.path.join(self._commits_dir, f"{commit.version}.json"))
-            except FileNotFoundError:
-                pass
-            raise ConcurrentCommitError(
-                f"commit(s) {interlopers} landed during merge_branch({name!r}); "
-                f"merge withdrawn — re-fork and replay"
+        # GAP EXCLUSION: the merge commit lands at head+1, leaving versions
+        # (latest, head] as a gap a concurrent writer could publish into
+        # with NO filename collision — its committed rows would silently
+        # vanish from the merged head. Fill the gap FIRST with state-
+        # preserving lock commits (each a rename-atomic publish of main's
+        # pre-merge state): a racer either wins a version — our lock's
+        # rename collides, we withdraw and raise — or loses its own rename
+        # to a lock and raises itself. Either way no commit can land
+        # unseen. After the merge publishes, locks are removed exactly like
+        # expired versions (readers treat missing versions as expired).
+        main_now = self._read_commit(latest)
+
+        def _drop(versions: list[int]) -> None:
+            for v in versions:
+                try:
+                    os.remove(os.path.join(self._commits_dir, f"{v}.json"))
+                except FileNotFoundError:
+                    pass
+
+        locks: list[int] = []
+        try:
+            for v in range(latest + 1, head + 1):
+                self._publish_commit(
+                    self._recommit(
+                        main_now, version=v, parent=latest,
+                        operation=f"merge_lock:{name}",
+                    ),
+                    [],
+                )
+                locks.append(v)
+            commit = self._recommit(
+                src,
+                version=max(latest, head) + 1,
+                parent=latest,
+                operation=f"merge_branch:{name}@{head}",
             )
+            self._publish_commit(commit, [])
+        except ConcurrentCommitError:
+            _drop(locks)
+            raise
+        _drop(locks)
         return commit
 
     def _foreign_live_paths(self) -> set[str]:
@@ -704,7 +728,7 @@ class LakeTable:
         path = self._segment_path(version)
         # write.parquet.compression table property (Iceberg
         # write.parquet.compression-codec analog): applied to every segment
-        # write; absent → Spark's default (snappy)
+        # write; absent → the session's spark.sql.parquet.compression.codec
         codec = (properties or {}).get("write.parquet.compression")
         if bucket_pk is not None:
             n = n_buckets or DEFAULT_N_BUCKETS
@@ -1913,14 +1937,18 @@ class LakeTable:
             )
             os.makedirs(self._data_dir, exist_ok=True)
             path = self._segment_path(version)
-            (
+            w = (
                 df.withColumn(RANGE_COL, rid.cast("int"))
                 .repartition(max(1, len(bounds) + 1), F.col(RANGE_COL))
                 .sortWithinPartitions(RANGE_COL, key_col)
                 .write.mode("overwrite")
-                .partitionBy(RANGE_COL)
-                .parquet(path)
             )
+            # the one writer outside _write_segment — the compression table
+            # property must reach it too
+            codec = (properties or {}).get("write.parquet.compression")
+            if codec:
+                w = w.option("compression", codec)
+            w.partitionBy(RANGE_COL).parquet(path)
         finally:
             df.unpersist()
         entries = self._harvest_leaf_entries(path, RANGE_COL, bucket_ids=False)

@@ -132,9 +132,14 @@ def _pair_jaccard_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def _verify_pairs(cands: DataFrame, sh: DataFrame) -> DataFrame:
+def _verify_pairs(
+    cands: DataFrame, sh: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Exact jaccard verification of candidate (a_id, b_id) pairs against
-    the per-doc shingle arrays; emits only pairs ≥ JACCARD_THRESHOLD."""
+    the per-doc shingle arrays; emits only pairs ≥ JACCARD_THRESHOLD.
+    ``passthrough`` columns of ``cands`` are carried into the output (the
+    ONE shared verification kernel — incremental and full paths must never
+    diverge on the formula/threshold/rounding)."""
     verified = (
         cands.join(sh.withColumnsRenamed({"doc_id": "a_id", "sh": "sh_a"}), "a_id")
         .join(sh.withColumnsRenamed({"doc_id": "b_id", "sh": "sh_b"}), "b_id")
@@ -150,6 +155,7 @@ def _verify_pairs(cands: DataFrame, sh: DataFrame) -> DataFrame:
     return verified.select(
         "a_id", "b_id", "inter", "size_a", "size_b",
         F.round("jaccard_raw", 6).alias("jaccard"),
+        *passthrough,
     )
 
 
@@ -183,12 +189,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caps live operator-internal caches and unpersists the oldest beyond
     # the cap (harness-independent; sweep harnesses may still clearCache
     # between queries, and _cache.release_all() frees storage on demand).
-    sh = persist_bounded(
-        docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
-            "doc_id", _shingles().alias("sh")
-        ),
-        key=f"shingles:{sf_dir}",
-    )
+    sh = _shingle_frame(spark, sf_dir)
     # candidate generation runs on xxhash64 SHINGLE IDS, not the strings:
     # the df-count and inverted-index shuffles then move 8-byte longs
     # instead of ~25-byte ngram strings — on a cluster these shuffles are
@@ -239,19 +240,32 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_pairs(cands, sh)
 
 
+def _shingle_key(sf_dir: str) -> str:
+    """Registry key for the shared shingle frame. ABSPATH-normalized so
+    invalidation (``build_minhash_index``'s rebuild release) and
+    registration can never miss each other over relative/absolute
+    spellings of the same fixture dir."""
+    import os
+
+    return f"shingles:{os.path.abspath(sf_dir)}"
+
+
 def _shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared, persisted ``(doc_id, sh)`` shingle frame — one plan (and
     therefore ONE cache entry, see ``persist_bounded``) for dd_ngram_jaccard,
-    dd_minhash_lsh, the incremental index build and the probe path."""
+    dd_minhash_lsh, the incremental index build and the probe path. This is
+    the ONLY registration site for the key: a second site with a different
+    key string over the same plan would let an eviction of one kill the
+    shared Spark cache entry the other still relies on."""
     docs = t_par(spark, sf_dir, "documents")
-    # persisted for the same branch-sharing reason (and with the same
-    # bounded-registry lifetime) as dd_ngram_jaccard: the signature kernel
-    # and both verify-join sides re-shingle otherwise
+    # persisted for branch sharing (and with the bounded-registry
+    # lifetime): the signature kernel and both verify-join sides
+    # re-shingle otherwise
     return persist_bounded(
         docs.filter(F.size(F.split("text", " ")) >= _SHINGLE_N).select(
             "doc_id", _shingles().alias("sh")
         ),
-        key=f"shingles:{sf_dir}",  # same plan as jaccard's frame — shared cache entry, shared key
+        key=_shingle_key(sf_dir),
     )
 
 
@@ -387,16 +401,20 @@ def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
         return _MINHASH_IDX_CACHE[key]
     _MINHASH_BUILDS += 1
 
-    if any(k[0] == key[0] for k in _MINHASH_IDX_CACHE):
-        # corpus regenerated in place: the shared shingle cache is keyed by
-        # LOGICAL PLAN (unchanged by new file content) and would serve the
-        # OLD corpus into the "rebuilt" index — drop it before re-shingling
-        from ._cache import release
+    # Any (re)build drops the plan-keyed caches FIRST: the Spark cache is
+    # keyed by logical plan, which does not change when the file content
+    # does — so a corpus regenerated in place (possibly BEFORE this
+    # session's first build, where no _MINHASH_IDX_CACHE entry exists to
+    # witness the drift) would otherwise serve OLD rows into the "fresh"
+    # index. Releasing a still-valid warm frame merely costs its next
+    # consumer one re-shingle; building an index from stale rows is a
+    # correctness bug. Keys are abspath-normalized (_shingle_key), matching
+    # this function's own cache key.
+    from ._cache import release
 
-        release(f"shingles:{sf_dir}")
-        # same staleness: probe-side frames derived from the old corpus
-        release(f"batch_bands:{sf_dir}")
-        release(f"inc_pairs:{sf_dir}")
+    release(_shingle_key(sf_dir))
+    release(f"batch_bands:{key[0]}")
+    release(f"inc_pairs:{key[0]}")
 
     sh = _shingle_frame(spark, sf_dir)
     corpus_sh = sh.filter(F.col("doc_id") % _CORPUS_MOD < _CORPUS_KEEP)
@@ -435,7 +453,10 @@ def dd_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairing, and the candidate-id derivation all read ONE kernel run
     # (Catalyst shares nothing across plan branches; unpersisted, the
     # sketch re-ran per verify branch and cost more than the full pass)
-    batch_bands = persist_bounded(_band_frame(batch_sh), key=f"batch_bands:{sf_dir}")
+    import os as _os
+
+    _abs = _os.path.abspath(sf_dir)
+    batch_bands = persist_bounded(_band_frame(batch_sh), key=f"batch_bands:{_abs}")
 
     probe = (
         idx.alias("c")
@@ -448,7 +469,7 @@ def dd_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pairs are LSH-bucket-bounded — persisting them makes the
     # id-set derivation and both verify-join sides read one materialization
     pairs = persist_bounded(
-        probe.unionByName(internal), key=f"inc_pairs:{sf_dir}"
+        probe.unionByName(internal), key=f"inc_pairs:{_abs}"
     )
     # Verify shingles come from CANDIDATES ONLY, never the whole corpus: a
     # cold increment costs O(batch sketch + candidate verify) — the
@@ -462,22 +483,7 @@ def dd_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_sh = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
         "doc_id", _shingles().alias("sh")
     )
-    verified = (
-        pairs.join(cand_sh.withColumnsRenamed({"doc_id": "a_id", "sh": "sh_a"}), "a_id")
-        .join(cand_sh.withColumnsRenamed({"doc_id": "b_id", "sh": "sh_b"}), "b_id")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("size_a", F.size("sh_a"))
-        .withColumn("size_b", F.size("sh_b"))
-        .withColumn(
-            "jaccard_raw",
-            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
-    )
-    return verified.select(
-        "a_id", "b_id", "inter", "size_a", "size_b",
-        F.round("jaccard_raw", 6).alias("jaccard"), "pair_type",
-    )
+    return _verify_pairs(pairs, cand_sh, passthrough=("pair_type",))
 
 
 _SIMHASH_BUCKET_CAP = 512  # max docs per (band, band-hash) bucket considered

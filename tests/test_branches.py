@@ -262,3 +262,19 @@ def test_write_audit_publish_via_branch_cdc(spark, tmp_path):
     t.merge_branch("staging")
     got = _rows(t.read())
     assert got[1] == 111.0 and got[9] == 90.0 and 3 not in got
+
+
+def test_legacy_fork_metadata_refuses_merge(spark, tmp_path):
+    """A FORK file without chain identity must refuse to merge anywhere —
+    accepting it as 'from main' would re-open the silent cross-chain drop
+    for pre-upgrade branches."""
+    import json as _json
+    import os
+
+    t = _mk(spark, tmp_path / "t")
+    t.create_branch("old")
+    fork = os.path.join(str(tmp_path / "t"), "_branches", "old", "FORK")
+    with open(fork, "w") as fh:
+        _json.dump({"fork_version": 0}, fh)  # pre-upgrade shape
+    with pytest.raises(BranchConflictError, match="pre-chain-identity"):
+        t.merge_branch("old")

@@ -908,3 +908,21 @@ def test_compression_property_reaches_parquet_footers(spark, tmp_path):
     assert sum(r.n_rows for r in f.values()) == 12  # 10 base + 1 append + 1 delta
     assert any(r.is_delta for r in f.values())
     assert all(r.seq is not None for r in f.values())
+
+    # the Z-order rewrite is the one writer outside _write_segment — the
+    # codec property must reach it too
+    t2 = LakeTable(spark, str(tmp_path / "t2"))
+    t2.create_or_replace(df, properties={"write.parquet.compression": "gzip"})
+    t2.compact_clustered("x", n_ranges=2)
+    parts2 = [
+        p for p in glob.glob(
+            os.path.join(str(tmp_path / "t2"), "data", "**", "*.parquet"),
+            recursive=True)
+        if os.path.isfile(p)
+    ]
+    newest = [p for p in parts2 if "/1-" in p.replace(str(tmp_path / "t2"), "")]
+    assert newest
+    assert {
+        pq.ParquetFile(p).metadata.row_group(0).column(0).compression
+        for p in newest if pq.ParquetFile(p).metadata.num_row_groups
+    } == {"GZIP"}
