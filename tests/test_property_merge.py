@@ -119,7 +119,7 @@ def test_random_program_matches_multiset_model(spark, tmp_path_factory, seed):
         op = rng.choice(
             [
                 "merge", "merge", "delete", "update", "append", "insert",
-                "compact", "pdelete", "pupdate", "restore",
+                "compact", "pdelete", "pupdate", "restore", "branch",
             ]
         )
         if op == "merge":
@@ -171,6 +171,40 @@ def test_random_program_matches_multiset_model(spark, tmp_path_factory, seed):
             v = rng.choice(sorted(snapshots))
             table.restore(v)
             model = list(snapshots[v])
+        elif op == "branch":
+            # fork → 1-2 random writes on the branch (isolated: main's
+            # model is untouched until the merge) → fast-forward publish,
+            # or abandon the branch (model unchanged). Exercises branch
+            # writes over every MOR/COW/bucketized state the main program
+            # wandered into, plus the merge-version gap in main's chain.
+            name = f"b{len(snapshots)}_{rng.randrange(1 << 16)}"
+            bt = table.create_branch(name)
+            fork_model = list(model)
+            for _ in range(rng.randint(1, 2)):
+                bop = rng.choice(["merge", "append"])
+                if bop == "merge":
+                    batch = _rand_batch(rng)
+                    bt.merge(
+                        spark.createDataFrame(batch, "k int, v int, op string"),
+                        pk="k", op_col="op",
+                    )
+                    touched = {k for k, _, _ in batch}
+                    fork_model = [r for r in fork_model if r[0] not in touched] + [
+                        (k, v) for k, v, o in batch if o != "d"
+                    ]
+                else:
+                    rows = [(rng.randrange(8), rng.randrange(1000))]
+                    bt.append(spark.createDataFrame(rows, "k int, v int"))
+                    fork_model = fork_model + rows
+            # branch reads see the fork's own state while main still reads
+            # the pre-fork model
+            got_b = sorted((r.k, r.v) for r in bt.read().select("k", "v").collect())
+            assert got_b == sorted(fork_model), f"seed={seed} branch state"
+            if rng.random() < 0.75:
+                table.merge_branch(name)
+                model = fork_model
+            else:
+                table.delete_branch(name)
         elif op == "compact":
             table.compact()
         snapshots[table.latest_version()] = sorted(model)
