@@ -415,8 +415,136 @@ def w_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection via Population Stability Index: split
+    the event stream at the midpoint of its time range (integer-µs
+    midpoint — exact in both engines), bin each event_type's ``value``
+    into 10 equal-width bins over the REFERENCE (first-half) window's
+    [min, max] with edge clamping, and emit the per-bin PSI contribution
+    ((p−q)·ln(p/q), add-one smoothed so empty bins stay finite). Σ psi_term
+    per type > 0.2 is the conventional "investigate" threshold — the check
+    a training pipeline runs between ingest batches before trusting new
+    data.
+
+    Determinism contract: the time split and bin assignment are pure
+    integer / single-IEEE-op arithmetic on identical inputs (exactly-
+    rounded per IEEE 754 in both engines); only ln() is implementation-
+    defined, so psi_term is rounded to 6 (the tx_lm_score rule).
+
+    Scale shape: two O(1)-row scalar aggs (time span; per-type ref
+    min/max, vocabulary-bounded) broadcast back into a single per-row
+    binning pass; counts partial-aggregate on (type, bin, side) — shuffle
+    volume bounded by vocab × 10 × 2 × partitions, not event count. The
+    bin scaffold join (type × 10 rows) is broadcast."""
+    ev = t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    tagged = ev.crossJoin(F.broadcast(span)).withColumn(
+        "is_ref",
+        F.unix_micros("ts") < F.col("t0") + (F.col("t1") - F.col("t0")) / 2,
+    )
+    ref_stats = (
+        tagged.filter("is_ref")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(10.0)
+    binned = (
+        tagged.join(F.broadcast(ref_stats), "event_type")
+        .withColumn(
+            "bin",
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(9),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col("value") - F.col("vmin")) / width).cast(
+                            "int"
+                        ),
+                    ),
+                )
+            ),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    scaffold = ref_stats.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
+    )
+    filled = (
+        scaffold.join(binned, ["event_type", "bin"], "left_outer")
+        .fillna(0, ["n_ref", "n_cur"])
+        # NOT named "N_ref": Spark's case-insensitive resolution would make
+        # withColumn("N_ref", ...) silently REPLACE the per-bin "n_ref"
+        .withColumn("tot_ref", F.sum("n_ref").over(Window.partitionBy("event_type")))
+        .withColumn("tot_cur", F.sum("n_cur").over(Window.partitionBy("event_type")))
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("tot_ref") + 10.0)
+    q = (F.col("n_cur") + 1.0) / (F.col("tot_cur") + 10.0)
+    return filled.select(
+        "event_type",
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+def a_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling pass (ANALYZE / data-quality summary): one row per
+    column of ``orders`` with null count, exact distinct count, and typed
+    min/max — numerics as doubles, timestamps explicitly formatted to µs
+    (both engines format, neither relies on its native cast rendering),
+    strings as-is. The pre-ingest audit every pipeline runs on a new drop.
+
+    Scale shape: ONE scan builds every per-column aggregate in a single
+    agg (Catalyst plans the multi-distinct via expand — n_cols passes over
+    the shuffle, zero extra scans); the long-format flip is an explode of
+    a single driver-side row. At 100 TB swap count_distinct for
+    approx_count_distinct (a_hll_distinct shows the sketch contract) —
+    the profile stays one scan."""
+    df = t(spark, sf_dir, "orders")
+    _NUM = ("bigint", "int", "smallint", "tinyint", "double", "float", "decimal")
+
+    def prof(c: str, dt: str):
+        null_d = F.lit(None).cast("double")
+        null_s = F.lit(None).cast("string")
+        if dt.startswith(_NUM):
+            lo, hi = F.min(c).cast("double"), F.max(c).cast("double")
+            lo_s, hi_s = null_s, null_s
+        elif dt.startswith("timestamp"):  # timestamp AND timestamp_ntz
+            fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            lo, hi = null_d, null_d
+            lo_s = F.date_format(F.min(c), fmt)
+            hi_s = F.date_format(F.max(c), fmt)
+        else:
+            lo, hi = null_d, null_d
+            lo_s, hi_s = F.min(c).cast("string"), F.max(c).cast("string")
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            lo.alias("min_num"),
+            hi.alias("max_num"),
+            lo_s.alias("min_str"),
+            hi_s.alias("max_str"),
+        )
+
+    row = df.agg(F.array(*[prof(c, dt) for c, dt in df.dtypes]).alias("cols"))
+    return row.select(F.explode("cols").alias("p")).select("p.*")
+
+
 QUERIES = {
     "ev_funnel": ev_funnel,
+    "ev_drift_psi": ev_drift_psi,
+    "a_profile_table": a_profile_table,
     "ev_retention": ev_retention,
     "ev_transition_matrix": ev_transition_matrix,
     "w_ema": w_ema,
@@ -433,6 +561,89 @@ QUERIES = {
 }
 
 ORACLE = {
+    "a_profile_table": """
+        SELECT 'o_orderkey' AS col_name,
+               count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*) - count(o_custkey),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus), NULL, NULL,
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate), NULL, NULL,
+               strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S.%f'),
+               strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S.%f')
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority), NULL, NULL,
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+    """,
+    "ev_drift_psi": """
+        WITH span AS (
+            SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+            FROM events
+        ), tagged AS (
+            SELECT event_type, value,
+                   epoch_us(ts) < t0 + (t1 - t0) / 2 AS is_ref
+            FROM events, span
+        ), ref_stats AS (
+            SELECT event_type, min(value) AS vmin, max(value) AS vmax
+            FROM tagged WHERE is_ref GROUP BY 1
+        ), binned AS (
+            SELECT t.event_type,
+                   CASE WHEN r.vmax = r.vmin THEN 0
+                        ELSE least(9, greatest(0, CAST(floor(
+                            (t.value - r.vmin) / ((r.vmax - r.vmin) / 10.0))
+                            AS INTEGER)))
+                   END AS bin,
+                   sum(CASE WHEN t.is_ref THEN 1 ELSE 0 END) AS n_ref,
+                   sum(CASE WHEN NOT t.is_ref THEN 1 ELSE 0 END) AS n_cur
+            FROM tagged t JOIN ref_stats r USING (event_type)
+            GROUP BY 1, 2
+        ), scaffold AS (
+            SELECT event_type, CAST(i AS INTEGER) AS bin
+            FROM ref_stats, unnest(generate_series(0, 9)) AS u(i)
+        ), filled AS (
+            SELECT s.event_type, s.bin,
+                   coalesce(b.n_ref, 0) AS n_ref,
+                   coalesce(b.n_cur, 0) AS n_cur,
+                   sum(coalesce(b.n_ref, 0)) OVER (PARTITION BY s.event_type)
+                       AS tot_ref,
+                   sum(coalesce(b.n_cur, 0)) OVER (PARTITION BY s.event_type)
+                       AS tot_cur
+            FROM scaffold s LEFT JOIN binned b
+                ON s.event_type = b.event_type AND s.bin = b.bin
+        )
+        SELECT event_type, bin,
+               CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+               round((n_ref + 1.0) / (tot_ref + 10.0), 6) AS p_ref,
+               round((n_cur + 1.0) / (tot_cur + 10.0), 6) AS p_cur,
+               round(((n_ref + 1.0) / (tot_ref + 10.0)
+                      - (n_cur + 1.0) / (tot_cur + 10.0))
+                     * ln(((n_ref + 1.0) / (tot_ref + 10.0))
+                          / ((n_cur + 1.0) / (tot_cur + 10.0))), 6) AS psi_term
+        FROM filled
+    """,
     "ev_funnel": """
         WITH s1 AS (
             SELECT user_id, min(ts) AS t1 FROM events

@@ -260,8 +260,96 @@ def cur_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- record linkage
+
+
+def cur_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage — match a clean entity registry against
+    a dirty copy (typos injected deterministically: 1/3 of names lose their
+    first character, 1/3 get a 'Customer'→'Custoner' substitution) via
+    edit-distance ≤ 2 WITHIN suffix blocks. The fixture corpus has no
+    natural dirty twin, so the dirty side is derived in-query, identically
+    in both engines — making the match set verifiable rather than
+    vacuously diagonal (near-id collisions like …0123 vs …10123 produce
+    genuine cross-entity fuzzy hits).
+
+    Scale shape (100 TB): the classic blocking pattern — candidate pairs
+    come from an EQUI-join on a cheap block key (last-4-char suffix, which
+    both injected typo classes preserve), and the expensive levenshtein
+    runs only inside blocks. Never all-pairs: cost is Σ|block_a|·|block_b|,
+    bounded by the block-key granularity, which is the scale knob (widen
+    the suffix, or add a second key like a phonetic code, as the registry
+    grows). Both sides shuffle once on the block key."""
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    clean = cust.select(k.alias("a_key"), F.col("c_name").alias("a_name"))
+    dirty = cust.select(
+        k.alias("b_key"),
+        F.when(k % 3 == 0, F.substring("c_name", 2, 1_000_000))
+        .when(k % 3 == 1, F.expr("replace(c_name, 'Customer', 'Custoner')"))
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+    )
+    lev = F.levenshtein("a_name", "b_name")
+    return (
+        clean.join(
+            dirty,
+            F.substring("a_name", -4, 4) == F.substring("b_name", -4, 4),
+        )
+        .filter(lev <= 2)
+        .select(
+            "a_key",
+            "b_key",
+            "a_name",
+            "b_name",
+            lev.cast("int").alias("lev"),
+            (F.col("a_key") == F.col("b_key")).alias("is_same_entity"),
+        )
+    )
+
+
+# ------------------------------------------------------- weighted sampling
+
+
+def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, top-20 per
+    source — Efraimidis–Spirakis A-ES: each doc gets key ln(u)/w (u a
+    uniform derived from md5(doc_id), w = n_chars), and the k largest keys
+    per stratum ARE a weighted sample without replacement. Longer docs are
+    proportionally likelier to be picked, and the draw is reproducible
+    across runs, machines, and engines (both sides derive u from the same
+    md5 hex prefix — no engine RNG anywhere).
+
+    Determinism contract: the sample key is ROUNDED to 6 before ranking
+    (doc_id tiebreak), the tx_lm_score/tx_keyword_extract rule, so both
+    engines rank identically even among near-ties.
+
+    Scale shape: per-row hash arithmetic + one top-k-per-group window over
+    strata — embarrassingly parallel; at 100 TB swap the window for the
+    bounded-heap per-partition top-k then merge, same contract."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key6 = F.round(F.log(u) / F.col("n_chars").cast("double"), 6)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("sample_key"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", key6.alias("sample_key"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("source", "rank", "doc_id", "n_chars", "sample_key")
+    )
+
+
 QUERIES = {
     "cur_decontaminate": cur_decontaminate,
+    "cur_fuzzy_blocked_join": cur_fuzzy_blocked_join,
+    "cur_weighted_sample": cur_weighted_sample,
     "cur_source_mix": cur_source_mix,
     "cur_repetition_filter": cur_repetition_filter,
     "cur_pii_scrub": cur_pii_scrub,
@@ -354,6 +442,39 @@ _SAMPLE_SQL = f"""
 
 ORACLE = {
     "cur_decontaminate": _DECON_SQL,
+    "cur_fuzzy_blocked_join": """
+        WITH clean AS (
+            SELECT c_custkey AS a_key, c_name AS a_name FROM customer
+        ), dirty AS (
+            SELECT c_custkey AS b_key,
+                   CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 2)
+                        WHEN c_custkey % 3 = 1
+                            THEN replace(c_name, 'Customer', 'Custoner')
+                        ELSE c_name END AS b_name
+            FROM customer
+        )
+        SELECT a_key, b_key, a_name, b_name,
+               CAST(levenshtein(a_name, b_name) AS INTEGER) AS lev,
+               (a_key = b_key) AS is_same_entity
+        FROM clean JOIN dirty ON right(a_name, 4) = right(b_name, 4)
+        WHERE levenshtein(a_name, b_name) <= 2
+    """,
+    "cur_weighted_sample": """
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 ::UBIGINT + 0.5) / 4294967296.0)
+                         / CAST(n_chars AS DOUBLE), 6) AS sample_key
+            FROM documents
+        )
+        SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, n_chars,
+               sample_key
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY sample_key DESC, doc_id ASC) AS rank
+              FROM keyed)
+        WHERE rank <= 20
+    """,
     "cur_source_mix": """
         WITH per_src AS (
             SELECT source, count(*) AS n_docs,

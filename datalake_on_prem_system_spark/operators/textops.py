@@ -341,6 +341,51 @@ def tx_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ chunking
+
+_CHUNK_SIZE = 64  # tokens per chunk (context-window slice)
+_CHUNK_STRIDE = 48  # tokens between chunk starts (16-token overlap)
+
+
+def tx_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap — the RAG-indexing /
+    training-example prep primitive: split every document into
+    ``_CHUNK_SIZE``-token windows advancing by ``_CHUNK_STRIDE`` tokens
+    (16-token overlap preserves context across boundaries), emitting
+    (doc_id, chunk_id, chunk_text, chunk_tokens). A doc with <= SIZE
+    tokens yields exactly one chunk; the final chunk is the short tail.
+
+    Scale shape: a pure per-row generate — tokens are bound once per row
+    (``bind``), the chunk list materializes via sequence+transform, and
+    explode fans out with NO shuffle anywhere; output rows ≈ corpus_tokens
+    / stride regardless of document skew. At 100 TB this is the map-only
+    pass you want ahead of the embedding stage."""
+    from .common import bind
+
+    docs = t(spark, sf_dir, "documents")
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+
+    def chunks_of(w: Column) -> Column:
+        n = F.size(w)
+        n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+            F.ceil((n - size) / F.lit(float(stride))).cast("int") + 1
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.array_join(F.slice(w, i * stride + 1, size), " ").alias(
+                    "chunk_text"
+                ),
+                F.size(F.slice(w, i * stride + 1, size)).alias("chunk_tokens"),
+            ),
+        )
+
+    return docs.select(
+        "doc_id", F.explode(bind(_tokens(), chunks_of)).alias("c")
+    ).select("doc_id", "c.chunk_id", "c.chunk_text", "c.chunk_tokens")
+
+
 QUERIES = {
     "tx_token_stats": tx_token_stats,
     "tx_keyword_extract": tx_keyword_extract,
@@ -352,9 +397,25 @@ QUERIES = {
     "tx_term_freq": tx_term_freq,
     "tx_train_split": tx_train_split,
     "tx_quality_bins": tx_quality_bins,
+    "tx_chunk_overlap": tx_chunk_overlap,
 }
 
 ORACLE = {
+    "tx_chunk_overlap": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sized AS (
+            SELECT doc_id, w,
+                   CASE WHEN len(w) <= 64 THEN 1
+                        ELSE CAST(ceil((len(w) - 64) / 48.0) AS INTEGER) + 1
+                   END AS n_chunks
+            FROM toks
+        )
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+               array_to_string(w[(i*48 + 1):(i*48 + 64)], ' ') AS chunk_text,
+               CAST(len(w[(i*48 + 1):(i*48 + 64)]) AS INTEGER) AS chunk_tokens
+        FROM sized, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+    """,
     "tx_keyword_extract": """
         WITH tf AS (
             SELECT doc_id, token, count(*) AS tf
