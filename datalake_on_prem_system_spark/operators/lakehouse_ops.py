@@ -246,6 +246,96 @@ def lh_composite_key_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LakeTable(spark, _CPK_CACHE[sf_dir]).read()
 
 
+_SCD2_CACHE: dict[str, str] = {}
+
+
+def lh_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension maintenance (``lakehouse/scd.py``): customer
+    dimension tracking (c_mktsegment, c_acctbal) through two update
+    batches, full version history returned.
+
+    - init at 2020-01-01: every customer current;
+    - batch 2024-01-01: every c_custkey % 7 == 0 reports segment
+      'MACHINERY' — a real change only where the segment differed (keys
+      already in MACHINERY are no-ops, exercising change detection);
+    - batch 2024-02-01: every c_custkey % 5 == 0 reports acctbal + 1000
+      (always a change), segment unchanged — i.e. the post-batch-1
+      segment, the full-attribute-tuple contract of a dimension feed.
+
+    Each batch is one atomic composite-key MERGE (close + open in the same
+    commit); the oracle reconstructs all three version strata as pure SQL.
+    Memoized per sf_dir (the _CPK_CACHE precedent): repeat sweeps re-read,
+    not re-commit."""
+    from ..lakehouse.scd import scd2_apply, scd2_init
+
+    key, attrs = "c_custkey", ["c_mktsegment", "c_acctbal"]
+    if sf_dir not in _SCD2_CACHE:
+        root = tempfile.mkdtemp(prefix="lake_scd2_")
+        table = LakeTable(spark, root)
+        cust = t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        table.create_or_replace(
+            scd2_init(cust, "2020-01-01"), bucket_by=((key,), 8)
+        )
+        b1 = cust.filter(F.col(key) % 7 == 0).withColumn(
+            "c_mktsegment", F.lit("MACHINERY")
+        )
+        scd2_apply(table, b1, key, attrs, "2024-01-01")
+        b2 = cust.filter(F.col(key) % 5 == 0).select(
+            key,
+            F.when(F.col(key) % 7 == 0, "MACHINERY")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        )
+        scd2_apply(table, b2, key, attrs, "2024-02-01")
+        _SCD2_CACHE[sf_dir] = root
+    return LakeTable(spark, _SCD2_CACHE[sf_dir]).read()
+
+
+_SCD2_SQL = """
+    changed1 AS (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'
+    ), changed2 AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0
+    ), v0 AS (
+        SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+               '2020-01-01' AS effective_from,
+               CASE WHEN c1.c_custkey IS NOT NULL THEN '2024-01-01'
+                    WHEN c2.c_custkey IS NOT NULL THEN '2024-02-01'
+               END AS effective_to,
+               c1.c_custkey IS NULL AND c2.c_custkey IS NULL AS is_current
+        FROM customer c
+        LEFT JOIN changed1 c1 USING (c_custkey)
+        LEFT JOIN changed2 c2 USING (c_custkey)
+    ), v1 AS (
+        SELECT c.c_custkey, 'MACHINERY' AS c_mktsegment, c.c_acctbal,
+               '2024-01-01' AS effective_from,
+               CASE WHEN c2.c_custkey IS NOT NULL THEN '2024-02-01'
+               END AS effective_to,
+               c2.c_custkey IS NULL AS is_current
+        FROM customer c
+        JOIN changed1 c1 USING (c_custkey)
+        LEFT JOIN changed2 c2 USING (c_custkey)
+    ), v2 AS (
+        SELECT c.c_custkey,
+               CASE WHEN c.c_custkey % 7 = 0 THEN 'MACHINERY'
+                    ELSE c.c_mktsegment END AS c_mktsegment,
+               c.c_acctbal + 1000.0 AS c_acctbal,
+               '2024-02-01' AS effective_from,
+               CAST(NULL AS VARCHAR) AS effective_to,
+               TRUE AS is_current
+        FROM customer c
+        JOIN changed2 c2 USING (c_custkey)
+    )
+    SELECT * FROM v0
+    UNION ALL SELECT * FROM v1
+    UNION ALL SELECT * FROM v2
+"""
+
+
 _STATS_SKIP_CACHE: dict[str, str] = {}
 
 
@@ -670,6 +760,7 @@ QUERIES = {
     "lh_clone_divergence": lh_clone_divergence,
     "lh_mor_read_amp": lh_mor_read_amp,
     "lh_composite_key_dml": lh_composite_key_dml,
+    "lh_scd2_history": lh_scd2_history,
     "lh_stats_skipping": lh_stats_skipping,
     "lh_bloom_skipping": lh_bloom_skipping,
     "lh_restore": lh_restore,
@@ -724,6 +815,7 @@ ORACLE = {
                n_regionkey, 'clone' AS side
         FROM nation
     """,
+    "lh_scd2_history": f"WITH {_SCD2_SQL}",
     "lh_composite_key_dml": """
         SELECT l_orderkey, l_linenumber,
                CASE WHEN l_linenumber = 1 THEN l_quantity + 5
