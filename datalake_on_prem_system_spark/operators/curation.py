@@ -346,10 +346,58 @@ def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- robust scaling
+
+
+def cur_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize + robust-scale a metric per group — the outlier-taming
+    normalization applied to numeric quality signals before they feed a
+    filter threshold or a model: clamp ``value`` to each event_type's
+    [p05, p95], then scale as (winsorized − median) / IQR. Median/IQR
+    resist the heavy tails that break mean/stddev scaling.
+
+    Determinism contract: all five quantiles are rounded to 4 BEFORE the
+    clamp/scale arithmetic (the a_percentiles rule — interpolation order
+    inside the quantile is the only engine-variant step), so downstream
+    comparisons and divisions run on identical doubles in both engines.
+
+    Scale shape: one sort-agg per group for the quantile vector (swap in
+    percentile_approx at 100 TB — same contract, mergeable sketch state),
+    broadcast back (group cardinality is tiny); the clamp/scale itself is
+    a narrow per-row map with no shuffle."""
+    ev = t(spark, sf_dir, "events")
+    qs = ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(p)), 4).alias(n)
+            for p, n in [
+                (0.05, "p05"),
+                (0.25, "p25"),
+                (0.5, "p50"),
+                (0.75, "p75"),
+                (0.95, "p95"),
+            ]
+        ]
+    )
+    win = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(qs), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            win.alias("winsorized"),
+            F.round(
+                (win - F.col("p50")) / (F.col("p75") - F.col("p25")), 6
+            ).alias("robust_z"),
+        )
+    )
+
+
 QUERIES = {
     "cur_decontaminate": cur_decontaminate,
     "cur_fuzzy_blocked_join": cur_fuzzy_blocked_join,
     "cur_weighted_sample": cur_weighted_sample,
+    "cur_robust_scale": cur_robust_scale,
     "cur_source_mix": cur_source_mix,
     "cur_repetition_filter": cur_repetition_filter,
     "cur_pii_scrub": cur_pii_scrub,
@@ -474,6 +522,22 @@ ORACLE = {
                   ORDER BY sample_key DESC, doc_id ASC) AS rank
               FROM keyed)
         WHERE rank <= 20
+    """,
+    "cur_robust_scale": """
+        WITH qs AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.05), 4) AS p05,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.50), 4) AS p50,
+                   round(quantile_cont(value, 0.75), 4) AS p75,
+                   round(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, value,
+               least(greatest(value, p05), p95) AS winsorized,
+               round((least(greatest(value, p05), p95) - p50) / (p75 - p25), 6)
+                   AS robust_z
+        FROM events e JOIN qs USING (event_type)
     """,
     "cur_source_mix": """
         WITH per_src AS (

@@ -389,8 +389,92 @@ def st_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "sse", "complete")
 
 
+# ------------------------------------------------------------ SCD2 stream
+
+_SCD2_STREAM_CACHE: dict[str, str] = {}
+
+
+def st_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 maintained by a STREAMING dimension feed: the same two
+    update batches as ``lh_scd2_history`` arrive as files on a watched
+    directory, and each micro-batch closes/opens dimension rows via one
+    atomic ``scd2_apply`` merge inside ``foreachBatch`` — so the oracle is
+    the identical batch SQL (one contract, batch and streaming tiers).
+
+    Ordering is STRUCTURAL, not incidental: SCD2 batches do not commute
+    (batch 2's change detection compares against batch 1's current rows),
+    so the source files get explicitly pinned, strictly increasing
+    modification times (the file source admits oldest-first under
+    maxFilesPerTrigger=1), and the batch fn REJECTS any micro-batch mixing
+    effective dates — if admission ever coalesced or reordered the files
+    this raises instead of silently diverging from the oracle (the
+    st_dedup_stream single-batch-pinning rule)."""
+    from ..lakehouse.scd import scd2_apply, scd2_init
+
+    key, attrs = "c_custkey", ["c_mktsegment", "c_acctbal"]
+    if sf_dir not in _SCD2_STREAM_CACHE:
+        work = tempfile.mkdtemp(prefix="scd2_stream_")
+        src = os.path.join(work, "src")
+        cust = t(spark, sf_dir, "customer").select(key, *attrs)
+        b1 = (
+            cust.filter(F.col(key) % 7 == 0)
+            .withColumn("c_mktsegment", F.lit("MACHINERY"))
+            .withColumn("effective_from", F.lit("2024-01-01"))
+        )
+        b2 = cust.filter(F.col(key) % 5 == 0).select(
+            key,
+            F.when(F.col(key) % 7 == 0, "MACHINERY")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+            F.lit("2024-02-01").alias("effective_from"),
+        )
+        for i, (name, b) in enumerate([("b1", b1), ("b2", b2)]):
+            d = os.path.join(src, name)
+            b.coalesce(1).write.mode("overwrite").json(d)
+            for fn in os.listdir(d):  # pin strictly increasing mtimes
+                mt = 1_700_000_000 + i * 1000
+                os.utime(os.path.join(d, fn), (mt, mt))
+        table = LakeTable(spark, os.path.join(work, "tbl"))
+        table.create_or_replace(scd2_init(cust, "2020-01-01"))
+
+        def apply_batch(bdf: DataFrame, _bid: int) -> None:
+            effs = [
+                r[0]
+                for r in bdf.select("effective_from").distinct().collect()
+            ]
+            if not effs:
+                return
+            if len(effs) > 1:
+                raise RuntimeError(
+                    f"SCD2 micro-batch mixed effective dates {effs}: file "
+                    f"admission must deliver one update batch per trigger"
+                )
+            scd2_apply(
+                table, bdf.drop("effective_from"), key, attrs, effs[0]
+            )
+
+        q = (
+            spark.readStream.schema(
+                "c_custkey bigint, c_mktsegment string, "
+                "c_acctbal double, effective_from string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .json(src)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _SCD2_STREAM_CACHE[sf_dir] = os.path.join(work, "tbl")
+    return LakeTable(spark, _SCD2_STREAM_CACHE[sf_dir]).read()
+
+
 QUERIES = {
     "st_cdc_merge_stream": st_cdc_merge_stream,
+    "st_scd2_stream": st_scd2_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
     "st_watermark_window": st_watermark_window,
     "st_session_window": st_session_window,
@@ -483,3 +567,9 @@ from .analytics import ORACLE as _ANALYTICS_ORACLE  # noqa: E402
 
 ORACLE["st_funnel_stream"] = _ANALYTICS_ORACLE["ev_funnel"]
 ORACLE["st_ema_stream"] = _ANALYTICS_ORACLE["w_ema"]
+
+# the streamed SCD2 dimension must equal the batch-maintained one — one
+# oracle, two execution tiers (foreachBatch merges vs direct merges)
+from .lakehouse_ops import _SCD2_SQL as _SCD2_ORACLE_BODY  # noqa: E402
+
+ORACLE["st_scd2_stream"] = f"WITH {_SCD2_ORACLE_BODY}"
