@@ -266,6 +266,10 @@ def lh_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit); the oracle reconstructs all three version strata as pure SQL.
     Memoized per sf_dir (the _CPK_CACHE precedent): repeat sweeps re-read,
     not re-commit."""
+    return LakeTable(spark, _scd2_root(spark, sf_dir)).read()
+
+
+def _scd2_root(spark: SparkSession, sf_dir: str) -> str:
     from ..lakehouse.scd import scd2_apply, scd2_init
 
     key, attrs = "c_custkey", ["c_mktsegment", "c_acctbal"]
@@ -291,10 +295,10 @@ def lh_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         scd2_apply(table, b2, key, attrs, "2024-02-01")
         _SCD2_CACHE[sf_dir] = root
-    return LakeTable(spark, _SCD2_CACHE[sf_dir]).read()
+    return _SCD2_CACHE[sf_dir]
 
 
-_SCD2_SQL = """
+_SCD2_BODY = """
     changed1 AS (
         SELECT c_custkey FROM customer
         WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'
@@ -329,11 +333,52 @@ _SCD2_SQL = """
                TRUE AS is_current
         FROM customer c
         JOIN changed2 c2 USING (c_custkey)
+    ), scd2_dim AS (
+        SELECT * FROM v0
+        UNION ALL SELECT * FROM v1
+        UNION ALL SELECT * FROM v2
     )
-    SELECT * FROM v0
-    UNION ALL SELECT * FROM v1
-    UNION ALL SELECT * FROM v2
 """
+
+_SCD2_SQL = "WITH " + _SCD2_BODY + "\n    SELECT * FROM scd2_dim\n"
+
+
+def lh_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer side of SCD2: a temporal (as-of) dimension join —
+    enrich (customer, timestamp) probe rows with the attribute version
+    effective AT that timestamp (from <= ts < to). Three probe dates per
+    customer straddle both update batches, so every version stratum is
+    exercised: 2020-06-01 always hits v0; 2024-01-15 hits v1 where batch 1
+    changed the key; 2024-06-01 hits the current row.
+
+    Scale shape: an equi-join on the natural key with the validity range
+    as a residual predicate — each probe row meets only that key's few
+    versions (dimension version counts are small constants), so cost is
+    O(probes) after the key shuffle, never a time-range cross product. A
+    fact table would use the same plan with its event timestamp as the
+    probe."""
+    table = LakeTable(spark, _scd2_root(spark, sf_dir))
+    dim = table.read()
+    probes = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .select(
+            "c_custkey",
+            F.explode(
+                F.array(
+                    F.lit("2020-06-01"), F.lit("2024-01-15"), F.lit("2024-06-01")
+                )
+            ).alias("as_of"),
+        )
+    )
+    return probes.join(
+        dim,
+        (probes.c_custkey == dim.c_custkey)
+        & (dim.effective_from <= probes.as_of)
+        & (dim.effective_to.isNull() | (dim.effective_to > probes.as_of)),
+    ).select(
+        probes.c_custkey, "as_of", "c_mktsegment", "c_acctbal", "effective_from"
+    )
 
 
 _STATS_SKIP_CACHE: dict[str, str] = {}
@@ -761,6 +806,7 @@ QUERIES = {
     "lh_mor_read_amp": lh_mor_read_amp,
     "lh_composite_key_dml": lh_composite_key_dml,
     "lh_scd2_history": lh_scd2_history,
+    "lh_scd2_asof_join": lh_scd2_asof_join,
     "lh_stats_skipping": lh_stats_skipping,
     "lh_bloom_skipping": lh_bloom_skipping,
     "lh_restore": lh_restore,
@@ -815,7 +861,21 @@ ORACLE = {
                n_regionkey, 'clone' AS side
         FROM nation
     """,
-    "lh_scd2_history": f"WITH {_SCD2_SQL}",
+    "lh_scd2_history": _SCD2_SQL,
+    "lh_scd2_asof_join": f"""
+        WITH {_SCD2_BODY},
+        probes AS (
+            SELECT c_custkey, as_of
+            FROM customer, unnest(['2020-06-01', '2024-01-15', '2024-06-01'])
+                 AS u(as_of)
+        )
+        SELECT p.c_custkey, p.as_of, d.c_mktsegment, d.c_acctbal,
+               d.effective_from
+        FROM probes p JOIN scd2_dim d
+            ON p.c_custkey = d.c_custkey
+            AND d.effective_from <= p.as_of
+            AND (d.effective_to IS NULL OR d.effective_to > p.as_of)
+    """,
     "lh_composite_key_dml": """
         SELECT l_orderkey, l_linenumber,
                CASE WHEN l_linenumber = 1 THEN l_quantity + 5

@@ -570,6 +570,6 @@ ORACLE["st_ema_stream"] = _ANALYTICS_ORACLE["w_ema"]
 
 # the streamed SCD2 dimension must equal the batch-maintained one — one
 # oracle, two execution tiers (foreachBatch merges vs direct merges)
-from .lakehouse_ops import _SCD2_SQL as _SCD2_ORACLE_BODY  # noqa: E402
+from .lakehouse_ops import _SCD2_SQL  # noqa: E402
 
-ORACLE["st_scd2_stream"] = f"WITH {_SCD2_ORACLE_BODY}"
+ORACLE["st_scd2_stream"] = _SCD2_SQL
