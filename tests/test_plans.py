@@ -222,6 +222,9 @@ import pytest  # noqa: E402
 _BNLJ_ALLOWED = {name for name in _QS if name.startswith("sim_")} | {
     "q11_important_stock",
     "q22_sales_opportunity",
+    # time-span midpoint: a ONE-ROW (t0, t1) aggregate cross-joined to tag
+    # each event's stream half — the same constant-cost scalar shape
+    "ev_drift_psi",
 }
 
 
