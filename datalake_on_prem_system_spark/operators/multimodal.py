@@ -138,13 +138,74 @@ def decode_frame(payload: bytes, frame_idx: int) -> bytes:
     )
 
 
+def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup over binary payloads — the first pass every
+    multimodal pipeline runs (identical bytes re-crawled under different
+    ids): hash each payload (md5 here; sha256 in production — same plan),
+    group by digest, emit one row per duplicate GROUP with the canonical
+    survivor (min doc_id) and the bytes reclaimable by dropping the copies.
+    The fixture has no byte-identical assets, so duplicates are INJECTED
+    deterministically (every doc re-points its payload at the doc at
+    ``doc_id - doc_id % 3`` — groups of up to 3), identically in both
+    engines — the cur_pii_scrub make-it-verifiable rule.
+
+    Scale shape: digesting is a narrow per-row map over the payload bytes;
+    the group-by shuffles only (digest, doc_id, payload_len) — never the
+    payloads; the perceptual-hash near-dup sibling swaps the digest column
+    for a pHash and adds banding (dd_simhash shows that pattern) behind
+    the same seam as ``decode_frame``."""
+    docs = t(spark, sf_dir, "documents")
+    redirected = (
+        docs.select(
+            "doc_id", (F.col("doc_id") - F.col("doc_id") % 3).alias("src_id")
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("src_id"), "text"), "src_id"
+        )
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return (
+        redirected.select(
+            "doc_id",
+            F.md5("payload").alias("content_hash"),
+            F.octet_length("payload").alias("n_bytes"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            ((F.count(F.lit(1)) - 1) * F.max("n_bytes")).alias(
+                "reclaimable_bytes"
+            ),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
 QUERIES = {
     "mm_manifest_stats": mm_manifest_stats,
+    "mm_content_dedup": mm_content_dedup,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample_plan": mm_frame_sample_plan,
 }
 
 ORACLE = {
+    "mm_content_dedup": """
+        WITH redirected AS (
+            SELECT d.doc_id, s.text
+            FROM (SELECT doc_id, doc_id - doc_id % 3 AS src_id
+                  FROM documents) d
+            JOIN documents s ON s.doc_id = d.src_id
+        )
+        SELECT md5(text) AS content_hash,
+               count(*) AS n_copies,
+               min(doc_id) AS canonical_doc_id,
+               (count(*) - 1) * max(octet_length(CAST(text AS BLOB)))
+                   AS reclaimable_bytes
+        FROM redirected
+        GROUP BY 1
+        HAVING count(*) >= 2
+    """,
     "mm_manifest_stats": """
         WITH m AS (
             SELECT doc_id,

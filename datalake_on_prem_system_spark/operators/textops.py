@@ -386,8 +386,82 @@ def tx_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "c.chunk_id", "c.chunk_text", "c.chunk_tokens")
 
 
+def tx_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information: the 20 bigrams
+    whose co-occurrence most exceeds chance (PMI = ln(p(ab)/(p(a)p(b))),
+    count ≥ 5 support floor) — the phrase-detection pass (word2vec-style
+    phrase joining, vocabulary building) a corpus pipeline runs before
+    tokenizer training.
+
+    Determinism contract: PMI is one ln() over a single chained product of
+    exact integer counts cast to double (identical IEEE op sequence in
+    both engines), rounded to 6 before ranking (bigram-string tiebreak) —
+    the tx_lm_score rule.
+
+    Scale shape: bigram/unigram counts are word-count aggregations
+    (map-side combine, vocab-bounded shuffle); the two corpus totals are
+    O(1)-row driver scalars; unigram counts broadcast into the bigram
+    stream; top-20 is TakeOrderedAndProject, never a global sort."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens()).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = toks.count()
+    from .common import bind
+
+    bigrams = docs.select(
+        F.explode(
+            bind(
+                _tokens(),
+                lambda w: F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(w) - 2),
+                        lambda i: F.struct(
+                            w[i].alias("a"), w[i + 1].alias("b")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>")),
+            )
+        ).alias("bg")
+    ).select("bg.a", "bg.b")
+    bi = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_bi = bigrams.count()
+    joined = (
+        bi.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(uni.withColumnRenamed("c", "c_a")), bi.a == uni.tok)
+        .drop("tok")
+        .join(F.broadcast(uni.withColumnRenamed("c", "c_b")), bi.b == uni.tok)
+        .drop("tok")
+    )
+    pmi = F.round(
+        F.log(
+            F.col("c_ab").cast("double")
+            * F.lit(float(n_uni))
+            * F.lit(float(n_uni))
+            / (
+                F.lit(float(n_bi))
+                * F.col("c_a").cast("double")
+                * F.col("c_b").cast("double")
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "c_ab",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "tx_token_stats": tx_token_stats,
+    "tx_collocations": tx_collocations,
     "tx_keyword_extract": tx_keyword_extract,
     "tx_lm_score": tx_lm_score,
     "tx_bpe_estimate": tx_bpe_estimate,
@@ -401,6 +475,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tx_collocations": """
+        WITH tok2 AS (
+            SELECT tok FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            ) WHERE tok <> ''
+        ), uni AS (
+            SELECT tok, count(*) AS c FROM tok2 GROUP BY 1
+        ), n_uni AS (
+            SELECT CAST(count(*) AS DOUBLE) AS nu FROM tok2
+        ), bg AS (
+            SELECT unnest([{'a': w[i], 'b': w[i+1]}
+                           for i in range(1, len(w))],
+                          recursive := true)
+            FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        ), bi AS (
+            SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2
+        ), n_bi AS (
+            SELECT CAST(count(*) AS DOUBLE) AS nb FROM bg
+        )
+        SELECT a || ' ' || b AS bigram, c_ab,
+               round(ln(CAST(c_ab AS DOUBLE) * nu * nu
+                        / (nb * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))),
+                     6) AS pmi
+        FROM bi
+        JOIN uni ua ON bi.a = ua.tok
+        JOIN uni ub ON bi.b = ub.tok
+        CROSS JOIN n_uni CROSS JOIN n_bi
+        WHERE c_ab >= 5
+        ORDER BY pmi DESC, bigram ASC
+        LIMIT 20
+    """,
     "tx_chunk_overlap": """
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
