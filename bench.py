@@ -73,6 +73,13 @@ HEADLINERS = [
     # dd_minhash_lsh's full-corpus pass above) and the BM25 ranked scan
     "dd_minhash_incremental",
     "search_bm25",
+    # round-8 additions: the SCD2 build (init commit + two composite-key
+    # close+open merges — memo cleared per run so the MERGE work itself is
+    # timed), the zero-shuffle chunking generate, and the blocked fuzzy
+    # join (suffix-block equi-join + in-block levenshtein)
+    "lh_scd2_history",
+    "tx_chunk_overlap",
+    "cur_fuzzy_blocked_join",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —
@@ -103,6 +110,10 @@ def _reset_memoized_work(spark, name: str) -> None:
         from datalake_on_prem_system_spark.operators import lakehouse_ops
 
         lakehouse_ops._MERGED_CACHE.clear()
+    elif name == "lh_scd2_history":
+        from datalake_on_prem_system_spark.operators import lakehouse_ops
+
+        lakehouse_ops._SCD2_CACHE.clear()
 
 
 def _bench_runs() -> int:
@@ -326,6 +337,11 @@ def main() -> None:
         "lh_bloom_skipping",
         "dd_minhash_incremental",
         "search_bm25",
+        # round-8 additions (excluded from value_r6_set for the same
+        # round-over-round comparability)
+        "lh_scd2_history",
+        "tx_chunk_overlap",
+        "cur_fuzzy_blocked_join",
     }
     out = {
         "metric": "headline_total",

@@ -90,10 +90,16 @@ def scd2_apply(
         .withColumn("is_current", F.lit(True))
         .select(*out_cols)
     )
-    batch = closed.unionByName(fresh)
-    if not batch.take(1):
-        return None
-    return table.merge(batch, pk=pks + ["effective_from"])
+    # persist: the no-op probe (take) and the merge below would otherwise
+    # each re-execute the full change-detection join; the batch is
+    # changed-rows-sized, so the cached footprint is small
+    batch = closed.unionByName(fresh).persist()
+    try:
+        if not batch.take(1):
+            return None
+        return table.merge(batch, pk=pks + ["effective_from"])
+    finally:
+        batch.unpersist()
 
 
 def scd2_as_of(table: LakeTable, key: str | list[str], ts: str) -> DataFrame:
