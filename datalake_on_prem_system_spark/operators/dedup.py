@@ -733,8 +733,82 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONT_SNIPPET_TOKENS = 40  # snippet length injected for containment testing
+_CONT_MIN_TOKENS = 45  # only docs long enough that the snippet is a strict subset
+_CONT_DF_CAP = 100  # drop shingles appearing in more corpus docs than this
+_CONT_THRESHOLD = 0.9
+
+
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection — shingle containment |S(A)∩S(B)|/|S(A)|
+    — the quote/excerpt/subset case Jaccard misses: a 40-token snippet of a
+    400-token doc has tiny Jaccard but containment 1.0. Pipelines run this
+    to drop documents that are substantially embedded in longer ones. The
+    fixture corpus has no natural snippets, so an A-side is INJECTED
+    deterministically (every ≥ 45-token doc contributes its first 40 tokens
+    under doc_id + 1_000_000), identically in both engines — the
+    mm_content_dedup make-it-verifiable rule.
+
+    Ultra-common shingles (corpus df > 100) are dropped from index AND
+    denominator — containment here is explicitly over the retained
+    (discriminative) shingle set, the standard df-cap estimator; without
+    the cap a boilerplate shingle's posting list dominates join cost.
+
+    Scale shape: candidate pairs come from the inverted-index equi-join on
+    the shingle (shuffle keyed on shingle, posting lists bounded by the df
+    cap) — never all-pairs. Jaccard's size-ratio prefix filter does NOT
+    apply to asymmetric containment, so the df cap is the pruning lever;
+    at 100 TB the sketch path is bottom-k minhash containment estimation
+    feeding this exact verify (the dd_minhash_lsh two-phase pattern)."""
+    docs = t_par(spark, sf_dir, "documents")
+    snippets = (
+        docs.filter(F.size(F.split("text", " ")) >= _CONT_MIN_TOKENS)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split("text", " "), 1, _CONT_SNIPPET_TOKENS), " "
+            ).alias("text"),
+        )
+    )
+    corpus_sh = docs.filter(
+        F.size(F.split("text", " ")) >= _SHINGLE_N
+    ).select("doc_id", F.explode(_shingles()).alias("shingle"))
+    # df cap computed over the CORPUS side only (the side a real pipeline
+    # has statistics for); both engines apply it to both sides
+    rare = (
+        corpus_sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONT_DF_CAP)
+        .select("shingle")
+    )
+    snip_sh = snippets.select(
+        "doc_id", F.explode(_shingles()).alias("shingle")
+    ).join(F.broadcast(rare), "shingle")
+    corpus_rare = corpus_sh.join(F.broadcast(rare), "shingle")
+    sizes_a = snip_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size_a"))
+    inter = (
+        snip_sh.withColumnsRenamed({"doc_id": "a_id"})
+        .join(corpus_rare.withColumnsRenamed({"doc_id": "b_id"}), "shingle")
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes_a.withColumnsRenamed({"doc_id": "a_id"}), "a_id")
+        .withColumn("containment_raw", F.col("inter") / F.col("size_a"))
+        .filter(F.col("containment_raw") >= _CONT_THRESHOLD)
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            "size_a",
+            F.round("containment_raw", 6).alias("containment"),
+        )
+    )
+
+
 QUERIES = {
     "dd_exact": dd_exact,
+    "dd_containment": dd_containment,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_components": dd_components,
     "dd_minhash_lsh": dd_minhash_lsh,
@@ -860,6 +934,45 @@ ORACLE = {
                min(doc_id) AS survivor_doc_id,
                count(*) AS group_size
         FROM documents GROUP BY 1
+    """,
+    "dd_containment": f"""
+        WITH corpus AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), snip AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   w[1:{_CONT_SNIPPET_TOKENS}] AS w
+            FROM corpus WHERE len(w) >= {_CONT_MIN_TOKENS}
+        ), corpus_sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         for i in range(1, len(w) - 1)]))
+                       AS shingle
+            FROM corpus WHERE len(w) >= 3
+        ), snip_sh0 AS (
+            SELECT doc_id,
+                   unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         for i in range(1, len(w) - 1)]))
+                       AS shingle
+            FROM snip WHERE len(w) >= 3
+        ), rare AS (
+            SELECT shingle FROM (
+                SELECT shingle, count(*) AS df FROM corpus_sh GROUP BY 1
+            ) WHERE df <= {_CONT_DF_CAP}
+        ), snip_sh AS (
+            SELECT s.doc_id, s.shingle FROM snip_sh0 s JOIN rare USING (shingle)
+        ), corpus_rare AS (
+            SELECT c.doc_id, c.shingle FROM corpus_sh c JOIN rare USING (shingle)
+        ), sizes_a AS (
+            SELECT doc_id, count(*) AS size_a FROM snip_sh GROUP BY 1
+        ), pair_inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+            FROM snip_sh a JOIN corpus_rare b USING (shingle)
+            GROUP BY 1, 2
+        )
+        SELECT a_id, b_id, inter, size_a,
+               round(inter / CAST(size_a AS DOUBLE), 6) AS containment
+        FROM pair_inter JOIN sizes_a ON pair_inter.a_id = sizes_a.doc_id
+        WHERE inter / CAST(size_a AS DOUBLE) >= {_CONT_THRESHOLD}
     """,
     "dd_ngram_jaccard": _PAIR_JACCARD_SQL,
     # connected components = min reachable doc_id — deterministic, so the
