@@ -64,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("branch"); p.add_argument("table"); p.add_argument("action", choices=["create", "list", "read", "merge", "delete"]); p.add_argument("name", nargs="?"); p.add_argument("--version", type=int)
     p = sub.add_parser("partition"); p.add_argument("table"); p.add_argument("--by", help="comma-separated hive partition columns; omit to un-partition")
     p = sub.add_parser("files"); p.add_argument("table"); p.add_argument("--version", type=int)
+    p = sub.add_parser("scd2"); p.add_argument("table"); p.add_argument("action", choices=["init", "apply", "asof"]); p.add_argument("--csv", help="init/apply: update batch as CSV (header row)"); p.add_argument("--key", help="apply/asof: natural key column(s), comma-separated"); p.add_argument("--attrs", help="apply: tracked attribute columns, comma-separated"); p.add_argument("--ts", help="init/apply: effective date; asof: lookup date")
 
     args = ap.parse_args(argv)
 
@@ -156,6 +157,34 @@ def _dispatch(args, eng, n: int) -> int:
         eng.files(args.table, version=args.version).drop("stats_json").show(
             n, truncate=False
         )
+    elif args.verb == "scd2":
+        if args.ts is None:
+            raise SystemExit("scd2 requires --ts")
+        if args.action == "asof":
+            if not args.key:
+                raise SystemExit("scd2 asof requires --key")
+            key = [c.strip() for c in args.key.split(",") if c.strip()]
+            eng.scd2_as_of(args.table, key, args.ts).show(n, truncate=False)
+        else:
+            if not args.csv:
+                raise SystemExit(f"scd2 {args.action} requires --csv")
+            from .sources.csv_ingest import read_csv
+
+            batch = read_csv(eng.spark, args.csv)
+            if args.action == "init":
+                eng.scd2_init(args.table, batch, args.ts)
+                print(f"initialized SCD2 dimension {args.table} effective {args.ts}")
+            else:
+                if not (args.key and args.attrs):
+                    raise SystemExit("scd2 apply requires --key and --attrs")
+                key = [c.strip() for c in args.key.split(",") if c.strip()]
+                attrs = [c.strip() for c in args.attrs.split(",") if c.strip()]
+                changed = eng.scd2_apply(args.table, batch, key, attrs, args.ts)
+                print(
+                    f"applied batch effective {args.ts}"
+                    if changed
+                    else "no-op batch (nothing committed)"
+                )
     elif args.verb == "partition":
         cols = [c.strip() for c in args.by.split(",") if c.strip()] if args.by else None
         v = eng.set_partitioning(args.table, cols)

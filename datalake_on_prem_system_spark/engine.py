@@ -250,6 +250,43 @@ class LakeEngine:
         """K5 batch MERGE apply."""
         self.catalog.table(table).merge(source, pk=pk, op_col=op_col, precombine=precombine)
 
+    # ---------------------------------------------------------------- SCD2
+
+    def scd2_init(self, table: str, df: DataFrame, effective_from: str) -> None:
+        """Create ``table`` as an SCD Type 2 dimension: every row becomes
+        the current version effective from ``effective_from``."""
+        from .lakehouse.scd import scd2_init
+
+        self.catalog.table(table).create_or_replace(
+            scd2_init(df, effective_from)
+        )
+
+    def scd2_apply(
+        self,
+        table: str,
+        updates: DataFrame,
+        key: str | list[str],
+        attrs: list[str],
+        effective_ts: str,
+    ) -> bool:
+        """Apply one dimension update batch (close changed current rows,
+        open new versions, insert unknown keys) as ONE atomic merge.
+        Returns False when the whole batch was a no-op."""
+        from .lakehouse.scd import scd2_apply
+
+        return (
+            scd2_apply(
+                self.catalog.table(table), updates, key, attrs, effective_ts
+            )
+            is not None
+        )
+
+    def scd2_as_of(self, table: str, key: str | list[str], ts: str) -> DataFrame:
+        """Point-in-time dimension read: the version effective at ``ts``."""
+        from .lakehouse.scd import scd2_as_of
+
+        return scd2_as_of(self.catalog.table(table), key, ts)
+
     # ------------------------------------------------------------- history
 
     def history(self, table: str) -> DataFrame:

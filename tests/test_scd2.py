@@ -79,6 +79,37 @@ def test_scd2_as_of_lookup(spark, dim):
         assert got[0].seg == want_seg, ts
 
 
+def test_scd2_engine_and_cli_facade(spark, tmp_path, capsys):
+    """The engine/CLI surface: init from CSV, apply a batch, as-of read."""
+    from datalake_on_prem_system_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    base = tmp_path / "base.csv"
+    base.write_text("k,seg,bal\n1,A,10.0\n2,B,20.0\n")
+    upd = tmp_path / "upd.csv"
+    upd.write_text("k,seg,bal\n1,Z,10.0\n2,B,20.0\n")
+
+    assert main(["--warehouse", wh, "scd2", "dim", "init",
+                 "--csv", str(base), "--ts", "2020-01-01"]) == 0
+    assert "initialized" in capsys.readouterr().out
+    assert main(["--warehouse", wh, "scd2", "dim", "apply",
+                 "--csv", str(upd), "--key", "k", "--attrs", "seg,bal",
+                 "--ts", "2024-01-01"]) == 0
+    assert "applied batch" in capsys.readouterr().out
+    # idempotent redelivery through the facade
+    assert main(["--warehouse", wh, "scd2", "dim", "apply",
+                 "--csv", str(upd), "--key", "k", "--attrs", "seg,bal",
+                 "--ts", "2024-02-01"]) == 0
+    assert "no-op batch" in capsys.readouterr().out
+    assert main(["--warehouse", wh, "scd2", "dim", "asof",
+                 "--key", "k", "--ts", "2021-06-01"]) == 0
+    out = capsys.readouterr().out
+    assert "A" in out and "Z" not in out
+    assert main(["--warehouse", wh, "scd2", "dim", "asof",
+                 "--key", "k", "--ts", "2024-06-01"]) == 0
+    assert "Z" in capsys.readouterr().out
+
+
 def test_scd2_null_attr_change_detection(spark, dim):
     # NULL -> value and value -> NULL are both real changes (eqNullSafe)
     upd = spark.createDataFrame([(3, None, 30.0)], "k int, seg string, bal double")
