@@ -60,6 +60,23 @@ def scd2_apply(
     composite (key..., effective_from); returns None when the whole batch
     is a no-op (nothing to commit — idempotent redelivery)."""
     pks = [key] if isinstance(key, str) else list(key)
+    # a batch carrying two tuples for one key would open two CURRENT rows
+    # for that key (both land under the same (key, effective_from) merge
+    # identity) — corrupting the dimension invariant silently. Upstream
+    # must pre-combine (last_writer_wins / precombine); reject loudly here.
+    dup = (
+        updates.groupBy(*pks)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        keys = [tuple(r[p] for p in pks) for r in dup]
+        raise ValueError(
+            f"scd2_apply batch has multiple rows for key(s) {keys}: "
+            f"pre-combine the batch to one tuple per key first"
+        )
     cur = table.read().filter(F.col("is_current"))
     out_cols = cur.columns
     u = updates.select(

@@ -110,6 +110,14 @@ def test_scd2_engine_and_cli_facade(spark, tmp_path, capsys):
     assert "Z" in capsys.readouterr().out
 
 
+def test_scd2_duplicate_key_batch_rejected(spark, dim):
+    dup = spark.createDataFrame(
+        [(1, "X", 1.0), (1, "Y", 2.0)], "k int, seg string, bal double"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        scd2_apply(dim, dup, "k", ["seg", "bal"], "2024-01-01")
+
+
 def test_scd2_null_attr_change_detection(spark, dim):
     # NULL -> value and value -> NULL are both real changes (eqNullSafe)
     upd = spark.createDataFrame([(3, None, 30.0)], "k int, seg string, bal double")
