@@ -64,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("branch"); p.add_argument("table"); p.add_argument("action", choices=["create", "list", "read", "merge", "delete"]); p.add_argument("name", nargs="?"); p.add_argument("--version", type=int)
     p = sub.add_parser("partition"); p.add_argument("table"); p.add_argument("--by", help="comma-separated hive partition columns; omit to un-partition")
     p = sub.add_parser("files"); p.add_argument("table"); p.add_argument("--version", type=int)
+    p = sub.add_parser("partitions"); p.add_argument("table"); p.add_argument("--version", type=int)
     p = sub.add_parser("scd2"); p.add_argument("table"); p.add_argument("action", choices=["init", "apply", "asof"]); p.add_argument("--csv", help="init/apply: update batch as CSV (header row)"); p.add_argument("--key", help="apply/asof: natural key column(s), comma-separated"); p.add_argument("--attrs", help="apply: tracked attribute columns, comma-separated"); p.add_argument("--ts", help="init/apply: effective date; asof: lookup date")
 
     args = ap.parse_args(argv)
@@ -157,6 +158,8 @@ def _dispatch(args, eng, n: int) -> int:
         eng.files(args.table, version=args.version).drop("stats_json").show(
             n, truncate=False
         )
+    elif args.verb == "partitions":
+        eng.partitions(args.table, version=args.version).show(n, truncate=False)
     elif args.verb == "scd2":
         if args.ts is None:
             raise SystemExit("scd2 requires --ts")

@@ -302,6 +302,16 @@ class LakeEngine:
             )
         return fn(version=version)
 
+    def partitions(self, table: str, version: int | str | None = None) -> DataFrame:
+        """$partitions metadata table: per-partition file/row counts."""
+        t = self.catalog.table(table)
+        fn = getattr(t, "partitions", None)
+        if fn is None:
+            raise NotImplementedError(
+                f"table format {type(t).__name__} does not expose a partitions table"
+            )
+        return fn(version=version)
+
     def time_travel(self, table: str, version: int | str) -> DataFrame:
         """Snapshot read by version number OR tag name (digit strings
         coerce to versions); unknown/expired refs fall back to latest —

@@ -1383,6 +1383,69 @@ class LakeTable:
             "is_delta boolean, hive boolean, stats_json string",
         )
 
+    def partitions(self, version: int | str | None = None) -> DataFrame:
+        """``$partitions`` metadata table (Iceberg analog): one row per
+        hive partition of the snapshot — the partition-key columns (as
+        strings, hive-dir decoded), file count, and row count. Answers
+        "is this table skewed / over-partitioned" without scanning data:
+        O(partition leaves) footer metadata, no row reads.
+
+        Rows from PLAIN segments of a partitioned table (appends landed
+        after ``set_partitioning`` but before the next compaction) have no
+        partition dirs to read values from; they are reported under NULL
+        partition values rather than silently dropped — the row-count
+        total always matches the snapshot. At 100 TB the same contract is
+        served from per-partition stats maintained in the manifest at
+        write time; the read side here is the fallback that needs no
+        manifest migration."""
+        from urllib.parse import unquote
+
+        commit = self._commit_at(version, fallback_to_latest=False)
+        pby = commit.partition_by
+        if not pby:
+            raise ValueError(
+                "partitions(): table has no hive partition layout "
+                "(see files() for the per-entry manifest)"
+            )
+        agg: dict[tuple, list[int]] = {}
+
+        def _acc(key: tuple, n_files: int, n_rows: int) -> None:
+            cell = agg.setdefault(key, [0, 0])
+            cell[0] += n_files
+            cell[1] += n_rows
+
+        for e in commit.files:
+            if e.get("hive") or (
+                "hive" not in e
+                and any(
+                    "=" in d and os.path.isdir(os.path.join(e["path"], d))
+                    for d in os.listdir(e["path"])
+                )
+            ):
+                for dirpath, _dirs, fnames in os.walk(e["path"]):
+                    pq_files = [f for f in fnames if f.endswith(".parquet")]
+                    if not pq_files:
+                        continue
+                    rel = os.path.relpath(dirpath, e["path"])
+                    vals = dict(
+                        p.split("=", 1)
+                        for p in rel.split(os.sep)
+                        if "=" in p
+                    )
+                    key = tuple(
+                        unquote(vals[c]) if c in vals else None for c in pby
+                    )
+                    n, _stats = self._footer_summary(dirpath)
+                    _acc(key, len(pq_files), n)
+            else:
+                _acc((None,) * len(pby), 0, int(e["n_rows"]))
+        rows = [(*k, v[0], v[1]) for k, v in sorted(agg.items(), key=str)]
+        ddl = (
+            ", ".join(f"`{c}` string" for c in pby)
+            + ", n_files int, n_rows bigint"
+        )
+        return self.spark.createDataFrame(rows, ddl)
+
     def _rewrite_commit(self, commit: Commit) -> None:
         """Atomically replace a PUBLISHED commit's JSON in place (only for
         backfilling a lazily-resolved n_rows — the file list never changes).

@@ -381,6 +381,37 @@ def lh_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARTITIONS_CACHE: dict[str, str] = {}
+
+
+def lh_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$partitions metadata table over a hive-partitioned orders table
+    (one append on top of the create, so two segments' leaves aggregate):
+    per-partition row counts from footer metadata only — the oracle is a
+    plain GROUP BY over the same fixture rows, proving the metadata path
+    agrees with the data. The append lands as a PLAIN segment (appends are
+    O(batch), layout-blind by contract), so the intermediate snapshot
+    reports it under NULL partition values (pytest-pinned, with n_files);
+    the compact() folds everything into hive leaves and this query reads
+    the fully-partitioned snapshot."""
+    if sf_dir not in _PARTITIONS_CACHE:
+        root = tempfile.mkdtemp(prefix="lake_parts_")
+        table = LakeTable(spark, root)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        table.create_or_replace(
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            partition_by=["o_orderpriority"],
+        )
+        table.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+        table.compact()
+        _PARTITIONS_CACHE[sf_dir] = root
+    return LakeTable(spark, _PARTITIONS_CACHE[sf_dir]).partitions().select(
+        "o_orderpriority", "n_rows"
+    )
+
+
 _STATS_SKIP_CACHE: dict[str, str] = {}
 
 
@@ -807,6 +838,7 @@ QUERIES = {
     "lh_composite_key_dml": lh_composite_key_dml,
     "lh_scd2_history": lh_scd2_history,
     "lh_scd2_asof_join": lh_scd2_asof_join,
+    "lh_partitions_meta": lh_partitions_meta,
     "lh_stats_skipping": lh_stats_skipping,
     "lh_bloom_skipping": lh_bloom_skipping,
     "lh_restore": lh_restore,
@@ -862,6 +894,10 @@ ORACLE = {
         FROM nation
     """,
     "lh_scd2_history": _SCD2_SQL,
+    "lh_partitions_meta": """
+        SELECT o_orderpriority, count(*) AS n_rows
+        FROM orders GROUP BY 1
+    """,
     "lh_scd2_asof_join": f"""
         WITH {_SCD2_BODY},
         probes AS (

@@ -280,3 +280,47 @@ def test_compact_clustered_null_keys_and_merge_after(spark, tmp_path):
     assert {(r.id, r.a) for r in t.read().collect()} == {
         (1, 10), (2, 77), (3, 900), (4, 500)
     }
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    """$partitions: per-partition file/row counts from footer metadata;
+    plain appended segments report under NULL partition values until a
+    compact folds them into hive leaves; unpartitioned tables raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "pt"))
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(20)],
+        "id bigint, par string",
+    )
+    t.create_or_replace(df.filter(F.col("id") < 10), partition_by=["par"])
+    rows = {r.par: (r.n_files, r.n_rows) for r in t.partitions().collect()}
+    assert set(rows) == {"even", "odd"}
+    assert all(nf >= 1 for nf, _ in rows.values())
+    assert sum(nr for _, nr in rows.values()) == 10
+
+    # plain append -> NULL partition bucket, totals still exact
+    t.append(df.filter(F.col("id") >= 10))
+    rows = {r.par: r.n_rows for r in t.partitions().collect()}
+    assert rows[None] == 10 and rows["even"] + rows["odd"] == 10
+
+    # compact folds the plain rows into hive leaves
+    t.compact()
+    rows = {r.par: r.n_rows for r in t.partitions().collect()}
+    assert None not in rows and rows == {"even": 10, "odd": 10}
+
+    # hive-encoded special characters decode back to the value
+    t2 = LakeTable(spark, str(tmp_path / "pt2"))
+    t2.create_or_replace(
+        spark.createDataFrame([(1, "a b:c")], "id bigint, par string"),
+        partition_by=["par"],
+    )
+    assert [r.par for r in t2.partitions().collect()] == ["a b:c"]
+
+    t3 = LakeTable(spark, str(tmp_path / "pt3"))
+    t3.create_or_replace(df)
+    with _pytest.raises(ValueError, match="no hive partition"):
+        t3.partitions()
