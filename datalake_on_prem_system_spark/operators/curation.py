@@ -151,6 +151,113 @@ def cur_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- gopher rules
+
+# Published Gopher quality-rule thresholds (Rae et al. 2021, table A1),
+# adapted to the fixture's single-line documents (the line-shape rules —
+# bullet/ellipsis line fractions — have no line structure to act on here,
+# so the ellipsis test runs per occurrence instead of per line). Word-count
+# bounds are scaled to the fixture's 10-99-word corpus so the verdict
+# splits instead of being vacuously all-keep.
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 80
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.1
+_GOPHER_MIN_ALPHA_FRAC = 0.8
+_GOPHER_MIN_STOP_HITS = 2
+_GOPHER_STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+def cur_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery: per-document word count, mean
+    word length, symbol-to-word ratio (# and ... occurrences), fraction of
+    words containing an alphabetic character, stopword hits, and the
+    conjunctive keep/drop verdict. Narrow per-row map — no shuffle, no UDF;
+    every rule is a JVM expression over one bound token array."""
+    docs = t(spark, sf_dir, "documents")
+
+    def stats(w0: Column) -> Column:
+        w = F.filter(w0, lambda x: x != F.lit(""))
+        n = F.size(w)
+        char_sum = F.aggregate(
+            w, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+        )
+        n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+        stop_hits = sum(
+            (F.size(F.filter(w, lambda x: x == F.lit(s))) for s in _GOPHER_STOPWORDS),
+            F.lit(0),
+        )
+        return F.struct(
+            n.alias("n"),
+            char_sum.alias("cs"),
+            n_alpha.alias("na"),
+            stop_hits.alias("sh"),
+        )
+
+    s = bind(F.split(F.col("text"), " "), stats)
+    n_words = F.col("s")["n"]
+    denom = F.greatest(n_words, F.lit(1))
+    mean_word_len = F.col("s")["cs"] / denom
+    n_hash = F.length("text") - F.length(F.regexp_replace(F.col("text"), "#", ""))
+    n_ellipsis = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / denom
+    alpha_frac = F.col("s")["na"] / denom
+    stop_hits = F.col("s")["sh"]
+    keep = (
+        n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & mean_word_len.between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+        & (symbol_ratio < _GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac > _GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= _GOPHER_MIN_STOP_HITS)
+    )
+    return docs.select("doc_id", "text", s.alias("s")).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+_GOPHER_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+    ), st AS (
+        SELECT doc_id, text,
+               len(w) AS n_words,
+               greatest(len(w), 1) AS denom,
+               CAST(list_sum([len(x) FOR x IN w]) AS BIGINT) AS char_sum,
+               len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                   AS n_alpha,
+               CAST(len(list_filter(w,
+                   x -> x IN {_GOPHER_STOPWORDS!r})) AS BIGINT) AS n_stop_hits,
+               (len(text) - len(replace(text, '#', ''))) AS n_hash,
+               (len(text) - len(replace(text, '...', ''))) / 3.0 AS n_ellipsis
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           round(COALESCE(char_sum, 0) / CAST(denom AS DOUBLE), 6)
+               AS mean_word_len,
+           round((n_hash + n_ellipsis) / denom, 6) AS symbol_ratio,
+           round(n_alpha / CAST(denom AS DOUBLE), 6) AS alpha_word_frac,
+           n_stop_hits,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+            AND COALESCE(char_sum, 0) / CAST(denom AS DOUBLE)
+                BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+            AND (n_hash + n_ellipsis) / denom < {_GOPHER_MAX_SYMBOL_RATIO}
+            AND n_alpha / CAST(denom AS DOUBLE) > {_GOPHER_MIN_ALPHA_FRAC}
+            AND n_stop_hits >= {_GOPHER_MIN_STOP_HITS}) AS keep
+    FROM st
+"""
+
+
 # -------------------------------------------------------------------- PII
 
 _EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]+"
@@ -400,6 +507,7 @@ QUERIES = {
     "cur_robust_scale": cur_robust_scale,
     "cur_source_mix": cur_source_mix,
     "cur_repetition_filter": cur_repetition_filter,
+    "cur_gopher_rules": cur_gopher_rules,
     "cur_pii_scrub": cur_pii_scrub,
     "cur_stratified_sample": cur_stratified_sample,
 }
@@ -553,6 +661,7 @@ ORACLE = {
         FROM per_src
     """,
     "cur_repetition_filter": _REP_SQL,
+    "cur_gopher_rules": _GOPHER_SQL,
     "cur_pii_scrub": _PII_SQL,
     "cur_stratified_sample": _SAMPLE_SQL,
 }

@@ -340,7 +340,8 @@ def test_edge_corpus_matches_oracle_and_does_not_crash(spark, tmp_path):
         "tx_token_stats", "tx_bpe_estimate", "tx_lang_id", "tx_train_split",
         "tx_term_freq", "tx_lm_score", "cur_repetition_filter",
         "cur_stratified_sample", "cur_source_mix",
-        "cur_pii_scrub", "cur_decontaminate", "dd_exact", "dd_simhash",
+        "cur_pii_scrub", "cur_decontaminate", "cur_gopher_rules",
+        "dd_exact", "dd_simhash",
         "mm_decode_features", "mm_manifest_stats", "mm_frame_sample_plan",
         "sim_brute_topk", "sim_ann_lsh", "pl_sequence_pack",
         # posting-path search over the adversarial corpus (empty text,
