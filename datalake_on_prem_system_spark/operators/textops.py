@@ -459,8 +459,47 @@ def tx_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch reading-ease + Flesch-Kincaid grade)
+    with the standard vowel-group syllable heuristic: syllables(word) =
+    max(1, count of [aeiouy]+ runs). Deterministic and engine-agnostic —
+    the oracle replays the identical regex counts and the identical
+    operation order, so the doubles match bit-for-bit. Narrow per-row map;
+    no shuffle, no UDF."""
+    docs = t(spark, sf_dir, "documents")
+    w = F.filter(_tokens(), lambda x: x != F.lit(""))
+    sentences = F.filter(
+        F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x) != F.lit("")
+    )
+    n_words = F.size(w)
+    n_sent = F.greatest(F.size(sentences), F.lit(1))
+    syllables = F.aggregate(
+        w,
+        F.lit(0).cast("bigint"),
+        lambda a, x: a
+        + F.greatest(
+            F.size(F.regexp_extract_all(x, F.lit("[aeiouyAEIOUY]+"), F.lit(0))),
+            F.lit(1),
+        ),
+    )
+    wd = F.greatest(n_words, F.lit(1)).cast("double")
+    words_per_sent = n_words / n_sent.cast("double")
+    syll_per_word = syllables / wd
+    flesch = F.lit(206.835) - F.lit(1.015) * words_per_sent - F.lit(84.6) * syll_per_word
+    fk_grade = F.lit(0.39) * words_per_sent + F.lit(11.8) * syll_per_word - F.lit(15.59)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.size(sentences).alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+        F.round(fk_grade, 4).alias("fk_grade"),
+    )
+
+
 QUERIES = {
     "tx_token_stats": tx_token_stats,
+    "tx_readability": tx_readability,
     "tx_collocations": tx_collocations,
     "tx_keyword_extract": tx_keyword_extract,
     "tx_lm_score": tx_lm_score,
@@ -475,6 +514,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tx_readability": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS w,
+                   len(list_filter(string_split_regex(text, '[.!?]+'),
+                                   x -> trim(x) != '')) AS n_sent_raw
+            FROM documents
+        ), st AS (
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   n_sent_raw,
+                   greatest(n_sent_raw, 1) AS n_sent,
+                   CAST(COALESCE(list_sum(
+                       [greatest(len(regexp_extract_all(x, '[aeiouyAEIOUY]+')), 1)
+                        FOR x IN w]), 0) AS BIGINT) AS n_syllables,
+                   CAST(greatest(len(w), 1) AS DOUBLE) AS wd
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(n_words AS INTEGER) AS n_words,
+               CAST(n_sent_raw AS INTEGER) AS n_sentences,
+               n_syllables,
+               round(206.835 - 1.015 * (n_words / CAST(n_sent AS DOUBLE))
+                     - 84.6 * (n_syllables / wd), 4) AS flesch,
+               round(0.39 * (n_words / CAST(n_sent AS DOUBLE))
+                     + 11.8 * (n_syllables / wd) - 15.59, 4) AS fk_grade
+        FROM st
+    """,
     "tx_collocations": """
         WITH tok2 AS (
             SELECT tok FROM (

@@ -338,7 +338,8 @@ def test_edge_corpus_matches_oracle_and_does_not_crash(spark, tmp_path):
     names = [
         "tx_quality_score", "tx_quality_bins", "tx_fingerprint",
         "tx_token_stats", "tx_bpe_estimate", "tx_lang_id", "tx_train_split",
-        "tx_term_freq", "tx_lm_score", "cur_repetition_filter",
+        "tx_term_freq", "tx_lm_score", "tx_readability",
+        "cur_repetition_filter",
         "cur_stratified_sample", "cur_source_mix",
         "cur_pii_scrub", "cur_decontaminate", "cur_gopher_rules",
         "dd_exact", "dd_simhash",
