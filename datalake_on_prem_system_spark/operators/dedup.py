@@ -806,8 +806,52 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_N = 8  # duplicated-span width (tokens)
+
+
+def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection (the exact-substring dedup
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", at token-8-gram granularity): every 8-token window occurring
+    in ≥ 2 distinct documents, with its occurrence/document counts and an
+    anchor doc range — the inventory a span-cutting pass consumes.
+
+    Unlike the shingle-SET operators (jaccard/containment) this keeps
+    every positional window (no array_distinct), because substring dedup
+    is about repeated surface text, not set overlap.
+
+    Scale shape: one shuffle keyed on the span. At 100 TB the group key
+    would be a 128-bit span digest (md5 — engine-portable) with the text
+    carried via any_value, so 16-byte keys shuffle instead of strings;
+    kept as the raw string here for oracle readability. Partial (map-side)
+    aggregation bounds the shuffle by distinct spans per partition."""
+    docs = t_par(spark, sf_dir, "documents")
+    spans = bind(
+        F.split(F.col("text"), " "),
+        lambda w: F.when(
+            F.size(w) >= _SPAN_N,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - _SPAN_N),
+                lambda i: F.concat_ws(" ", *[w[i + j] for j in range(_SPAN_N)]),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return (
+        docs.select("doc_id", F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 QUERIES = {
     "dd_exact": dd_exact,
+    "dd_span_dedup": dd_span_dedup,
     "dd_containment": dd_containment,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_components": dd_components,
@@ -929,6 +973,22 @@ COMPONENTS_CTE_SQL = f"""
 """
 
 ORACLE = {
+    "dd_span_dedup": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sp AS (
+            SELECT doc_id, array_to_string(w[i:i+{_SPAN_N - 1}], ' ') AS span
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(w) - {_SPAN_N - 1}, 0)))
+                     AS u(i)
+        )
+        SELECT span,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    """,
     "dd_exact": """
         SELECT md5(text) AS content_hash,
                min(doc_id) AS survivor_doc_id,

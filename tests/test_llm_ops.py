@@ -342,7 +342,7 @@ def test_edge_corpus_matches_oracle_and_does_not_crash(spark, tmp_path):
         "cur_repetition_filter",
         "cur_stratified_sample", "cur_source_mix",
         "cur_pii_scrub", "cur_decontaminate", "cur_gopher_rules",
-        "dd_exact", "dd_simhash",
+        "dd_exact", "dd_simhash", "dd_span_dedup",
         "mm_decode_features", "mm_manifest_stats", "mm_frame_sample_plan",
         "sim_brute_topk", "sim_ann_lsh", "pl_sequence_pack",
         # posting-path search over the adversarial corpus (empty text,
