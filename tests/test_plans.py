@@ -225,6 +225,9 @@ _BNLJ_ALLOWED = {name for name in _QS if name.startswith("sim_")} | {
     # time-span midpoint: a ONE-ROW (t0, t1) aggregate cross-joined to tag
     # each event's stream half — the same constant-cost scalar shape
     "ev_drift_psi",
+    # node count N: a ONE-ROW aggregate cross-joined into every PageRank
+    # iteration — constant cost at any graph size
+    "g_pagerank",
 }
 
 
