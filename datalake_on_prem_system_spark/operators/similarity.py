@@ -481,8 +481,70 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_THRESHOLD = 0.2  # cosine radius sized to the fixture's similarity mass
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: every corpus vector within cosine ≥ 0.2 of
+    the query vector — the retrieval shape dedup-by-similarity and
+    near-duplicate audits need (``give me ALL close matches``, not top-k).
+
+    Plan shape is identical to ``sim_brute_topk`` minus the heap: broadcast
+    the one-row query, narrow map for the fold-based cosine, filter. The
+    corpus never shuffles; output size is the true neighbor count. At
+    100 TB the same predicate runs inside each IVF probe cell instead
+    (``sim_ann_ivf``'s partition-pruned read), turning radius search
+    sublinear."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    return (
+        vecs.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .withColumn("cosine_raw", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")))
+        .filter(F.col("cosine_raw") >= _RANGE_THRESHOLD)
+        .select("vec_id", "label", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, long-form (label, dim, n_vecs, centroid) — the
+    class-prototype computation behind label-cluster audits, IVF seeding
+    and embedding drift checks.
+
+    Determinism across engines: a double groupBy-sum is addition-order-
+    dependent, so the mean is accumulated in FIXED-POINT instead — each
+    component is floored to integer microunits (``floor(x * 1e6)``: exact
+    IEEE multiply of a float32-exact double, unambiguous floor), summed
+    exactly as BIGINT (order-independent, partial-agg friendly — unlike a
+    sorted-fold ``collect_list`` centroid, this shape distributes), and
+    divided once at the end — the division of identical BIGINT/double
+    inputs is a single IEEE-754 op, bit-identical across engines (no
+    explicit decimal round, which differs at half boundaries between
+    Spark's BigDecimal HALF_UP and C-library rounding). Quantization
+    bias is < 1e-6 per component, uniform across engines."""
+    emb = t_par(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    )
+    qx = F.floor(F.col("col") * 1_000_000)
+    return (
+        exploded.groupBy("label", F.col("pos").alias("dim"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum(qx).alias("sq"))
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            (F.col("sq") / (F.col("n_vecs") * 1_000_000.0)).alias("centroid"),
+        )
+    )
+
+
 QUERIES = {
     "sim_brute_topk": sim_brute_topk,
+    "sim_range_search": sim_range_search,
+    "sim_label_centroids": sim_label_centroids,
     "sim_topk_per_label": sim_topk_per_label,
     "sim_knn_join": sim_knn_join,
     "sim_ann_lsh": sim_ann_lsh,
@@ -555,6 +617,26 @@ _COS = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
               (s, x) -> s + x) / (a.norm * q.norm)"""
 
 ORACLE = {
+    "sim_range_search": f"""
+        WITH {_VECS_SQL}
+        SELECT a.vec_id, a.label, round({_COS}, 6) AS cosine
+        FROM n a, (SELECT vec, norm FROM n WHERE vec_id = 0) q
+        WHERE a.vec_id != 0 AND {_COS} >= {_RANGE_THRESHOLD}
+    """,
+    "sim_label_centroids": """
+        WITH x AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS qx
+            FROM embeddings
+        )
+        SELECT label, dim,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               sum(qx) / (count(*) * 1000000.0) AS centroid
+        FROM x GROUP BY label, dim
+    """,
     "sim_brute_topk": f"""
         WITH {_VECS_SQL}
         SELECT a.vec_id, a.label, round({_COS}, 6) AS cosine
