@@ -80,6 +80,11 @@ HEADLINERS = [
     "lh_scd2_history",
     "tx_chunk_overlap",
     "cur_fuzzy_blocked_join",
+    # round-8 session-4: the degree-ordered triangle count (the wedge join
+    # is the heaviest pure-compute graph shape registered — 450k-edge
+    # co-supply graph at sf0.1) and the quintile-boundary RFM rollup
+    "g_triangle_count",
+    "a_rfm_segments",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —
@@ -342,6 +347,8 @@ def main() -> None:
         "lh_scd2_history",
         "tx_chunk_overlap",
         "cur_fuzzy_blocked_join",
+        "g_triangle_count",
+        "a_rfm_segments",
     }
     out = {
         "metric": "headline_total",

@@ -541,7 +541,135 @@ def a_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(F.explode("cols").alias("p")).select("p.*")
 
 
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    orders — the standard lifecycle-marketing rollup: per customer, days
+    since last order (vs the corpus max date), order count, and exact
+    lifetime spend, each scored 1-5 against corpus quintile boundaries,
+    then mapped to a named segment (champion / new / at_risk /
+    hibernating / regular).
+
+    Scale + determinism: scores come from BOUNDARY COMPARISON, not a
+    global ntile window — quintile boundaries are one sort-agg (swap in
+    percentile_approx at 100 TB), broadcast back as a one-row frame, so
+    no single-partition global-window funnel exists (the tx_quality_bins
+    rule). Boundaries are rounded to 4 before any comparison and spend is
+    an exact per-row decimal sum (the shared oracle contract), so both
+    engines score identically even for boundary-exact customers."""
+    orders = t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("anchor"), F.col("last_order")).cast("bigint"),
+        )
+    )
+    qs = base.agg(
+        *[
+            F.round(F.percentile(m, F.lit(p)), 4).alias(f"{m[0]}q{int(p * 100)}")
+            for m in ("recency_days", "frequency", "monetary")
+            for p in _RFM_QS
+        ]
+    )
+
+    def score_up(m: str, pfx: str):  # higher metric value → higher score
+        return sum(
+            (F.col(m) > F.col(f"{pfx}q{int(p * 100)}")).cast("int") for p in _RFM_QS
+        ) + F.lit(1)
+
+    def score_down(m: str, pfx: str):  # lower metric value → higher score
+        return sum(
+            (F.col(m) < F.col(f"{pfx}q{int(p * 100)}")).cast("int") for p in _RFM_QS
+        ) + F.lit(1)
+
+    scored = (
+        base.crossJoin(F.broadcast(qs))
+        .withColumn("r_score", score_down("recency_days", "r"))
+        .withColumn("f_score", score_up("frequency", "f"))
+        .withColumn("m_score", score_up("monetary", "m"))
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        segment.alias("segment"),
+    )
+
+
+_RFM_ORACLE = """
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                   AS recency_days,
+               count(*) AS frequency,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS monetary
+        FROM orders GROUP BY 1
+    ), q AS (
+        SELECT
+            round(quantile_cont(recency_days, 0.2), 4) AS rq20,
+            round(quantile_cont(recency_days, 0.4), 4) AS rq40,
+            round(quantile_cont(recency_days, 0.6), 4) AS rq60,
+            round(quantile_cont(recency_days, 0.8), 4) AS rq80,
+            round(quantile_cont(frequency, 0.2), 4) AS fq20,
+            round(quantile_cont(frequency, 0.4), 4) AS fq40,
+            round(quantile_cont(frequency, 0.6), 4) AS fq60,
+            round(quantile_cont(frequency, 0.8), 4) AS fq80,
+            round(quantile_cont(monetary, 0.2), 4) AS mq20,
+            round(quantile_cont(monetary, 0.4), 4) AS mq40,
+            round(quantile_cont(monetary, 0.6), 4) AS mq60,
+            round(quantile_cont(monetary, 0.8), 4) AS mq80
+        FROM base
+    ), scored AS (
+        SELECT custkey, recency_days, frequency, monetary,
+               1 + CAST(recency_days < rq20 AS INT) + CAST(recency_days < rq40 AS INT)
+                 + CAST(recency_days < rq60 AS INT) + CAST(recency_days < rq80 AS INT)
+                   AS r_score,
+               1 + CAST(frequency > fq20 AS INT) + CAST(frequency > fq40 AS INT)
+                 + CAST(frequency > fq60 AS INT) + CAST(frequency > fq80 AS INT)
+                   AS f_score,
+               1 + CAST(monetary > mq20 AS INT) + CAST(monetary > mq40 AS INT)
+                 + CAST(monetary > mq60 AS INT) + CAST(monetary > mq80 AS INT)
+                   AS m_score
+        FROM base CROSS JOIN q
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+"""
+
+
 QUERIES = {
+    "a_rfm_segments": a_rfm_segments,
     "ev_funnel": ev_funnel,
     "ev_drift_psi": ev_drift_psi,
     "a_profile_table": a_profile_table,
@@ -561,6 +689,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "a_rfm_segments": _RFM_ORACLE,
     "a_profile_table": """
         SELECT 'o_orderkey' AS col_name,
                count(*) - count(o_orderkey) AS n_nulls,

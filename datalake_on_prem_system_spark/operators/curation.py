@@ -500,7 +500,44 @@ def cur_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_K_ANON = 10  # minimum equivalence-class size for release
+
+
+def cur_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table's quasi-identifiers
+    (nation, market segment): every equivalence class with its size, an
+    ``at_risk`` flag (class smaller than k=10 → those rows are
+    re-identifiable), and whether one generalization step — dropping the
+    segment, keeping only the nation — already lifts the class above k
+    (``still_at_risk``). This is the release-gate check a privacy review
+    runs before a dataset with demographic columns ships.
+
+    Scale shape: two partial-agg shuffles bounded by quasi-identifier
+    cardinality (nation × segment), the second joined back broadcast —
+    the fact table itself is touched once. Pure integer counting: exact
+    in both engines."""
+    cust = t(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    nation = classes.groupBy("c_nationkey").agg(
+        F.sum("class_size").alias("generalized_size")
+    )
+    return (
+        classes.join(F.broadcast(nation), "c_nationkey")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            (F.col("class_size") < _K_ANON).alias("at_risk"),
+            "generalized_size",
+            (F.col("generalized_size") < _K_ANON).alias("still_at_risk"),
+        )
+    )
+
+
 QUERIES = {
+    "cur_k_anonymity": cur_k_anonymity,
     "cur_decontaminate": cur_decontaminate,
     "cur_fuzzy_blocked_join": cur_fuzzy_blocked_join,
     "cur_weighted_sample": cur_weighted_sample,
@@ -597,6 +634,21 @@ _SAMPLE_SQL = f"""
 """
 
 ORACLE = {
+    "cur_k_anonymity": f"""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+            FROM customer GROUP BY 1, 2
+        ), nation AS (
+            SELECT c_nationkey, sum(class_size) AS generalized_size
+            FROM classes GROUP BY 1
+        )
+        SELECT c.c_nationkey, c.c_mktsegment,
+               CAST(c.class_size AS BIGINT) AS class_size,
+               c.class_size < {_K_ANON} AS at_risk,
+               CAST(n.generalized_size AS BIGINT) AS generalized_size,
+               n.generalized_size < {_K_ANON} AS still_at_risk
+        FROM classes c JOIN nation n USING (c_nationkey)
+    """,
     "cur_decontaminate": _DECON_SQL,
     "cur_fuzzy_blocked_join": """
         WITH clean AS (

@@ -167,6 +167,119 @@ def _pagerank_oracle_sql() -> str:
     """
 
 
-QUERIES = {"g_pagerank": g_pagerank}
+# --------------------------------------------------------- triangle count
 
-ORACLE = {"g_pagerank": _pagerank_oracle_sql()}
+_TRI_MIN_W = 5  # co-supply strength: pairs sharing >= 5 orders form an edge
+_TRI_TOP_K = 25
+
+
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle participation in the supplier co-supply graph
+    (edge = two suppliers appear on >= ``_TRI_MIN_W`` common orders), top
+    25 — the standard clustering/community-density signal (a supplier in
+    many triangles sits inside a tight supply cluster; bridge suppliers
+    sit in few).
+
+    Scale shape is the degree-ordered triangle algorithm (the MapReduce
+    classic): each undirected edge is ORIENTED from its lower-(deg, id)
+    endpoint to its higher one, making a DAG where max out-degree is
+    O(sqrt(m)) regardless of how skewed the raw degree distribution is —
+    so the wedge self-join (the quadratic step) is bounded by
+    sum C(outdeg, 2) = O(m^1.5), never deg^2 of a hub node. Wedges close
+    against the oriented edge list on (b, c) — rank(b) < rank(c) by wedge
+    construction matches the orientation invariant, so each triangle is
+    produced exactly once. The degree table is supplier-bounded and
+    broadcast; the per-order pair fan-out is bounded by items-per-order
+    (TPC-H-ish: <= 7 → <= 21 pairs). Counting is pure integer arithmetic:
+    exact, order-independent, engine-identical."""
+    li = t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    edges = persist_bounded(
+        os_.join(os_.select("ok", F.col("sk").alias("sk2")), "ok")
+        .filter(F.col("sk") < F.col("sk2"))
+        .groupBy(F.col("sk").alias("u"), F.col("sk2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_W)
+        .select("u", "v"),
+        f"g_tri_edges:{sf_dir}",
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = edges.join(
+        F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))),
+        "u",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))),
+        "v",
+    )
+    u_lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = persist_bounded(
+        e.select(
+            F.when(u_lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            # rank of dst — the wedge join orders its two legs by it
+            F.when(u_lower, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+        ),
+        f"g_tri_oriented:{sf_dir}",
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+        .filter(
+            (F.col("e1.dd") < F.col("e2.dd"))
+            | ((F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.dst") < F.col("e2.dst")))
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("s_suppkey"))
+        .limit(_TRI_TOP_K)
+    )
+
+
+_TRI_ORACLE = f"""
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+    edges AS (
+        SELECT a.sk AS u, b.sk AS v
+        FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+        GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_W}
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    ORDER BY n_triangles DESC, s_suppkey ASC
+    LIMIT {_TRI_TOP_K}
+"""
+
+
+QUERIES = {"g_pagerank": g_pagerank, "g_triangle_count": g_triangle_count}
+
+ORACLE = {"g_pagerank": _pagerank_oracle_sql(), "g_triangle_count": _TRI_ORACLE}

@@ -831,7 +831,84 @@ def lh_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- co-located bucket join
+
+_COLO_BUCKETS = 8
+_COLO_DIR: str | None = None
+
+
+def _colo_root() -> str:
+    global _COLO_DIR
+    if _COLO_DIR is None:
+        _COLO_DIR = tempfile.mkdtemp(prefix="lake_colo_")
+    return _COLO_DIR
+
+
+def _colocated_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and lineitem ONCE per session as Spark bucketed tables
+    (same bucket count, bucketed + sorted on the join key) so the join
+    below is co-located: both scans come out hash-distributed on the key
+    and the join needs NO exchange. Catalog-memoized: repeat sweeps and
+    the bench re-read, not re-write."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = (f"colo_orders_{tag}", f"colo_lineitem_{tag}")
+    for name, (tbl, key) in zip(
+        names, (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
+    ):
+        if not spark.catalog.tableExists(name):
+            (
+                t(spark, sf_dir, tbl)
+                .write.format("parquet")
+                .bucketBy(_COLO_BUCKETS, key)
+                .sortBy(key)
+                .option("path", os.path.join(_colo_root(), name))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    return names
+
+
+def lh_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via bucketing — THE layout lever for
+    repeated big joins at 100 TB: orders and lineitem are stored bucketed
+    (+ sorted) on the order key with equal bucket counts, so the
+    sort-merge join reads both sides already co-partitioned — zero
+    exchange on either join input (plan-asserted in
+    ``tests/test_plans.py::test_colocated_join_no_join_exchange``); the
+    only shuffle in the whole query is the final 5-group aggregate.
+    Neither side is broadcastable at scale (both are fact tables), which
+    is exactly when bucketing pays: the shuffle cost is paid once at
+    write time and amortized over every subsequent join.
+
+    The merge hint pins SMJ so the demo measures the bucketed path even
+    at toy SF where AQE would otherwise broadcast the small side."""
+    to, tl = _colocated_tables(spark, sf_dir)
+    o, li = spark.table(to), spark.table(tl)
+    return (
+        o.hint("merge")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
+    "lh_colocated_join": lh_colocated_join,
     "lh_changes_feed": lh_changes_feed,
     "lh_clone_divergence": lh_clone_divergence,
     "lh_mor_read_amp": lh_mor_read_amp,
@@ -858,6 +935,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lh_colocated_join": """
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
     "lh_changes_feed": f"""
         WITH {_MERGED_SQL}
         SELECT m.c_custkey, 'insert' AS _change_type,

@@ -228,6 +228,9 @@ _BNLJ_ALLOWED = {name for name in _QS if name.startswith("sim_")} | {
     # node count N: a ONE-ROW aggregate cross-joined into every PageRank
     # iteration — constant cost at any graph size
     "g_pagerank",
+    # corpus max date + the 12 quintile boundaries: two ONE-ROW aggregates
+    # cross-joined into the per-customer frame — constant cost
+    "a_rfm_segments",
 }
 
 
@@ -247,6 +250,25 @@ def test_plan_global_invariants(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if "Scan parquet" in plan:
         assert "Batched: true" in plan, f"{name}: non-vectorized parquet scan"
+
+
+def test_colocated_join_no_join_exchange(spark, sf_dir):
+    """lh_colocated_join's whole point: both scans are bucketed on the
+    join key (formatted plan shows `Bucketed: true` twice), the sort-merge
+    join consumes them WITHOUT any exchange, and the only shuffle in the
+    query is the final small-group aggregate."""
+    from datalake_on_prem_system_spark.operators.lakehouse_ops import (
+        lh_colocated_join,
+    )
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    plan = capture_plan(lh_colocated_join(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    # no shuffle on either join key — the bucketed layout provides the
+    # distribution; the agg's hashpartitioning(o_orderpriority…) remains
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
 
 
 def test_point_read_prunes_to_one_bucket(spark, tmp_path):
