@@ -173,38 +173,23 @@ _TRI_MIN_W = 5  # co-supply strength: pairs sharing >= 5 orders form an edge
 _TRI_TOP_K = 25
 
 
-def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-supplier triangle participation in the supplier co-supply graph
-    (edge = two suppliers appear on >= ``_TRI_MIN_W`` common orders), top
-    25 — the standard clustering/community-density signal (a supplier in
-    many triangles sits inside a tight supply cluster; bridge suppliers
-    sit in few).
-
-    Scale shape is the degree-ordered triangle algorithm (the MapReduce
-    classic): each undirected edge is ORIENTED from its lower-(deg, id)
+def triangle_participation(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list
+    (``u`` < ``v``, no duplicates) — the degree-ordered triangle algorithm
+    (the MapReduce classic): each edge is ORIENTED from its lower-(deg, id)
     endpoint to its higher one, making a DAG where max out-degree is
     O(sqrt(m)) regardless of how skewed the raw degree distribution is —
     so the wedge self-join (the quadratic step) is bounded by
     sum C(outdeg, 2) = O(m^1.5), never deg^2 of a hub node. Wedges close
     against the oriented edge list on (b, c) — rank(b) < rank(c) by wedge
     construction matches the orientation invariant, so each triangle is
-    produced exactly once. The degree table is supplier-bounded and
-    broadcast; the per-order pair fan-out is bounded by items-per-order
-    (TPC-H-ish: <= 7 → <= 21 pairs). Counting is pure integer arithmetic:
-    exact, order-independent, engine-identical."""
-    li = t(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
-    ).distinct()
-    edges = persist_bounded(
-        os_.join(os_.select("ok", F.col("sk").alias("sk2")), "ok")
-        .filter(F.col("sk") < F.col("sk2"))
-        .groupBy(F.col("sk").alias("u"), F.col("sk2").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _TRI_MIN_W)
-        .select("u", "v"),
-        f"g_tri_edges:{sf_dir}",
-    )
+    produced exactly once. Counting is pure integer arithmetic: exact,
+    order-independent, engine-identical. Returns (node, n_triangles);
+    nodes in no triangle are absent.
+
+    The caller should persist ``edges`` — it feeds the degree rollup, the
+    orientation join, both wedge legs, and the closing join; the oriented
+    frame itself is three cheap broadcast-join branches over it."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -221,14 +206,11 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = persist_bounded(
-        e.select(
-            F.when(u_lower, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            # rank of dst — the wedge join orders its two legs by it
-            F.when(u_lower, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-        ),
-        f"g_tri_oriented:{sf_dir}",
+    oriented = e.select(
+        F.when(u_lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        # rank of dst — the wedge join orders its two legs by it
+        F.when(u_lower, F.col("dv")).otherwise(F.col("du")).alias("dd"),
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = (
@@ -247,9 +229,37 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
     )
     return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("s_suppkey"))
-        .groupBy("s_suppkey")
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle participation in the supplier co-supply graph
+    (edge = two suppliers appear on >= ``_TRI_MIN_W`` common orders), top
+    25 — the standard clustering/community-density signal (a supplier in
+    many triangles sits inside a tight supply cluster; bridge suppliers
+    sit in few). Algorithm + scale shape: ``triangle_participation``
+    (degree-ordered, O(m^1.5) wedge bound; pinned on known graphs in
+    ``tests/test_graph.py``). The per-order pair fan-out building the edge
+    list is bounded by items-per-order (TPC-H-ish: <= 7 → <= 21 pairs)."""
+    li = t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    edges = persist_bounded(
+        os_.join(os_.select("ok", F.col("sk").alias("sk2")), "ok")
+        .filter(F.col("sk") < F.col("sk2"))
+        .groupBy(F.col("sk").alias("u"), F.col("sk2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_W)
+        .select("u", "v"),
+        f"g_tri_edges:{sf_dir}",
+    )
+    return (
+        triangle_participation(edges)
+        .select(F.col("node").alias("s_suppkey"), "n_triangles")
         .orderBy(F.desc("n_triangles"), F.asc("s_suppkey"))
         .limit(_TRI_TOP_K)
     )

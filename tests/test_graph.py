@@ -43,3 +43,52 @@ def test_pagerank_mass_conservation(pr_rows):
     """Integer truncation only ever LOSES picounits, so no node can exceed
     total mass and the top node holds a plausible share (< 20%)."""
     assert pr_rows[0].rank_pico < _PR_SCALE // 5
+
+
+# ------------------------------------------------- triangle_participation
+# Oracle compare proves Spark==DuckDB; these pin the algorithm itself on
+# graphs with hand-countable triangle structure (a shared-bug oracle
+# blind spot), including the hub shape the degree ordering exists for.
+
+from datalake_on_prem_system_spark.operators.graph_ops import (  # noqa: E402
+    triangle_participation,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "u long, v long"
+    )
+
+
+def test_triangles_k4(spark):
+    """K4 has C(4,3)=4 triangles; every node sits in exactly 3."""
+    k4 = _edges(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    rows = {r.node: r.n_triangles for r in triangle_participation(k4).collect()}
+    assert rows == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_none_in_path_or_star(spark):
+    """A path and a star are triangle-free — including the hub star, the
+    exact shape the degree orientation bounds: the hub must NOT produce
+    phantom closures from its many wedges."""
+    path = _edges(spark, [(i, i + 1) for i in range(6)])
+    star = _edges(spark, [(0, i) for i in range(1, 9)])
+    assert triangle_participation(path).count() == 0
+    assert triangle_participation(star).count() == 0
+
+
+def test_triangles_hub_with_one_closure(spark):
+    """Star plus ONE rim edge: exactly one triangle (hub, 1, 2) no matter
+    how many open wedges the hub generates."""
+    g = _edges(spark, [(0, i) for i in range(1, 9)] + [(1, 2)])
+    rows = {r.node: r.n_triangles for r in triangle_participation(g).collect()}
+    assert rows == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_two_sharing_an_edge(spark):
+    """Diamond (two triangles glued on edge 1-2): shared-edge nodes count
+    both, apex nodes one each."""
+    g = _edges(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
+    rows = {r.node: r.n_triangles for r in triangle_participation(g).collect()}
+    assert rows == {1: 2, 2: 2, 3: 1, 4: 1}
