@@ -357,3 +357,57 @@ def test_edge_corpus_matches_oracle_and_does_not_crash(spark, tmp_path):
         assert not msg, f"{name}: {msg}"
     # the zero vector is excluded from the similarity corpus, not ranked
     assert 7 not in {r.vec_id for r in qs["sim_brute_topk"](spark, str(tmp_path)).collect()}
+
+
+def test_rfm_scores_partition_customers(spark, sf_dir):
+    """Semantic pins the oracle can't see (a bug shared with the SQL would
+    hash-match): every customer appears once, every score is in 1..5,
+    each quintile-scored metric splits the population into five non-empty
+    bands, and the segment labels follow the r/f score rules."""
+    from datalake_on_prem_system_spark.operators.analytics import a_rfm_segments
+
+    rows = a_rfm_segments(spark, sf_dir).collect()
+    keys = [r.custkey for r in rows]
+    assert len(keys) == len(set(keys))
+    for m in ("r_score", "f_score", "m_score"):
+        vals = [getattr(r, m) for r in rows]
+        assert set(vals) <= set(range(1, 6))
+        # monetary is continuous → all five bands land non-empty; the
+        # discrete metrics (recency/frequency) may merge tied bands
+        if m == "m_score":
+            assert set(vals) == set(range(1, 6))
+    for r in rows:
+        if r.r_score >= 4 and r.f_score >= 4:
+            assert r.segment == "champion"
+        elif r.r_score >= 4 and r.f_score <= 2:
+            assert r.segment == "new"
+        elif r.r_score <= 2 and r.f_score >= 4:
+            assert r.segment == "at_risk"
+        elif r.r_score <= 2 and r.f_score <= 2:
+            assert r.segment == "hibernating"
+        else:
+            assert r.segment == "regular"
+
+
+def test_k_anonymity_classes_cover_population(spark, sf_dir):
+    """Class sizes must add back to the customer count, the generalized
+    size must equal the nation total, and flags must match the k=10 rule
+    exactly."""
+    from datalake_on_prem_system_spark.operators.common import t
+    from datalake_on_prem_system_spark.operators.curation import (
+        _K_ANON,
+        cur_k_anonymity,
+    )
+
+    rows = cur_k_anonymity(spark, sf_dir).collect()
+    n_cust = t(spark, sf_dir, "customer").count()
+    assert sum(r.class_size for r in rows) == n_cust
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.c_nationkey, []).append(r)
+    for nation_rows in by_nation.values():
+        total = sum(r.class_size for r in nation_rows)
+        for r in nation_rows:
+            assert r.generalized_size == total
+            assert r.at_risk == (r.class_size < _K_ANON)
+            assert r.still_at_risk == (total < _K_ANON)
