@@ -92,3 +92,31 @@ def test_triangles_two_sharing_an_edge(spark):
     g = _edges(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
     rows = {r.node: r.n_triangles for r in triangle_participation(g).collect()}
     assert rows == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangles_random_graphs_match_bruteforce(spark):
+    """Seeded Erdős–Rényi graphs at several densities: the distributed
+    degree-ordered count must equal an O(n^3) brute-force reference —
+    catches double-counted or dropped closures that the fixture graphs'
+    regular structure could mask."""
+    import itertools
+    import random
+
+    for seed, n, p in [(1, 12, 0.3), (2, 14, 0.5), (3, 10, 0.8)]:
+        rng = random.Random(seed)
+        pairs = [
+            (a, b)
+            for a, b in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        adj = set(pairs)
+        expect: dict[int, int] = {}
+        for a, b, c in itertools.combinations(range(n), 3):
+            if (a, b) in adj and (b, c) in adj and (a, c) in adj:
+                for v in (a, b, c):
+                    expect[v] = expect.get(v, 0) + 1
+        got = {
+            r.node: r.n_triangles
+            for r in triangle_participation(_edges(spark, pairs)).collect()
+        }
+        assert got == expect, f"seed={seed}"
