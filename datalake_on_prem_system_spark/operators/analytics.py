@@ -497,6 +497,139 @@ def ev_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOUCH_CHANNELS = ("view", "click", "signup")
+_ATTR_LOOKBACK_US = 7 * 86_400 * 1_000_000  # 7-day attribution window
+
+
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every ``purchase`` event is
+    credited to the user's most recent PRIOR touch event (view / click /
+    signup) within a 7-day lookback; purchases with no in-window touch are
+    'direct'. The operator every growth/ads pipeline runs nightly
+    (GA4 / Adjust last-click models).
+
+    Scale shape: ONE user-keyed shuffle — the touch lookup is
+    ``last(..., ignorenulls)`` over a strictly-prior ROWS frame on the
+    (ts, event_id)-ordered per-user stream, so touches and conversions
+    never join (the naive formulation is a time-range self-join); the
+    rollup is a partial-aggregated groupBy on the channel (vocabulary-
+    bounded). Revenue sums integer cents (floor(value·100) — one
+    exactly-rounded IEEE multiply then floor, identical in both engines),
+    so the aggregate is order-independent and exact."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*_TOUCH_CHANNELS)
+    tagged = ev.withColumn(
+        "touch_ts", F.last(F.when(is_touch, F.col("ts_us")), ignorenulls=True).over(prior)
+    ).withColumn(
+        "touch_ch",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(prior),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "channel",
+            F.coalesce(
+                F.when(
+                    F.col("touch_ts") >= F.col("ts_us") - _ATTR_LOOKBACK_US,
+                    F.col("touch_ch"),
+                ),
+                F.lit("direct"),
+            ),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly peak-concurrency curve: how many user sessions (w_sessionize's
+    30-min-gap sessions) are open simultaneously, at peak, in each hour —
+    the capacity-planning sweep-line every serving/infra dashboard needs.
+
+    Sweep-line with a DISTRIBUTED two-level prefix sum (no global window
+    over the event stream): sessions become ±1 deltas (+1 at start, −1 at
+    end-exclusive = last event + 1 µs, so zero-length sessions still
+    count at their instant); deltas are summed LOCALLY per hour bucket
+    (window partitioned by hour, deterministic (ts, delta, user) order —
+    −1 before +1 at an identical instant gives half-open [start, end)
+    semantics); each hour's carried-in level is the cumulative sum of the
+    per-hour delta totals — a window over the HOUR-TOTALS frame, which is
+    one row per active hour (metadata-sized: 8.8k rows for a year of
+    hours), not over the data. Peak(hour) = carry-in + max(local running).
+    Hours with no session boundary are absent (the level is flat there)."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts_us").over(w_user))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull() | (F.col("ts_us") - F.col("prev_ts") > gap_us)
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w_user))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            (F.max("ts_us") + 1).alias("end_us"),
+        )
+    )
+    deltas = sessions.select(
+        F.col("start_us").alias("ts_us"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sessions.select(
+            F.col("end_us").alias("ts_us"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    hour_us = 3_600 * 1_000_000
+    deltas = deltas.withColumn("hr_us", (F.col("ts_us") - F.col("ts_us") % hour_us))
+    w_local = (
+        Window.partitionBy("hr_us")
+        .orderBy("ts_us", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("run_local", F.sum("delta").over(w_local))
+    per_hour = local.groupBy("hr_us").agg(
+        F.max("run_local").alias("peak_local"),
+        F.sum("delta").alias("hr_total"),
+    )
+    # carry-in level: cumulative sum over the tiny hour-totals frame
+    w_hours = (
+        Window.orderBy("hr_us").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_hour.select(
+        F.timestamp_micros(F.col("hr_us")).alias("hour"),
+        (
+            F.coalesce(F.sum("hr_total").over(w_hours), F.lit(0))
+            # the carried-in level itself is a peak candidate: an hour whose
+            # only deltas are session ENDS peaks at its start, before any
+            # delta fires (max(carry, carry + running) = carry + max(0, run))
+            + F.greatest(F.lit(0), F.col("peak_local"))
+        )
+        .cast("long")
+        .alias("peak_sessions"),
+    )
+
+
 def a_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profiling pass (ANALYZE / data-quality summary): one row per
     column of ``orders`` with null count, exact distinct count, and typed
@@ -675,6 +808,8 @@ QUERIES = {
     "a_profile_table": a_profile_table,
     "ev_retention": ev_retention,
     "ev_transition_matrix": ev_transition_matrix,
+    "ev_attribution": ev_attribution,
+    "ev_peak_concurrency": ev_peak_concurrency,
     "w_ema": w_ema,
     "w_running_total": w_running_total,
     "w_lag_delta": w_lag_delta,
@@ -792,6 +927,73 @@ ORACLE = {
                (SELECT count(*) FROM s1) AS step1_users,
                (SELECT count(*) FROM s2) AS step2_users,
                (SELECT count(*) FROM s3) AS step3_users
+    """,
+    "ev_attribution": """
+        WITH ev AS (
+            SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+            FROM events
+        ), tagged AS (
+            SELECT *,
+                last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+                                THEN ts_us END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS touch_ts,
+                last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+                                THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS touch_ch
+            FROM ev
+        )
+        SELECT coalesce(CASE WHEN touch_ts >= ts_us - 7 * 86400 * 1000000::BIGINT
+                             THEN touch_ch END, 'direct') AS channel,
+               count(*) AS n_conversions,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM tagged
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    "ev_peak_concurrency": """
+        WITH ev AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        ), flagged AS (
+            SELECT user_id, ts_us, event_id,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                             OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ), sess AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts_us, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id,
+                   ts_us
+            FROM flagged
+        ), intervals AS (
+            SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 1 AS end_us
+            FROM sess GROUP BY user_id, session_id
+        ), deltas AS (
+            SELECT start_us AS ts_us, 1 AS delta, user_id FROM intervals
+            UNION ALL
+            SELECT end_us AS ts_us, -1 AS delta, user_id FROM intervals
+        ), local AS (
+            SELECT ts_us - ts_us % (3600 * 1000000::BIGINT) AS hr_us, delta,
+                   sum(delta) OVER (PARTITION BY ts_us - ts_us % (3600 * 1000000::BIGINT)
+                                    ORDER BY ts_us, delta, user_id
+                                    ROWS UNBOUNDED PRECEDING) AS run_local
+            FROM deltas
+        ), per_hour AS (
+            SELECT hr_us, max(run_local) AS peak_local, sum(delta) AS hr_total
+            FROM local GROUP BY hr_us
+        )
+        SELECT make_timestamp(hr_us) AS hour,
+               CAST(coalesce(sum(hr_total) OVER (ORDER BY hr_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + greatest(0, peak_local) AS BIGINT) AS peak_sessions
+        FROM per_hour
     """,
     "ev_transition_matrix": """
         WITH pairs AS (

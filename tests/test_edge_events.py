@@ -145,3 +145,88 @@ def test_edge_events_windows_match_oracle(spark, tmp_path):
         funnel.step2_users,
         funnel.step3_users,
     ) == (5, 3, 1, 1), funnel
+
+
+def _write_events(spark, tmp_path, events):
+    spark.createDataFrame(
+        [(e, t, u, et, v, "{}") for e, t, u, et, v in events],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    return con
+
+
+def test_ev_attribution_edges(spark, tmp_path):
+    """Last-touch edges the synthetic stream never isolates: a touch outside
+    the 7-day lookback, a touch-free user, a touch strictly AFTER the
+    purchase, latest-of-several, and a touch at the IDENTICAL instant whose
+    smaller event_id makes it prior (the ROWS 1-PRECEDING tiebreak)."""
+    day = 24 * 60.0
+    events = [
+        # u1: signup 8 days before purchase — outside lookback → direct
+        (1, _ts(-8 * day), 1, "signup", 0.0),
+        (2, _ts(0), 1, "purchase", 10.0),
+        # u2: purchase with no touch at all → direct
+        (3, _ts(0), 2, "purchase", 20.0),
+        # u3: view then click then purchase — the LATEST prior touch wins
+        (4, _ts(0), 3, "view", 0.0),
+        (5, _ts(1), 3, "click", 0.0),
+        (6, _ts(2), 3, "purchase", 30.5),
+        # u4: the only touch is AFTER the purchase → direct
+        (7, _ts(0), 4, "purchase", 40.0),
+        (8, _ts(1), 4, "view", 0.0),
+        # u5: touch at the SAME instant as the purchase, smaller event_id —
+        # prior by tiebreak, so it takes the credit
+        (9, _ts(0), 5, "signup", 0.0),
+        (10, _ts(0), 5, "purchase", 50.25),
+    ]
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ev_attribution"](spark, str(tmp_path)).toPandas()
+    msg = compare("ev_attribution", sdf, con.sql(oracles["ev_attribution"]).df())
+    assert not msg, msg
+    got = {
+        r["channel"]: (r["n_conversions"], r["revenue_cents"])
+        for _, r in sdf.iterrows()
+    }
+    assert got == {
+        "direct": (3, 7000),  # u1 (stale touch) + u2 (none) + u4 (late touch)
+        "click": (1, 3050),  # u3: click beats the earlier view
+        "signup": (1, 5025),  # u5: same-instant tiebreak on event_id
+    }, got
+
+
+def test_ev_peak_concurrency_edges(spark, tmp_path):
+    """Hand-countable sweep-line: three sessions overlapping at 10:10, a
+    session spanning the 11:00 hour boundary (carry-in level), and an hour
+    whose only delta is a session END — its peak is the CARRIED-IN level at
+    the hour start, not the post-delta level."""
+    events = [
+        # u1: session [10:00, 10:20+1µs)
+        (1, _ts(0), 1, "view", 0.0),
+        (2, _ts(20), 1, "view", 0.0),
+        # u2: single-event session [10:10, 10:10+1µs)
+        (3, _ts(10), 2, "view", 0.0),
+        # u3: session [10:05, 10:15+1µs)
+        (4, _ts(5), 3, "view", 0.0),
+        (5, _ts(15), 3, "view", 0.0),
+        # u4: session [10:55, 11:20+1µs) — crosses the hour boundary (25-min
+        # gap < 30 stays one session); hour 11's only delta is its END
+        (6, _ts(55), 4, "view", 0.0),
+        (7, _ts(80), 4, "view", 0.0),
+    ]
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ev_peak_concurrency"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ev_peak_concurrency", sdf, con.sql(oracles["ev_peak_concurrency"]).df()
+    )
+    assert not msg, msg
+    got = {r["hour"].hour: r["peak_sessions"] for _, r in sdf.iterrows()}
+    # hour 12 (fixture _T0 is 12:00): u1+u2+u3 all open at 12:10 → 3;
+    # hour 13: level carried in is 1 (u4 open), the END delta only lowers it
+    assert got == {12: 3, 13: 1}, got
