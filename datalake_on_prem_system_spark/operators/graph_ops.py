@@ -290,6 +290,121 @@ _TRI_ORACLE = f"""
 """
 
 
-QUERIES = {"g_pagerank": g_pagerank, "g_triangle_count": g_triangle_count}
+_CN_HUB_CAP = 25  # parts bought by more customers than this are hubs
+_CN_TOP_K = 50
 
-ORACLE = {"g_pagerank": _pagerank_oracle_sql(), "g_triangle_count": _TRI_ORACLE}
+
+def common_neighbor_pairs(edges: DataFrame, hub_cap: int) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over a bipartite edge list
+    ``(c, p)``: for every pair of left-nodes sharing at least one right-node,
+    the shared count and Jaccard overlap of their neighborhoods.
+
+    Scale shape — the canonical frequency-filtered neighborhood join, the
+    same guard ``dd_ngram_jaccard``'s PPJoin applies to shingles: right-
+    nodes with degree > ``hub_cap`` are dropped FIRST (a hub shared by
+    everyone carries ~zero link-prediction signal yet contributes
+    O(deg²) pairs — the quadratic blowup), so the self-join on the right
+    key fans out at most C(hub_cap, 2) per right-node and NEVER goes
+    all-pairs over the left side. Degrees and the pair rollup are
+    partial-aggregated; Jaccard divides two exact integers (engine-
+    identical doubles). Degrees are counted over the SAME filtered edge
+    universe the pairs come from, so jaccard <= 1 holds by construction."""
+    pdeg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("pd"))
+    kept = edges.join(
+        F.broadcast(pdeg.filter(F.col("pd") <= hub_cap).select("p")), "p"
+    )
+    cdeg = kept.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        kept.select(F.col("p"), F.col("c").alias("c1"))
+        .join(kept.select(F.col("p"), F.col("c").alias("c2")), "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(cdeg.select(F.col("c").alias("c1"), F.col("deg").alias("deg1"))),
+            "c1",
+        )
+        .join(
+            F.broadcast(cdeg.select(F.col("c").alias("c2"), F.col("deg").alias("deg2"))),
+            "c2",
+        )
+        .select(
+            "c1",
+            "c2",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("deg1") + F.col("deg2") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def g_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 customer pairs by shared purchased parts (common-neighbor +
+    Jaccard link prediction over the customer–part bipartite graph) — the
+    'customers like you' / co-purchase affinity signal every recommender
+    bootstrap computes. Hub parts (degree > 25) are frequency-filtered
+    before the pair join (see ``common_neighbor_pairs``); ordering is the
+    deterministic (n_common DESC, c1, c2) total order via
+    TakeOrderedAndProject."""
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    return (
+        common_neighbor_pairs(edges, _CN_HUB_CAP)
+        .select(
+            F.col("c1").alias("custkey_a"),
+            F.col("c2").alias("custkey_b"),
+            "n_common",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("n_common"), F.asc("custkey_a"), F.asc("custkey_b"))
+        .limit(_CN_TOP_K)
+    )
+
+
+_CN_ORACLE = f"""
+    WITH e AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    kept AS (
+        SELECT c, p FROM e
+        WHERE p IN (SELECT p FROM e GROUP BY p HAVING count(*) <= {_CN_HUB_CAP})
+    ),
+    cdeg AS (SELECT c, count(*) AS deg FROM kept GROUP BY c),
+    pairs AS (
+        SELECT a.c AS c1, b.c AS c2, count(*) AS n_common
+        FROM kept a JOIN kept b ON a.p = b.p AND a.c < b.c
+        GROUP BY 1, 2
+    )
+    SELECT c1 AS custkey_a, c2 AS custkey_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(n_common / CAST(d1.deg + d2.deg - n_common AS DOUBLE), 6)
+               AS jaccard
+    FROM pairs
+    JOIN cdeg d1 ON d1.c = c1
+    JOIN cdeg d2 ON d2.c = c2
+    ORDER BY n_common DESC, custkey_a ASC, custkey_b ASC
+    LIMIT {_CN_TOP_K}
+"""
+
+
+QUERIES = {
+    "g_pagerank": g_pagerank,
+    "g_triangle_count": g_triangle_count,
+    "g_common_neighbors": g_common_neighbors,
+}
+
+ORACLE = {
+    "g_pagerank": _pagerank_oracle_sql(),
+    "g_triangle_count": _TRI_ORACLE,
+    "g_common_neighbors": _CN_ORACLE,
+}

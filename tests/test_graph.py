@@ -120,3 +120,34 @@ def test_triangles_random_graphs_match_bruteforce(spark):
             for r in triangle_participation(_edges(spark, pairs)).collect()
         }
         assert got == expect, f"seed={seed}"
+
+
+def test_common_neighbor_pairs_hand_countable(spark):
+    """Hand-computed bipartite graph: the hub right-node must be dropped
+    BEFORE pairs form, degrees must count over the filtered universe, and
+    jaccard must be the exact shared/union ratio."""
+    from datalake_on_prem_system_spark.operators.graph_ops import (
+        common_neighbor_pairs,
+    )
+
+    # c1,c2 share parts 10+11; c3 shares 11 with both; part 99 is a hub
+    # touching everyone (degree 4 > cap 3) and must contribute NO pairs
+    edges = spark.createDataFrame(
+        [
+            (1, 10), (1, 11), (1, 99),
+            (2, 10), (2, 11), (2, 99),
+            (3, 11), (3, 12), (3, 99),
+            (4, 99),  # hub-only customer: no surviving edges, no pairs
+        ],
+        "c bigint, p bigint",
+    )
+    rows = {
+        (r.c1, r.c2): (r.n_common, r.jaccard)
+        for r in common_neighbor_pairs(edges, hub_cap=3).collect()
+    }
+    # filtered degrees: c1=2 {10,11}, c2=2 {10,11}, c3=2 {11,12}
+    assert rows == {
+        (1, 2): (2, 1.0),          # {10,11} vs {10,11}: 2 / (2+2-2)
+        (1, 3): (1, 1.0 / 3.0),    # share {11}: 1 / (2+2-1)
+        (2, 3): (1, 1.0 / 3.0),
+    }, rows
