@@ -849,8 +849,103 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMANTIC_TAU = 0.4  # fixture-calibrated (random-ish embeddings peak ~0.51);
+# real text embeddings run this at ~0.95+ — the knob, not the algorithm
+
+
+def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with a k-means coarse quantizer,
+    then comparing pairs ONLY within each cluster — a vector is a semantic
+    duplicate if a LOWER-vec_id cluster-mate sits above the cosine
+    threshold (the paper's keep-one-representative rule with a
+    deterministic survivor). Returns the per-cluster dedup ledger
+    (n_vecs / n_removed / n_kept).
+
+    Reuses ``similarity.build_ivf_index``'s deterministic train-once
+    quantizer (Forgy seeds + one Lloyd step) and reads its persisted
+    cell-partitioned index, so the cluster assignment is ALREADY on disk,
+    partitioned by the join key — the within-cell self-join shuffles
+    nothing but the pair stream.
+
+    Scale shape: pair work is Σ_cell C(|cell|, 2) — the SemDeDup design
+    point: nlist grows with corpus size (paper: 11k clusters for 1.3e9
+    embeddings) keeping |cell| ≈ N/nlist bounded, so the quadratic term
+    never sees N². Cosine is the shared fold-ordered ``_dot`` and both
+    sides round to 6 before the threshold test, so the pair set is
+    engine-identical even AT the boundary."""
+    from .similarity import _dot, build_ivf_index
+
+    path, _centers = build_ivf_index(spark, sf_dir)
+    assigned = spark.read.parquet(path)
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("lo"),
+        F.col("v").alias("lv"),
+        F.col("norm").alias("lnorm"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("hi"),
+        F.col("v").alias("hv"),
+        F.col("norm").alias("hnorm"),
+    )
+    cos6 = F.round(
+        _dot(F.col("lv"), F.col("hv")) / (F.col("lnorm") * F.col("hnorm")), 6
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(F.col("lo") < F.col("hi"))
+        .filter(cos6 >= SEMANTIC_TAU)
+        .select("cell", F.col("hi").alias("vec_id"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(removed, "cell", "left_outer")
+        .fillna(0, ["n_removed"])
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vecs",
+            F.col("n_removed").cast("long").alias("n_removed"),
+            (F.col("n_vecs") - F.col("n_removed")).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def _semantic_oracle_sql() -> str:
+    """DuckDB replay of dd_semantic INCLUDING the quantizer training
+    (``similarity.ivf_assign_ctes`` — the same CTE chain the sim_ann_ivf
+    oracle uses), then the within-cell lower-id pair rule."""
+    from .similarity import _VECS_SQL, ivf_assign_ctes
+
+    pair_cos = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [a.vec[i] * b.vec[i] for i in range(1, len(a.vec) + 1)]),
+              (s, x) -> s + x) / (a.norm * b.norm)"""
+    return f"""
+        WITH {_VECS_SQL}, {ivf_assign_ctes()}, m AS (
+            SELECT n.vec_id, n.vec, n.norm, af.cell
+            FROM n JOIN af USING (vec_id)
+        ), dup AS (
+            SELECT DISTINCT b.cell, b.vec_id
+            FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round({pair_cos}, 6) >= {SEMANTIC_TAU}
+        )
+        SELECT CAST(m.cell AS BIGINT) AS cell,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(count(d.vec_id) AS BIGINT) AS n_removed,
+               CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+        FROM m LEFT JOIN dup d ON d.cell = m.cell AND d.vec_id = m.vec_id
+        GROUP BY m.cell
+    """
+
+
 QUERIES = {
     "dd_exact": dd_exact,
+    "dd_semantic": dd_semantic,
     "dd_span_dedup": dd_span_dedup,
     "dd_containment": dd_containment,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -973,6 +1068,7 @@ COMPONENTS_CTE_SQL = f"""
 """
 
 ORACLE = {
+    "dd_semantic": _semantic_oracle_sql(),
     "dd_span_dedup": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents

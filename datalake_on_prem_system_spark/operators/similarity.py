@@ -703,27 +703,30 @@ ORACLE = {
 }
 
 
-def _ivf_oracle_sql() -> str:
-    """DuckDB replay of sim_ann_ivf INCLUDING the index build: Forgy seeds
-    (lowest nlist vec_ids), argmin assignment with the same fold-ordered
-    squared distance and lower-cell tie-break, canonical vec_id-ordered
-    centroid summation (list(... ORDER BY vec_id) ↔ sort_array(
-    collect_list)), final assignment, nprobe probe-cell ranking, exact
-    cosine rerank. Every double is computed in the same sequential order as
-    the Spark side, so the compare is hash-exact."""
+def _dist_sql(a: str, b: str) -> str:
+    """Fold-ordered squared-L2 distance between two list columns — the
+    DuckDB mirror of ``_sqdist``."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+        f"for i in range(1, len({a}) + 1)]), (s, x) -> s + x)"
+    )
 
-    def dist(a: str, b: str) -> str:
-        return (
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"[({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
-            f"for i in range(1, len({a}) + 1)]), (s, x) -> s + x)"
-        )
 
+def ivf_assign_ctes(nlist: int = _NLIST) -> str:
+    """CTE chain replaying ``build_ivf_index``'s deterministic training —
+    Forgy seeds (lowest nlist vec_ids), argmin assignment with the
+    fold-ordered squared distance and lower-cell tie-break, canonical
+    vec_id-ordered centroid summation (list(... ORDER BY vec_id) ↔
+    sort_array(collect_list)), final assignment — ending in
+    ``af(vec_id, cell)``. Expects ``_VECS_SQL``'s ``n`` CTE in scope.
+    Shared by the sim_ann_ivf oracle and dedup.dd_semantic's oracle so
+    the training replay can never drift between the two modules."""
     zero_vec = "CAST([" + ", ".join(["0.0"] * _DIM) + "] AS DOUBLE[])"
-    return f"""
-        WITH {_VECS_SQL}, seeds AS (
+    dist = _dist_sql
+    return f"""seeds AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec
-            FROM n WHERE vec_id < {_NLIST}
+            FROM n WHERE vec_id < {nlist}
         ), a0 AS (
             SELECT vec_id, vec, cell FROM (
                 SELECT v.vec_id, v.vec, s.cell,
@@ -748,7 +751,17 @@ def _ivf_oracle_sql() -> str:
                            ORDER BY {dist("v.vec", "c.cvec")} ASC, c.cell ASC) AS rn
                 FROM n v CROSS JOIN cents c
             ) WHERE rn = 1
-        ), qc AS (
+        )"""
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB replay of sim_ann_ivf INCLUDING the index build
+    (``ivf_assign_ctes``), then nprobe probe-cell ranking and exact cosine
+    rerank. Every double is computed in the same sequential order as the
+    Spark side, so the compare is hash-exact."""
+    dist = _dist_sql
+    return f"""
+        WITH {_VECS_SQL}, {ivf_assign_ctes()}, qc AS (
             SELECT c.cell
             FROM cents c, (SELECT vec FROM n WHERE vec_id = {_QUERY_VEC_ID}) qq
             ORDER BY {dist("qq.vec", "c.cvec")} ASC, c.cell ASC LIMIT {_NPROBE}

@@ -411,3 +411,49 @@ def test_k_anonymity_classes_cover_population(spark, sf_dir):
             assert r.generalized_size == total
             assert r.at_risk == (r.class_size < _K_ANON)
             assert r.still_at_risk == (total < _K_ANON)
+
+
+def test_dd_semantic_collapses_injected_cluster(spark, tmp_path):
+    """SemDeDup pin on a constructed corpus: four near-copies of vector 3
+    (cosine ≈ 0.99995) must all land in its cluster and be removed with
+    the LOWEST id surviving; orthogonal vectors (pairwise cosine 0) must
+    all be kept wherever they cluster."""
+    import pyspark.sql.functions as F
+
+    def e(i, eps_dim=None):
+        v = [0.0] * 64
+        v[i] = 1.0
+        if eps_dim is not None:
+            v[eps_dim] = 0.01
+        return v
+
+    rows = [(i, e(i), "base") for i in range(16)]
+    # ids 16..19: near-duplicates of id 3 (perturbed on distinct high dims)
+    rows += [(16 + k, e(3, eps_dim=40 + k), "dup") for k in range(4)]
+    # ids 20..23: orthogonal singletons — no near-dup anywhere
+    rows += [(20 + k, e(24 + k), "solo") for k in range(4)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = dedup.dd_semantic(spark, str(tmp_path)).collect()
+    assert sum(r.n_vecs for r in out) == 24
+    assert sum(r.n_removed for r in out) == 4  # exactly the four copies
+    # the cluster holding vec 3 kept exactly one representative
+    dup_cells = [r for r in out if r.n_removed > 0]
+    assert len(dup_cells) == 1
+    assert (dup_cells[0].n_vecs, dup_cells[0].n_kept) == (5, 1)
+
+    # engine-vs-oracle on the same constructed corpus
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    import __spark_entry__ as entry
+    from check_correctness import compare
+
+    sdf = dedup.dd_semantic(spark, str(tmp_path)).toPandas()
+    msg = compare("dd_semantic", sdf, con.sql(entry.oracle_sql()["dd_semantic"]).df())
+    assert not msg, msg
