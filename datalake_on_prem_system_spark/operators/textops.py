@@ -497,7 +497,58 @@ def tx_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_NGRAM_MAX = 4
+_VOCAB_TOP = 200
+
+
+def tx_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-vocabulary induction (WordPiece-frequency style): the top-200
+    character n-grams (n = 1..4) over word-boundary-marked words ('_' +
+    word, the SentencePiece convention), weighted by corpus word frequency.
+    The first step of training any tokenizer — rank candidate subword
+    units by corpus mass.
+
+    Scale shape: the corpus-sized pass is ONE word count with map-side
+    combine (shuffle bounded by vocabulary × partitions, Heaps-law
+    sublinear); the quadratic-ish n-gram explosion (≤ 4·len(word) grams)
+    runs over DISTINCT words weighted by count — vocabulary-sized, not
+    corpus-sized. Repeated n-grams inside one word count multiply ('aaa'
+    contributes 'aa' twice), identically in both engines. Counts are
+    exact integers; top-k is TakeOrderedAndProject on the (freq DESC,
+    ngram) total order."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    marked = words.select(F.concat(F.lit("_"), F.col("w")).alias("mw"), "wf")
+
+    def grams_of(n: int):
+        # NOTE: the kernel must be a ONE-parameter lambda — F.transform
+        # treats a second parameter as the element-index slot, so the
+        # tempting `lambda i, n=n:` closure silently receives the index
+        return F.when(
+            F.length("mw") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length("mw") - n + 1),
+                lambda i: F.substr(F.col("mw"), i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    per_n = [grams_of(n) for n in range(1, _VOCAB_NGRAM_MAX + 1)]
+    return (
+        marked.select(F.explode(F.flatten(F.array(*per_n))).alias("ngram"), "wf")
+        .groupBy("ngram")
+        .agg(F.sum("wf").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("ngram"))
+        .limit(_VOCAB_TOP)
+    )
+
+
 QUERIES = {
+    "tx_vocab_build": tx_vocab_build,
     "tx_token_stats": tx_token_stats,
     "tx_readability": tx_readability,
     "tx_collocations": tx_collocations,
@@ -514,6 +565,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tx_vocab_build": f"""
+        WITH wf AS (
+            SELECT w, count(*) AS wf
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w != '' GROUP BY w
+        ), marked AS (
+            SELECT '_' || w AS mw, wf FROM wf
+        ), grams AS (
+            SELECT unnest(flatten([
+                [substr(mw, i, n) for i in range(1, len(mw) - n + 2)]
+                for n in range(1, {_VOCAB_NGRAM_MAX} + 1)
+            ])) AS ngram, wf
+            FROM marked
+        )
+        SELECT ngram, CAST(sum(wf) AS BIGINT) AS freq
+        FROM grams GROUP BY ngram
+        ORDER BY freq DESC, ngram ASC
+        LIMIT {_VOCAB_TOP}
+    """,
     "tx_readability": """
         WITH toks AS (
             SELECT doc_id,

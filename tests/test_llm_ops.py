@@ -457,3 +457,22 @@ def test_dd_semantic_collapses_injected_cluster(spark, tmp_path):
     sdf = dedup.dd_semantic(spark, str(tmp_path)).toPandas()
     msg = compare("dd_semantic", sdf, con.sql(entry.oracle_sql()["dd_semantic"]).df())
     assert not msg, msg
+
+
+def test_tx_vocab_build_hand_counted(spark, tmp_path):
+    """Vocab induction pin: boundary-marked grams, within-word multiplicity
+    ('aaa' contributes 'aa' twice), and word-frequency weighting."""
+    spark.createDataFrame(
+        [(1, "aaa bb aaa", "en", "s", 10)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    freqs = {
+        r.ngram: r.freq for r in textops.tx_vocab_build(spark, str(tmp_path)).collect()
+    }
+    # words: aaa (wf 2) -> '_aaa'; bb (wf 1) -> '_bb'
+    assert freqs["a"] == 6  # 3 per '_aaa' x 2
+    assert freqs["aa"] == 4  # 2 per '_aaa' x 2 (overlapping positions)
+    assert freqs["_aaa"] == 2
+    assert freqs["_b"] == 1 and freqs["bb"] == 1 and freqs["_bb"] == 1
+    assert freqs["_"] == 3  # one marker per word occurrence
+    assert "aaa b" not in freqs  # grams never cross the word boundary
