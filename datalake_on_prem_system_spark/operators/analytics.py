@@ -630,6 +630,52 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly detection: flag events whose value deviates
+    from the type median by more than 3 robust standard deviations
+    (3 × 1.4826 × MAD) — the median/MAD detector every telemetry pipeline
+    prefers over mean/stddev because one huge outlier cannot drag its own
+    threshold.
+
+    Exactness contract: Spark and DuckDB interpolate percentiles with
+    DIFFERENT floating expressions ((1-f)·lo + f·hi vs lo + f·(hi-lo)),
+    so medians of doubles can differ in the last ulp and flip boundary
+    flags. Everything here is therefore INTEGER: values quantize to
+    cents, med2 = 2·median(cents) and mad4 = 2·median(2·|c - med|) are
+    exact integers in both engines (a half-integer median doubles to an
+    exact int), and the outlier test 20000·dev2 > 44478·mad4 is pure
+    integer arithmetic — the 3·1.4826 factor as the rational 44478/10000.
+
+    Scale shape: two vocabulary-keyed exact-median aggregations + two
+    broadcast joins back (per-type constants). Exact percentile sorts
+    per type; at 100 TB swap in approx_percentile (the a_approx_quantiles
+    sketch contract) — the integer framing survives unchanged."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    med = ev.groupBy("event_type").agg(
+        (F.percentile("c", 0.5) * 2).cast("long").alias("med2")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("c") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        (F.percentile("dev2", 0.5) * 2).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.first("med2") / 200.0, 6).alias("median_value"),
+            F.round(F.first("mad4") / 400.0, 6).alias("mad"),
+            F.sum(
+                (20000 * F.col("dev2") > 44478 * F.col("mad4")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
 def a_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profiling pass (ANALYZE / data-quality summary): one row per
     column of ``orders`` with null count, exact distinct count, and typed
@@ -810,6 +856,7 @@ QUERIES = {
     "ev_transition_matrix": ev_transition_matrix,
     "ev_attribution": ev_attribution,
     "ev_peak_concurrency": ev_peak_concurrency,
+    "ev_anomaly_mad": ev_anomaly_mad,
     "w_ema": w_ema,
     "w_running_total": w_running_total,
     "w_lag_delta": w_lag_delta,
@@ -927,6 +974,31 @@ ORACLE = {
                (SELECT count(*) FROM s1) AS step1_users,
                (SELECT count(*) FROM s2) AS step2_users,
                (SELECT count(*) FROM s3) AS step3_users
+    """,
+    "ev_anomaly_mad": """
+        WITH ev AS (
+            SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+            FROM events
+        ), med AS (
+            SELECT event_type,
+                   CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med2
+            FROM ev GROUP BY event_type
+        ), dev AS (
+            SELECT ev.event_type, abs(2 * c - med2) AS dev2, med2
+            FROM ev JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type,
+                   CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+            FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(any_value(dev.med2) / 200.0, 6) AS median_value,
+               round(any_value(mad4) / 400.0, 6) AS mad,
+               CAST(sum(CASE WHEN 20000 * dev2 > 44478 * mad4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type
     """,
     "ev_attribution": """
         WITH ev AS (

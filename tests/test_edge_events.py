@@ -230,3 +230,31 @@ def test_ev_peak_concurrency_edges(spark, tmp_path):
     # hour 12 (fixture _T0 is 12:00): u1+u2+u3 all open at 12:10 → 3;
     # hour 13: level carried in is 1 (u4 open), the END delta only lowers it
     assert got == {12: 3, 13: 1}, got
+
+
+def test_ev_anomaly_mad_edges(spark, tmp_path):
+    """MAD detector pins: a constant cluster has MAD 0 so any deviation at
+    all is an outlier and the constants themselves never are; a tight
+    cluster plus one extreme value flags exactly the extreme (the median/
+    MAD threshold ignores the outlier's own pull, unlike mean/stddev)."""
+    events = []
+    eid = 0
+    # type 'view' (user 1): 9 x constant 10.0 + one 10.5 — MAD is 0, so the
+    # single deviant is the only outlier
+    for _ in range(9):
+        events.append((eid, _ts(eid), 1, "view", 10.0)); eid += 1
+    events.append((eid, _ts(eid), 1, "view", 10.5)); eid += 1
+    # type 'click': tight cluster 9.8..10.2 + one 1000.0
+    for k in range(10):
+        events.append((eid, _ts(eid), 2, "click", 9.8 + 0.04 * k)); eid += 1
+    events.append((eid, _ts(eid), 2, "click", 1000.0)); eid += 1
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ev_anomaly_mad"](spark, str(tmp_path)).toPandas()
+    msg = compare("ev_anomaly_mad", sdf, con.sql(oracles["ev_anomaly_mad"]).df())
+    assert not msg, msg
+    got = {r["event_type"]: (r["n_events"], r["median_value"], r["n_outliers"])
+           for _, r in sdf.iterrows()}
+    assert got["view"] == (10, 10.0, 1), got["view"]
+    n, med, k = got["click"]
+    assert (n, k) == (11, 1) and 9.8 <= med <= 10.2, got["click"]
