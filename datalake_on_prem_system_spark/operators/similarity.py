@@ -195,7 +195,9 @@ def _sqdist(v: Column, c: Column) -> Column:
     )
 
 
-def _argmin_cell(centers: list[tuple[int, list[float]]]) -> Column:
+def _argmin_cell(
+    centers: list[tuple[int, list[float]]], col: str = "v"
+) -> Column:
     """Nearest-centroid cell id: array_min over (dist, cell) structs =
     lexicographic min — ties to the lower cell id, the same rule the
     oracle's ``row_number() OVER (ORDER BY dist, cell)`` applies."""
@@ -203,7 +205,7 @@ def _argmin_cell(centers: list[tuple[int, list[float]]]) -> Column:
         F.array(
             *[
                 F.struct(
-                    _sqdist(F.col("v"), F.array(*[F.lit(x) for x in c])).alias("d"),
+                    _sqdist(F.col(col), F.array(*[F.lit(x) for x in c])).alias("d"),
                     F.lit(ci).alias("c"),
                 )
                 for ci, c in centers
@@ -213,12 +215,13 @@ def _argmin_cell(centers: list[tuple[int, list[float]]]) -> Column:
 
 
 def _fit_centers(
-    train: DataFrame, seeds: list[tuple[int, list[float]]]
+    train: DataFrame, seeds: list[tuple[int, list[float]]], dim: int = _DIM
 ) -> list[tuple[int, list[float]]]:
     """One deterministic Lloyd refinement of the Forgy ``seeds`` over
-    ``train``: assign to nearest seed, per-cell centroid = mean summed in
-    vec_id order (``sort_array(collect_list)`` + zip-fold — canonical
-    summation, identical doubles on any partitioning and in the oracle's
+    ``train`` (columns ``vec_id``, ``v`` of length ``dim``): assign to
+    nearest seed, per-cell centroid = mean summed in vec_id order
+    (``sort_array(collect_list)`` + zip-fold — canonical summation,
+    identical doubles on any partitioning and in the oracle's
     ``list(vec ORDER BY vec_id)`` replay)."""
     seeded = train.withColumn(
         "cell0", _argmin_cell([(i, c) for i, (_, c) in enumerate(seeds)])
@@ -228,7 +231,7 @@ def _fit_centers(
         .agg(
             F.aggregate(
                 F.sort_array(F.collect_list(F.struct("vec_id", "v"))),
-                F.array_repeat(F.lit(0.0), _DIM),
+                F.array_repeat(F.lit(0.0), dim),
                 lambda acc, r: F.zip_with(acc, r["v"], lambda a, x: a + x),
             ).alias("vsum"),
             F.count(F.lit(1)).alias("cnt"),
@@ -481,6 +484,99 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8  # subspaces
+_PQ_SUBDIM = _DIM // _PQ_M
+_PQ_K = 16  # codes per subspace (the codebook is M*K*subdim doubles)
+_PQ_RERANK = 40  # candidates surviving the ADC pass into exact rerank
+
+
+def _pq_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks: slice every vector into M contiguous
+    subvectors and train each subspace independently with the SAME
+    deterministic Forgy + one-Lloyd recipe as ``build_ivf_index`` (seeds =
+    the _PQ_K lowest vec_ids' subvectors), so the DuckDB oracle replays
+    training per subspace via the shared ``ivf_assign_ctes``."""
+    vecs = _vecs(spark, sf_dir)
+    books: list[list[tuple[int, list[float]]]] = []
+    for m in range(_PQ_M):
+        sub = vecs.select(
+            "vec_id", F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v")
+        )
+        seeds = [
+            (int(r.vec_id), [float(x) for x in r.v])
+            for r in sub.filter(F.col("vec_id") < _PQ_K).collect()
+        ]
+        seeds.sort()
+        books.append(_fit_centers(sub, seeds, dim=_PQ_SUBDIM))
+    return books
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via PRODUCT QUANTIZATION (Jégou et al. 2011, the FAISS
+    ``IndexPQ`` shape): the 64-dim space splits into 8 subspaces of 8 dims,
+    each with its own 16-centroid codebook, so a vector compresses to 8
+    codes (8 bytes — a 64× smaller scan than the raw doubles) while the
+    codebook stays M·K·subdim = 1024 doubles of driver-side metadata.
+    Queries rank the corpus by asymmetric distance — exact query against
+    each vector's RECONSTRUCTION (its per-subspace centroids concatenated),
+    mathematically the per-subspace ADC lookup-table sum but expressed as
+    ONE 64-dim sequential fold so both engines add in the identical order —
+    then the top candidates rerank by exact cosine.
+
+    Scale shape: the ADC pass is a narrow codegen map over the code table
+    (no shuffle, codebooks broadcast as literals) + TakeOrderedAndProject;
+    the rerank touches only ``_PQ_RERANK`` rows. Training is deterministic,
+    so the oracle replays the whole pipeline — 8 per-subspace trainings
+    included — as a hash-checked compare; pytest pins recall against the
+    exact baseline."""
+    books = _pq_codebooks(spark, sf_dir)
+    vecs = _vecs(spark, sf_dir)
+    q_row = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select("v", "norm").head()
+    qv = F.array(*[F.lit(float(x)) for x in q_row.v])
+    qnorm = F.lit(float(q_row.norm))
+
+    coded = vecs.filter(F.col("vec_id") != _QUERY_VEC_ID).select(
+        "vec_id",
+        "label",
+        "v",
+        "norm",
+        *[
+            F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(f"s{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    for m in range(_PQ_M):
+        coded = coded.withColumn(f"code{m}", _argmin_cell(books[m], col=f"s{m}"))
+
+    def centroid_of(m: int) -> Column:
+        # cell ids need not be dense (an out-attracted seed cell can vanish
+        # in the Lloyd step), so the lookup is a when-chain on the actual
+        # ids, not positional element_at
+        expr = None
+        for ci, cv in books[m]:
+            arr = F.array(*[F.lit(x) for x in cv])
+            expr = (
+                F.when(F.col(f"code{m}") == ci, arr)
+                if expr is None
+                else expr.when(F.col(f"code{m}") == ci, arr)
+            )
+        return expr
+
+    recon = F.concat(*[centroid_of(m) for m in range(_PQ_M)])
+    scored = coded.withColumn("recon", recon).withColumn(
+        "aip", _dot(qv, F.col("recon")) / (_norm(F.col("recon")) * qnorm)
+    )
+    cand = scored.orderBy(F.desc("aip"), F.asc("vec_id")).limit(_PQ_RERANK)
+    return (
+        cand.withColumn("cosine_raw", _dot(qv, F.col("v")) / (F.col("norm") * qnorm))
+        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cosine_raw", 6).alias("cosine_pq"))
+    )
+
+
 _RANGE_THRESHOLD = 0.2  # cosine radius sized to the fixture's similarity mass
 
 
@@ -551,6 +647,7 @@ QUERIES = {
     "sim_sq8_topk": sim_sq8_topk,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_incremental": sim_ann_ivf_incremental,
+    "sim_pq_topk": sim_pq_topk,
 }
 
 
@@ -713,43 +810,48 @@ def _dist_sql(a: str, b: str) -> str:
     )
 
 
-def ivf_assign_ctes(nlist: int = _NLIST) -> str:
+def ivf_assign_ctes(
+    nlist: int = _NLIST, dim: int = _DIM, src: str = "n", suffix: str = ""
+) -> str:
     """CTE chain replaying ``build_ivf_index``'s deterministic training —
     Forgy seeds (lowest nlist vec_ids), argmin assignment with the
     fold-ordered squared distance and lower-cell tie-break, canonical
     vec_id-ordered centroid summation (list(... ORDER BY vec_id) ↔
     sort_array(collect_list)), final assignment — ending in
-    ``af(vec_id, cell)``. Expects ``_VECS_SQL``'s ``n`` CTE in scope.
-    Shared by the sim_ann_ivf oracle and dedup.dd_semantic's oracle so
-    the training replay can never drift between the two modules."""
-    zero_vec = "CAST([" + ", ".join(["0.0"] * _DIM) + "] AS DOUBLE[])"
+    ``af{suffix}(vec_id, cell)`` with centroids in ``cents{suffix}(cell,
+    cvec)``. Expects a ``{src}(vec_id, vec)`` CTE in scope (``_VECS_SQL``'s
+    ``n`` by default). Shared by the sim_ann_ivf oracle, dedup.dd_semantic's
+    oracle, and (suffixed per subspace) the sim_pq_topk oracle so the
+    training replay can never drift between modules."""
+    zero_vec = "CAST([" + ", ".join(["0.0"] * dim) + "] AS DOUBLE[])"
     dist = _dist_sql
-    return f"""seeds AS (
+    s = suffix
+    return f"""seeds{s} AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec
-            FROM n WHERE vec_id < {nlist}
-        ), a0 AS (
+            FROM {src} WHERE vec_id < {nlist}
+        ), a0{s} AS (
             SELECT vec_id, vec, cell FROM (
                 SELECT v.vec_id, v.vec, s.cell,
                        row_number() OVER (PARTITION BY v.vec_id
                            ORDER BY {dist("v.vec", "s.vec")} ASC, s.cell ASC) AS rn
-                FROM n v CROSS JOIN seeds s
+                FROM {src} v CROSS JOIN seeds{s} s
             ) WHERE rn = 1
-        ), sums AS (
+        ), sums{s} AS (
             SELECT cell,
                    list_reduce(list_prepend({zero_vec},
                        list(vec ORDER BY vec_id)),
-                       (acc, x) -> [acc[i] + x[i] for i in range(1, {_DIM} + 1)]
+                       (acc, x) -> [acc[i] + x[i] for i in range(1, {dim} + 1)]
                    ) AS vsum,
                    count(*) AS cnt
-            FROM a0 GROUP BY cell
-        ), cents AS (
-            SELECT cell, [s / cnt for s in vsum] AS cvec FROM sums
-        ), af AS (
+            FROM a0{s} GROUP BY cell
+        ), cents{s} AS (
+            SELECT cell, [x / cnt for x in vsum] AS cvec FROM sums{s}
+        ), af{s} AS (
             SELECT vec_id, cell FROM (
                 SELECT v.vec_id, c.cell,
                        row_number() OVER (PARTITION BY v.vec_id
                            ORDER BY {dist("v.vec", "c.cvec")} ASC, c.cell ASC) AS rn
-                FROM n v CROSS JOIN cents c
+                FROM {src} v CROSS JOIN cents{s} c
             ) WHERE rn = 1
         )"""
 
@@ -840,3 +942,60 @@ def _ivf_inc_oracle_sql() -> str:
 
 
 ORACLE["sim_ann_ivf_incremental"] = _ivf_inc_oracle_sql()
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB replay of sim_pq_topk INCLUDING all 8 per-subspace codebook
+    trainings (``ivf_assign_ctes`` suffixed per subspace over sliced
+    subvectors), reconstruction via the trained centroids, the asymmetric
+    64-dim fold ranking, and the exact rerank of the candidate set."""
+    sub_ctes = []
+    recon_joins = []
+    parts = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        sub_ctes.append(
+            f"sub{m} AS (SELECT vec_id, vec[{lo}:{hi}] AS vec FROM n)"
+        )
+        sub_ctes.append(
+            ivf_assign_ctes(_PQ_K, _PQ_SUBDIM, f"sub{m}", f"_m{m}")
+        )
+        recon_joins.append(
+            f"JOIN af_m{m} a{m} ON a{m}.vec_id = n.vec_id "
+            f"JOIN cents_m{m} c{m} ON c{m}.cell = a{m}.cell"
+        )
+        parts.append(f"c{m}.cvec")
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "[q.vec[i] * r.rv[i] for i in range(1, len(r.rv) + 1)]), "
+        "(s, x) -> s + x)"
+    )
+    rnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "[x * x for x in r.rv]), (s, x) -> s + x))"
+    )
+    exact = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [q.vec[i] * c.vec[i] for i in range(1, len(c.vec) + 1)]),
+              (s, x) -> s + x) / (c.norm * q.norm)"""
+    return f"""
+        WITH {_VECS_SQL}, {", ".join(sub_ctes)}, recon AS (
+            SELECT n.vec_id, n.label, n.vec, n.norm,
+                   flatten([{", ".join(parts)}]) AS rv
+            FROM n {" ".join(recon_joins)}
+            WHERE n.vec_id != {_QUERY_VEC_ID}
+        ), scored AS (
+            SELECT r.vec_id, r.label, r.vec, r.norm,
+                   {fold} / ({rnorm} * q.norm) AS aip
+            FROM recon r, (SELECT vec, norm FROM n
+                           WHERE vec_id = {_QUERY_VEC_ID}) q
+        ), cand AS (
+            SELECT * FROM scored ORDER BY aip DESC, vec_id ASC
+            LIMIT {_PQ_RERANK}
+        )
+        SELECT c.vec_id, c.label, round({exact}, 6) AS cosine_pq
+        FROM cand c, (SELECT vec, norm FROM n WHERE vec_id = {_QUERY_VEC_ID}) q
+        ORDER BY {exact} DESC, c.vec_id ASC LIMIT {_TOP_K}
+    """
+
+
+ORACLE["sim_pq_topk"] = _pq_oracle_sql()

@@ -476,3 +476,20 @@ def test_tx_vocab_build_hand_counted(spark, tmp_path):
     assert freqs["_b"] == 1 and freqs["bb"] == 1 and freqs["_bb"] == 1
     assert freqs["_"] == 3  # one marker per word occurrence
     assert "aaa b" not in freqs  # grams never cross the word boundary
+
+
+def test_pq_recall_vs_brute(spark, sf_dir):
+    """PQ at 8 bytes/vector is the lossiest quantizer here, but the
+    40-candidate exact rerank must still recover a solid share of the true
+    top-10, and every surviving score is EXACT cosine (reranked on the raw
+    vectors), so overlapping ids must carry identical scores to brute."""
+    brute = {
+        r.vec_id: r.cosine for r in similarity.sim_brute_topk(spark, sf_dir).collect()
+    }
+    pq = {
+        r.vec_id: r.cosine_pq for r in similarity.sim_pq_topk(spark, sf_dir).collect()
+    }
+    hits = pq.keys() & brute.keys()
+    assert len(hits) >= 4, sorted(pq)
+    for vid in hits:
+        assert pq[vid] == brute[vid]  # rerank is exact, not approximate
