@@ -85,6 +85,18 @@ HEADLINERS = [
     # co-supply graph at sf0.1) and the quintile-boundary RFM rollup
     "g_triangle_count",
     "a_rfm_segments",
+    # round-8 session-5: SemDeDup within-cluster pair mining (IVF index on
+    # disk is setup; the probe-side pair join + ledger is timed), the PQ
+    # ADC scan + exact rerank (codebooks memoized — train-once, serve
+    # many), the hub-filtered common-neighbor pair join, the distributed
+    # sweep-line concurrency curve, the vocabulary-weighted n-gram
+    # explosion, and the strictly-prior-frame attribution rollup
+    "dd_semantic",
+    "sim_pq_topk",
+    "g_common_neighbors",
+    "ev_peak_concurrency",
+    "tx_vocab_build",
+    "ev_attribution",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

@@ -490,6 +490,9 @@ _PQ_K = 16  # codes per subspace (the codebook is M*K*subdim doubles)
 _PQ_RERANK = 40  # candidates surviving the ADC pass into exact rerank
 
 
+_PQ_CACHE: dict[tuple[str, float], list[list[tuple[int, list[float]]]]] = {}
+
+
 def _pq_codebooks(
     spark: SparkSession, sf_dir: str
 ) -> list[list[tuple[int, list[float]]]]:
@@ -497,7 +500,15 @@ def _pq_codebooks(
     subvectors and train each subspace independently with the SAME
     deterministic Forgy + one-Lloyd recipe as ``build_ivf_index`` (seeds =
     the _PQ_K lowest vec_ids' subvectors), so the DuckDB oracle replays
-    training per subspace via the shared ``ivf_assign_ctes``."""
+    training per subspace via the shared ``ivf_assign_ctes``. Train-once:
+    memoized on (sf_dir, fixture mtime) like the IVF index — queries serve
+    from the frozen codebooks; a regenerated corpus re-fits."""
+    import os
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    key = (os.path.abspath(sf_dir), os.path.getmtime(emb) if os.path.exists(emb) else 0.0)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
     vecs = _vecs(spark, sf_dir)
     books: list[list[tuple[int, list[float]]]] = []
     for m in range(_PQ_M):
@@ -510,6 +521,10 @@ def _pq_codebooks(
         ]
         seeds.sort()
         books.append(_fit_centers(sub, seeds, dim=_PQ_SUBDIM))
+    # GC superseded fits (corpus drift re-keys on mtime, old books are dead)
+    for stale in [k for k in _PQ_CACHE if k[0] == key[0] and k != key]:
+        _PQ_CACHE.pop(stale)
+    _PQ_CACHE[key] = books
     return books
 
 
