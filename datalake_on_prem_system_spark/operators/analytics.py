@@ -676,6 +676,113 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing per event_type over the
+    daily mean-value series (α=0.2, β=0.1), forecasting 1 and 7 days out —
+    the classic capacity/targets forecaster, and like ``w_ema`` a RECURSIVE
+    smoother no SQL window expresses (state depends on prior OUTPUT).
+
+    Determinism: the daily input series is exact-integer derived
+    (mean = cents_sum / (100·n), one double division) and every recursion
+    step rounds level and trend to 6 decimals (the w_ema bit-stability
+    rule), so DuckDB's struct-accumulator ``list_reduce`` replays the fold
+    exactly. Init: level = first day's value, trend = 0.
+
+    Scale shape: the daily rollup partial-aggregates to |types|·|days|
+    rows; the fold runs per type over that vocabulary-bounded series —
+    per-key state is O(days), the same bound as any per-key sequence op."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.round(F.sum("c") / (100.0 * F.count(F.lit(1))), 6).alias("y")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("days"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("l"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc, e):
+        lvl = F.round(F.lit(0.2) * e["y"] + F.lit(0.8) * (acc["l"] + acc["b"]), 6)
+        trd = F.round(F.lit(0.1) * (lvl - acc["l"]) + F.lit(0.9) * acc["b"], 6)
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(e["y"].alias("l"), F.lit(0.0).alias("b")),
+        ).otherwise(F.struct(lvl.alias("l"), trd.alias("b")))
+
+    fitted = series.select(
+        "event_type", "n_days", F.aggregate("days", init, step).alias("st")
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_1d"),
+        F.round(F.col("st.l") + 7 * F.col("st.b"), 6).alias("forecast_7d"),
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), driver-computed once so
+# both engines consume the IDENTICAL double literals
+_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def a_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the standard
+    fabricated-data / fraud screen (accounting audits, synthetic-data QA):
+    per leading digit, observed share vs the Benford expectation and the
+    chi-square contribution.
+
+    Determinism: the leading digit comes from the INTEGER-cents string
+    (integer-to-string renders identically in both engines; double
+    formatting does not), expected probabilities are shared driver-computed
+    literals, and each digit's row is a self-contained expression (no
+    cross-digit float accumulation to order). The digit total is a window
+    over the 9-row digit frame — metadata-sized, like the
+    ev_peak_concurrency hour carry."""
+    orders = t(spark, sf_dir, "orders")
+    digits = (
+        orders.select(
+            F.substring(
+                F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("n_obs").over(w_all)
+    p_exp = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(d) for d in range(1, 10)]),
+            F.array(*[F.lit(_BENFORD_P[d]) for d in range(1, 10)]),
+        ),
+        F.col("digit"),
+    )
+    return digits.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / total, 6).alias("p_obs"),
+        F.round(p_exp, 6).alias("p_benford"),
+        F.round(
+            (F.col("n_obs") / total - p_exp)
+            * (F.col("n_obs") / total - p_exp)
+            * total
+            / p_exp,
+            6,
+        ).alias("chi2_term"),
+    )
+
+
 def a_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profiling pass (ANALYZE / data-quality summary): one row per
     column of ``orders`` with null count, exact distinct count, and typed
@@ -857,6 +964,8 @@ QUERIES = {
     "ev_attribution": ev_attribution,
     "ev_peak_concurrency": ev_peak_concurrency,
     "ev_anomaly_mad": ev_anomaly_mad,
+    "ts_holt_forecast": ts_holt_forecast,
+    "a_benford_digits": a_benford_digits,
     "w_ema": w_ema,
     "w_running_total": w_running_total,
     "w_lag_delta": w_lag_delta,
@@ -974,6 +1083,63 @@ ORACLE = {
                (SELECT count(*) FROM s1) AS step1_users,
                (SELECT count(*) FROM s2) AS step2_users,
                (SELECT count(*) FROM s3) AS step3_users
+    """,
+    # NOTE: deliberately a RECURSIVE CTE, not list_reduce — DuckDB 1.x's
+    # list_reduce with a STRUCT accumulator mis-evaluates multi-step folds
+    # (each step alone reproduces the Python/Spark value; chained steps
+    # drift), so the two-state recursion steps through explicit rows
+    "ts_holt_forecast": """
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   round(sum(CAST(floor(value * 100) AS BIGINT))
+                         / (100.0 * count(*)), 6) AS y
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily
+        ), nd AS (
+            SELECT event_type, count(*) AS n_days FROM d GROUP BY 1
+        ), r AS (
+            SELECT event_type, 1 AS k, y AS l, CAST(0.0 AS DOUBLE) AS b
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.event_type, r.k + 1,
+                   round(0.2 * d.y + 0.8 * (r.l + r.b), 6),
+                   round(0.1 * (round(0.2 * d.y + 0.8 * (r.l + r.b), 6) - r.l)
+                         + 0.9 * r.b, 6)
+            FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.k + 1
+        )
+        SELECT r.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+               r.l AS level, r.b AS trend,
+               round(r.l + r.b, 6) AS forecast_1d,
+               round(r.l + 7 * r.b, 6) AS forecast_7d
+        FROM r JOIN nd ON nd.event_type = r.event_type AND r.k = nd.n_days
+    """,
+    "a_benford_digits": f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders
+        ), counted AS (
+            SELECT digit, count(*) AS n_obs FROM digits
+            WHERE digit >= 1 GROUP BY digit
+        ), shared AS (
+            SELECT digit, n_obs,
+                   CAST(sum(n_obs) OVER () AS BIGINT) AS total,
+                   CASE digit
+                       {" ".join(f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10))}
+                   END AS p_exp
+            FROM counted
+        )
+        SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+               round(n_obs / CAST(total AS DOUBLE), 6) AS p_obs,
+               round(p_exp, 6) AS p_benford,
+               round((n_obs / CAST(total AS DOUBLE) - p_exp)
+                     * (n_obs / CAST(total AS DOUBLE) - p_exp)
+                     * total / p_exp, 6) AS chi2_term
+        FROM shared
     """,
     "ev_anomaly_mad": """
         WITH ev AS (

@@ -258,3 +258,66 @@ def test_ev_anomaly_mad_edges(spark, tmp_path):
     assert got["view"] == (10, 10.0, 1), got["view"]
     n, med, k = got["click"]
     assert (n, k) == (11, 1) and 9.8 <= med <= 10.2, got["click"]
+
+
+def test_ts_holt_forecast_edges(spark, tmp_path):
+    """Holt pins: a CONSTANT daily series fixes level at the constant with
+    zero trend (forecasts equal the constant); a steadily RISING series
+    learns a positive trend so the 7-day forecast exceeds the 1-day one."""
+    day = 24 * 60.0
+    events = []
+    eid = 0
+    for d in range(10):
+        # user 1 / 'view': constant 10.0 every day
+        events.append((eid, _ts(d * day), 1, "view", 10.0)); eid += 1
+        # user 2 / 'click': +1.0 per day
+        events.append((eid, _ts(d * day), 2, "click", 10.0 + d)); eid += 1
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ts_holt_forecast"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ts_holt_forecast", sdf, con.sql(oracles["ts_holt_forecast"]).df()
+    )
+    assert not msg, msg
+    got = {r["event_type"]: r for _, r in sdf.iterrows()}
+    v = got["view"]
+    assert (v["level"], v["trend"], v["forecast_1d"], v["forecast_7d"]) == (
+        10.0, 0.0, 10.0, 10.0,
+    )
+    c = got["click"]
+    assert c["trend"] > 0
+    assert c["forecast_7d"] > c["forecast_1d"] > c["level"]
+
+
+def test_a_benford_digits_hand_counted(spark, tmp_path):
+    """Benford audit pin on constructed totals: leading digits of the
+    integer-cents rendering, probabilities sum to 1, chi2 term is 0 when
+    a digit's observed share equals its Benford share exactly."""
+    # 30 orders with leading cent-digits: 1 x21, 9 x9 (cents: 1xx.., 9xx..)
+    orders = [
+        (i, 1, "O", 1.23 + i * 0.001, _ts(0), "1-URGENT") for i in range(21)
+    ] + [
+        (100 + i, 1, "O", 9.87, _ts(0), "1-URGENT") for i in range(9)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_benford_digits"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "a_benford_digits", sdf, con.sql(oracles["a_benford_digits"]).df()
+    )
+    assert not msg, msg
+    got = {int(r["digit"]): r for _, r in sdf.iterrows()}
+    assert set(got) == {1, 9}
+    assert got[1]["n_obs"] == 21 and got[9]["n_obs"] == 9
+    assert abs(got[1]["p_obs"] + got[9]["p_obs"] - 1.0) < 1e-9
+    assert got[1]["p_obs"] == 0.7 and got[9]["p_obs"] == 0.3
