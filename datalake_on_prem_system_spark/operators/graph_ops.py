@@ -290,6 +290,111 @@ _TRI_ORACLE = f"""
 """
 
 
+_LPA_ITERS = 3
+
+
+def label_propagation(edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) with a DETERMINISTIC update: labels start as node ids; each
+    round every node adopts the label most frequent among its neighbors,
+    ties to the SMALLEST label (the max-struct (count, -label) trick —
+    engine-identical, no hash ordering). A fixed iteration count keeps the
+    synchronous update replayable (convergence-driven LPA is run-order
+    dependent); real deployments run ~5 rounds — labels stabilize fast.
+
+    Scale shape: the textbook Pregel loop — per round one join of labels
+    to the (undirected, so doubled) edge list on the neighbor key and one
+    partial-aggregated (node, label) count; state is one row per node.
+    Lineage stays shallow at fixed iters (checkpoint every ~5 rounds
+    otherwise, as dd_components documents). Returns (node, label)."""
+    both = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    labels = both.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iters):
+        votes = (
+            both.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg")))[
+                "neg"
+            ].alias("label")
+        ).select("node", (-F.col("label")).alias("label"))
+    return labels
+
+
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes in the supplier co-supply graph (same ≥5-common-
+    orders edges as g_triangle_count) after 3 deterministic LPA rounds —
+    the supplier-cluster map (which vendors form tight co-supply blocs).
+    Output: one row per community (labeled by its smallest member id via
+    the tie rule) with member count, size-desc."""
+    li = t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    edges = persist_bounded(
+        os_.join(os_.select("ok", F.col("sk").alias("sk2")), "ok")
+        .filter(F.col("sk") < F.col("sk2"))
+        .groupBy(F.col("sk").alias("u"), F.col("sk2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_W)
+        .select("u", "v"),
+        f"g_lpa_edges:{sf_dir}",
+    )
+    return (
+        label_propagation(edges)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+    )
+
+
+_LPA_ORACLE_STEP = """
+    SELECT node, label FROM (
+        SELECT v.node, v.label,
+               row_number() OVER (PARTITION BY v.node
+                                  ORDER BY v.cnt DESC, v.label ASC) AS rn
+        FROM (
+            SELECT e.dst AS node, l.label, count(*) AS cnt
+            FROM bi e JOIN {prev} l ON l.node = e.src
+            GROUP BY 1, 2
+        ) v
+    ) WHERE rn = 1
+"""
+
+
+def _lpa_oracle_sql() -> str:
+    steps = ", ".join(
+        f"l{k} AS ({_LPA_ORACLE_STEP.format(prev=('l0' if k == 1 else f'l{k - 1}'))})"
+        for k in range(1, _LPA_ITERS + 1)
+    )
+    return f"""
+        WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                    FROM lineitem),
+        edges AS (
+            SELECT a.sk AS u, b.sk AS v
+            FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+            GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_W}
+        ),
+        bi AS (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM bi),
+        {steps}
+        SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+        FROM l{_LPA_ITERS} GROUP BY label
+        ORDER BY n_members DESC, community ASC
+    """
+
+
 _CN_HUB_CAP = 25  # parts bought by more customers than this are hubs
 _CN_TOP_K = 50
 
@@ -401,10 +506,12 @@ QUERIES = {
     "g_pagerank": g_pagerank,
     "g_triangle_count": g_triangle_count,
     "g_common_neighbors": g_common_neighbors,
+    "g_label_propagation": g_label_propagation,
 }
 
 ORACLE = {
     "g_pagerank": _pagerank_oracle_sql(),
     "g_triangle_count": _TRI_ORACLE,
     "g_common_neighbors": _CN_ORACLE,
+    "g_label_propagation": _lpa_oracle_sql(),
 }

@@ -151,3 +151,21 @@ def test_common_neighbor_pairs_hand_countable(spark):
         (1, 3): (1, 1.0 / 3.0),    # share {11}: 1 / (2+2-1)
         (2, 3): (1, 1.0 / 3.0),
     }, rows
+
+
+def test_label_propagation_two_cliques(spark):
+    """LPA pin: two triangles joined by one bridge edge must resolve into
+    two communities labeled by each clique's smallest member (bridge nodes
+    keep their side — one neighbor across vs two within)."""
+    from datalake_on_prem_system_spark.operators.graph_ops import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "u bigint, v bigint",
+    )
+    labels = {r.node: r.label for r in label_propagation(edges).collect()}
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[4] == labels[5] == labels[6]
+    assert labels[4] != labels[1]
