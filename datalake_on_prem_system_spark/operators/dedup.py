@@ -851,6 +851,9 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMANTIC_TAU = 0.4  # fixture-calibrated (random-ish embeddings peak ~0.51);
 # real text embeddings run this at ~0.95+ — the knob, not the algorithm
+_SEMANTIC_NLIST = 64  # more clusters than the ANN index (16): SemDeDup's
+# cost is Σ C(|cell|,2), so nlist is the pair-work/parallelism lever —
+# the paper runs 11k clusters at 1.3e9 embeddings for the same reason
 
 
 def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,7 +879,7 @@ def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical even AT the boundary."""
     from .similarity import _dot, build_ivf_index
 
-    path, _centers = build_ivf_index(spark, sf_dir)
+    path, _centers = build_ivf_index(spark, sf_dir, nlist=_SEMANTIC_NLIST)
     assigned = spark.read.parquet(path)
     a = assigned.select(
         "cell",
@@ -926,7 +929,7 @@ def _semantic_oracle_sql() -> str:
               [a.vec[i] * b.vec[i] for i in range(1, len(a.vec) + 1)]),
               (s, x) -> s + x) / (a.norm * b.norm)"""
     return f"""
-        WITH {_VECS_SQL}, {ivf_assign_ctes()}, m AS (
+        WITH {_VECS_SQL}, {ivf_assign_ctes(_SEMANTIC_NLIST)}, m AS (
             SELECT n.vec_id, n.vec, n.norm, af.cell
             FROM n JOIN af USING (vec_id)
         ), dup AS (

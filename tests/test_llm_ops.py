@@ -420,24 +420,28 @@ def test_dd_semantic_collapses_injected_cluster(spark, tmp_path):
     all be kept wherever they cluster."""
     import pyspark.sql.functions as F
 
-    def e(i, eps_dim=None):
+    def e(i, eps_dim=None, sign=1.0):
         v = [0.0] * 64
-        v[i] = 1.0
+        v[i] = sign
         if eps_dim is not None:
             v[eps_dim] = 0.01
         return v
 
-    rows = [(i, e(i), "base") for i in range(16)]
-    # ids 16..19: near-duplicates of id 3 (perturbed on distinct high dims)
-    rows += [(16 + k, e(3, eps_dim=40 + k), "dup") for k in range(4)]
-    # ids 20..23: orthogonal singletons — no near-dup anywhere
-    rows += [(20 + k, e(24 + k), "solo") for k in range(4)]
+    # ids 0..63: the full one-hot basis (every Forgy seed slot filled —
+    # _SEMANTIC_NLIST is 64, so fewer rows would make every vector its
+    # own singleton cluster and the dedup vacuous)
+    rows = [(i, e(i), "base") for i in range(64)]
+    # ids 64..67: near-duplicates of id 3 (perturbed on distinct dims)
+    rows += [(64 + k, e(3, eps_dim=40 + k), "dup") for k in range(4)]
+    # ids 68..71: negated basis vectors — cosine <= 0 to everything, so
+    # never near-dups wherever they cluster
+    rows += [(68 + k, e(20 + k, sign=-1.0), "solo") for k in range(4)]
     spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>, label string"
     ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
 
     out = dedup.dd_semantic(spark, str(tmp_path)).collect()
-    assert sum(r.n_vecs for r in out) == 24
+    assert sum(r.n_vecs for r in out) == 72
     assert sum(r.n_removed for r in out) == 4  # exactly the four copies
     # the cluster holding vec 3 kept exactly one representative
     dup_cells = [r for r in out if r.n_removed > 0]
