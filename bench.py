@@ -97,6 +97,9 @@ HEADLINERS = [
     "ev_peak_concurrency",
     "tx_vocab_build",
     "ev_attribution",
+    # 3-round Pregel label propagation over the co-supply graph (join +
+    # partial-agg vote per round — the iterative-join shape at bench scale)
+    "g_label_propagation",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —
