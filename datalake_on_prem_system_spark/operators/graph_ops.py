@@ -399,7 +399,9 @@ _CN_HUB_CAP = 25  # parts bought by more customers than this are hubs
 _CN_TOP_K = 50
 
 
-def common_neighbor_pairs(edges: DataFrame, hub_cap: int) -> DataFrame:
+def common_neighbor_pairs(
+    edges: DataFrame, hub_cap: int, cache_key: str | None = None
+) -> DataFrame:
     """Common-neighbor / Jaccard link prediction over a bipartite edge list
     ``(c, p)``: for every pair of left-nodes sharing at least one right-node,
     the shared count and Jaccard overlap of their neighborhoods.
@@ -414,10 +416,17 @@ def common_neighbor_pairs(edges: DataFrame, hub_cap: int) -> DataFrame:
     partial-aggregated; Jaccard divides two exact integers (engine-
     identical doubles). Degrees are counted over the SAME filtered edge
     universe the pairs come from, so jaccard <= 1 holds by construction."""
+    # NO broadcast hints here on purpose: pdeg/cdeg are DIMENSION-sized
+    # (parts, customers) — tiny at fixture scale, where AQE picks broadcast
+    # on its own, but billions of rows at 100 TB, where a baked-in hint
+    # would OOM the driver; the shuffle equi-join is the correct fallback
+    # and every join key here is already the aggregation key (co-partition)
     pdeg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("pd"))
-    kept = edges.join(
-        F.broadcast(pdeg.filter(F.col("pd") <= hub_cap).select("p")), "p"
-    )
+    kept = edges.join(pdeg.filter(F.col("pd") <= hub_cap).select("p"), "p")
+    if cache_key is not None:
+        # three consumers (degree rollup + both pair-join legs) — persist
+        # through the bounded registry so the edge build runs once
+        kept = persist_bounded(kept, cache_key)
     cdeg = kept.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
     pairs = (
         kept.select(F.col("p"), F.col("c").alias("c1"))
@@ -428,12 +437,10 @@ def common_neighbor_pairs(edges: DataFrame, hub_cap: int) -> DataFrame:
     )
     return (
         pairs.join(
-            F.broadcast(cdeg.select(F.col("c").alias("c1"), F.col("deg").alias("deg1"))),
-            "c1",
+            cdeg.select(F.col("c").alias("c1"), F.col("deg").alias("deg1")), "c1"
         )
         .join(
-            F.broadcast(cdeg.select(F.col("c").alias("c2"), F.col("deg").alias("deg2"))),
-            "c2",
+            cdeg.select(F.col("c").alias("c2"), F.col("deg").alias("deg2")), "c2"
         )
         .select(
             "c1",
@@ -463,7 +470,7 @@ def g_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        common_neighbor_pairs(edges, _CN_HUB_CAP)
+        common_neighbor_pairs(edges, _CN_HUB_CAP, cache_key=f"g_cn_kept:{sf_dir}")
         .select(
             F.col("c1").alias("custkey_a"),
             F.col("c2").alias("custkey_b"),
