@@ -630,6 +630,27 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mad_baseline(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared robust baseline for the batch and streaming anomaly tiers:
+    returns (dev, mad) where ``dev`` carries every event's integer dev2
+    against its type's med2 and ``mad`` the per-type mad4 — both in the
+    all-integer framing ``ev_anomaly_mad`` documents, so the two tiers
+    can never disagree on a threshold."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    med = ev.groupBy("event_type").agg(
+        (F.percentile("c", 0.5) * 2).cast("long").alias("med2")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("c") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        (F.percentile("dev2", 0.5) * 2).cast("long").alias("mad4")
+    )
+    return dev, mad
+
+
 def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type anomaly detection: flag events whose value deviates
     from the type median by more than 3 robust standard deviations
@@ -650,18 +671,7 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins back (per-type constants). Exact percentile sorts
     per type; at 100 TB swap in approx_percentile (the a_approx_quantiles
     sketch contract) — the integer framing survives unchanged."""
-    ev = t(spark, sf_dir, "events").select(
-        "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
-    )
-    med = ev.groupBy("event_type").agg(
-        (F.percentile("c", 0.5) * 2).cast("long").alias("med2")
-    )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "dev2", F.abs(2 * F.col("c") - F.col("med2"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        (F.percentile("dev2", 0.5) * 2).cast("long").alias("mad4")
-    )
+    dev, mad = mad_baseline(spark, sf_dir)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")

@@ -472,7 +472,46 @@ def st_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LakeTable(spark, _SCD2_STREAM_CACHE[sf_dir]).read()
 
 
+def st_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly scoring against a BATCH-TRAINED robust baseline:
+    the per-type med2/mad4 thresholds come from ``analytics.mad_baseline``
+    (the exact frames ``ev_anomaly_mad`` aggregates, so the tiers share
+    one contract), broadcast to the live event stream; each micro-batch
+    flags events via the same all-integer 20000·dev2 > 44478·mad4 test —
+    the streaming control chart every telemetry pipeline runs, with
+    training offline and scoring online.
+
+    Scale shape: the baseline is a vocabulary-sized broadcast (one row
+    per event type — bounded at ANY corpus size, unlike a dimension
+    table); the stream never shuffles for the join, only for the per-type
+    rollup. Oracle: the identical batch SQL over the same corpus."""
+    from .analytics import mad_baseline
+
+    _dev, mad = mad_baseline(spark, sf_dir)
+    med = (
+        t(spark, sf_dir, "events")
+        .select("event_type", F.floor(F.col("value") * 100).cast("long").alias("c"))
+        .groupBy("event_type")
+        .agg((F.percentile("c", 0.5) * 2).cast("long").alias("med2"))
+    )
+    baseline = med.join(mad, "event_type")
+    stream = _events_stream(spark, _events_json_dir(spark, sf_dir)).withColumn(
+        "c", F.floor(F.col("value") * 100).cast("long")
+    )
+    scored = stream.join(F.broadcast(baseline), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("c") - F.col("med2"))
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (20000 * F.col("dev2") > 44478 * F.col("mad4")).cast("long")
+        ).alias("n_outliers"),
+    )
+    return _run_to_memory(agg, "sam", "complete")
+
+
 QUERIES = {
+    "st_anomaly_stream": st_anomaly_stream,
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_scd2_stream": st_scd2_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
@@ -566,6 +605,26 @@ ORACLE = {
 from .analytics import ORACLE as _ANALYTICS_ORACLE  # noqa: E402
 
 ORACLE["st_funnel_stream"] = _ANALYTICS_ORACLE["ev_funnel"]
+ORACLE["st_anomaly_stream"] = """
+    WITH ev AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events
+    ), med AS (
+        SELECT event_type, CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med2
+        FROM ev GROUP BY event_type
+    ), dev AS (
+        SELECT ev.event_type, abs(2 * c - med2) AS dev2
+        FROM ev JOIN med USING (event_type)
+    ), mad AS (
+        SELECT event_type, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN 20000 * dev2 > 44478 * mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+"""
 ORACLE["st_ema_stream"] = _ANALYTICS_ORACLE["w_ema"]
 
 # the streamed SCD2 dimension must equal the batch-maintained one — one
