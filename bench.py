@@ -348,27 +348,24 @@ def main() -> None:
             print(f"# scaling {name}: {entry}", file=sys.stderr)
 
     # value_r6_set: the sum over the round-6 22-query headliner set, so the
-    # headline stays comparable round-over-round as new entries join
-    # (lh_mor_read_amp is new in r7); "value" covers every current headliner
-    r7_new = {
-        "lh_mor_read_amp",
-        "lh_stats_skipping",
-        "lh_zorder_skipping",
-        "lh_bloom_skipping",
-        "dd_minhash_incremental",
-        "search_bm25",
-        # round-8 additions (excluded from value_r6_set for the same
-        # round-over-round comparability)
-        "lh_scd2_history",
-        "tx_chunk_overlap",
-        "cur_fuzzy_blocked_join",
-        "g_triangle_count",
-        "a_rfm_segments",
+    # headline stays comparable round-over-round as new entries join.
+    # An INCLUDE-list on purpose: the previous exclude-list silently
+    # inflated the subtotal every time a round added headliners it didn't
+    # know about. "value" covers every current headliner.
+    r6_set = {
+        "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
+        "q6_forecast_revenue", "q_order_lineitem_join_agg",
+        "w1_latest_per_key", "a_date_window", "search_phrase_ranked",
+        "tx_term_freq", "dd_minhash_lsh", "dd_ngram_jaccard",
+        "sim_brute_topk", "sim_knn_join", "k5_cdc_merge_batch",
+        "st_cdc_merge_stream", "lh_merge_upsert", "a_skew_salted",
+        "w_sessionize", "pl_curation", "j_asof_join", "j_range_join",
+        "lh_incremental_rollup",
     }
     out = {
         "metric": "headline_total",
         "value": round(total, 3),
-        "value_r6_set": round(sum(v for k, v in times.items() if k not in r7_new), 3),
+        "value_r6_set": round(sum(v for k, v in times.items() if k in r6_set), 3),
         "unit": "sec",
         "queries": times,
         "cdc_rows_per_sec": cdc_rps,
