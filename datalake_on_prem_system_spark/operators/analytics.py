@@ -793,6 +793,92 @@ def a_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_discount", "l_extendedprice"),
+    ("l_tax", "l_discount"),
+]
+
+
+def a_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric columns — the
+    feature-screening pass every modeling pipeline runs before training.
+
+    Exactness contract: ``F.corr`` (and any running-moment formula over
+    doubles) is summation-order-dependent and can never hash-match a
+    second engine. Here every column quantizes to integer hundredths, all
+    five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    EXACT decimal(38,0) ↔ HUGEINT (order-independent), the covariance /
+    variance numerators n·Σxy − Σx·Σy stay exact, and only the final
+    ratio converts to double (one exactly-rounded conversion per term,
+    then /, sqrt — identical IEEE ops in both engines).
+
+    Scale shape: ONE scan, one partial-aggregated reduce to a single row
+    of statistics (the textbook single-pass correlation); the per-pair
+    flip is an explode of that one driver-sized row."""
+    c = {
+        col: F.floor(F.col(col) * 100).cast("decimal(38,0)")
+        for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    }
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for x, y in _CORR_PAIRS:
+        k = f"{x}__{y}"
+        aggs += [
+            F.sum(c[x]).alias(f"sx_{k}"),
+            F.sum(c[y]).alias(f"sy_{k}"),
+            F.sum(c[x] * c[y]).alias(f"sxy_{k}"),
+            F.sum(c[x] * c[x]).alias(f"sxx_{k}"),
+            F.sum(c[y] * c[y]).alias(f"syy_{k}"),
+        ]
+    stats = t(spark, sf_dir, "lineitem").agg(*aggs)
+    rows = []
+    for x, y in _CORR_PAIRS:
+        k = f"{x}__{y}"
+        num = (F.col("n") * F.col(f"sxy_{k}") - F.col(f"sx_{k}") * F.col(f"sy_{k}")).cast(
+            "double"
+        )
+        vx = (F.col("n") * F.col(f"sxx_{k}") - F.col(f"sx_{k}") * F.col(f"sx_{k}")).cast(
+            "double"
+        )
+        vy = (F.col("n") * F.col(f"syy_{k}") - F.col(f"sy_{k}") * F.col(f"sy_{k}")).cast(
+            "double"
+        )
+        rows.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr"),
+            )
+        )
+    return stats.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col_x", "r.col_y", "r.corr"
+    )
+
+
+def _corr_oracle_sql() -> str:
+    pair_sql = []
+    for x, y in _CORR_PAIRS:
+        pair_sql.append(f"""
+        SELECT '{x}' AS col_x, '{y}' AS col_y,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+        FROM (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(floor({x} * 100) AS HUGEINT)) AS sx,
+                   sum(CAST(floor({y} * 100) AS HUGEINT)) AS sy,
+                   sum(CAST(floor({x} * 100) AS HUGEINT)
+                       * CAST(floor({y} * 100) AS HUGEINT)) AS sxy,
+                   sum(CAST(floor({x} * 100) AS HUGEINT)
+                       * CAST(floor({x} * 100) AS HUGEINT)) AS sxx,
+                   sum(CAST(floor({y} * 100) AS HUGEINT)
+                       * CAST(floor({y} * 100) AS HUGEINT)) AS syy
+            FROM lineitem
+        )""")
+    return " UNION ALL ".join(pair_sql)
+
+
 def a_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profiling pass (ANALYZE / data-quality summary): one row per
     column of ``orders`` with null count, exact distinct count, and typed
@@ -976,6 +1062,7 @@ QUERIES = {
     "ev_anomaly_mad": ev_anomaly_mad,
     "ts_holt_forecast": ts_holt_forecast,
     "a_benford_digits": a_benford_digits,
+    "a_correlation": a_correlation,
     "w_ema": w_ema,
     "w_running_total": w_running_total,
     "w_lag_delta": w_lag_delta,
@@ -1094,6 +1181,7 @@ ORACLE = {
                (SELECT count(*) FROM s2) AS step2_users,
                (SELECT count(*) FROM s3) AS step3_users
     """,
+    "a_correlation": _corr_oracle_sql(),
     # NOTE: deliberately a RECURSIVE CTE, not list_reduce — DuckDB 1.x's
     # list_reduce with a STRUCT accumulator mis-evaluates multi-step folds
     # (each step alone reproduces the Python/Spark value; chained steps

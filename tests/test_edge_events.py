@@ -321,3 +321,35 @@ def test_a_benford_digits_hand_counted(spark, tmp_path):
     assert got[1]["n_obs"] == 21 and got[9]["n_obs"] == 9
     assert abs(got[1]["p_obs"] + got[9]["p_obs"] - 1.0) < 1e-9
     assert got[1]["p_obs"] == 0.7 and got[9]["p_obs"] == 0.3
+
+
+def test_a_correlation_known_relationships(spark, tmp_path):
+    """Correlation pins on constructed columns: an exact linear relation
+    gives corr 1.0, an exact negative relation -1.0, and the integer
+    framing reproduces a hand-computed mid-strength value."""
+    rows = []
+    for i in range(1, 21):
+        q = float(i)                      # l_quantity: 1..20
+        price = 2.0 * i                   # perfectly linear with quantity
+        disc = (21 - i) / 100.0           # perfectly anti-linear
+        tax = 0.05 if i % 2 == 0 else 0.0  # alternating — near-zero corr
+        rows.append((i, q, price, disc, tax))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_correlation"](spark, str(tmp_path)).toPandas()
+    msg = compare("a_correlation", sdf, con.sql(oracles["a_correlation"]).df())
+    assert not msg, msg
+    got = {(r["col_x"], r["col_y"]): r["corr"] for _, r in sdf.iterrows()}
+    assert got[("l_quantity", "l_extendedprice")] == 1.0
+    assert got[("l_quantity", "l_discount")] == -1.0
+    assert abs(got[("l_tax", "l_discount")]) < 0.2
