@@ -82,3 +82,29 @@ def test_eviction_pressure_never_kills_newest_same_plan_cache(spark, sf_dir):
     plan = capture_plan(dedup.QUERIES["dd_ngram_jaccard"](spark, sf_dir))
     assert "InMemoryTableScan" in plan, "eviction killed the fresh cache entry"
     _cache.release_all()
+
+
+def test_pq_refit_removes_superseded_code_table(spark, sf_dir, tmp_path):
+    """Same contract for the PQ index as the IVF one: corpus drift (new
+    mtime) re-trains the codebooks AND removes the superseded code-table
+    tempdir instead of orphaning it until process exit."""
+    import os
+    import shutil
+
+    from datalake_on_prem_system_spark.operators import similarity as sim
+
+    work = tmp_path / "sf_copy_pq"
+    work.mkdir()
+    shutil.copy2(os.path.join(sf_dir, "embeddings.parquet"), work / "embeddings.parquet")
+
+    path1, books1 = sim.build_pq_index(spark, str(work))
+    dir1 = os.path.dirname(path1)
+    assert os.path.isdir(dir1)
+    assert len(books1) == sim._PQ_M
+
+    emb = work / "embeddings.parquet"
+    os.utime(emb, (os.path.getmtime(emb) + 10, os.path.getmtime(emb) + 10))
+    path2, _books2 = sim.build_pq_index(spark, str(work))
+    assert path2 != path1
+    assert not os.path.exists(dir1), "superseded code table must be GC'd"
+    assert os.path.isdir(os.path.dirname(path2))
