@@ -593,13 +593,18 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("ts_us") + 1).alias("end_us"),
         )
     )
+    # one ±1 delta pair per session via explode — NOT a unionAll of two
+    # selects over `sessions`, which would recompute the sessionization
+    # window twice (Catalyst shares nothing across union branches)
     deltas = sessions.select(
-        F.col("start_us").alias("ts_us"), F.lit(1).alias("delta"), "user_id"
-    ).unionAll(
-        sessions.select(
-            F.col("end_us").alias("ts_us"), F.lit(-1).alias("delta"), "user_id"
-        )
-    )
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("start_us").alias("ts_us"), F.lit(1).alias("delta")),
+                F.struct(F.col("end_us").alias("ts_us"), F.lit(-1).alias("delta")),
+            )
+        ).alias("d"),
+    ).select(F.col("d.ts_us").alias("ts_us"), F.col("d.delta").alias("delta"), "user_id")
     hour_us = 3_600 * 1_000_000
     deltas = deltas.withColumn("hr_us", (F.col("ts_us") - F.col("ts_us") % hour_us))
     w_local = (

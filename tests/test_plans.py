@@ -308,3 +308,46 @@ def test_point_read_prunes_to_one_bucket(spark, tmp_path):
     fb = {f.split("__bucket=")[1].split("/")[0] for f in full.inputFiles() if "__bucket=" in f}
     assert len(fb) == 8
     assert [(r.id, r.s) for r in full.collect()] == [(9, "v9")]
+
+
+def test_pq_serve_path_scans_code_table(spark, sf_dir):
+    """sim_pq_topk's whole point: the ADC ranking pass reads the persisted
+    8-byte code table (a pq_idx_* parquet scan), raw vectors appear only in
+    the candidate rerank (broadcast join of the 40 survivors back to the
+    primary table), and the top-k plans as TakeOrderedAndProject — never a
+    global sort."""
+    from datalake_on_prem_system_spark.operators.similarity import sim_pq_topk
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    plan = capture_plan(sim_pq_topk(spark, sf_dir))
+    assert "pq_idx_" in plan, "ADC pass must read the persisted code table"
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort (" not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_semantic_dedup_reads_cell_partitioned_index(spark, sf_dir):
+    """dd_semantic must serve from the persisted cell-partitioned IVF
+    assignments (ivf_idx_* scan with `cell` as a partition column), never
+    re-deriving cluster assignments at query time, and the within-cell
+    pair join must be an equi-join (no cartesian/nested-loop — also
+    enforced globally)."""
+    from datalake_on_prem_system_spark.operators.dedup import dd_semantic
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    plan = capture_plan(dd_semantic(spark, sf_dir))
+    assert "ivf_idx_" in plan, "must read the persisted index"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_peak_concurrency_single_sessionize_pass(spark, sf_dir):
+    """The ±1 deltas come from ONE explode over the session frame — a
+    unionAll formulation would recompute the sessionization (and rescan
+    events) once per branch. Exactly one events scan in the plan."""
+    from datalake_on_prem_system_spark.operators.analytics import (
+        ev_peak_concurrency,
+    )
+    from datalake_on_prem_system_spark.plans import capture_plan
+
+    plan = capture_plan(ev_peak_concurrency(spark, sf_dir))
+    assert plan.count("events.parquet") == 1, plan.count("events.parquet")
