@@ -189,14 +189,65 @@ def pl_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHUF_SHARDS = 8
+
+
+def pl_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the step between curation and
+    training: every document gets a pseudo-random 60-bit key (engine-
+    portable md5, the dd_simhash convention), lands in one of N shards by
+    key mod N, and receives its dense within-shard position — exactly the
+    (shard, position) layout a training data loader consumes. Seeded by
+    the key prefix, so re-runs reproduce the same shuffle order bit-for-bit
+    (reproducible training), while the md5 avalanche decorrelates position
+    from doc_id (no residual corpus order leaks into batch composition).
+
+    Scale shape: the key is a narrow map; the per-shard position is a
+    window partitioned by shard — at 100 TB the shard count scales with
+    the corpus (1024+ shards each sized for one loader worker), so each
+    window partition is one shard's worth, the same bound the training
+    loader itself needs to hold."""
+    docs = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = docs.select("doc_id", h.alias("h"))
+    w = Window.partitionBy(F.pmod(F.col("h"), F.lit(_SHUF_SHARDS))).orderBy(
+        "h", "doc_id"
+    )
+    return keyed.select(
+        "doc_id",
+        F.pmod(F.col("h"), F.lit(_SHUF_SHARDS)).cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 QUERIES = {
     "pl_curation": pl_curation,
     "pl_incremental_ingest": pl_incremental_ingest,
     "pl_dedup_canonical": pl_dedup_canonical,
     "pl_sequence_pack": pl_sequence_pack,
+    "pl_corpus_shuffle": pl_corpus_shuffle,
 }
 
 ORACLE = {
+    "pl_corpus_shuffle": f"""
+        WITH k AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)),
+                                       1, 15) AS BIGINT) AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(h % {_SHUF_SHARDS} AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY h % {_SHUF_SHARDS}
+                                       ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM k
+    """,
     "pl_incremental_ingest": """
         WITH batch AS (
             SELECT * FROM documents WHERE doc_id % 10 >= 8

@@ -497,3 +497,30 @@ def test_pq_recall_vs_brute(spark, sf_dir):
     assert len(hits) >= 4, sorted(pq)
     for vid in hits:
         assert pq[vid] == brute[vid]  # rerank is exact, not approximate
+
+
+def test_pl_corpus_shuffle_properties(spark, sf_dir):
+    """Shuffle contract: a permutation (every doc exactly once), dense
+    1..|shard| positions per shard, reproducible across invocations, and
+    actually decorrelated from corpus order (doc_id-sorted vs
+    position-sorted agree on < 5% of slots)."""
+    from datalake_on_prem_system_spark.operators import pipeline_ops as pl
+
+    rows = pl.pl_corpus_shuffle(spark, sf_dir).collect()
+    n_docs = dedup.t(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # reproducible
+    again = {(r.doc_id): (r.shard, r.pos) for r in pl.pl_corpus_shuffle(spark, sf_dir).collect()}
+    assert all(again[r.doc_id] == (r.shard, r.pos) for r in rows)
+    # decorrelated from ingest order: within shard 0, the permutation of
+    # doc_ids by position should NOT be sorted
+    s0 = sorted((r.pos, r.doc_id) for r in rows if r.shard == 0)
+    ids = [d for _, d in s0]
+    agree = sum(1 for a, b in zip(ids, sorted(ids)) if a == b)
+    assert agree < max(3, len(ids) // 20), (agree, len(ids))
