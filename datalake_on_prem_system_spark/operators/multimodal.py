@@ -182,7 +182,51 @@ def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_TARGET_BYTES = 8 * 1024  # fixture-sized; production uses ~1 GB tars
+
+
+def mm_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard planning: assign every payload to a size-bounded
+    shard (streaming packer: an asset lands in shard
+    floor(prev_cumulative_bytes / target), so shards fill to the target and
+    overflow by at most one asset) per format, and emit the shard manifest
+    (asset count, byte size, doc-id range) a tar-writer consumes.
+
+    Scale shape: one per-format cumulative-sum window (integer bytes —
+    exact in both engines) + a partial-aggregated rollup. At 100 TB the
+    window partitions by (format, ingest-bucket) so no single format
+    serializes — the same per-shard bound the downstream tar writer needs
+    anyway. Payload bytes themselves are never moved: the plan runs on
+    octet_length only (column pruning keeps the binary column out of the
+    scan)."""
+    from pyspark.sql import Window
+
+    m = _manifest(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("media.format").alias("format"),
+        F.octet_length("payload").alias("sz"),
+    )
+    w = (
+        Window.partitionBy("format")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = m.withColumn(
+        "shard",
+        F.floor(
+            F.coalesce(F.sum("sz").over(w), F.lit(0)) / F.lit(_SHARD_TARGET_BYTES)
+        ).cast("long"),
+    )
+    return planned.groupBy("format", "shard").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("sz").cast("long").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 QUERIES = {
+    "mm_shard_plan": mm_shard_plan,
     "mm_manifest_stats": mm_manifest_stats,
     "mm_content_dedup": mm_content_dedup,
     "mm_decode_features": mm_decode_features,
@@ -190,6 +234,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "mm_shard_plan": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   ['png', 'jpeg', 'wav'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+                   octet_length(encode(text)) AS sz
+            FROM documents
+        ), planned AS (
+            SELECT format, doc_id, sz,
+                   CAST(floor(coalesce(sum(sz) OVER (PARTITION BY format
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) / {_SHARD_TARGET_BYTES}) AS BIGINT) AS shard
+            FROM m
+        )
+        SELECT format, shard,
+               CAST(count(*) AS BIGINT) AS n_assets,
+               CAST(sum(sz) AS BIGINT) AS shard_bytes,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM planned GROUP BY format, shard
+    """,
     "mm_content_dedup": """
         WITH redirected AS (
             SELECT d.doc_id, s.text

