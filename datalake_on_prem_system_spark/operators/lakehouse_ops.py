@@ -700,6 +700,36 @@ def lh_append_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def lh_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE + schema evolution (Delta's ``mergeSchema`` on MERGE INTO): a
+    CDC change batch arrives carrying a NEW column — updated/inserted rows
+    take its values, untouched rows read NULL, and the table schema widens
+    without rewriting untouched data. The first schema change every
+    long-lived CDC pipeline hits (upstream added a field)."""
+    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_mevo_"))
+    nations = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    table.create_or_replace(nations)
+    # the change batch: update regionkey-0 nations with a new `trade_zone`
+    # column and insert one brand-new nation carrying it
+    changes = (
+        nations.filter(F.col("n_regionkey") == 0)
+        .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_v2")))
+        .withColumn("trade_zone", F.lit("zone_a"))
+        .unionByName(
+            spark.createDataFrame(
+                [(990, "NEWLAND", 0, "zone_b")],
+                "n_nationkey int, n_name string, n_regionkey int, trade_zone string",
+            ).withColumn("n_nationkey", F.col("n_nationkey").cast("long"))
+        )
+    )
+    # fixture nation keys are int or long depending on generation; align
+    changes = changes.withColumn(
+        "n_nationkey", F.col("n_nationkey").cast(dict(nations.dtypes)["n_nationkey"])
+    )
+    table.merge(changes, pk="n_nationkey")
+    return table.read()
+
+
 def lh_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1+D2: SHOW TABLES + DESCRIBE through the catalog facade."""
     cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_cat_"), namespace="trino_db")
@@ -931,6 +961,7 @@ QUERIES = {
     "lh_snapshot_diff": lh_snapshot_diff,
     "lh_dml_chain": lh_dml_chain,
     "lh_append_evolution": lh_append_evolution,
+    "lh_merge_evolution": lh_merge_evolution,
     "lh_catalog": lh_catalog,
 }
 
@@ -1118,6 +1149,15 @@ ORACLE = {
         UNION ALL
         SELECT n_nationkey, n_name, n_regionkey, 'batch2'
         FROM nation WHERE n_nationkey >= 10
+    """,
+    "lh_merge_evolution": """
+        SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS trade_zone
+        FROM nation WHERE n_regionkey != 0
+        UNION ALL
+        SELECT n_nationkey, n_name || '_v2', n_regionkey, 'zone_a'
+        FROM nation WHERE n_regionkey = 0
+        UNION ALL
+        SELECT 990, 'NEWLAND', 0, 'zone_b'
     """,
     "lh_catalog": """
         SELECT 'nations' AS table_name, '__table__' AS detail
