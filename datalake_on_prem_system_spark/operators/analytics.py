@@ -884,6 +884,56 @@ def _corr_oracle_sql() -> str:
     return " UNION ALL ".join(pair_sql)
 
 
+def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout — the A/B analysis every product
+    team runs: users split into deterministic arms (user_id parity — the
+    hash-bucket assignment an experiment framework persists), conversion =
+    the user purchased at least once, and the readout is per-arm rates,
+    relative lift, and the pooled two-proportion z-score.
+
+    Determinism: arms and conversions are exact integer counts from ONE
+    user-keyed aggregation; the rate/lift/z arithmetic is a fixed-shape
+    expression over those four integers (identical IEEE ops in both
+    engines), rounded to 6. Scale shape: one groupBy(user) with map-side
+    combine, then a single-row conditional aggregate — no joins."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int")) >= 16
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .withColumn("arm", F.pmod(F.col("user_id"), F.lit(2)))
+    )
+    stats = per_user.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    return stats.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round((p_b - p_a) / p_a, 6).alias("lift"),
+        F.when(se > 0, F.round((p_b - p_a) / se, 6)).alias("z_score"),
+    )
+
+
 def a_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profiling pass (ANALYZE / data-quality summary): one row per
     column of ``orders`` with null count, exact distinct count, and typed
@@ -1068,6 +1118,7 @@ QUERIES = {
     "ts_holt_forecast": ts_holt_forecast,
     "a_benford_digits": a_benford_digits,
     "a_correlation": a_correlation,
+    "ev_ab_test": ev_ab_test,
     "w_ema": w_ema,
     "w_running_total": w_running_total,
     "w_lag_delta": w_lag_delta,
@@ -1187,6 +1238,40 @@ ORACLE = {
                (SELECT count(*) FROM s3) AS step3_users
     """,
     "a_correlation": _corr_oracle_sql(),
+    "ev_ab_test": """
+        WITH per_user AS (
+            SELECT user_id,
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 16
+                        THEN 1 ELSE 0 END AS converted,
+                   user_id % 2 AS arm
+            FROM events GROUP BY user_id
+        ), s AS (
+            SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a,
+                   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b,
+                   CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                        AS BIGINT) AS conv_a,
+                   CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                        AS BIGINT) AS conv_b
+            FROM per_user
+        )
+        SELECT n_a, n_b, conv_a, conv_b,
+               round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+               round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+               round((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+                     / (conv_a / CAST(n_a AS DOUBLE)), 6) AS lift,
+               CASE WHEN sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                            * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                            * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))) > 0
+               THEN round((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+                     / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                            * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                            * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
+                     6) END AS z_score
+        FROM s
+    """,
     # NOTE: deliberately a RECURSIVE CTE, not list_reduce — DuckDB 1.x's
     # list_reduce with a STRUCT accumulator mis-evaluates multi-step folds
     # (each step alone reproduces the Python/Spark value; chained steps

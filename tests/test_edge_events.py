@@ -353,3 +353,35 @@ def test_a_correlation_known_relationships(spark, tmp_path):
     assert got[("l_quantity", "l_extendedprice")] == 1.0
     assert got[("l_quantity", "l_discount")] == -1.0
     assert abs(got[("l_tax", "l_discount")]) < 0.2
+
+
+def test_ev_ab_test_hand_computed(spark, tmp_path):
+    """A/B readout pin: 4 even-id users (arm 0, 1 converter) vs 4 odd-id
+    users (arm 1, 3 converters) — rates, lift and the pooled z-score match
+    the hand formula; the oracle agrees on the same corpus."""
+    import math
+
+    events = []
+    eid = 0
+    # converter = >= 16 purchases
+    def add_user(uid, n_purchases):
+        nonlocal eid
+        for k in range(n_purchases):
+            events.append((eid, _ts(k), uid, "purchase", 1.0)); eid += 1
+        events.append((eid, _ts(99), uid, "view", 1.0)); eid += 1
+
+    for uid, np in [(0, 16), (2, 3), (4, 2), (6, 1),      # arm 0: 1 of 4
+                    (1, 20), (3, 17), (5, 16), (7, 0)]:   # arm 1: 3 of 4
+        add_user(uid, np)
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ev_ab_test"](spark, str(tmp_path)).toPandas()
+    msg = compare("ev_ab_test", sdf, con.sql(oracles["ev_ab_test"]).df())
+    assert not msg, msg
+    r = sdf.iloc[0]
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (4, 4, 1, 3)
+    assert r["rate_a"] == 0.25 and r["rate_b"] == 0.75
+    assert r["lift"] == 2.0
+    p = 0.5
+    z = (0.75 - 0.25) / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
+    assert abs(r["z_score"] - round(z, 6)) < 1e-9
