@@ -547,8 +547,57 @@ def tx_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document — the conditional upgrade of
+    ``tx_lm_score``: score each doc by Σ -ln p(w_i | w_{i-1}) under the
+    corpus's own bigram model (p = c(w1 w2) / c(w1 ·), contexts counted
+    over bigram-first positions so the distribution normalizes). A
+    shuffled-word document keeps its unigram score but collapses here —
+    the word-order quality signal unigram filters miss.
+
+    Determinism: the tx_lm_score contract — each surprisal rounds to 6,
+    the per-doc sum runs in decimal space (exact, order-independent).
+    Scale shape: bigram and context counts are Heaps-bounded shuffles with
+    map-side combine; the probability join keys on the bigram WITHOUT a
+    broadcast hint (the bigram table outgrows vocab — AQE broadcasts at
+    fixture scale, shuffles at 100 TB); per-doc rollup is the only
+    data-sized shuffle."""
+    from ._cache import persist_bounded
+
+    docs = t(spark, sf_dir, "documents")
+    arr = _tokens()
+    n = F.size(arr)
+    pairs = F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bg")),
+    )
+    doc_bi = persist_bounded(
+        docs.filter(n >= 2).select("doc_id", F.explode(pairs).alias("p")).select(
+            "doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg")
+        ),
+        key=f"bigram_stream:{sf_dir}",
+    )
+    ctx = doc_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("uf"))
+    bi = doc_bi.groupBy("w1", "bg").agg(F.count(F.lit(1)).alias("bf"))
+    surp = bi.join(ctx, "w1").select(
+        "bg", F.round(-F.log(F.col("bf") / F.col("uf")), 6).alias("s")
+    )
+    return (
+        doc_bi.join(surp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(F.col("s").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("xent2_sum"),
+        )
+    )
+
+
 QUERIES = {
     "tx_vocab_build": tx_vocab_build,
+    "tx_bigram_lm": tx_bigram_lm,
     "tx_token_stats": tx_token_stats,
     "tx_readability": tx_readability,
     "tx_collocations": tx_collocations,
@@ -565,6 +614,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tx_bigram_lm": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), doc_bi AS (
+            SELECT doc_id, u.p.w1 AS w1, u.p.bg AS bg
+            FROM w, unnest([{'w1': w[i], 'bg': w[i] || ' ' || w[i + 1]}
+                            for i in range(1, len(w))]) AS u(p)
+            WHERE len(w) >= 2
+        ), ctx AS (
+            SELECT w1, count(*) AS uf FROM doc_bi GROUP BY w1
+        ), bi AS (
+            SELECT w1, bg, count(*) AS bf FROM doc_bi GROUP BY w1, bg
+        ), surp AS (
+            SELECT bg, round(-ln(bf / CAST(uf AS DOUBLE)), 6) AS s
+            FROM bi JOIN ctx USING (w1)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(round(sum(CAST(s AS DECIMAL(18,6))), 4) AS DOUBLE)
+                   AS xent2_sum
+        FROM doc_bi JOIN surp USING (bg)
+        GROUP BY doc_id
+    """,
     "tx_vocab_build": f"""
         WITH wf AS (
             SELECT w, count(*) AS wf

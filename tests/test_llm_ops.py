@@ -555,3 +555,24 @@ def test_mm_shard_plan_bounds(spark, sf_dir):
         for r in shards:
             assert cum // _SHARD_TARGET_BYTES == r.shard, (fmt, r.shard)
             cum += r.shard_bytes
+
+
+def test_bigram_lm_penalizes_shuffled_word_order(spark, tmp_path):
+    """The signal unigram scoring can't see: a document with the SAME word
+    multiset but scrambled order carries rare bigrams and must score a
+    strictly higher per-bigram cross-entropy than the in-order documents;
+    unigram surprisal ties (same token distribution)."""
+    ordered = "a b c a b c a b c"
+    shuffled = "c b a c b a c b a"
+    rows = [(i, ordered, "en", "s", len(ordered)) for i in range(1, 6)]
+    rows.append((6, shuffled, "en", "s", len(shuffled)))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    bi = {r.doc_id: r.xent2_sum / r.n_bigrams
+          for r in textops.tx_bigram_lm(spark, str(tmp_path)).collect()}
+    assert bi[6] > bi[1] * 1.5, bi
+    uni = {r.doc_id: r.xent_sum / r.n_tokens
+           for r in textops.tx_lm_score(spark, str(tmp_path)).collect()}
+    assert abs(uni[6] - uni[1]) < 1e-6, uni
