@@ -395,6 +395,108 @@ def _lpa_oracle_sql() -> str:
     """
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 5  # fixed peeling rounds: deterministic, oracle-unrollable
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peeling: each round removes every node whose
+    CURRENT degree is below ``k`` (and the edges touching it), the
+    synchronous variant of the classic k-core decomposition. A fixed round
+    count keeps the computation deterministic and oracle-unrollable; real
+    graphs converge in a handful of peels (each round strictly shrinks the
+    node set or the result is already the k-core — checked by the
+    convergence pin in tests). Returns surviving ``(node, degree)``.
+
+    Scale shape: per round one degree aggregation (partial-agg on the
+    endpoint) + two semi-joins filtering the edge list — the same
+    join-per-iteration Pregel shape as label propagation. Each round's
+    edge list is ``localCheckpoint``-materialized (the dd_components
+    rule): every round references its predecessor THREE times (degree
+    union twice + the semi-join filters), so an unmaterialized lineage
+    re-expands 3^rounds ways — at 100 TB the identical dataflow runs
+    with a reliable checkpoint dir instead."""
+    edges = edges.localCheckpoint()
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the supplier co-supply graph (same ≥5-common-orders edges
+    as g_triangle_count) after 5 peeling rounds — the dense-backbone
+    extraction every graph-curation pipeline runs (nodes outside the core
+    are peripheral; the core is where community/triangle structure
+    lives)."""
+    li = t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    edges = persist_bounded(
+        os_.join(os_.select("ok", F.col("sk").alias("sk2")), "ok")
+        .filter(F.col("sk") < F.col("sk2"))
+        .groupBy(F.col("sk").alias("u"), F.col("sk2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_W)
+        .select("u", "v"),
+        f"g_kcore_edges:{sf_dir}",
+    )
+    return kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS).select(
+        F.col("node").alias("s_suppkey"), "degree"
+    )
+
+
+def _kcore_oracle_sql() -> str:
+    """Unrolled peeling rounds: e0 → (deg, keep, e1) → ... → eR. Every
+    CTE level is AS MATERIALIZED — DuckDB inlines CTEs by default, and an
+    inlined round re-expands its predecessor 3 ways (degree union + two
+    IN filters), the same 3^rounds blowup the Spark side avoids with
+    localCheckpoint."""
+    rounds = []
+    for r in range(_KCORE_ROUNDS):
+        rounds.append(f"""deg{r} AS MATERIALIZED (
+            SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}
+            ) GROUP BY node
+        ), keep{r} AS MATERIALIZED (
+            SELECT node FROM deg{r} WHERE deg >= {_KCORE_K}
+        ), e{r + 1} AS MATERIALIZED (
+            SELECT u, v FROM e{r}
+            WHERE u IN (SELECT node FROM keep{r})
+              AND v IN (SELECT node FROM keep{r})
+        )""")
+    chain = ", ".join(rounds)
+    last = f"e{_KCORE_ROUNDS}"
+    return f"""
+        WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                    FROM lineitem),
+        e0 AS (
+            SELECT a.sk AS u, b.sk AS v
+            FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+            GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_W}
+        ), {chain}
+        SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM {last} UNION ALL SELECT v FROM {last})
+        GROUP BY node
+    """
+
+
 _CN_HUB_CAP = 25  # parts bought by more customers than this are hubs
 _CN_TOP_K = 50
 
@@ -514,6 +616,7 @@ QUERIES = {
     "g_triangle_count": g_triangle_count,
     "g_common_neighbors": g_common_neighbors,
     "g_label_propagation": g_label_propagation,
+    "g_kcore": g_kcore,
 }
 
 ORACLE = {
@@ -521,4 +624,5 @@ ORACLE = {
     "g_triangle_count": _TRI_ORACLE,
     "g_common_neighbors": _CN_ORACLE,
     "g_label_propagation": _lpa_oracle_sql(),
+    "g_kcore": _kcore_oracle_sql(),
 }

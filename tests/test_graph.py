@@ -169,3 +169,22 @@ def test_label_propagation_two_cliques(spark):
     assert labels[1] == labels[2] == labels[3] == 1
     assert labels[4] == labels[5] == labels[6]
     assert labels[4] != labels[1]
+
+
+def test_kcore_peel_hand_countable(spark):
+    """3-core pin: a 4-clique survives (every member keeps degree 3); a
+    pendant chain hanging off it peels away in cascade (removing the tip
+    drops its neighbor below k next round) — the case a single-pass degree
+    filter gets wrong; and 5 rounds have converged (a 6th changes
+    nothing)."""
+    from datalake_on_prem_system_spark.operators.graph_ops import kcore_peel
+
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    chain = [(4, 5), (5, 6), (5, 7), (6, 7)]  # 5-6-7 triangle + bridge 4-5
+    edges = spark.createDataFrame(clique + chain, "u bigint, v bigint")
+    got = {r.node: r.degree for r in kcore_peel(edges, 3, 5).collect()}
+    # triangle 5-6-7: every member has degree 2 within it (<3) once the
+    # bridge peels, so the whole tail cascades away; the clique stays
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}, got
+    again = {r.node: r.degree for r in kcore_peel(edges, 3, 6).collect()}
+    assert again == got  # converged: extra rounds are no-ops
