@@ -100,6 +100,11 @@ HEADLINERS = [
     # 3-round Pregel label propagation over the co-supply graph (join +
     # partial-agg vote per round — the iterative-join shape at bench scale)
     "g_label_propagation",
+    # round-8 session-6: the bigram-LM scorer (two Heaps-bounded count
+    # shuffles + an unhinted probability join) and the 5-round k-core
+    # peel (per-round checkpointed iterative semi-joins)
+    "tx_bigram_lm",
+    "g_kcore",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —
