@@ -635,12 +635,16 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def mad_baseline(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def mad_baseline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared robust baseline for the batch and streaming anomaly tiers:
-    returns (dev, mad) where ``dev`` carries every event's integer dev2
-    against its type's med2 and ``mad`` the per-type mad4 — both in the
-    all-integer framing ``ev_anomaly_mad`` documents, so the two tiers
-    can never disagree on a threshold."""
+    returns (dev, med, mad) where ``dev`` carries every event's integer
+    dev2 against its type's med2, ``med`` the per-type med2, and ``mad``
+    the per-type mad4 — all in the all-integer framing ``ev_anomaly_mad``
+    documents. Both tiers consume THESE frames (the streaming tier joins
+    the returned ``med`` rather than re-deriving it), so a change to the
+    median definition can never split the tiers."""
     ev = t(spark, sf_dir, "events").select(
         "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
     )
@@ -653,7 +657,7 @@ def mad_baseline(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     mad = dev.groupBy("event_type").agg(
         (F.percentile("dev2", 0.5) * 2).cast("long").alias("mad4")
     )
-    return dev, mad
+    return dev, med, mad
 
 
 def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,7 +680,7 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins back (per-type constants). Exact percentile sorts
     per type; at 100 TB swap in approx_percentile (the a_approx_quantiles
     sketch contract) — the integer framing survives unchanged."""
-    dev, mad = mad_baseline(spark, sf_dir)
+    dev, _med, mad = mad_baseline(spark, sf_dir)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -884,12 +888,22 @@ def _corr_oracle_sql() -> str:
     return " UNION ALL ".join(pair_sql)
 
 
+# "converted" = high-value converter. >= 1 purchase is degenerate on the
+# fixture (every user purchases at least once → both arm rates 1.0, z = 0),
+# so the contract pins a high-value threshold; the oracle encodes the same.
+_AB_CONV_MIN_PURCHASES = 16
+
+
 def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion experiment readout — the A/B analysis every product
     team runs: users split into deterministic arms (user_id parity — the
     hash-bucket assignment an experiment framework persists), conversion =
-    the user purchased at least once, and the readout is per-arm rates,
-    relative lift, and the pooled two-proportion z-score.
+    the user is a HIGH-VALUE converter (>= ``_AB_CONV_MIN_PURCHASES``
+    purchases; the natural ">= 1 purchase" definition is degenerate on
+    this corpus — every fixture user purchases at least once, so both
+    rates would be exactly 1.0), and the readout is per-arm rates,
+    relative lift (NULL when arm A has zero converters — no finite
+    relative lift exists), and the pooled two-proportion z-score.
 
     Determinism: arms and conversions are exact integer counts from ONE
     user-keyed aggregation; the rate/lift/z arithmetic is a fixed-shape
@@ -901,7 +915,8 @@ def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             (
-                F.sum((F.col("event_type") == "purchase").cast("int")) >= 16
+                F.sum((F.col("event_type") == "purchase").cast("int"))
+                >= _AB_CONV_MIN_PURCHASES
             )
             .cast("int")
             .alias("converted")
@@ -929,7 +944,8 @@ def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         F.round(p_a, 6).alias("rate_a"),
         F.round(p_b, 6).alias("rate_b"),
-        F.round((p_b - p_a) / p_a, 6).alias("lift"),
+        # guard like z_score: conv_a = 0 would DIVIDE_BY_ZERO under ANSI mode
+        F.when(F.col("conv_a") > 0, F.round((p_b - p_a) / p_a, 6)).alias("lift"),
         F.when(se > 0, F.round((p_b - p_a) / se, 6)).alias("z_score"),
     )
 
@@ -1260,8 +1276,9 @@ ORACLE = {
         SELECT n_a, n_b, conv_a, conv_b,
                round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
                round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
-               round((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
-                     / (conv_a / CAST(n_a AS DOUBLE)), 6) AS lift,
+               CASE WHEN conv_a > 0
+               THEN round((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+                     / (conv_a / CAST(n_a AS DOUBLE)), 6) END AS lift,
                CASE WHEN sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
                             * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
                             * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))) > 0

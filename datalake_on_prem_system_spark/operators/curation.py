@@ -702,7 +702,8 @@ ORACLE = {
     "cur_source_mix": """
         WITH per_src AS (
             SELECT source, count(*) AS n_docs,
-                   sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+                   CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                        AS BIGINT) AS n_tokens
             FROM documents GROUP BY source
         )
         SELECT source, n_docs, n_tokens,

@@ -158,12 +158,16 @@ def lh_mor_read_amp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mor_read_profile(spark: SparkSession, sf_dir: str) -> dict:
-    """Measured read amplification for the bench: seconds to fully read
-    (collect) a MOR-mode bucketed table at 0 / 4 / 8 pending delta commits
-    and again right after threshold compaction folds them. Every delta is
-    a pure update over the full-customer seed, so the row count is
-    CONSTANT across depths — the timing deltas are amplification alone.
-    Builds and removes its own throwaway table; one timed read per depth.
+    """Measured read amplification for the bench: seconds to scan+merge a
+    MOR-mode bucketed table at 0 / 4 / 8 pending delta commits and again
+    right after threshold compaction folds them. Timed quantity is a
+    count over a non-prunable filter — the full scan + delta-merge runs
+    distributed but only a scalar returns, so the number measures MOR
+    merge cost, not driver materialization (collect() was previously
+    timed and dominated the figure). Every delta is a pure update over
+    the full-customer seed, so the row count is CONSTANT across depths —
+    the timing deltas are amplification alone. Builds and removes its own
+    throwaway table; one timed read per depth.
 
     Threshold semantics (table.py merge): a merge COMPACTS only when
     n_delta_commits >= threshold (8), i.e. deltas accumulate to 8 and the
@@ -189,7 +193,14 @@ def mor_read_profile(spark: SparkSession, sf_dir: str) -> dict:
             )
             spark.catalog.clearCache()
             t0 = _time.perf_counter()
-            n = len(table.read().collect())
+            # count + a data-column aggregate: cannot be answered from
+            # parquet footers, so the base+delta merge genuinely executes,
+            # but only two scalars cross to the driver
+            n = int(
+                table.read()
+                .agg(F.count(F.lit(1)), F.sum(F.length("c_name")))
+                .first()[0]
+            )
             out[label] = round(_time.perf_counter() - t0, 3)
             out.setdefault("n_rows", n)
             assert n == out["n_rows"], "row count must stay constant"

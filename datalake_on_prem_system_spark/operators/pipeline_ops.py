@@ -309,7 +309,7 @@ ORACLE = {
             FROM toks
         )
         SELECT source, CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS pack_id,
-               count(*) AS n_docs, sum(n_tok) AS n_tokens,
+               count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM cum GROUP BY 1, 2
     """,

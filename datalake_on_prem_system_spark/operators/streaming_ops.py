@@ -487,13 +487,7 @@ def st_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. Oracle: the identical batch SQL over the same corpus."""
     from .analytics import mad_baseline
 
-    _dev, mad = mad_baseline(spark, sf_dir)
-    med = (
-        t(spark, sf_dir, "events")
-        .select("event_type", F.floor(F.col("value") * 100).cast("long").alias("c"))
-        .groupBy("event_type")
-        .agg((F.percentile("c", 0.5) * 2).cast("long").alias("med2"))
-    )
+    _dev, med, mad = mad_baseline(spark, sf_dir)
     baseline = med.join(mad, "event_type")
     stream = _events_stream(spark, _events_json_dir(spark, sf_dir)).withColumn(
         "c", F.floor(F.col("value") * 100).cast("long")

@@ -37,11 +37,45 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_family(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
+def dtype_mismatch(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
+    """The driver's value-hash is dtype-sensitive: an uncast DuckDB
+    sum(BIGINT) (HUGEINT) lands in pandas as float64/object while Spark
+    returns int64 — equal values, different hash (r8: cur_source_mix,
+    pl_sequence_pack). Flag any int-vs-float family drift locally."""
+    msgs = []
+    for c in spark_df.columns:
+        fa, fb = _dtype_family(spark_df[c]), _dtype_family(duck_df[c])
+        if fa == fb:
+            continue
+        # DuckDB HUGEINT / DECIMAL sums surface as object or float64 for an
+        # integer-valued Spark column: exactly the class the hash rejects.
+        if {fa, fb} == {"int", "float"} or (
+            "int" in (fa, fb) and "other" in (fa, fb)
+        ):
+            msgs.append(f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}")
+    return "; ".join(msgs)
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
     if len(spark_df) != len(duck_df):
         return f"ROWS {len(spark_df)} vs {len(duck_df)}"
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         return f"COLS {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+    dt = dtype_mismatch(spark_df[sorted(spark_df.columns)], duck_df[sorted(duck_df.columns)])
+    if dt:
+        return f"DTYPE {dt}"
     a, b = canon(spark_df), canon(duck_df)
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
