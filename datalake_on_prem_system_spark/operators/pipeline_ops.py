@@ -189,6 +189,53 @@ def pl_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pl_sequence_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted by REAL subword counts: identical
+    concat-then-chunk layout to ``pl_sequence_pack``, but each document's
+    cost is its greedy-WordPiece token count from the induced vocabulary
+    (``textops.tx_tokenize_apply``) instead of the whitespace proxy — the
+    count the training loader actually pays, so the 2048-token windows
+    come out full instead of systematically under-packed (every word is
+    >= 1 subword, usually 2-3).
+
+    Scale shape: the tokenizer fold runs per distinct word
+    (Heaps-bounded), per-doc costs are one explode + vocabulary-sized
+    join + doc-keyed partial agg, then the same per-source cumsum window
+    and (source, pack_id) rollup as the whitespace variant. Integer
+    counts end-to-end."""
+    from .textops import _word_subword_stats
+
+    ws = _word_subword_stats(spark, sf_dir).select("w", "n_tok")
+    docs = t(spark, sf_dir, "documents")
+    doc_tok = (
+        docs.select(
+            "source", "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .join(ws, "w")
+        .groupBy("source", "doc_id")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tok"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = doc_tok.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        cum.withColumn(
+            "pack_id", F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_CTX_TOKENS))
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 _SHUF_SHARDS = 8
 
 
@@ -231,10 +278,39 @@ QUERIES = {
     "pl_incremental_ingest": pl_incremental_ingest,
     "pl_dedup_canonical": pl_dedup_canonical,
     "pl_sequence_pack": pl_sequence_pack,
+    "pl_sequence_pack_subword": pl_sequence_pack_subword,
     "pl_corpus_shuffle": pl_corpus_shuffle,
 }
 
+
+def _pack_subword_sql() -> str:
+    # late import so pipeline_ops never depends on textops at module-import
+    # time (textops imports dedup helpers; keep the graph acyclic)
+    from .textops import _SUBWORD_CTES
+
+    return f"""
+        WITH RECURSIVE {_SUBWORD_CTES}, doc_tok AS (
+            SELECT dw.doc_id, d.source, CAST(sum(s.n_tok) AS BIGINT) AS n_tok
+            FROM doc_words dw
+            JOIN word_stats s USING (w)
+            JOIN documents d USING (doc_id)
+            GROUP BY dw.doc_id, d.source
+        ), cum AS (
+            SELECT source, doc_id, n_tok,
+                   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM doc_tok
+        )
+        SELECT source, CAST(floor((cum - n_tok) / {_CTX_TOKENS}) AS BIGINT)
+                   AS pack_id,
+               count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM cum GROUP BY 1, 2
+    """
+
+
 ORACLE = {
+    "pl_sequence_pack_subword": _pack_subword_sql(),
     "pl_corpus_shuffle": f"""
         WITH k AS (
             SELECT doc_id,

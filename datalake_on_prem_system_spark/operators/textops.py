@@ -547,6 +547,129 @@ def tx_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# WordPiece apply: greedy longest-match window, bounded by the vocab's
+# longest unit (matches _VOCAB_NGRAM_MAX); UNK advances one char with id -1
+_TOKENIZE_UNK = -1
+
+
+def _induced_vocab_entries(spark: SparkSession, sf_dir: str) -> list:
+    """Collect the induced vocab (ngram → dense id by (freq DESC, ngram)
+    rank, ids 1..N) to the driver. Deliberate driver-side step: a tokenizer
+    vocabulary is a MODEL ARTIFACT with a contract-bounded size
+    (_VOCAB_TOP = 200), not data — real pipelines ship it to every worker
+    as a broadcast file. The Holt lookup-table precedent: bounded,
+    deterministic, replayed identically by the oracle's row_number."""
+    rows = tx_vocab_build(spark, sf_dir).collect()  # ordered (freq DESC, ngram)
+    return [(r["ngram"], i) for i, r in enumerate(rows, start=1)]
+
+
+def _word_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match WordPiece stats per DISTINCT word: columns
+    (w, n_tok, n_unk, first_tid, last_tid). Tokenizing distinct words —
+    not the corpus — is the 100 TB shape: vocabulary grows Heaps-law
+    sublinearly, so the expensive char-level fold runs once per word form
+    and per-doc stats become a join + aggregate (the word-cache trick every
+    production tokenizer uses).
+
+    The fold walks '_'+word one match at a time: try the 4/3/2/1-char
+    substring at the cursor against the vocab map (longest wins, UNK
+    advances 1). The accumulator is a (pos, n, u, first, last) struct over
+    sequence(1, len) — iterations whose index isn't the cursor pass the
+    accumulator through, so variable-length steps fit a fixed-length fold.
+    Persisted (bounded) because the frame is re-read by every consumer and
+    Catalyst's projection-collapse would otherwise inline the fold once
+    per extracted field."""
+    from ._cache import persist_bounded
+
+    entries = _induced_vocab_entries(spark, sf_dir)
+    lits: list = []
+    for ng, i in entries:
+        lits += [F.lit(ng), F.lit(i)]
+    vmap = F.create_map(*lits)
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    mw = F.concat(F.lit("_"), F.col("w"))
+    acc0 = F.struct(
+        F.lit(1).alias("pos"),
+        F.lit(0).alias("n"),
+        F.lit(0).alias("u"),
+        F.lit(None).cast("int").alias("first"),
+        F.lit(None).cast("int").alias("last"),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        # try_element_at, not element_at: ANSI mode (this repo's default)
+        # makes element_at THROW on a missing map key; missing must be NULL
+        probes = [
+            F.try_element_at(vmap, F.substr(mw, acc["pos"], F.lit(n)))
+            for n in (4, 3, 2, 1)
+        ]
+        tid = F.coalesce(*probes, F.lit(_TOKENIZE_UNK))
+        mlen = (
+            F.when(probes[0].isNotNull(), F.lit(4))
+            .when(probes[1].isNotNull(), F.lit(3))
+            .when(probes[2].isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))  # 1-char hit and UNK both advance 1
+        )
+        stepped = F.struct(
+            (acc["pos"] + mlen).alias("pos"),
+            (acc["n"] + 1).alias("n"),
+            (acc["u"] + (tid == _TOKENIZE_UNK).cast("int")).alias("u"),
+            F.coalesce(acc["first"], tid).alias("first"),
+            tid.alias("last"),
+        )
+        return F.when(i == acc["pos"], stepped).otherwise(acc)
+
+    st = F.aggregate(F.sequence(F.lit(1), F.length(mw)), acc0, step)
+    stats = persist_bounded(
+        words.select("w", st.alias("st")), f"subword_stats:{sf_dir}"
+    )
+    return stats.select(
+        "w",
+        F.col("st.n").alias("n_tok"),
+        F.col("st.u").alias("n_unk"),
+        F.col("st.first").alias("first_tid"),
+        F.col("st.last").alias("last_tid"),
+    )
+
+
+def tx_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the induced subword vocabulary (the gap after tx_vocab_build:
+    inducing a vocab is step one of training a tokenizer; encoding the
+    corpus with it is what every downstream op actually consumes). Greedy
+    longest-match WordPiece per doc: n_words, n_subword_tokens (the REAL
+    token count sequence packing should budget with, vs the whitespace
+    proxy), n_unk (OOV-char rate — a quality signal), and the first/last
+    token ids (the sanity probe a tokenizer-parity harness checks).
+
+    Scale shape: the char-level fold runs per DISTINCT word
+    (_word_subword_stats); per-doc stats are one explode + one
+    vocabulary-sized join (AQE broadcasts it at any realistic scale) + one
+    doc-keyed partial agg. first/last ids via min_by/max_by on the word
+    position — unique per doc, so deterministic."""
+    ws = _word_subword_stats(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    return (
+        exploded.join(ws, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_subword_tokens"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+            F.min_by("first_tid", "pos").alias("first_id"),
+            F.max_by("last_tid", "pos").alias("last_id"),
+        )
+    )
+
+
 def tx_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per document — the conditional upgrade of
     ``tx_lm_score``: score each doc by Σ -ln p(w_i | w_{i-1}) under the
@@ -595,8 +718,94 @@ def tx_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle CTEs replaying the greedy WordPiece walk. The walk is a
+# RECURSIVE CTE (the Holt precedent: DuckDB list_reduce struct folds
+# mis-evaluate multi-step recursions), advancing one match per level; the
+# terminal state per word is the row whose cursor passed the end. vocab
+# and words are MATERIALIZED so recursion levels don't re-derive them.
+_SUBWORD_CTES = f"""
+        vocab AS MATERIALIZED (
+            WITH wf AS (
+                SELECT w, count(*) AS wf
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE w != '' GROUP BY w
+            ), marked AS (
+                SELECT '_' || w AS mw, wf FROM wf
+            ), grams AS (
+                SELECT unnest(flatten([
+                    [substr(mw, i, n) for i in range(1, len(mw) - n + 2)]
+                    for n in range(1, {_VOCAB_NGRAM_MAX} + 1)
+                ])) AS ngram, wf
+                FROM marked
+            ), ranked AS (
+                SELECT ngram, CAST(sum(wf) AS BIGINT) AS freq
+                FROM grams GROUP BY ngram
+                ORDER BY freq DESC, ngram ASC
+                LIMIT {_VOCAB_TOP}
+            )
+            SELECT ngram,
+                   CAST(row_number() OVER (ORDER BY freq DESC, ngram ASC)
+                        AS INTEGER) AS id
+            FROM ranked
+        ), words AS MATERIALIZED (
+            SELECT DISTINCT w FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE w <> ''
+        ), walk AS (
+            SELECT w, '_' || w AS mw, 1 AS pos, 0 AS n_tok, 0 AS n_unk,
+                   CAST(NULL AS INTEGER) AS first_tid,
+                   CAST(NULL AS INTEGER) AS last_tid
+            FROM words
+            UNION ALL
+            SELECT w, mw,
+                   pos + CASE WHEN v4.id IS NOT NULL THEN 4
+                              WHEN v3.id IS NOT NULL THEN 3
+                              WHEN v2.id IS NOT NULL THEN 2
+                              ELSE 1 END,
+                   n_tok + 1,
+                   n_unk + CASE WHEN coalesce(v4.id, v3.id, v2.id, v1.id,
+                                              {_TOKENIZE_UNK})
+                                     = {_TOKENIZE_UNK} THEN 1 ELSE 0 END,
+                   coalesce(first_tid,
+                            coalesce(v4.id, v3.id, v2.id, v1.id,
+                                     {_TOKENIZE_UNK})),
+                   coalesce(v4.id, v3.id, v2.id, v1.id, {_TOKENIZE_UNK})
+            FROM walk
+            LEFT JOIN vocab v4 ON v4.ngram = substr(mw, pos, 4)
+            LEFT JOIN vocab v3 ON v3.ngram = substr(mw, pos, 3)
+            LEFT JOIN vocab v2 ON v2.ngram = substr(mw, pos, 2)
+            LEFT JOIN vocab v1 ON v1.ngram = substr(mw, pos, 1)
+            WHERE pos <= len(mw)
+        ), word_stats AS (
+            SELECT w, n_tok, n_unk, first_tid, last_tid
+            FROM walk WHERE pos > len(mw)
+        ), doc_words AS (
+            SELECT doc_id, u.w AS w, u.pos AS pos FROM (
+                SELECT doc_id,
+                       unnest([{{'w': ws[i], 'pos': i}}
+                               for i in range(1, len(ws) + 1)]) AS u
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents)
+            ) WHERE u.w <> ''
+        )"""
+
+_TOKENIZE_APPLY_SQL = f"""
+        WITH RECURSIVE {_SUBWORD_CTES}
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(s.n_tok) AS BIGINT) AS n_subword_tokens,
+               CAST(sum(s.n_unk) AS BIGINT) AS n_unk,
+               CAST(arg_min(s.first_tid, d.pos) AS INTEGER) AS first_id,
+               CAST(arg_max(s.last_tid, d.pos) AS INTEGER) AS last_id
+        FROM doc_words d JOIN word_stats s USING (w)
+        GROUP BY d.doc_id
+    """
+
+
 QUERIES = {
     "tx_vocab_build": tx_vocab_build,
+    "tx_tokenize_apply": tx_tokenize_apply,
     "tx_bigram_lm": tx_bigram_lm,
     "tx_token_stats": tx_token_stats,
     "tx_readability": tx_readability,
@@ -614,6 +823,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tx_tokenize_apply": _TOKENIZE_APPLY_SQL,
     "tx_bigram_lm": """
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -576,3 +576,116 @@ def test_bigram_lm_penalizes_shuffled_word_order(spark, tmp_path):
     uni = {r.doc_id: r.xent_sum / r.n_tokens
            for r in textops.tx_lm_score(spark, str(tmp_path)).collect()}
     assert abs(uni[6] - uni[1]) < 1e-6, uni
+
+
+def _greedy_reference(vocab: dict[str, int], word: str) -> list[int]:
+    """Independent pure-Python greedy longest-match WordPiece (UNK = -1,
+    advance 1) — the spec the Spark fold and the DuckDB recursive CTE
+    must both realize."""
+    mw, pos, out = "_" + word, 0, []
+    while pos < len(mw):
+        for n in (4, 3, 2, 1):
+            tid = vocab.get(mw[pos : pos + n])
+            if tid is not None:
+                out.append(tid)
+                pos += n
+                break
+        else:
+            out.append(-1)
+            pos += 1
+    return out
+
+
+def test_tokenize_apply_matches_python_reference(spark, sf_dir):
+    """tx_tokenize_apply vs a from-scratch Python tokenizer over the real
+    fixture: token counts, UNK counts, and first/last ids must agree for
+    every document — pins the greedy semantics (longest-match order,
+    UNK advance, boundary marker) independently of the SQL oracle."""
+    vocab = {
+        r.ngram: i
+        for i, r in enumerate(
+            textops.tx_vocab_build(spark, sf_dir).collect(), start=1
+        )
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    got = {
+        r.doc_id: r for r in textops.tx_tokenize_apply(spark, sf_dir).collect()
+    }
+    assert got.keys() == docs.keys()
+    for doc_id, text in docs.items():
+        ids: list[int] = []
+        words = [w for w in text.split(" ") if w]
+        for w in words:
+            ids.extend(_greedy_reference(vocab, w))
+        row = got[doc_id]
+        assert row.n_words == len(words)
+        assert row.n_subword_tokens == len(ids), (doc_id, text)
+        assert row.n_unk == sum(1 for i in ids if i == -1)
+        assert row.first_id == ids[0] and row.last_id == ids[-1]
+
+
+def test_tokenize_greedy_prefers_longest_match(spark, tmp_path):
+    """Hand-built corpus where greedy order matters: with '_aab' in the
+    vocab, '_aab' must tokenize as ONE unit, never '_a'+'ab' — and a word
+    forcing a mid-word restart ('aabq', q only reachable as a 1-gram)
+    exercises the cursor arithmetic."""
+    rows = [(i, "aab aab aab aabq", "en", "s", 16) for i in range(3)]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    vocab = {
+        r.ngram: i
+        for i, r in enumerate(
+            textops.tx_vocab_build(spark, str(tmp_path)).collect(), start=1
+        )
+    }
+    assert "_aab" in vocab  # 4-gram present -> must win over shorter matches
+    got = {
+        r.doc_id: r
+        for r in textops.tx_tokenize_apply(spark, str(tmp_path)).collect()
+    }
+    # '_aab' -> 1 token; '_aabq' -> '_aab' + 'q' (2 tokens); 3+3+3... per doc:
+    # three 'aab' words (1 token each) + one 'aabq' (2 tokens) = 5
+    for r in got.values():
+        assert r.n_subword_tokens == 5, r
+        assert r.n_unk == 0
+        assert r.first_id == vocab["_aab"]
+        assert r.last_id == vocab["q"]
+
+
+def test_pack_subword_budget_consistency(spark, sf_dir):
+    """pl_sequence_pack_subword conservation laws: per-source token totals
+    equal tx_tokenize_apply's per-doc sums, every pack except a source's
+    last starts before the 2048 boundary it fills, and doc ranges are
+    contiguous and disjoint in doc_id order."""
+    from datalake_on_prem_system_spark.operators import pipeline_ops
+
+    toks = textops.tx_tokenize_apply(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    per_source = {
+        r.source: r.total
+        for r in toks.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_subword_tokens").alias("total"))
+        .collect()
+    }
+    packs = pipeline_ops.pl_sequence_pack_subword(spark, sf_dir).collect()
+    got_totals: dict[str, int] = {}
+    by_source: dict[str, list] = {}
+    for p in packs:
+        got_totals[p.source] = got_totals.get(p.source, 0) + p.n_tokens
+        by_source.setdefault(p.source, []).append(p)
+    assert got_totals == per_source
+    for source, rows in by_source.items():
+        rows.sort(key=lambda p: p.pack_id)
+        # pack ids dense from 0; doc ranges strictly increasing, disjoint
+        assert rows[0].pack_id == 0
+        assert [p.pack_id for p in rows] == list(range(len(rows)))
+        for a, b in zip(rows, rows[1:]):
+            assert a.last_doc < b.first_doc
