@@ -396,17 +396,27 @@ def _lpa_oracle_sql() -> str:
 
 
 _KCORE_K = 3
-_KCORE_ROUNDS = 5  # fixed peeling rounds: deterministic, oracle-unrollable
+# Oracle unroll depth: the SQL replays this many synchronous peels. Peeling
+# is monotone and idempotent at the fixpoint, so any unroll >= the rounds
+# the FIXTURE needs yields the exact k-core (extra rounds are no-op
+# filters); the Spark side iterates to the true fixpoint regardless.
+_KCORE_ROUNDS = 5
+# Runaway bound for the fixpoint loop — a graph can cascade one node per
+# round (a pendant path), so convergence depth is data-dependent; the cap
+# only guards against a pathological/never-shrinking loop, not semantics.
+_KCORE_MAX_ROUNDS = 64
 
 
-def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
-    """Fixed-round k-core peeling: each round removes every node whose
+def kcore_peel(edges: DataFrame, k: int, max_rounds: int = _KCORE_MAX_ROUNDS) -> DataFrame:
+    """k-core peeling to the FIXPOINT: each round removes every node whose
     CURRENT degree is below ``k`` (and the edges touching it), the
-    synchronous variant of the classic k-core decomposition. A fixed round
-    count keeps the computation deterministic and oracle-unrollable; real
-    graphs converge in a handful of peels (each round strictly shrinks the
-    node set or the result is already the k-core — checked by the
-    convergence pin in tests). Returns surviving ``(node, degree)``.
+    synchronous variant of the classic k-core decomposition, and the loop
+    stops when a round removes nothing (edges only ever shrink, so an
+    unchanged edge COUNT is an unchanged edge SET — one cheap count per
+    round, against the already-materialized checkpoint blocks). A fixed
+    round count was wrong at scale: a pendant path peels exactly one node
+    per round, so the rounds a graph needs grow with its cascade depth,
+    not a constant. Returns surviving ``(node, degree)``.
 
     Scale shape: per round one degree aggregation (partial-agg on the
     endpoint) + two semi-joins filtering the edge list — the same
@@ -417,7 +427,8 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     re-expands 3^rounds ways — at 100 TB the identical dataflow runs
     with a reliable checkpoint dir instead."""
     edges = edges.localCheckpoint()
-    for _ in range(rounds):
+    n_edges = edges.count()
+    for _ in range(max_rounds):
         deg = (
             edges.select(F.col("u").alias("node"))
             .unionAll(edges.select(F.col("v").alias("node")))
@@ -430,6 +441,10 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .localCheckpoint()
         )
+        n_next = edges.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
     return (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -440,7 +455,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
 
 def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the supplier co-supply graph (same ≥5-common-orders edges
-    as g_triangle_count) after 5 peeling rounds — the dense-backbone
+    as g_triangle_count), peeled to the fixpoint — the dense-backbone
     extraction every graph-curation pipeline runs (nodes outside the core
     are peripheral; the core is where community/triangle structure
     lives)."""
@@ -457,7 +472,7 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v"),
         f"g_kcore_edges:{sf_dir}",
     )
-    return kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS).select(
+    return kcore_peel(edges, _KCORE_K).select(
         F.col("node").alias("s_suppkey"), "degree"
     )
 

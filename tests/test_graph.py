@@ -188,3 +188,20 @@ def test_kcore_peel_hand_countable(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}, got
     again = {r.node: r.degree for r in kcore_peel(edges, 3, 6).collect()}
     assert again == got  # converged: extra rounds are no-ops
+
+
+def test_kcore_fixpoint_on_deep_cascade(spark):
+    """Convergence depth is data-dependent: a pendant PATH peels exactly
+    one node per round (only the current tip is below k), so a 12-node
+    tail needs ~12 rounds — any fixed small round count returns a wrong
+    (too large) core. The fixpoint loop must fully dissolve the tail and
+    keep only the triangle."""
+    from datalake_on_prem_system_spark.operators.graph_ops import kcore_peel
+
+    triangle = [(101, 102), (101, 103), (102, 103)]
+    # path 103-1-2-...-12: every interior node has degree 2 (== k), the tip
+    # has 1, so each round removes only the current tip
+    path = [(103, 1)] + [(i, i + 1) for i in range(1, 12)]
+    edges = spark.createDataFrame(triangle + path, "u bigint, v bigint")
+    got = {r.node: r.degree for r in kcore_peel(edges, 2).collect()}
+    assert got == {101: 2, 102: 2, 103: 2}, got
