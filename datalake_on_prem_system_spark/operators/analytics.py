@@ -747,6 +747,84 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CUSUM framing, all-integer (the ev_anomaly_mad rule): with per-type daily
+# counts x_t, mean m = total/n and allowance k = m/4, the classic recursion
+# S_t = max(0, S_{t-1} + x_t - m - k) scales by 4n to
+# S'_t = max(0, S'_{t-1} + 4n·x_t - 5·total); alarm when S' > h' = 8·total
+# (h = 2m). Exact integers end-to-end — no float ever enters the recursion.
+_CUSUM_SCALE_NUM = 4  # 4n·x_t
+_CUSUM_SHIFT_NUM = 5  # 5·total  (mean + quarter-mean allowance, scaled)
+_CUSUM_H_NUM = 8  # 8·total  (2·mean threshold, scaled)
+
+
+def a_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event_type over the daily event-count
+    series — the classic sequential level-shift detector (Page 1954) every
+    telemetry/KPI pipeline runs: a sustained upward shift accumulates in
+    S_t and crosses the threshold within a few days, while one-day spikes
+    decay back to zero. Reports days observed, alarm count, FIRST alarm
+    day (the estimated changepoint), and the peak statistic.
+
+    Determinism: the recursion is exact integer arithmetic at 4n scale
+    (see module constants) — no float accumulation, so DuckDB replays it
+    bit-exactly; like Holt, state depends on prior OUTPUT, so the oracle
+    is a recursive CTE, not a window. Scale shape: the corpus-sized pass
+    is one (type, day) partial-agg rollup; the fold runs per type over a
+    days-bounded series — O(|types|·|days|) state, never corpus-sized."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("c"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "c"))).alias("days"),
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("alarms"),
+        F.lit(None).cast("date").alias("first_alarm"),
+        F.lit(0).cast("long").alias("max_s"),
+    )
+
+    def step(acc, e):
+        s2 = F.greatest(
+            F.lit(0).cast("long"),
+            acc["s"]
+            + F.lit(_CUSUM_SCALE_NUM) * F.col("n_days") * e["c"]
+            - F.lit(_CUSUM_SHIFT_NUM) * F.col("total"),
+        )
+        alarm = s2 > F.lit(_CUSUM_H_NUM) * F.col("total")
+        return F.struct(
+            s2.alias("s"),
+            (acc["alarms"] + alarm.cast("long")).alias("alarms"),
+            F.coalesce(acc["first_alarm"], F.when(alarm, e["day"])).alias(
+                "first_alarm"
+            ),
+            F.greatest(acc["max_s"], s2).alias("max_s"),
+        )
+
+    fitted = series.select(
+        "event_type",
+        "n_days",
+        "total",
+        F.aggregate("days", init, step).alias("st"),
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.col("total").alias("total_events"),
+        F.round(F.col("total") / F.col("n_days"), 6).alias("mean_daily"),
+        F.col("st.alarms").alias("n_alarms"),
+        # ISO string, not DATE: a sometimes-NULL date column lands in pandas
+        # with engine-dependent dtype; strings compare cleanly
+        F.date_format(F.col("st.first_alarm"), "yyyy-MM-dd").alias(
+            "first_alarm_day"
+        ),
+        F.col("st.max_s").alias("max_stat"),
+    )
+
+
 # Benford first-digit probabilities log10(1 + 1/d), driver-computed once so
 # both engines consume the IDENTICAL double literals
 _BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
@@ -1132,6 +1210,7 @@ QUERIES = {
     "ev_peak_concurrency": ev_peak_concurrency,
     "ev_anomaly_mad": ev_anomaly_mad,
     "ts_holt_forecast": ts_holt_forecast,
+    "a_changepoint_cusum": a_changepoint_cusum,
     "a_benford_digits": a_benford_digits,
     "a_correlation": a_correlation,
     "ev_ab_test": ev_ab_test,
@@ -1288,6 +1367,54 @@ ORACLE = {
                             * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
                      6) END AS z_score
         FROM s
+    """,
+    # recursive CTE, not list_reduce, for the same struct-fold reason as Holt
+    "a_changepoint_cusum": f"""
+        WITH RECURSIVE daily AS MATERIALIZED (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), st AS MATERIALIZED (
+            SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1
+        ), seq AS MATERIALIZED (
+            SELECT d.event_type, d.day, d.c,
+                   CAST(row_number() OVER (PARTITION BY d.event_type
+                                           ORDER BY d.day) AS BIGINT) AS rn
+            FROM daily d
+        ), walk AS (
+            SELECT event_type, total, n_days,
+                   CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS alarms,
+                   CAST(NULL AS DATE) AS first_alarm,
+                   CAST(0 AS BIGINT) AS max_s, CAST(0 AS BIGINT) AS rn
+            FROM st
+            UNION ALL
+            SELECT event_type, total, n_days, s2,
+                   alarms + CASE WHEN s2 > {_CUSUM_H_NUM} * total
+                                 THEN 1 ELSE 0 END,
+                   coalesce(first_alarm,
+                            CASE WHEN s2 > {_CUSUM_H_NUM} * total
+                                 THEN day END),
+                   greatest(max_s, s2),
+                   rn + 1
+            FROM (
+                SELECT w.event_type, w.total, w.n_days, w.alarms,
+                       w.first_alarm, w.max_s, w.rn, q.day,
+                       greatest(CAST(0 AS BIGINT),
+                                w.s + {_CUSUM_SCALE_NUM} * w.n_days * q.c
+                                    - {_CUSUM_SHIFT_NUM} * w.total) AS s2
+                FROM walk w
+                JOIN seq q ON q.event_type = w.event_type
+                          AND q.rn = w.rn + 1
+            )
+        )
+        SELECT event_type, n_days, total AS total_events,
+               round(total / n_days, 6) AS mean_daily,
+               alarms AS n_alarms,
+               strftime(first_alarm, '%Y-%m-%d') AS first_alarm_day,
+               max_s AS max_stat
+        FROM walk WHERE rn = n_days
     """,
     # NOTE: deliberately a RECURSIVE CTE, not list_reduce — DuckDB 1.x's
     # list_reduce with a STRUCT accumulator mis-evaluates multi-step folds

@@ -367,6 +367,65 @@ def cur_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature-scaled mixing: p_i ∝ n_i^(1/2) — the multilingual-LM
+# sampling trick (τ = 2, i.e. exponent 1/2) that boosts low-resource
+# sources without letting any source dominate. Budget is the planned
+# training-run token count the epochs column is quoted against.
+_MIX_TOKEN_BUDGET = 10_000_000
+
+
+def cur_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-mix plan on REAL subword counts: each
+    source's sampling probability is proportional to sqrt(n_tokens)
+    (temperature-2 sampling — the standard compromise between natural
+    (τ=1, big sources drown small) and uniform (τ=∞, tiny sources repeat
+    until memorized)). Reports natural vs temperature share, the
+    over/under-sampling factor, and effective epochs at a fixed token
+    budget — epochs >> 1 on a small source is the overfit warning this
+    table exists to surface.
+
+    Determinism: sqrt is IEEE-correctly-rounded in both engines and each
+    per-source value rounds to 6 BEFORE the cross-source normalizer sum,
+    which runs in decimal (exact, order-independent — float accumulation
+    over sources would be partition-order-dependent); every share is then
+    a single double division. Scale shape: the tokenizer fold is
+    per-distinct-word, per-source totals are one partial-agg groupBy, and
+    the normalizer window runs over n_sources rows only."""
+    from pyspark.sql import Window
+
+    from .textops import _word_subword_stats
+
+    ws = _word_subword_stats(spark, sf_dir).select("w", "n_tok")
+    docs = t(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .join(ws, "w")
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    sqrtr = F.round(F.sqrt(F.col("n_tokens")), 6).cast("decimal(38,6)")
+    w = Window.partitionBy()
+    staged = per_src.select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w))
+        .alias("nat_raw"),
+        (sqrtr.cast("double") / F.sum(sqrtr).over(w).cast("double"))
+        .alias("temp_raw"),
+    )
+    return staged.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("nat_raw"), 6).alias("natural_share"),
+        F.round(F.col("temp_raw"), 6).alias("temp_share"),
+        F.round(F.col("temp_raw") / F.col("nat_raw"), 6).alias("sample_weight"),
+        F.round(
+            F.lit(_MIX_TOKEN_BUDGET) * F.col("temp_raw") / F.col("n_tokens"), 6
+        ).alias("epochs_at_budget"),
+    )
+
+
 # ---------------------------------------------------------- record linkage
 
 
@@ -543,6 +602,7 @@ QUERIES = {
     "cur_weighted_sample": cur_weighted_sample,
     "cur_robust_scale": cur_robust_scale,
     "cur_source_mix": cur_source_mix,
+    "cur_temperature_mix": cur_temperature_mix,
     "cur_repetition_filter": cur_repetition_filter,
     "cur_gopher_rules": cur_gopher_rules,
     "cur_pii_scrub": cur_pii_scrub,
@@ -633,7 +693,40 @@ _SAMPLE_SQL = f"""
     GROUP BY lang, source
 """
 
+def _temperature_mix_sql() -> str:
+    # late import: keeps curation→textops a call-time edge, not import-time
+    from .textops import _SUBWORD_CTES
+
+    return f"""
+        WITH RECURSIVE {_SUBWORD_CTES}, per_src AS MATERIALIZED (
+            SELECT d.source, CAST(sum(s.n_tok) AS BIGINT) AS n_tokens
+            FROM doc_words dw
+            JOIN word_stats s USING (w)
+            JOIN documents d USING (doc_id)
+            GROUP BY d.source
+        ), staged AS (
+            SELECT source, n_tokens,
+                   CAST(n_tokens AS DOUBLE)
+                       / CAST(sum(n_tokens) OVER () AS BIGINT) AS nat_raw,
+                   CAST(CAST(round(sqrt(n_tokens), 6) AS DECIMAL(38,6))
+                        AS DOUBLE)
+                       / CAST(sum(CAST(round(sqrt(n_tokens), 6)
+                                       AS DECIMAL(38,6))) OVER ()
+                              AS DOUBLE) AS temp_raw
+            FROM per_src
+        )
+        SELECT source, n_tokens,
+               round(nat_raw, 6) AS natural_share,
+               round(temp_raw, 6) AS temp_share,
+               round(temp_raw / nat_raw, 6) AS sample_weight,
+               round({_MIX_TOKEN_BUDGET} * temp_raw / n_tokens, 6)
+                   AS epochs_at_budget
+        FROM staged
+    """
+
+
 ORACLE = {
+    "cur_temperature_mix": _temperature_mix_sql(),
     "cur_k_anonymity": f"""
         WITH classes AS (
             SELECT c_nationkey, c_mktsegment, count(*) AS class_size

@@ -645,6 +645,66 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_THRESHOLD = 0.2  # cosine radius sized to the fixture's similarity mass
 
 
+# Matryoshka two-stage retrieval: coarse-rank on the embedding's PREFIX
+# dims (MRL-trained embeddings front-load information, so the first 16 of
+# 64 dims are a usable low-cost representation), exact-rerank on the full
+# vector. The scale win is bandwidth: stage 1 reads/computes 1/4 of the
+# floats per corpus vector; only the candidate set pays full-dim cost.
+_MRL_DIM = 32
+_MRL_CANDIDATES = 60
+
+
+def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension (Matryoshka) two-stage ANN: top-60 candidates by
+    cosine over dims 1..32 only, then EXACT full-dim cosine rerank to the
+    top-10 — the truncated-representation retrieval pattern (MRL,
+    arXiv:2205.13147) that cuts stage-1 FLOPs and scan bytes 2× while the
+    rerank keeps reported scores exact (overlapping ids must carry
+    cosines identical to sim_brute_topk — pinned in tests, like PQ).
+
+    Determinism: both stages use the shared sequential-fold dot product
+    (F.aggregate ↔ list_reduce, identical operand order), so the stage-1
+    cut and the final ranking are bit-identical across engines; ties
+    break on vec_id. Prefix-zero-norm vectors are excluded from stage 1
+    exactly as zero-norm vectors are from the corpus (_vecs contract).
+    Scale shape: query broadcast; corpus never shuffles; stage 2 touches
+    _MRL_CANDIDATES rows."""
+    vecs = _vecs(spark, sf_dir)
+    pref = (
+        vecs.withColumn("pv", F.slice(F.col("v"), 1, _MRL_DIM))
+        .withColumn("pnorm", _norm(F.col("pv")))
+        .filter(F.col("pnorm") > 0)
+    )
+    q = pref.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("pv").alias("qpv"),
+        F.col("pnorm").alias("qpnorm"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cands = (
+        pref.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .withColumn(
+            "pcos", _dot(F.col("pv"), F.col("qpv")) / (F.col("pnorm") * F.col("qpnorm"))
+        )
+        .orderBy(F.desc("pcos"), F.asc("vec_id"))
+        .limit(_MRL_CANDIDATES)
+    )
+    return (
+        cands.withColumn(
+            "cos_raw", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+        )
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select(
+            "vec_id",
+            "label",
+            F.round("cos_raw", 6).alias("cosine"),
+            F.round("pcos", 6).alias("cosine_prefix"),
+        )
+    )
+
+
 def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius (range) search: every corpus vector within cosine ≥ 0.2 of
     the query vector — the retrieval shape dedup-by-similarity and
@@ -713,6 +773,7 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_ivf_incremental": sim_ann_ivf_incremental,
     "sim_pq_topk": sim_pq_topk,
+    "sim_matryoshka_topk": sim_matryoshka_topk,
 }
 
 
@@ -778,7 +839,44 @@ _COS = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
               [a.vec[i] * q.vec[i] for i in range(1, len(a.vec) + 1)]),
               (s, x) -> s + x) / (a.norm * q.norm)"""
 
+_MRL_PREF_SQL = f"""
+    p AS (
+        SELECT vec_id, label, vec, norm,
+               vec[1:{_MRL_DIM}] AS pvec,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    [x * x for x in vec[1:{_MRL_DIM}]]), (a, x) -> a + x))
+                   AS pnorm
+        FROM n
+    ), pn AS (
+        SELECT * FROM p WHERE pnorm > 0
+    )"""
+
+_MRL_PCOS = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [a.pvec[i] * q.pvec[i] for i in range(1, len(a.pvec) + 1)]),
+              (s, x) -> s + x) / (a.pnorm * q.pnorm)"""
+
 ORACLE = {
+    "sim_matryoshka_topk": f"""
+        WITH {_VECS_SQL}, {_MRL_PREF_SQL}, cand AS (
+            SELECT a.vec_id, a.label, a.vec, a.norm,
+                   {_MRL_PCOS} AS pcos,
+                   q.vec AS qvec, q.norm AS qnorm
+            FROM pn a, (SELECT pvec, pnorm, vec, norm FROM pn
+                        WHERE vec_id = {_QUERY_VEC_ID}) q
+            WHERE a.vec_id != {_QUERY_VEC_ID}
+            ORDER BY pcos DESC, a.vec_id ASC LIMIT {_MRL_CANDIDATES}
+        ), rerank AS (
+            SELECT vec_id, label, pcos,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       [vec[i] * qvec[i] for i in range(1, len(vec) + 1)]),
+                       (s, x) -> s + x) / (norm * qnorm) AS cos_raw
+            FROM cand
+        )
+        SELECT vec_id, label, round(cos_raw, 6) AS cosine,
+               round(pcos, 6) AS cosine_prefix
+        FROM rerank
+        ORDER BY cos_raw DESC, vec_id ASC LIMIT {_TOP_K}
+    """,
     "sim_range_search": f"""
         WITH {_VECS_SQL}
         SELECT a.vec_id, a.label, round({_COS}, 6) AS cosine

@@ -670,6 +670,49 @@ def tx_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer evaluation report per source — the table a tokenizer team
+    reads before shipping a vocab: compression (word chars per subword
+    token; higher = vocab captures this source's morphology), fertility
+    (subwords per word; the 100%-coverage analogue of tokens/word), and
+    UNK rate (share of emitted tokens that fell through to a 1-char OOV
+    advance). Sources whose fertility or UNK rate is an outlier are where
+    the induced vocab underfits — the signal that drives vocab-size or
+    corpus-mix changes.
+
+    Determinism: every statistic is a single division of two exact
+    integer sums (engine-identical IEEE doubles), rounded to 6. Scale
+    shape: the tokenizer fold is per DISTINCT word; this report is one
+    explode + vocabulary-sized join + a 20-row (n_sources) aggregate."""
+    ws = _word_subword_stats(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "source", F.explode(_tokens()).alias("w")
+    ).filter(F.col("w") != "")
+    agg = (
+        exploded.join(ws, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_word_chars"),
+            F.sum("n_tok").cast("long").alias("n_subwords"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        "n_subwords",
+        "n_unk",
+        F.round(F.col("n_word_chars").cast("double") / F.col("n_subwords"), 6)
+        .alias("chars_per_token"),
+        F.round(F.col("n_subwords").cast("double") / F.col("n_words"), 6)
+        .alias("fertility"),
+        F.round(F.col("n_unk").cast("double") / F.col("n_subwords"), 6)
+        .alias("unk_rate"),
+    )
+
+
 def tx_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per document — the conditional upgrade of
     ``tx_lm_score``: score each doc by Σ -ln p(w_i | w_{i-1}) under the
@@ -790,6 +833,24 @@ _SUBWORD_CTES = f"""
             ) WHERE u.w <> ''
         )"""
 
+_TOKENIZER_STATS_SQL = f"""
+        WITH RECURSIVE {_SUBWORD_CTES}
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(s.n_tok) AS BIGINT) AS n_subwords,
+               CAST(sum(s.n_unk) AS BIGINT) AS n_unk,
+               round(CAST(CAST(sum(len(dw.w)) AS BIGINT) AS DOUBLE)
+                     / CAST(sum(s.n_tok) AS BIGINT), 6) AS chars_per_token,
+               round(CAST(CAST(sum(s.n_tok) AS BIGINT) AS DOUBLE)
+                     / count(*), 6) AS fertility,
+               round(CAST(CAST(sum(s.n_unk) AS BIGINT) AS DOUBLE)
+                     / CAST(sum(s.n_tok) AS BIGINT), 6) AS unk_rate
+        FROM doc_words dw
+        JOIN word_stats s USING (w)
+        JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    """
+
 _TOKENIZE_APPLY_SQL = f"""
         WITH RECURSIVE {_SUBWORD_CTES}
         SELECT d.doc_id,
@@ -806,6 +867,7 @@ _TOKENIZE_APPLY_SQL = f"""
 QUERIES = {
     "tx_vocab_build": tx_vocab_build,
     "tx_tokenize_apply": tx_tokenize_apply,
+    "tx_tokenizer_stats": tx_tokenizer_stats,
     "tx_bigram_lm": tx_bigram_lm,
     "tx_token_stats": tx_token_stats,
     "tx_readability": tx_readability,
@@ -824,6 +886,7 @@ QUERIES = {
 
 ORACLE = {
     "tx_tokenize_apply": _TOKENIZE_APPLY_SQL,
+    "tx_tokenizer_stats": _TOKENIZER_STATS_SQL,
     "tx_bigram_lm": """
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -385,3 +385,39 @@ def test_ev_ab_test_hand_computed(spark, tmp_path):
     p = 0.5
     z = (0.75 - 0.25) / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
     assert abs(r["z_score"] - round(z, 6)) < 1e-9
+
+
+def test_a_changepoint_cusum_level_shift(spark, tmp_path):
+    """CUSUM pins, hand-computed at 4n scale: a CONSTANT daily series never
+    leaves zero (no alarms); a 2/day → 8/day level shift at day 10 of 20
+    accumulates +140/day post-shift against the 8·total = 800 threshold,
+    so the first alarm lands exactly 6 post-shift days in (840 > 800),
+    with 5 alarm days total and peak statistic 1400."""
+    day = 24 * 60.0
+    events = []
+    eid = 0
+    for d in range(20):
+        for i in range(4):  # 'view': constant 4/day
+            events.append((eid, _ts(d * day + i), 1, "view", 1.0)); eid += 1
+        for i in range(2 if d < 10 else 8):  # 'click': 2/day then 8/day
+            events.append((eid, _ts(d * day + 30 + i), 2, "click", 1.0)); eid += 1
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_changepoint_cusum"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "a_changepoint_cusum", sdf, con.sql(oracles["a_changepoint_cusum"]).df()
+    )
+    assert not msg, msg
+    got = {r["event_type"]: r for _, r in sdf.iterrows()}
+    v = got["view"]
+    assert (v["n_days"], v["total_events"], v["n_alarms"], v["max_stat"]) == (
+        20, 80, 0, 0,
+    )
+    assert v["first_alarm_day"] is None or v["first_alarm_day"] != v["first_alarm_day"]  # NULL
+    c = got["click"]
+    # total=100, n=20: pre-shift step 4*20*2-500<0 -> clamped at 0;
+    # post-shift step 4*20*8-500=+140; alarm at 140*k>800 -> k=6 -> day 15
+    assert (c["n_days"], c["total_events"]) == (20, 100)
+    assert c["n_alarms"] == 5
+    assert c["first_alarm_day"] == "2024-03-16"
+    assert c["max_stat"] == 1400

@@ -689,3 +689,85 @@ def test_pack_subword_budget_consistency(spark, sf_dir):
         assert [p.pack_id for p in rows] == list(range(len(rows)))
         for a, b in zip(rows, rows[1:]):
             assert a.last_doc < b.first_doc
+
+
+def test_tokenizer_stats_consistent_with_apply(spark, sf_dir):
+    """tx_tokenizer_stats must be the per-source rollup of
+    tx_tokenize_apply's per-doc counts (one contract, two granularities),
+    and its ratios recompute from its own integer columns."""
+    from datalake_on_prem_system_spark.operators.textops import (
+        tx_tokenize_apply,
+        tx_tokenizer_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    per_doc = {
+        (r.source): (r.words, r.subs, r.unks)
+        for r in tx_tokenize_apply(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("words"),
+            F.sum("n_subword_tokens").alias("subs"),
+            F.sum("n_unk").alias("unks"),
+        )
+        .collect()
+    }
+    stats = tx_tokenizer_stats(spark, sf_dir).collect()
+    assert {r.source for r in stats} == per_doc.keys()
+    for r in stats:
+        words, subs, unks = per_doc[r.source]
+        assert (r.n_words, r.n_subwords, r.n_unk) == (words, subs, unks)
+        assert abs(r.fertility - subs / words) < 1e-6
+        assert abs(r.unk_rate - unks / subs) < 1e-6
+        assert r.fertility >= 1.0  # every word is at least one subword
+        assert 0.0 <= r.unk_rate <= 1.0
+
+
+def test_temperature_mix_properties(spark, sf_dir):
+    """Temperature-2 mixing laws: both share columns sum to 1, sqrt
+    flattens the distribution (smallest source's share rises, largest
+    falls), sample_weight = temp/natural exactly, and epochs respect the
+    budget (sum of epochs_i * n_i ≈ budget)."""
+    import math
+
+    from datalake_on_prem_system_spark.operators.curation import (
+        _MIX_TOKEN_BUDGET,
+        cur_temperature_mix,
+    )
+
+    rows = cur_temperature_mix(spark, sf_dir).collect()
+    nat = sum(r.natural_share for r in rows)
+    tmp = sum(r.temp_share for r in rows)
+    assert abs(nat - 1.0) < 1e-4 and abs(tmp - 1.0) < 1e-4
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    largest = max(rows, key=lambda r: r.n_tokens)
+    assert smallest.temp_share > smallest.natural_share
+    assert largest.temp_share < largest.natural_share
+    assert smallest.sample_weight > 1.0 > largest.sample_weight
+    for r in rows:
+        # replay against python: identical IEEE sqrt + single divisions
+        expect = math.sqrt(r.n_tokens)
+        total_sqrt = sum(round(math.sqrt(x.n_tokens), 6) for x in rows)
+        assert abs(r.temp_share - round(expect, 6) / total_sqrt) < 1e-5
+    spent = sum(r.epochs_at_budget * r.n_tokens for r in rows)
+    assert abs(spent - _MIX_TOKEN_BUDGET) / _MIX_TOKEN_BUDGET < 1e-3
+
+
+def test_matryoshka_rerank_is_exact(spark, sf_dir):
+    """MRL two-stage contract: reported cosines are EXACT (identical to
+    brute force for overlapping ids — the PQ precedent) and the 16-dim
+    stage-1 recovers a solid share of the true top-10."""
+    brute = {
+        r.vec_id: r.cosine for r in similarity.sim_brute_topk(spark, sf_dir).collect()
+    }
+    mrl = {
+        r.vec_id: r.cosine
+        for r in similarity.sim_matryoshka_topk(spark, sf_dir).collect()
+    }
+    hits = mrl.keys() & brute.keys()
+    assert len(hits) >= 5, sorted(mrl)
+    for vid in hits:
+        assert mrl[vid] == brute[vid]
