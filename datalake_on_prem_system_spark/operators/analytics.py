@@ -747,6 +747,42 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event_type — the multiplicative
+    seasonal index (dow mean daily count / overall mean daily count) every
+    capacity forecaster factors out before trend-fitting, and the first
+    diagnostic for weekly load cycles (index > 1: that weekday runs hot).
+
+    Determinism: counts are exact integers; each mean is ONE long/long
+    double division and the index ONE ratio of those two doubles —
+    identical IEEE ops in both engines, rounded at the edge. Weekday is
+    Monday=0 in both (Spark ``weekday`` ↔ DuckDB ``isodow - 1`` —
+    DuckDB's own ``dayofweek`` is Sunday-based, a silent off-by-one).
+    Scale shape: one (type, day) partial-agg rollup, then two
+    vocabulary-sized aggregates joined on event_type (broadcast — the
+    type vocabulary is bounded at any corpus size)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("c"))
+    overall = daily.groupBy("event_type").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_days_all")
+    )
+    dow = daily.groupBy("event_type", F.weekday("day").alias("dow")).agg(
+        F.sum("c").alias("dow_events"), F.count(F.lit(1)).alias("n_days")
+    )
+    mean_dow = F.col("dow_events") / F.col("n_days")
+    mean_all = F.col("total") / F.col("n_days_all")
+    return dow.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        "dow",
+        "n_days",
+        "dow_events",
+        F.round(mean_dow, 6).alias("dow_mean"),
+        F.round(mean_dow / mean_all, 6).alias("seasonal_index"),
+    )
+
+
 # CUSUM framing, all-integer (the ev_anomaly_mad rule): with per-type daily
 # counts x_t, mean m = total/n and allowance k = m/4, the classic recursion
 # S_t = max(0, S_{t-1} + x_t - m - k) scales by 4n to
@@ -1210,6 +1246,7 @@ QUERIES = {
     "ev_peak_concurrency": ev_peak_concurrency,
     "ev_anomaly_mad": ev_anomaly_mad,
     "ts_holt_forecast": ts_holt_forecast,
+    "ts_seasonality": ts_seasonality,
     "a_changepoint_cusum": a_changepoint_cusum,
     "a_benford_digits": a_benford_digits,
     "a_correlation": a_correlation,
@@ -1367,6 +1404,28 @@ ORACLE = {
                             * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
                      6) END AS z_score
         FROM s
+    """,
+    "ts_seasonality": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), overall AS (
+            SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_days_all
+            FROM daily GROUP BY 1
+        ), dw AS (
+            SELECT event_type, CAST(isodow(day) - 1 AS INTEGER) AS dow,
+                   CAST(sum(c) AS BIGINT) AS dow_events,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1, 2
+        )
+        SELECT d.event_type, d.dow, d.n_days, d.dow_events,
+               round(d.dow_events / CAST(d.n_days AS DOUBLE), 6) AS dow_mean,
+               round((d.dow_events / CAST(d.n_days AS DOUBLE))
+                     / (o.total / CAST(o.n_days_all AS DOUBLE)), 6)
+                   AS seasonal_index
+        FROM dw d JOIN overall o USING (event_type)
     """,
     # recursive CTE, not list_reduce, for the same struct-fold reason as Holt
     "a_changepoint_cusum": f"""

@@ -555,44 +555,26 @@ def build_pq_index(
     return _PQ_CACHE[key]
 
 
-def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via PRODUCT QUANTIZATION (Jégou et al. 2011, the FAISS
-    ``IndexPQ`` shape): the 64-dim space splits into 8 subspaces of 8 dims,
-    each with its own 16-centroid codebook, so a vector compresses to 8
-    codes (8 bytes — a 64× smaller scan than the raw doubles) while the
-    codebook stays M·K·subdim = 1024 doubles of driver-side metadata.
-    Queries are PURE ADC over the persisted code table
-    (``build_pq_index``): per subspace a driver-computed scalar lookup
-    table — partial inner product of the query slice with each centroid,
-    and each centroid's squared norm — so the scan touches 8 small ints
-    per row plus M·K scalar literals, never a 64-dim array; the
-    per-subspace partials sum in m-order (the oracle mirrors the exact
-    grouping). Top candidates then rerank by exact cosine against the raw
-    vectors (a broadcast join of the tiny candidate set back to the
-    primary table — codes never store the raw data, as in FAISS).
+def _foldsum(vals: list[float]) -> float:
+    """Driver-side mirror of the engines' sequential fold: init 0.0, then
+    left-to-right adds — Python floats ARE IEEE doubles, so lookup-table
+    entries equal what the oracle's SQL folds compute."""
+    s = 0.0
+    for x in vals:
+        s = s + x
+    return s
 
-    Scale shape: the ADC pass is a narrow codegen map over the 64×-smaller
-    code table + TakeOrderedAndProject; encode cost lives in the one-time
-    index build. Training is deterministic, so the oracle replays the
-    whole pipeline — 8 per-subspace trainings and the encode included —
-    as a hash-checked compare; pytest pins recall against the exact
-    baseline."""
-    path, books = build_pq_index(spark, sf_dir)
-    vecs = _vecs(spark, sf_dir)
-    q_row = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select("v", "norm").head()
-    qv = F.array(*[F.lit(float(x)) for x in q_row.v])
-    qnorm = F.lit(float(q_row.norm))
 
-    def _foldsum(vals: list[float]) -> float:
-        # driver-side mirror of the engines' sequential fold: init 0.0,
-        # then left-to-right adds — Python floats ARE IEEE doubles, so the
-        # lookup-table entries equal what the oracle's SQL folds compute
-        s = 0.0
-        for x in vals:
-            s = s + x
-        return s
-
-    q = [float(x) for x in q_row.v]
+def _adc_aip(
+    q: list[float], qnorm: Column, books: list[list[tuple[int, list[float]]]]
+) -> Column:
+    """Asymmetric-distance (ADC) approximate-cosine expression over a PQ
+    code table's ``code0..codeM-1`` columns: per subspace a driver-computed
+    scalar lookup (partial inner product of the query slice with each
+    centroid, and each centroid's squared norm), partials summed in
+    m-order — the exact grouping the oracle mirrors. Shared by sim_pq_topk
+    and sim_ivfpq_topk so the ADC arithmetic can never drift between the
+    flat and cell-pruned paths."""
     ip_tab: list[dict[int, float]] = []
     n2_tab: list[dict[int, float]] = []
     for m, book in enumerate(books):
@@ -625,10 +607,41 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in range(1, _PQ_M):
         aip_num = aip_num + lookup(m, ip_tab)
         n2_sum = n2_sum + lookup(m, n2_tab)
+    return aip_num / (F.sqrt(n2_sum) * qnorm)
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via PRODUCT QUANTIZATION (Jégou et al. 2011, the FAISS
+    ``IndexPQ`` shape): the 64-dim space splits into 8 subspaces of 8 dims,
+    each with its own 16-centroid codebook, so a vector compresses to 8
+    codes (8 bytes — a 64× smaller scan than the raw doubles) while the
+    codebook stays M·K·subdim = 1024 doubles of driver-side metadata.
+    Queries are PURE ADC over the persisted code table
+    (``build_pq_index``): per subspace a driver-computed scalar lookup
+    table — partial inner product of the query slice with each centroid,
+    and each centroid's squared norm — so the scan touches 8 small ints
+    per row plus M·K scalar literals, never a 64-dim array; the
+    per-subspace partials sum in m-order (the oracle mirrors the exact
+    grouping). Top candidates then rerank by exact cosine against the raw
+    vectors (a broadcast join of the tiny candidate set back to the
+    primary table — codes never store the raw data, as in FAISS).
+
+    Scale shape: the ADC pass is a narrow codegen map over the 64×-smaller
+    code table + TakeOrderedAndProject; encode cost lives in the one-time
+    index build. Training is deterministic, so the oracle replays the
+    whole pipeline — 8 per-subspace trainings and the encode included —
+    as a hash-checked compare; pytest pins recall against the exact
+    baseline."""
+    path, books = build_pq_index(spark, sf_dir)
+    vecs = _vecs(spark, sf_dir)
+    q_row = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select("v", "norm").head()
+    qv = F.array(*[F.lit(float(x)) for x in q_row.v])
+    qnorm = F.lit(float(q_row.norm))
+    aip_expr = _adc_aip([float(x) for x in q_row.v], qnorm, books)
     cand = (
         spark.read.parquet(path)
         .filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .withColumn("aip", aip_num / (F.sqrt(n2_sum) * qnorm))
+        .withColumn("aip", aip_expr)
         .orderBy(F.desc("aip"), F.asc("vec_id"))
         .limit(_PQ_RERANK)
         .select("vec_id")
@@ -642,14 +655,107 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_CACHE: dict[tuple[str, float], str] = {}
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[
+    str,
+    list[tuple[int, list[float]]],
+    list[list[tuple[int, list[float]]]],
+]:
+    """One-time IVF+PQ composite index (the FAISS ``IndexIVFPQ`` layout):
+    the coarse quantizer's cell assignment (``build_ivf_index``) and the
+    8-byte PQ codes (``build_pq_index``) merge into ONE code table
+    hive-partitioned on cell — at a billion vectors this is THE serving
+    layout: a query scans nprobe/nlist of the partitions and touches 8
+    small ints per row in them. Reuses both memoized sub-indexes, so a
+    rebuild only happens on corpus drift (mtime key), and superseded dirs
+    are GC'd like the others."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    key = (
+        os.path.abspath(sf_dir),
+        os.path.getmtime(emb) if os.path.exists(emb) else 0.0,
+    )
+    ivf_path, centers = build_ivf_index(spark, sf_dir)
+    pq_path, books = build_pq_index(spark, sf_dir)
+    if key in _IVFPQ_CACHE:
+        return _IVFPQ_CACHE[key], centers, books
+    codes = spark.read.parquet(pq_path)
+    cells = spark.read.parquet(ivf_path).select("vec_id", "cell")
+    path = os.path.join(tempfile.mkdtemp(prefix="ivfpq_idx_"), "codes")
+    codes.join(cells, "vec_id").write.partitionBy("cell").parquet(path)
+    for stale in [k for k in _IVFPQ_CACHE if k[0] == key[0] and k != key]:
+        shutil.rmtree(os.path.dirname(_IVFPQ_CACHE.pop(stale)), ignore_errors=True)
+    _IVFPQ_CACHE[key] = path
+    return path, centers, books
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF + PQ composed (the FAISS ``IndexIVFPQ`` query
+    path — the production default at billion-vector scale): the coarse
+    quantizer prunes the scan to the nprobe cells nearest the query
+    (hive-partition pruning on the composite index), the ADC pass ranks
+    the survivors from their 8-byte codes via driver-side scalar lookup
+    tables (``_adc_aip`` — byte-identical arithmetic to sim_pq_topk), and
+    the small candidate set reranks by exact cosine against the raw
+    vectors. Cost per query: nprobe/nlist of the corpus × 8 bytes/vector
+    + _PQ_RERANK full vectors — each factor independently tunable.
+
+    Determinism: probe selection, codebook training, ADC folds, and the
+    rerank all reuse the deterministic machinery of the parent operators,
+    so the DuckDB oracle replays the ENTIRE pipeline (coarse training, 8
+    subspace trainings, encode, probe, ADC, rerank) hash-exactly."""
+    path, centers, books = build_ivfpq_index(spark, sf_dir)
+    vecs = _vecs(spark, sf_dir)
+    q_row = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select("v", "norm").head()
+    qv = [float(x) for x in q_row.v]
+    # probe ranking: the _probe_ivf rule (python left-to-right fold =
+    # _sqdist fold; ties to the lower cell)
+    d2 = [
+        (sum((c[i] - qv[i]) * (c[i] - qv[i]) for i in range(len(qv))), ci)
+        for ci, c in centers
+    ]
+    probe_cells = [ci for _, ci in sorted(d2)[:_NPROBE]]
+    qnorm = F.lit(float(q_row.norm))
+    q_lit = F.array(*[F.lit(x) for x in qv])
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .withColumn("aip", _adc_aip(qv, qnorm, books))
+        .orderBy(F.desc("aip"), F.asc("vec_id"))
+        .limit(_PQ_RERANK)
+        .select("vec_id")
+    )
+    return (
+        vecs.join(F.broadcast(cand), "vec_id")
+        .withColumn(
+            "cosine_raw", _dot(q_lit, F.col("v")) / (F.col("norm") * qnorm)
+        )
+        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cosine_raw", 6).alias("cosine_ivfpq"))
+    )
+
+
 _RANGE_THRESHOLD = 0.2  # cosine radius sized to the fixture's similarity mass
 
 
 # Matryoshka two-stage retrieval: coarse-rank on the embedding's PREFIX
-# dims (MRL-trained embeddings front-load information, so the first 16 of
-# 64 dims are a usable low-cost representation), exact-rerank on the full
-# vector. The scale win is bandwidth: stage 1 reads/computes 1/4 of the
+# dims (MRL-trained embeddings front-load information, so a prefix of the
+# 64 dims is a usable low-cost representation), exact-rerank on the full
+# vector. The scale win is bandwidth: stage 1 reads/computes half the
 # floats per corpus vector; only the candidate set pays full-dim cost.
+# Operating point: the fixture embeddings are synthetic (not MRL-trained),
+# so prefix dims carry no privileged information — 32/64 with a
+# 60-candidate pool keeps recall honest here; a trained MRL embedding
+# runs 8-16 prefix dims with the same plan.
 _MRL_DIM = 32
 _MRL_CANDIDATES = 60
 
@@ -774,6 +880,7 @@ QUERIES = {
     "sim_ann_ivf_incremental": sim_ann_ivf_incremental,
     "sim_pq_topk": sim_pq_topk,
     "sim_matryoshka_topk": sim_matryoshka_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
 }
 
 
@@ -1163,3 +1270,66 @@ def _pq_oracle_sql() -> str:
 
 
 ORACLE["sim_pq_topk"] = _pq_oracle_sql()
+
+
+def _ivfpq_oracle_sql() -> str:
+    """DuckDB replay of sim_ivfpq_topk END-TO-END: coarse IVF training
+    (``ivf_assign_ctes``), all 8 subspace codebook trainings + encode (the
+    sim_pq_topk CTEs), the nprobe probe-cell cut, the ADC ranking
+    restricted to probed cells, and the exact rerank."""
+    dist = _dist_sql
+    sub_ctes = []
+    adc_joins = []
+    ip_terms = []
+    n2_terms = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        sub_ctes.append(
+            f"sub{m} AS (SELECT vec_id, vec[{lo}:{hi}] AS vec FROM n)"
+        )
+        sub_ctes.append(
+            ivf_assign_ctes(_PQ_K, _PQ_SUBDIM, f"sub{m}", f"_m{m}")
+        )
+        adc_joins.append(
+            f"JOIN af_m{m} a{m} ON a{m}.vec_id = n.vec_id "
+            f"JOIN cents_m{m} c{m} ON c{m}.cell = a{m}.cell"
+        )
+        ip_terms.append(
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[q.vec[{lo} + i - 1] * c{m}.cvec[i] "
+            f"for i in range(1, {_PQ_SUBDIM} + 1)]), (s, x) -> s + x)"
+        )
+        n2_terms.append(
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[x * x for x in c{m}.cvec]), (s, x) -> s + x)"
+        )
+    exact = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [q.vec[i] * c.vec[i] for i in range(1, len(c.vec) + 1)]),
+              (s, x) -> s + x) / (c.norm * q.norm)"""
+    return f"""
+        WITH {_VECS_SQL}, {ivf_assign_ctes()}, {", ".join(sub_ctes)},
+        qc AS (
+            SELECT c.cell
+            FROM cents c, (SELECT vec FROM n WHERE vec_id = {_QUERY_VEC_ID}) qq
+            ORDER BY {dist("qq.vec", "c.cvec")} ASC, c.cell ASC LIMIT {_NPROBE}
+        ), scored AS (
+            SELECT n.vec_id, n.label, n.vec, n.norm,
+                   ({" + ".join(ip_terms)})
+                   / (sqrt({" + ".join(n2_terms)}) * q.norm) AS aip
+            FROM n
+            JOIN af ON af.vec_id = n.vec_id
+            {" ".join(adc_joins)},
+                 (SELECT vec, norm FROM n WHERE vec_id = {_QUERY_VEC_ID}) q
+            WHERE n.vec_id != {_QUERY_VEC_ID}
+              AND af.cell IN (SELECT cell FROM qc)
+        ), cand AS (
+            SELECT * FROM scored ORDER BY aip DESC, vec_id ASC
+            LIMIT {_PQ_RERANK}
+        )
+        SELECT c.vec_id, c.label, round({exact}, 6) AS cosine_ivfpq
+        FROM cand c, (SELECT vec, norm FROM n WHERE vec_id = {_QUERY_VEC_ID}) q
+        ORDER BY {exact} DESC, c.vec_id ASC LIMIT {_TOP_K}
+    """
+
+
+ORACLE["sim_ivfpq_topk"] = _ivfpq_oracle_sql()

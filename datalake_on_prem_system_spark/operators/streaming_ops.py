@@ -504,8 +504,59 @@ def st_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "sam", "complete")
 
 
+_DOCS_JSON_CACHE: dict[str, str] = {}
+_DOCS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _docs_json_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Documents fixture as JSON-lines files — the live-ingest shape of the
+    corpus (crawler output landing as line-delimited JSON)."""
+    if sf_dir not in _DOCS_JSON_CACHE:
+        src = os.path.join(tempfile.mkdtemp(prefix="doc_json_"), "documents")
+        t(spark, sf_dir, "documents").write.mode("overwrite").json(src)
+        _DOCS_JSON_CACHE[sf_dir] = src
+    return _DOCS_JSON_CACHE[sf_dir]
+
+
+def st_tokenize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tier of the tokenizer report: the induced vocabulary is a
+    BATCH-TRAINED artifact (``textops._word_subword_stats`` — the exact
+    frames ``tx_tokenizer_stats`` consumes, so the tiers share one
+    contract), broadcast-joined to a live document stream; per micro-batch
+    the per-source word/subword/UNK totals roll up — the live token-budget
+    meter an ingest pipeline runs while the crawl lands.
+
+    Scale shape: the static side is the Heaps-bounded distinct-word stats
+    (broadcast); the stream explodes to words and shuffles only for the
+    n_sources-keyed rollup with map-side combine. Oracle: the identical
+    batch SQL over the same corpus (integer columns of
+    tx_tokenizer_stats)."""
+    from .textops import _word_subword_stats
+
+    ws = _word_subword_stats(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_DOCS_DDL)
+        .option("recursiveFileLookup", "true")
+        .json(_docs_json_dir(spark, sf_dir))
+    )
+    words = stream.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    agg = (
+        words.join(F.broadcast(ws), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_subwords"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+        )
+    )
+    return _run_to_memory(agg, "stk", "complete")
+
+
 QUERIES = {
     "st_anomaly_stream": st_anomaly_stream,
+    "st_tokenize_stream": st_tokenize_stream,
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_scd2_stream": st_scd2_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
@@ -620,6 +671,27 @@ ORACLE["st_anomaly_stream"] = """
     GROUP BY dev.event_type
 """
 ORACLE["st_ema_stream"] = _ANALYTICS_ORACLE["w_ema"]
+
+
+def _tokenize_stream_sql() -> str:
+    # batch equivalence: the stream rollup must match the integer columns
+    # of tx_tokenizer_stats computed over the same corpus
+    from .textops import _SUBWORD_CTES
+
+    return f"""
+        WITH RECURSIVE {_SUBWORD_CTES}
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(s.n_tok) AS BIGINT) AS n_subwords,
+               CAST(sum(s.n_unk) AS BIGINT) AS n_unk
+        FROM doc_words dw
+        JOIN word_stats s USING (w)
+        JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    """
+
+
+ORACLE["st_tokenize_stream"] = _tokenize_stream_sql()
 
 # the streamed SCD2 dimension must equal the batch-maintained one — one
 # oracle, two execution tiers (foreachBatch merges vs direct merges)

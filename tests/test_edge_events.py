@@ -421,3 +421,34 @@ def test_a_changepoint_cusum_level_shift(spark, tmp_path):
     assert c["n_alarms"] == 5
     assert c["first_alarm_day"] == "2024-03-16"
     assert c["max_stat"] == 1400
+
+
+def test_ts_seasonality_dow_convention_and_index(spark, tmp_path):
+    """Seasonality pins on a hand-built two-week grid: Monday must map to
+    dow=0 in BOTH engines (DuckDB's native dayofweek is Sunday-based — the
+    silent off-by-one this test exists to catch), and a weekday with
+    double load gets index ≈ 2 / overall-mean units."""
+    day = 24 * 60.0
+    # _T0 = 2024-03-01 (a FRIDAY). Build 14 consecutive days: 1 event/day,
+    # except both MONDAYS (2024-03-04, 2024-03-11; offsets 3 and 10) get 3.
+    events = []
+    eid = 0
+    for d in range(14):
+        k = 3 if d in (3, 10) else 1
+        for i in range(k):
+            events.append((eid, _ts(d * day + i), 1, "view", 1.0)); eid += 1
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ts_seasonality"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ts_seasonality", sdf, con.sql(oracles["ts_seasonality"]).df()
+    )
+    assert not msg, msg
+    got = {int(r["dow"]): r for _, r in sdf.iterrows()}
+    assert set(got) == set(range(7))  # all weekdays present, Monday=0
+    # totals: 12 days x1 + 2 Mondays x3 = 18 over 14 days; overall mean 9/7
+    mon, tue = got[0], got[1]
+    assert (mon["n_days"], mon["dow_events"]) == (2, 6)
+    assert (tue["n_days"], tue["dow_events"]) == (2, 2)
+    assert abs(mon["seasonal_index"] - 3 / (18 / 14)) < 1e-6
+    assert abs(tue["seasonal_index"] - 1 / (18 / 14)) < 1e-6

@@ -771,3 +771,67 @@ def test_matryoshka_rerank_is_exact(spark, sf_dir):
     assert len(hits) >= 5, sorted(mrl)
     for vid in hits:
         assert mrl[vid] == brute[vid]
+
+
+def test_tokenize_stream_matches_batch_tier(spark, sf_dir):
+    """One contract, two tiers: the streaming token-budget meter must land
+    on exactly the batch report's integer columns (same vocab artifact,
+    same greedy semantics), per source."""
+    from datalake_on_prem_system_spark.operators.streaming_ops import (
+        st_tokenize_stream,
+    )
+    from datalake_on_prem_system_spark.operators.textops import tx_tokenizer_stats
+
+    batch = {
+        r.source: (r.n_words, r.n_subwords, r.n_unk)
+        for r in tx_tokenizer_stats(spark, sf_dir).collect()
+    }
+    stream = {
+        r.source: (r.n_words, r.n_subwords, r.n_unk)
+        for r in st_tokenize_stream(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_ivfpq_prunes_cells_and_reranks_exact(spark, sf_dir):
+    """IVFPQ contract: the candidate scan touches at most nprobe of the
+    nlist cell partitions (partition pruning is the point of the
+    composite layout), and reported cosines are EXACT (identical to brute
+    for overlapping ids)."""
+    from datalake_on_prem_system_spark.operators.similarity import (
+        _NPROBE,
+        _QUERY_VEC_ID,
+        build_ivfpq_index,
+        sim_ivfpq_topk,
+    )
+
+    path, centers, _books = build_ivfpq_index(spark, sf_dir)
+    q_row = (
+        similarity._vecs(spark, sf_dir)
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("v")
+        .head()
+    )
+    qv = [float(x) for x in q_row.v]
+    d2 = [
+        (sum((c[i] - qv[i]) * (c[i] - qv[i]) for i in range(len(qv))), ci)
+        for ci, c in centers
+    ]
+    probe = [ci for _, ci in sorted(d2)[:_NPROBE]]
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    # input_file_name over the EXECUTED scan (inputFiles() reports the
+    # pre-pruning relation): only nprobe cell=... dirs may be touched
+    files = {r[0] for r in scan.select(F.input_file_name()).distinct().collect()}
+    touched = {f.split("cell=")[1].split("/")[0] for f in files}
+    assert len(touched) <= _NPROBE, touched
+
+    brute = {
+        r.vec_id: r.cosine for r in similarity.sim_brute_topk(spark, sf_dir).collect()
+    }
+    got = {
+        r.vec_id: r.cosine_ivfpq for r in sim_ivfpq_topk(spark, sf_dir).collect()
+    }
+    hits = got.keys() & brute.keys()
+    assert len(hits) >= 3, sorted(got)
+    for vid in hits:
+        assert got[vid] == brute[vid]
