@@ -105,6 +105,18 @@ HEADLINERS = [
     # peel (per-round checkpointed iterative semi-joins)
     "tx_bigram_lm",
     "g_kcore",
+    # round-9 additions: the greedy WordPiece encode (distinct-word fold +
+    # vocabulary join + doc rollup; the vocab collect is per-call setup),
+    # subword-budgeted packing (same fold feeding a per-source cumsum
+    # window), IVF+PQ composite serve path (coarse cells + 8-byte codes on
+    # disk are memoized setup — nprobe partition-pruned ADC + exact rerank
+    # is timed), prefix-dim Matryoshka two-stage retrieval, and the
+    # all-integer CUSUM fold over the per-type daily series
+    "tx_tokenize_apply",
+    "pl_sequence_pack_subword",
+    "sim_ivfpq_topk",
+    "sim_matryoshka_topk",
+    "a_changepoint_cusum",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —
