@@ -235,6 +235,28 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     )
 
 
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected supplier co-supply edge list (u < v, distinct): two
+    suppliers are linked when they appear on >= ``_TRI_MIN_W`` common
+    orders. Shared (ONE cache key) by the triangle, k-core, and
+    assortativity operators so a session computes the pair fan-out once.
+    The per-order pair fan-out is bounded by items-per-order (TPC-H-ish:
+    <= 7 → <= 21 pairs per order)."""
+    li = t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    return persist_bounded(
+        os_.join(os_.select("ok", F.col("sk").alias("sk2")), "ok")
+        .filter(F.col("sk") < F.col("sk2"))
+        .groupBy(F.col("sk").alias("u"), F.col("sk2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_W)
+        .select("u", "v"),
+        f"g_cosupply_edges:{sf_dir}",
+    )
+
+
 def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier triangle participation in the supplier co-supply graph
     (edge = two suppliers appear on >= ``_TRI_MIN_W`` common orders), top
@@ -242,21 +264,8 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     many triangles sits inside a tight supply cluster; bridge suppliers
     sit in few). Algorithm + scale shape: ``triangle_participation``
     (degree-ordered, O(m^1.5) wedge bound; pinned on known graphs in
-    ``tests/test_graph.py``). The per-order pair fan-out building the edge
-    list is bounded by items-per-order (TPC-H-ish: <= 7 → <= 21 pairs)."""
-    li = t(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
-    ).distinct()
-    edges = persist_bounded(
-        os_.join(os_.select("ok", F.col("sk").alias("sk2")), "ok")
-        .filter(F.col("sk") < F.col("sk2"))
-        .groupBy(F.col("sk").alias("u"), F.col("sk2").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _TRI_MIN_W)
-        .select("u", "v"),
-        f"g_tri_edges:{sf_dir}",
-    )
+    ``tests/test_graph.py``)."""
+    edges = _cosupply_edges(spark, sf_dir)
     return (
         triangle_participation(edges)
         .select(F.col("node").alias("s_suppkey"), "n_triangles")
@@ -459,21 +468,54 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction every graph-curation pipeline runs (nodes outside the core
     are peripheral; the core is where community/triangle structure
     lives)."""
-    li = t(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
-    ).distinct()
-    edges = persist_bounded(
-        os_.join(os_.select("ok", F.col("sk").alias("sk2")), "ok")
-        .filter(F.col("sk") < F.col("sk2"))
-        .groupBy(F.col("sk").alias("u"), F.col("sk2").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _TRI_MIN_W)
-        .select("u", "v"),
-        f"g_kcore_edges:{sf_dir}",
-    )
+    edges = _cosupply_edges(spark, sf_dir)
     return kcore_peel(edges, _KCORE_K).select(
         F.col("node").alias("s_suppkey"), "degree"
+    )
+
+
+def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier co-supply graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over the edge list —
+    positive means hubs link to hubs (resilient core), negative means
+    hub-and-spoke (fragile star topology). The one-number topology
+    diagnostic read before trusting community or centrality output.
+
+    Determinism (the a_correlation rule): the sufficient statistics
+    Σ(du+dv), Σ(du²+dv²), Σ du·dv are EXACT decimal sums of integer
+    degrees — order-independent — and r is one fixed-shape double
+    expression over them, rounded at the edge (NULL for a degree-regular
+    graph, where the variance term is zero). Scale shape: one degree
+    aggregation, two vocabulary-ish joins back to edges (degree table ~
+    node count), one single-row aggregate."""
+    edges = _cosupply_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    paired = edges.join(du, "u").join(dv, "v")
+    stats = paired.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((F.col("du") + F.col("dv")).cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            (
+                F.col("du") * F.col("du") + F.col("dv") * F.col("dv")
+            ).cast("decimal(38,0)")
+        ).alias("s2"),
+        F.sum((F.col("du") * F.col("dv")).cast("decimal(38,0)")).alias("p"),
+    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    mu = F.col("s1").cast("double") / (2 * F.col("m"))
+    num = F.col("p").cast("double") / F.col("m") - mu * mu
+    den = F.col("s2").cast("double") / (2 * F.col("m")) - mu * mu
+    return stats.select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        F.round(mu, 6).alias("mean_edge_degree"),
+        F.when(den != 0, F.round(num / den, 6)).alias("assortativity"),
     )
 
 
@@ -632,9 +674,44 @@ QUERIES = {
     "g_common_neighbors": g_common_neighbors,
     "g_label_propagation": g_label_propagation,
     "g_kcore": g_kcore,
+    "g_assortativity": g_assortativity,
 }
 
+# exact-decimal sufficient statistics; the r expression appears verbatim in
+# num/den/guard, mirroring the Spark column expressions term for term
+_ASSORT_MU = "(CAST(s1 AS DOUBLE) / (2 * m))"
+_ASSORT_NUM = f"(CAST(p AS DOUBLE) / m - {_ASSORT_MU} * {_ASSORT_MU})"
+_ASSORT_DEN = f"(CAST(s2 AS DOUBLE) / (2 * m) - {_ASSORT_MU} * {_ASSORT_MU})"
+_ASSORT_ORACLE = f"""
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+    edges AS (
+        SELECT a.sk AS u, b.sk AS v
+        FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+        GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_W}
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ), paired AS (
+        SELECT a.d AS du, b.d AS dv
+        FROM edges e JOIN deg a ON a.node = e.u JOIN deg b ON b.node = e.v
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               sum(CAST(du + dv AS DECIMAL(38,0))) AS s1,
+               sum(CAST(du * du + dv * dv AS DECIMAL(38,0))) AS s2,
+               sum(CAST(du * dv AS DECIMAL(38,0))) AS p
+        FROM paired
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT n_nodes, m AS n_edges,
+           round({_ASSORT_MU}, 6) AS mean_edge_degree,
+           CASE WHEN {_ASSORT_DEN} != 0
+           THEN round({_ASSORT_NUM} / {_ASSORT_DEN}, 6)
+           END AS assortativity
+    FROM st CROSS JOIN nn
+"""
+
 ORACLE = {
+    "g_assortativity": _ASSORT_ORACLE,
     "g_pagerank": _pagerank_oracle_sql(),
     "g_triangle_count": _TRI_ORACLE,
     "g_common_neighbors": _CN_ORACLE,

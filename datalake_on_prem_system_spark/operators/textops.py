@@ -670,6 +670,51 @@ def tx_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: unigram Shannon entropy, type-token
+    ratio, and entropy normalized by the maximum ln(V) — the corpus-health
+    panel that flags template farms / boilerplate mills (low entropy, low
+    TTR) and mixed-quality crawl slices before they skew a training mix.
+
+    Determinism: each token type's surprisal rounds to 6 (the tx_lm_score
+    rule), the entropy numerator Σ c·s runs EXACTLY as
+    decimal(count)·decimal(surprisal) — integer-scaled, so the
+    cross-vocabulary sum is order-independent — and every remaining step
+    is a single rounded IEEE op. Scale shape: one (source, token) count
+    with map-side combine (Heaps-bounded shuffle), a broadcast of the
+    n_sources-row totals, one vocabulary-sized decimal aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    src = per.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    s6 = F.round(-F.log(F.col("c") / F.col("n_tokens")), 6)
+    terms = per.join(F.broadcast(src), "source").select(
+        "source",
+        (
+            F.col("c").cast("decimal(20,0)") * s6.cast("decimal(18,6)")
+        ).alias("w"),
+    )
+    esum = terms.groupBy("source").agg(F.sum("w").alias("wsum"))
+    ent = F.round(F.col("wsum").cast("double") / F.col("n_tokens"), 6)
+    return src.join(esum, "source").select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        F.round(F.col("vocab_size") / F.col("n_tokens"), 6).alias("ttr"),
+        ent.alias("entropy"),
+        F.when(
+            F.col("vocab_size") > 1,
+            F.round(ent / F.round(F.log(F.col("vocab_size")), 6), 6),
+        ).alias("norm_entropy"),
+    )
+
+
 def tx_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer evaluation report per source — the table a tokenizer team
     reads before shipping a vocab: compression (word chars per subword
@@ -868,6 +913,7 @@ QUERIES = {
     "tx_vocab_build": tx_vocab_build,
     "tx_tokenize_apply": tx_tokenize_apply,
     "tx_tokenizer_stats": tx_tokenizer_stats,
+    "tx_entropy": tx_entropy,
     "tx_bigram_lm": tx_bigram_lm,
     "tx_token_stats": tx_token_stats,
     "tx_readability": tx_readability,
@@ -887,6 +933,37 @@ QUERIES = {
 ORACLE = {
     "tx_tokenize_apply": _TOKENIZE_APPLY_SQL,
     "tx_tokenizer_stats": _TOKENIZER_STATS_SQL,
+    "tx_entropy": """
+        WITH toks AS (
+            SELECT source, tok FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ), per AS (
+            SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ), src AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size
+            FROM per GROUP BY 1
+        ), terms AS (
+            SELECT p.source,
+                   CAST(p.c AS DECIMAL(20,0))
+                   * CAST(round(-ln(p.c / CAST(s.n_tokens AS DOUBLE)), 6)
+                          AS DECIMAL(18,6)) AS w
+            FROM per p JOIN src s USING (source)
+        ), esum AS (
+            SELECT source, sum(w) AS wsum FROM terms GROUP BY 1
+        )
+        SELECT s.source, s.n_tokens, s.vocab_size,
+               round(s.vocab_size / CAST(s.n_tokens AS DOUBLE), 6) AS ttr,
+               round(CAST(e.wsum AS DOUBLE) / s.n_tokens, 6) AS entropy,
+               CASE WHEN s.vocab_size > 1
+               THEN round(round(CAST(e.wsum AS DOUBLE) / s.n_tokens, 6)
+                          / round(ln(s.vocab_size), 6), 6)
+               END AS norm_entropy
+        FROM src s JOIN esum e USING (source)
+    """,
     "tx_bigram_lm": """
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents

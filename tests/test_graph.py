@@ -205,3 +205,46 @@ def test_kcore_fixpoint_on_deep_cascade(spark):
     edges = spark.createDataFrame(triangle + path, "u bigint, v bigint")
     got = {r.node: r.degree for r in kcore_peel(edges, 2).collect()}
     assert got == {101: 2, 102: 2, 103: 2}, got
+
+
+def _write_lineitem_pairs(spark, tmp_path, edges, copies=5):
+    """Minimal lineitem fixture inducing a given co-supply edge set: each
+    (u, v) edge gets `copies` dedicated orders carrying exactly suppliers
+    u and v (>= the _TRI_MIN_W=5 threshold; no cross-edge co-occurrence)."""
+    rows = []
+    ok = 0
+    for u, v in edges:
+        for _ in range(copies):
+            rows += [(ok, u), (ok, v)]
+            ok += 1
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_suppkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def test_assortativity_star_is_minus_one(spark, tmp_path):
+    """A pure star (hub 0, leaves 1..4) is the maximally DISassortative
+    graph: every edge pairs degree 4 with degree 1, so r = -1 exactly
+    (hand-derived: mu=2.5, num=-2.25, den=2.25)."""
+    from datalake_on_prem_system_spark.operators.graph_ops import g_assortativity
+
+    _write_lineitem_pairs(spark, tmp_path, [(0, i) for i in (1, 2, 3, 4)])
+    row = g_assortativity(spark, str(tmp_path)).head()
+    assert (row.n_nodes, row.n_edges) == (5, 4)
+    assert row.mean_edge_degree == 2.5
+    assert row.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark, tmp_path):
+    """A 5-cycle is degree-regular (every endpoint degree 2): the variance
+    term is zero, so r is undefined and must surface as NULL, never a
+    divide-by-zero or an Infinity."""
+    from datalake_on_prem_system_spark.operators.graph_ops import g_assortativity
+
+    _write_lineitem_pairs(
+        spark, tmp_path, [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)]
+    )
+    row = g_assortativity(spark, str(tmp_path)).head()
+    assert (row.n_nodes, row.n_edges) == (5, 5)
+    assert row.mean_edge_degree == 2.0
+    assert row.assortativity is None

@@ -835,3 +835,31 @@ def test_ivfpq_prunes_cells_and_reranks_exact(spark, sf_dir):
     assert len(hits) >= 3, sorted(got)
     for vid in hits:
         assert got[vid] == brute[vid]
+
+
+def test_tx_entropy_uniform_and_degenerate(spark, tmp_path):
+    """Entropy pins: a source whose tokens are uniform over V types hits
+    the ln(V) maximum (norm_entropy = 1); a single-token source has
+    entropy 0 and a NULL normalized entropy (ln(1) = 0 guard)."""
+    import math
+
+    docs = [
+        (0, "a b c d", "en", "uniform", 7),
+        (1, "c d a b", "en", "uniform", 7),
+        (2, "x x x x x x", "en", "degenerate", 11),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: r for r in textops.tx_entropy(spark, str(tmp_path)).collect()
+    }
+    u = got["uniform"]
+    assert (u.n_tokens, u.vocab_size) == (8, 4)
+    assert abs(u.entropy - math.log(4)) < 1e-5
+    assert abs(u.norm_entropy - 1.0) < 1e-5
+    assert u.ttr == 0.5
+    d = got["degenerate"]
+    assert (d.n_tokens, d.vocab_size, d.entropy) == (6, 1, 0.0)
+    assert d.norm_entropy is None

@@ -231,6 +231,9 @@ _BNLJ_ALLOWED = {name for name in _QS if name.startswith("sim_")} | {
     # corpus max date + the 12 quintile boundaries: two ONE-ROW aggregates
     # cross-joined into the per-customer frame — constant cost
     "a_rfm_segments",
+    # sufficient-statistics row × node-count row: ONE-ROW × ONE-ROW
+    # cross-join — constant cost at any graph size
+    "g_assortativity",
 }
 
 
