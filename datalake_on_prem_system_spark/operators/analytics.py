@@ -747,6 +747,67 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort LTV curves — the revenue-weighted upgrade of
+    ``ev_retention`` every growth team reads: users cohort by their FIRST
+    purchase week (weeks indexed from the corpus's first purchase day, a
+    one-row aggregate), and each (cohort, age) cell reports active buyers,
+    week revenue, cumulative revenue, and cumulative revenue per cohort
+    member — the LTV trajectory whose flattening point sets payback.
+
+    Determinism: revenue quantizes to integer cents (the attribution
+    rule), week indexes are exact integer day-diffs div 7, the cumulative
+    sum is an integer window, and LTV-per-user is ONE double division at
+    the edge. Scale shape: one user-keyed min, one (cohort, age) partial
+    agg, a cohort-keyed cumsum window over <= weeks rows per cohort, and
+    the anchor is a broadcast one-row aggregate (the ev_drift_psi
+    shape)."""
+    buys = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    anchor = F.broadcast(buys.agg(F.min("day").alias("day0")))
+    wk = buys.crossJoin(anchor).select(
+        "user_id",
+        "cents",
+        F.expr("datediff(day, day0) div 7").cast("int").alias("week"),
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    cells = (
+        wk.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("age_week"))
+        .agg(
+            F.count_distinct("user_id").alias("n_buyers"),
+            F.sum("cents").alias("rev_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "age_week",
+        "n_users",
+        "n_buyers",
+        "rev_cents",
+        "cum_rev_cents",
+        F.round(F.col("cum_rev_cents") / (100.0 * F.col("n_users")), 6).alias(
+            "ltv_per_user"
+        ),
+    )
+
+
 def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event_type — the multiplicative
     seasonal index (dow mean daily count / overall mean daily count) every
@@ -1247,6 +1308,7 @@ QUERIES = {
     "ev_anomaly_mad": ev_anomaly_mad,
     "ts_holt_forecast": ts_holt_forecast,
     "ts_seasonality": ts_seasonality,
+    "ev_ltv_cohort": ev_ltv_cohort,
     "a_changepoint_cusum": a_changepoint_cusum,
     "a_benford_digits": a_benford_digits,
     "a_correlation": a_correlation,
@@ -1404,6 +1466,42 @@ ORACLE = {
                             * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
                      6) END AS z_score
         FROM s
+    """,
+    "ev_ltv_cohort": """
+        WITH buys AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ), anchor AS (
+            SELECT min(day) AS day0 FROM buys
+        ), wk AS (
+            SELECT user_id, cents,
+                   CAST((day - day0) // 7 AS INTEGER) AS week
+            FROM buys CROSS JOIN anchor
+        ), cohort AS (
+            SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1
+        ), sizes AS (
+            SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+            FROM cohort GROUP BY 1
+        ), cells AS (
+            SELECT c.cohort_week, w.week - c.cohort_week AS age_week,
+                   CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_buyers,
+                   CAST(sum(w.cents) AS BIGINT) AS rev_cents
+            FROM wk w JOIN cohort c USING (user_id)
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT cohort_week, age_week, n_buyers, rev_cents,
+                   CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+                       ORDER BY age_week
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_rev_cents
+            FROM cells
+        )
+        SELECT c.cohort_week, c.age_week, s.n_users, c.n_buyers,
+               c.rev_cents, c.cum_rev_cents,
+               round(c.cum_rev_cents
+                     / (CAST(100 AS DOUBLE) * s.n_users), 6) AS ltv_per_user
+        FROM cum c JOIN sizes s USING (cohort_week)
     """,
     "ts_seasonality": """
         WITH daily AS (

@@ -563,7 +563,77 @@ def search_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return injected.unionByName(total)
 
 
+# SymSpell fuzzy search: query terms carry one typo each ('strem' →
+# 'stream' by deletion, 'soft' → 'sort' by substitution). 1-deletion
+# neighborhoods cover every Levenshtein-1 edit; levenshtein verifies (the
+# neighborhood join admits a few distance-2 transposition candidates).
+_FUZZY_QUERY = ["strem", "soft"]
+_FUZZY_MAX_ED = 1
+
+
+def _deletion_variants(term: str) -> list[str]:
+    return sorted({term} | {term[:i] + term[i + 1 :] for i in range(len(term))})
+
+
+def search_typo_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant all-words search via SymSpell deletion neighborhoods
+    (Garbe's algorithm — the production fuzzy-dictionary shape): every
+    DISTINCT corpus term expands to itself + its 1-deletion variants
+    (vocabulary-sized, <= len+1 rows per term), the query terms expand the
+    same way driver-side, candidates meet on the variant key, and a
+    Levenshtein <= 1 check verifies (the neighborhood join is complete
+    for distance 1 but admits some distance-2 transpositions). A document
+    hits when EVERY query term fuzzy-matches some term in it.
+
+    Scale shape: no corpus-sized edit-distance scan ever — the quadratic
+    candidate space collapses to a Heaps-bounded variant join; the
+    verified match table is tiny and broadcast back onto the (doc, term)
+    postings; per-doc all-words check is one partial-agg distinct count.
+    Both engines run the identical DP levenshtein on identical
+    lowercased tokens."""
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    vocab = toks.select("tok").distinct()
+    tok = F.col("tok")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: F.concat(
+            F.substr(tok, F.lit(1), i - 1),
+            F.substr(tok, i + 1, F.length(tok)),
+        ),
+    )
+    vvar = vocab.select(
+        "tok", F.explode(F.array_append(dels, tok)).alias("v")
+    ).distinct()
+    qrows = [(q, v) for q in _FUZZY_QUERY for v in _deletion_variants(q)]
+    qvar = spark.createDataFrame(qrows, "qt string, v string")
+    cand = (
+        vvar.join(F.broadcast(qvar), "v")
+        .select("qt", "tok")
+        .distinct()
+        .filter(F.levenshtein(F.col("qt"), F.col("tok")) <= _FUZZY_MAX_ED)
+    )
+    matched = toks.join(F.broadcast(cand), "tok").select("doc_id", "qt").distinct()
+    hits = (
+        matched.groupBy("doc_id")
+        .agg(F.count_distinct("qt").alias("nq"))
+        .filter(F.col("nq") == len(_FUZZY_QUERY))
+        .select("doc_id")
+    )
+    return docs.join(hits, "doc_id", "left_semi").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 QUERIES = {
+    "search_typo_tolerant": search_typo_tolerant,
     "search_allwords": search_allwords,
     "search_phrase_ranked": search_phrase_ranked,
     "search_rejoin": search_rejoin,
@@ -574,7 +644,40 @@ QUERIES = {
 # mirror of the materialized index text: lower(concat_ws over all non-pk cols)
 _TEXT = "lower(concat_ws(' ', text, lang, source, CAST(n_chars AS VARCHAR)))"
 
+_FUZZY_QVALUES = ", ".join(
+    f"('{q}', '{v}')" for q in _FUZZY_QUERY for v in _deletion_variants(q)
+)
+
 ORACLE = {
+    "search_typo_tolerant": f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ), vocab AS (
+            SELECT DISTINCT tok FROM toks
+        ), vvar AS (
+            SELECT DISTINCT tok, v FROM (
+                SELECT tok, unnest(list_append(
+                    [substr(tok, 1, i - 1) || substr(tok, i + 1)
+                     for i in range(1, len(tok) + 1)], tok)) AS v
+                FROM vocab)
+        ), qvar(qt, v) AS (
+            VALUES {_FUZZY_QVALUES}
+        ), cand AS (
+            SELECT DISTINCT q.qt, w.tok
+            FROM vvar w JOIN qvar q USING (v)
+            WHERE levenshtein(q.qt, w.tok) <= {_FUZZY_MAX_ED}
+        ), matched AS (
+            SELECT DISTINCT t.doc_id, c.qt FROM toks t JOIN cand c USING (tok)
+        ), hits AS (
+            SELECT doc_id FROM matched
+            GROUP BY doc_id HAVING count(DISTINCT qt) = {len(_FUZZY_QUERY)}
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN hits USING (doc_id)
+    """,
     "search_allwords": f"""
         SELECT doc_id, lang, n_chars FROM documents
         WHERE {_TEXT} LIKE '%spark%' AND {_TEXT} LIKE '%merge%'

@@ -452,3 +452,37 @@ def test_ts_seasonality_dow_convention_and_index(spark, tmp_path):
     assert (tue["n_days"], tue["dow_events"]) == (2, 2)
     assert abs(mon["seasonal_index"] - 3 / (18 / 14)) < 1e-6
     assert abs(tue["seasonal_index"] - 1 / (18 / 14)) < 1e-6
+
+
+def test_ev_ltv_cohort_hand_computed(spark, tmp_path):
+    """Cohort-LTV pins: two weekly cohorts with hand-traced revenue.
+    User 1 (cohort week 0) buys $1.00 in week 0 and $2.00 in week 2;
+    user 2 (also cohort 0) buys $4.00 in week 0; user 3 first buys in
+    week 1 ($8.00). Checks cell revenue, cumulative curves, per-user LTV,
+    and total-revenue conservation."""
+    day = 24 * 60.0
+    events = [
+        (0, _ts(0), 1, "purchase", 1.00),
+        (1, _ts(14 * day), 1, "purchase", 2.00),
+        (2, _ts(1 * day), 2, "purchase", 4.00),
+        (3, _ts(8 * day), 3, "purchase", 8.00),
+        (4, _ts(0), 3, "view", 99.0),  # non-purchase: never revenue
+    ]
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ev_ltv_cohort"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ev_ltv_cohort", sdf, con.sql(oracles["ev_ltv_cohort"]).df()
+    )
+    assert not msg, msg
+    got = {(r["cohort_week"], r["age_week"]): r for _, r in sdf.iterrows()}
+    assert set(got) == {(0, 0), (0, 2), (1, 0)}
+    c00 = got[(0, 0)]
+    assert (c00["n_users"], c00["n_buyers"], c00["rev_cents"]) == (2, 2, 500)
+    assert c00["ltv_per_user"] == 2.5
+    c02 = got[(0, 2)]
+    assert (c02["n_buyers"], c02["rev_cents"], c02["cum_rev_cents"]) == (1, 200, 700)
+    assert c02["ltv_per_user"] == 3.5
+    c10 = got[(1, 0)]
+    assert (c10["n_users"], c10["rev_cents"], c10["ltv_per_user"]) == (1, 800, 8.0)
+    assert int(sdf["rev_cents"].sum()) == 1500

@@ -234,6 +234,8 @@ _BNLJ_ALLOWED = {name for name in _QS if name.startswith("sim_")} | {
     # sufficient-statistics row × node-count row: ONE-ROW × ONE-ROW
     # cross-join — constant cost at any graph size
     "g_assortativity",
+    # first-purchase-day anchor: a ONE-ROW min cross-joined to index weeks
+    "ev_ltv_cohort",
 }
 
 

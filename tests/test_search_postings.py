@@ -285,3 +285,30 @@ def test_posting_flat_equivalence_property(spark):
         assert posted == flat, f"query {q!r} over {bodies!r}: {posted} != {flat}"
 
     run()
+
+
+def test_typo_tolerant_semantics_hand_corpus(spark, tmp_path):
+    """SymSpell fuzzy-search pins on a hand corpus (query = ['strem',
+    'soft']): a doc carrying both fuzzy targets hits; one carrying only a
+    'stream' match misses the all-words gate; exact query terms match
+    themselves (distance 0); a distance-2 word ('sight' vs 'soft') never
+    matches."""
+    from datalake_on_prem_system_spark.operators.search import (
+        search_typo_tolerant,
+    )
+
+    docs = [
+        (0, "stream sort now", "en", "s", 15),     # both: hit
+        (1, "stream only here", "en", "s", 16),    # strem only: miss
+        (2, "soft strem literal", "en", "s", 18),  # exact typo terms: hit
+        (3, "sight streams", "en", "s", 13),       # d2 words only: miss
+        (4, "sort stream", "en", "s", 11),         # both: hit
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    hit_ids = {
+        r.doc_id for r in search_typo_tolerant(spark, str(tmp_path)).collect()
+    }
+    assert hit_ids == {0, 2, 4}, hit_ids
