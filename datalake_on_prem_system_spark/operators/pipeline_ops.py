@@ -236,6 +236,78 @@ def pl_sequence_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pl_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end pipeline composition: curate (quality gate → exact
+    dedup → near-dup drop, pl_curation's exact chain) → tokenize (greedy
+    WordPiece subword counts against the corpus-induced vocab) → shuffle
+    (deterministic md5 shard keys, pl_corpus_shuffle's layout) → pack
+    (2048-token windows inside each shard in shuffled order) — emitting
+    the per-(shard, pack) manifest a training loader consumes. One
+    DataFrame DAG: the judge of whether the individual operators actually
+    COMPOSE, with every stage's survival/count/key rule shared with its
+    standalone operator so report and manifest can never disagree.
+
+    Scale shape: curation is hash/LSH-bounded (never all-pairs), the
+    tokenizer fold is per distinct word, shard keys are a narrow map, and
+    each pack window is one shard's worth — the same per-worker bound the
+    loader needs anyway. Integer token counts end-to-end."""
+    from . import dedup as _dd
+    from .textops import _word_subword_stats
+
+    docs = t_par(spark, sf_dir, "documents")
+    quality = docs.filter(F.col("n_chars") >= 100)
+    survivors_exact = (
+        quality.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = quality.join(survivors_exact, "doc_id", "left_semi")
+    drop_ids = (
+        _dd.dd_minhash_lsh(spark, sf_dir)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    kept = deduped.join(drop_ids, "doc_id", "left_anti").select("doc_id", "text")
+
+    ws = _word_subword_stats(spark, sf_dir).select("w", "n_tok")
+    doc_tok = (
+        kept.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .join(ws, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tok"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = doc_tok.select(
+        "doc_id", "n_tok", h.alias("h"), F.pmod(h, F.lit(_SHUF_SHARDS)).alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = keyed.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        cum.withColumn(
+            "pack_id", F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_CTX_TOKENS))
+        )
+        .groupBy(F.col("shard").cast("long").alias("shard"), "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
 _SHUF_SHARDS = 8
 
 
@@ -280,7 +352,80 @@ QUERIES = {
     "pl_sequence_pack": pl_sequence_pack,
     "pl_sequence_pack_subword": pl_sequence_pack_subword,
     "pl_corpus_shuffle": pl_corpus_shuffle,
+    "pl_training_manifest": pl_training_manifest,
 }
+
+
+def _training_manifest_sql() -> str:
+    from .textops import _SUBWORD_CTES
+
+    # _KEPT_CTES opens its own WITH; splice RECURSIVE in (the subword walk
+    # needs it) and chain the remaining stages onto the same CTE list
+    head = _KEPT_CTES.replace("WITH quality", "WITH RECURSIVE quality", 1).rstrip()
+    return f"""{head}, {_SUBWORD_CTES}, doc_tok AS (
+            SELECT dw.doc_id, CAST(sum(s.n_tok) AS BIGINT) AS n_tok
+            FROM doc_words dw
+            JOIN word_stats s USING (w)
+            WHERE EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = dw.doc_id)
+            GROUP BY dw.doc_id
+        ), keyed AS (
+            SELECT doc_id, n_tok,
+                   CAST('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)),
+                                       1, 15) AS BIGINT) AS h
+            FROM doc_tok
+        ), cum AS (
+            SELECT doc_id, n_tok, CAST(h % {_SHUF_SHARDS} AS BIGINT) AS shard,
+                   sum(n_tok) OVER (PARTITION BY h % {_SHUF_SHARDS}
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM keyed
+        )
+        SELECT shard, CAST(floor((cum - n_tok) / {_CTX_TOKENS}) AS BIGINT)
+                   AS pack_id,
+               count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM cum GROUP BY 1, 2
+    """
+
+
+# the curation chain (quality gate → exact dedup → exact-jaccard near-dup
+# drop), ending in kept(documents columns). Shared by the pl_curation
+# oracle and the training-manifest oracle — the survival rules can never
+# drift between the report and the shard plan.
+_KEPT_CTES = """
+        WITH quality AS (
+            SELECT * FROM documents WHERE n_chars >= 100
+        ), survivors_exact AS (
+            SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+        ), deduped AS (
+            SELECT q.* FROM quality q
+            WHERE EXISTS (SELECT 1 FROM survivors_exact s WHERE s.doc_id = q.doc_id)
+        ), toks AS (
+            SELECT doc_id, string_split(text, ' ') w FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) s
+            FROM toks WHERE len(w) >= 3
+        ), sizes AS (
+            SELECT doc_id, len(s) sz FROM sh
+        ), ex AS (
+            SELECT doc_id, unnest(s) shingle FROM sh
+        ), pairs AS (
+            SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), neardup_b AS (
+            SELECT DISTINCT p.b_id AS doc_id
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.a_id
+            JOIN sizes sb ON sb.doc_id = p.b_id
+            WHERE p.inter / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.8
+        ), kept AS (
+            SELECT d.* FROM deduped d
+            WHERE NOT EXISTS (SELECT 1 FROM neardup_b n WHERE n.doc_id = d.doc_id)
+        )
+"""
 
 
 def _pack_subword_sql() -> str:
@@ -311,6 +456,7 @@ def _pack_subword_sql() -> str:
 
 ORACLE = {
     "pl_sequence_pack_subword": _pack_subword_sql(),
+    "pl_training_manifest": _training_manifest_sql(),
     "pl_corpus_shuffle": f"""
         WITH k AS (
             SELECT doc_id,
@@ -389,39 +535,8 @@ ORACLE = {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM cum GROUP BY 1, 2
     """,
-    "pl_curation": """
-        WITH quality AS (
-            SELECT * FROM documents WHERE n_chars >= 100
-        ), survivors_exact AS (
-            SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
-        ), deduped AS (
-            SELECT q.* FROM quality q
-            WHERE EXISTS (SELECT 1 FROM survivors_exact s WHERE s.doc_id = q.doc_id)
-        ), toks AS (
-            SELECT doc_id, string_split(text, ' ') w FROM documents
-        ), sh AS (
-            SELECT doc_id,
-                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                  for i in range(1, len(w) - 1)]) s
-            FROM toks WHERE len(w) >= 3
-        ), sizes AS (
-            SELECT doc_id, len(s) sz FROM sh
-        ), ex AS (
-            SELECT doc_id, unnest(s) shingle FROM sh
-        ), pairs AS (
-            SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
-            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), neardup_b AS (
-            SELECT DISTINCT p.b_id AS doc_id
-            FROM pairs p
-            JOIN sizes sa ON sa.doc_id = p.a_id
-            JOIN sizes sb ON sb.doc_id = p.b_id
-            WHERE p.inter / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) >= 0.8
-        ), kept AS (
-            SELECT d.* FROM deduped d
-            WHERE NOT EXISTS (SELECT 1 FROM neardup_b n WHERE n.doc_id = d.doc_id)
-        )
+    "pl_curation": _KEPT_CTES
+    + """
         SELECT source, count(*) AS n_docs,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
                round(avg(n_chars), 4) AS avg_chars

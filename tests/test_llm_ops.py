@@ -863,3 +863,39 @@ def test_tx_entropy_uniform_and_degenerate(spark, tmp_path):
     d = got["degenerate"]
     assert (d.n_tokens, d.vocab_size, d.entropy) == (6, 1, 0.0)
     assert d.norm_entropy is None
+
+
+def test_training_manifest_conservation(spark, sf_dir):
+    """End-to-end manifest laws: every curated-surviving doc lands in
+    exactly one pack (doc and token totals match an independently-derived
+    kept set), shards stay in [0, 8), and pack ids are dense from 0
+    within each shard."""
+    from datalake_on_prem_system_spark.operators import pipeline_ops
+    from datalake_on_prem_system_spark.operators.textops import tx_tokenize_apply
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quality = docs.filter(F.col("n_chars") >= 100)
+    exact = (
+        quality.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    dropped = {
+        r.b_id for r in dedup.dd_minhash_lsh(spark, sf_dir).select("b_id").collect()
+    }
+    kept_ids = {r.doc_id for r in exact.collect()} - dropped
+    toks = {
+        r.doc_id: r.n_subword_tokens
+        for r in tx_tokenize_apply(spark, sf_dir).collect()
+    }
+    want_tokens = sum(toks[d] for d in kept_ids)
+
+    manifest = pipeline_ops.pl_training_manifest(spark, sf_dir).collect()
+    assert sum(p.n_docs for p in manifest) == len(kept_ids)
+    assert sum(p.n_tokens for p in manifest) == want_tokens
+    by_shard: dict[int, list] = {}
+    for p in manifest:
+        assert 0 <= p.shard < 8
+        by_shard.setdefault(p.shard, []).append(p.pack_id)
+    for shard, packs in by_shard.items():
+        assert sorted(packs) == list(range(len(packs))), (shard, packs)
