@@ -595,8 +595,62 @@ def cur_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sensitive-attribute banding for the l-diversity audit: account balance
+# quantized to four business bands (the sensitive value a k-anonymous
+# class must still not reveal). Boundaries are exact decimal compares.
+_L_DIVERSITY = 3
+
+
+def _acct_band() -> Column:
+    return (
+        F.when(F.col("c_acctbal") < 0, F.lit("negative"))
+        .when(F.col("c_acctbal") < 3000, F.lit("low"))
+        .when(F.col("c_acctbal") < 7000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+
+
+def cur_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the step AFTER k-anonymity every privacy review
+    runs: a class can be large (k-anonymous) yet still leak if everyone in
+    it shares the same sensitive value. Per quasi-identifier class
+    (nation, segment): distinct sensitive bands observed, the l >= 3 flag,
+    and the dominant band's share (a 0.95 share means membership alone
+    reveals the attribute with 95% confidence — the homogeneity attack).
+
+    Determinism: pure integer counting over exact decimal band
+    boundaries; the share is one int/int double division. Scale shape:
+    two partial-agg shuffles bounded by quasi-identifier × band
+    cardinality; the fact table is scanned once."""
+    cust = t(spark, sf_dir, "customer")
+    per_band = (
+        cust.select("c_nationkey", "c_mktsegment", _acct_band().alias("band"))
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_band.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("n").alias("class_size"),
+            F.count(F.lit(1)).alias("n_sensitive_values"),
+            F.max("n").alias("top_band_count"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "n_sensitive_values",
+            (F.col("n_sensitive_values") >= _L_DIVERSITY).alias("l_diverse"),
+            F.round(F.col("top_band_count") / F.col("class_size"), 6).alias(
+                "top_band_share"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "cur_k_anonymity": cur_k_anonymity,
+    "cur_l_diversity": cur_l_diversity,
     "cur_decontaminate": cur_decontaminate,
     "cur_fuzzy_blocked_join": cur_fuzzy_blocked_join,
     "cur_weighted_sample": cur_weighted_sample,
@@ -727,6 +781,23 @@ def _temperature_mix_sql() -> str:
 
 ORACLE = {
     "cur_temperature_mix": _temperature_mix_sql(),
+    "cur_l_diversity": f"""
+        WITH per_band AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CASE WHEN c_acctbal < 0 THEN 'negative'
+                        WHEN c_acctbal < 3000 THEN 'low'
+                        WHEN c_acctbal < 7000 THEN 'mid'
+                        ELSE 'high' END AS band,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2, 3
+        )
+        SELECT c_nationkey, c_mktsegment,
+               CAST(sum(n) AS BIGINT) AS class_size,
+               CAST(count(*) AS BIGINT) AS n_sensitive_values,
+               count(*) >= {_L_DIVERSITY} AS l_diverse,
+               round(max(n) / CAST(sum(n) AS BIGINT), 6) AS top_band_share
+        FROM per_band GROUP BY 1, 2
+    """,
     "cur_k_anonymity": f"""
         WITH classes AS (
             SELECT c_nationkey, c_mktsegment, count(*) AS class_size

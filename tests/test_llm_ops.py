@@ -899,3 +899,30 @@ def test_training_manifest_conservation(spark, sf_dir):
         by_shard.setdefault(p.shard, []).append(p.pack_id)
     for shard, packs in by_shard.items():
         assert sorted(packs) == list(range(len(packs))), (shard, packs)
+
+
+def test_l_diversity_homogeneous_class_flagged(spark, tmp_path):
+    """l-diversity pins: a class where everyone shares one balance band is
+    k-large yet NOT l-diverse (top share 1.0 — the homogeneity attack);
+    a mixed class with 3 bands passes."""
+    from datalake_on_prem_system_spark.operators.curation import cur_l_diversity
+
+    rows = (
+        # class (1, 'AUTO'): 4 members, ALL 'low' band -> homogeneous
+        [(i, 1, "AUTO", 100.0) for i in range(4)]
+        # class (2, 'BIKE'): negative, low, mid -> 3 bands, l-diverse
+        + [(10, 2, "BIKE", -5.0), (11, 2, "BIKE", 100.0), (12, 2, "BIKE", 5000.0)]
+    )
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_nationkey bigint, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in cur_l_diversity(spark, str(tmp_path)).collect()
+    }
+    auto = got[(1, "AUTO")]
+    assert (auto.class_size, auto.n_sensitive_values, auto.l_diverse) == (4, 1, False)
+    assert auto.top_band_share == 1.0
+    bike = got[(2, "BIKE")]
+    assert (bike.class_size, bike.n_sensitive_values, bike.l_diverse) == (3, 3, True)
+    assert abs(bike.top_band_share - 1 / 3) < 1e-6
