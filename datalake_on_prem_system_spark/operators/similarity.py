@@ -712,11 +712,23 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB oracle replays the ENTIRE pipeline (coarse training, 8
     subspace trainings, encode, probe, ADC, rerank) hash-exactly."""
     path, centers, books = build_ivfpq_index(spark, sf_dir)
+    return _probe_ivfpq(spark, sf_dir, path, centers, books)
+
+
+def _probe_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    centers: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+) -> DataFrame:
+    """Serve path shared by the one-shot and incremental IVFPQ indexes:
+    probe-cell selection (the _probe_ivf rule — python left-to-right fold
+    = _sqdist fold, ties to the lower cell), partition-pruned ADC scan,
+    exact rerank."""
     vecs = _vecs(spark, sf_dir)
     q_row = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select("v", "norm").head()
     qv = [float(x) for x in q_row.v]
-    # probe ranking: the _probe_ivf rule (python left-to-right fold =
-    # _sqdist fold; ties to the lower cell)
     d2 = [
         (sum((c[i] - qv[i]) * (c[i] - qv[i]) for i in range(len(qv))), ci)
         for ci, c in centers
@@ -742,6 +754,93 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP_K)
         .select("vec_id", "label", F.round("cosine_raw", 6).alias("cosine_ivfpq"))
     )
+
+
+def _pq_slices(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id",
+        "label",
+        "v",
+        *[
+            F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(f"s{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+
+
+def append_to_ivfpq_index(
+    path: str,
+    centers: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    new_vecs: DataFrame,
+) -> None:
+    """INCREMENTAL composite-index maintenance (FAISS ``IndexIVFPQ.add``):
+    encode a batch of NEW vectors against the FROZEN per-subspace
+    codebooks, assign against the FROZEN coarse centroids, and append to
+    the cell-partitioned code table — O(batch) regardless of index size,
+    no retrain, no rewrite; the dynamic-partition append touches only the
+    cells the batch lands in."""
+    coded = _pq_slices(new_vecs)
+    for m in range(_PQ_M):
+        coded = coded.withColumn(f"code{m}", _argmin_cell(books[m], col=f"s{m}"))
+    coded.withColumn("cell", _argmin_cell(centers)).select(
+        "vec_id", "label", *[f"code{m}" for m in range(_PQ_M)], "cell"
+    ).write.mode("append").partitionBy("cell").parquet(path)
+
+
+_INC_IVFPQ_CACHE: dict[
+    tuple[str, float],
+    tuple[str, list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]],
+] = {}
+
+
+def sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ probe over an INCREMENTALLY-BUILT composite index: the coarse
+    quantizer AND all 8 subspace codebooks train once on the initial 80%
+    of the corpus (vec_id % 5 != 0; seeds = that subset's lowest ids),
+    then the remaining 20% — including the query vector — arrives later
+    and is appended via ``append_to_ivfpq_index``: frozen-quantizer
+    encode + assign, O(batch), no retrain. The daily-ingest lifecycle of
+    the production billion-vector index, end to end. The oracle replays
+    train-on-subset + encode-all bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = os.path.getmtime(emb) if os.path.exists(emb) else 0.0
+    key = (os.path.abspath(sf_dir), stamp)
+    if key not in _INC_IVFPQ_CACHE:
+        vecs = _vecs(spark, sf_dir)
+        train = vecs.filter(F.col("vec_id") % 5 != 0)
+        seeds = [
+            (int(r.vec_id), [float(x) for x in r.v])
+            for r in train.orderBy("vec_id").limit(_NLIST).select("vec_id", "v").collect()
+        ]
+        centers = _fit_centers(train, seeds)
+        books: list[list[tuple[int, list[float]]]] = []
+        for m in range(_PQ_M):
+            sub = train.select(
+                "vec_id", F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v")
+            )
+            sseeds = [
+                (int(r.vec_id), [float(x) for x in r.v])
+                for r in sub.orderBy("vec_id").limit(_PQ_K).collect()
+            ]
+            books.append(_fit_centers(sub, sseeds, dim=_PQ_SUBDIM))
+        path = os.path.join(tempfile.mkdtemp(prefix="ivfpq_inc_"), "codes")
+        # append-to-empty creates the index: initial load and every later
+        # add share ONE write recipe
+        append_to_ivfpq_index(path, centers, books, train)
+        append_to_ivfpq_index(
+            path, centers, books, vecs.filter(F.col("vec_id") % 5 == 0)
+        )
+        _INC_IVFPQ_CACHE[key] = (path, centers, books)
+        for stale in [k for k in _INC_IVFPQ_CACHE if k[0] == key[0] and k != key]:
+            old_path, _, _ = _INC_IVFPQ_CACHE.pop(stale)
+            shutil.rmtree(os.path.dirname(old_path), ignore_errors=True)
+    path, centers, books = _INC_IVFPQ_CACHE[key]
+    return _probe_ivfpq(spark, sf_dir, path, centers, books)
 
 
 _RANGE_THRESHOLD = 0.2  # cosine radius sized to the fixture's similarity mass
@@ -881,6 +980,7 @@ QUERIES = {
     "sim_pq_topk": sim_pq_topk,
     "sim_matryoshka_topk": sim_matryoshka_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
+    "sim_ivfpq_incremental": sim_ivfpq_incremental,
 }
 
 
@@ -1081,7 +1181,11 @@ def _dist_sql(a: str, b: str) -> str:
 
 
 def ivf_assign_ctes(
-    nlist: int = _NLIST, dim: int = _DIM, src: str = "n", suffix: str = ""
+    nlist: int = _NLIST,
+    dim: int = _DIM,
+    src: str = "n",
+    suffix: str = "",
+    assign_src: str | None = None,
 ) -> str:
     """CTE chain replaying ``build_ivf_index``'s deterministic training —
     Forgy seeds (lowest nlist vec_ids), argmin assignment with the
@@ -1090,15 +1194,25 @@ def ivf_assign_ctes(
     sort_array(collect_list)), final assignment — ending in
     ``af{suffix}(vec_id, cell)`` with centroids in ``cents{suffix}(cell,
     cvec)``. Expects a ``{src}(vec_id, vec)`` CTE in scope (``_VECS_SQL``'s
-    ``n`` by default). Shared by the sim_ann_ivf oracle, dedup.dd_semantic's
-    oracle, and (suffixed per subspace) the sim_pq_topk oracle so the
-    training replay can never drift between modules."""
+    ``n`` by default). ``assign_src`` separates train from assign for the
+    incremental shape: training CTEs read ``src`` only, the final ``af``
+    assigns every ``assign_src`` row against the FROZEN centroids (the
+    FAISS add semantics). Seeds are the nlist lowest-vec_id rows OF THE
+    TRAINING SET (rank-based — identical to the old ``vec_id < nlist``
+    rule whenever ids are dense from 0, and correct when the training set
+    is a sparse subset). Shared by the sim_ann_ivf oracle,
+    dedup.dd_semantic's oracle, and (suffixed per subspace) the
+    sim_pq_topk / sim_ivfpq oracles so the training replay can never
+    drift between modules."""
     zero_vec = "CAST([" + ", ".join(["0.0"] * dim) + "] AS DOUBLE[])"
     dist = _dist_sql
     s = suffix
+    asrc = assign_src or src
     return f"""seeds{s} AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec
-            FROM {src} WHERE vec_id < {nlist}
+            SELECT cell, vec FROM (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec
+                FROM {src}
+            ) WHERE cell < {nlist}
         ), a0{s} AS (
             SELECT vec_id, vec, cell FROM (
                 SELECT v.vec_id, v.vec, s.cell,
@@ -1121,7 +1235,7 @@ def ivf_assign_ctes(
                 SELECT v.vec_id, c.cell,
                        row_number() OVER (PARTITION BY v.vec_id
                            ORDER BY {dist("v.vec", "c.cvec")} ASC, c.cell ASC) AS rn
-                FROM {src} v CROSS JOIN cents{s} c
+                FROM {asrc} v CROSS JOIN cents{s} c
             ) WHERE rn = 1
         )"""
 
@@ -1333,3 +1447,75 @@ def _ivfpq_oracle_sql() -> str:
 
 
 ORACLE["sim_ivfpq_topk"] = _ivfpq_oracle_sql()
+
+
+def _ivfpq_inc_oracle_sql() -> str:
+    """DuckDB replay of sim_ivfpq_incremental: coarse quantizer + all 8
+    subspace codebooks train on the 80% subset only (seeds = its lowest
+    ids), EVERY vector encodes/assigns against the frozen quantizers
+    (``ivf_assign_ctes`` with assign_src), then probe + ADC + rerank as
+    in the one-shot oracle."""
+    dist = _dist_sql
+    sub_ctes = []
+    adc_joins = []
+    ip_terms = []
+    n2_terms = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        sub_ctes.append(
+            f"submt{m} AS (SELECT vec_id, vec[{lo}:{hi}] AS vec FROM train)"
+        )
+        sub_ctes.append(
+            f"subma{m} AS (SELECT vec_id, vec[{lo}:{hi}] AS vec FROM n)"
+        )
+        sub_ctes.append(
+            ivf_assign_ctes(
+                _PQ_K, _PQ_SUBDIM, f"submt{m}", f"_m{m}", assign_src=f"subma{m}"
+            )
+        )
+        adc_joins.append(
+            f"JOIN af_m{m} a{m} ON a{m}.vec_id = n.vec_id "
+            f"JOIN cents_m{m} c{m} ON c{m}.cell = a{m}.cell"
+        )
+        ip_terms.append(
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[q.vec[{lo} + i - 1] * c{m}.cvec[i] "
+            f"for i in range(1, {_PQ_SUBDIM} + 1)]), (s, x) -> s + x)"
+        )
+        n2_terms.append(
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[x * x for x in c{m}.cvec]), (s, x) -> s + x)"
+        )
+    exact = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [q.vec[i] * c.vec[i] for i in range(1, len(c.vec) + 1)]),
+              (s, x) -> s + x) / (c.norm * q.norm)"""
+    return f"""
+        WITH {_VECS_SQL}, train AS (
+            SELECT * FROM n WHERE vec_id % 5 != 0
+        ), {ivf_assign_ctes(_NLIST, _DIM, "train", "", assign_src="n")},
+        {", ".join(sub_ctes)},
+        qc AS (
+            SELECT c.cell
+            FROM cents c, (SELECT vec FROM n WHERE vec_id = {_QUERY_VEC_ID}) qq
+            ORDER BY {dist("qq.vec", "c.cvec")} ASC, c.cell ASC LIMIT {_NPROBE}
+        ), scored AS (
+            SELECT n.vec_id, n.label, n.vec, n.norm,
+                   ({" + ".join(ip_terms)})
+                   / (sqrt({" + ".join(n2_terms)}) * q.norm) AS aip
+            FROM n
+            JOIN af ON af.vec_id = n.vec_id
+            {" ".join(adc_joins)},
+                 (SELECT vec, norm FROM n WHERE vec_id = {_QUERY_VEC_ID}) q
+            WHERE n.vec_id != {_QUERY_VEC_ID}
+              AND af.cell IN (SELECT cell FROM qc)
+        ), cand AS (
+            SELECT * FROM scored ORDER BY aip DESC, vec_id ASC
+            LIMIT {_PQ_RERANK}
+        )
+        SELECT c.vec_id, c.label, round({exact}, 6) AS cosine_ivfpq
+        FROM cand c, (SELECT vec, norm FROM n WHERE vec_id = {_QUERY_VEC_ID}) q
+        ORDER BY {exact} DESC, c.vec_id ASC LIMIT {_TOP_K}
+    """
+
+
+ORACLE["sim_ivfpq_incremental"] = _ivfpq_inc_oracle_sql()

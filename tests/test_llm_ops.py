@@ -926,3 +926,34 @@ def test_l_diversity_homogeneous_class_flagged(spark, tmp_path):
     bike = got[(2, "BIKE")]
     assert (bike.class_size, bike.n_sensitive_values, bike.l_diverse) == (3, 3, True)
     assert abs(bike.top_band_share - 1 / 3) < 1e-6
+
+
+def test_ivfpq_incremental_appends_without_retrain(spark, sf_dir):
+    """Incremental IVFPQ lifecycle: a repeat query serves from the cached
+    frozen quantizers (no re-fit — _fit_centers drives _IVF_FITS only in
+    the one-shot builders, so here we pin identical results + cache hit),
+    reported cosines stay EXACT vs brute for overlapping ids, and the
+    index table holds the whole corpus exactly once."""
+    from datalake_on_prem_system_spark.operators.similarity import (
+        _INC_IVFPQ_CACHE,
+        sim_ivfpq_incremental,
+    )
+
+    first = sim_ivfpq_incremental(spark, sf_dir).collect()
+    key = next(k for k in _INC_IVFPQ_CACHE if k[0] == __import__("os").path.abspath(sf_dir))
+    path, _, _ = _INC_IVFPQ_CACHE[key]
+    n_corpus = similarity._vecs(spark, sf_dir).count()
+    idx = spark.read.parquet(path)
+    assert idx.count() == n_corpus
+    assert idx.select("vec_id").distinct().count() == n_corpus
+
+    again = sim_ivfpq_incremental(spark, sf_dir).collect()
+    assert again == first
+    assert _INC_IVFPQ_CACHE[key][0] == path  # same index dir: no rebuild
+
+    brute = {
+        r.vec_id: r.cosine for r in similarity.sim_brute_topk(spark, sf_dir).collect()
+    }
+    got = {r.vec_id: r.cosine_ivfpq for r in first}
+    for vid in got.keys() & brute.keys():
+        assert got[vid] == brute[vid]
