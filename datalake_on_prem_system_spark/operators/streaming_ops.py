@@ -554,9 +554,85 @@ def st_tokenize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stk", "complete")
 
 
+def st_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tier of the PSI drift monitor: the REFERENCE window (the
+    first half of the time range) is batch — its per-type [min, max] bin
+    frame and bin distribution train offline — and the CURRENT window
+    arrives as a live stream that bins against the broadcast reference
+    frame per micro-batch; the harvested (type, bin) counts then join the
+    reference distribution for the PSI terms. Exactly ``ev_drift_psi``'s
+    arithmetic (midpoint, clamped equal-width bins, add-one smoothing,
+    round-6 psi_term), so the batch SQL is the oracle — the
+    between-ingest-batches drift gate, running WHILE the batch lands.
+
+    Scale shape: the reference stats are a vocabulary-sized broadcast;
+    the stream shuffles only for the (type, bin) rollup (vocab × 10
+    groups); the PSI join runs over the harvested aggregate, never the
+    stream."""
+    ev = t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    ).head()
+    # python float arithmetic == the batch plan's (t0 + (t1 - t0) / 2)
+    mid = F.lit(float(span.t0 + (span.t1 - span.t0) / 2))
+    ref = ev.filter(F.unix_micros("ts") < mid)
+    ref_stats = ref.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(10.0)
+    bin_expr = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("value") - F.col("vmin")) / width).cast("int"),
+            ),
+        )
+    )
+    n_ref = (
+        ref.join(F.broadcast(ref_stats), "event_type")
+        .withColumn("bin", bin_expr)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    stream = _events_stream(spark, _events_json_dir(spark, sf_dir)).filter(
+        ~(F.unix_micros("ts") < mid)
+    )
+    cur_agg = (
+        stream.join(F.broadcast(ref_stats), "event_type")
+        .withColumn("bin", bin_expr)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    harvested = _run_to_memory(cur_agg, "sdr", "complete")
+    scaffold = ref_stats.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
+    )
+    filled = (
+        scaffold.join(n_ref, ["event_type", "bin"], "left_outer")
+        .join(harvested, ["event_type", "bin"], "left_outer")
+        .fillna(0, ["n_ref", "n_cur"])
+        .withColumn("tot_ref", F.sum("n_ref").over(Window.partitionBy("event_type")))
+        .withColumn("tot_cur", F.sum("n_cur").over(Window.partitionBy("event_type")))
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("tot_ref") + 10.0)
+    q = (F.col("n_cur") + 1.0) / (F.col("tot_cur") + 10.0)
+    return filled.select(
+        "event_type",
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
 QUERIES = {
     "st_anomaly_stream": st_anomaly_stream,
     "st_tokenize_stream": st_tokenize_stream,
+    "st_drift_stream": st_drift_stream,
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_scd2_stream": st_scd2_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
@@ -692,6 +768,8 @@ def _tokenize_stream_sql() -> str:
 
 
 ORACLE["st_tokenize_stream"] = _tokenize_stream_sql()
+# streaming tier of the PSI monitor: same arithmetic, batch SQL is oracle
+ORACLE["st_drift_stream"] = _ANALYTICS_ORACLE["ev_drift_psi"]
 
 # the streamed SCD2 dimension must equal the batch-maintained one — one
 # oracle, two execution tiers (foreachBatch merges vs direct merges)

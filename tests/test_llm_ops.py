@@ -957,3 +957,18 @@ def test_ivfpq_incremental_appends_without_retrain(spark, sf_dir):
     got = {r.vec_id: r.cosine_ivfpq for r in first}
     for vid in got.keys() & brute.keys():
         assert got[vid] == brute[vid]
+
+
+def test_drift_stream_matches_batch_tier(spark, sf_dir):
+    """One contract, two tiers: the streaming PSI monitor's full output
+    (bins, counts, shares, psi terms) must equal the batch ev_drift_psi
+    on the same corpus."""
+    from datalake_on_prem_system_spark.operators.analytics import ev_drift_psi
+    from datalake_on_prem_system_spark.operators.streaming_ops import (
+        st_drift_stream,
+    )
+
+    key = lambda r: (r.event_type, r.bin)  # noqa: E731
+    batch = {key(r): r.asDict() for r in ev_drift_psi(spark, sf_dir).collect()}
+    stream = {key(r): r.asDict() for r in st_drift_stream(spark, sf_dir).collect()}
+    assert stream == batch
