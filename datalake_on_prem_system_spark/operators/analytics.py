@@ -747,6 +747,55 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling of the event value series per event_type —
+    the candle/rollup shape every metrics store (and every market-data
+    pipeline) materializes: open/close = the first/last observation in
+    the hour (total (ts, event_id) order, so ties are deterministic),
+    high/low = extremes, plus count and mean.
+
+    Determinism: values quantize to integer cents; open/close pick via
+    min_by/max_by over the (ts, event_id) struct ↔ the oracle's
+    row_number on the same total order; mean is one int/int double
+    division. Scale shape: ONE (type, hour) partial-agg shuffle — group
+    count bounded by vocab × hours, not event count."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    order_key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("c", order_key).alias("open_c"),
+            F.max("c").alias("high_c"),
+            F.min("c").alias("low_c"),
+            F.max_by("c", order_key).alias("close_c"),
+            F.sum("c").alias("sum_c"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.round(F.col("open_c") / 100.0, 6).alias("open"),
+            F.round(F.col("high_c") / 100.0, 6).alias("high"),
+            F.round(F.col("low_c") / 100.0, 6).alias("low"),
+            F.round(F.col("close_c") / 100.0, 6).alias("close"),
+            F.round(F.col("sum_c") / (100.0 * F.col("n_events")), 6).alias(
+                "mean_value"
+            ),
+        )
+    )
+
+
 def ev_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort LTV curves — the revenue-weighted upgrade of
     ``ev_retention`` every growth team reads: users cohort by their FIRST
@@ -1309,6 +1358,7 @@ QUERIES = {
     "ts_holt_forecast": ts_holt_forecast,
     "ts_seasonality": ts_seasonality,
     "ev_ltv_cohort": ev_ltv_cohort,
+    "ts_ohlc_resample": ts_ohlc_resample,
     "a_changepoint_cusum": a_changepoint_cusum,
     "a_benford_digits": a_benford_digits,
     "a_correlation": a_correlation,
@@ -1466,6 +1516,37 @@ ORACLE = {
                             * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))),
                      6) END AS z_score
         FROM s
+    """,
+    "ts_ohlc_resample": """
+        WITH ev AS (
+            SELECT event_type, ts, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS c,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour
+            FROM events
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type, hour
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type, hour
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM ev
+        ), agg AS (
+            SELECT event_type, hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(CASE WHEN rn_a = 1 THEN c END) AS BIGINT) AS open_c,
+                   CAST(max(c) AS BIGINT) AS high_c,
+                   CAST(min(c) AS BIGINT) AS low_c,
+                   CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS close_c,
+                   CAST(sum(c) AS BIGINT) AS sum_c
+            FROM ranked GROUP BY 1, 2
+        )
+        SELECT event_type, hour, n_events,
+               round(open_c / CAST(100 AS DOUBLE), 6) AS open,
+               round(high_c / CAST(100 AS DOUBLE), 6) AS high,
+               round(low_c / CAST(100 AS DOUBLE), 6) AS low,
+               round(close_c / CAST(100 AS DOUBLE), 6) AS close,
+               round(sum_c / (CAST(100 AS DOUBLE) * n_events), 6) AS mean_value
+        FROM agg
     """,
     "ev_ltv_cohort": """
         WITH buys AS (

@@ -486,3 +486,34 @@ def test_ev_ltv_cohort_hand_computed(spark, tmp_path):
     c10 = got[(1, 0)]
     assert (c10["n_users"], c10["rev_cents"], c10["ltv_per_user"]) == (1, 800, 8.0)
     assert int(sdf["rev_cents"].sum()) == 1500
+
+
+def test_ts_ohlc_hand_computed(spark, tmp_path):
+    """OHLC pins: open/close pick the (ts, event_id)-first/last values —
+    including the same-timestamp tie where event_id breaks the order —
+    and high/low/mean come out in exact cents."""
+    events = [
+        # one hour, 'view': ordered values 10.00, 2.50, 99.99, 7.00
+        (0, _ts(0), 1, "view", 10.00),
+        (1, _ts(10), 1, "view", 2.50),
+        (2, _ts(20), 1, "view", 99.99),
+        # same ts as event 2: higher event_id wins "last" (close)
+        (3, _ts(20), 1, "view", 7.00),
+        # different hour bucket
+        (4, _ts(70), 1, "view", 5.00),
+    ]
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ts_ohlc_resample"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ts_ohlc_resample", sdf, con.sql(oracles["ts_ohlc_resample"]).df()
+    )
+    assert not msg, msg
+    rows = sorted(sdf.to_dict("records"), key=lambda r: r["hour"])
+    h0 = rows[0]
+    assert h0["n_events"] == 4
+    assert (h0["open"], h0["close"]) == (10.0, 7.0)
+    assert (h0["high"], h0["low"]) == (99.99, 2.5)
+    assert abs(h0["mean_value"] - (1000 + 250 + 9999 + 700) / 400) < 1e-9
+    h1 = rows[1]
+    assert (h1["n_events"], h1["open"], h1["close"]) == (1, 5.0, 5.0)
