@@ -788,6 +788,58 @@ def append_to_ivfpq_index(
     ).write.mode("append").partitionBy("cell").parquet(path)
 
 
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search (the filtered-ANN feature every
+    vector store ships): top-10 neighbors of the query vector AMONG
+    vectors sharing its label, served PRE-FILTER from the IVFPQ composite
+    index — the label predicate pushes into the partition-pruned code
+    scan (labels ride in the code table precisely so filters never touch
+    raw vectors), ADC ranks the label-matching survivors, and the exact
+    rerank touches only the candidate set. Pre-filter beats post-filter
+    whenever the filter is selective: post-filtering a label-blind top-k
+    can return FEWER than k matches no matter how k is inflated.
+
+    Determinism: probe cut, ADC folds, and rerank reuse the one-shot
+    IVFPQ machinery verbatim; the label equality is exact. Scale shape:
+    nprobe/nlist of the corpus × 8 bytes/vector scanned, label filter
+    evaluated in the same codegen stage, candidates bounded by
+    _PQ_RERANK."""
+    path, centers, books = build_ivfpq_index(spark, sf_dir)
+    vecs = _vecs(spark, sf_dir)
+    q_row = (
+        vecs.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("v", "norm", "label")
+        .head()
+    )
+    qv = [float(x) for x in q_row.v]
+    d2 = [
+        (sum((c[i] - qv[i]) * (c[i] - qv[i]) for i in range(len(qv))), ci)
+        for ci, c in centers
+    ]
+    probe_cells = [ci for _, ci in sorted(d2)[:_NPROBE]]
+    qnorm = F.lit(float(q_row.norm))
+    q_lit = F.array(*[F.lit(x) for x in qv])
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("label") == q_row.label)
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .withColumn("aip", _adc_aip(qv, qnorm, books))
+        .orderBy(F.desc("aip"), F.asc("vec_id"))
+        .limit(_PQ_RERANK)
+        .select("vec_id")
+    )
+    return (
+        vecs.join(F.broadcast(cand), "vec_id")
+        .withColumn(
+            "cosine_raw", _dot(q_lit, F.col("v")) / (F.col("norm") * qnorm)
+        )
+        .orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cosine_raw", 6).alias("cosine_filtered"))
+    )
+
+
 _INC_IVFPQ_CACHE: dict[
     tuple[str, float],
     tuple[str, list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]],
@@ -981,6 +1033,7 @@ QUERIES = {
     "sim_matryoshka_topk": sim_matryoshka_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_ivfpq_incremental": sim_ivfpq_incremental,
+    "sim_filtered_topk": sim_filtered_topk,
 }
 
 
@@ -1519,3 +1572,21 @@ def _ivfpq_inc_oracle_sql() -> str:
 
 
 ORACLE["sim_ivfpq_incremental"] = _ivfpq_inc_oracle_sql()
+
+
+def _filtered_oracle_sql() -> str:
+    """sim_filtered_topk = the one-shot IVFPQ oracle with the query
+    label's equality predicate inside the probed-cell scan."""
+    base = _ivfpq_oracle_sql()
+    old = f"WHERE n.vec_id != {_QUERY_VEC_ID}"
+    assert base.count(old) == 1
+    return base.replace(
+        old,
+        old
+        + f"""
+              AND n.label = (SELECT label FROM n
+                             WHERE vec_id = {_QUERY_VEC_ID})""",
+    ).replace("AS cosine_ivfpq", "AS cosine_filtered")
+
+
+ORACLE["sim_filtered_topk"] = _filtered_oracle_sql()

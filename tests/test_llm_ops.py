@@ -972,3 +972,29 @@ def test_drift_stream_matches_batch_tier(spark, sf_dir):
     batch = {key(r): r.asDict() for r in ev_drift_psi(spark, sf_dir).collect()}
     stream = {key(r): r.asDict() for r in st_drift_stream(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_filtered_topk_respects_label_and_stays_exact(spark, sf_dir):
+    """Filtered ANN pins: every hit carries the query's own label, and
+    each reported cosine equals the exact brute-force cosine for that
+    vector (rerank is exact — recompute independently via numpy-free
+    python folds on the raw vectors)."""
+    from datalake_on_prem_system_spark.operators.similarity import (
+        _QUERY_VEC_ID,
+        sim_filtered_topk,
+    )
+
+    vecs = {
+        r.vec_id: (list(map(float, r.v)), float(r.norm), r.label)
+        for r in similarity._vecs(spark, sf_dir).collect()
+    }
+    qv, qn, qlabel = vecs[_QUERY_VEC_ID]
+    got = sim_filtered_topk(spark, sf_dir).collect()
+    assert 1 <= len(got) <= 10
+    for r in got:
+        assert r.label == qlabel
+        v, n, _ = vecs[r.vec_id]
+        s = 0.0
+        for a, b in zip(qv, v):
+            s = s + a * b
+        assert r.cosine_filtered == round(s / (n * qn), 6)
