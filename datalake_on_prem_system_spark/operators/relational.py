@@ -268,6 +268,38 @@ def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-activity streaks — the engagement/retention shape
+    (DAU streak badges, habit analysis) and the canonical DATE
+    gaps-and-islands: consecutive active days share the constant
+    ``day - row_number`` island key, so one per-user window + one island
+    aggregate yield active-day count, streak count, and the longest and
+    latest streak lengths.
+
+    Determinism: pure date/integer arithmetic (date_sub ↔ day - rn).
+    Scale shape: the corpus-sized pass partial-aggregates to (user, day);
+    the window partitions per user over at most |days| rows — the same
+    per-key bound every sequence op here carries."""
+    days = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.max("day").alias("streak_end")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.max_by("len", "streak_end").alias("latest_streak"),
+    )
+
+
 def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts per brand by price (general top-k-per-group; SURVEY §2.7)."""
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
@@ -731,6 +763,7 @@ QUERIES = {
     "s5_sql_passthrough": s5_sql_passthrough,
     "w1_latest_per_key": w1_latest_per_key,
     "w_sessionize": w_sessionize,
+    "w_activity_streaks": w_activity_streaks,
     "w_topk_per_group": w_topk_per_group,
     "j_exists_semi": j_exists_semi,
     "j_anti": j_anti,
@@ -744,6 +777,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "w_activity_streaks": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), islands AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY day) AS INTEGER)
+                       AS island
+            FROM days
+        ), streaks AS (
+            SELECT user_id, island,
+                   CAST(count(*) AS BIGINT) AS len,
+                   max(day) AS streak_end
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(sum(len) AS BIGINT) AS n_active_days,
+               CAST(count(*) AS BIGINT) AS n_streaks,
+               CAST(max(len) AS BIGINT) AS longest_streak,
+               CAST(arg_max(len, streak_end) AS BIGINT) AS latest_streak
+        FROM streaks GROUP BY user_id
+    """,
     # the sketch estimate is engine-specific; the oracle checks the error
     # CONTRACT: exact counts + literal TRUE vs the Spark-side bound check
     "a_hll_distinct": """

@@ -517,3 +517,29 @@ def test_ts_ohlc_hand_computed(spark, tmp_path):
     assert abs(h0["mean_value"] - (1000 + 250 + 9999 + 700) / 400) < 1e-9
     h1 = rows[1]
     assert (h1["n_events"], h1["open"], h1["close"]) == (1, 5.0, 5.0)
+
+
+def test_w_activity_streaks_hand_computed(spark, tmp_path):
+    """Gaps-and-islands pins: user 1 is active days 0-2, 5, 7-10 (streaks
+    3, 1, 4 — longest 4, latest 4); user 2's single day is a streak of 1;
+    multiple events on one day count it once."""
+    day = 24 * 60.0
+    events = []
+    eid = 0
+    for d in (0, 1, 2, 5, 7, 8, 9, 10):
+        for i in range(2 if d == 1 else 1):  # day 1 has TWO events
+            events.append((eid, _ts(d * day + i), 1, "view", 1.0)); eid += 1
+    events.append((eid, _ts(0), 2, "click", 1.0)); eid += 1
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["w_activity_streaks"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "w_activity_streaks", sdf, con.sql(oracles["w_activity_streaks"]).df()
+    )
+    assert not msg, msg
+    got = {r["user_id"]: r for _, r in sdf.iterrows()}
+    u1 = got[1]
+    assert (u1["n_active_days"], u1["n_streaks"]) == (8, 3)
+    assert (u1["longest_streak"], u1["latest_streak"]) == (4, 4)
+    u2 = got[2]
+    assert (u2["n_active_days"], u2["n_streaks"], u2["longest_streak"]) == (1, 1, 1)
