@@ -348,6 +348,12 @@ def test_edge_corpus_matches_oracle_and_does_not_crash(spark, tmp_path):
         # posting-path search over the adversarial corpus (empty text,
         # substring-of-token hits, double-space phrase defeat)
         "search_allwords", "search_phrase_ranked", "search_rejoin",
+        # round-9 tokenizer/text family: the empty doc must vanish from
+        # per-doc outputs (no words), multi-space runs must not create
+        # empty tokens, 1-token docs exercise the fold's shortest path
+        "tx_vocab_build", "tx_tokenize_apply", "tx_tokenizer_stats",
+        "tx_entropy", "pl_sequence_pack_subword", "cur_temperature_mix",
+        "search_typo_tolerant",
     ]
     for name in names:
         spark.catalog.clearCache()
