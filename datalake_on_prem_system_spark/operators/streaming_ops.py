@@ -629,10 +629,61 @@ def st_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tier of the hourly OHLC rollup: the live event stream
+    aggregates per (type, hour) with min_by/max_by over the (ts,
+    event_id) total order — open/close resolve deterministically even
+    across micro-batch boundaries because the order key travels with the
+    value, not with arrival order. Identical arithmetic to
+    ``ts_ohlc_resample`` (exact cents), so the batch SQL is the oracle —
+    the live candle builder every metrics store runs next to its batch
+    compactor.
+
+    Scale shape: one streaming shuffle keyed on (type, hour) with partial
+    aggregation; state is one row per open candle."""
+    stream = _events_stream(spark, _events_json_dir(spark, sf_dir)).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    order_key = F.struct("ts", "event_id")
+    agg = (
+        stream.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("c", order_key).alias("open_c"),
+            F.max("c").alias("high_c"),
+            F.min("c").alias("low_c"),
+            F.max_by("c", order_key).alias("close_c"),
+            F.sum("c").alias("sum_c"),
+        )
+    )
+    harvested = _run_to_memory(agg, "soh", "complete")
+    return harvested.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(F.col("open_c") / 100.0, 6).alias("open"),
+        F.round(F.col("high_c") / 100.0, 6).alias("high"),
+        F.round(F.col("low_c") / 100.0, 6).alias("low"),
+        F.round(F.col("close_c") / 100.0, 6).alias("close"),
+        F.round(F.col("sum_c") / (100.0 * F.col("n_events")), 6).alias(
+            "mean_value"
+        ),
+    )
+
+
 QUERIES = {
     "st_anomaly_stream": st_anomaly_stream,
     "st_tokenize_stream": st_tokenize_stream,
     "st_drift_stream": st_drift_stream,
+    "st_ohlc_stream": st_ohlc_stream,
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_scd2_stream": st_scd2_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
@@ -770,6 +821,8 @@ def _tokenize_stream_sql() -> str:
 ORACLE["st_tokenize_stream"] = _tokenize_stream_sql()
 # streaming tier of the PSI monitor: same arithmetic, batch SQL is oracle
 ORACLE["st_drift_stream"] = _ANALYTICS_ORACLE["ev_drift_psi"]
+# streaming tier of the hourly candle rollup: batch SQL is the oracle
+ORACLE["st_ohlc_stream"] = _ANALYTICS_ORACLE["ts_ohlc_resample"]
 
 # the streamed SCD2 dimension must equal the batch-maintained one — one
 # oracle, two execution tiers (foreachBatch merges vs direct merges)

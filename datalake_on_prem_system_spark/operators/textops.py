@@ -715,6 +715,59 @@ def tx_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the corpus rank-frequency curve: least
+    squares of ln(freq) on ln(rank) — natural language sits near slope
+    -1, so a corpus whose slope is far off (too flat: template spam
+    inflating the tail; too steep: a few boilerplate tokens dominating)
+    fails the linguistic-health screen before training.
+
+    Determinism: ranks are integers on the (freq DESC, token) total
+    order; ln values round to 6 and every regression term rounds before
+    the EXACT decimal sums (the tx_entropy rule), so the normal-equation
+    arithmetic is order-independent; slope/intercept are a fixed-shape
+    double expression rounded at the edge. Scale shape: one Heaps-bounded
+    word count; the rank window orders the VOCABULARY (not the corpus) —
+    the one global sort here is over Heaps-law-many rows, the same bound
+    tx_vocab_build's top-k carries."""
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    pts = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,6)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,6)")).alias("sy"),
+        F.sum(
+            F.round(F.col("x") * F.col("y"), 9).cast("decimal(28,9)")
+        ).alias("sxy"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,9)")
+        ).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        # den = 0 on a single-term vocabulary: no line exists -> NULL
+        F.when(den != 0, F.round(slope, 6)).alias("zipf_slope"),
+        F.when(den != 0, F.round((sy - slope * sx) / n, 6)).alias("intercept"),
+    )
+
+
 def tx_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer evaluation report per source — the table a tokenizer team
     reads before shipping a vocab: compression (word chars per subword
@@ -914,6 +967,7 @@ QUERIES = {
     "tx_tokenize_apply": tx_tokenize_apply,
     "tx_tokenizer_stats": tx_tokenizer_stats,
     "tx_entropy": tx_entropy,
+    "tx_zipf_fit": tx_zipf_fit,
     "tx_bigram_lm": tx_bigram_lm,
     "tx_token_stats": tx_token_stats,
     "tx_readability": tx_readability,
@@ -933,6 +987,45 @@ QUERIES = {
 ORACLE = {
     "tx_tokenize_apply": _TOKENIZE_APPLY_SQL,
     "tx_tokenizer_stats": _TOKENIZER_STATS_SQL,
+    "tx_zipf_fit": """
+        WITH freq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ) WHERE token <> '' GROUP BY token
+        ), pts AS (
+            SELECT round(ln(CAST(row_number() OVER (ORDER BY freq DESC,
+                                                    token ASC) AS DOUBLE)), 6)
+                       AS x,
+                   round(ln(CAST(freq AS DOUBLE)), 6) AS y
+            FROM freq
+        ), sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS DECIMAL(28,6))) AS sx,
+                   sum(CAST(y AS DECIMAL(28,6))) AS sy,
+                   sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS sxy,
+                   sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS sxx
+            FROM pts
+        )
+        SELECT n AS n_terms,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0
+               THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               END AS zipf_slope,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0
+               THEN round((CAST(sy AS DOUBLE)
+                           - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               END AS intercept
+        FROM sums
+    """,
     "tx_entropy": """
         WITH toks AS (
             SELECT source, tok FROM (

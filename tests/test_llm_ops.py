@@ -1004,3 +1004,32 @@ def test_filtered_topk_respects_label_and_stays_exact(spark, sf_dir):
         for a, b in zip(qv, v):
             s = s + a * b
         assert r.cosine_filtered == round(s / (n * qn), 6)
+
+
+def test_zipf_fit_recovers_planted_exponent(spark, tmp_path):
+    """Zipf pins: a corpus built to freq(rank) = round(1000 * rank^-1)
+    must fit slope ≈ -1; an exactly-uniform corpus fits slope 0; a
+    single-term vocabulary yields NULL (no line)."""
+    from datalake_on_prem_system_spark.operators.textops import tx_zipf_fit
+
+    def write(docs, path):
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{rank:02d}"] * round(1000 / rank)
+    write([" ".join(words)], tmp_path)
+    row = tx_zipf_fit(spark, str(tmp_path)).head()
+    assert row.n_terms == 20
+    assert abs(row.zipf_slope + 1.0) < 0.02, row.zipf_slope
+
+    write([" ".join(f"u{i}" for i in range(10)) * 1], tmp_path)
+    flat = tx_zipf_fit(spark, str(tmp_path)).head()
+    assert flat.zipf_slope == 0.0  # all freqs equal -> ln(freq) constant
+
+    write(["solo solo solo"], tmp_path)
+    solo = tx_zipf_fit(spark, str(tmp_path)).head()
+    assert solo.n_terms == 1 and solo.zipf_slope is None
