@@ -299,6 +299,50 @@ _TRI_ORACLE = f"""
 """
 
 
+def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the co-supply graph: per node,
+    2·triangles / (deg·(deg−1)) — the "how clique-like is this node's
+    neighborhood" score community pipelines read next to triangle counts
+    (coefficient ≈ 1: tight cluster; ≈ 0: star hub). Degree-1 nodes have
+    no defined coefficient (NULL). Top 25 by (coefficient, node) so the
+    output is a stable ranked report.
+
+    Determinism: triangles and degrees are exact integers from the shared
+    ``triangle_participation`` / degree aggregations; the coefficient is
+    ONE double division rounded at the edge. Scale shape: the wedge join
+    is the O(m^1.5) degree-ordered bound; degrees are one partial agg;
+    the final join keys on node."""
+    edges = _cosupply_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_participation(edges)
+    joined = deg.join(tri, "node", "left_outer").fillna(0, ["n_triangles"])
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            (2 * F.col("n_triangles"))
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ),
+    )
+    return (
+        joined.select(
+            F.col("node").alias("s_suppkey"),
+            "degree",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            coeff.alias("clustering"),
+        )
+        # explicit NULLS LAST: Spark's desc default and DuckDB's
+        # default_null_order happen to agree, but don't rely on it
+        .orderBy(F.col("clustering").desc_nulls_last(), F.asc("s_suppkey"))
+        .limit(_TRI_TOP_K)
+    )
+
+
 _LPA_ITERS = 3
 
 
@@ -675,6 +719,7 @@ QUERIES = {
     "g_label_propagation": g_label_propagation,
     "g_kcore": g_kcore,
     "g_assortativity": g_assortativity,
+    "g_clustering_coefficient": g_clustering_coefficient,
 }
 
 # exact-decimal sufficient statistics; the r expression appears verbatim in
@@ -710,8 +755,42 @@ _ASSORT_ORACLE = f"""
     FROM st CROSS JOIN nn
 """
 
+_CLUSTER_ORACLE = f"""
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+    edges AS (
+        SELECT a.sk AS u, b.sk AS v
+        FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+        GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_W}
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ), tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), tnodes AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node AS s_suppkey, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+           THEN round((2 * coalesce(t.n_triangles, 0))
+                      / CAST(d.degree * (d.degree - 1) AS BIGINT), 6)
+           END AS clustering
+    FROM deg d LEFT JOIN tnodes t USING (node)
+    ORDER BY clustering DESC NULLS LAST, s_suppkey ASC
+    LIMIT {_TRI_TOP_K}
+"""
+
 ORACLE = {
     "g_assortativity": _ASSORT_ORACLE,
+    "g_clustering_coefficient": _CLUSTER_ORACLE,
     "g_pagerank": _pagerank_oracle_sql(),
     "g_triangle_count": _TRI_ORACLE,
     "g_common_neighbors": _CN_ORACLE,

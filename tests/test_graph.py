@@ -248,3 +248,27 @@ def test_assortativity_regular_graph_is_null(spark, tmp_path):
     assert (row.n_nodes, row.n_edges) == (5, 5)
     assert row.mean_edge_degree == 2.0
     assert row.assortativity is None
+
+
+def test_clustering_coefficient_known_graphs(spark, tmp_path):
+    """Clustering pins: in a 4-clique every node has coefficient 1.0; a
+    star hub (all neighbors pairwise unconnected) scores 0.0; a pendant
+    (degree-1) node has NO coefficient (NULL) and sorts last."""
+    from datalake_on_prem_system_spark.operators.graph_ops import (
+        g_clustering_coefficient,
+    )
+
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    star = [(10, i) for i in (11, 12, 13)]  # hub 10; leaves are degree-1
+    _write_lineitem_pairs(spark, tmp_path, clique + star)
+    got = {
+        r.s_suppkey: r
+        for r in g_clustering_coefficient(spark, str(tmp_path)).collect()
+    }
+    for n in (1, 2, 3, 4):
+        assert got[n].clustering == 1.0
+        assert (got[n].degree, got[n].n_triangles) == (3, 3)
+    hub = got[10]
+    assert (hub.degree, hub.n_triangles, hub.clustering) == (3, 0, 0.0)
+    for leaf in (11, 12, 13):
+        assert got[leaf].degree == 1 and got[leaf].clustering is None
