@@ -369,6 +369,68 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key-hash split convention as tx_train_split / cur_decontaminate
 _CORPUS_MOD, _CORPUS_KEEP = 10, 8  # doc_id % 10 < 8 → corpus; >= 8 → new batch
 
+def dd_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-quality audit: for every verified near-dup pair,
+    the 64-permutation signature agreement (matches/64 estimates jaccard
+    with stderr ≈ sqrt(j(1-j)/64) ≈ 0.05 at j = 0.8) against the exact
+    value — the calibration table that justifies the LSH band thresholds
+    before anyone trusts the sketch at 100 TB. Uses a PORTABLE sketch
+    (md5-60bit shingle hash → (a·h + b) mod P mins, the dd_simhash
+    hashing convention) so DuckDB replays signature construction
+    bit-for-bit — the production xxhash64 sketch in the LSH hot path has
+    identical statistics but no cross-engine replay.
+
+    Scale shape: signatures are computed ONLY for documents appearing in
+    verified pairs (a tiny set — never the corpus); the exact-pair mining
+    reuses the inverted-index join."""
+    pairs = dd_ngram_jaccard(spark, sf_dir).select("a_id", "b_id", "jaccard")
+    ids = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    docs = t_par(spark, sf_dir, "documents").join(ids, "doc_id", "left_semi")
+    hs = F.transform(
+        _shingles(),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(_P),
+        ),
+    )
+    def _perm_min(h: Column, a: int, b: int) -> Column:
+        # closure factory, NOT default-arg lambdas: F.transform hands a
+        # second lambda parameter the element INDEX (the `lambda x, a=a:`
+        # trap), so the perm constants must close over function scope
+        return F.array_min(F.transform(h, lambda x: F.pmod(a * x + b, F.lit(_P))))
+
+    sig = bind(
+        hs,
+        lambda h: F.array(*[_perm_min(h, a, b) for a, b in _PERMS]),
+    )
+    sigs = docs.select("doc_id", sig.alias("sig"))
+    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = F.col("n_matching_hashes") / F.lit(64.0)
+    return (
+        pairs.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .withColumn("n_matching_hashes", matches)
+        .select(
+            "a_id",
+            "b_id",
+            "jaccard",
+            "n_matching_hashes",
+            F.round(est, 6).alias("jaccard_est"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
 _MINHASH_IDX_CACHE: dict[tuple, str] = {}
 _MINHASH_BUILDS = 0  # test observability: index builds must be train-once
 
@@ -952,6 +1014,7 @@ QUERIES = {
     "dd_span_dedup": dd_span_dedup,
     "dd_containment": dd_containment,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_sketch_quality": dd_sketch_quality,
     "dd_components": dd_components,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_minhash_incremental": dd_minhash_incremental,
@@ -1050,6 +1113,45 @@ _PAIR_JACCARD_SQL = """
     WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
 """
 
+_SKETCH_SIG = "[" + ", ".join(
+    f"list_min([({a} * h + {b}) % {_P} for h in hs])" for a, b in _PERMS
+) + "]"
+
+_SKETCH_QUALITY_SQL = f"""
+    WITH qp AS ({_PAIR_JACCARD_SQL}
+    ), ids AS (
+        SELECT a_id AS doc_id FROM qp UNION SELECT b_id FROM qp
+    ), toks2 AS (
+        SELECT doc_id, string_split(text, ' ') w FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM ids)
+    ), sh2 AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) s
+        FROM toks2 WHERE len(w) >= 3
+    ), hsrc AS (
+        SELECT doc_id,
+               [CAST('0x' || substr(md5(s2), 1, 15) AS BIGINT) % {_P}
+                for s2 in s] AS hs
+        FROM sh2
+    ), sig AS (
+        SELECT doc_id, {_SKETCH_SIG} AS sig FROM hsrc
+    ), m AS (
+        SELECT q.a_id, q.b_id, q.jaccard,
+               CAST(list_sum([CAST(sa.sig[i] = sb.sig[i] AS INTEGER)
+                              for i in range(1, {_N_HASHES} + 1)])
+                    AS INTEGER) AS n_matching_hashes
+        FROM qp q
+        JOIN sig sa ON sa.doc_id = q.a_id
+        JOIN sig sb ON sb.doc_id = q.b_id
+    )
+    SELECT a_id, b_id, jaccard, n_matching_hashes,
+           round(n_matching_hashes / CAST(64 AS DOUBLE), 6) AS jaccard_est,
+           round(abs(n_matching_hashes / CAST(64 AS DOUBLE) - jaccard), 6)
+               AS abs_err
+    FROM m
+"""
+
 # shared by the dd_components oracle and pipeline_ops' canonical-dedup
 # oracle: recursive reachability closure over the exact near-dup pair graph,
 # ending in `comp(doc_id, component_id)`
@@ -1134,6 +1236,7 @@ ORACLE = {
         WHERE inter / CAST(size_a AS DOUBLE) >= {_CONT_THRESHOLD}
     """,
     "dd_ngram_jaccard": _PAIR_JACCARD_SQL,
+    "dd_sketch_quality": _SKETCH_QUALITY_SQL,
     # connected components = min reachable doc_id — deterministic, so the
     # oracle replays it with a recursive reachability CTE over the same
     # pair graph (fixture-sized: reach is O(V·E); the Spark side is the
