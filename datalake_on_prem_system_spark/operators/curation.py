@@ -426,6 +426,66 @@ def cur_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DP release: Laplace scale b = sensitivity/epsilon = 1/1.0 for counting
+# queries (adding/removing one person changes a count by at most 1)
+_DP_EPSILON = 1.0
+
+
+def cur_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (ε = 1 Laplace mechanism) —
+    the third privacy gate after k-anonymity and l-diversity: per
+    (nation, segment) class, the true count plus Laplace(1/ε) noise via
+    inverse-CDF sampling, and the post-processed released count
+    (rounded, clamped at 0). The uniform driving each class's noise is a
+    SEEDED portable hash of the class key (md5 60-bit / 2^60 — the
+    dd_simhash convention), so the release is reproducible and both
+    engines draw the identical sample; a production release would use a
+    fresh secret seed and publish ONLY the released column — the true
+    count rides along here because this table exists to verify the
+    mechanism, not to ship.
+
+    Determinism: u is an exact 60-bit dyadic rational; the inverse CDF
+    -b·sign(x)·ln(1-2|x|) is single IEEE ops with ln rounded to 6 (the
+    tx_lm_score rule). Scale shape: one partial-agg shuffle bounded by
+    quasi-identifier cardinality; the noise is a narrow map over the
+    aggregate."""
+    cust = t(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    seed = F.concat(
+        F.lit("dp:"),
+        F.col("c_nationkey").cast("string"),
+        F.lit(":"),
+        F.col("c_mktsegment"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(seed), 1, 15), 16, 10).cast("long")
+        / F.lit(float(2**60))
+    )
+    x = u - F.lit(0.5)
+    b = 1.0 / _DP_EPSILON
+    noise = F.round(
+        -F.lit(b)
+        * F.signum(x)
+        * F.round(F.log(F.lit(1.0) - 2 * F.abs(x)), 6),
+        6,
+    )
+    staged = classes.select(
+        "c_nationkey", "c_mktsegment", "true_count", noise.alias("noise")
+    )
+    noisy = F.round(F.col("true_count") + F.col("noise"), 6)
+    return staged.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "true_count",
+        "noise",
+        F.greatest(
+            F.lit(0).cast("long"), F.round(noisy, 0).cast("long")
+        ).alias("released_count"),
+    )
+
+
 # ---------------------------------------------------------- record linkage
 
 
@@ -651,6 +711,7 @@ def cur_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cur_k_anonymity": cur_k_anonymity,
     "cur_l_diversity": cur_l_diversity,
+    "cur_dp_release": cur_dp_release,
     "cur_decontaminate": cur_decontaminate,
     "cur_fuzzy_blocked_join": cur_fuzzy_blocked_join,
     "cur_weighted_sample": cur_weighted_sample,
@@ -781,6 +842,29 @@ def _temperature_mix_sql() -> str:
 
 ORACLE = {
     "cur_temperature_mix": _temperature_mix_sql(),
+    "cur_dp_release": f"""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS true_count
+            FROM customer GROUP BY 1, 2
+        ), seeded AS (
+            SELECT *,
+                   CAST('0x' || substr(md5('dp:' || CAST(c_nationkey AS VARCHAR)
+                                            || ':' || c_mktsegment), 1, 15)
+                        AS BIGINT) / CAST({float(2**60)} AS DOUBLE) AS u
+            FROM classes
+        ), noised AS (
+            SELECT c_nationkey, c_mktsegment, true_count,
+                   round(-{1.0 / _DP_EPSILON} * sign(u - 0.5)
+                         * round(ln(1.0 - 2 * abs(u - 0.5)), 6), 6) AS noise
+            FROM seeded
+        )
+        SELECT c_nationkey, c_mktsegment, true_count, noise,
+               greatest(CAST(0 AS BIGINT),
+                        CAST(round(round(true_count + noise, 6), 0) AS BIGINT))
+                   AS released_count
+        FROM noised
+    """,
     "cur_l_diversity": f"""
         WITH per_band AS (
             SELECT c_nationkey, c_mktsegment,

@@ -1049,3 +1049,29 @@ def test_sketch_quality_estimates_track_exact(spark, sf_dir):
         assert r.jaccard_est == round(r.n_matching_hashes / 64.0, 6)
         se = (r.jaccard * (1 - r.jaccard) / 64) ** 0.5
         assert r.abs_err <= 4 * se + 1e-9, (r.a_id, r.b_id, r.abs_err, se)
+
+
+def test_dp_release_mechanism_properties(spark, sf_dir):
+    """Laplace-release pins: the mechanism is reproducible (two runs draw
+    identical noise), noise recomputes from the documented inverse-CDF on
+    the class-key hash, released counts are clamped non-negative ints,
+    and the noise distribution is two-sided (both signs appear)."""
+    import hashlib
+    import math
+
+    from datalake_on_prem_system_spark.operators.curation import cur_dp_release
+
+    rows = cur_dp_release(spark, sf_dir).collect()
+    again = cur_dp_release(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    signs = set()
+    for r in rows:
+        key = f"dp:{r.c_nationkey}:{r.c_mktsegment}"
+        u = int(hashlib.md5(key.encode()).hexdigest()[:15], 16) / float(2**60)
+        x = u - 0.5
+        want = round(-1.0 * math.copysign(1.0, x) * round(math.log(1.0 - 2 * abs(x)), 6), 6)
+        assert r.noise == want, (key, r.noise, want)
+        assert r.released_count >= 0
+        assert r.released_count == max(0, round(round(r.true_count + r.noise, 6)))
+        signs.add(r.noise > 0)
+    assert signs == {True, False}
