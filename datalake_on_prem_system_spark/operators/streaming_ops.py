@@ -679,11 +679,82 @@ def st_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_ltv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tier of the cohort-LTV curves: the cohort assignment
+    (user → first-purchase week) and the week anchor are BATCH-TRAINED
+    (the dimension a growth stack refreshes nightly), broadcast to the
+    live purchase stream; per micro-batch the (cohort, age) revenue cells
+    roll up, and the harvested aggregate joins cohort sizes + cumulative
+    windows for the LTV columns — ``ev_ltv_cohort``'s exact arithmetic,
+    so the batch SQL is the oracle. The live revenue meter running while
+    the nightly job sleeps.
+
+    Scale shape: the cohort dimension is user-keyed (broadcast at fixture
+    scale; at 100 TB it becomes a shuffle join on user_id — AQE decides);
+    the stream shuffles only for the (cohort, age) rollup; cum windows
+    run over the harvested weeks-sized aggregate."""
+    buys = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+    )
+    day0 = buys.agg(F.min("day")).head()[0]
+    wk_of = lambda c: F.expr(f"datediff({c}, DATE'{day0}') div 7").cast("int")  # noqa: E731
+    cohort = (
+        buys.select("user_id", wk_of("day").alias("week"))
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    stream = (
+        _events_stream(spark, _events_json_dir(spark, sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            wk_of("to_date(ts)").alias("week"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    cells = (
+        stream.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("age_week"),
+        )
+        .agg(
+            # COUNT(DISTINCT) is unsupported in streaming aggregations;
+            # size(collect_set) is the supported equivalent (state bounded
+            # by distinct buyers per cell)
+            F.size(F.collect_set("user_id")).cast("long").alias("n_buyers"),
+            F.sum("cents").alias("rev_cents"),
+        )
+    )
+    harvested = _run_to_memory(cells, "slt", "complete")
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = harvested.withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "age_week",
+        "n_users",
+        "n_buyers",
+        "rev_cents",
+        "cum_rev_cents",
+        F.round(F.col("cum_rev_cents") / (100.0 * F.col("n_users")), 6).alias(
+            "ltv_per_user"
+        ),
+    )
+
+
 QUERIES = {
     "st_anomaly_stream": st_anomaly_stream,
     "st_tokenize_stream": st_tokenize_stream,
     "st_drift_stream": st_drift_stream,
     "st_ohlc_stream": st_ohlc_stream,
+    "st_ltv_stream": st_ltv_stream,
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_scd2_stream": st_scd2_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
@@ -823,6 +894,8 @@ ORACLE["st_tokenize_stream"] = _tokenize_stream_sql()
 ORACLE["st_drift_stream"] = _ANALYTICS_ORACLE["ev_drift_psi"]
 # streaming tier of the hourly candle rollup: batch SQL is the oracle
 ORACLE["st_ohlc_stream"] = _ANALYTICS_ORACLE["ts_ohlc_resample"]
+# streaming tier of the cohort-LTV curves: batch SQL is the oracle
+ORACLE["st_ltv_stream"] = _ANALYTICS_ORACLE["ev_ltv_cohort"]
 
 # the streamed SCD2 dimension must equal the batch-maintained one — one
 # oracle, two execution tiers (foreachBatch merges vs direct merges)

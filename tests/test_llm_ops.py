@@ -1075,3 +1075,15 @@ def test_dp_release_mechanism_properties(spark, sf_dir):
         assert r.released_count == max(0, round(round(r.true_count + r.noise, 6)))
         signs.add(r.noise > 0)
     assert signs == {True, False}
+
+
+def test_ltv_stream_matches_batch_tier(spark, sf_dir):
+    """One contract, two tiers: the streaming LTV cells must equal the
+    batch ev_ltv_cohort output exactly."""
+    from datalake_on_prem_system_spark.operators.analytics import ev_ltv_cohort
+    from datalake_on_prem_system_spark.operators.streaming_ops import st_ltv_stream
+
+    key = lambda r: (r.cohort_week, r.age_week)  # noqa: E731
+    batch = {key(r): r.asDict() for r in ev_ltv_cohort(spark, sf_dir).collect()}
+    stream = {key(r): r.asDict() for r in st_ltv_stream(spark, sf_dir).collect()}
+    assert stream == batch
