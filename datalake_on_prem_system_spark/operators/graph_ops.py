@@ -235,6 +235,94 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     )
 
 
+def triangle_triples(edges: DataFrame) -> DataFrame:
+    """The (a, b, c) triangle list behind ``triangle_participation`` —
+    same degree-ordered O(m^1.5) wedge machinery, exposed for per-EDGE
+    consumers (embeddedness). Vertices come out in orientation order, not
+    id order."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = edges.join(
+        F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))),
+        "u",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))),
+        "v",
+    )
+    u_lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_lower, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+        .filter(
+            (F.col("e1.dd") < F.col("e2.dd"))
+            | ((F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.dst") < F.col("e2.dst")))
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    return wedges.join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
+    )
+
+
+def g_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge embeddedness over the co-supply graph: triangles THROUGH each
+    edge = the common-neighbor count of its endpoints — Granovetter's
+    weak-tie detector (embeddedness 0: a bridge between otherwise
+    unconnected regions; high: deep inside a cluster). The per-edge
+    sibling of g_triangle_count's per-node view, and the signal community
+    pipelines use to cut inter-cluster edges before partitioning.
+
+    Determinism: each triangle contributes exactly 1 to each of its three
+    canonicalized (least, greatest) edges; pure integer counting. Scale
+    shape: the O(m^1.5) degree-ordered triple list exploded 3× and
+    partial-aggregated on the edge key, then one left join back to the
+    edge list (zero-embedded edges must still appear)."""
+    edges = _cosupply_edges(spark, sf_dir)
+    tri = triangle_triples(edges)
+    pair = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("u"), F.greatest(x, y).alias("v")
+    )
+    per_edge = (
+        tri.select(
+            F.explode(
+                F.array(
+                    pair(F.col("a"), F.col("b")),
+                    pair(F.col("a"), F.col("c")),
+                    pair(F.col("b"), F.col("c")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("embeddedness"))
+    )
+    return (
+        edges.join(per_edge, ["u", "v"], "left_outer")
+        .fillna(0, ["embeddedness"])
+        .select(
+            "u",
+            "v",
+            F.col("embeddedness").cast("long").alias("embeddedness"),
+            (F.col("embeddedness") == 0).alias("weak_tie"),
+        )
+    )
+
+
 def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected supplier co-supply edge list (u < v, distinct): two
     suppliers are linked when they appear on >= ``_TRI_MIN_W`` common
@@ -720,6 +808,7 @@ QUERIES = {
     "g_kcore": g_kcore,
     "g_assortativity": g_assortativity,
     "g_clustering_coefficient": g_clustering_coefficient,
+    "g_edge_embeddedness": g_edge_embeddedness,
 }
 
 # exact-decimal sufficient statistics; the r expression appears verbatim in
@@ -788,9 +877,34 @@ _CLUSTER_ORACLE = f"""
     LIMIT {_TRI_TOP_K}
 """
 
+_EMBED_ORACLE = f"""
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+    edges AS (
+        SELECT a.sk AS u, b.sk AS v
+        FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+        GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_W}
+    ), tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), per_edge AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS embeddedness FROM (
+            SELECT a AS u, b AS v FROM tri
+            UNION ALL SELECT a, c FROM tri
+            UNION ALL SELECT b, c FROM tri
+        ) GROUP BY 1, 2
+    )
+    SELECT e.u, e.v,
+           CAST(coalesce(p.embeddedness, 0) AS BIGINT) AS embeddedness,
+           coalesce(p.embeddedness, 0) = 0 AS weak_tie
+    FROM edges e LEFT JOIN per_edge p USING (u, v)
+"""
+
 ORACLE = {
     "g_assortativity": _ASSORT_ORACLE,
     "g_clustering_coefficient": _CLUSTER_ORACLE,
+    "g_edge_embeddedness": _EMBED_ORACLE,
     "g_pagerank": _pagerank_oracle_sql(),
     "g_triangle_count": _TRI_ORACLE,
     "g_common_neighbors": _CN_ORACLE,

@@ -272,3 +272,26 @@ def test_clustering_coefficient_known_graphs(spark, tmp_path):
     assert (hub.degree, hub.n_triangles, hub.clustering) == (3, 0, 0.0)
     for leaf in (11, 12, 13):
         assert got[leaf].degree == 1 and got[leaf].clustering is None
+
+
+def test_edge_embeddedness_weak_ties(spark, tmp_path):
+    """Embeddedness pins: inside a 4-clique every edge sits in 2 triangles;
+    a bridge between two cliques has embeddedness 0 (the weak tie); edges
+    adjacent to the bridge keep their in-clique counts."""
+    from datalake_on_prem_system_spark.operators.graph_ops import (
+        g_edge_embeddedness,
+    )
+
+    c1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    c2 = [(a, b) for a in (11, 12, 13, 14) for b in (11, 12, 13, 14) if a < b]
+    bridge = [(4, 11)]
+    _write_lineitem_pairs(spark, tmp_path, c1 + c2 + bridge)
+    got = {
+        (r.u, r.v): r for r in g_edge_embeddedness(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 13
+    br = got[(4, 11)]
+    assert (br.embeddedness, br.weak_tie) == (0, True)
+    for e in c1 + c2:
+        r = got[e]
+        assert (r.embeddedness, r.weak_tie) == (2, False), e
