@@ -193,13 +193,42 @@ def _time_query(spark, fn, name: str, sf_dir: str) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def _ppid(pid: int) -> int:
+    """Parent pid via /proc; 0 when unreadable (process gone)."""
+    try:
+        with open(f"/proc/{pid}/status") as fh:
+            for line in fh:
+                if line.startswith("PPid:"):
+                    return int(line.split()[1])
+    except (OSError, ValueError):
+        pass
+    return 0
+
+
+def _is_descendant(pid: int, ancestor: int) -> bool:
+    for _ in range(64):  # bounded PPid walk
+        if pid <= 1:
+            return False
+        pid = _ppid(pid)
+        if pid == ancestor:
+            return True
+    return False
+
+
 def _machine_load() -> dict:
     """Self-identification for contaminated runs: driver r8 timings were up
     to 4× inflated by concurrent build activity (83.71 s vs the judge's
     48.15 s idle rerun of the identical bench). Record the 1/5/15-min load
-    averages and the count of OTHER live JVMs so a round-over-round
+    averages and the count of FOREIGN live JVMs so a round-over-round
     comparison can discount a busy-box run instead of chasing phantom
-    regressions."""
+    regressions.
+
+    'Foreign' excludes this bench's own process tree (its Spark JVM and
+    the dedicated CDC-worker subprocess's JVM are descendants of this
+    pid), so the flag only fires on genuinely external JVMs, and the
+    before/after snapshots count the same population whether or not our
+    SparkContext is up yet. `pgrep -x java` matches the process NAME
+    exactly — a cmdline merely containing 'java' no longer counts."""
     info: dict = {}
     try:
         info["loadavg_1m"], info["loadavg_5m"], info["loadavg_15m"] = (
@@ -210,11 +239,15 @@ def _machine_load() -> dict:
     try:
         import subprocess
 
-        pids = subprocess.run(
-            ["pgrep", "-c", "-f", "java"], capture_output=True, text=True
-        ).stdout.strip()
-        # this bench's own JVM is one of them; report the rest
-        info["other_jvms"] = max(0, int(pids or 0) - 1)
+        me = os.getpid()
+        pids = [
+            int(p)
+            for p in subprocess.run(
+                ["pgrep", "-x", "java"], capture_output=True, text=True
+            ).stdout.split()
+            if p.strip().isdigit()
+        ]
+        info["other_jvms"] = sum(1 for p in pids if not _is_descendant(p, me))
     except (OSError, ValueError):
         pass
     return info

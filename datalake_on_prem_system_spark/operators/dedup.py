@@ -46,7 +46,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._cache import persist_bounded
-from .common import bind, t, t_par
+from .common import bind, index_tempdir, t, t_par
 
 _P = 2_147_483_647  # 2^31 - 1; (a*x + b) stays < 2^62 — no int64 overflow
 _N_HASHES = 64
@@ -415,7 +415,7 @@ def dd_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    est = F.col("n_matching_hashes") / F.lit(64.0)
+    est = F.col("n_matching_hashes") / F.lit(float(_N_HASHES))
     return (
         pairs.join(F.broadcast(sa), "a_id")
         .join(F.broadcast(sb), "b_id")
@@ -480,7 +480,7 @@ def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
 
     sh = _shingle_frame(spark, sf_dir)
     corpus_sh = sh.filter(F.col("doc_id") % _CORPUS_MOD < _CORPUS_KEEP)
-    path = os.path.join(tempfile.mkdtemp(prefix="minhash_idx_"), "bands")
+    path = os.path.join(index_tempdir("minhash_idx_"), "bands")
     _band_frame(corpus_sh).write.parquet(path)
     _MINHASH_IDX_CACHE[key] = path
     for stale in [k for k in _MINHASH_IDX_CACHE if k[0] == key[0] and k != key]:
@@ -1146,8 +1146,8 @@ _SKETCH_QUALITY_SQL = f"""
         JOIN sig sb ON sb.doc_id = q.b_id
     )
     SELECT a_id, b_id, jaccard, n_matching_hashes,
-           round(n_matching_hashes / CAST(64 AS DOUBLE), 6) AS jaccard_est,
-           round(abs(n_matching_hashes / CAST(64 AS DOUBLE) - jaccard), 6)
+           round(n_matching_hashes / CAST({_N_HASHES} AS DOUBLE), 6) AS jaccard_est,
+           round(abs(n_matching_hashes / CAST({_N_HASHES} AS DOUBLE) - jaccard), 6)
                AS abs_err
     FROM m
 """

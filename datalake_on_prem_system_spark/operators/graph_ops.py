@@ -169,8 +169,39 @@ def _pagerank_oracle_sql() -> str:
 
 # --------------------------------------------------------- triangle count
 
-_TRI_MIN_W = 5  # co-supply strength: pairs sharing >= 5 orders form an edge
+# Co-supply edge rule, DENSITY-TARGETED rather than a fixed weight: a fixed
+# "pairs sharing >= 5 orders" threshold saturates at small SF (at sf0.01
+# every supplier pair clears 5 shared orders — the graph is COMPLETE, so
+# embeddedness/clustering/assortativity verify clique arithmetic, not
+# topology) and over-sparsifies at large SF. Instead: candidate pairs share
+# >= _COSUPPLY_W_FLOOR orders, and the edge set is the heaviest ~1/DECILE
+# of candidates — the weight at descending rank ceil(n/10) is the cut
+# (ties at the cut stay in). Measured densities: 0.11 (sf0.001), 0.13
+# (sf0.01), 0.096 (sf0.1 — where the rule reproduces the old w>=5 graph
+# exactly). Deterministic: pure integer rank arithmetic over the bounded
+# weight histogram, replayed verbatim by the oracle CTEs.
+_COSUPPLY_W_FLOOR = 2
+_COSUPPLY_DECILE = 10
 _TRI_TOP_K = 25
+
+# shared oracle CTE chain ending in `cos_edges(u, v)` — every co-supply
+# oracle composes this so the Spark rule and the SQL rule can never drift
+_COSUPPLY_CTES = f"""
+    os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+    pw AS (
+        SELECT a.sk AS u, b.sk AS v, CAST(count(*) AS BIGINT) AS w
+        FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+        GROUP BY 1, 2 HAVING count(*) >= {_COSUPPLY_W_FLOOR}
+    ),
+    wh AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM pw GROUP BY w),
+    wc AS (SELECT w, sum(c) OVER (ORDER BY w DESC) AS cum FROM wh),
+    pn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pw),
+    th AS (
+        SELECT max(w) AS min_w FROM wc, pn
+        WHERE cum >= (n + {_COSUPPLY_DECILE - 1}) // {_COSUPPLY_DECILE}
+    ),
+    cos_edges AS (SELECT u, v FROM pw, th WHERE w >= min_w)
+"""
 
 
 def triangle_participation(edges: DataFrame) -> DataFrame:
@@ -188,8 +219,11 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     nodes in no triangle are absent.
 
     The caller should persist ``edges`` — it feeds the degree rollup, the
-    orientation join, both wedge legs, and the closing join; the oriented
-    frame itself is three cheap broadcast-join branches over it."""
+    orientation join, both wedge legs, and the closing join. The degree
+    table carries NO broadcast hint: it has one row per graph NODE, which
+    grows with the data (billions at full scale) — a baked-in hint would
+    OOM the driver. The joins are equi-keyed on u/v, so AQE picks
+    broadcast on its own whenever the degree table is genuinely small."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -197,10 +231,10 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     e = edges.join(
-        F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))),
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")),
         "u",
     ).join(
-        F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))),
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
         "v",
     )
     u_lower = (F.col("du") < F.col("dv")) | (
@@ -247,10 +281,12 @@ def triangle_triples(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     e = edges.join(
-        F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))),
+        # no broadcast hint: deg is node-cardinality (see
+        # triangle_participation) — AQE broadcasts when genuinely small
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")),
         "u",
     ).join(
-        F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))),
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
         "v",
     )
     u_lower = (F.col("du") < F.col("dv")) | (
@@ -323,31 +359,65 @@ def g_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected supplier co-supply edge list (u < v, distinct): two
-    suppliers are linked when they appear on >= ``_TRI_MIN_W`` common
-    orders. Shared (ONE cache key) by the triangle, k-core, and
-    assortativity operators so a session computes the pair fan-out once.
+_COSUPPLY_MIN_W: dict[str, int] = {}  # sf_dir → resolved weight cut
+
+
+def _cosupply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted candidate pairs (u < v, w = shared orders, w >= floor).
     The per-order pair fan-out is bounded by items-per-order (TPC-H-ish:
     <= 7 → <= 21 pairs per order)."""
     li = t(spark, sf_dir, "lineitem")
     os_ = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
     ).distinct()
-    return persist_bounded(
+    return (
         os_.join(os_.select("ok", F.col("sk").alias("sk2")), "ok")
         .filter(F.col("sk") < F.col("sk2"))
         .groupBy(F.col("sk").alias("u"), F.col("sk2").alias("v"))
         .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _TRI_MIN_W)
-        .select("u", "v"),
+        .filter(F.col("w") >= _COSUPPLY_W_FLOOR)
+    )
+
+
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected supplier co-supply edge list (u < v, distinct): the
+    heaviest ~1/``_COSUPPLY_DECILE`` of candidate pairs by shared-order
+    weight (density-targeted — see the rule comment above). Shared (ONE
+    cache key) by the triangle, k-core, LPA, and assortativity operators
+    so a session computes the pair fan-out once.
+
+    The weight cut comes from the pair-weight HISTOGRAM — one partial agg
+    whose output is bounded by the number of DISTINCT weights (small ints,
+    a few hundred values at any scale), collected driver-side and walked
+    with the same integer rank arithmetic the oracle's window CTE uses.
+    Memoized per sf_dir; the pair frame itself is persisted (it feeds the
+    histogram and the edge filter)."""
+    pw = persist_bounded(
+        _cosupply_pairs(spark, sf_dir), f"g_cosupply_pw:{sf_dir}"
+    )
+    if sf_dir not in _COSUPPLY_MIN_W:
+        hist = sorted(
+            pw.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect(),
+            key=lambda r: -r.w,
+        )
+        n = sum(r.c for r in hist)
+        rank = (n + _COSUPPLY_DECILE - 1) // _COSUPPLY_DECILE
+        cum, min_w = 0, _COSUPPLY_W_FLOOR
+        for r in hist:
+            cum += r.c
+            if cum >= rank:
+                min_w = int(r.w)
+                break
+        _COSUPPLY_MIN_W[sf_dir] = min_w
+    return persist_bounded(
+        pw.filter(F.col("w") >= _COSUPPLY_MIN_W[sf_dir]).select("u", "v"),
         f"g_cosupply_edges:{sf_dir}",
     )
 
 
 def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier triangle participation in the supplier co-supply graph
-    (edge = two suppliers appear on >= ``_TRI_MIN_W`` common orders), top
+    (density-targeted edges — the heaviest decile of co-supply pairs), top
     25 — the standard clustering/community-density signal (a supplier in
     many triangles sits inside a tight supply cluster; bridge suppliers
     sit in few). Algorithm + scale shape: ``triangle_participation``
@@ -363,17 +433,12 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRI_ORACLE = f"""
-    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-    edges AS (
-        SELECT a.sk AS u, b.sk AS v
-        FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
-        GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_W}
-    ),
+    WITH {_COSUPPLY_CTES},
     tri AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        FROM edges e1
-        JOIN edges e2 ON e2.u = e1.v
-        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        FROM cos_edges e1
+        JOIN cos_edges e2 ON e2.u = e1.v
+        JOIN cos_edges e3 ON e3.u = e1.u AND e3.v = e2.v
     ),
     nodes AS (
         SELECT a AS node FROM tri
@@ -471,24 +536,13 @@ def label_propagation(edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
 
 
 def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community sizes in the supplier co-supply graph (same ≥5-common-
-    orders edges as g_triangle_count) after 3 deterministic LPA rounds —
-    the supplier-cluster map (which vendors form tight co-supply blocs).
-    Output: one row per community (labeled by its smallest member id via
-    the tie rule) with member count, size-desc."""
-    li = t(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
-    ).distinct()
-    edges = persist_bounded(
-        os_.join(os_.select("ok", F.col("sk").alias("sk2")), "ok")
-        .filter(F.col("sk") < F.col("sk2"))
-        .groupBy(F.col("sk").alias("u"), F.col("sk2").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _TRI_MIN_W)
-        .select("u", "v"),
-        f"g_lpa_edges:{sf_dir}",
-    )
+    """Community sizes in the supplier co-supply graph (same density-
+    targeted edges as g_triangle_count, via the shared ``_cosupply_edges``
+    cache) after 3 deterministic LPA rounds — the supplier-cluster map
+    (which vendors form tight co-supply blocs). Output: one row per
+    community (labeled by its smallest member id via the tie rule) with
+    member count, size-desc."""
+    edges = _cosupply_edges(spark, sf_dir)
     return (
         label_propagation(edges)
         .groupBy(F.col("label").alias("community"))
@@ -517,16 +571,10 @@ def _lpa_oracle_sql() -> str:
         for k in range(1, _LPA_ITERS + 1)
     )
     return f"""
-        WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-                    FROM lineitem),
-        edges AS (
-            SELECT a.sk AS u, b.sk AS v
-            FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
-            GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_W}
-        ),
+        WITH {_COSUPPLY_CTES},
         bi AS (
-            SELECT u AS src, v AS dst FROM edges
-            UNION ALL SELECT v, u FROM edges
+            SELECT u AS src, v AS dst FROM cos_edges
+            UNION ALL SELECT v, u FROM cos_edges
         ),
         l0 AS (SELECT DISTINCT src AS node, src AS label FROM bi),
         {steps}
@@ -548,6 +596,11 @@ _KCORE_ROUNDS = 5
 _KCORE_MAX_ROUNDS = 64
 
 
+#: rounds the most recent ``kcore_peel`` ran before its no-change round —
+#: observability for the oracle-unroll contract (see ``g_kcore``).
+_KCORE_LAST_ROUNDS = 0
+
+
 def kcore_peel(edges: DataFrame, k: int, max_rounds: int = _KCORE_MAX_ROUNDS) -> DataFrame:
     """k-core peeling to the FIXPOINT: each round removes every node whose
     CURRENT degree is below ``k`` (and the edges touching it), the
@@ -567,8 +620,10 @@ def kcore_peel(edges: DataFrame, k: int, max_rounds: int = _KCORE_MAX_ROUNDS) ->
     union twice + the semi-join filters), so an unmaterialized lineage
     re-expands 3^rounds ways — at 100 TB the identical dataflow runs
     with a reliable checkpoint dir instead."""
+    global _KCORE_LAST_ROUNDS
     edges = edges.localCheckpoint()
     n_edges = edges.count()
+    rounds = 0
     for _ in range(max_rounds):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -585,7 +640,9 @@ def kcore_peel(edges: DataFrame, k: int, max_rounds: int = _KCORE_MAX_ROUNDS) ->
         n_next = edges.count()
         if n_next == n_edges:
             break
+        rounds += 1
         n_edges = n_next
+    _KCORE_LAST_ROUNDS = rounds
     return (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -595,15 +652,30 @@ def kcore_peel(edges: DataFrame, k: int, max_rounds: int = _KCORE_MAX_ROUNDS) ->
 
 
 def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the supplier co-supply graph (same ≥5-common-orders edges
+    """3-core of the supplier co-supply graph (same density-targeted edges
     as g_triangle_count), peeled to the fixpoint — the dense-backbone
     extraction every graph-curation pipeline runs (nodes outside the core
     are peripheral; the core is where community/triangle structure
-    lives)."""
+    lives).
+
+    Oracle contract: the DuckDB side unrolls exactly ``_KCORE_ROUNDS``
+    synchronous peels; extra rounds past convergence are no-ops, so the
+    two agree IFF the fixture converges within that depth. That is a
+    data-dependent property (a pendant path peels one node per round), so
+    rather than silently diverge on a deeper-cascading corpus this RAISES
+    when the fixpoint needed more peels than the oracle replays —
+    instructing the operator to raise ``_KCORE_ROUNDS``."""
     edges = _cosupply_edges(spark, sf_dir)
-    return kcore_peel(edges, _KCORE_K).select(
+    out = kcore_peel(edges, _KCORE_K).select(
         F.col("node").alias("s_suppkey"), "degree"
     )
+    if _KCORE_LAST_ROUNDS > _KCORE_ROUNDS:
+        raise RuntimeError(
+            f"g_kcore fixpoint needed {_KCORE_LAST_ROUNDS} peel rounds but the "
+            f"DuckDB oracle unrolls only {_KCORE_ROUNDS}; raise _KCORE_ROUNDS "
+            "to at least the fixture's cascade depth"
+        )
+    return out
 
 
 def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,13 +745,8 @@ def _kcore_oracle_sql() -> str:
     chain = ", ".join(rounds)
     last = f"e{_KCORE_ROUNDS}"
     return f"""
-        WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-                    FROM lineitem),
-        e0 AS (
-            SELECT a.sk AS u, b.sk AS v
-            FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
-            GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_W}
-        ), {chain}
+        WITH {_COSUPPLY_CTES},
+        e0 AS MATERIALIZED (SELECT u, v FROM cos_edges), {chain}
         SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS degree
         FROM (SELECT u AS node FROM {last} UNION ALL SELECT v FROM {last})
         GROUP BY node
@@ -817,18 +884,14 @@ _ASSORT_MU = "(CAST(s1 AS DOUBLE) / (2 * m))"
 _ASSORT_NUM = f"(CAST(p AS DOUBLE) / m - {_ASSORT_MU} * {_ASSORT_MU})"
 _ASSORT_DEN = f"(CAST(s2 AS DOUBLE) / (2 * m) - {_ASSORT_MU} * {_ASSORT_MU})"
 _ASSORT_ORACLE = f"""
-    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-    edges AS (
-        SELECT a.sk AS u, b.sk AS v
-        FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
-        GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_W}
-    ), deg AS (
+    WITH {_COSUPPLY_CTES},
+    deg AS (
         SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
-            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+            SELECT u AS node FROM cos_edges UNION ALL SELECT v FROM cos_edges
         ) GROUP BY node
     ), paired AS (
         SELECT a.d AS du, b.d AS dv
-        FROM edges e JOIN deg a ON a.node = e.u JOIN deg b ON b.node = e.v
+        FROM cos_edges e JOIN deg a ON a.node = e.u JOIN deg b ON b.node = e.v
     ), st AS (
         SELECT CAST(count(*) AS BIGINT) AS m,
                sum(CAST(du + dv AS DECIMAL(38,0))) AS s1,
@@ -845,20 +908,16 @@ _ASSORT_ORACLE = f"""
 """
 
 _CLUSTER_ORACLE = f"""
-    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-    edges AS (
-        SELECT a.sk AS u, b.sk AS v
-        FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
-        GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_W}
-    ), deg AS (
+    WITH {_COSUPPLY_CTES},
+    deg AS (
         SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
-            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+            SELECT u AS node FROM cos_edges UNION ALL SELECT v FROM cos_edges
         ) GROUP BY node
     ), tri AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        FROM edges e1
-        JOIN edges e2 ON e2.u = e1.v
-        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        FROM cos_edges e1
+        JOIN cos_edges e2 ON e2.u = e1.v
+        JOIN cos_edges e3 ON e3.u = e1.u AND e3.v = e2.v
     ), tnodes AS (
         SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
             SELECT a AS node FROM tri
@@ -878,16 +937,12 @@ _CLUSTER_ORACLE = f"""
 """
 
 _EMBED_ORACLE = f"""
-    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-    edges AS (
-        SELECT a.sk AS u, b.sk AS v
-        FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
-        GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_W}
-    ), tri AS (
+    WITH {_COSUPPLY_CTES},
+    tri AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        FROM edges e1
-        JOIN edges e2 ON e2.u = e1.v
-        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        FROM cos_edges e1
+        JOIN cos_edges e2 ON e2.u = e1.v
+        JOIN cos_edges e3 ON e3.u = e1.u AND e3.v = e2.v
     ), per_edge AS (
         SELECT u, v, CAST(count(*) AS BIGINT) AS embeddedness FROM (
             SELECT a AS u, b AS v FROM tri
@@ -898,7 +953,7 @@ _EMBED_ORACLE = f"""
     SELECT e.u, e.v,
            CAST(coalesce(p.embeddedness, 0) AS BIGINT) AS embeddedness,
            coalesce(p.embeddedness, 0) = 0 AS weak_tie
-    FROM edges e LEFT JOIN per_edge p USING (u, v)
+    FROM cos_edges e LEFT JOIN per_edge p USING (u, v)
 """
 
 ORACLE = {

@@ -54,7 +54,7 @@ from operator import and_
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t, t_par
+from .common import index_tempdir, t, t_par
 
 # (sf_dir, table, pk) → materialized search-table path; rebuilt on first use
 # per process (production rebuilds on base-table commit, like the reference's
@@ -98,7 +98,7 @@ def sync_search_index(
     if key not in _INDEX_CACHE:
         base = t(spark, sf_dir, table)
         cols = [c for c in base.columns if c != pk]
-        path = os.path.join(tempfile.mkdtemp(prefix="search_idx_"), f"{table}.parquet")
+        path = os.path.join(index_tempdir("search_idx_"), f"{table}.parquet")
         build_search_df(base, pk, cols).write.mode("overwrite").parquet(path)
         _INDEX_CACHE[key] = path
     return _INDEX_CACHE[key]
@@ -158,7 +158,7 @@ def sync_posting_index(
     key = (sf_dir, table, pk)
     if key not in _POSTING_CACHE:
         idx = spark.read.parquet(sync_search_index(spark, sf_dir, table, pk))
-        work = tempfile.mkdtemp(prefix="search_postings_")
+        work = index_tempdir("search_postings_")
         postings_path = os.path.join(work, f"{table}_postings.parquet")
         dict_path = os.path.join(work, f"{table}_tokens.parquet")
         write_posting_index(spark, idx, pk, postings_path, dict_path)
@@ -539,7 +539,7 @@ def search_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             build_search_df(docs, "doc_id", [c for c in docs.columns if c != "doc_id"]),
             key=f"incr_sync_idx:{sf_dir}",
         )
-        root = tempfile.mkdtemp(prefix="search_incr_")
+        root = index_tempdir("search_incr_")
         table = create_posting_table(spark, idx, "doc_id", root)
         updates = idx.filter(
             (F.col("doc_id") % 50 == 0) & (F.col("doc_id") % 97 != 0)

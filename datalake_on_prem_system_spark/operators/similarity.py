@@ -31,7 +31,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t, t_par
+from .common import index_tempdir, t, t_par
 
 _DIM = 64
 _QUERY_VEC_ID = 0
@@ -263,7 +263,11 @@ def build_ivf_index(
     """One-time IVF index build (the 'CREATE INDEX' op), fully DETERMINISTIC
     so the DuckDB oracle can replay training bit-for-bit:
 
-    1. Forgy init: the ``nlist`` lowest-vec_id vectors seed the cells.
+    1. Forgy init: the ``nlist`` lowest-vec_id vectors PRESENT IN THE
+       TRAINING SET seed the cells (rank-based — ``orderBy(vec_id).
+       limit(nlist)``, not ``vec_id < nlist``: ``_vecs`` drops zero-norm
+       rows (failed encodes, padding), so id-threshold seeding would train
+       on fewer seeds than the oracle whenever a low id is missing).
     2. One Lloyd refinement: every vector joins its nearest seed (argmin of
        the fold-ordered squared distance, ties to the lower cell id); each
        cell's centroid is the mean of its members, summed in vec_id order
@@ -298,13 +302,13 @@ def build_ivf_index(
     vecs = _vecs(spark, sf_dir)
     seeds = [
         (int(r.vec_id), [float(x) for x in r.v])
-        for r in vecs.filter(F.col("vec_id") < nlist).select("vec_id", "v").collect()
+        for r in vecs.orderBy("vec_id").limit(nlist).select("vec_id", "v").collect()
     ]
     seeds.sort()
     centers = _fit_centers(vecs, seeds)
     _IVF_FITS += 1
 
-    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "assignments")
+    path = os.path.join(index_tempdir("ivf_idx_"), "assignments")
     vecs.withColumn("cell", _argmin_cell(centers)).write.partitionBy("cell").parquet(path)
     _IVF_CACHE[key] = (path, centers)
     # GC superseded fits of the same (sf_dir, nlist): a re-fit only happens
@@ -391,7 +395,7 @@ def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in train.orderBy("vec_id").limit(_NLIST).select("vec_id", "v").collect()
         ]
         centers = _fit_centers(train, seeds)
-        path = os.path.join(tempfile.mkdtemp(prefix="ivf_inc_"), "assignments")
+        path = os.path.join(index_tempdir("ivf_inc_"), "assignments")
         # append-to-empty creates the index: the initial load and every
         # later add share ONE write recipe
         append_to_ivf_index(path, centers, train)
@@ -503,7 +507,8 @@ def build_pq_index(
     1. Per-subspace codebooks — slice every vector into M contiguous
        subvectors and train each subspace independently with the SAME
        deterministic Forgy + one-Lloyd recipe as ``build_ivf_index``
-       (seeds = the _PQ_K lowest vec_ids' subvectors), so the DuckDB
+       (seeds = the _PQ_K lowest vec_ids PRESENT in the training set —
+       rank-based, robust to missing/zero-norm low ids), so the DuckDB
        oracle replays training per subspace via the shared
        ``ivf_assign_ctes``.
     2. Encode the corpus ONCE and persist the code table
@@ -529,7 +534,7 @@ def build_pq_index(
         )
         seeds = [
             (int(r.vec_id), [float(x) for x in r.v])
-            for r in sub.filter(F.col("vec_id") < _PQ_K).collect()
+            for r in sub.orderBy("vec_id").limit(_PQ_K).collect()
         ]
         seeds.sort()
         books.append(_fit_centers(sub, seeds, dim=_PQ_SUBDIM))
@@ -544,7 +549,7 @@ def build_pq_index(
     )
     for m in range(_PQ_M):
         coded = coded.withColumn(f"code{m}", _argmin_cell(books[m], col=f"s{m}"))
-    path = os.path.join(tempfile.mkdtemp(prefix="pq_idx_"), "codes")
+    path = os.path.join(index_tempdir("pq_idx_"), "codes")
     coded.select(
         "vec_id", "label", *[f"code{m}" for m in range(_PQ_M)]
     ).write.parquet(path)
@@ -688,7 +693,7 @@ def build_ivfpq_index(
         return _IVFPQ_CACHE[key], centers, books
     codes = spark.read.parquet(pq_path)
     cells = spark.read.parquet(ivf_path).select("vec_id", "cell")
-    path = os.path.join(tempfile.mkdtemp(prefix="ivfpq_idx_"), "codes")
+    path = os.path.join(index_tempdir("ivfpq_idx_"), "codes")
     codes.join(cells, "vec_id").write.partitionBy("cell").parquet(path)
     for stale in [k for k in _IVFPQ_CACHE if k[0] == key[0] and k != key]:
         shutil.rmtree(os.path.dirname(_IVFPQ_CACHE.pop(stale)), ignore_errors=True)
@@ -880,7 +885,7 @@ def sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in sub.orderBy("vec_id").limit(_PQ_K).collect()
             ]
             books.append(_fit_centers(sub, sseeds, dim=_PQ_SUBDIM))
-        path = os.path.join(tempfile.mkdtemp(prefix="ivfpq_inc_"), "codes")
+        path = os.path.join(index_tempdir("ivfpq_inc_"), "codes")
         # append-to-empty creates the index: initial load and every later
         # add share ONE write recipe
         append_to_ivfpq_index(path, centers, books, train)

@@ -372,14 +372,18 @@ def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def st_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the live event stream joined to a
-    BATCH dimension (customer) with an explicit broadcast, then aggregated
-    per segment. The canonical lookup-enrichment shape — the static side is
-    re-broadcast per micro-batch, the stream side never shuffles for the
-    join (only for the aggregate), and no state store is involved (unlike
-    stream-stream joins). Oracle: the equivalent batch join."""
+    BATCH dimension (customer), then aggregated per segment. The canonical
+    lookup-enrichment shape — the static side is re-resolved per
+    micro-batch and no state store is involved (unlike stream-stream
+    joins). Scale rule: the dimension carries NO broadcast hint, because
+    customer grows linearly with SF — at 100 TB an explicit hint would
+    re-broadcast a multi-hundred-GB side on EVERY micro-batch. The join is
+    equi-keyed, so Spark shuffles the stream side when the dim is big and
+    AQE still picks broadcast when it is genuinely small (fixture scale).
+    Oracle: the equivalent batch join."""
     stream = _events_stream(spark, _events_json_dir(spark, sf_dir))
     dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    enriched = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey)
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)

@@ -210,7 +210,9 @@ def test_kcore_fixpoint_on_deep_cascade(spark):
 def _write_lineitem_pairs(spark, tmp_path, edges, copies=5):
     """Minimal lineitem fixture inducing a given co-supply edge set: each
     (u, v) edge gets `copies` dedicated orders carrying exactly suppliers
-    u and v (>= the _TRI_MIN_W=5 threshold; no cross-edge co-occurrence)."""
+    u and v (no cross-edge co-occurrence). All pair weights tie at
+    `copies`, so the density-decile cut lands exactly there and EVERY
+    intended edge survives (ties at the cut stay in)."""
     rows = []
     ok = 0
     for u, v in edges:

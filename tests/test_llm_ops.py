@@ -1036,18 +1036,21 @@ def test_zipf_fit_recovers_planted_exponent(spark, tmp_path):
 
 
 def test_sketch_quality_estimates_track_exact(spark, sf_dir):
-    """Sketch-calibration pins: every audited pair's 64-hash estimate
-    must sit within 4 standard errors of its exact jaccard (stderr =
-    sqrt(j(1-j)/64)), and the estimate columns recompute from the match
-    count exactly."""
-    from datalake_on_prem_system_spark.operators.dedup import dd_sketch_quality
+    """Sketch-calibration pins: every audited pair's _N_HASHES-hash
+    estimate must sit within 4 standard errors of its exact jaccard
+    (stderr = sqrt(j(1-j)/n)), and the estimate columns recompute from the
+    match count exactly."""
+    from datalake_on_prem_system_spark.operators.dedup import (
+        _N_HASHES,
+        dd_sketch_quality,
+    )
 
     rows = dd_sketch_quality(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert 0 <= r.n_matching_hashes <= 64
-        assert r.jaccard_est == round(r.n_matching_hashes / 64.0, 6)
-        se = (r.jaccard * (1 - r.jaccard) / 64) ** 0.5
+        assert 0 <= r.n_matching_hashes <= _N_HASHES
+        assert r.jaccard_est == round(r.n_matching_hashes / float(_N_HASHES), 6)
+        se = (r.jaccard * (1 - r.jaccard) / _N_HASHES) ** 0.5
         assert r.abs_err <= 4 * se + 1e-9, (r.a_id, r.b_id, r.abs_err, se)
 
 

@@ -219,7 +219,25 @@ import pytest  # noqa: E402
 # scalar-subquery shapes (Q11's value threshold, Q22's positive-balance
 # average) cross-join a ONE-ROW aggregate in the same way — constant cost
 # at any fact size.
-_BNLJ_ALLOWED = {name for name in _QS if name.startswith("sim_")} | {
+# Enumerated EXPLICITLY (not a sim_* prefix rule) so a future similarity
+# operator with an accidental non-literal nested-loop join fails the sweep
+# instead of inheriting a waiver silently.
+_BNLJ_ALLOWED = {
+    "sim_ann_ivf",
+    "sim_ann_ivf_incremental",
+    "sim_ann_lsh",
+    "sim_brute_topk",
+    "sim_filtered_topk",
+    "sim_ivfpq_incremental",
+    "sim_ivfpq_topk",
+    "sim_knn_join",
+    "sim_label_centroids",
+    "sim_matryoshka_topk",
+    "sim_pq_topk",
+    "sim_range_search",
+    "sim_sq8_topk",
+    "sim_topk_per_label",
+} | {
     "q11_important_stock",
     "q22_sales_opportunity",
     # time-span midpoint: a ONE-ROW (t0, t1) aggregate cross-joined to tag
