@@ -900,6 +900,126 @@ def sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_ivfpq(spark, sf_dir, path, centers, books)
 
 
+_BATCH_NQ = 5  # the batch-join query set: vec_id < 5 (same set as sim_knn_join)
+
+
+def sim_ivfpq_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ANN join over the IVFPQ index: N query vectors → top-10
+    neighbors EACH, served from the one persisted composite index. This is
+    the production LLM-pipeline shape (embedding-dedup joins, RAG
+    retrieval backfills, kNN-graph construction): the query side is a
+    DATAFRAME, not a literal — per-query work happens inside joins, never
+    in a driver loop.
+
+    Plan, stage by stage:
+
+    1. Probe-cell selection is DISTRIBUTED: each query row explodes
+       against the nlist literal centroids (nlist structs of (d2, cell) —
+       driver-side METADATA, constant size) and keeps its _NPROBE nearest
+       via a per-query row_number. No collect of query vectors.
+    2. The UNION of probed cells — bounded by nlist regardless of query
+       count — is the one driver-side anchor, collected to place a
+       LITERAL partition filter on the hive-partitioned code table, so
+       the scan prunes to the probed cells statically (asserted via
+       input_file_name in tests).
+    3. ADC is one equi-join of the probe pairs (q_id, cell, qv) to the
+       pruned code table ON cell. Each code row reconstructs its
+       centroid approximation ``vhat`` (8 per-subspace when-chain array
+       lookups, concatenated — M·K·subdim literal doubles of codebook
+       metadata), and the approximate score is the standard flat
+       sequential-fold cosine of (qv, vhat) — NOT sim_pq_topk's m-grouped
+       scalar-table sum: with the query as a COLUMN there is no
+       driver-side lookup table to build, and the flat fold is what the
+       oracle replays. Top-_PQ_RERANK per query via window.
+    4. Exact rerank: candidates join raw vectors on vec_id (the tiny
+       side), exact fold cosine, top-10 per query — byte-identical to
+       sim_knn_join's scoring on overlapping (q_id, vec_id) pairs
+       (pinned in tests).
+
+    At a larger query batch the broadcast of probe pairs flips to a
+    shuffle: the code table is ALREADY partitioned on cell, so
+    repartitioning the query side by cell gives a co-located join — the
+    plan shape survives both regimes. Cost: nprobe/nlist of the corpus ×
+    8 bytes × N queries in stage 3; everything else is bounded."""
+    from pyspark.sql import Window
+
+    path, centers, books = build_ivfpq_index(spark, sf_dir)
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < _BATCH_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(float(x)) for x in cv]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ).alias("d2"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, cv in centers
+        ]
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        queries.select("q_id", "qv", "qnorm", F.explode(cell_structs).alias("pc"))
+        .select("q_id", "qv", "qnorm", F.col("pc.d2").alias("d2"), F.col("pc.cell").alias("cell"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("q_id", "qv", "qnorm", "cell")
+    )
+    # bounded anchor: <= nlist values however many queries there are
+    probed_cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+
+    def _book_arr(m: int) -> Column:
+        expr = None
+        for ci, cv in books[m]:
+            arr = F.array(*[F.lit(float(x)) for x in cv])
+            expr = (
+                F.when(F.col(f"code{m}") == ci, arr)
+                if expr is None
+                else expr.when(F.col(f"code{m}") == ci, arr)
+            )
+        return expr
+
+    vhat = F.concat(*[_book_arr(m) for m in range(_PQ_M)])
+    scored = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("vhat", vhat)
+        .withColumn(
+            "aip",
+            _dot(F.col("qv"), F.col("vhat")) / (_norm(F.col("vhat")) * F.col("qnorm")),
+        )
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.desc("aip"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("crn", F.row_number().over(w_adc))
+        .filter(F.col("crn") <= _PQ_RERANK)
+        .select("q_id", "qv", "qnorm", "vec_id")
+    )
+    w_final = Window.partitionBy("q_id").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+    return (
+        cand.join(vecs, "vec_id")
+        .withColumn(
+            "cosine_raw",
+            _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")),
+        )
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "rank", "vec_id", "label", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
 _RANGE_THRESHOLD = 0.2  # cosine radius sized to the fixture's similarity mass
 
 
@@ -1039,6 +1159,7 @@ QUERIES = {
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_ivfpq_incremental": sim_ivfpq_incremental,
     "sim_filtered_topk": sim_filtered_topk,
+    "sim_ivfpq_batch_join": sim_ivfpq_batch_join,
 }
 
 
@@ -1595,3 +1716,78 @@ def _filtered_oracle_sql() -> str:
 
 
 ORACLE["sim_filtered_topk"] = _filtered_oracle_sql()
+
+
+def _ivfpq_batch_oracle_sql() -> str:
+    """DuckDB replay of sim_ivfpq_batch_join END-TO-END: coarse + 8
+    subspace trainings (shared ``ivf_assign_ctes``), PER-QUERY probe-cell
+    row_number cut, reconstruction-based ADC (vhat = concatenated
+    per-subspace centroids; flat 64-element sequential-fold cosine — the
+    exact expression the Spark side computes with the query as a column),
+    per-query candidate cut, exact rerank. All windows share the Spark
+    side's tie rules."""
+    dist = _dist_sql
+    sub_ctes = []
+    recon_joins = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        sub_ctes.append(f"sub{m} AS (SELECT vec_id, vec[{lo}:{hi}] AS vec FROM n)")
+        sub_ctes.append(ivf_assign_ctes(_PQ_K, _PQ_SUBDIM, f"sub{m}", f"_m{m}"))
+        recon_joins.append(
+            f"JOIN af_m{m} a{m} ON a{m}.vec_id = n.vec_id "
+            f"JOIN cents_m{m} c{m} ON c{m}.cell = a{m}.cell"
+        )
+    vhat = " || ".join(f"c{m}.cvec" for m in range(_PQ_M))
+    aip = f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [q.qvec[i] * r.vhat[i] for i in range(1, {_DIM} + 1)]),
+              (s, x) -> s + x)
+          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [x * x for x in r.vhat]), (s, x) -> s + x)) * q.qnorm)"""
+    exact = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [a.vec[i] * q.qvec[i] for i in range(1, len(a.vec) + 1)]),
+              (s, x) -> s + x) / (a.norm * q.qnorm)"""
+    return f"""
+        WITH {_VECS_SQL}, {ivf_assign_ctes()}, {", ".join(sub_ctes)},
+        qset AS (
+            SELECT vec_id AS q_id, vec AS qvec, norm AS qnorm FROM n
+            WHERE vec_id < {_BATCH_NQ}
+        ), qc AS (
+            SELECT q_id, cell FROM (
+                SELECT q.q_id, c.cell,
+                       row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY {dist("q.qvec", "c.cvec")} ASC, c.cell ASC)
+                           AS rn
+                FROM qset q CROSS JOIN cents c
+            ) WHERE rn <= {_NPROBE}
+        ), recon AS (
+            SELECT n.vec_id, af.cell, ({vhat}) AS vhat
+            FROM n JOIN af ON af.vec_id = n.vec_id {" ".join(recon_joins)}
+        ), scored AS (
+            SELECT qc.q_id, r.vec_id, {aip} AS aip
+            FROM recon r
+            JOIN qc ON qc.cell = r.cell
+            JOIN qset q ON q.q_id = qc.q_id
+            WHERE r.vec_id != qc.q_id
+        ), cand AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                           ORDER BY aip DESC, vec_id ASC) AS crn
+                FROM scored
+            ) WHERE crn <= {_PQ_RERANK}
+        ), rerank AS (
+            SELECT c.q_id, a.vec_id, a.label, {exact} AS cos_raw
+            FROM cand c
+            JOIN n a ON a.vec_id = c.vec_id
+            JOIN qset q ON q.q_id = c.q_id
+        )
+        SELECT q_id, CAST(rnk AS INTEGER) AS rank, vec_id, label,
+               round(cos_raw, 6) AS cosine
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY q_id ORDER BY cos_raw DESC, vec_id ASC) AS rnk
+              FROM rerank)
+        WHERE rnk <= {_TOP_K}
+    """
+
+
+ORACLE["sim_ivfpq_batch_join"] = _ivfpq_batch_oracle_sql()

