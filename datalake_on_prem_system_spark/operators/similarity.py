@@ -1020,6 +1020,61 @@ def sim_ivfpq_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation: recall@k of the IVFPQ batch path
+    against the exact brute-force top-k, per query — the ship-gate metric
+    every production vector index publishes (FAISS's own benchmarks are
+    recall@k curves). The minhash family has ``dd_sketch_quality`` as its
+    calibration op; this is the ANN sibling: it turns 'the index is
+    probably fine' into a measured per-query number the pipeline can
+    alert on after every index rebuild.
+
+    Scale shape: the ANN side is the partition-pruned batch join; the
+    exact side broadcasts the SAME bounded query batch over the corpus
+    (one narrow map + per-query top-k — the corpus never shuffles); the
+    comparison joins two k·N-row frames. Evaluation cost is one extra
+    brute pass over the corpus per audit, amortized across rebuilds (and
+    in production run on a sampled query set, exactly like this one)."""
+    from pyspark.sql import Window
+
+    ann = sim_ivfpq_batch_join(spark, sf_dir).select("q_id", "vec_id")
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < _BATCH_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+    exact = (
+        vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cosine_raw",
+            _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id")
+    )
+    hits = (
+        exact.join(ann, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "q_id", "left_outer")
+        .fillna(0, ["n_hits"])
+        .select(
+            "q_id",
+            F.col("k").alias("k"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("k").cast("double"), 6).alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )
+
+
 _RANGE_THRESHOLD = 0.2  # cosine radius sized to the fixture's similarity mass
 
 
@@ -1160,6 +1215,7 @@ QUERIES = {
     "sim_ivfpq_incremental": sim_ivfpq_incremental,
     "sim_filtered_topk": sim_filtered_topk,
     "sim_ivfpq_batch_join": sim_ivfpq_batch_join,
+    "sim_recall_eval": sim_recall_eval,
 }
 
 
@@ -1791,3 +1847,37 @@ def _ivfpq_batch_oracle_sql() -> str:
 
 
 ORACLE["sim_ivfpq_batch_join"] = _ivfpq_batch_oracle_sql()
+
+
+def _recall_eval_oracle_sql() -> str:
+    """Replay BOTH retrieval paths (the full batch-IVFPQ pipeline as a
+    self-contained subquery, and the exact per-query top-k window) and
+    count the per-query overlap."""
+    return f"""
+        WITH ann AS (
+            SELECT q_id, vec_id FROM ({_ivfpq_batch_oracle_sql()})
+        ), exact AS (
+            WITH {_VECS_SQL}
+            SELECT q_id, vec_id FROM (
+                SELECT q.vec_id AS q_id, a.vec_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_COS} DESC, a.vec_id ASC) AS rnk
+                FROM n a JOIN n q
+                  ON q.vec_id < {_BATCH_NQ} AND a.vec_id != q.vec_id
+            ) WHERE rnk <= {_TOP_K}
+        ), hits AS (
+            SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM exact e JOIN ann a USING (q_id, vec_id)
+            GROUP BY e.q_id
+        )
+        SELECT e.q_id, CAST(count(*) AS BIGINT) AS k,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.n_hits, 0) / CAST(count(*) AS DOUBLE), 6)
+                   AS recall_at_k
+        FROM exact e LEFT JOIN hits h USING (q_id)
+        GROUP BY e.q_id, h.n_hits
+        ORDER BY e.q_id
+    """
+
+
+ORACLE["sim_recall_eval"] = _recall_eval_oracle_sql()

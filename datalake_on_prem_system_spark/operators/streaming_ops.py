@@ -753,6 +753,97 @@ def st_ltv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup GATE: new documents arrive as a live JSON stream
+    and every micro-batch probes the corpus' PERSISTED MinHash band index
+    (``dedup.build_minhash_index`` — trained once, offline) for near-dup
+    matches, exact-jaccard-verified before emission. The ingest-time
+    contamination check an LLM crawl pipeline runs while data lands:
+    duplicates of the historical corpus are flagged BEFORE they reach the
+    training set, without ever re-sketching the corpus.
+
+    One contract across tiers: per micro-batch this runs the IDENTICAL
+    probe + verify machinery as ``dd_minhash_incremental``'s corpus path
+    (same ``_band_frame`` sketch, same probe join, same ``_verify_pairs``
+    kernel), so the oracle is that operator's exact batch SQL restricted
+    to corpus×batch pairs. Incremental-safe by construction: each doc's
+    corpus probe is independent, so ANY micro-batch split of the stream
+    appends the same total match set (no cross-batch state).
+
+    Scale shape: per batch O(batch) sketching (the Arrow-vectorized
+    numpy kernel), one (band, bh)-keyed probe join where the batch side
+    broadcasts (index side never shuffles; at warehouse scale the index
+    is bucketed on (band, bh)), and candidate-only verification — shingle
+    arrays are computed for matched ids alone."""
+    from .dedup import (
+        _CORPUS_KEEP,
+        _CORPUS_MOD,
+        _SHINGLE_N,
+        _band_frame,
+        _shingles,
+        _verify_pairs,
+        build_minhash_index,
+    )
+
+    idx_path = build_minhash_index(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="neardup_stream_")
+    out_dir = os.path.join(work, "matches")
+
+    def _probe(batch_df: DataFrame, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        b_sh = (
+            batch_df.filter(F.size(F.split("text", " ")) >= _SHINGLE_N)
+            .select("doc_id", _shingles().alias("sh"))
+        )
+        bands = _band_frame(b_sh).persist()
+        try:
+            pairs = (
+                sess.read.parquet(idx_path)
+                .alias("c")
+                .join(F.broadcast(bands.alias("n")), ["band", "bh"])
+                .select(
+                    F.col("c.doc_id").alias("a_id"),
+                    F.col("n.doc_id").alias("b_id"),
+                )
+                .distinct()
+            )
+            cand_ids = (
+                pairs.select(F.col("a_id").alias("doc_id"))
+                .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+                .distinct()
+            )
+            sh = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+                "doc_id", _shingles().alias("sh")
+            )
+            _verify_pairs(pairs, sh).write.mode("append").parquet(out_dir)
+        finally:
+            bands.unpersist()
+
+    stream = (
+        spark.readStream.schema(_DOCS_DDL)
+        .option("recursiveFileLookup", "true")
+        .json(_docs_json_dir(spark, sf_dir))
+        .filter(F.col("doc_id") % _CORPUS_MOD >= _CORPUS_KEEP)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame(
+            [],
+            "a_id bigint, b_id bigint, inter int, size_a int, size_b int, "
+            "jaccard double",
+        )
+    return spark.read.parquet(out_dir).select(
+        "a_id", "b_id", "inter", "size_a", "size_b", "jaccard"
+    )
+
+
 QUERIES = {
     "st_anomaly_stream": st_anomaly_stream,
     "st_tokenize_stream": st_tokenize_stream,
@@ -769,6 +860,7 @@ QUERIES = {
     "st_stream_interval_join": st_stream_interval_join,
     "st_dedup_stream": st_dedup_stream,
     "st_static_enrich": st_static_enrich,
+    "st_neardup_stream": st_neardup_stream,
 }
 
 _CDC_FINAL_SQL = """
@@ -906,3 +998,34 @@ ORACLE["st_ltv_stream"] = _ANALYTICS_ORACLE["ev_ltv_cohort"]
 from .lakehouse_ops import _SCD2_SQL  # noqa: E402
 
 ORACLE["st_scd2_stream"] = _SCD2_SQL
+
+# the streaming near-dup gate emits exactly the corpus×batch half of
+# dd_minhash_incremental (one verification contract across tiers) — the
+# oracle is that operator's exact-pair SQL restricted to corpus pairs,
+# without the pair_type tag column
+ORACLE["st_neardup_stream"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) s
+        FROM toks WHERE len(w) >= 3
+    ), sizes AS (
+        SELECT doc_id, len(s) sz FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(s) shingle FROM sh
+    ), cpairs AS (
+        SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle
+        WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, inter,
+           CAST(sa.sz AS INTEGER) AS size_a, CAST(sb.sz AS INTEGER) AS size_b,
+           round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM cpairs
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+"""

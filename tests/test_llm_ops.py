@@ -920,6 +920,35 @@ def test_ivfpq_batch_join_scan_prunes_to_probed_cells(spark, sf_dir):
     assert "cell" in plan
 
 
+def test_recall_eval_consistent_and_high(spark, sf_dir):
+    """Recall-audit pins: one row per query, k = 10, n_hits recomputes
+    from the actual ANN∩exact id sets, recall in [0, 1] and high on the
+    fixture (the IVFPQ pipeline finds most true neighbors here)."""
+    from datalake_on_prem_system_spark.operators.similarity import (
+        _BATCH_NQ,
+        _TOP_K,
+        sim_ivfpq_batch_join,
+        sim_recall_eval,
+    )
+
+    rows = {r.q_id: r for r in sim_recall_eval(spark, sf_dir).collect()}
+    assert set(rows) == set(range(_BATCH_NQ))
+    ann = {}
+    for r in sim_ivfpq_batch_join(spark, sf_dir).collect():
+        ann.setdefault(r.q_id, set()).add(r.vec_id)
+    brute = {}
+    for r in similarity.sim_knn_join(spark, sf_dir).collect():
+        brute.setdefault(r.q_id, set()).add(r.vec_id)  # exact top-5 ⊂ top-10
+    for q_id, r in rows.items():
+        assert r.k == _TOP_K
+        assert 0 <= r.n_hits <= r.k
+        assert r.recall_at_k == round(r.n_hits / r.k, 6)
+        # every exact top-5 id the ANN batch returned must count as a hit
+        assert len(brute[q_id] & ann[q_id]) <= r.n_hits
+    macro = sum(r.recall_at_k for r in rows.values()) / len(rows)
+    assert macro >= 0.5, macro
+
+
 def test_tx_entropy_uniform_and_degenerate(spark, tmp_path):
     """Entropy pins: a source whose tokens are uniform over V types hits
     the ln(V) maximum (norm_entropy = 1); a single-token source has
@@ -1167,3 +1196,32 @@ def test_ltv_stream_matches_batch_tier(spark, sf_dir):
     batch = {key(r): r.asDict() for r in ev_ltv_cohort(spark, sf_dir).collect()}
     stream = {key(r): r.asDict() for r in st_ltv_stream(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_neardup_stream_matches_batch_tier(spark, sf_dir):
+    """One verification contract, two tiers: the streaming near-dup gate
+    must emit exactly dd_minhash_incremental's corpus×batch pairs (same
+    sketch, probe, and verify kernels), with identical jaccard values,
+    and every emitted pair crosses the corpus/batch split."""
+    from datalake_on_prem_system_spark.operators.dedup import (
+        _CORPUS_KEEP,
+        _CORPUS_MOD,
+        dd_minhash_incremental,
+    )
+    from datalake_on_prem_system_spark.operators.streaming_ops import (
+        st_neardup_stream,
+    )
+
+    batch = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dd_minhash_incremental(spark, sf_dir).collect()
+        if r.pair_type == "corpus"
+    }
+    stream = {
+        (r.a_id, r.b_id): r.jaccard for r in st_neardup_stream(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    assert stream  # the fixture must actually exercise the gate
+    for a_id, b_id in stream:
+        assert a_id % _CORPUS_MOD < _CORPUS_KEEP
+        assert b_id % _CORPUS_MOD >= _CORPUS_KEEP

@@ -237,6 +237,10 @@ _BNLJ_ALLOWED = {
     "sim_range_search",
     "sim_sq8_topk",
     "sim_topk_per_label",
+    # recall@k audit: the EXACT side broadcasts the bounded query batch
+    # over the corpus with a non-equi self-exclusion (the sim_knn_join
+    # shape); the ANN side under audit stays equi-joined
+    "sim_recall_eval",
 } | {
     "q11_important_stock",
     "q22_sales_opportunity",
