@@ -1020,6 +1020,125 @@ def sim_ivfpq_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNNG_K = 3  # neighbors per node in the kNN graph
+_KNNG_RERANK = 20  # exact-rerank pool per node (ADC survivors)
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-kNN graph construction over the WHOLE corpus via the
+    cell-bucketed IVFPQ join — the graph every embedding-space curation
+    step builds first (SemDeDup clusters, connectivity filtering,
+    graph-based label propagation over examples). Each vector is
+    simultaneously a query and a corpus member:
+
+    1. Every vector selects its nprobe nearest coarse cells (distributed
+       explode vs the literal centroids — no driver collect of vectors).
+    2. ONE equi-join of (vector, probe-cell) pairs to the cell-partitioned
+       code table ON cell. Deliberately UNHINTED: with the query side =
+       the corpus, a broadcast would ship the whole table — at scale this
+       is a shuffle join on cell where the code side is ALREADY
+       partitioned on cell (co-located), and AQE still broadcasts at
+       fixture size. This is the LSH-bucket shape: candidates are bounded
+       by cell populations, never all-pairs.
+    3. Reconstruction ADC keeps the top-``_KNNG_RERANK`` per vector; the
+       survivors join raw vectors for exact cosine; top-``_KNNG_K``
+       directed edges per vector.
+    4. MUTUAL filter: (u, v) survives only if each is in the other's
+       top-k (the standard noise-robust kNN-graph rule), canonicalized
+       u < v. Cosine is symmetric fold-exact, so both directions carry
+       the identical double.
+
+    Oracle: the full pipeline — training included — replayed per vector."""
+    from pyspark.sql import Window
+
+    path, centers, books = build_ivfpq_index(spark, sf_dir)
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(float(x)) for x in cv]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ).alias("d2"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, cv in centers
+        ]
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        queries.select("q_id", "qv", "qnorm", F.explode(cell_structs).alias("pc"))
+        .select(
+            "q_id", "qv", "qnorm",
+            F.col("pc.d2").alias("d2"), F.col("pc.cell").alias("cell"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("q_id", "qv", "qnorm", "cell")
+    )
+
+    def _book_arr(m: int) -> Column:
+        expr = None
+        for ci, cv in books[m]:
+            arr = F.array(*[F.lit(float(x)) for x in cv])
+            expr = (
+                F.when(F.col(f"code{m}") == ci, arr)
+                if expr is None
+                else expr.when(F.col(f"code{m}") == ci, arr)
+            )
+        return expr
+
+    vhat = F.concat(*[_book_arr(m) for m in range(_PQ_M)])
+    scored = (
+        spark.read.parquet(path)
+        .join(probes, "cell")  # unhinted: co-locatable on cell at scale
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("vhat", vhat)
+        .withColumn(
+            "aip",
+            _dot(F.col("qv"), F.col("vhat")) / (_norm(F.col("vhat")) * F.col("qnorm")),
+        )
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.desc("aip"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("crn", F.row_number().over(w_adc))
+        .filter(F.col("crn") <= _KNNG_RERANK)
+        .select("q_id", "qv", "qnorm", "vec_id")
+    )
+    w_final = Window.partitionBy("q_id").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
+    knn = (
+        cand.join(vecs, "vec_id")
+        .withColumn(
+            "cosine_raw",
+            _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")),
+        )
+        .withColumn("rnk", F.row_number().over(w_final))
+        .filter(F.col("rnk") <= _KNNG_K)
+        .select("q_id", "vec_id", "cosine_raw")
+    )
+    fwd = knn.filter(F.col("q_id") < F.col("vec_id")).select(
+        F.col("q_id").alias("u"), F.col("vec_id").alias("v"), "cosine_raw"
+    )
+    rev = knn.filter(F.col("q_id") > F.col("vec_id")).select(
+        F.col("vec_id").alias("u"), F.col("q_id").alias("v")
+    )
+    return (
+        fwd.join(rev, ["u", "v"], "left_semi")  # mutual edges only
+        .select("u", "v", F.round("cosine_raw", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("u"), F.asc("v"))
+    )
+
+
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index-quality evaluation: recall@k of the IVFPQ batch path
     against the exact brute-force top-k, per query — the ship-gate metric
@@ -1216,6 +1335,7 @@ QUERIES = {
     "sim_filtered_topk": sim_filtered_topk,
     "sim_ivfpq_batch_join": sim_ivfpq_batch_join,
     "sim_recall_eval": sim_recall_eval,
+    "sim_knn_graph": sim_knn_graph,
 }
 
 
@@ -1881,3 +2001,73 @@ def _recall_eval_oracle_sql() -> str:
 
 
 ORACLE["sim_recall_eval"] = _recall_eval_oracle_sql()
+
+
+def _knn_graph_oracle_sql() -> str:
+    """Replay of sim_knn_graph per corpus vector: training (shared CTEs),
+    per-vector probe cut, reconstruction ADC, exact rerank to top-k
+    directed edges, mutual filter, canonical (u < v) output."""
+    dist = _dist_sql
+    sub_ctes = []
+    recon_joins = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        sub_ctes.append(f"sub{m} AS (SELECT vec_id, vec[{lo}:{hi}] AS vec FROM n)")
+        sub_ctes.append(ivf_assign_ctes(_PQ_K, _PQ_SUBDIM, f"sub{m}", f"_m{m}"))
+        recon_joins.append(
+            f"JOIN af_m{m} a{m} ON a{m}.vec_id = n.vec_id "
+            f"JOIN cents_m{m} c{m} ON c{m}.cell = a{m}.cell"
+        )
+    vhat = " || ".join(f"c{m}.cvec" for m in range(_PQ_M))
+    aip = f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [q.qvec[i] * r.vhat[i] for i in range(1, {_DIM} + 1)]),
+              (s, x) -> s + x)
+          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [x * x for x in r.vhat]), (s, x) -> s + x)) * q.qnorm)"""
+    exact = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [a.vec[i] * q.qvec[i] for i in range(1, len(a.vec) + 1)]),
+              (s, x) -> s + x) / (a.norm * q.qnorm)"""
+    return f"""
+        WITH {_VECS_SQL}, {ivf_assign_ctes()}, {", ".join(sub_ctes)},
+        qset AS (
+            SELECT vec_id AS q_id, vec AS qvec, norm AS qnorm FROM n
+        ), qc AS (
+            SELECT q_id, cell FROM (
+                SELECT q.q_id, c.cell,
+                       row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY {dist("q.qvec", "c.cvec")} ASC, c.cell ASC)
+                           AS rn
+                FROM qset q CROSS JOIN cents c
+            ) WHERE rn <= {_NPROBE}
+        ), recon AS (
+            SELECT n.vec_id, af.cell, ({vhat}) AS vhat
+            FROM n JOIN af ON af.vec_id = n.vec_id {" ".join(recon_joins)}
+        ), cand AS (
+            SELECT q_id, vec_id FROM (
+                SELECT qc.q_id, r.vec_id,
+                       row_number() OVER (PARTITION BY qc.q_id
+                           ORDER BY {aip} DESC, r.vec_id ASC) AS crn
+                FROM recon r
+                JOIN qc ON qc.cell = r.cell
+                JOIN qset q ON q.q_id = qc.q_id
+                WHERE r.vec_id != qc.q_id
+            ) WHERE crn <= {_KNNG_RERANK}
+        ), knn AS (
+            SELECT q_id, vec_id, cos_raw FROM (
+                SELECT c.q_id, a.vec_id, {exact} AS cos_raw,
+                       row_number() OVER (PARTITION BY c.q_id
+                           ORDER BY {exact} DESC, a.vec_id ASC) AS rnk
+                FROM cand c
+                JOIN n a ON a.vec_id = c.vec_id
+                JOIN qset q ON q.q_id = c.q_id
+            ) WHERE rnk <= {_KNNG_K}
+        )
+        SELECT f.q_id AS u, f.vec_id AS v, round(f.cos_raw, 6) AS cosine
+        FROM knn f
+        JOIN knn r ON r.q_id = f.vec_id AND r.vec_id = f.q_id
+        WHERE f.q_id < f.vec_id
+        ORDER BY cosine DESC, u ASC, v ASC
+    """
+
+
+ORACLE["sim_knn_graph"] = _knn_graph_oracle_sql()

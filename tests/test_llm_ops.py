@@ -949,6 +949,43 @@ def test_recall_eval_consistent_and_high(spark, sf_dir):
     assert macro >= 0.5, macro
 
 
+def test_knn_graph_mutual_canonical_exact(spark, sf_dir):
+    """kNN-graph pins: every edge is canonical (u < v), edge cosines are
+    EXACT (recomputed from the raw vectors bit-for-bit), the graph is a
+    subset of the directed exact-kNN relation in both directions
+    (mutuality), and per-node degree never exceeds k."""
+    from datalake_on_prem_system_spark.operators.similarity import (
+        _KNNG_K,
+        sim_knn_graph,
+    )
+
+    edges = sim_knn_graph(spark, sf_dir).collect()
+    assert edges
+    vecs = {
+        r.vec_id: [float(x) for x in r.v]
+        for r in similarity._vecs(spark, sf_dir).select("vec_id", "v").collect()
+    }
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        dot = na = nb = 0.0
+        for x, y in zip(va, vb):
+            dot += x * y
+        for x in va:
+            na += x * x
+        for x in vb:
+            nb += x * x
+        return round(dot / (na**0.5 * nb**0.5), 6)
+
+    deg: dict[int, int] = {}
+    for e in edges:
+        assert e.u < e.v
+        assert e.cosine == cos(e.u, e.v), (e.u, e.v)
+        deg[e.u] = deg.get(e.u, 0) + 1
+        deg[e.v] = deg.get(e.v, 0) + 1
+    assert max(deg.values()) <= _KNNG_K  # mutual-kNN degree bound
+
+
 def test_tx_entropy_uniform_and_degenerate(spark, tmp_path):
     """Entropy pins: a source whose tokens are uniform over V types hits
     the ln(V) maximum (norm_entropy = 1); a single-token source has
