@@ -1345,6 +1345,74 @@ _RFM_ORACLE = """
 """
 
 
+_PATH_LEN = 5  # leading events per session kept in the path signature
+_PATH_TOP_K = 25
+
+
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: sessionize the event stream (the w_sessionize
+    30-minute-gap rule — one contract), render each session's first
+    ``_PATH_LEN`` event types as an ordered ``a>b>c`` signature, and rank
+    the most common paths with their share of all sessions — the Sankey /
+    user-flow table behind every product-analytics dashboard, and the
+    sequence-level sibling of ``ev_transition_matrix``'s first-order
+    pairs.
+
+    Determinism: in-session order is the (ts_us, event_id) total order
+    (array_sort over structs ↔ list(... ORDER BY) — event_id breaks
+    timestamp ties); the share divides exact integers. Scale shape: one
+    user-keyed shuffle for the session windows (every per-user sequence
+    op's bound), one partial-aggregated rollup on the path signature
+    (bounded by observed path vocabulary), and a ONE-ROW total
+    cross-joined onto just the top-k rows."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.col("ts_us") - F.col("prev_ts") > gap_us)
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+                    ),
+                    1,
+                    _PATH_LEN,
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    total = counts.agg(F.sum("n_sessions").alias("total"))
+    return (
+        counts.orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(_PATH_TOP_K)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n_sessions",
+            F.round(F.col("n_sessions") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+    )
+
+
 QUERIES = {
     "a_rfm_segments": a_rfm_segments,
     "ev_funnel": ev_funnel,
@@ -1352,6 +1420,7 @@ QUERIES = {
     "a_profile_table": a_profile_table,
     "ev_retention": ev_retention,
     "ev_transition_matrix": ev_transition_matrix,
+    "ev_top_paths": ev_top_paths,
     "ev_attribution": ev_attribution,
     "ev_peak_concurrency": ev_peak_concurrency,
     "ev_anomaly_mad": ev_anomaly_mad,
@@ -1378,6 +1447,40 @@ QUERIES = {
 
 ORACLE = {
     "a_rfm_segments": _RFM_ORACLE,
+    "ev_top_paths": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), numbered AS (
+            SELECT *, CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id)
+                       AS BIGINT) AS session_id
+            FROM flagged
+        ), paths AS (
+            SELECT user_id, session_id,
+                   array_to_string(
+                       list(event_type ORDER BY ts_us, event_id)[1:{_PATH_LEN}],
+                       '>') AS path
+            FROM numbered GROUP BY 1, 2
+        ), counts AS (
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM paths GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_sessions) AS BIGINT) AS total FROM counts
+        ), top AS (
+            SELECT * FROM counts
+            ORDER BY n_sessions DESC, path ASC LIMIT {_PATH_TOP_K}
+        )
+        SELECT path, n_sessions,
+               round(n_sessions / CAST(total AS DOUBLE), 6) AS share
+        FROM top CROSS JOIN tot
+        ORDER BY n_sessions DESC, path ASC
+    """,
     "a_profile_table": """
         SELECT 'o_orderkey' AS col_name,
                count(*) - count(o_orderkey) AS n_nulls,

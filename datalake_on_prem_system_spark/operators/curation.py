@@ -708,9 +708,69 @@ def cur_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# t-closeness threshold: classes whose banded-balance distribution sits
+# within EMD 0.2 of the global distribution are releasable
+_T_CLOSE = 0.2
+# fixed band order for the ordered-attribute EMD (cumulative differences)
+_BANDS = ("negative", "low", "mid", "high")
+
+
+def cur_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li, Venkatasubramanian 2007) — the third
+    rung of the release-gate ladder after ``cur_k_anonymity`` and
+    ``cur_l_diversity``: a class can be large AND diverse yet still leak
+    if its sensitive-value DISTRIBUTION differs sharply from the global
+    one (skewness attack: membership shifts the adversary's posterior).
+    Per quasi-identifier class: the Earth Mover's Distance between the
+    class' banded-balance distribution and the global distribution, and
+    the t <= 0.2 release flag.
+
+    For an ORDERED attribute with unit ground distances, EMD reduces to
+    the mean absolute difference of the cumulative distributions
+    (1/(m-1) · Σ|cumP_i − cumQ_i| over the m−1 interior prefixes) — pure
+    arithmetic over per-band integer counts, no solver. Determinism:
+    integer prefix sums, one double division per prefix, three abs-sums
+    in fixed band order, rounded at the edge. Scale shape: one partial-agg
+    shuffle bounded by QI × band cardinality, then a ONE-ROW global
+    distribution cross-joined (constant at any fact size — the scalar-
+    anchor shape)."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", _acct_band().alias("band")
+    )
+
+    def band_counts(prefix: str) -> list[Column]:
+        return [
+            F.sum((F.col("band") == b).cast("long")).alias(f"{prefix}{i}")
+            for i, b in enumerate(_BANDS)
+        ]
+
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"), *band_counts("n")
+    )
+    glob = cust.agg(F.count(F.lit(1)).alias("gt"), *band_counts("g"))
+    joined = cls.crossJoin(F.broadcast(glob))
+    cs = F.col("class_size").cast("double")
+    gt = F.col("gt").cast("double")
+
+    def prefix_diff(k: int) -> Column:
+        pn = sum(F.col(f"n{i}") for i in range(k + 1))
+        pg = sum(F.col(f"g{i}") for i in range(k + 1))
+        return F.abs(pn.cast("double") / cs - pg.cast("double") / gt)
+
+    t_raw = (prefix_diff(0) + prefix_diff(1) + prefix_diff(2)) / F.lit(3.0)
+    return joined.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        F.round(t_raw, 6).alias("t_distance"),
+        (t_raw <= F.lit(_T_CLOSE)).alias("t_close"),
+    )
+
+
 QUERIES = {
     "cur_k_anonymity": cur_k_anonymity,
     "cur_l_diversity": cur_l_diversity,
+    "cur_t_closeness": cur_t_closeness,
     "cur_dp_release": cur_dp_release,
     "cur_decontaminate": cur_decontaminate,
     "cur_fuzzy_blocked_join": cur_fuzzy_blocked_join,
@@ -881,6 +941,47 @@ ORACLE = {
                count(*) >= {_L_DIVERSITY} AS l_diverse,
                round(max(n) / CAST(sum(n) AS BIGINT), 6) AS top_band_share
         FROM per_band GROUP BY 1, 2
+    """,
+    "cur_t_closeness": f"""
+        WITH b AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CASE WHEN c_acctbal < 0 THEN 'negative'
+                        WHEN c_acctbal < 3000 THEN 'low'
+                        WHEN c_acctbal < 7000 THEN 'mid'
+                        ELSE 'high' END AS band
+            FROM customer
+        ), cls AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS class_size,
+                   {", ".join(
+                       f"CAST(sum(CASE WHEN band = '{bnd}' THEN 1 ELSE 0 END) "
+                       f"AS BIGINT) AS n{i}"
+                       for i, bnd in enumerate(_BANDS)
+                   )}
+            FROM b GROUP BY 1, 2
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS gt,
+                   {", ".join(
+                       f"CAST(sum(CASE WHEN band = '{bnd}' THEN 1 ELSE 0 END) "
+                       f"AS BIGINT) AS g{i}"
+                       for i, bnd in enumerate(_BANDS)
+                   )}
+            FROM b
+        ), j AS (
+            SELECT *,
+                   (abs(CAST(n0 AS DOUBLE) / CAST(class_size AS DOUBLE)
+                        - CAST(g0 AS DOUBLE) / CAST(gt AS DOUBLE))
+                    + abs(CAST(n0 + n1 AS DOUBLE) / CAST(class_size AS DOUBLE)
+                          - CAST(g0 + g1 AS DOUBLE) / CAST(gt AS DOUBLE))
+                    + abs(CAST(n0 + n1 + n2 AS DOUBLE) / CAST(class_size AS DOUBLE)
+                          - CAST(g0 + g1 + g2 AS DOUBLE) / CAST(gt AS DOUBLE)))
+                   / CAST(3 AS DOUBLE) AS t_raw
+            FROM cls CROSS JOIN g
+        )
+        SELECT c_nationkey, c_mktsegment, class_size,
+               round(t_raw, 6) AS t_distance,
+               t_raw <= CAST({_T_CLOSE} AS DOUBLE) AS t_close
+        FROM j
     """,
     "cur_k_anonymity": f"""
         WITH classes AS (

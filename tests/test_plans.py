@@ -258,6 +258,11 @@ _BNLJ_ALLOWED = {
     "g_assortativity",
     # first-purchase-day anchor: a ONE-ROW min cross-joined to index weeks
     "ev_ltv_cohort",
+    # global band distribution: a ONE-ROW aggregate cross-joined to every
+    # quasi-identifier class — constant cost at any fact size
+    "cur_t_closeness",
+    # session total: a ONE-ROW sum cross-joined onto the top-25 rows only
+    "ev_top_paths",
 }
 
 
