@@ -948,7 +948,95 @@ def lh_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPACT_PLAN_CACHE: dict[str, str] = {}
+
+
+def lh_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLANNER over ``$files`` metadata — the OPTIMIZE
+    bin-packing step surfaced as a queryable plan (what Delta's OPTIMIZE
+    and Iceberg's rewrite_data_files decide before touching data): after
+    seven per-year appends the table holds seven base segments; the
+    planner sorts segments size-descending (ties on the segment's min
+    year, read from the recorded column stats — the planner NEVER opens
+    data files) and fills compaction groups to a row target by prefix
+    sum, emitting per-group file counts, row totals, member lists, and
+    the worth-compacting flag.
+
+    The row target here is fixture-relative (ceil(total/3) → ~3 groups at
+    any SF); a production call passes an absolute bytes/rows target — the
+    plan shape is identical. Determinism: pure integer sort/prefix-sum
+    arithmetic over manifest entries. Scale shape: everything runs on the
+    MANIFEST relation (one row per segment — thousands, not billions);
+    the single-partition window is bounded by manifest size, and the
+    one-row total is the scalar-anchor cross-join."""
+    from pyspark.sql import Window
+
+    if sf_dir not in _COMPACT_PLAN_CACHE:
+        root = tempfile.mkdtemp(prefix="lake_compactplan_")
+        table = LakeTable(spark, root)
+        base = t(spark, sf_dir, "orders").select(
+            "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        years = [
+            r.o_year
+            for r in base.select("o_year").distinct().orderBy("o_year").collect()
+        ]
+        table.create_or_replace(base.filter(F.col("o_year") == years[0]))
+        for y in years[1:]:
+            table.append(base.filter(F.col("o_year") == y))
+        _COMPACT_PLAN_CACHE[sf_dir] = root
+    table = LakeTable(spark, _COMPACT_PLAN_CACHE[sf_dir])
+    segs = (
+        table.files()
+        .filter(~F.col("is_delta"))
+        .select(
+            F.get_json_object("stats_json", "$.o_year[0]").cast("int").alias(
+                "min_year"
+            ),
+            "n_rows",
+        )
+    )
+    total = segs.agg(F.sum("n_rows").alias("total"))
+    w_before = (
+        Window.orderBy(F.desc("n_rows"), F.asc("min_year"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = (
+        segs.crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_rows").over(w_before), F.lit(0))
+        )
+        .withColumn("grp", F.expr("cum_before div ((total + 2) div 3)"))
+    )
+    member = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("n_rows")).alias("neg"), "min_year"))
+            ),
+            lambda s: s["min_year"].cast("string"),
+        ),
+        ",",
+    )
+    return (
+        planned.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("total_rows"),
+            member.alias("members"),
+        )
+        .select(
+            F.col("grp").cast("long").alias("group_id"),
+            "n_files",
+            "total_rows",
+            "members",
+            (F.col("n_files") > 1).alias("compact_worthwhile"),
+        )
+        .orderBy("group_id")
+    )
+
+
 QUERIES = {
+    "lh_compaction_plan": lh_compaction_plan,
     "lh_colocated_join": lh_colocated_join,
     "lh_changes_feed": lh_changes_feed,
     "lh_clone_divergence": lh_clone_divergence,
@@ -977,6 +1065,35 @@ QUERIES = {
 }
 
 ORACLE = {
+    # the planner's inputs are manifest entries whose n_rows/min-year
+    # stats derive EXACTLY from the per-year fixture partitioning, so the
+    # oracle rebuilds the segment relation from orders and replays the
+    # identical sort → prefix-sum → group arithmetic
+    "lh_compaction_plan": """
+        WITH seg AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS min_year,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM seg
+        ), planned AS (
+            SELECT min_year, n_rows, total,
+                   CAST(coalesce(sum(n_rows) OVER (
+                        ORDER BY n_rows DESC, min_year ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS cum_before
+            FROM seg CROSS JOIN tot
+        )
+        SELECT CAST(cum_before // ((total + 2) // 3) AS BIGINT) AS group_id,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(n_rows) AS BIGINT) AS total_rows,
+               array_to_string(list(CAST(min_year AS VARCHAR)
+                                    ORDER BY n_rows DESC, min_year ASC),
+                               ',') AS members,
+               count(*) > 1 AS compact_worthwhile
+        FROM planned GROUP BY 1
+        ORDER BY group_id
+    """,
     "lh_colocated_join": """
         SELECT o_orderpriority,
                count(*) AS n_items,

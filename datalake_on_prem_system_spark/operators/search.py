@@ -403,6 +403,38 @@ def search_allwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(hits, "doc_id", "left_semi").select("doc_id", "lang", "n_chars")
 
 
+def search_faceted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (the ES aggregations sidebar): the same all-words
+    posting-intersection hit set as ``search_allwords``, rolled up per
+    (source, lang) facet with hit counts and character mass — what a
+    search UI renders next to the result list, and what a curation
+    pipeline reads to see WHERE matching content lives before sampling.
+
+    Scale shape: the hit set comes from the posting index (never a corpus
+    text scan on the primary path); the facet rollup is a partial-agg
+    shuffle bounded by facet cardinality. Pure integer counting."""
+    query = "spark merge"
+    posting = _posting_frames(spark, sf_dir)
+    hits = (
+        allwords_hits_postings(posting[0], posting[1], query, "doc_id")
+        if posting is not None
+        else None
+    )
+    if hits is None:
+        idx = search_source(spark, sf_dir)
+        hits = idx.filter(all_words_predicate(F.col("text"), query)).select("doc_id")
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.join(hits, "doc_id", "left_semi")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy(F.desc("n_hits"), F.asc("source"), F.asc("lang"))
+    )
+
+
 def search_phrase_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2+E3, primary path = inverted index: token_hits from postings,
     phrase verified only on the all-tokens candidate set against the
@@ -635,6 +667,7 @@ def search_typo_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "search_typo_tolerant": search_typo_tolerant,
     "search_allwords": search_allwords,
+    "search_faceted": search_faceted,
     "search_phrase_ranked": search_phrase_ranked,
     "search_rejoin": search_rejoin,
     "search_bm25": search_bm25,
@@ -681,6 +714,15 @@ ORACLE = {
     "search_allwords": f"""
         SELECT doc_id, lang, n_chars FROM documents
         WHERE {_TEXT} LIKE '%spark%' AND {_TEXT} LIKE '%merge%'
+    """,
+    "search_faceted": f"""
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE {_TEXT} LIKE '%spark%' AND {_TEXT} LIKE '%merge%'
+        GROUP BY 1, 2
+        ORDER BY n_hits DESC, source ASC, lang ASC
     """,
     "search_phrase_ranked": f"""
         SELECT doc_id, score FROM (

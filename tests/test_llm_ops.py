@@ -1026,6 +1026,37 @@ def test_top_paths_hand_traced(spark, tmp_path):
         assert r.share == round(1 / 3, 6)
 
 
+def test_compaction_plan_hand_packed(spark, tmp_path):
+    """Planner pins on hand-sized segments: per-year counts 6/5/1/1 with
+    target ceil(13/3)=5 must pack size-descending into [2000], [2001],
+    [2002, 2003] — only the last group is worth compacting — and the
+    plan's totals conserve the table's rows."""
+    from datetime import date
+
+    from datalake_on_prem_system_spark.operators.lakehouse_ops import (
+        _COMPACT_PLAN_CACHE,
+        lh_compaction_plan,
+    )
+
+    rows = []
+    ok = 0
+    for year, n in ((2000, 6), (2001, 5), (2002, 1), (2003, 1)):
+        for _ in range(n):
+            rows.append((ok, date(year, 6, 1)))
+            ok += 1
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderdate date"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    _COMPACT_PLAN_CACHE.pop(str(tmp_path), None)
+    got = {r.group_id: r for r in lh_compaction_plan(spark, str(tmp_path)).collect()}
+    assert {g: (r.members, r.total_rows, r.compact_worthwhile) for g, r in got.items()} == {
+        0: ("2000", 6, False),
+        1: ("2001", 5, False),
+        2: ("2002,2003", 2, True),
+    }
+    assert sum(r.total_rows for r in got.values()) == 13
+
+
 def test_t_closeness_hand_computed(spark, tmp_path):
     """t-closeness pins on a hand-built table: a class spanning all four
     bands uniformly vs a single-band class against a known global mix —

@@ -263,6 +263,9 @@ _BNLJ_ALLOWED = {
     "cur_t_closeness",
     # session total: a ONE-ROW sum cross-joined onto the top-25 rows only
     "ev_top_paths",
+    # manifest total: a ONE-ROW sum cross-joined onto the segment relation
+    # (one row per segment — manifest-sized, never data-sized)
+    "lh_compaction_plan",
 }
 
 

@@ -312,3 +312,32 @@ def test_typo_tolerant_semantics_hand_corpus(spark, tmp_path):
         r.doc_id for r in search_typo_tolerant(spark, str(tmp_path)).collect()
     }
     assert hit_ids == {0, 2, 4}, hit_ids
+
+
+def test_faceted_counts_conserve_allwords_hits(spark, sf_dir):
+    """Facet pins: the per-(source, lang) hit counts must sum to exactly
+    the all-words hit count (same hit set, one rollup), every facet cell
+    is positive, and char mass recomputes from the documents table."""
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.operators.common import t
+    from datalake_on_prem_system_spark.operators.search import (
+        search_allwords,
+        search_faceted,
+    )
+
+    hits = search_allwords(spark, sf_dir).collect()
+    facets = search_faceted(spark, sf_dir).collect()
+    assert sum(r.n_hits for r in facets) == len(hits)
+    assert all(r.n_hits > 0 for r in facets)
+    hit_ids = {r.doc_id for r in hits}
+    docs = {
+        (r.source, r.lang): r.sum_chars
+        for r in t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(list(hit_ids)))
+        .groupBy("source", "lang")
+        .agg(F.sum("n_chars").alias("sum_chars"))
+        .collect()
+    }
+    for r in facets:
+        assert docs[(r.source, r.lang)] == r.sum_chars
