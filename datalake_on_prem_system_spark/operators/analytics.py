@@ -747,6 +747,80 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BACKTEST_H = 7  # holdout horizon (days)
+
+
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST: hold out the final 7 days, fit the Holt smoother
+    (``ts_holt_forecast``'s exact recursion — one model, two operators) on
+    the prefix only, and score each held-out day against its h-step
+    forecast (level + h·trend). The evaluation discipline every
+    forecasting deployment needs before trusting the forecast operator —
+    the time-series sibling of ``sim_recall_eval``'s index audit.
+
+    Output: one row per (event_type, horizon) with the actual, the
+    forecast, and the absolute error — per-day rows, so no cross-engine
+    error averaging is needed (every value is an already-rounded double
+    both engines compute identically).
+
+    Determinism: the cutoff is a ONE-ROW max-date anchor (scalar
+    cross-join); the training fold reuses the w_ema/Holt bit-stability
+    rule (round level/trend to 6dp per step). Scale shape: one
+    |types|·|days| rollup, the per-type fold over a vocabulary-bounded
+    series, and a types-keyed join of 7·|types| test rows."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.round(F.sum("c") / (100.0 * F.count(F.lit(1))), 6).alias("y")
+    )
+    anchor = ev.agg(F.date_sub(F.max("day"), _BACKTEST_H).alias("cutoff"))
+    d = daily.crossJoin(F.broadcast(anchor))
+    series = (
+        d.filter(F.col("day") <= F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("day", "y"))).alias("days"),
+            F.count(F.lit(1)).alias("n_train_days"),
+        )
+    )
+    init = F.struct(F.lit(None).cast("double").alias("l"), F.lit(0.0).alias("b"))
+
+    def step(acc, e):
+        lvl = F.round(F.lit(0.2) * e["y"] + F.lit(0.8) * (acc["l"] + acc["b"]), 6)
+        trd = F.round(F.lit(0.1) * (lvl - acc["l"]) + F.lit(0.9) * acc["b"], 6)
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(e["y"].alias("l"), F.lit(0.0).alias("b")),
+        ).otherwise(F.struct(lvl.alias("l"), trd.alias("b")))
+
+    fitted = series.select(
+        "event_type", "n_train_days", F.aggregate("days", init, step).alias("st")
+    )
+    test = d.filter(F.col("day") > F.col("cutoff")).select(
+        "event_type",
+        "day",
+        "y",
+        F.datediff("day", "cutoff").cast("int").alias("h"),
+    )
+    fc = F.round(F.col("st.l") + F.col("h") * F.col("st.b"), 6)
+    return (
+        test.join(fitted, "event_type")
+        .select(
+            "event_type",
+            "h",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_train_days",
+            F.col("y").alias("actual"),
+            fc.alias("forecast"),
+            F.round(F.abs(fc - F.col("y")), 6).alias("abs_err"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
 def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC downsampling of the event value series per event_type —
     the candle/rollup shape every metrics store (and every market-data
@@ -1425,6 +1499,7 @@ QUERIES = {
     "ev_peak_concurrency": ev_peak_concurrency,
     "ev_anomaly_mad": ev_anomaly_mad,
     "ts_holt_forecast": ts_holt_forecast,
+    "ts_forecast_backtest": ts_forecast_backtest,
     "ts_seasonality": ts_seasonality,
     "ev_ltv_cohort": ev_ltv_cohort,
     "ts_ohlc_resample": ts_ohlc_resample,
@@ -1761,6 +1836,47 @@ ORACLE = {
     # list_reduce with a STRUCT accumulator mis-evaluates multi-step folds
     # (each step alone reproduces the Python/Spark value; chained steps
     # drift), so the two-state recursion steps through explicit rows
+    "ts_forecast_backtest": f"""
+        WITH RECURSIVE anchor AS (
+            SELECT max(CAST(ts AS DATE)) - {_BACKTEST_H} AS cutoff FROM events
+        ), daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   round(sum(CAST(floor(value * 100) AS BIGINT))
+                         / (100.0 * count(*)), 6) AS y
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily, anchor WHERE day <= cutoff
+        ), nd AS (
+            SELECT event_type, count(*) AS n_train_days FROM d GROUP BY 1
+        ), r AS (
+            SELECT event_type, 1 AS k, y AS l, CAST(0.0 AS DOUBLE) AS b
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.event_type, r.k + 1,
+                   round(0.2 * d.y + 0.8 * (r.l + r.b), 6),
+                   round(0.1 * (round(0.2 * d.y + 0.8 * (r.l + r.b), 6) - r.l)
+                         + 0.9 * r.b, 6)
+            FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.k + 1
+        ), fit AS (
+            SELECT r.event_type, CAST(nd.n_train_days AS BIGINT)
+                       AS n_train_days, r.l, r.b
+            FROM r JOIN nd ON nd.event_type = r.event_type
+                          AND r.k = nd.n_train_days
+        ), test AS (
+            SELECT event_type, day, y,
+                   CAST(datediff('day', cutoff, day) AS INTEGER) AS h
+            FROM daily, anchor WHERE day > cutoff
+        )
+        SELECT t.event_type, t.h, strftime(t.day, '%Y-%m-%d') AS day,
+               f.n_train_days, t.y AS actual,
+               round(f.l + t.h * f.b, 6) AS forecast,
+               round(abs(round(f.l + t.h * f.b, 6) - t.y), 6) AS abs_err
+        FROM test t JOIN fit f USING (event_type)
+        ORDER BY t.event_type, t.h
+    """,
     "ts_holt_forecast": """
         WITH RECURSIVE daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day,

@@ -431,6 +431,88 @@ def dd_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-generation RECALL audit, binned by true jaccard: for
+    every exact near-dup pair (``dd_ngram_jaccard``'s PPJoin set — ground
+    truth), did the banded MinHash sketch put the pair in a shared bucket
+    (∃ band whose 4-row signature slice agrees)? The S-curve validation
+    every LSH deployment owes itself: ``dd_sketch_quality`` calibrates the
+    ESTIMATOR, this measures the thing the pipeline actually relies on —
+    that banding does not silently drop true duplicates — per jaccard
+    band, where the theory says recall ≈ 1-(1-j^r)^b and dips near the
+    threshold.
+
+    Uses the PORTABLE md5-based sketch (the dd_sketch_quality convention)
+    so DuckDB replays signatures and band collisions bit-for-bit; the
+    production xxhash64 sketch has identical statistics. A pair is a
+    candidate iff some band's slices are equal — bucket machinery is not
+    needed for the audit, because candidacy of (a, b) depends only on
+    their two signatures. Scale shape: signatures only for docs appearing
+    in verified pairs; one pair-keyed join; a bins-sized rollup."""
+    from functools import reduce
+    from operator import and_, or_
+
+    exact = dd_ngram_jaccard(spark, sf_dir).select("a_id", "b_id", "jaccard")
+    ids = (
+        exact.select(F.col("a_id").alias("doc_id"))
+        .unionAll(exact.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    docs = t_par(spark, sf_dir, "documents").join(ids, "doc_id", "left_semi")
+    hs = F.transform(
+        _shingles(),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(_P),
+        ),
+    )
+
+    def _perm_min(h: Column, a: int, b: int) -> Column:
+        return F.array_min(F.transform(h, lambda x: F.pmod(a * x + b, F.lit(_P))))
+
+    sig = bind(hs, lambda h: F.array(*[_perm_min(h, a, b) for a, b in _PERMS]))
+    sigs = docs.select("doc_id", sig.alias("sig"))
+    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    band_hit = reduce(
+        or_,
+        [
+            reduce(
+                and_,
+                [
+                    F.col("sig_a")[i * _ROWS_PER_BAND + j]
+                    == F.col("sig_b")[i * _ROWS_PER_BAND + j]
+                    for j in range(_ROWS_PER_BAND)
+                ],
+            )
+            for i in range(_N_BANDS)
+        ],
+    )
+    paired = (
+        exact.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .withColumn("covered", band_hit)
+        .withColumn("bin_id", F.floor(F.col("jaccard") * 20).cast("int"))
+    )
+    return (
+        paired.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.col("covered").cast("long")).alias("n_covered"),
+        )
+        .select(
+            "bin_id",
+            (F.col("bin_id") / F.lit(20.0)).alias("jaccard_lo"),
+            "n_exact",
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("n_exact").cast("double"), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("bin_id")
+    )
+
+
 _MINHASH_IDX_CACHE: dict[tuple, str] = {}
 _MINHASH_BUILDS = 0  # test observability: index builds must be train-once
 
@@ -1015,6 +1097,7 @@ QUERIES = {
     "dd_containment": dd_containment,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_sketch_quality": dd_sketch_quality,
+    "dd_lsh_recall": dd_lsh_recall,
     "dd_components": dd_components,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_minhash_incremental": dd_minhash_incremental,
@@ -1116,6 +1199,52 @@ _PAIR_JACCARD_SQL = """
 _SKETCH_SIG = "[" + ", ".join(
     f"list_min([({a} * h + {b}) % {_P} for h in hs])" for a, b in _PERMS
 ) + "]"
+
+_LSH_BAND_HIT_SQL = " OR ".join(
+    "("
+    + " AND ".join(
+        f"sa.sig[{i * _ROWS_PER_BAND + j + 1}] = sb.sig[{i * _ROWS_PER_BAND + j + 1}]"
+        for j in range(_ROWS_PER_BAND)
+    )
+    + ")"
+    for i in range(_N_BANDS)
+)
+
+_LSH_RECALL_SQL = f"""
+    WITH qp AS ({_PAIR_JACCARD_SQL}
+    ), ids AS (
+        SELECT a_id AS doc_id FROM qp UNION SELECT b_id FROM qp
+    ), toks2 AS (
+        SELECT doc_id, string_split(text, ' ') w FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM ids)
+    ), sh2 AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) s
+        FROM toks2 WHERE len(w) >= 3
+    ), hsrc AS (
+        SELECT doc_id,
+               [CAST('0x' || substr(md5(s2), 1, 15) AS BIGINT) % {_P}
+                for s2 in s] AS hs
+        FROM sh2
+    ), sig AS (
+        SELECT doc_id, {_SKETCH_SIG} AS sig FROM hsrc
+    ), paired AS (
+        SELECT CAST(floor(q.jaccard * 20) AS INTEGER) AS bin_id,
+               ({_LSH_BAND_HIT_SQL}) AS covered
+        FROM qp q
+        JOIN sig sa ON sa.doc_id = q.a_id
+        JOIN sig sb ON sb.doc_id = q.b_id
+    )
+    SELECT bin_id, bin_id / CAST(20 AS DOUBLE) AS jaccard_lo,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           round(sum(CASE WHEN covered THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM paired GROUP BY bin_id
+    ORDER BY bin_id
+"""
 
 _SKETCH_QUALITY_SQL = f"""
     WITH qp AS ({_PAIR_JACCARD_SQL}
@@ -1237,6 +1366,7 @@ ORACLE = {
     """,
     "dd_ngram_jaccard": _PAIR_JACCARD_SQL,
     "dd_sketch_quality": _SKETCH_QUALITY_SQL,
+    "dd_lsh_recall": _LSH_RECALL_SQL,
     # connected components = min reachable doc_id — deterministic, so the
     # oracle replays it with a recursive reachability CTE over the same
     # pair graph (fixture-sized: reach is O(V·E); the Spark side is the

@@ -1026,6 +1026,79 @@ def test_top_paths_hand_traced(spark, tmp_path):
         assert r.share == round(1 / 3, 6)
 
 
+def test_lsh_recall_bins_consistent_and_high(spark, sf_dir):
+    """LSH recall-audit pins: bins cover every exact pair exactly once,
+    coverage never exceeds the bin population, recall recomputes from the
+    counts, and at j >= 0.8 with 16 bands × 4 rows the theoretical recall
+    1-(1-j^4)^16 >= 0.999 — so measured recall must be ~1 on the
+    fixture."""
+    from datalake_on_prem_system_spark.operators.dedup import (
+        dd_lsh_recall,
+        dd_ngram_jaccard,
+    )
+
+    bins = dd_lsh_recall(spark, sf_dir).collect()
+    assert bins
+    n_exact_total = sum(r.n_exact for r in bins)
+    assert n_exact_total == dd_ngram_jaccard(spark, sf_dir).count()
+    for r in bins:
+        assert 0 <= r.n_covered <= r.n_exact
+        assert r.recall == round(r.n_covered / r.n_exact, 6)
+        assert r.jaccard_lo >= 0.75  # exact pairs all have j >= 0.8
+    weighted = sum(r.n_covered for r in bins) / n_exact_total
+    assert weighted >= 0.99, weighted
+
+
+def test_forecast_backtest_replays_holt_on_prefix(spark, sf_dir):
+    """Backtest pins: an independent pure-Python replay of the Holt
+    recursion on the pre-cutoff daily series must reproduce every
+    forecast bit-for-bit, abs_err recomputes from (forecast, actual), and
+    horizons cover exactly the held-out days."""
+    from datalake_on_prem_system_spark.operators.analytics import (
+        _BACKTEST_H,
+        ts_forecast_backtest,
+    )
+    from datalake_on_prem_system_spark.operators.common import t
+
+    rows = ts_forecast_backtest(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.round(F.sum("c") / (100.0 * F.count(F.lit(1))), 6).alias("y"))
+        .collect()
+    )
+    # cutoff = max(day) - 7: the held-out window is the last 7 calendar days
+    import datetime as _dt
+
+    max_day = max(r.day for r in ev)
+    cutoff = max_day - _dt.timedelta(days=_BACKTEST_H)
+    fits: dict[str, tuple[float, float]] = {}
+    for et in {r.event_type for r in ev}:
+        series = sorted(
+            (r.day, r.y) for r in ev if r.event_type == et and r.day <= cutoff
+        )
+        lvl = trd = None
+        for _, y in series:
+            if lvl is None:
+                lvl, trd = y, 0.0
+            else:
+                new_lvl = round(0.2 * y + 0.8 * (lvl + trd), 6)
+                trd = round(0.1 * (new_lvl - lvl) + 0.9 * trd, 6)
+                lvl = new_lvl
+        fits[et] = (lvl, trd)
+    for r in rows:
+        lvl, trd = fits[r.event_type]
+        assert r.forecast == round(lvl + r.h * trd, 6), (r.event_type, r.h)
+        assert r.abs_err == round(abs(r.forecast - r.actual), 6)
+        assert 1 <= r.h <= _BACKTEST_H
+
+
 def test_compaction_plan_hand_packed(spark, tmp_path):
     """Planner pins on hand-sized segments: per-year counts 6/5/1/1 with
     target ceil(13/3)=5 must pack size-descending into [2000], [2001],

@@ -266,6 +266,9 @@ _BNLJ_ALLOWED = {
     # manifest total: a ONE-ROW sum cross-joined onto the segment relation
     # (one row per segment — manifest-sized, never data-sized)
     "lh_compaction_plan",
+    # holdout cutoff: a ONE-ROW max-date anchor cross-joined to the daily
+    # rollup — constant cost at any fact size
+    "ts_forecast_backtest",
 }
 
 
