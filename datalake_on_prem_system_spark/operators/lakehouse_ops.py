@@ -1035,8 +1035,60 @@ def lh_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VACUUM_PLAN_CACHE: dict[str, str] = {}
+_VACUUM_KEEP = 2  # live snapshots retained by the audit's retention policy
+
+
+def lh_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planner — the snapshot-expiry GC decision as a queryable
+    report (Delta VACUUM / Iceberg expire_snapshots, dry-run): after a
+    full load, a replacing reload, and an append, a keep-last-2 retention
+    leaves the original full segment referenced ONLY by the expired first
+    snapshot — reclaimable — while both live segments stay pinned. The
+    planner walks the manifest chain (versions × entries — metadata only,
+    no data files opened), unions every segment ever referenced, and
+    flags each with liveness under the retention policy plus its size and
+    stats identity.
+
+    Determinism: segment identities come from recorded n_rows + min-key
+    stats, both exact functions of the fixture filters the commits were
+    built from — so the oracle derives the identical report straight from
+    the orders table. Scale shape: O(versions × manifest entries)
+    driver-side metadata, like every $-table here."""
+    if sf_dir not in _VACUUM_PLAN_CACHE:
+        root = tempfile.mkdtemp(prefix="lake_vacplan_")
+        table = LakeTable(spark, root)
+        base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        table.create_or_replace(base)  # v1: full load (expired by policy)
+        table.create_or_replace(base.filter(F.col("o_orderkey") % 2 == 0))
+        table.append(base.filter(F.col("o_orderkey") % 4 == 1))
+        _VACUUM_PLAN_CACHE[sf_dir] = root
+    table = LakeTable(spark, _VACUUM_PLAN_CACHE[sf_dir])
+    versions = sorted(table.versions())
+    live = set(versions[-_VACUUM_KEEP:])
+    seen: dict[str, tuple[int, int, bool]] = {}
+    for v in versions:
+        for r in table.files(v).collect():
+            import json as _json
+
+            min_key = int(_json.loads(r.stats_json)["o_orderkey"][0])
+            prev = seen.get(r.path)
+            is_live = (v in live) or (prev[2] if prev else False)
+            seen[r.path] = (int(r.n_rows), min_key, is_live)
+    rows = [
+        (n_rows, min_key, is_live, not is_live)
+        for n_rows, min_key, is_live in seen.values()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_rows bigint, min_orderkey bigint, is_live boolean, "
+        "reclaimable boolean",
+    ).orderBy(F.desc("n_rows"))
+
+
 QUERIES = {
     "lh_compaction_plan": lh_compaction_plan,
+    "lh_vacuum_plan": lh_vacuum_plan,
     "lh_colocated_join": lh_colocated_join,
     "lh_changes_feed": lh_changes_feed,
     "lh_clone_divergence": lh_clone_divergence,
@@ -1093,6 +1145,23 @@ ORACLE = {
                count(*) > 1 AS compact_worthwhile
         FROM planned GROUP BY 1
         ORDER BY group_id
+    """,
+    # segments are exact functions of the fixture filters the commits were
+    # built from; the report derives from orders directly
+    "lh_vacuum_plan": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+               false AS is_live, true AS reclaimable
+        FROM orders
+        UNION ALL
+        SELECT CAST(count(*) AS BIGINT), CAST(min(o_orderkey) AS BIGINT),
+               true, false
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT CAST(count(*) AS BIGINT), CAST(min(o_orderkey) AS BIGINT),
+               true, false
+        FROM orders WHERE o_orderkey % 4 = 1
+        ORDER BY n_rows DESC
     """,
     "lh_colocated_join": """
         SELECT o_orderpriority,

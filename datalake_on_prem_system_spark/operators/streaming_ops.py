@@ -753,6 +753,27 @@ def st_ltv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live top-k leaderboard: the event stream aggregates per-user event
+    counts in complete mode (bounded state: one row per active user), and
+    the harvested table ranks the top 10 — the real-time "most active
+    users" widget next to the batch rollup. Oracle: the identical batch
+    GROUP BY + rank.
+
+    Scale shape: the streaming agg is a map-side-combined user-keyed
+    rollup; the rank runs post-harvest as TakeOrderedAndProject over the
+    aggregate, then a row_number over just the k retained rows — the full
+    user table never sorts on one partition."""
+    stream = _events_stream(spark, _events_json_dir(spark, sf_dir))
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    harvested = _run_to_memory(agg, "stt", "complete")
+    top = harvested.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "user_id", "n_events"
+    )
+
+
 def st_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup GATE: new documents arrive as a live JSON stream
     and every micro-batch probes the corpus' PERSISTED MinHash band index
@@ -861,6 +882,7 @@ QUERIES = {
     "st_dedup_stream": st_dedup_stream,
     "st_static_enrich": st_static_enrich,
     "st_neardup_stream": st_neardup_stream,
+    "st_topk_stream": st_topk_stream,
 }
 
 _CDC_FINAL_SQL = """
@@ -1003,6 +1025,16 @@ ORACLE["st_scd2_stream"] = _SCD2_SQL
 # dd_minhash_incremental (one verification contract across tiers) — the
 # oracle is that operator's exact-pair SQL restricted to corpus pairs,
 # without the pair_type tag column
+ORACLE["st_topk_stream"] = """
+    SELECT CAST(rnk AS INTEGER) AS rank, user_id, n_events
+    FROM (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rnk
+        FROM events GROUP BY user_id
+    )
+    WHERE rnk <= 10
+"""
+
 ORACLE["st_neardup_stream"] = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') w FROM documents

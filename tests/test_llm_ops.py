@@ -1026,6 +1026,53 @@ def test_top_paths_hand_traced(spark, tmp_path):
         assert r.share == round(1 / 3, 6)
 
 
+def test_vacuum_plan_hand_traced(spark, tmp_path):
+    """Vacuum-planner pins on keys 1..8: the expired full segment (8 rows,
+    min key 1) is reclaimable; the live replacing load (evens: 4 rows,
+    min 2) and the live append (keys ≡1 mod 4: rows 1 and 5) stay
+    pinned."""
+    from datalake_on_prem_system_spark.operators.lakehouse_ops import (
+        _VACUUM_PLAN_CACHE,
+        lh_vacuum_plan,
+    )
+
+    spark.createDataFrame(
+        [(k, float(k)) for k in range(1, 9)],
+        "o_orderkey bigint, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    _VACUUM_PLAN_CACHE.pop(str(tmp_path), None)
+    got = {
+        (r.n_rows, r.min_orderkey): (r.is_live, r.reclaimable)
+        for r in lh_vacuum_plan(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (8, 1): (False, True),   # expired full load
+        (4, 2): (True, False),   # live replacing load (evens)
+        (2, 1): (True, False),   # live append (1, 5)
+    }
+
+
+def test_topk_stream_matches_batch_tier(spark, sf_dir):
+    """One contract, two tiers: the streaming leaderboard equals the
+    batch GROUP BY + rank exactly."""
+    from datalake_on_prem_system_spark.operators.common import t
+    from datalake_on_prem_system_spark.operators.streaming_ops import st_topk_stream
+
+    batch = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+        .collect()
+    )
+    stream = st_topk_stream(spark, sf_dir).orderBy("rank").collect()
+    assert [(r.user_id, r.n_events) for r in batch] == [
+        (r.user_id, r.n_events) for r in stream
+    ]
+    assert [r.rank for r in stream] == list(range(1, 11))
+
+
 def test_lsh_recall_bins_consistent_and_high(spark, sf_dir):
     """LSH recall-audit pins: bins cover every exact pair exactly once,
     coverage never exceeds the bin population, recall recomputes from the
