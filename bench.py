@@ -117,6 +117,17 @@ HEADLINERS = [
     "sim_ivfpq_topk",
     "sim_matryoshka_topk",
     "a_changepoint_cusum",
+    # round-10 additions: the batch ANN join (N queries through the
+    # partition-pruned IVFPQ index in one plan — the index build is
+    # memoized setup, the timed path is probe+ADC+rerank for the batch),
+    # corpus-wide mutual-kNN graph construction (the heaviest ANN shape —
+    # every vector is a query; unhinted cell-keyed join), the streaming
+    # near-dup gate (per-batch sketch + persisted-index probe inside a
+    # live stream), and the sessionized path-mining rollup
+    "sim_ivfpq_batch_join",
+    "sim_knn_graph",
+    "st_neardup_stream",
+    "ev_top_paths",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

@@ -31,6 +31,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._cache import persist_bounded
 from .common import index_tempdir, t, t_par
 
 _DIM = 64
@@ -903,6 +904,50 @@ def sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BATCH_NQ = 5  # the batch-join query set: vec_id < 5 (same set as sim_knn_join)
 
 
+def _recon_frame(
+    spark: SparkSession,
+    path: str,
+    books: list[list[tuple[int, list[float]]]],
+    cells: list[int] | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """DECODE-ONCE reconstruction of a persisted IVFPQ code table:
+    (vec_id, cell, vhat, vn) where ``vhat`` is the concatenated
+    per-subspace codebook centroid and ``vn`` its norm. The batch/graph
+    ANN joins score MANY queries per code row — reconstructing inside the
+    pair join would run the M·K when-chain once per (query, code) PAIR;
+    decoding here runs it once per CORPUS ROW (measured 6× on the kNN
+    graph at sf0.1). This is the columnar-join equivalent of FAISS's
+    per-query ADC lookup tables, which have no analog when the query is a
+    DataFrame column. ``cells`` prunes the decode to probed partitions;
+    ``cache_key`` persists the decoded frame through the bounded
+    registry (its values are deterministic functions of the code table,
+    so reuse across calls is safe)."""
+
+    def _book_arr(m: int) -> Column:
+        expr = None
+        for ci, cv in books[m]:
+            arr = F.array(*[F.lit(float(x)) for x in cv])
+            expr = (
+                F.when(F.col(f"code{m}") == ci, arr)
+                if expr is None
+                else expr.when(F.col(f"code{m}") == ci, arr)
+            )
+        return expr
+
+    codes = spark.read.parquet(path)
+    if cells is not None:
+        codes = codes.filter(F.col("cell").isin(cells))
+    recon = codes.select(
+        "vec_id",
+        "cell",
+        F.concat(*[_book_arr(m) for m in range(_PQ_M)]).alias("vhat"),
+    ).withColumn("vn", _norm(F.col("vhat")))
+    if cache_key is not None:
+        recon = persist_bounded(recon, cache_key)
+    return recon
+
+
 def sim_ivfpq_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCH ANN join over the IVFPQ index: N query vectors → top-10
     neighbors EACH, served from the one persisted composite index. This is
@@ -977,39 +1022,32 @@ def sim_ivfpq_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded anchor: <= nlist values however many queries there are
     probed_cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
-
-    def _book_arr(m: int) -> Column:
-        expr = None
-        for ci, cv in books[m]:
-            arr = F.array(*[F.lit(float(x)) for x in cv])
-            expr = (
-                F.when(F.col(f"code{m}") == ci, arr)
-                if expr is None
-                else expr.when(F.col(f"code{m}") == ci, arr)
-            )
-        return expr
-
-    vhat = F.concat(*[_book_arr(m) for m in range(_PQ_M)])
+    recon = _recon_frame(spark, path, books, cells=probed_cells)
+    # project to (q_id, vec_id, aip) before the rank window (the
+    # sim_knn_graph shuffle-payload rule); queries re-attach to the
+    # candidate set afterwards — a bounded broadcast here (the query
+    # BATCH, not the corpus)
     scored = (
-        spark.read.parquet(path)
-        .filter(F.col("cell").isin(probed_cells))
-        .join(F.broadcast(probes), "cell")
+        recon.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("vhat", vhat)
-        .withColumn(
-            "aip",
-            _dot(F.col("qv"), F.col("vhat")) / (_norm(F.col("vhat")) * F.col("qnorm")),
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                _dot(F.col("qv"), F.col("vhat")) / (F.col("vn") * F.col("qnorm"))
+            ).alias("aip"),
         )
     )
     w_adc = Window.partitionBy("q_id").orderBy(F.desc("aip"), F.asc("vec_id"))
     cand = (
         scored.withColumn("crn", F.row_number().over(w_adc))
         .filter(F.col("crn") <= _PQ_RERANK)
-        .select("q_id", "qv", "qnorm", "vec_id")
+        .select("q_id", "vec_id")
     )
     w_final = Window.partitionBy("q_id").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
     return (
         cand.join(vecs, "vec_id")
+        .join(F.broadcast(queries), "q_id")
         .withColumn(
             "cosine_raw",
             _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")),
@@ -1087,37 +1125,36 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "qv", "qnorm", "cell")
     )
 
-    def _book_arr(m: int) -> Column:
-        expr = None
-        for ci, cv in books[m]:
-            arr = F.array(*[F.lit(float(x)) for x in cv])
-            expr = (
-                F.when(F.col(f"code{m}") == ci, arr)
-                if expr is None
-                else expr.when(F.col(f"code{m}") == ci, arr)
-            )
-        return expr
-
-    vhat = F.concat(*[_book_arr(m) for m in range(_PQ_M)])
+    recon = _recon_frame(
+        spark, path, books, cache_key=f"knng_recon:{sf_dir}"
+    )
+    # project to (q_id, vec_id, aip) BEFORE the rank window: the window
+    # shuffle would otherwise carry the 64-double query/reconstruction
+    # payloads on every candidate row (measured ~0.5 GB at sf0.1); the
+    # query vector is re-attached to the tiny candidate set afterwards
     scored = (
-        spark.read.parquet(path)
-        .join(probes, "cell")  # unhinted: co-locatable on cell at scale
+        recon.join(probes, "cell")  # unhinted: co-locatable on cell at scale
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("vhat", vhat)
-        .withColumn(
-            "aip",
-            _dot(F.col("qv"), F.col("vhat")) / (_norm(F.col("vhat")) * F.col("qnorm")),
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                _dot(F.col("qv"), F.col("vhat")) / (F.col("vn") * F.col("qnorm"))
+            ).alias("aip"),
         )
     )
     w_adc = Window.partitionBy("q_id").orderBy(F.desc("aip"), F.asc("vec_id"))
     cand = (
         scored.withColumn("crn", F.row_number().over(w_adc))
         .filter(F.col("crn") <= _KNNG_RERANK)
-        .select("q_id", "qv", "qnorm", "vec_id")
+        .select("q_id", "vec_id")
     )
     w_final = Window.partitionBy("q_id").orderBy(F.desc("cosine_raw"), F.asc("vec_id"))
     knn = (
         cand.join(vecs, "vec_id")
+        # unhinted: queries here = the whole corpus (node-cardinality) —
+        # AQE broadcasts at fixture scale, shuffles at 100 TB
+        .join(queries, "q_id")
         .withColumn(
             "cosine_raw",
             _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")),
