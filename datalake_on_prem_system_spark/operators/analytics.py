@@ -1419,6 +1419,57 @@ _RFM_ORACLE = """
 """
 
 
+def ev_churn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical survival / churn curve over user lifetimes: each user's
+    age = days between first and last observed event; per age the at-risk
+    count, churn count, hazard d/n, and survival share — the retention
+    economics table next to ``ev_retention``'s cohort grid. Uncensored by
+    construction (every user's last event is treated as churn), which
+    makes the Kaplan-Meier product TELESCOPE to the exact empirical
+    survivor function (N − cum_churned)/N — pure integer counting, no
+    cross-engine product/exp chains. (With right-censoring the product
+    form returns; that variant needs the Holt-style recursive replay.)
+
+    Scale shape: one user-keyed partial agg (first/last day), one
+    age-keyed rollup bounded by the day span, and a cumulative window
+    over that bounded series."""
+    ev = t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    ages = ev.groupBy("user_id").agg(
+        F.datediff(F.max("day"), F.min("day")).alias("age_days")
+    )
+    d = ages.groupBy("age_days").agg(F.count(F.lit(1)).alias("n_churned"))
+    w_ge = (
+        Window.orderBy(F.desc("age_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_le = (
+        Window.orderBy(F.asc("age_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = (
+        d.withColumn("n_at_risk", F.sum("n_churned").over(w_ge))
+        .withColumn("cum_churned", F.sum("n_churned").over(w_le))
+    )
+    total = ages.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        curve.crossJoin(F.broadcast(total))
+        .select(
+            F.col("age_days").cast("int").alias("age_days"),
+            "n_at_risk",
+            "n_churned",
+            F.round(
+                F.col("n_churned") / F.col("n_at_risk").cast("double"), 6
+            ).alias("hazard"),
+            F.round(
+                (F.col("n_users") - F.col("cum_churned"))
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("age_days")
+    )
+
+
 _PATH_LEN = 5  # leading events per session kept in the path signature
 _PATH_TOP_K = 25
 
@@ -1495,6 +1546,7 @@ QUERIES = {
     "ev_retention": ev_retention,
     "ev_transition_matrix": ev_transition_matrix,
     "ev_top_paths": ev_top_paths,
+    "ev_churn_curve": ev_churn_curve,
     "ev_attribution": ev_attribution,
     "ev_peak_concurrency": ev_peak_concurrency,
     "ev_anomaly_mad": ev_anomaly_mad,
@@ -1522,6 +1574,35 @@ QUERIES = {
 
 ORACLE = {
     "a_rfm_segments": _RFM_ORACLE,
+    "ev_churn_curve": """
+        WITH ages AS (
+            SELECT user_id,
+                   CAST(datediff('day', min(CAST(ts AS DATE)),
+                                 max(CAST(ts AS DATE))) AS INTEGER)
+                       AS age_days
+            FROM events GROUP BY user_id
+        ), d AS (
+            SELECT age_days, CAST(count(*) AS BIGINT) AS n_churned
+            FROM ages GROUP BY 1
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_users FROM ages
+        ), curve AS (
+            SELECT age_days, n_churned,
+                   CAST(sum(n_churned) OVER (ORDER BY age_days DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_at_risk,
+                   CAST(sum(n_churned) OVER (ORDER BY age_days ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_churned
+            FROM d
+        )
+        SELECT age_days, n_at_risk, n_churned,
+               round(n_churned / CAST(n_at_risk AS DOUBLE), 6) AS hazard,
+               round((n_users - cum_churned) / CAST(n_users AS DOUBLE), 6)
+                   AS survival
+        FROM curve CROSS JOIN tot
+        ORDER BY age_days
+    """,
     "ev_top_paths": f"""
         WITH flagged AS (
             SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,

@@ -236,6 +236,56 @@ def pl_sequence_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_WORKERS = 8  # data-parallel loader workers the packs stripe across
+
+
+def pl_dataloader_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-loader SHARD ASSIGNMENT — the step after packing that every
+    data-parallel training job runs: stripe the 2048-token packs
+    (``pl_sequence_pack_subword``'s windows — one contract) across
+    ``_N_WORKERS`` workers, balanced by REAL token mass, and report each
+    worker's load and its deviation from the ideal total/W. Striped
+    assignment (size-descending rank mod W) is the classic deterministic
+    balancer: the k heaviest packs land on k distinct workers, so skew is
+    bounded by one pack's tokens.
+
+    Determinism: the rank orders on (n_tokens DESC, source, pack_id) — a
+    total order; everything else is integer arithmetic plus one double
+    division. Scale shape: the pack manifest has total_tokens/2048 rows
+    (thousands per TB — manifest-sized, so the single-partition rank
+    window is bounded); the ONE-ROW token total is the scalar-anchor
+    cross-join."""
+    packs = pl_sequence_pack_subword(spark, sf_dir).select(
+        "source", "pack_id", "n_docs", "n_tokens"
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("source"), F.asc("pack_id"))
+    total = packs.agg(F.sum("n_tokens").alias("total"))
+    assigned = (
+        packs.withColumn("rnk", F.row_number().over(w))
+        .withColumn("worker_id", ((F.col("rnk") - 1) % _N_WORKERS).cast("int"))
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        assigned.groupBy("worker_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.max("total").alias("total"),
+        )
+        .select(
+            "worker_id",
+            "n_packs",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") * _N_WORKERS / F.col("total").cast("double"), 6
+            ).alias("balance"),
+        )
+        .orderBy("worker_id")
+    )
+
+
 def pl_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE end-to-end pipeline composition: curate (quality gate → exact
     dedup → near-dup drop, pl_curation's exact chain) → tokenize (greedy
@@ -351,6 +401,7 @@ QUERIES = {
     "pl_dedup_canonical": pl_dedup_canonical,
     "pl_sequence_pack": pl_sequence_pack,
     "pl_sequence_pack_subword": pl_sequence_pack_subword,
+    "pl_dataloader_shards": pl_dataloader_shards,
     "pl_corpus_shuffle": pl_corpus_shuffle,
     "pl_training_manifest": pl_training_manifest,
 }
@@ -454,8 +505,35 @@ def _pack_subword_sql() -> str:
     """
 
 
+def _dataloader_shards_sql() -> str:
+    return f"""
+        WITH packs AS (
+            SELECT source, pack_id, n_docs, n_tokens
+            FROM ({_pack_subword_sql()})
+        ), tot AS (
+            SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM packs
+        ), assigned AS (
+            SELECT *,
+                   CAST((row_number() OVER (
+                        ORDER BY n_tokens DESC, source ASC, pack_id ASC) - 1)
+                        % {_N_WORKERS} AS INTEGER) AS worker_id
+            FROM packs
+        )
+        SELECT worker_id,
+               CAST(count(*) AS BIGINT) AS n_packs,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               round(sum(n_tokens) * {_N_WORKERS} / CAST(total AS DOUBLE), 6)
+                   AS balance
+        FROM assigned CROSS JOIN tot
+        GROUP BY worker_id, total
+        ORDER BY worker_id
+    """
+
+
 ORACLE = {
     "pl_sequence_pack_subword": _pack_subword_sql(),
+    "pl_dataloader_shards": _dataloader_shards_sql(),
     "pl_training_manifest": _training_manifest_sql(),
     "pl_corpus_shuffle": f"""
         WITH k AS (

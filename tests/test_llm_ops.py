@@ -1026,6 +1026,60 @@ def test_top_paths_hand_traced(spark, tmp_path):
         assert r.share == round(1 / 3, 6)
 
 
+def test_churn_curve_hand_traced(spark, tmp_path):
+    """Survival pins on hand-built lifetimes (ages 0,0,2,5): hazards and
+    the telescoped survivor function come out exactly, survival is
+    monotone non-increasing and hits 0 at the max age."""
+    from datetime import datetime, timedelta
+
+    from datalake_on_prem_system_spark.operators.analytics import ev_churn_curve
+
+    t0 = datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (1, 10, "a", 0.0, t0),                            # age 0
+        (2, 11, "a", 0.0, t0),                            # age 0
+        (3, 12, "a", 0.0, t0), (4, 12, "a", 0.0, t0 + timedelta(days=2)),
+        (5, 13, "a", 0.0, t0), (6, 13, "a", 0.0, t0 + timedelta(days=5)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, value double, "
+        "ts timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.age_days: r for r in ev_churn_curve(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 2, 5}
+    assert (got[0].n_at_risk, got[0].n_churned, got[0].hazard, got[0].survival) == (
+        4, 2, 0.5, 0.5)
+    assert (got[2].n_at_risk, got[2].n_churned, got[2].hazard, got[2].survival) == (
+        2, 1, 0.5, 0.25)
+    assert (got[5].n_at_risk, got[5].n_churned, got[5].hazard, got[5].survival) == (
+        1, 1, 1.0, 0.0)
+
+
+def test_dataloader_shards_balanced_and_conserving(spark, sf_dir):
+    """Shard-assignment pins: all 8 workers appear, pack/doc/token totals
+    conserve the pack manifest exactly, balance recomputes from the
+    counts, and striping bounds skew — max worker load exceeds the ideal
+    by at most one pack's tokens."""
+    from datalake_on_prem_system_spark.operators.pipeline_ops import (
+        _N_WORKERS,
+        pl_dataloader_shards,
+        pl_sequence_pack_subword,
+    )
+
+    shards = pl_dataloader_shards(spark, sf_dir).collect()
+    assert [r.worker_id for r in shards] == list(range(_N_WORKERS))
+    packs = pl_sequence_pack_subword(spark, sf_dir).collect()
+    assert sum(r.n_packs for r in shards) == len(packs)
+    assert sum(r.n_tokens for r in shards) == sum(p.n_tokens for p in packs)
+    assert sum(r.n_docs for r in shards) == sum(p.n_docs for p in packs)
+    total = sum(p.n_tokens for p in packs)
+    max_pack = max(p.n_tokens for p in packs)
+    for r in shards:
+        assert r.balance == round(r.n_tokens * _N_WORKERS / total, 6)
+        assert r.n_tokens <= total / _N_WORKERS + max_pack
+
+
 def test_vacuum_plan_hand_traced(spark, tmp_path):
     """Vacuum-planner pins on keys 1..8: the expired full segment (8 rows,
     min key 1) is reclaimable; the live replacing load (evens: 4 rows,

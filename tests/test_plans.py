@@ -269,6 +269,11 @@ _BNLJ_ALLOWED = {
     # holdout cutoff: a ONE-ROW max-date anchor cross-joined to the daily
     # rollup — constant cost at any fact size
     "ts_forecast_backtest",
+    # token total: a ONE-ROW sum cross-joined onto the manifest-sized
+    # pack relation
+    "pl_dataloader_shards",
+    # user total: a ONE-ROW count cross-joined onto the age-bounded curve
+    "ev_churn_curve",
 }
 
 
