@@ -138,6 +138,84 @@ def decode_frame(payload: bytes, frame_idx: int) -> bytes:
     )
 
 
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-signature BLOCKING over binary payloads — the
+    candidate-generation stage of multimodal near-dup detection: an
+    Arrow-batched kernel computes each asset's 16-bucket byte histogram
+    (``byte >> 4``); bit i of the signature is set when the asset's
+    bucket-i share exceeds the CORPUS-GLOBAL share (the train-then-apply
+    rule real perceptual hashes use — pHash thresholds DCT coefficients
+    on the median; thresholding on the population statistic is what makes
+    homogeneous corpora separate at all). Assets block on equal
+    signatures; clusters of ≥ 2 are the candidates the decode-based
+    verifier (the codec stub) would confirm.
+
+    Determinism: the global shares are exact integer sums, and each bit
+    is an integer CROSS-MULTIPLICATION (count_i · total_len >
+    global_count_i · len) — no double ratios anywhere. Scale shape: two
+    narrow Arrow passes (histogram, then signature against 17 broadcast
+    integers — a bounded anchor), one signature-keyed partial agg. Never
+    all-pairs.
+
+    Oracle-checkable because payload bytes are the text's codepoints:
+    DuckDB rebuilds every histogram and the global shares from
+    ``unicode(c)`` counts."""
+    import pandas as pd  # noqa: F401 — required on executors
+
+    from ._cache import persist_bounded
+
+    m = _manifest(t_par(spark, sf_dir, "documents")).select("doc_id", "payload")
+
+    def hist16(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            hs, ls = [], []
+            for b in pdf["payload"]:
+                a = np.frombuffer(b, dtype=np.uint8)
+                hs.append(np.bincount(a >> 4, minlength=16).astype(np.int64))
+                ls.append(len(a))
+            H = (
+                np.stack(hs)
+                if hs
+                else np.zeros((0, 16), dtype=np.int64)
+            )
+            out = {"doc_id": pdf["doc_id"], "plen": ls}
+            for i in range(16):
+                out[f"c{i}"] = H[:, i]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id bigint, plen bigint, " + ", ".join(
+        f"c{i} bigint" for i in range(16)
+    )
+    hists = persist_bounded(
+        m.mapInPandas(hist16, schema), f"mm_phash_hists:{sf_dir}"
+    )
+    g = hists.agg(
+        F.sum("plen").alias("tl"),
+        *[F.sum(f"c{i}").alias(f"g{i}") for i in range(16)],
+    ).head()
+    sig_expr = None
+    for i in range(16):
+        term = F.when(
+            F.col(f"c{i}") * F.lit(int(g["tl"])) > F.lit(int(g[f"g{i}"])) * F.col("plen"),
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sigs = hists.select("doc_id", sig_expr.cast("int").alias("signature"))
+    return (
+        sigs.groupBy("signature")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_assets") >= 2)
+        .orderBy(F.desc("n_assets"), F.asc("signature"))
+    )
+
+
 def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content-hash dedup over binary payloads — the first pass every
     multimodal pipeline runs (identical bytes re-crawled under different
@@ -231,6 +309,7 @@ QUERIES = {
     "mm_content_dedup": mm_content_dedup,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample_plan": mm_frame_sample_plan,
+    "mm_phash_neardup": mm_phash_neardup,
 }
 
 ORACLE = {
@@ -296,6 +375,37 @@ ORACLE = {
                    [unicode(c) for c in string_split(text, '') if c <> '']),
                    (a, x) -> greatest(a, x)) AS INTEGER) AS byte_max
         FROM documents
+    """,
+    "mm_phash_neardup": f"""
+        WITH cps AS (
+            SELECT doc_id,
+                   [unicode(c) for c in string_split(text, '') if c <> '']
+                       AS cp
+            FROM documents
+        ), g AS (
+            SELECT CAST(sum(len(cp)) AS BIGINT) AS tl,
+                   {", ".join(
+                       f"CAST(sum(len([x for x in cp if x // 16 = {i}])) "
+                       f"AS BIGINT) AS c{i}"
+                       for i in range(16)
+                   )}
+            FROM cps
+        ), sigs AS (
+            SELECT doc_id,
+                   CAST({" + ".join(
+                       f"CASE WHEN len([x for x in cp if x // 16 = {i}]) * g.tl"
+                       f" > g.c{i} * len(cp) THEN {1 << i} ELSE 0 END"
+                       for i in range(16)
+                   )} AS INTEGER) AS signature
+            FROM cps CROSS JOIN g
+        )
+        SELECT signature,
+               CAST(count(*) AS BIGINT) AS n_assets,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM sigs GROUP BY signature
+        HAVING count(*) >= 2
+        ORDER BY n_assets DESC, signature ASC
     """,
     "mm_frame_sample_plan": """
         WITH vids AS (

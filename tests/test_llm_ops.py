@@ -1026,6 +1026,42 @@ def test_top_paths_hand_traced(spark, tmp_path):
         assert r.share == round(1 / 3, 6)
 
 
+def test_phash_blocking_replays_in_python(spark, sf_dir):
+    """Perceptual-blocking pins: an independent pure-Python replay of the
+    histogram signatures (16 buckets, global-share cross-multiplication
+    bits) reproduces every cluster exactly, and clusters are disjoint
+    with n_assets >= 2."""
+    from datalake_on_prem_system_spark.operators.common import t
+    from datalake_on_prem_system_spark.operators.multimodal import mm_phash_neardup
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    hists = {}
+    for r in docs:
+        b = r.text.encode("utf-8")
+        h = [0] * 16
+        for byte in b:
+            h[byte >> 4] += 1
+        hists[r.doc_id] = (h, len(b))
+    tl = sum(l for _, l in hists.values())
+    g = [sum(h[i] for h, _ in hists.values()) for i in range(16)]
+    clusters: dict[int, list[int]] = {}
+    for doc_id, (h, l) in hists.items():
+        sig = sum(
+            (1 << i) for i in range(16) if h[i] * tl > g[i] * l
+        )
+        clusters.setdefault(sig, []).append(doc_id)
+    want = {
+        sig: (len(ids), min(ids), max(ids))
+        for sig, ids in clusters.items()
+        if len(ids) >= 2
+    }
+    got = {
+        r.signature: (r.n_assets, r.first_doc, r.last_doc)
+        for r in mm_phash_neardup(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_churn_curve_hand_traced(spark, tmp_path):
     """Survival pins on hand-built lifetimes (ages 0,0,2,5): hazards and
     the telescoped survivor function come out exactly, survival is
