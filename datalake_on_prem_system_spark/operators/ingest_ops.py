@@ -235,8 +235,59 @@ def in_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def in_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling — the ingest-robustness contract every
+    production CSV loader needs: a feed where every ``c_custkey % 10 == 7``
+    row ships a NON-NUMERIC key is read under an explicit (non-inferred)
+    schema in PERMISSIVE mode with a corrupt-record column, and the
+    operator reports the triage summary: clean rows land typed, broken
+    rows are quarantined (counted + key-sum of the clean side proves no
+    row was silently dropped OR silently coerced).
+
+    Spark quirk handled: a query that references ONLY the corrupt-record
+    column is disallowed against the raw stream (the parser prunes the
+    data columns it needs to decide corruption), so the parsed frame is
+    cached before the counts — the documented workaround, and the right
+    plan anyway (one parse, two aggregates).
+
+    Oracle: the corruption rule is deterministic (key mod 10), so DuckDB
+    derives both counts and the clean key-sum from the fixture."""
+    work = tempfile.mkdtemp(prefix="ingest_bad_")
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal")
+    )
+    feed = cust.select(
+        F.when(F.col("c_custkey") % 10 == 7, F.lit("KEY-CORRUPT"))
+        .otherwise(F.col("c_custkey").cast("string"))
+        .alias("c_custkey"),
+        "c_name",
+        F.col("bal").cast("string").alias("bal"),
+    )
+    path = os.path.join(work, "feed.csv")
+    _write_csv(feed, path)
+    parsed = (
+        spark.read.schema(
+            "c_custkey bigint, c_name string, bal double, _corrupt string"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .cache()
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("n_quarantined"),
+        F.sum(F.col("_corrupt").isNull().cast("long")).alias("n_clean"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("c_custkey"))).alias(
+            "clean_key_sum"
+        ),
+    )
+
+
 QUERIES = {
     "in_csv_roundtrip": in_csv_roundtrip,
+    "in_csv_badrecords": in_csv_badrecords,
     "in_csv_append_evolution": in_csv_append_evolution,
     "in_csv_upsert_precombine": in_csv_upsert_precombine,
     "in_csv_partitioned": in_csv_partitioned,
@@ -246,6 +297,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "in_csv_badrecords": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN c_custkey % 10 = 7 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quarantined,
+               CAST(sum(CASE WHEN c_custkey % 10 = 7 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_clean,
+               CAST(sum(CASE WHEN c_custkey % 10 = 7 THEN NULL
+                             ELSE c_custkey END) AS BIGINT) AS clean_key_sum
+        FROM customer
+    """,
     "in_jsonl_roundtrip": """
         SELECT doc_id, lang, source, n_chars FROM documents
     """,

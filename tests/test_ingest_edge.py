@@ -37,3 +37,20 @@ def test_jsonl_corrupt_lines_quarantined_not_dropped(spark):
     clean = raw.filter(raw._corrupt.isNull())
     assert clean.count() == 2
     raw.unpersist()
+
+
+def test_csv_badrecords_hand_counted(spark, tmp_path):
+    """in_csv_badrecords triage on keys 1..10 (key 7 corrupt by rule):
+    exactly one quarantined row, nine clean rows, clean key-sum 48 —
+    corruption is counted, never silently dropped or coerced."""
+    from datalake_on_prem_system_spark.operators.ingest_ops import (
+        in_csv_badrecords,
+    )
+
+    spark.createDataFrame(
+        [(k, f"name{k}", float(k)) for k in range(1, 11)],
+        "c_custkey bigint, c_name string, c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    row = in_csv_badrecords(spark, str(tmp_path)).head()
+    assert (row.n_rows, row.n_quarantined, row.n_clean) == (10, 1, 9)
+    assert row.clean_key_sum == sum(range(1, 11)) - 7
