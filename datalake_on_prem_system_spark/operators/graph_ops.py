@@ -359,7 +359,20 @@ def g_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COSUPPLY_MIN_W: dict[str, int] = {}  # sf_dir → resolved weight cut
+# (sf_dir, lineitem mtime) → resolved weight cut; the mtime keeps a
+# regenerated-in-place fixture from serving a stale threshold (the
+# build_ivf_index cache-key rule)
+_COSUPPLY_MIN_W: dict[tuple[str, float], int] = {}
+
+
+def _cosupply_key(sf_dir: str) -> tuple[str, float]:
+    import os as _os
+
+    li = _os.path.join(sf_dir, "lineitem.parquet")
+    return (
+        _os.path.abspath(sf_dir),
+        _os.path.getmtime(li) if _os.path.exists(li) else 0.0,
+    )
 
 
 def _cosupply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,7 +408,8 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pw = persist_bounded(
         _cosupply_pairs(spark, sf_dir), f"g_cosupply_pw:{sf_dir}"
     )
-    if sf_dir not in _COSUPPLY_MIN_W:
+    key = _cosupply_key(sf_dir)
+    if key not in _COSUPPLY_MIN_W:
         hist = sorted(
             pw.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect(),
             key=lambda r: -r.w,
@@ -408,9 +422,9 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             if cum >= rank:
                 min_w = int(r.w)
                 break
-        _COSUPPLY_MIN_W[sf_dir] = min_w
+        _COSUPPLY_MIN_W[key] = min_w
     return persist_bounded(
-        pw.filter(F.col("w") >= _COSUPPLY_MIN_W[sf_dir]).select("u", "v"),
+        pw.filter(F.col("w") >= _COSUPPLY_MIN_W[key]).select("u", "v"),
         f"g_cosupply_edges:{sf_dir}",
     )
 
