@@ -102,6 +102,39 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tx_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: the n-gram classifier's guesses
+    (``tx_lang_id`` — one classifier, one contract) against the corpus'
+    stored ``lang`` labels, per (true, guess) cell with the within-class
+    share — the evaluation every heuristic filter owes before it gates a
+    corpus (mis-ID'ed languages are silently DROPPED data). Completes the
+    measured-quality-gate family: ANN recall, LSH recall, forecast
+    backtest, sketch calibration, and now classifier confusion.
+
+    Scale shape: one doc-keyed join of two narrow per-doc frames, a
+    (true, guess)-keyed partial agg bounded by |langs|², and a window
+    over that vocabulary-sized table. Integer counts; one division."""
+    from pyspark.sql import Window
+
+    guesses = tx_lang_id(spark, sf_dir).select("doc_id", "lang_guess")
+    truth = t(spark, sf_dir, "documents").select("doc_id", F.col("lang").alias("lang_true"))
+    cells = (
+        truth.join(guesses, "doc_id")
+        .groupBy("lang_true", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang_true")
+    return cells.select(
+        "lang_true",
+        "lang_guess",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("share_of_true"),
+        (F.col("lang_true") == F.col("lang_guess")).alias("correct"),
+    ).orderBy("lang_true", F.desc("n_docs"), "lang_guess")
+
+
 def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length score, stopword ratio, digit/punct ratio —
     the usual heuristic pre-filters before expensive model-based scoring."""
@@ -976,6 +1009,7 @@ QUERIES = {
     "tx_lm_score": tx_lm_score,
     "tx_bpe_estimate": tx_bpe_estimate,
     "tx_lang_id": tx_lang_id,
+    "tx_langid_eval": tx_langid_eval,
     "tx_quality_score": tx_quality_score,
     "tx_fingerprint": tx_fingerprint,
     "tx_term_freq": tx_term_freq,
@@ -983,6 +1017,28 @@ QUERIES = {
     "tx_quality_bins": tx_quality_bins,
     "tx_chunk_overlap": tx_chunk_overlap,
 }
+
+_LANGID_SQL = """
+        WITH scored AS (
+            SELECT doc_id,
+                CAST((length(text) - length(replace(text, 'the ', ''))) / 4
+                   + (length(text) - length(replace(text, ' th', ''))) / 3 AS INTEGER) AS score_en,
+                CAST((length(text) - length(replace(text, 'sch', ''))) / 3
+                   + (length(text) - length(replace(text, 'ei', ''))) / 2 AS INTEGER) AS score_de,
+                CAST((length(text) - length(replace(text, 'eau', ''))) / 3
+                   + (length(text) - length(replace(text, 'ou', ''))) / 2 AS INTEGER) AS score_fr,
+                CAST((length(text) - length(replace(text, 'll', ''))) / 2
+                   + (length(text) - length(replace(text, 'ción', ''))) / 4 AS INTEGER) AS score_es
+            FROM documents
+        )
+        SELECT doc_id, score_en, score_de, score_fr, score_es,
+               CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                    WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                    WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                    WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                    ELSE 'es' END AS lang_guess
+        FROM scored
+    """
 
 ORACLE = {
     "tx_tokenize_apply": _TOKENIZE_APPLY_SQL,
@@ -1230,27 +1286,22 @@ ORACLE = {
                         CAST(ceil(length(text) / 4.0) AS BIGINT)) AS n_tokens_est
         FROM documents
     """,
-    "tx_lang_id": """
-        WITH scored AS (
-            SELECT doc_id,
-                CAST((length(text) - length(replace(text, 'the ', ''))) / 4
-                   + (length(text) - length(replace(text, ' th', ''))) / 3 AS INTEGER) AS score_en,
-                CAST((length(text) - length(replace(text, 'sch', ''))) / 3
-                   + (length(text) - length(replace(text, 'ei', ''))) / 2 AS INTEGER) AS score_de,
-                CAST((length(text) - length(replace(text, 'eau', ''))) / 3
-                   + (length(text) - length(replace(text, 'ou', ''))) / 2 AS INTEGER) AS score_fr,
-                CAST((length(text) - length(replace(text, 'll', ''))) / 2
-                   + (length(text) - length(replace(text, 'ción', ''))) / 4 AS INTEGER) AS score_es
-            FROM documents
+    "tx_langid_eval": f"""
+        WITH guesses AS ({_LANGID_SQL}),
+        cells AS (
+            SELECT d.lang AS lang_true, g.lang_guess,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents d JOIN guesses g USING (doc_id)
+            GROUP BY 1, 2
         )
-        SELECT doc_id, score_en, score_de, score_fr, score_es,
-               CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
-                    WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
-                    WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
-                    WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
-                    ELSE 'es' END AS lang_guess
-        FROM scored
+        SELECT lang_true, lang_guess, n_docs,
+               round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang_true)
+                     AS DOUBLE), 6) AS share_of_true,
+               lang_true = lang_guess AS correct
+        FROM cells
+        ORDER BY lang_true, n_docs DESC, lang_guess
     """,
+    "tx_lang_id": _LANGID_SQL,
     "tx_quality_score": """
         WITH f AS (
             SELECT doc_id,

@@ -1026,6 +1026,37 @@ def test_top_paths_hand_traced(spark, tmp_path):
         assert r.share == round(1 / 3, 6)
 
 
+def test_langid_eval_confusion_consistent(spark, sf_dir):
+    """Confusion-matrix pins: cell counts conserve the corpus, per-true-
+    class shares sum to 1, the correct flag recomputes, and the matrix
+    agrees cell-for-cell with a direct join of tx_lang_id to the stored
+    labels."""
+    from datalake_on_prem_system_spark.operators.common import t
+    from datalake_on_prem_system_spark.operators.textops import (
+        tx_lang_id,
+        tx_langid_eval,
+    )
+
+    cells = tx_langid_eval(spark, sf_dir).collect()
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in cells) == n_docs
+    by_true: dict[str, float] = {}
+    for r in cells:
+        assert r.correct == (r.lang_true == r.lang_guess)
+        by_true[r.lang_true] = by_true.get(r.lang_true, 0.0) + r.share_of_true
+    for lang, s in by_true.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+    truth = {
+        r.doc_id: r.lang
+        for r in t(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    direct: dict[tuple, int] = {}
+    for r in tx_lang_id(spark, sf_dir).select("doc_id", "lang_guess").collect():
+        k = (truth[r.doc_id], r.lang_guess)
+        direct[k] = direct.get(k, 0) + 1
+    assert {(r.lang_true, r.lang_guess): r.n_docs for r in cells} == direct
+
+
 def test_phash_blocking_replays_in_python(spark, sf_dir):
     """Perceptual-blocking pins: an independent pure-Python replay of the
     histogram signatures (16 buckets, global-share cross-multiplication
