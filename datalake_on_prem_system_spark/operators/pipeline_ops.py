@@ -56,6 +56,60 @@ def pl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pl_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation FUNNEL report — per-stage survival through pl_curation's
+    exact chain (quality gate → exact dedup → near-dup drop), in ONE pass:
+    every document is annotated with survival flags (exact-dedup
+    survivorship via the same min-id-per-hash rule, near-dup drops via
+    the same verified pair set), then one aggregate emits the
+    entering/surviving counts and the end-to-end survival rate. The
+    observability table a 100 TB curation run publishes next to its
+    output — where did the data GO — and the pipeline sibling of the
+    quality-gate evals.
+
+    Scale shape: the flags are two doc-keyed left joins (hash-survivor
+    set, near-dup b-side set) over one corpus scan; the report is a
+    single partial aggregate. No stage recomputes another's rule — they
+    import them."""
+    docs = t_par(spark, sf_dir, "documents")
+    quality = docs.filter(F.col("n_chars") >= 100)
+    survivors_exact = (
+        quality.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("ek", F.lit(1))
+    )
+    drop_ids = (
+        dedup.dd_minhash_lsh(spark, sf_dir)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("nd", F.lit(1))
+    )
+    flags = (
+        docs.select("doc_id", (F.col("n_chars") >= 100).alias("q"))
+        .join(survivors_exact, "doc_id", "left_outer")
+        .join(drop_ids, "doc_id", "left_outer")
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("q").cast("long")).alias("n_after_quality"),
+        F.sum(F.col("ek").isNotNull().cast("long")).alias("n_after_exact"),
+        F.sum(
+            (F.col("ek").isNotNull() & F.col("nd").isNull()).cast("long")
+        ).alias("n_after_neardup"),
+    )
+    return agg.select(
+        "n_input",
+        "n_after_quality",
+        "n_after_exact",
+        "n_after_neardup",
+        F.round(
+            F.col("n_after_neardup") / F.col("n_input").cast("double"), 6
+        ).alias("survival_rate"),
+    )
+
+
 def pl_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ACTION over transitive near-dup clusters: per non-trivial
     component (dd_components), keep the canonical min-id document and
@@ -397,6 +451,7 @@ def pl_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "pl_curation": pl_curation,
+    "pl_curation_funnel": pl_curation_funnel,
     "pl_incremental_ingest": pl_incremental_ingest,
     "pl_dedup_canonical": pl_dedup_canonical,
     "pl_sequence_pack": pl_sequence_pack,
@@ -612,6 +667,19 @@ ORACLE = {
                count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM cum GROUP BY 1, 2
+    """,
+    "pl_curation_funnel": _KEPT_CTES
+    + """
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+               (SELECT CAST(count(*) AS BIGINT) FROM quality)
+                   AS n_after_quality,
+               (SELECT CAST(count(*) AS BIGINT) FROM deduped)
+                   AS n_after_exact,
+               (SELECT CAST(count(*) AS BIGINT) FROM kept)
+                   AS n_after_neardup,
+               round((SELECT count(*) FROM kept)
+                     / CAST((SELECT count(*) FROM documents) AS DOUBLE), 6)
+                   AS survival_rate
     """,
     "pl_curation": _KEPT_CTES
     + """

@@ -1026,6 +1026,31 @@ def test_top_paths_hand_traced(spark, tmp_path):
         assert r.share == round(1 / 3, 6)
 
 
+def test_curation_funnel_conserves_pipeline(spark, sf_dir):
+    """Funnel pins: stages are monotone non-increasing, the input count
+    equals the corpus, the final stage equals pl_curation's surviving doc
+    total exactly (one chain, two views), and the survival rate
+    recomputes."""
+    from datalake_on_prem_system_spark.operators.common import t
+    from datalake_on_prem_system_spark.operators.pipeline_ops import (
+        pl_curation,
+        pl_curation_funnel,
+    )
+
+    row = pl_curation_funnel(spark, sf_dir).head()
+    assert row.n_input == t(spark, sf_dir, "documents").count()
+    assert (
+        row.n_input
+        >= row.n_after_quality
+        >= row.n_after_exact
+        >= row.n_after_neardup
+        > 0
+    )
+    kept_total = sum(r.n_docs for r in pl_curation(spark, sf_dir).collect())
+    assert row.n_after_neardup == kept_total
+    assert row.survival_rate == round(row.n_after_neardup / row.n_input, 6)
+
+
 def test_langid_eval_confusion_consistent(spark, sf_dir):
     """Confusion-matrix pins: cell counts conserve the corpus, per-true-
     class shares sum to 1, the correct flag recomputes, and the matrix
