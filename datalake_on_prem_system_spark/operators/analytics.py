@@ -1419,6 +1419,61 @@ _RFM_ORACLE = """
 """
 
 
+def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly STICKINESS (mean DAU / WAU) — the engagement-depth ratio
+    product teams track next to retention: 1.0 means every weekly-active
+    user shows up daily; 1/7 is the drive-by floor. Weeks anchor on the
+    corpus' first event day (the ev_ltv_cohort convention — engine-
+    portable, unlike engine week-truncation rules).
+
+    Determinism: DAU and WAU are exact distinct counts; mean-DAU/WAU =
+    sum_dau / (n_active_days · wau) — integer arithmetic and ONE double
+    division. Scale shape: two partial-agg shuffles ((day, user) distinct
+    → per-day counts; (week, user) distinct → weekly counts), both
+    map-side combined, plus the one-row min-day anchor."""
+    ev = t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    anchor = ev.agg(F.min("day").alias("day0"))
+    days = (
+        ev.distinct()
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            "day",
+            F.expr("datediff(day, day0) div 7").cast("int").alias("week"),
+        )
+    )
+    dau = (
+        days.groupBy("week", "day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_days"),
+            F.sum("dau").alias("sum_dau"),
+        )
+    )
+    wau = (
+        days.select("week", "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, "week")
+        .select(
+            "week",
+            "n_active_days",
+            "sum_dau",
+            "wau",
+            F.round(
+                F.col("sum_dau")
+                / (F.col("n_active_days") * F.col("wau")).cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("week")
+    )
+
+
 def ev_churn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical survival / churn curve over user lifetimes: each user's
     age = days between first and last observed event; per age the at-risk
@@ -1547,6 +1602,7 @@ QUERIES = {
     "ev_transition_matrix": ev_transition_matrix,
     "ev_top_paths": ev_top_paths,
     "ev_churn_curve": ev_churn_curve,
+    "ev_stickiness": ev_stickiness,
     "ev_attribution": ev_attribution,
     "ev_peak_concurrency": ev_peak_concurrency,
     "ev_anomaly_mad": ev_anomaly_mad,
@@ -1574,6 +1630,31 @@ QUERIES = {
 
 ORACLE = {
     "a_rfm_segments": _RFM_ORACLE,
+    "ev_stickiness": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), anchor AS (
+            SELECT min(day) AS day0 FROM ud
+        ), days AS (
+            SELECT user_id, day,
+                   CAST(datediff('day', day0, day) // 7 AS INTEGER) AS week
+            FROM ud, anchor
+        ), dau AS (
+            SELECT week,
+                   CAST(count(*) AS BIGINT) AS n_active_days,
+                   CAST(sum(d) AS BIGINT) AS sum_dau
+            FROM (SELECT week, day, count(*) AS d FROM days GROUP BY 1, 2)
+            GROUP BY week
+        ), wau AS (
+            SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM days GROUP BY week
+        )
+        SELECT week, n_active_days, sum_dau, wau,
+               round(sum_dau / CAST(n_active_days * wau AS DOUBLE), 6)
+                   AS stickiness
+        FROM dau JOIN wau USING (week)
+        ORDER BY week
+    """,
     "ev_churn_curve": """
         WITH ages AS (
             SELECT user_id,

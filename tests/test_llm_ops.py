@@ -1026,6 +1026,39 @@ def test_top_paths_hand_traced(spark, tmp_path):
         assert r.share == round(1 / 3, 6)
 
 
+def test_stickiness_hand_traced(spark, tmp_path):
+    """Stickiness pins: a hand-built week — user A active 7/7 days, user
+    B active 1/7 — gives mean-DAU/WAU = (7+1)/(7·2) = 0.571429; a week
+    where both are daily gives exactly 1.0."""
+    from datetime import datetime, timedelta
+
+    from datalake_on_prem_system_spark.operators.analytics import ev_stickiness
+
+    t0 = datetime(2024, 5, 6, 12, 0, 0)  # Monday
+    rows = []
+    eid = 0
+    # week 0: A daily, B once
+    for d in range(7):
+        rows.append((eid := eid + 1, 1, "a", 0.0, t0 + timedelta(days=d)))
+    rows.append((eid := eid + 1, 2, "a", 0.0, t0 + timedelta(days=3)))
+    # week 1: both daily
+    for d in range(7, 14):
+        rows.append((eid := eid + 1, 1, "a", 0.0, t0 + timedelta(days=d)))
+        rows.append((eid := eid + 1, 2, "a", 0.0, t0 + timedelta(days=d)))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, value double, "
+        "ts timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.week: r for r in ev_stickiness(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1}
+    w0, w1 = got[0], got[1]
+    assert (w0.n_active_days, w0.sum_dau, w0.wau) == (7, 8, 2)
+    assert w0.stickiness == round(8 / 14, 6)
+    assert (w1.n_active_days, w1.sum_dau, w1.wau) == (7, 14, 2)
+    assert w1.stickiness == 1.0
+
+
 def test_curation_funnel_conserves_pipeline(spark, sf_dir):
     """Funnel pins: stages are monotone non-increasing, the input count
     equals the corpus, the final stage equals pl_curation's surviving doc

@@ -274,6 +274,9 @@ _BNLJ_ALLOWED = {
     "pl_dataloader_shards",
     # user total: a ONE-ROW count cross-joined onto the age-bounded curve
     "ev_churn_curve",
+    # week anchor: a ONE-ROW min-day aggregate cross-joined to the
+    # distinct (user, day) frame
+    "ev_stickiness",
 }
 
 
