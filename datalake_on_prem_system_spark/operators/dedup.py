@@ -1090,9 +1090,141 @@ def _semantic_oracle_sql() -> str:
     """
 
 
+def dd_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup — embedding dedup at INGEST time: a new batch
+    of vectors (vec_id % 5 == 0, the incremental-index split) arrives
+    after the coarse quantizer trained on the existing corpus, assigns
+    against the FROZEN centroids (``similarity.build_inc_ivf_index`` —
+    the exact index sim_ann_ivf_incremental serves from), and every new
+    vector is triaged within its cell by precedence:
+
+        'dup_corpus' — a corpus cluster-mate sits at cosine >= tau
+                       (the vector duplicates ALREADY-ADMITTED data)
+        'dup_batch'  — else a LOWER-id new cluster-mate does
+        'admitted'   — else
+
+    the dd_minhash_incremental fate design, over embeddings. Per-cell
+    ledger out. Per-batch cost is O(batch × cell population) — cells stay
+    bounded because nlist grows with the corpus — and the corpus side is
+    read from the persisted cell-partitioned index, never re-encoded."""
+    from .similarity import _dot, build_inc_ivf_index
+
+    path, _centers = build_inc_ivf_index(spark, sf_dir)
+    assigned = spark.read.parquet(path)
+    new = assigned.filter(F.col("vec_id") % 5 == 0).select(
+        "cell",
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nn"),
+    )
+    corpus = assigned.filter(F.col("vec_id") % 5 != 0).select(
+        "cell",
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    cos_c = F.round(_dot(F.col("cv"), F.col("nv")) / (F.col("cn") * F.col("nn")), 6)
+    dup_corpus = (
+        new.join(corpus, "cell")
+        .filter(cos_c >= SEMANTIC_TAU)
+        .select("nid")
+        .distinct()
+        .withColumn("dc", F.lit(1))
+    )
+    lo = new.select(
+        "cell",
+        F.col("nid").alias("lo_id"),
+        F.col("nv").alias("lv"),
+        F.col("nn").alias("ln"),
+    )
+    cos_b = F.round(_dot(F.col("lv"), F.col("nv")) / (F.col("ln") * F.col("nn")), 6)
+    dup_batch = (
+        new.join(lo, "cell")
+        .filter(F.col("lo_id") < F.col("nid"))
+        .filter(cos_b >= SEMANTIC_TAU)
+        .select("nid")
+        .distinct()
+        .withColumn("db", F.lit(1))
+    )
+    fates = (
+        new.select("cell", "nid")
+        .join(dup_corpus, "nid", "left_outer")
+        .join(dup_batch, "nid", "left_outer")
+    )
+    return (
+        fates.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.col("dc").isNotNull().cast("long")).alias("n_dup_corpus"),
+            F.sum(
+                (F.col("dc").isNull() & F.col("db").isNotNull()).cast("long")
+            ).alias("n_dup_batch"),
+            F.sum(
+                (F.col("dc").isNull() & F.col("db").isNull()).cast("long")
+            ).alias("n_admitted"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_new",
+            "n_dup_corpus",
+            "n_dup_batch",
+            "n_admitted",
+        )
+        .orderBy("cell")
+    )
+
+
+def _semantic_inc_oracle_sql() -> str:
+    """DuckDB replay of dd_semantic_incremental: coarse training on the
+    80% split, frozen assignment of ALL vectors (``ivf_assign_ctes`` with
+    assign_src — the sim_ann_ivf_incremental oracle's split), then the
+    corpus-first fate precedence per new vector."""
+    from .similarity import _VECS_SQL, ivf_assign_ctes
+
+    cos = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [a.vec[i] * b.vec[i] for i in range(1, len(a.vec) + 1)]),
+              (s, x) -> s + x) / (a.norm * b.norm)"""
+    return f"""
+        WITH {_VECS_SQL}, train AS (
+            SELECT * FROM n WHERE vec_id % 5 != 0
+        ), {ivf_assign_ctes(src="train", assign_src="n")}, m AS (
+            SELECT n.vec_id, n.vec, n.norm, af.cell
+            FROM n JOIN af USING (vec_id)
+        ), newv AS (
+            SELECT * FROM m WHERE vec_id % 5 = 0
+        ), corp AS (
+            SELECT * FROM m WHERE vec_id % 5 != 0
+        ), dupc AS (
+            SELECT DISTINCT b.vec_id
+            FROM corp a JOIN newv b ON a.cell = b.cell
+            WHERE round({cos}, 6) >= {SEMANTIC_TAU}
+        ), dupb AS (
+            SELECT DISTINCT b.vec_id
+            FROM newv a JOIN newv b ON a.cell = b.cell
+                                   AND a.vec_id < b.vec_id
+            WHERE round({cos}, 6) >= {SEMANTIC_TAU}
+        )
+        SELECT CAST(nv.cell AS BIGINT) AS cell,
+               CAST(count(*) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN dc.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_corpus,
+               CAST(sum(CASE WHEN dc.vec_id IS NULL
+                              AND db.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_batch,
+               CAST(sum(CASE WHEN dc.vec_id IS NULL
+                              AND db.vec_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_admitted
+        FROM newv nv
+        LEFT JOIN dupc dc ON dc.vec_id = nv.vec_id
+        LEFT JOIN dupb db ON db.vec_id = nv.vec_id
+        GROUP BY nv.cell
+        ORDER BY cell
+    """
+
+
 QUERIES = {
     "dd_exact": dd_exact,
     "dd_semantic": dd_semantic,
+    "dd_semantic_incremental": dd_semantic_incremental,
     "dd_span_dedup": dd_span_dedup,
     "dd_containment": dd_containment,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -1303,6 +1435,7 @@ COMPONENTS_CTE_SQL = f"""
 
 ORACLE = {
     "dd_semantic": _semantic_oracle_sql(),
+    "dd_semantic_incremental": _semantic_inc_oracle_sql(),
     "dd_span_dedup": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -367,24 +367,16 @@ def _probe_ivf(
 _INC_IVF_CACHE: dict[tuple[str, float], tuple[str, list[tuple[int, list[float]]]]] = {}
 
 
-def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN probe over an INCREMENTALLY-BUILT IVF index: the coarse
-    quantizer trains once on the initial 80% of the corpus (vec_id % 5
-    != 0, Forgy seeds = its lowest-nlist vec_ids), then the remaining 20%
-    — including the query vector itself — arrives later and is appended
-    via ``append_to_ivf_index``: assignment against FROZEN centroids,
-    O(batch), no retrain (FAISS ``add``). The oracle replays train-on-
-    subset + assign-all bit-for-bit, so the hash check proves the
-    appended vectors land in exactly the cells a from-scratch assignment
-    against those centroids would give them."""
+def build_inc_ivf_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list[tuple[int, list[float]]]]:
+    """The incremental (train-on-80%, frozen-quantizer append) IVF index —
+    factored out of ``sim_ann_ivf_incremental`` so the incremental
+    SemDeDup path (``dedup.dd_semantic_incremental``) shares the exact
+    same build. Same cache-key discipline as ``build_ivf_index``."""
     import os
     import shutil
-    import tempfile
 
-    # same cache-key discipline as build_ivf_index: abspath (one build per
-    # spelling) + embeddings mtime (corpus drift re-builds, so the index
-    # can never serve assignments from regenerated-in-place data), with
-    # superseded index dirs GC'd
     emb = os.path.join(sf_dir, "embeddings.parquet")
     stamp = os.path.getmtime(emb) if os.path.exists(emb) else 0.0
     key = (os.path.abspath(sf_dir), stamp)
@@ -405,7 +397,20 @@ def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stale in [k for k in _INC_IVF_CACHE if k[0] == key[0] and k != key]:
             old_path, _ = _INC_IVF_CACHE.pop(stale)
             shutil.rmtree(os.path.dirname(old_path), ignore_errors=True)
-    path, centers = _INC_IVF_CACHE[key]
+    return _INC_IVF_CACHE[key]
+
+
+def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe over an INCREMENTALLY-BUILT IVF index: the coarse
+    quantizer trains once on the initial 80% of the corpus (vec_id % 5
+    != 0, Forgy seeds = its lowest-nlist vec_ids), then the remaining 20%
+    — including the query vector itself — arrives later and is appended
+    via ``append_to_ivf_index``: assignment against FROZEN centroids,
+    O(batch), no retrain (FAISS ``add``). The oracle replays train-on-
+    subset + assign-all bit-for-bit, so the hash check proves the
+    appended vectors land in exactly the cells a from-scratch assignment
+    against those centroids would give them."""
+    path, centers = build_inc_ivf_index(spark, sf_dir)
     return _probe_ivf(spark.read.parquet(path), centers, _NPROBE)
 
 

@@ -1026,6 +1026,33 @@ def test_top_paths_hand_traced(spark, tmp_path):
         assert r.share == round(1 / 3, 6)
 
 
+def test_semantic_incremental_fates_consistent(spark, sf_dir):
+    """Incremental-SemDeDup pins: fates partition the new batch exactly
+    (n_new = dup_corpus + dup_batch + dup-free), the batch covers every
+    vec_id % 5 == 0 corpus vector, and the full-corpus dd_semantic ledger
+    and this triage agree that the fixture contains semantic duplicates
+    at all (non-vacuous tau)."""
+    from datalake_on_prem_system_spark.operators.dedup import (
+        dd_semantic,
+        dd_semantic_incremental,
+    )
+
+    rows = dd_semantic_incremental(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_new == r.n_dup_corpus + r.n_dup_batch + r.n_admitted
+    n_new_total = sum(r.n_new for r in rows)
+    n_batch = (
+        similarity._vecs(spark, sf_dir)
+        .filter(F.col("vec_id") % 5 == 0)
+        .count()
+    )
+    assert n_new_total == n_batch
+    dup_total = sum(r.n_dup_corpus + r.n_dup_batch for r in rows)
+    full_removed = sum(r.n_removed for r in dd_semantic(spark, sf_dir).collect())
+    assert (dup_total > 0) == (full_removed > 0)  # tau bites in both views
+
+
 def test_stickiness_hand_traced(spark, tmp_path):
     """Stickiness pins: a hand-built week — user A active 7/7 days, user
     B active 1/7 — gives mean-DAU/WAU = (7+1)/(7·2) = 0.571429; a week
