@@ -1419,6 +1419,64 @@ _RFM_ORACLE = """
 """
 
 
+def ev_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration report — how much of the event volume the top
+    user deciles generate (the 80/20 table behind capacity planning and
+    whale-risk review): users rank by event count (ties on user_id),
+    split into ten rank-deciles, and each decile reports its user count,
+    event volume, share, and the cumulative share.
+
+    Determinism: integer rank arithmetic (decile = (rank−1)·10 // n_users)
+    and exact integer sums; the two shares are single divisions; the
+    cumulative window runs over ten rows. Scale note: the exact global
+    rank is the AUDIT form (a sort over the per-user aggregate — one row
+    per user); at extreme user cardinality production swaps in
+    range-partitioned sort or approximate count-quantile boundaries, same
+    downstream arithmetic."""
+    counts = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(
+        F.count(F.lit(1)).alias("n_users_total"),
+        F.sum("n").alias("n_events_total"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    ranked = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "decile",
+            F.expr("((rnk - 1) * 10) div n_users_total").cast("int"),
+        )
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.max("n_events_total").alias("tot"),
+    )
+    w_cum = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per.withColumn("cum_events", F.sum("n_events").over(w_cum))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.round(F.col("n_events") / F.col("tot").cast("double"), 6).alias(
+                "event_share"
+            ),
+            F.round(F.col("cum_events") / F.col("tot").cast("double"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
 def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly STICKINESS (mean DAU / WAU) — the engagement-depth ratio
     product teams track next to retention: 1.0 means every weekly-active
@@ -1603,6 +1661,7 @@ QUERIES = {
     "ev_top_paths": ev_top_paths,
     "ev_churn_curve": ev_churn_curve,
     "ev_stickiness": ev_stickiness,
+    "ev_pareto_share": ev_pareto_share,
     "ev_attribution": ev_attribution,
     "ev_peak_concurrency": ev_peak_concurrency,
     "ev_anomaly_mad": ev_anomaly_mad,
@@ -1630,6 +1689,35 @@ QUERIES = {
 
 ORACLE = {
     "a_rfm_segments": _RFM_ORACLE,
+    "ev_pareto_share": """
+        WITH counts AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_users_total,
+                   CAST(sum(n) AS BIGINT) AS n_events_total
+            FROM counts
+        ), ranked AS (
+            SELECT n,
+                   CAST(((row_number() OVER (ORDER BY n DESC, user_id ASC)
+                          - 1) * 10) // n_users_total AS INTEGER) AS decile,
+                   n_events_total
+            FROM counts CROSS JOIN tot
+        ), per AS (
+            SELECT decile,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   max(n_events_total) AS tot
+            FROM ranked GROUP BY decile
+        )
+        SELECT decile, n_users, n_events,
+               round(n_events / CAST(tot AS DOUBLE), 6) AS event_share,
+               round(CAST(sum(n_events) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) / CAST(tot AS DOUBLE), 6) AS cum_share
+        FROM per
+        ORDER BY decile
+    """,
     "ev_stickiness": """
         WITH ud AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

@@ -513,6 +513,63 @@ def dd_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILERPLATE_MIN_DOCS = 3  # a line in >= 3 distinct docs is boilerplate
+_BOILERPLATE_LINE_WORDS = 10  # fixture line proxy: fixed 10-word windows
+
+
+def dd_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document repeated-LINE detection — the C4/RefinedWeb
+    boilerplate rule (headers, footers, cookie banners repeat VERBATIM
+    across pages; within-doc repetition is ``cur_repetition_filter``'s
+    job, this is the ACROSS-doc sibling): lines appearing in >=
+    ``_BOILERPLATE_MIN_DOCS`` distinct documents, with occurrence counts
+    and the share of the corpus they touch — the removal list a
+    pretraining pipeline applies line-wise BEFORE document-level dedup
+    ever runs. The fixture text has no newlines, so 'line' here is the
+    fixed ``_BOILERPLATE_LINE_WORDS``-word window (production swaps the
+    chunker for split-on-newline; everything downstream is identical).
+
+    Scale shape: one per-doc chunk explode → (line, doc) DISTINCT →
+    line-keyed partial agg (map-side combined); candidates are bounded by
+    the distinct-line vocabulary (at 100 TB the shuffle key is the line's
+    hash, with text re-attached to the tiny flagged set — here lines
+    carry directly since the report must show the offending text). The
+    corpus total is a ONE-ROW scalar anchor."""
+    docs = t_par(spark, sf_dir, "documents")
+    k = _BOILERPLATE_LINE_WORDS
+    w = F.split(F.col("text"), " ")
+    chunks = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), (F.size(w) / k).cast("int") - 1),
+            lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = (
+        docs.select("doc_id", F.explode(chunks).alias("line"))
+        .filter(F.col("line") != "")
+        .distinct()
+    )
+    counts = lines.groupBy("line").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        counts.filter(F.col("n_docs") >= _BOILERPLATE_MIN_DOCS)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "line",
+            "n_docs",
+            "first_doc",
+            F.round(F.col("n_docs") / F.col("n_corpus").cast("double"), 6).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("line"))
+    )
+
+
 _MINHASH_IDX_CACHE: dict[tuple, str] = {}
 _MINHASH_BUILDS = 0  # test observability: index builds must be train-once
 
@@ -1225,6 +1282,7 @@ QUERIES = {
     "dd_exact": dd_exact,
     "dd_semantic": dd_semantic,
     "dd_semantic_incremental": dd_semantic_incremental,
+    "dd_boilerplate_lines": dd_boilerplate_lines,
     "dd_span_dedup": dd_span_dedup,
     "dd_containment": dd_containment,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -1436,6 +1494,36 @@ COMPONENTS_CTE_SQL = f"""
 ORACLE = {
     "dd_semantic": _semantic_oracle_sql(),
     "dd_semantic_incremental": _semantic_inc_oracle_sql(),
+    "dd_boilerplate_lines": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), ch AS (
+            SELECT doc_id,
+                   unnest(range(0, len(w) // {_BOILERPLATE_LINE_WORDS})) AS i,
+                   w
+            FROM w
+        ), lines AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(
+                       w[i * {_BOILERPLATE_LINE_WORDS} + 1
+                         : i * {_BOILERPLATE_LINE_WORDS}
+                           + {_BOILERPLATE_LINE_WORDS}],
+                       ' ') AS line
+            FROM ch
+        ), counts AS (
+            SELECT line,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM lines WHERE line <> '' GROUP BY line
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents
+        )
+        SELECT line, n_docs, first_doc,
+               round(n_docs / CAST(n_corpus AS DOUBLE), 6) AS doc_share
+        FROM counts CROSS JOIN tot
+        WHERE n_docs >= {_BOILERPLATE_MIN_DOCS}
+        ORDER BY n_docs DESC, line ASC
+    """,
     "dd_span_dedup": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents

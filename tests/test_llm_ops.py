@@ -1026,6 +1026,63 @@ def test_top_paths_hand_traced(spark, tmp_path):
         assert r.share == round(1 / 3, 6)
 
 
+def test_pareto_share_hand_traced(spark, tmp_path):
+    """Pareto pins on 10 users with event counts 10,9,...,1 (total 55):
+    each decile holds exactly one user in rank order, decile 0's share is
+    10/55, cum_share is monotone and ends at exactly 1.0."""
+    from datalake_on_prem_system_spark.operators.analytics import ev_pareto_share
+
+    rows = []
+    eid = 0
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1)
+    for u in range(1, 11):
+        for _ in range(11 - u):  # user 1 → 10 events ... user 10 → 1
+            rows.append((eid := eid + 1, u, "a", 0.0, t0))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, value double, "
+        "ts timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = ev_pareto_share(spark, str(tmp_path)).collect()
+    assert [r.decile for r in got] == list(range(10))
+    assert all(r.n_users == 1 for r in got)
+    assert [r.n_events for r in got] == list(range(10, 0, -1))
+    assert got[0].event_share == round(10 / 55, 6)
+    cums = [r.cum_share for r in got]
+    assert cums == sorted(cums) and cums[-1] == 1.0
+
+
+def test_boilerplate_lines_hand_planted(spark, tmp_path):
+    """Boilerplate pins: a 10-word banner planted at a window boundary in
+    three docs is flagged with n_docs=3 and the right doc share; a line
+    shared by only two docs stays below the threshold; within-doc
+    repetition alone never triggers (DISTINCT per doc)."""
+    from datalake_on_prem_system_spark.operators.dedup import (
+        dd_boilerplate_lines,
+    )
+
+    banner = " ".join(f"b{i}" for i in range(10))
+    pair = " ".join(f"p{i}" for i in range(10))
+    docs = [
+        (0, banner + " " + " ".join(f"x{i}" for i in range(10))),
+        (1, banner + " " + " ".join(f"y{i}" for i in range(10))),
+        # within-doc repeat of the banner: still ONE doc's vote
+        (2, banner + " " + banner),
+        (3, pair + " " + " ".join(f"z{i}" for i in range(10))),
+        (4, pair + " " + " ".join(f"w{i}" for i in range(10))),
+    ]
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.line: r for r in dd_boilerplate_lines(spark, str(tmp_path)).collect()}
+    assert set(got) == {banner}
+    assert (got[banner].n_docs, got[banner].first_doc) == (3, 0)
+    assert got[banner].doc_share == round(3 / 5, 6)
+
+
 def test_semantic_incremental_fates_consistent(spark, sf_dir):
     """Incremental-SemDeDup pins: fates partition the new batch exactly
     (n_new = dup_corpus + dup_batch + dup-free), the batch covers every

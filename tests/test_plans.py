@@ -277,6 +277,12 @@ _BNLJ_ALLOWED = {
     # week anchor: a ONE-ROW min-day aggregate cross-joined to the
     # distinct (user, day) frame
     "ev_stickiness",
+    # corpus total: a ONE-ROW count cross-joined onto the boilerplate
+    # candidates
+    "dd_boilerplate_lines",
+    # user/event totals: a ONE-ROW aggregate cross-joined onto the
+    # per-user count table
+    "ev_pareto_share",
 }
 
 
