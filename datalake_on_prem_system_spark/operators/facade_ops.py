@@ -3,12 +3,11 @@ end-to-end through ``LakeEngine`` (SURVEY §2.15 / api_poc.py endpoints)."""
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import index_tempdir, t
 
 
 def _engine_with_parts(spark: SparkSession, sf_dir: str):
@@ -16,7 +15,7 @@ def _engine_with_parts(spark: SparkSession, sf_dir: str):
     # import here would make the operators package import circular
     from ..engine import LakeEngine
 
-    eng = LakeEngine(spark, tempfile.mkdtemp(prefix="eng_"))
+    eng = LakeEngine(spark, index_tempdir("eng_"))
     eng.write_table(
         "parts",
         t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_retailprice"),
@@ -72,7 +71,7 @@ def api_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..api import LakeApiServer
     from ..engine import LakeEngine
 
-    eng = LakeEngine(spark, tempfile.mkdtemp(prefix="api_eng_"))
+    eng = LakeEngine(spark, index_tempdir("api_eng_"))
     srv = LakeApiServer(eng).start()
     base = f"http://127.0.0.1:{srv.port}"
     try:

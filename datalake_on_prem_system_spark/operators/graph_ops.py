@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import _cache
 from ._cache import persist_bounded
 from .common import t
 
@@ -405,10 +406,22 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the same integer rank arithmetic the oracle's window CTE uses.
     Memoized per sf_dir; the pair frame itself is persisted (it feeds the
     histogram and the edge filter)."""
+    key = _cosupply_key(sf_dir)
+    if key not in _COSUPPLY_MIN_W:
+        # mtime-key miss: if lineitem was regenerated IN PLACE, Spark's
+        # plan-keyed cache would still serve the stale pair rows (the
+        # logical plan is unchanged), so the fresh threshold would be
+        # derived from old data. Drop any superseded same-plan entries
+        # before re-persisting (round-10 ADVICE; release() documents
+        # exactly this hazard). Also invalidate thresholds memoized for
+        # an older generation of the same sf_dir.
+        _cache.release(f"g_cosupply_pw:{sf_dir}")
+        _cache.release(f"g_cosupply_edges:{sf_dir}")
+        for stale in [k for k in _COSUPPLY_MIN_W if k[0] == key[0]]:
+            del _COSUPPLY_MIN_W[stale]
     pw = persist_bounded(
         _cosupply_pairs(spark, sf_dir), f"g_cosupply_pw:{sf_dir}"
     )
-    key = _cosupply_key(sf_dir)
     if key not in _COSUPPLY_MIN_W:
         hist = sorted(
             pw.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect(),

@@ -10,14 +10,13 @@ commit → read end-to-end.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lakehouse import LakeTable
 from ..sources.csv_ingest import ingest_csv
-from .common import t
+from .common import index_tempdir, t
 
 
 def _write_csv(df: DataFrame, path: str) -> None:
@@ -28,7 +27,7 @@ def in_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+F8+K1: CSV with Avro-hostile headers (spaces, dots, parens) →
     sanitize → inferSchema → create-or-replace → read back. Output cast to
     stable widths (inference picks the narrowest int that fits)."""
-    work = tempfile.mkdtemp(prefix="ingest_rt_")
+    work = index_tempdir("ingest_rt_")
     src = (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 10 == 0)
@@ -51,7 +50,7 @@ def in_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def in_csv_append_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 + schema evolution: second CSV batch adds a column and drops one —
     union-of-columns alignment (ingest_csv_hudi.py:112-146)."""
-    work = tempfile.mkdtemp(prefix="ingest_ev_")
+    work = index_tempdir("ingest_ev_")
     supp = t(spark, sf_dir, "supplier")
     batch1 = supp.filter(F.col("s_suppkey") % 2 == 0).select(
         "s_suppkey", "s_name", "s_nationkey"
@@ -77,7 +76,7 @@ def in_csv_upsert_precombine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3: Hudi-style keyed upsert with precombine — the change CSV carries
     two versions of the same keys; the higher precombine wins (W1
     last-writer-wins), then MERGE applies."""
-    work = tempfile.mkdtemp(prefix="ingest_up_")
+    work = index_tempdir("ingest_up_")
     nation = t(spark, sf_dir, "nation")
     base = nation.select("n_nationkey", "n_name", "n_regionkey")
     changes = (
@@ -114,7 +113,7 @@ def in_csv_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hudi partition-path parity (ingest_csv_hudi.py:101-103): ingest with
     ``partition_by`` → hive-partitioned layout → a partition-key filter
     prunes to one directory at the scan (asserted in tests/test_plans.py)."""
-    work = tempfile.mkdtemp(prefix="ingest_pt_")
+    work = index_tempdir("ingest_pt_")
     src = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acct_bal")
     )
@@ -141,7 +140,7 @@ def in_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERMISSIVE corrupt-record capture, flatten, commit to a LakeTable,
     read back. The flatten is a plain nested-field projection — pushed into
     the scan, no UDF."""
-    work = tempfile.mkdtemp(prefix="ingest_jl_")
+    work = index_tempdir("ingest_jl_")
     src = os.path.join(work, "docs.jsonl")
     t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -176,7 +175,7 @@ def in_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders as ORC, read back through the columnar reader with a pushed
     filter + pruned projection — same declarative path as the parquet
     scans, different on-disk format."""
-    work = tempfile.mkdtemp(prefix="ingest_orc_")
+    work = index_tempdir("ingest_orc_")
     src = os.path.join(work, "orders.orc")
     t(spark, sf_dir, "orders").write.mode("overwrite").orc(src)
     return (
@@ -207,7 +206,7 @@ def in_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if sf_dir not in _JDBC_DB_CACHE:
         _JDBC_DB_CACHE[sf_dir] = os.path.join(
-            tempfile.mkdtemp(prefix="derby_"), "db"
+            index_tempdir("derby_"), "db"
         )
     url = f"jdbc:derby:{_JDBC_DB_CACHE[sf_dir]};create=true"
     src = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
@@ -252,7 +251,7 @@ def in_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the corruption rule is deterministic (key mod 10), so DuckDB
     derives both counts and the clean key-sum from the fixture."""
-    work = tempfile.mkdtemp(prefix="ingest_bad_")
+    work = index_tempdir("ingest_bad_")
     cust = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal")
     )

@@ -22,14 +22,13 @@ Reference parity map:
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lakehouse import LakeCatalog, LakeTable, snapshot_diff
 from ..lakehouse.diff import changes_feed
-from .common import t
+from .common import index_tempdir, t
 
 
 def _base_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +71,7 @@ _MERGED_CACHE: dict[str, str] = {}
 def _merged_table(spark: SparkSession, sf_dir: str) -> LakeTable:
     """v0 = base customers; v1 = CDC MERGE (update/delete/insert)."""
     if sf_dir not in _MERGED_CACHE:
-        root = tempfile.mkdtemp(prefix="lake_merge_")
+        root = index_tempdir("lake_merge_")
         table = LakeTable(spark, root)
         table.create_or_replace(_base_customers(spark, sf_dir))
         table.merge(_cdc_source(spark, sf_dir), pk="c_custkey", op_col="op")
@@ -99,7 +98,7 @@ def _mor_amplified_table(spark: SparkSession, sf_dir: str) -> LakeTable:
     updates the disjoint slice c_custkey % 7 == i, so every customer key
     is covered by exactly one delta — SQL-expressible final state."""
     if sf_dir not in _MOR_AMP_CACHE:
-        root = tempfile.mkdtemp(prefix="lake_moramp_")
+        root = index_tempdir("lake_moramp_")
         table = LakeTable(spark, root)
         # mor mode is a TABLE PROPERTY — without it every merge is a
         # copy-on-write rewrite and there are no deltas to read through
@@ -176,7 +175,7 @@ def mor_read_profile(spark: SparkSession, sf_dir: str) -> dict:
     import shutil
     import time as _time
 
-    root = tempfile.mkdtemp(prefix="lake_morprof_")
+    root = index_tempdir("lake_morprof_")
     out: dict = {}
     try:
         table = LakeTable(spark, root)
@@ -234,7 +233,7 @@ def lh_composite_key_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeat sweeps re-read, not re-commit, and no tempdir-per-call leak."""
     pk = ["l_orderkey", "l_linenumber"]
     if sf_dir not in _CPK_CACHE:
-        root = tempfile.mkdtemp(prefix="lake_cpk_")
+        root = index_tempdir("lake_cpk_")
         table = LakeTable(spark, root)
         base = (
             t(spark, sf_dir, "lineitem")
@@ -285,7 +284,7 @@ def _scd2_root(spark: SparkSession, sf_dir: str) -> str:
 
     key, attrs = "c_custkey", ["c_mktsegment", "c_acctbal"]
     if sf_dir not in _SCD2_CACHE:
-        root = tempfile.mkdtemp(prefix="lake_scd2_")
+        root = index_tempdir("lake_scd2_")
         table = LakeTable(spark, root)
         cust = t(spark, sf_dir, "customer").select(
             "c_custkey", "c_mktsegment", "c_acctbal"
@@ -406,7 +405,7 @@ def lh_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compact() folds everything into hive leaves and this query reads
     the fully-partitioned snapshot."""
     if sf_dir not in _PARTITIONS_CACHE:
-        root = tempfile.mkdtemp(prefix="lake_parts_")
+        root = index_tempdir("lake_parts_")
         table = LakeTable(spark, root)
         orders = t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice", "o_orderpriority"
@@ -432,7 +431,7 @@ def _orders_epoch_table(spark: SparkSession, sf_dir: str) -> LakeTable:
     filter skip whole historical segments (the classic append-by-time
     data-skipping case)."""
     if sf_dir not in _STATS_SKIP_CACHE:
-        root = tempfile.mkdtemp(prefix="lake_statskip_")
+        root = index_tempdir("lake_statskip_")
         table = LakeTable(spark, root)
         base = t(spark, sf_dir, "orders").select(
             "o_orderkey",
@@ -476,7 +475,7 @@ def lh_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality non-layout column costs O(segments containing the
     key), not O(table). Soundness + parity pinned in tests/test_bloom.py."""
     if sf_dir not in _BLOOM_CACHE:
-        root = tempfile.mkdtemp(prefix="lake_bloom_")
+        root = index_tempdir("lake_bloom_")
         table = LakeTable(spark, root)
         base = t(spark, sf_dir, "orders").select(
             "o_orderkey",
@@ -514,7 +513,7 @@ def lh_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..lakehouse.zorder import zorder_key
 
     if sf_dir not in _ZORDER_CACHE:
-        root = tempfile.mkdtemp(prefix="lake_zorder_")
+        root = index_tempdir("lake_zorder_")
         table = LakeTable(spark, root)
         table.create_or_replace(
             t(spark, sf_dir, "orders").select(
@@ -580,7 +579,7 @@ def lh_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lh_dml_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+M2+M3: typed insert / update / keyed delete round trip — four real
     commits, final state read back."""
-    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_dml_"))
+    table = LakeTable(spark, index_tempdir("lake_dml_"))
     base = (
         t(spark, sf_dir, "part")
         .filter(F.col("p_partkey") < 100)
@@ -605,7 +604,7 @@ def lh_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns exactly the pre-damage state — which is the oracle: plain SQL
     over the fixture, because the damage never happened. History keeps the
     botched interval time-travelable (asserted in pytest)."""
-    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_restore_"))
+    table = LakeTable(spark, index_tempdir("lake_restore_"))
     base = (
         t(spark, sf_dir, "part")
         .filter(F.col("p_partkey") < 150)
@@ -628,7 +627,7 @@ def lh_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle: plain SQL over the fixture, because layout is invisible to
     query results. Pruning on the new layout is plan-asserted in
     tests/test_lakehouse.py."""
-    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_pevo_"))
+    table = LakeTable(spark, index_tempdir("lake_pevo_"))
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -655,7 +654,7 @@ def lh_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the branch head back to main as one commit re-referencing the shared
     segments. Returns main's post-merge read; the oracle recomputes the
     same final state as plain SQL, as if the work had run on main."""
-    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_branch_"))
+    table = LakeTable(spark, index_tempdir("lake_branch_"))
     sup = t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
     )
@@ -675,7 +674,7 @@ def lh_constrained_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_constraints.py pins the rejection side) and reads back the
     final state, which the oracle reproduces as plain SQL. Proves
     enforcement never perturbs committed data."""
-    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_constr_"))
+    table = LakeTable(spark, index_tempdir("lake_constr_"))
     base = (
         t(spark, sf_dir, "part")
         .filter(F.col("p_partkey") < 120)
@@ -700,7 +699,7 @@ def lh_append_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 + schema evolution: append a batch carrying a new column — old
     rows take NULL (ingest_csv_hudi.py:112-146 union-of-columns
     semantics via unionByName(allowMissingColumns))."""
-    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_append_"))
+    table = LakeTable(spark, index_tempdir("lake_append_"))
     nations = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     table.create_or_replace(nations.filter(F.col("n_nationkey") < 10))
     table.append(
@@ -717,7 +716,7 @@ def lh_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     take its values, untouched rows read NULL, and the table schema widens
     without rewriting untouched data. The first schema change every
     long-lived CDC pipeline hits (upstream added a field)."""
-    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_mevo_"))
+    table = LakeTable(spark, index_tempdir("lake_mevo_"))
     nations = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     table.create_or_replace(nations)
     # the change batch: update regionkey-0 nations with a new `trade_zone`
@@ -743,7 +742,7 @@ def lh_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lh_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1+D2: SHOW TABLES + DESCRIBE through the catalog facade."""
-    cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_cat_"), namespace="trino_db")
+    cat = LakeCatalog(spark, index_tempdir("lake_cat_"), namespace="trino_db")
     cat.create_namespace()
     cat.table("regions").create_or_replace(t(spark, sf_dir, "region"))
     cat.table("nations").create_or_replace(t(spark, sf_dir, "nation"))
@@ -792,7 +791,7 @@ def lh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
         )
 
-    table = LakeTable(spark, tempfile.mkdtemp(prefix="lake_rollup_"))
+    table = LakeTable(spark, index_tempdir("lake_rollup_"))
     table.create_or_replace(partial(ev.filter(F.col("ts") < cutoff)))
     for lo, hi in [("2024-01-15", "2024-01-22"), ("2024-01-22", None)]:
         batch = ev.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
@@ -828,7 +827,7 @@ _FEED_CACHE: dict[str, str] = {}
 def _feed_table(spark: SparkSession, sf_dir: str) -> LakeTable:
     """v0 = base customers; v1 = CDC MERGE; v2 = segment update."""
     if sf_dir not in _FEED_CACHE:
-        root = tempfile.mkdtemp(prefix="lake_feed_")
+        root = index_tempdir("lake_feed_")
         table = LakeTable(spark, root)
         table.create_or_replace(_base_customers(spark, sf_dir))
         table.merge(_cdc_source(spark, sf_dir), pk="c_custkey", op_col="op")
@@ -859,12 +858,12 @@ def lh_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (O(metadata), no data copied), update one row in the CLONE and a
     different row in the SOURCE, and return both sides tagged — proving
     snapshot isolation between the two tables over shared segments."""
-    src = LakeTable(spark, tempfile.mkdtemp(prefix="lake_clone_src_"))
+    src = LakeTable(spark, index_tempdir("lake_clone_src_"))
     src.create_or_replace(
         t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
         bucket_by=("n_nationkey", 4),
     )
-    clone = src.clone_to(tempfile.mkdtemp(prefix="lake_clone_dst_") + "/t")
+    clone = src.clone_to(index_tempdir("lake_clone_dst_") + "/t")
     clone.update_where(F.col("n_nationkey") == 3, {"n_name": F.lit("CLONE_EDIT")})
     src.update_where(F.col("n_nationkey") == 5, {"n_name": F.lit("SRC_EDIT")})
     return src.read().withColumn("side", F.lit("src")).unionByName(
@@ -881,7 +880,7 @@ _COLO_DIR: str | None = None
 def _colo_root() -> str:
     global _COLO_DIR
     if _COLO_DIR is None:
-        _COLO_DIR = tempfile.mkdtemp(prefix="lake_colo_")
+        _COLO_DIR = index_tempdir("lake_colo_")
     return _COLO_DIR
 
 
@@ -972,7 +971,7 @@ def lh_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     if sf_dir not in _COMPACT_PLAN_CACHE:
-        root = tempfile.mkdtemp(prefix="lake_compactplan_")
+        root = index_tempdir("lake_compactplan_")
         table = LakeTable(spark, root)
         base = t(spark, sf_dir, "orders").select(
             "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
@@ -1056,7 +1055,7 @@ def lh_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the orders table. Scale shape: O(versions × manifest entries)
     driver-side metadata, like every $-table here."""
     if sf_dir not in _VACUUM_PLAN_CACHE:
-        root = tempfile.mkdtemp(prefix="lake_vacplan_")
+        root = index_tempdir("lake_vacplan_")
         table = LakeTable(spark, root)
         base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
         table.create_or_replace(base)  # v1: full load (expired by policy)
@@ -1066,24 +1065,39 @@ def lh_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = LakeTable(spark, _VACUUM_PLAN_CACHE[sf_dir])
     versions = sorted(table.versions())
     live = set(versions[-_VACUUM_KEEP:])
-    seen: dict[str, tuple[int, int, bool]] = {}
-    for v in versions:
-        for r in table.files(v).collect():
-            import json as _json
+    # distributed manifest relation: union the per-version $files frames
+    # (each O(manifest entries)) tagged with liveness, then derive per-
+    # segment liveness as bool_or over its referencing snapshots — one
+    # groupBy, no driver-side versions × entries fold. At warehouse scale
+    # the manifest union is millions of rows across thousands of
+    # snapshots; the aggregate shape is what an Iceberg expire_snapshots
+    # dry-run runs as a distributed metadata query.
+    from functools import reduce as _reduce
 
-            min_key = int(_json.loads(r.stats_json)["o_orderkey"][0])
-            prev = seen.get(r.path)
-            is_live = (v in live) or (prev[2] if prev else False)
-            seen[r.path] = (int(r.n_rows), min_key, is_live)
-    rows = [
-        (n_rows, min_key, is_live, not is_live)
-        for n_rows, min_key, is_live in seen.values()
-    ]
-    return spark.createDataFrame(
-        rows,
-        "n_rows bigint, min_orderkey bigint, is_live boolean, "
-        "reclaimable boolean",
-    ).orderBy(F.desc("n_rows"))
+    manifest = _reduce(
+        DataFrame.unionByName,
+        [
+            table.files(v).withColumn("ref_live", F.lit(v in live))
+            for v in versions
+        ],
+    )
+    return (
+        manifest.groupBy("path")
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.get_json_object(F.first("stats_json"), "$.o_orderkey[0]")
+            .cast("long")
+            .alias("min_orderkey"),
+            F.bool_or("ref_live").alias("is_live"),
+        )
+        .select(
+            "n_rows",
+            "min_orderkey",
+            "is_live",
+            (~F.col("is_live")).alias("reclaimable"),
+        )
+        .orderBy(F.desc("n_rows"))
+    )
 
 
 QUERIES = {

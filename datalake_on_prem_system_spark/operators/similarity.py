@@ -1130,8 +1130,13 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "qv", "qnorm", "cell")
     )
 
+    # cache key carries the INDEX PATH, not just sf_dir: an in-place
+    # embeddings regeneration yields a new index dir, hence a different
+    # logical plan — keying on the path lets persist_bounded's same-plan
+    # replace contract hold (round-10 ADVICE: an sf_dir-only key popped
+    # the old entry without unpersisting, leaking its cached blocks)
     recon = _recon_frame(
-        spark, path, books, cache_key=f"knng_recon:{sf_dir}"
+        spark, path, books, cache_key=f"knng_recon:{path}"
     )
     # project to (q_id, vec_id, aip) BEFORE the rank window: the window
     # shuffle would otherwise carry the 64-double query/reconstruction

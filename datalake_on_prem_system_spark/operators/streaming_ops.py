@@ -11,7 +11,6 @@ resurrection, dedup, merge, trigger and checkpoint in one pass.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -20,7 +19,7 @@ from ..lakehouse.table import LakeTable
 from ..streaming.aggregate import windowed_event_agg
 from ..streaming.cdc import run_cdc_file_stream
 from ..streaming.join import interval_join_streams
-from .common import t
+from .common import index_tempdir, t
 
 _CUTOFF = "2024-01-15"
 _ROW_DDL = "event_id bigint, user_id bigint, event_type string, value double, ts_us bigint"
@@ -93,7 +92,7 @@ def _envelope_dir(spark: SparkSession, sf_dir: str, n_files: int, copies: int = 
     corpus for the bench; correctness queries use copies=1."""
     key = (sf_dir, n_files, copies)
     if key not in _ENVELOPE_CACHE:
-        src = os.path.join(tempfile.mkdtemp(prefix="cdc_src_"), "events")
+        src = os.path.join(index_tempdir("cdc_src_"), "events")
         changes = _changes(spark, sf_dir)
         if copies > 1:
             from functools import reduce as _reduce
@@ -127,7 +126,7 @@ def _envelope_dir(spark: SparkSession, sf_dir: str, n_files: int, copies: int = 
 
 
 def _run_stream(spark: SparkSession, sf_dir: str, n_files: int, max_files: int | None) -> LakeTable:
-    work = tempfile.mkdtemp(prefix="cdc_stream_")
+    work = index_tempdir("cdc_stream_")
     src = _envelope_dir(spark, sf_dir, n_files)
     table = _seed_target(spark, sf_dir, os.path.join(work, "tbl"))
     run_cdc_file_stream(
@@ -177,7 +176,7 @@ def _events_json_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
     event — the at-least-once corpus for the dedup query)."""
     key = (sf_dir, copies)
     if key not in _EVENTS_JSON_CACHE:
-        src = os.path.join(tempfile.mkdtemp(prefix="ev_json_"), "events")
+        src = os.path.join(index_tempdir("ev_json_"), "events")
         ev = t(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value",
             F.unix_micros("ts").alias("ts_us"),
@@ -417,7 +416,7 @@ def st_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key, attrs = "c_custkey", ["c_mktsegment", "c_acctbal"]
     if sf_dir not in _SCD2_STREAM_CACHE:
-        work = tempfile.mkdtemp(prefix="scd2_stream_")
+        work = index_tempdir("scd2_stream_")
         src = os.path.join(work, "src")
         cust = t(spark, sf_dir, "customer").select(key, *attrs)
         b1 = (
@@ -516,7 +515,7 @@ def _docs_json_dir(spark: SparkSession, sf_dir: str) -> str:
     """Documents fixture as JSON-lines files — the live-ingest shape of the
     corpus (crawler output landing as line-delimited JSON)."""
     if sf_dir not in _DOCS_JSON_CACHE:
-        src = os.path.join(tempfile.mkdtemp(prefix="doc_json_"), "documents")
+        src = os.path.join(index_tempdir("doc_json_"), "documents")
         t(spark, sf_dir, "documents").write.mode("overwrite").json(src)
         _DOCS_JSON_CACHE[sf_dir] = src
     return _DOCS_JSON_CACHE[sf_dir]
@@ -808,7 +807,7 @@ def st_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx_path = build_minhash_index(spark, sf_dir)
     docs = t(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="neardup_stream_")
+    work = index_tempdir("neardup_stream_")
     out_dir = os.path.join(work, "matches")
 
     def _probe(batch_df: DataFrame, _batch_id: int) -> None:
