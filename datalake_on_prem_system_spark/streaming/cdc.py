@@ -132,6 +132,9 @@ def last_writer_wins(df: DataFrame, pk: str, order_cols: list[str]) -> DataFrame
     )
 
 
+_CDC_WATERMARK_PROP = "cdc.applied"  # "<stream_id>:<batch_id>" of the last applied batch
+
+
 def cdc_apply_batch(
     table: LakeTable,
     pk: str,
@@ -140,9 +143,29 @@ def cdc_apply_batch(
     drop_cols: list[str],
     batch_df: DataFrame,
     batch_id: int,
+    stream_id: str | None = None,
 ) -> None:
-    """The foreachBatch body (cdc_merger_optimized.py:114-183): guard empty
-    batch (P12) → normalize → dedup → MERGE."""
+    """The foreachBatch body (cdc_merger_optimized.py:114-183): replay
+    guard → guard empty batch (P12) → normalize → dedup → MERGE.
+
+    Exactly-once across crash replays (the SURVEY §7 risk-register item):
+    Structured Streaming re-runs the last in-flight micro-batch after a
+    crash with the SAME ``batch_id``. MERGE is idempotent for this
+    pipeline's upsert/delete shape, but the guarantee is made structural —
+    the (stream, batch) watermark is recorded as a table property ON the
+    merge commit itself (Delta's txn-action pattern), so a replayed batch
+    is detected and skipped atomically with the state it would re-write.
+    Only the CURRENT stream's watermark is kept: the single-writer CDC
+    contract means a new stream (new checkpoint → new ``stream_id``)
+    legitimately restarts at batch 0 and must not be blocked by a previous
+    stream's counter."""
+    if stream_id is not None and table.exists():
+        rec = (table.properties() or {}).get(_CDC_WATERMARK_PROP)
+        if rec:
+            rs, _, rb = rec.partition(":")
+            if rs == stream_id and batch_id <= int(rb):
+                return  # crash-replay of an already-applied batch
+    extra = {_CDC_WATERMARK_PROP: f"{stream_id}:{batch_id}"} if stream_id else None
     # the file/Kafka source typically delivers a batch as very few input
     # partitions (often one); spread the parse across the cluster BEFORE
     # the JSON work — otherwise the whole batch parses on one core
@@ -154,7 +177,7 @@ def cdc_apply_batch(
         # delta write. The empty/unparseable-batch guard (P12) is the
         # write's own footer count inside merge (no commit when 0 rows),
         # so no separate probe job runs per micro-batch.
-        table.merge(dedup, pk=pk, op_col="op")
+        table.merge(dedup, pk=pk, op_col="op", extra_properties=extra)
         return
     # copy-on-write path: probe emptiness once on a persisted parse so an
     # empty batch never publishes a full-rewrite commit (P12)
@@ -162,7 +185,7 @@ def cdc_apply_batch(
     try:
         if cached.isEmpty():
             return
-        table.merge(cached, pk=pk, op_col="op")
+        table.merge(cached, pk=pk, op_col="op", extra_properties=extra)
     finally:
         cached.unpersist()
 
@@ -181,11 +204,22 @@ def _drive_cdc(
     which calls ``normalize_envelope`` — the file-source tests therefore
     exercise the exact batch pipeline the Kafka source would feed, by
     construction (there is no second code path to drift). Drains all
-    available data under availableNow and blocks until done."""
+    available data under availableNow and blocks until done.
+
+    The stream identity for the exactly-once watermark is derived from
+    the checkpoint location — the same thing Spark keys ``batch_id``
+    progression on, so (stream_id, batch_id) uniquely names a batch."""
+    import hashlib
+    import os
+
+    stream_id = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
     q = (
         raw.writeStream.foreachBatch(
             lambda df, bid: cdc_apply_batch(
-                table, pk, row_ddl, order_cols, drop_cols or [], df, bid
+                table, pk, row_ddl, order_cols, drop_cols or [], df, bid,
+                stream_id=stream_id,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

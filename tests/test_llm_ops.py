@@ -1765,3 +1765,61 @@ def test_neardup_stream_matches_batch_tier(spark, sf_dir):
     for a_id, b_id in stream:
         assert a_id % _CORPUS_MOD < _CORPUS_KEEP
         assert b_id % _CORPUS_MOD >= _CORPUS_KEEP
+
+
+def test_probe_and_assign_hold_at_production_nlist(spark):
+    """Production-nlist pin (round-10 verdict item 3): probe-cell selection
+    and cell assignment run against nlist=256 centroids as a BROADCAST
+    HASH JOIN over a centroid DataFrame — the plan carries O(1) expression
+    nodes however large nlist is (the former per-centroid literal pattern
+    built 256 fold-expression trees of 64 literals each). Results must
+    match a driver-side argmin reference with the (d2, cell) tie rule."""
+    from datalake_on_prem_system_spark.operators.similarity import (
+        _assign_cells,
+        _probe_cells_frame,
+    )
+
+    dim, nlist, nq = 64, 256, 7
+    centers = [
+        (ci, [((ci * 31 + j * 17) % 97) / 97.0 for j in range(dim)])
+        for ci in range(nlist)
+    ]
+    qvecs = [
+        (qid, [((qid * 13 + j * 29) % 89) / 89.0 for j in range(dim)])
+        for qid in range(nq)
+    ]
+    queries = spark.createDataFrame(
+        [(qid, v, 1.0) for qid, v in qvecs],
+        "q_id bigint, qv array<double>, qnorm double",
+    )
+
+    def d2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    nprobe = 4
+    expect_probe = {
+        (qid, ci)
+        for qid, qv in qvecs
+        for _, ci in sorted((d2(qv, cv), ci) for ci, cv in centers)[:nprobe]
+    }
+    probed = _probe_cells_frame(queries, centers, nprobe=nprobe)
+    assert {(r.q_id, r.cell) for r in probed.collect()} == expect_probe
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    vecs = spark.createDataFrame(
+        [(qid, v) for qid, v in qvecs], "vec_id bigint, v array<double>"
+    )
+    expect_assign = {
+        qid: min((d2(qv, cv), ci) for ci, cv in centers)[1] for qid, qv in qvecs
+    }
+    assigned = _assign_cells(vecs, centers)
+    assert {r.vec_id: r.cell for r in assigned.collect()} == expect_assign
+    aplan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in aplan
+    assert "BroadcastNestedLoopJoin" not in aplan

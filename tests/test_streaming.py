@@ -398,3 +398,51 @@ def test_kafka_source_contract(spark):
         cdc.kafka_cdc_stream(spark, "lake\\..*", "broker:9092")
     for fn in (cdc.run_cdc_file_stream, cdc.run_cdc_kafka_stream):
         assert "_drive_cdc(" in inspect.getsource(fn), fn.__name__
+
+
+def test_cdc_batch_replay_guard_skips_applied_batch(spark, tmp_path):
+    """Exactly-once across crash replays: a foreachBatch invocation re-run
+    with an already-applied (stream_id, batch_id) must be a no-op — the
+    watermark rides the merge commit itself, so the skip decision is
+    atomic with the applied state. A NEW stream (different stream_id)
+    legitimately restarts at batch 0 and must apply."""
+    from datalake_on_prem_system_spark.streaming.cdc import cdc_apply_batch
+
+    table = LakeTable(spark, str(tmp_path / "tbl_guard"))
+    table.create_or_replace(
+        spark.createDataFrame([(1, "base1", 0), (2, "base2", 0)], ROW_DDL)
+    )
+    batch = spark.createDataFrame(
+        [(json.dumps(_wrapped(None, {"id": 1, "name": "v1", "seq": 1}, "u")),)],
+        "value string",
+    )
+    kw = dict(pk="id", row_ddl=ROW_DDL, order_cols=["seq"], drop_cols=[])
+    cdc_apply_batch(table, batch_df=batch, batch_id=0, stream_id="s1", **kw)
+    v_applied = table.versions()
+    assert table.properties()["cdc.applied"] == "s1:0"
+
+    # crash replay: same stream, same batch id — no new commit, state intact
+    replay = spark.createDataFrame(
+        [(json.dumps(_wrapped(None, {"id": 1, "name": "GHOST", "seq": 9}, "u")),)],
+        "value string",
+    )
+    cdc_apply_batch(table, batch_df=replay, batch_id=0, stream_id="s1", **kw)
+    assert table.versions() == v_applied
+    assert {r.id: r.name for r in table.read().collect()}[1] == "v1"
+
+    # next batch of the same stream applies and advances the watermark
+    nxt = spark.createDataFrame(
+        [(json.dumps(_wrapped(None, {"id": 2, "name": "v2", "seq": 2}, "u")),)],
+        "value string",
+    )
+    cdc_apply_batch(table, batch_df=nxt, batch_id=1, stream_id="s1", **kw)
+    assert table.properties()["cdc.applied"] == "s1:1"
+
+    # a NEW stream's batch 0 is not blocked by the old stream's counter
+    other = spark.createDataFrame(
+        [(json.dumps(_wrapped(None, {"id": 1, "name": "v3", "seq": 3}, "u")),)],
+        "value string",
+    )
+    cdc_apply_batch(table, batch_df=other, batch_id=0, stream_id="s2", **kw)
+    assert {r.id: r.name for r in table.read().collect()}[1] == "v3"
+    assert table.properties()["cdc.applied"] == "s2:0"
