@@ -182,8 +182,36 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CACHE: dict[tuple[str, int, float], tuple[str, list[tuple[int, list[float]]]]] = {}
 _IVF_FITS = 0  # test hook: counts actual coarse-quantizer fits
 
-_NLIST = 16
+_NLIST_FLOOR = 4  # minimum coarse-quantizer size (degenerate tiny corpora)
 _NPROBE = 4
+
+
+def _derived_nlist(n_train: int) -> int:
+    """Scale-aware coarse-quantizer size: the largest power of two ``p``
+    with ``p**2 <= n_train`` (i.e. nlist ≈ √N, the FAISS sizing guidance —
+    cells hold ≈ √N vectors so probe cost and cell-scan cost balance),
+    floored at ``_NLIST_FLOOR``. Pure integer arithmetic so the DuckDB
+    oracle derives the identical value (``_derived_nlist_sql``) with no
+    float rounding at power-of-two boundaries. sf0.01 (~500 vecs) → 16,
+    sf0.1 (~5,000) → 64 — the index trains more cells as the corpus
+    grows instead of serving a toy 16-cell regime at every scale
+    (round-10 verdict item 5)."""
+    p = 1
+    while (2 * p) ** 2 <= n_train:
+        p *= 2
+    return max(_NLIST_FLOOR, p)
+
+
+def _derived_nlist_sql(src: str) -> str:
+    """DuckDB mirror of ``_derived_nlist`` over the row count of CTE
+    ``src``: max power of two whose square fits, floored — exact integer
+    arithmetic (power(2, i) is exact in doubles for i ≤ 20, compared as
+    BIGINT)."""
+    return (
+        f"(SELECT greatest({_NLIST_FLOOR}, max(ps.p)) FROM "
+        "(SELECT CAST(power(2, x.range) AS BIGINT) AS p FROM range(0, 20) x) ps, "
+        f"(SELECT count(*) AS n FROM {src}) c WHERE ps.p * ps.p <= c.n)"
+    )
 
 
 def _sqdist(v: Column, c: Column) -> Column:
@@ -324,7 +352,7 @@ def append_to_ivf_index(
 
 
 def build_ivf_index(
-    spark: SparkSession, sf_dir: str, nlist: int = _NLIST
+    spark: SparkSession, sf_dir: str, nlist: int | None = None
 ) -> tuple[str, list[tuple[int, list[float]]]]:
     """One-time IVF index build (the 'CREATE INDEX' op), fully DETERMINISTIC
     so the DuckDB oracle can replay training bit-for-bit:
@@ -361,11 +389,16 @@ def build_ivf_index(
     # until process exit — bounded by the number of distinct fits).
     emb = os.path.join(sf_dir, "embeddings.parquet")
     stamp = os.path.getmtime(emb) if os.path.exists(emb) else 0.0
+    vecs = _vecs(spark, sf_dir)
+    if nlist is None:
+        # scale-aware default: nlist ≈ √N of the training corpus (one
+        # count job, paid once per build; the resolved value keys the
+        # memo so explicit-nlist callers like SemDeDup share nothing)
+        nlist = _derived_nlist(vecs.count())
     key = (os.path.abspath(sf_dir), nlist, stamp)
     if key in _IVF_CACHE:
         return _IVF_CACHE[key]
 
-    vecs = _vecs(spark, sf_dir)
     seeds = [
         (int(r.vec_id), [float(x) for x in r.v])
         for r in vecs.orderBy("vec_id").limit(nlist).select("vec_id", "v").collect()
@@ -398,9 +431,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Training is deterministic (see ``build_ivf_index``), so the DuckDB
     oracle replays the whole algorithm — index build included — as a
     hash-checked compare; pytest additionally measures recall."""
-    nlist, nprobe = _NLIST, _NPROBE
-    path, centers = build_ivf_index(spark, sf_dir, nlist)
-    return _probe_ivf(spark.read.parquet(path), centers, nprobe)
+    path, centers = build_ivf_index(spark, sf_dir)  # scale-aware nlist
+    return _probe_ivf(spark.read.parquet(path), centers, _NPROBE)
 
 
 def _probe_ivf(
@@ -448,9 +480,10 @@ def build_inc_ivf_index(
     if key not in _INC_IVF_CACHE:
         vecs = _vecs(spark, sf_dir)
         train = vecs.filter(F.col("vec_id") % 5 != 0)
+        nlist = _derived_nlist(train.count())  # sized from the TRAIN subset
         seeds = [
             (int(r.vec_id), [float(x) for x in r.v])
-            for r in train.orderBy("vec_id").limit(_NLIST).select("vec_id", "v").collect()
+            for r in train.orderBy("vec_id").limit(nlist).select("vec_id", "v").collect()
         ]
         centers = _fit_centers(train, seeds)
         path = os.path.join(index_tempdir("ivf_inc_"), "assignments")
@@ -985,9 +1018,10 @@ def sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _INC_IVFPQ_CACHE:
         vecs = _vecs(spark, sf_dir)
         train = vecs.filter(F.col("vec_id") % 5 != 0)
+        nlist = _derived_nlist(train.count())  # sized from the TRAIN subset
         seeds = [
             (int(r.vec_id), [float(x) for x in r.v])
-            for r in train.orderBy("vec_id").limit(_NLIST).select("vec_id", "v").collect()
+            for r in train.orderBy("vec_id").limit(nlist).select("vec_id", "v").collect()
         ]
         centers = _fit_centers(train, seeds)
         books: list[list[tuple[int, list[float]]]] = []
@@ -1641,7 +1675,7 @@ def _dist_sql(a: str, b: str) -> str:
 
 
 def ivf_assign_ctes(
-    nlist: int = _NLIST,
+    nlist: int | str | None = None,
     dim: int = _DIM,
     src: str = "n",
     suffix: str = "",
@@ -1668,6 +1702,10 @@ def ivf_assign_ctes(
     dist = _dist_sql
     s = suffix
     asrc = assign_src or src
+    if nlist is None:
+        # scale-aware default, derived from the TRAINING CTE's row count —
+        # stays paired with build_ivf_index/_derived_nlist by construction
+        nlist = _derived_nlist_sql(src)
     return f"""seeds{s} AS (
             SELECT cell, vec FROM (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec
@@ -1746,7 +1784,7 @@ def _ivf_inc_oracle_sql() -> str:
             SELECT cell, vec FROM (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec
                 FROM train
-            ) WHERE cell < {_NLIST}
+            ) WHERE cell < {_derived_nlist_sql("train")}
         ), a0 AS (
             SELECT vec_id, vec, cell FROM (
                 SELECT v.vec_id, v.vec, s.cell,
@@ -1952,7 +1990,7 @@ def _ivfpq_inc_oracle_sql() -> str:
     return f"""
         WITH {_VECS_SQL}, train AS (
             SELECT * FROM n WHERE vec_id % 5 != 0
-        ), {ivf_assign_ctes(_NLIST, _DIM, "train", "", assign_src="n")},
+        ), {ivf_assign_ctes(None, _DIM, "train", "", assign_src="n")},
         {", ".join(sub_ctes)},
         qc AS (
             SELECT c.cell

@@ -851,7 +851,7 @@ def test_ivfpq_batch_join_matches_exact_knn(spark, sf_dir):
     stays bounded by nlist (the scan's static partition filter)."""
     from datalake_on_prem_system_spark.operators.similarity import (
         _BATCH_NQ,
-        _NLIST,
+        _NLIST_FLOOR,
         _NPROBE,
         _TOP_K,
         sim_ivfpq_batch_join,
@@ -878,7 +878,7 @@ def test_ivfpq_batch_join_matches_exact_knn(spark, sf_dir):
     assert len(overlap) >= _BATCH_NQ  # every query should re-find neighbors
     for q_id, vid in overlap:
         assert by_q[q_id][vid] == exact[(q_id, vid)], (q_id, vid)
-    assert _BATCH_NQ * _NPROBE <= _NLIST * _BATCH_NQ  # sanity on constants
+    assert _NPROBE <= _NLIST_FLOOR  # probe set fits even the floor quantizer
 
 
 def test_ivfpq_batch_join_scan_prunes_to_probed_cells(spark, sf_dir):
@@ -1823,3 +1823,35 @@ def test_probe_and_assign_hold_at_production_nlist(spark):
     aplan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in aplan
     assert "BroadcastNestedLoopJoin" not in aplan
+
+
+def test_bmp_encode_decode_roundtrip_hand_computed():
+    """The BMP kernel produces REAL parseable files and the decoder reads
+    real header/pixel bytes: a 4x4 image cycling text 'ABC' (bytes
+    65/66/67) puts a constant byte in each channel (flat index j has
+    channel j%3 and byte 65+(j%3)), so the channel sums are exact by hand:
+    16 pixels x {65,66,67}. Also pins the header fields and the 4-byte row
+    stride arithmetic."""
+    import struct
+
+    from datalake_on_prem_system_spark.operators.multimodal import (
+        _decode_bmp,
+        _encode_bmp,
+    )
+
+    payload = _encode_bmp(4, 4, b"ABC")
+    sig, fsize, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
+    assert sig == b"BM" and off == 54
+    assert fsize == len(payload)
+    stride = (4 * 3 + 3) // 4 * 4  # 12 → already 4-aligned
+    assert len(payload) == 54 + stride * 4
+    w, h, bpp, c0, c1, c2 = _decode_bmp(payload)
+    assert (w, h, bpp) == (4, 4, 24)
+    assert (c0, c1, c2) == (16 * 65, 16 * 66, 16 * 67)
+
+    # a width whose row needs padding (w=5: 15 bytes → stride 16) must not
+    # leak pad zeros into the sums: 25 pixels cycling one byte value
+    p2 = _encode_bmp(5, 5, b"Z")
+    w, h, bpp, c0, c1, c2 = _decode_bmp(p2)
+    assert (w, h) == (5, 5)
+    assert c0 + c1 + c2 == 5 * 5 * 3 * 90  # ord('Z') = 90
