@@ -1651,6 +1651,58 @@ def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line — the "is revenue growing and how fast"
+    regression every BI layer ships (Trino's regr_slope/regr_intercept,
+    reached through the reference's SQL passthrough): monthly revenue per
+    order priority regressed on the month index.
+
+    Exactness contract (the ``a_correlation`` recipe): x is the integer
+    month index, y the EXACT monthly cents total; the sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) accumulate as decimal(38,0) ↔
+    HUGEINT — order-independent — the slope numerator/denominator
+    n·Σxy − Σx·Σy stay exact, and only the final ratio converts to
+    double (identical IEEE division in both engines; intercept reuses
+    the slope double with the same op order).
+
+    Scale shape: one scan → partial-aggregated (priority, month) rollup
+    (bounded: 5 × months) → per-priority stats; regression math runs on
+    5 rows. No window, no driver loop."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    monthly = (
+        o.groupBy(
+            "o_orderpriority",
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("mx"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    d38 = "decimal(38,0)"
+    stats = monthly.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("mx").cast(d38)).alias("sx"),
+        F.sum(F.col("cents").cast(d38)).alias("sy"),
+        F.sum(F.col("mx").cast(d38) * F.col("cents").cast(d38)).alias("sxy"),
+        F.sum(F.col("mx").cast(d38) * F.col("mx").cast(d38)).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return stats.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_months"),
+        F.round(slope, 6).alias("slope_cents_per_month"),
+        F.round(intercept, 4).alias("intercept_cents"),
+    ).orderBy("o_orderpriority")
+
+
+
 QUERIES = {
     "a_rfm_segments": a_rfm_segments,
     "ev_funnel": ev_funnel,
@@ -1673,6 +1725,7 @@ QUERIES = {
     "a_changepoint_cusum": a_changepoint_cusum,
     "a_benford_digits": a_benford_digits,
     "a_correlation": a_correlation,
+    "a_linear_trend": a_linear_trend,
     "ev_ab_test": ev_ab_test,
     "w_ema": w_ema,
     "w_running_total": w_running_total,
@@ -1688,6 +1741,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    "a_linear_trend": """
+        WITH monthly AS (
+            SELECT o_orderpriority,
+                   CAST((year(o_orderdate) - 1992) * 12
+                        + month(o_orderdate) - 1 AS BIGINT) AS mx,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        ), stats AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(CAST(mx AS HUGEINT)) AS HUGEINT) AS sx,
+                   CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS sy,
+                   CAST(sum(CAST(mx AS HUGEINT) * CAST(cents AS HUGEINT))
+                        AS HUGEINT) AS sxy,
+                   CAST(sum(CAST(mx AS HUGEINT) * CAST(mx AS HUGEINT))
+                        AS HUGEINT) AS sxx
+            FROM monthly GROUP BY 1
+        )
+        SELECT o_orderpriority,
+               CAST(n AS BIGINT) AS n_months,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                   AS slope_cents_per_month,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)
+                   AS intercept_cents
+        FROM stats ORDER BY o_orderpriority
+    """,
     "a_rfm_segments": _RFM_ORACLE,
     "ev_pareto_share": """
         WITH counts AS (

@@ -894,10 +894,198 @@ _CN_ORACLE = f"""
 """
 
 
+def g_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009 — the
+    degree-weighted refinement of common-neighbor scoring; consistently
+    beats raw counts and Adamic-Adar on co-purchase graphs): for each
+    customer pair, RA = Σ 1/deg(p) over shared parts — a part shared by
+    few customers is strong evidence, a near-hub contributes little.
+    Top-50 pairs.
+
+    RA is chosen over Adamic-Adar DELIBERATELY: AA's 1/ln(deg) weight
+    hangs cross-engine determinism on libm-vs-java.lang.Math log rounding
+    (not guaranteed below 1 ulp), while RA's 1/deg is one exact IEEE
+    division — the dd/sim modules' determinism contract. Weights are
+    summed per pair in part-key order via a sort_array(collect_list)
+    fold ↔ the oracle's list(… ORDER BY p) reduce, so every double is
+    reproduced bit-for-bit.
+
+    Scale shape: same frequency-filtered pair join as
+    ``g_common_neighbors`` (hub parts capped before the
+    self-join — the quadratic term is Σ C(deg,2) over SMALL degrees);
+    per-pair weight lists are bounded by the cap. One extra broadcast-size
+    join against the part-degree table."""
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pdeg_all = edges.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    kept = persist_bounded(
+        edges.join(
+            pdeg_all.filter(F.col("deg") <= _CN_HUB_CAP), "p"
+        ).select("c", "p", "deg"),
+        f"g_ra_kept:{sf_dir}",
+    )
+    pairs = (
+        kept.select("c", "p", "deg")
+        .alias("a")
+        .join(kept.select(F.col("c").alias("c2"), "p").alias("b"), "p")
+        .filter(F.col("a.c") < F.col("b.c2"))
+        .select(
+            F.col("a.c").alias("c1"),
+            F.col("b.c2").alias("c2"),
+            "p",
+            (F.lit(1.0) / F.col("a.deg")).alias("w"),
+        )
+    )
+    scored = pairs.groupBy("c1", "c2").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "w"))),
+                lambda r: r["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("ra"),
+    )
+    return (
+        scored.select(
+            F.col("c1").alias("custkey_a"),
+            F.col("c2").alias("custkey_b"),
+            "n_common",
+            F.round("ra", 6).alias("ra_score"),
+        )
+        .orderBy(F.desc("ra_score"), F.asc("custkey_a"), F.asc("custkey_b"))
+        .limit(_CN_TOP_K)
+    )
+
+
+_RA_ORACLE = f"""
+    WITH e AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    pdeg AS (SELECT p, count(*) AS deg FROM e GROUP BY p),
+    kept AS (
+        SELECT e.c, e.p, d.deg FROM e JOIN pdeg d ON d.p = e.p
+        WHERE d.deg <= __CAP__
+    ),
+    scored AS (
+        SELECT a.c AS c1, b.c AS c2,
+               CAST(count(*) AS BIGINT) AS n_common,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(CAST(1 AS DOUBLE) / a.deg ORDER BY a.p)),
+                   (acc, x) -> acc + x) AS ra
+        FROM kept a JOIN kept b ON a.p = b.p AND a.c < b.c
+        GROUP BY 1, 2
+    )
+    SELECT c1 AS custkey_a, c2 AS custkey_b, n_common,
+           round(ra, 6) AS ra_score
+    FROM scored
+    ORDER BY ra_score DESC, custkey_a ASC, custkey_b ASC
+    LIMIT __TOPK__
+""".replace("__CAP__", str(_CN_HUB_CAP)).replace("__TOPK__", str(_CN_TOP_K))
+
+
+_BFS_CAP = 32  # hop cap: a lineage/recursion bound far above any co-supply diameter
+
+
+def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances over the co-supply graph — the
+    "how far is every supplier from the hub" reachability primitive under
+    pagerank/k-core/LPA in every graph stack. Source = the max-degree
+    node (ties to the lowest suppkey); output is (s_suppkey, hops) for
+    every REACHABLE node, the hop histogram's raw table.
+
+    Iteration contract (the k-core/LPA recipe): frontier expansion is a
+    join + left-anti against the visited set per round, localCheckpoint
+    per round against lineage blowup, loop exits when the frontier
+    empties (cap 32 bounds the pathological case); pure integer state,
+    so the DuckDB mirror — a recursive CTE whose UNION dedups (node,
+    dist) pairs, then min(dist) per node — is exact with no tolerance.
+
+    Scale shape: per round ONE shuffle (frontier ⋈ edges on the source
+    endpoint) + an anti-join against visited; frontier and visited are
+    node-bounded. The driver never sees node data — only the one-row
+    source anchor and the per-round emptiness probe."""
+    edges = _cosupply_edges(spark, sf_dir)
+    sym = persist_bounded(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        f"g_bfs_sym:{sf_dir}",
+    )
+    deg1 = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("u"))
+        .limit(1)
+        .head()
+    )
+    if deg1 is None:  # empty graph: no edges survived the density cut
+        return spark.createDataFrame([], "s_suppkey bigint, hops int")
+    return bfs_from(spark, sym, int(deg1.u)).select(
+        F.col("node").alias("s_suppkey"), "hops"
+    ).orderBy("hops", "s_suppkey")
+
+
+def bfs_from(spark: SparkSession, sym: DataFrame, src: int) -> DataFrame:
+    """Frontier BFS over a SYMMETRIC edge list ``(u, v)`` from ``src``;
+    returns (node, hops) for every reachable node. Hand-pinned in
+    tests/test_graph.py on a path-plus-island toy graph."""
+    dist = spark.createDataFrame([(src, 0)], "node bigint, hops int")
+    frontier = dist
+    for i in range(1, _BFS_CAP + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"), F.lit(i).alias("hops"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
+_BFS_ORACLE = f"""
+    WITH RECURSIVE {_COSUPPLY_CTES},
+    sym AS (
+        SELECT u, v FROM cos_edges
+        UNION ALL
+        SELECT v AS u, u AS v FROM cos_edges
+    ),
+    srcn AS (
+        SELECT u AS node FROM (
+            SELECT u, count(*) AS deg FROM sym GROUP BY u
+        ) ORDER BY deg DESC, u ASC LIMIT 1
+    ),
+    walk(node, dist) AS (
+        SELECT node, 0 FROM srcn
+        UNION
+        SELECT e.v, w.dist + 1
+        FROM walk w JOIN sym e ON e.u = w.node
+        WHERE w.dist < {_BFS_CAP}
+    )
+    SELECT CAST(node AS BIGINT) AS s_suppkey,
+           CAST(min(dist) AS INTEGER) AS hops
+    FROM walk GROUP BY node
+    ORDER BY hops, s_suppkey
+"""
+
+
 QUERIES = {
     "g_pagerank": g_pagerank,
     "g_triangle_count": g_triangle_count,
     "g_common_neighbors": g_common_neighbors,
+    "g_resource_allocation": g_resource_allocation,
+    "g_bfs_hops": g_bfs_hops,
     "g_label_propagation": g_label_propagation,
     "g_kcore": g_kcore,
     "g_assortativity": g_assortativity,
@@ -990,6 +1178,8 @@ ORACLE = {
     "g_pagerank": _pagerank_oracle_sql(),
     "g_triangle_count": _TRI_ORACLE,
     "g_common_neighbors": _CN_ORACLE,
+    "g_resource_allocation": _RA_ORACLE,
+    "g_bfs_hops": _BFS_ORACLE,
     "g_label_propagation": _lpa_oracle_sql(),
     "g_kcore": _kcore_oracle_sql(),
 }

@@ -1100,9 +1100,126 @@ def lh_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORPHAN_CACHE: dict[str, str] = {}
+
+
+def lh_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file detection (Iceberg ``remove_orphan_files`` dry-run): a
+    segment directory that exists under ``data/`` but is referenced by NO
+    retained snapshot is storage leaked by a failed/abandoned write —
+    MERGE-crashed-before-publish, the exact failure mode
+    ``_publish_commit``'s lost-race cleanup handles when it CAN run. The
+    fixture stages that scenario: two committed segments plus one segment
+    written straight into ``data/`` whose commit never published.
+
+    Plan: the referenced-path set is the distributed union of every
+    retained snapshot's $files frame (same manifest relation as
+    lh_vacuum_plan); the disk listing is O(#segment dirs) driver-side
+    metadata (at warehouse scale: an object-store LIST, itself a
+    DataFrame); a left anti-join splits orphans from referenced, and
+    per-segment stats come from one footer-sized aggregate per directory.
+    Data files are never row-scanned beyond the orphan's own stats read.
+
+    Oracle: segment contents derive exactly from the staging filters, so
+    DuckDB rebuilds the report from the orders table."""
+    import os
+    from functools import reduce as _reduce
+
+    if sf_dir not in _ORPHAN_CACHE:
+        root = index_tempdir("lake_orphan_")
+        table = LakeTable(spark, root)
+        base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        table.create_or_replace(base.filter(F.col("o_orderkey") % 2 == 0))
+        table.append(base.filter(F.col("o_orderkey") % 4 == 1))
+        # a failed writer's leftovers: segment on disk, commit never published
+        base.filter(F.col("o_orderkey") % 7 == 3).write.parquet(
+            os.path.join(root, "data", "99-deadbeef.parquet")
+        )
+        _ORPHAN_CACHE[sf_dir] = root
+    root = _ORPHAN_CACHE[sf_dir]
+    table = LakeTable(spark, root)
+    referenced = {
+        r.path
+        for v in table.versions()
+        for r in table.files(v).select("path").collect()
+    }
+    data_dir = os.path.join(root, "data")
+    frames = []
+    for d in sorted(os.listdir(data_dir)):
+        seg = os.path.join(data_dir, d)
+        frames.append(
+            spark.read.parquet(seg).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").alias("min_orderkey"),
+                F.lit(seg in referenced).alias("referenced"),
+            )
+        )
+    return (
+        _reduce(DataFrame.unionByName, frames)
+        .select(
+            "n_rows",
+            "min_orderkey",
+            "referenced",
+            (~F.col("referenced")).alias("reclaimable"),
+        )
+        .orderBy(F.desc("n_rows"))
+    )
+
+
+
+def lh_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (the Iceberg/Netflix WAP pattern — stage on an
+    isolated branch, audit the staged state, publish only if the audit
+    passes): a raw customer feed lands on an ``audit`` branch, the audit
+    suite runs AGAINST THE BRANCH (null keys, domain violations —
+    negative keys, blank segments), the violating rows are quarantined
+    with a branch-side delete, the audit re-runs clean, and ONLY THEN does
+    a fast-forward merge publish the branch head to main. Main never
+    serves un-audited rows at any point (branch isolation is pinned in
+    tests/test_branches.py).
+
+    Scale shape: branch fork and publish are O(metadata) (parallel commit
+    chains over the shared data/ dir); the audit queries are ordinary
+    pruned scans of the branch; the quarantine delete is bucket-granular.
+
+    Oracle: the staged feed and both audit predicates derive exactly from
+    fixture filters, so DuckDB computes the same published state."""
+    table = LakeTable(spark, index_tempdir("lake_wap_"))
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+    )
+    table.create_or_replace(cust.filter(F.col("c_custkey") % 3 == 0))
+    br = table.create_branch("audit")
+    # the raw feed: new rows, some violating the domain rules (key sign
+    # flipped for %11==1, segment blanked for %13==2) — deterministic
+    feed = cust.filter(F.col("c_custkey") % 3 == 1).select(
+        F.when(F.col("c_custkey") % 11 == 1, -F.col("c_custkey"))
+        .otherwise(F.col("c_custkey"))
+        .alias("c_custkey"),
+        "c_name",
+        F.when(F.col("c_custkey") % 13 == 2, F.lit(""))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "bal",
+    )
+    br.append(feed)
+    # strictly negative: key 0 is a legitimate pre-published base row
+    bad = F.col("c_custkey") < 0
+    blank = F.col("c_mktsegment") == ""
+    n_bad = br.read().filter(bad | blank).count()
+    if n_bad:  # audit failed: quarantine violators ON THE BRANCH
+        br.delete_where(bad | blank)
+    assert br.read().filter(bad | blank).count() == 0  # audit green
+    table.merge_branch("audit")  # publish
+    return table.read()
+
+
+
 QUERIES = {
     "lh_compaction_plan": lh_compaction_plan,
     "lh_vacuum_plan": lh_vacuum_plan,
+    "lh_orphan_files": lh_orphan_files,
+    "lh_write_audit_publish": lh_write_audit_publish,
     "lh_colocated_join": lh_colocated_join,
     "lh_changes_feed": lh_changes_feed,
     "lh_clone_divergence": lh_clone_divergence,
@@ -1131,6 +1248,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lh_write_audit_publish": """
+        WITH base AS (
+            SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS bal
+            FROM customer WHERE c_custkey % 3 = 0
+        ), feed AS (
+            SELECT CASE WHEN c_custkey % 11 = 1 THEN -c_custkey
+                        ELSE c_custkey END AS c_custkey,
+                   c_name,
+                   CASE WHEN c_custkey % 13 = 2 THEN ''
+                        ELSE c_mktsegment END AS c_mktsegment,
+                   round(c_acctbal, 2) AS bal
+            FROM customer WHERE c_custkey % 3 = 1
+        )
+        SELECT * FROM base
+        UNION ALL
+        SELECT * FROM feed
+        WHERE c_custkey > 0 AND c_mktsegment <> ''
+    """,
     # the planner's inputs are manifest entries whose n_rows/min-year
     # stats derive EXACTLY from the per-year fixture partitioning, so the
     # oracle rebuilds the segment relation from orders and replays the
@@ -1162,6 +1297,21 @@ ORACLE = {
     """,
     # segments are exact functions of the fixture filters the commits were
     # built from; the report derives from orders directly
+    "lh_orphan_files": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+               true AS referenced, false AS reclaimable
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT CAST(count(*) AS BIGINT), CAST(min(o_orderkey) AS BIGINT),
+               true, false
+        FROM orders WHERE o_orderkey % 4 = 1
+        UNION ALL
+        SELECT CAST(count(*) AS BIGINT), CAST(min(o_orderkey) AS BIGINT),
+               false, true
+        FROM orders WHERE o_orderkey % 7 = 3
+        ORDER BY n_rows DESC
+    """,
     "lh_vacuum_plan": """
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
                CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,

@@ -664,6 +664,80 @@ def search_typo_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MLT_SEED_DOC = 7
+_MLT_MAX_TERMS = 25
+_MLT_MIN_DF = 2  # ES min_doc_freq: a term must match someone else
+_MLT_MIN_TF = 2  # ES min_term_freq: a term must matter IN the seed doc
+_MLT_TOP = 20
+
+
+def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``more_like_this``, re-expressed: given a SEED document, select
+    its most interesting terms (top tf·idf under the ES defaults —
+    min_term_freq ≥ 2 in the seed, min_doc_freq ≥ 2 in the corpus), then
+    rank other documents by the idf mass of the interesting terms they
+    share. The "find me docs like this one" query every discovery UI
+    ships.
+
+    Determinism contract (the search_bm25 recipe): idf rounds to 6 BEFORE
+    any use (ln is the 1-ulp-risk op), interesting-term selection is a
+    total order (tf·idf DESC, token ASC), and per-doc scores sum matched
+    idfs as DECIMAL(18,6) — order-independent.
+
+    Scale shape: one tokenize pass (shared via the bm25 token cache), a
+    vocab-bounded df aggregate, a ≤ max_terms broadcast of the interesting
+    set, one semi-join-shaped match + partial-agg per candidate doc.
+    Top-k via TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    from ._cache import persist_bounded
+
+    docs = persist_bounded(
+        t_par(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.filter(F.split(F.lower("text"), "\\s+"), lambda x: x != "").alias("toks"),
+        ),
+        key=f"bm25toks:{sf_dir}",  # same plan as search_bm25's cache
+    )
+    n_docs = docs.count()
+    dt = docs.select("doc_id", F.explode("toks").alias("token")).distinct()
+    dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    seed_tf = (
+        docs.filter(F.col("doc_id") == _MLT_SEED_DOC)
+        .select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf6 = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    w = Window.orderBy(F.desc("tfidf"), F.asc("token"))
+    interesting = (
+        seed_tf.join(dfreq, "token")
+        .filter((F.col("df") >= _MLT_MIN_DF) & (F.col("tf") >= _MLT_MIN_TF))
+        .select("token", idf6.alias("idf6"), (F.col("tf") * idf6).alias("tfidf"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MLT_MAX_TERMS)
+        .select("token", "idf6")
+    )
+    return (
+        dt.join(F.broadcast(interesting), "token")
+        .filter(F.col("doc_id") != _MLT_SEED_DOC)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(F.col("idf6").cast("decimal(18,6)")).cast("double").alias("mlt_score"),
+        )
+        .orderBy(F.desc("mlt_score"), F.asc("doc_id"))
+        .limit(_MLT_TOP)
+    )
+
+
+
 QUERIES = {
     "search_typo_tolerant": search_typo_tolerant,
     "search_allwords": search_allwords,
@@ -671,6 +745,7 @@ QUERIES = {
     "search_phrase_ranked": search_phrase_ranked,
     "search_rejoin": search_rejoin,
     "search_bm25": search_bm25,
+    "search_more_like_this": search_more_like_this,
     "search_incremental_sync": search_incremental_sync,
 }
 
@@ -682,6 +757,41 @@ _FUZZY_QVALUES = ", ".join(
 )
 
 ORACLE = {
+    "search_more_like_this": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), stats AS (
+            SELECT count(*) AS n FROM toks
+        ), dt AS (
+            SELECT DISTINCT doc_id, token
+            FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM dt GROUP BY 1
+        ), seedtf AS (
+            SELECT token, count(*) AS tf
+            FROM (SELECT unnest(toks) AS token FROM toks
+                  WHERE doc_id = {_MLT_SEED_DOC})
+            GROUP BY 1
+        ), interesting AS (
+            SELECT token,
+                   round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6) AS idf6
+            FROM seedtf t JOIN dfreq d USING (token), stats s
+            WHERE d.df >= {_MLT_MIN_DF} AND t.tf >= {_MLT_MIN_TF}
+            ORDER BY t.tf * round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6)
+                     DESC, token ASC
+            LIMIT {_MLT_MAX_TERMS}
+        )
+        SELECT m.doc_id,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(CAST(i.idf6 AS DECIMAL(18,6))) AS DOUBLE) AS mlt_score
+        FROM dt m JOIN interesting i USING (token)
+        WHERE m.doc_id != {_MLT_SEED_DOC}
+        GROUP BY m.doc_id
+        ORDER BY mlt_score DESC, doc_id ASC LIMIT {_MLT_TOP}
+    """,
     "search_typo_tolerant": f"""
         WITH toks AS (
             SELECT DISTINCT doc_id, tok FROM (

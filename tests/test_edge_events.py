@@ -543,3 +543,38 @@ def test_w_activity_streaks_hand_computed(spark, tmp_path):
     assert (u1["longest_streak"], u1["latest_streak"]) == (4, 4)
     u2 = got[2]
     assert (u2["n_active_days"], u2["n_streaks"], u2["longest_streak"]) == (1, 1, 1)
+
+
+def test_a_linear_trend_hand_computed(spark, tmp_path):
+    """OLS pin on a constructed orders table: priority 'A' gets exactly
+    +100.00/month (cents slope 10000) with intercept 50000 cents; priority
+    'B' is flat at 200.00. The oracle compare runs on the same fixture so
+    the HUGEINT/decimal stats path is exercised end to end."""
+    import datetime as _dt
+
+    rows = []
+    for m in range(6):  # months 1992-01..1992-06 → mx = 0..5
+        d = _dt.date(1992, 1 + m, 15)
+        rows.append((100 + m, 1, "A", d, 500.0 + 100.0 * m))
+        rows.append((200 + m, 1, "B", d, 200.0))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_linear_trend"](spark, str(tmp_path)).toPandas()
+    msg = compare("a_linear_trend", sdf, con.sql(oracles["a_linear_trend"]).df())
+    assert not msg, msg
+    got = {r["o_orderpriority"]: r for _, r in sdf.iterrows()}
+    assert got["A"]["n_months"] == 6
+    assert got["A"]["slope_cents_per_month"] == 10000.0
+    assert got["A"]["intercept_cents"] == 50000.0
+    assert got["B"]["slope_cents_per_month"] == 0.0
+    assert got["B"]["intercept_cents"] == 20000.0

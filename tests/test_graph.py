@@ -297,3 +297,49 @@ def test_edge_embeddedness_weak_ties(spark, tmp_path):
     for e in c1 + c2:
         r = got[e]
         assert (r.embeddedness, r.weak_tie) == (2, False), e
+
+
+def test_resource_allocation_hand_computed(spark, tmp_path):
+    """RA pin on a 3-customer bipartite toy: part 10 shared by {1,2}
+    (deg 2), part 20 by {1,2,3} (deg 3), part 30 by {2,3} (deg 2) —
+    RA(1,2) = 1/2 + 1/3, RA(1,3) = 1/3, RA(2,3) = 1/2 + 1/3. Exercises
+    the 1/deg weighting and the part-ordered fold."""
+    orders = [(o, c) for o, c in [(100, 1), (200, 2), (300, 3)]]
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    items = [
+        (100, 10), (100, 20),           # cust 1 buys parts 10, 20
+        (200, 10), (200, 20), (200, 30),  # cust 2 buys 10, 20, 30
+        (300, 20), (300, 30),           # cust 3 buys 20, 30
+    ]
+    spark.createDataFrame(
+        items, "l_orderkey bigint, l_partkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    from datalake_on_prem_system_spark.operators.graph_ops import (
+        g_resource_allocation,
+    )
+
+    rows = {
+        (r.custkey_a, r.custkey_b): (r.n_common, r.ra_score)
+        for r in g_resource_allocation(spark, str(tmp_path)).collect()
+    }
+    assert rows[(1, 2)] == (2, round(1 / 2 + 1 / 3, 6))
+    assert rows[(1, 3)] == (1, round(1 / 3, 6))
+    assert rows[(2, 3)] == (2, round(1 / 2 + 1 / 3, 6))
+    assert len(rows) == 3
+
+
+def test_bfs_hops_hand_computed(spark):
+    """BFS pin on a path 1-2-3-4 plus triangle spur (3-5, 4-5) plus an
+    unreachable island 8-9: hops from 1 are {1:0, 2:1, 3:2, 4:3, 5:3};
+    the island never appears."""
+    from datalake_on_prem_system_spark.operators.graph_ops import bfs_from
+
+    und = [(1, 2), (2, 3), (3, 4), (3, 5), (4, 5), (8, 9)]
+    sym = spark.createDataFrame(
+        und + [(v, u) for u, v in und], "u bigint, v bigint"
+    )
+    got = {r.node: r.hops for r in bfs_from(spark, sym, 1).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 3}
