@@ -720,49 +720,51 @@ def _foldsum(vals: list[float]) -> float:
     return s
 
 
-def _adc_aip(
-    q: list[float], qnorm: Column, books: list[list[tuple[int, list[float]]]]
-) -> Column:
-    """Asymmetric-distance (ADC) approximate-cosine expression over a PQ
-    code table's ``code0..codeM-1`` columns: per subspace a driver-computed
-    scalar lookup (partial inner product of the query slice with each
-    centroid, and each centroid's squared norm), partials summed in
-    m-order — the exact grouping the oracle mirrors. Shared by sim_pq_topk
-    and sim_ivfpq_topk so the ADC arithmetic can never drift between the
-    flat and cell-pruned paths."""
-    ip_tab: list[dict[int, float]] = []
-    n2_tab: list[dict[int, float]] = []
+def _adc_score(
+    codes: DataFrame,
+    q: list[float],
+    qnorm: Column,
+    books: list[list[tuple[int, list[float]]]],
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate cosine over a PQ code table's
+    ``code0..codeM-1`` columns, appended as column ``aip``: per subspace a
+    driver-computed scalar lookup table — partial inner product of the
+    query slice with each centroid, and each centroid's squared norm —
+    joined in as a BROADCAST codebook frame per subspace (M tiny hash
+    joins), partials summed in m-order (the exact grouping the oracle
+    mirrors). Shared by sim_pq_topk and the IVFPQ probes so the ADC
+    arithmetic can never drift between the flat and cell-pruned paths.
+
+    Lookup-as-data, not as a when-chain: the former M·K literal-branch
+    expression bloats analysis/codegen ~16× at production K=256 (the
+    round-10 verdict's nlist rule, applied to the codebooks); cell ids
+    need not be dense (an out-attracted seed cell can vanish in the Lloyd
+    step), and a join keys on the actual ids by construction."""
+    spark = codes.sparkSession
+    out = codes
     for m, book in enumerate(books):
         lo = m * _PQ_SUBDIM
-        ip_tab.append(
-            {
-                ci: _foldsum([q[lo + i] * cv[i] for i in range(_PQ_SUBDIM)])
+        tab = spark.createDataFrame(
+            [
+                (
+                    int(ci),
+                    _foldsum([q[lo + i] * cv[i] for i in range(_PQ_SUBDIM)]),
+                    _foldsum([x * x for x in cv]),
+                )
                 for ci, cv in book
-            }
+            ],
+            f"code{m} int, ip{m} double, n2{m} double",
         )
-        n2_tab.append({ci: _foldsum([x * x for x in cv]) for ci, cv in book})
-
-    def lookup(m: int, tab: list[dict[int, float]]) -> Column:
-        # cell ids need not be dense (an out-attracted seed cell can vanish
-        # in the Lloyd step), so the lookup is a when-chain on the actual
-        # ids, not positional element_at
-        expr = None
-        for ci in sorted(tab[m]):
-            branch = F.lit(tab[m][ci])
-            expr = (
-                F.when(F.col(f"code{m}") == ci, branch)
-                if expr is None
-                else expr.when(F.col(f"code{m}") == ci, branch)
-            )
-        return expr
-
+        out = out.join(F.broadcast(tab), f"code{m}")
     # left-to-right m-order sums, mirrored by the oracle's (f0 + f1 + ...)
-    aip_num = lookup(0, ip_tab)
-    n2_sum = lookup(0, n2_tab)
+    aip_num = F.col("ip0")
+    n2_sum = F.col("n20")
     for m in range(1, _PQ_M):
-        aip_num = aip_num + lookup(m, ip_tab)
-        n2_sum = n2_sum + lookup(m, n2_tab)
-    return aip_num / (F.sqrt(n2_sum) * qnorm)
+        aip_num = aip_num + F.col(f"ip{m}")
+        n2_sum = n2_sum + F.col(f"n2{m}")
+    return out.withColumn("aip", aip_num / (F.sqrt(n2_sum) * qnorm)).drop(
+        *[c for m in range(_PQ_M) for c in (f"ip{m}", f"n2{m}")]
+    )
 
 
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,11 +794,13 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_row = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select("v", "norm").head()
     qv = F.array(*[F.lit(float(x)) for x in q_row.v])
     qnorm = F.lit(float(q_row.norm))
-    aip_expr = _adc_aip([float(x) for x in q_row.v], qnorm, books)
     cand = (
-        spark.read.parquet(path)
-        .filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .withColumn("aip", aip_expr)
+        _adc_score(
+            spark.read.parquet(path).filter(F.col("vec_id") != _QUERY_VEC_ID),
+            [float(x) for x in q_row.v],
+            qnorm,
+            books,
+        )
         .orderBy(F.desc("aip"), F.asc("vec_id"))
         .limit(_PQ_RERANK)
         .select("vec_id")
@@ -857,7 +861,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer prunes the scan to the nprobe cells nearest the query
     (hive-partition pruning on the composite index), the ADC pass ranks
     the survivors from their 8-byte codes via driver-side scalar lookup
-    tables (``_adc_aip`` — byte-identical arithmetic to sim_pq_topk), and
+    tables (``_adc_score`` — byte-identical arithmetic to sim_pq_topk), and
     the small candidate set reranks by exact cosine against the raw
     vectors. Cost per query: nprobe/nlist of the corpus × 8 bytes/vector
     + _PQ_RERANK full vectors — each factor independently tunable.
@@ -892,10 +896,14 @@ def _probe_ivfpq(
     qnorm = F.lit(float(q_row.norm))
     q_lit = F.array(*[F.lit(x) for x in qv])
     cand = (
-        spark.read.parquet(path)
-        .filter(F.col("cell").isin(probe_cells))
-        .filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .withColumn("aip", _adc_aip(qv, qnorm, books))
+        _adc_score(
+            spark.read.parquet(path)
+            .filter(F.col("cell").isin(probe_cells))
+            .filter(F.col("vec_id") != _QUERY_VEC_ID),
+            qv,
+            qnorm,
+            books,
+        )
         .orderBy(F.desc("aip"), F.asc("vec_id"))
         .limit(_PQ_RERANK)
         .select("vec_id")
@@ -973,11 +981,15 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qnorm = F.lit(float(q_row.norm))
     q_lit = F.array(*[F.lit(x) for x in qv])
     cand = (
-        spark.read.parquet(path)
-        .filter(F.col("cell").isin(probe_cells))
-        .filter(F.col("label") == q_row.label)
-        .filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .withColumn("aip", _adc_aip(qv, qnorm, books))
+        _adc_score(
+            spark.read.parquet(path)
+            .filter(F.col("cell").isin(probe_cells))
+            .filter(F.col("label") == q_row.label)
+            .filter(F.col("vec_id") != _QUERY_VEC_ID),
+            qv,
+            qnorm,
+            books,
+        )
         .orderBy(F.desc("aip"), F.asc("vec_id"))
         .limit(_PQ_RERANK)
         .select("vec_id")
@@ -1072,24 +1084,22 @@ def _recon_frame(
     registry (its values are deterministic functions of the code table,
     so reuse across calls is safe)."""
 
-    def _book_arr(m: int) -> Column:
-        expr = None
-        for ci, cv in books[m]:
-            arr = F.array(*[F.lit(float(x)) for x in cv])
-            expr = (
-                F.when(F.col(f"code{m}") == ci, arr)
-                if expr is None
-                else expr.when(F.col(f"code{m}") == ci, arr)
-            )
-        return expr
-
     codes = spark.read.parquet(path)
     if cells is not None:
         codes = codes.filter(F.col("cell").isin(cells))
+    # codebooks join in as broadcast DATA (one tiny hash join per
+    # subspace), not as M·K literal when-chains — the round-10 verdict's
+    # production-K rule: the plan stays O(M) join nodes at any K
+    for m, book in enumerate(books):
+        bdf = spark.createDataFrame(
+            [(int(ci), [float(x) for x in cv]) for ci, cv in book],
+            f"code{m} int, b{m} array<double>",
+        )
+        codes = codes.join(F.broadcast(bdf), f"code{m}")
     recon = codes.select(
         "vec_id",
         "cell",
-        F.concat(*[_book_arr(m) for m in range(_PQ_M)]).alias("vhat"),
+        F.concat(*[F.col(f"b{m}") for m in range(_PQ_M)]).alias("vhat"),
     ).withColumn("vn", _norm(F.col("vhat")))
     if cache_key is not None:
         recon = persist_bounded(recon, cache_key)
@@ -1106,8 +1116,8 @@ def sim_ivfpq_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan, stage by stage:
 
-    1. Probe-cell selection is DISTRIBUTED: each query row explodes
-       against the nlist literal centroids (nlist structs of (d2, cell) —
+    1. Probe-cell selection is DISTRIBUTED: each query row broadcast-
+       hash-joins against the nlist-row centroid frame ((d2, cell) —
        driver-side METADATA, constant size) and keeps its _NPROBE nearest
        via a per-query row_number. No collect of query vectors.
     2. The UNION of probed cells — bounded by nlist regardless of query
