@@ -1080,6 +1080,206 @@ _BFS_ORACLE = f"""
 """
 
 
+_CC_CAP = 32  # round cap: min-label propagation converges in <= diameter rounds
+
+
+def g_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-supply graph — the partition-the-
+    network primitive under every community/territory analysis (and the
+    generalization of ``dd_components`` from dedup clusters to an
+    analytic graph). Component id = the minimum suppkey in the component
+    (deterministic, engine-independent).
+
+    Algorithm: min-label propagation — every node starts labeled with
+    itself; each round every node takes the min of its own label and its
+    neighbors' labels. Converges in <= diameter rounds (cap {_CC_CAP}).
+
+    Scale shape: per round ONE shuffle (labels ⋈ symmetric edges on the
+    source endpoint) + a node-keyed partial-aggregated min; labels are
+    (node, long) pairs — 16 bytes/node of state, never payload.
+    Convergence probe is a ONE-ROW sum aggregate (labels only ever
+    decrease, so the label-sum strictly decreases iff any node changed)
+    — the driver never sees node data. localCheckpoint per round bounds
+    lineage exactly as ``g_kcore``/``dd_components`` document. At 1000
+    executors this is the textbook hash-partitioned label propagation;
+    a pathological high-diameter graph would switch to large-star/
+    small-star rounds (O(log n)), which this loop structure admits
+    without changing the data layout."""
+    edges = _cosupply_edges(spark, sf_dir)
+    sym = persist_bounded(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        f"g_bfs_sym:{sf_dir}",  # shared with g_bfs_hops: same frame, one cache
+    )
+    lbl = components_of(sym)
+    sizes = lbl.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return (
+        lbl.select(F.col("node").alias("s_suppkey"), F.col("lbl").alias("component"))
+        .join(sizes, "component")
+        .select("s_suppkey", "component", "component_size")
+        .orderBy("component", "s_suppkey")
+    )
+
+
+def components_of(sym: DataFrame) -> DataFrame:
+    """Min-label propagation over a SYMMETRIC edge list ``(u, v)``;
+    returns (node, lbl) with lbl = min node id in the component.
+    Hand-pinned in tests/test_graph.py on known topologies."""
+    lbl = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = lbl.agg(F.sum("lbl")).head()[0]
+    for _ in range(_CC_CAP):
+        nbr = sym.join(lbl, sym["u"] == lbl["node"]).select(
+            F.col("v").alias("node"), F.col("lbl")
+        )
+        lbl = (
+            lbl.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        new_sum = lbl.agg(F.sum("lbl")).head()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return lbl
+
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE {_COSUPPLY_CTES},
+    sym AS (
+        SELECT u, v FROM cos_edges
+        UNION ALL
+        SELECT v AS u, u AS v FROM cos_edges
+    ),
+    walk(root, nd) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT w.root, e.v FROM walk w JOIN sym e ON e.u = w.nd
+    ),
+    comp AS (SELECT root AS node, min(nd) AS component FROM walk GROUP BY root)
+    SELECT CAST(node AS BIGINT) AS s_suppkey,
+           CAST(component AS BIGINT) AS component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+               AS component_size
+    FROM comp ORDER BY component, s_suppkey
+"""
+
+
+_HITS_SCALE = 1_000_000_000_000  # picounits, the g_pagerank fixed-point rule
+_HITS_ITERS = 2
+_HITS_TOP_K = 25
+
+
+def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores over the BIPARTITE customer→supplier
+    trade graph (distinct (custkey, suppkey) pairs from orders ⋈
+    lineitem) — the "which suppliers do the best-connected customers
+    buy from" signal that raw degree misses: an authority score weights
+    each customer link by that customer's hub score, which in turn
+    weights its suppliers' authorities. Top-{_HITS_TOP_K} authorities.
+
+    Determinism (the g_pagerank rule): HITS needs a normalization per
+    half-step, which is a division — so the whole recurrence runs in
+    64-bit fixed point (picounits). hub⁰ = SCALE; auth = Σ hub over
+    in-edges (exact integer sum, order-independent), then an integer
+    re-scale ``(auth · SCALE) div max(auth)``; same for hubs. The
+    multiply runs in decimal(38,0) ↔ HUGEINT (a picounit sum times
+    SCALE overflows int64 at ~10M-customer scale), and DuckDB replays
+    the identical integer recurrence — exact compare, no tolerance.
+
+    Scale shape: per half-step one equi-join contribution shuffle +
+    one partial-aggregated sum (the PageRank iteration shape on a
+    bipartite edge list); the normalizer is a ONE-ROW max aggregate
+    broadcast back (allow-listed scalar-anchor cross join). Iterations
+    fixed ({_HITS_ITERS}), lineage shallow."""
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    tp = persist_bounded(
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .repartition("c"),
+        f"g_hits_tp:{sf_dir}",
+    )
+    return (
+        hits_authorities(tp)
+        .orderBy(F.desc("auth_pico"), F.asc("s_suppkey"))
+        .limit(_HITS_TOP_K)
+    )
+
+
+def hits_authorities(tp: DataFrame) -> DataFrame:
+    """Fixed-point HITS over a bipartite edge list ``(c, s)``; returns
+    (s_suppkey, n_customers, auth_pico) for every authority. Hand-pinned
+    in tests/test_graph.py on a toy bipartite graph."""
+    hub = tp.select("c").distinct().withColumn(
+        "h", F.lit(_HITS_SCALE).cast("long")
+    )
+    auth = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            tp.join(hub, "c")
+            .groupBy("s")
+            .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("ar"))
+        )
+        am = F.broadcast(ar.agg(F.max("ar").alias("am")))
+        auth = ar.crossJoin(am).select(
+            "s",
+            F.expr(f"CAST((ar * {_HITS_SCALE}) div am AS BIGINT)").alias("a"),
+        )
+        hr = (
+            tp.join(auth, "s")
+            .groupBy("c")
+            .agg(F.sum(F.col("a").cast("decimal(38,0)")).alias("hr"))
+        )
+        hm = F.broadcast(hr.agg(F.max("hr").alias("hm")))
+        hub = hr.crossJoin(hm).select(
+            "c",
+            F.expr(f"CAST((hr * {_HITS_SCALE}) div hm AS BIGINT)").alias("h"),
+        )
+    deg = tp.groupBy("s").agg(F.count(F.lit(1)).alias("n_customers"))
+    return auth.join(deg, "s").select(
+        F.col("s").alias("s_suppkey"),
+        "n_customers",
+        F.col("a").alias("auth_pico"),
+    )
+
+
+_HITS_ORACLE = f"""
+    WITH tp AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c, CAST({_HITS_SCALE} AS BIGINT) AS h FROM tp),
+    a1r AS (SELECT s, sum(h) AS ar FROM tp JOIN h0 USING (c) GROUP BY s),
+    a1m AS (SELECT max(ar) AS am FROM a1r),
+    a1 AS (SELECT s, CAST(ar * {_HITS_SCALE} // am AS BIGINT) AS a
+           FROM a1r, a1m),
+    h1r AS (SELECT c, sum(a) AS hr FROM tp JOIN a1 USING (s) GROUP BY c),
+    h1m AS (SELECT max(hr) AS hm FROM h1r),
+    h1 AS (SELECT c, CAST(hr * {_HITS_SCALE} // hm AS BIGINT) AS h
+           FROM h1r, h1m),
+    a2r AS (SELECT s, sum(h) AS ar FROM tp JOIN h1 USING (c) GROUP BY s),
+    a2m AS (SELECT max(ar) AS am FROM a2r),
+    a2 AS (SELECT s, CAST(ar * {_HITS_SCALE} // am AS BIGINT) AS a
+           FROM a2r, a2m),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS n_customers
+            FROM tp GROUP BY s)
+    SELECT CAST(a2.s AS BIGINT) AS s_suppkey, deg.n_customers,
+           a2.a AS auth_pico
+    FROM a2 JOIN deg USING (s)
+    ORDER BY auth_pico DESC, s_suppkey ASC LIMIT {_HITS_TOP_K}
+"""
+
+
 QUERIES = {
     "g_pagerank": g_pagerank,
     "g_triangle_count": g_triangle_count,
@@ -1091,6 +1291,8 @@ QUERIES = {
     "g_assortativity": g_assortativity,
     "g_clustering_coefficient": g_clustering_coefficient,
     "g_edge_embeddedness": g_edge_embeddedness,
+    "g_connected_components": g_connected_components,
+    "g_hits": g_hits,
 }
 
 # exact-decimal sufficient statistics; the r expression appears verbatim in
@@ -1182,4 +1384,6 @@ ORACLE = {
     "g_bfs_hops": _BFS_ORACLE,
     "g_label_propagation": _lpa_oracle_sql(),
     "g_kcore": _kcore_oracle_sql(),
+    "g_connected_components": _CC_ORACLE,
+    "g_hits": _HITS_ORACLE,
 }

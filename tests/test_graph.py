@@ -343,3 +343,40 @@ def test_bfs_hops_hand_computed(spark):
     )
     got = {r.node: r.hops for r in bfs_from(spark, sym, 1).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 3}
+
+
+def test_connected_components_hand_computed(spark):
+    """Components pin on two chains and an isolated edge: {1,2,3,4} via a
+    path, {8,9}, {20,21,22} via a triangle — labels are the component
+    minima regardless of propagation order."""
+    from datalake_on_prem_system_spark.operators.graph_ops import components_of
+
+    und = [(1, 2), (2, 3), (3, 4), (8, 9), (20, 21), (21, 22), (20, 22)]
+    sym = spark.createDataFrame(
+        und + [(v, u) for u, v in und], "u bigint, v bigint"
+    )
+    got = {r.node: r.lbl for r in components_of(sym).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8, 20: 20, 21: 20, 22: 20}
+
+
+def test_hits_authorities_hand_computed(spark):
+    """HITS pin on a hand-traceable bipartite graph: customers {1,2,3},
+    suppliers {10,20}; edges (1,10),(2,10),(3,10),(3,20).
+
+    Iteration 1: auth(10)=3S -> S, auth(20)=S -> S//3;
+    hubs: h(1)=h(2)=S -> (S*S) div (S + S//3) = 750000000000, h(3)=S+S//3 -> S.
+    Iteration 2: auth(10)=2*750000000000 + S = 2.5e12 -> S,
+    auth(20)=S -> (S*S) div 2.5e12 = 400000000000."""
+    from datalake_on_prem_system_spark.operators.graph_ops import (
+        _HITS_SCALE,
+        hits_authorities,
+    )
+
+    tp = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (3, 20)], "c bigint, s bigint"
+    )
+    got = {
+        r.s_suppkey: (r.n_customers, r.auth_pico)
+        for r in hits_authorities(tp).collect()
+    }
+    assert got == {10: (3, _HITS_SCALE), 20: (1, 400_000_000_000)}

@@ -250,6 +250,9 @@ _BNLJ_ALLOWED = {
     # node count N: a ONE-ROW aggregate cross-joined into every PageRank
     # iteration — constant cost at any graph size
     "g_pagerank",
+    # per-half-step normalizer max(auth)/max(hub): ONE-ROW aggregates
+    # cross-joined into each HITS iteration — constant cost at any size
+    "g_hits",
     # corpus max date + the 12 quintile boundaries: two ONE-ROW aggregates
     # cross-joined into the per-customer frame — constant cost
     "a_rfm_segments",
