@@ -1702,6 +1702,163 @@ def a_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+_ACF_MAX_LAG = 7
+
+
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..{_ACF_MAX_LAG}) of the daily
+    order-revenue series — the seasonality/memory diagnostic every
+    forecasting pipeline runs before model selection (a weekly cycle
+    shows as a lag-7 spike; white noise shows nothing). Complements
+    ``ts_seasonality``'s fixed weekly profile with the model-free view.
+
+    Exactness (the a_correlation rule): revenue quantizes to integer
+    cents, the one-row (n, Σx) anchor turns each deviation into the
+    EXACT integer n·x_t − Σx (no fractional mean anywhere), and both
+    the lag-k numerators Σ dev_t·dev_{t-k} and the denominator Σ dev²
+    accumulate as decimal(38,0) ↔ HUGEINT. Only the final ratio
+    converts to double — one exactly-rounded conversion per term, then
+    a single IEEE division, identical in DuckDB.
+
+    Scale shape: ONE shuffle (the groupBy day) reduces the fact table
+    to a |days|-bounded series (~2.5k rows at any SF); the lag window
+    and the final reduce run on that bounded frame, so the unpartitioned
+    window is metadata-sized by construction. The (n, Σx) anchor is a
+    ONE-ROW aggregate cross join (allow-listed scalar shape)."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("x"))
+    )
+    stat = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("s"),
+        )
+    )
+    dev = daily.crossJoin(stat).select(
+        "day", (F.col("n") * F.col("x") - F.col("s")).alias("dev")
+    )
+    w = Window.orderBy("day")
+    lagged = dev.select(
+        "dev",
+        *[F.lag("dev", k).over(w).alias(f"dev_{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    aggs = [F.sum(F.col("dev") * F.col("dev")).alias("den")]
+    for k in range(1, _ACF_MAX_LAG + 1):
+        aggs += [
+            F.sum(F.col("dev") * F.col(f"dev_{k}")).alias(f"num_{k}"),
+            F.count(F.col(f"dev_{k}")).alias(f"np_{k}"),
+        ]
+    red = lagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"{k}, np_{k}, num_{k}" for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return red.select(
+        F.expr(
+            f"stack({_ACF_MAX_LAG}, {stack_args}) AS (lag, n_pairs, num)"
+        ),
+        "den",
+    ).select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("acf"),
+    ).orderBy("lag")
+
+
+def a_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do URGENT orders carry a different
+    totalprice distribution than LOW-priority orders? The standard
+    nonparametric two-sample test (no normality assumption) every
+    experimentation/QA stack keeps beside the t-test (``ev_ab_test``).
+
+    Rank statistics without a global sort: U₁ counts B-before-A pairs,
+    U₁ = #{b < a} + ½·#{ties}, so the whole test reduces to per-VALUE
+    aggregates plus a prefix sum of B-counts over distinct values. The
+    prefix sum is TWO-LEVEL — intra-bucket window partitioned by
+    ``v div 1e6`` (distributed) + a cumulative over the ~600 one-row
+    bucket totals — so no single partition ever holds the full distinct
+    domain; this is the scalable rank recipe, not ``rank() OVER ()``.
+
+    Exactness: 2·U₁ (integer, tie-halves cancel), tie correction
+    T = Σ(c³−c), and the counts all accumulate as decimal(38,0) ↔
+    HUGEINT; z uses the textbook normal approximation
+    σ² = (n₁n₂/12)·((N+1) − T/(N(N−1))) computed with an IDENTICAL
+    double expression tree in both engines, rounded to 6."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .withColumn(
+            "is_a", (F.col("o_orderpriority") == "1-URGENT").cast("long")
+        )
+    )
+    pv = o.groupBy("v").agg(
+        F.sum("is_a").cast("decimal(38,0)").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("decimal(38,0)").alias("cb"),
+    )
+    pv = pv.withColumn("bkt", F.expr("v div 1000000"))
+    intra = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = pv.withColumn(
+        "cb_in", F.coalesce(F.sum("cb").over(intra), F.lit(0).cast("decimal(38,0)"))
+    )
+    btot = pv.groupBy("bkt").agg(F.sum("cb").alias("cb_bkt"))
+    boff = btot.withColumn(
+        "cb_off",
+        F.coalesce(
+            F.sum("cb_bkt").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ),
+    ).select("bkt", "cb_off")
+    enriched = pv.join(boff, "bkt").select(
+        "ca",
+        "cb",
+        (F.col("cb_in") + F.col("cb_off")).alias("cb_before"),
+    )
+    stats = enriched.agg(
+        F.sum("ca").alias("n1"),
+        F.sum("cb").alias("n2"),
+        F.sum(
+            F.col("ca") * (F.lit(2).cast("decimal(38,0)") * F.col("cb_before"))
+            + F.col("ca") * F.col("cb")
+        ).alias("u1_2"),
+        F.sum(
+            (F.col("ca") + F.col("cb")) * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        ).alias("ties_t"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    td = F.col("ties_t").cast("double")
+    sigma2 = (n1d * n2d / 12.0) * ((nd + 1.0) - td / (nd * (nd - 1.0)))
+    return stats.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_low"),
+        (F.col("u1_2").cast("double") / 2.0).alias("u_stat"),
+        F.round(
+            (F.col("u1_2").cast("double") - n1d * n2d)
+            / (2.0 * F.sqrt(sigma2)),
+            6,
+        ).alias("z_score"),
+    )
+
 
 QUERIES = {
     "a_rfm_segments": a_rfm_segments,
@@ -1738,9 +1895,81 @@ QUERIES = {
     "a_grouping_sets": a_grouping_sets,
     "f_array_hof": f_array_hof,
     "a_approx_quantiles": a_approx_quantiles,
+    "ts_autocorrelation": ts_autocorrelation,
+    "a_mann_whitney": a_mann_whitney,
 }
 
+_ACF_ORACLE = f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ), st AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s FROM daily
+    ), dev AS (
+        SELECT day, n * x - s AS dev FROM daily, st
+    ), lagged AS (
+        SELECT dev,
+               {", ".join(f"lag(dev, {k}) OVER (ORDER BY day) AS dev_{k}"
+                          for k in range(1, _ACF_MAX_LAG + 1))}
+        FROM dev
+    ), red AS (
+        SELECT sum(dev * dev) AS den,
+               {", ".join(f"sum(dev * dev_{k}) AS num_{k}, "
+                          f"count(dev_{k}) AS np_{k}"
+                          for k in range(1, _ACF_MAX_LAG + 1))}
+        FROM lagged
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT {k} AS lag, np_{k} AS n_pairs, num_{k} AS num, den FROM red"
+            for k in range(1, _ACF_MAX_LAG + 1))}
+    )
+    ORDER BY lag
+"""
+
+_MWU_ORACLE = """
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), pv AS (
+        SELECT v, CAST(sum(ia) AS HUGEINT) AS ca,
+               CAST(sum(1 - ia) AS HUGEINT) AS cb
+        FROM o GROUP BY v
+    ), pre AS (
+        SELECT ca, cb,
+               coalesce(sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cb_before
+        FROM pv
+    ), stats AS (
+        SELECT sum(ca) AS n1, sum(cb) AS n2,
+               sum(ca * (2 * cb_before) + ca * cb) AS u1_2,
+               sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS ties_t
+        FROM pre
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_urgent,
+           CAST(n2 AS BIGINT) AS n_low,
+           CAST(u1_2 AS DOUBLE) / 2.0 AS u_stat,
+           round((CAST(u1_2 AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 / (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                     * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                        - CAST(ties_t AS DOUBLE)
+                          / (CAST(n1 + n2 AS DOUBLE)
+                             * (CAST(n1 + n2 AS DOUBLE) - 1.0))))),
+                 6) AS z_score
+    FROM stats
+"""
+
 ORACLE = {
+    "ts_autocorrelation": _ACF_ORACLE,
+    "a_mann_whitney": _MWU_ORACLE,
     "a_linear_trend": """
         WITH monthly AS (
             SELECT o_orderpriority,

@@ -578,3 +578,72 @@ def test_a_linear_trend_hand_computed(spark, tmp_path):
     assert got["A"]["intercept_cents"] == 50000.0
     assert got["B"]["slope_cents_per_month"] == 0.0
     assert got["B"]["intercept_cents"] == 20000.0
+
+
+def test_ts_autocorrelation_hand_computed(spark, tmp_path):
+    """ACF pin on a constructed alternating series: 10 days of revenue
+    alternating 100.00 / 200.00 gives deviations of equal magnitude and
+    alternating sign, so acf_k = (-1)^k * (10 - k) / 10 exactly."""
+    import datetime as _dt
+
+    rows = [
+        (k, 1, "A", _dt.date(1995, 1, 1) + _dt.timedelta(days=k),
+         100.0 if k % 2 == 0 else 200.0)
+        for k in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ts_autocorrelation"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ts_autocorrelation", sdf, con.sql(oracles["ts_autocorrelation"]).df()
+    )
+    assert not msg, msg
+    got = {int(r["lag"]): r for _, r in sdf.iterrows()}
+    for k in range(1, 8):
+        assert got[k]["n_pairs"] == 10 - k
+        expected = round((-1) ** k * (10 - k) / 10, 6)
+        assert got[k]["acf"] == expected, (k, got[k]["acf"], expected)
+
+
+def test_a_mann_whitney_hand_computed(spark, tmp_path):
+    """Rank-sum pin on a 5-order fixture: URGENT prices {1.00, 2.00, 3.00},
+    LOW prices {2.00, 4.00} → U1 = #(low < urgent) + ties/2 = 1 + 0.5 = 1.5,
+    tie term T = 2^3 - 2 = 6, z from the textbook normal approximation."""
+    import datetime as _dt
+    import math
+
+    d = _dt.date(1995, 6, 1)
+    rows = [
+        (1, 1, "1-URGENT", d, 1.0),
+        (2, 1, "1-URGENT", d, 2.0),
+        (3, 1, "1-URGENT", d, 3.0),
+        (4, 1, "5-LOW", d, 2.0),
+        (5, 1, "5-LOW", d, 4.0),
+        (6, 1, "3-MEDIUM", d, 99.0),  # excluded group must not leak in
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_mann_whitney"](spark, str(tmp_path)).toPandas()
+    msg = compare("a_mann_whitney", sdf, con.sql(oracles["a_mann_whitney"]).df())
+    assert not msg, msg
+    row = sdf.iloc[0]
+    assert (row["n_urgent"], row["n_low"]) == (3, 2)
+    assert row["u_stat"] == 1.5
+    sigma2 = (3 * 2 / 12.0) * ((5 + 1.0) - 6 / (5.0 * 4.0))
+    assert row["z_score"] == round((3.0 - 6.0) / (2.0 * math.sqrt(sigma2)), 6)

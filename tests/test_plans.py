@@ -261,6 +261,9 @@ _BNLJ_ALLOWED = {
     "g_assortativity",
     # first-purchase-day anchor: a ONE-ROW min cross-joined to index weeks
     "ev_ltv_cohort",
+    # series anchor (n, Σx): a ONE-ROW aggregate cross-joined into the
+    # |days|-bounded daily series — constant cost at any fact size
+    "ts_autocorrelation",
     # global band distribution: a ONE-ROW aggregate cross-joined to every
     # quasi-identifier class — constant cost at any fact size
     "cur_t_closeness",
