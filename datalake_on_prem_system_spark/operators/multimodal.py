@@ -253,6 +253,133 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _encode_wav(sample_rate: int, n_samples: int, text_bytes: bytes) -> bytes:
+    """Build a REAL RIFF/WAVE file: canonical header, ``fmt `` chunk
+    (PCM, mono, 16-bit), and a ``data`` chunk of little-endian int16
+    samples cycling the document's codepoints
+    (``(byte % 256) * 256 - 32768``). Odd sample counts get a LIST
+    filler chunk between fmt and data, so a decoder that assumes fixed
+    offsets instead of walking the chunk list fails loudly."""
+    import struct
+
+    import numpy as np
+
+    src = np.frombuffer(text_bytes if text_bytes else b"\x00", dtype=np.uint8)
+    samples = (
+        np.resize(src, n_samples).astype(np.int32) * 256 - 32768
+    ).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    filler = (
+        struct.pack("<4sI4s", b"LIST", 4, b"INFO") if n_samples % 2 else b""
+    )
+    body = b"WAVE" + fmt + filler + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL byte-level WAV decode — no codec library: verify the
+    RIFF/WAVE signature, WALK the chunk list (fmt may not be adjacent
+    to data — real encoders emit LIST/INFO chunks between them), parse
+    the PCM format fields, and reduce the sample array. Returns
+    (sample_rate, n_samples, duration_us, sum_samples, peak_abs)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a WAV payload (signature {payload[:4]!r})")
+    pos, rate, bits, channels, samples = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos
+            )
+            if fmt_code != 1:
+                raise ValueError(f"unsupported WAV encoding (format {fmt_code})")
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype="<i2", count=sz // 2, offset=pos)
+        pos += sz + (sz % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"unsupported WAV layout (bits={bits}, ch={channels})")
+    s64 = samples.astype(np.int64)
+    return (
+        rate,
+        len(samples),
+        len(samples) * 1_000_000 // rate,
+        int(s64.sum()),
+        int(np.abs(s64).max()) if len(s64) else 0,
+    )
+
+
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio decode over binary payloads — the WAV sibling of
+    ``mm_image_decode``: an Arrow-batched kernel renders each document
+    as an actual RIFF/WAVE file (real chunk structure, PCM int16 mono,
+    a LIST filler chunk on odd lengths), a second Arrow kernel DECODES
+    those bytes back by walking the chunk list, and emits the stream
+    geometry (rate, sample count, integer-µs duration) plus exact
+    sample-array reductions. Swapping ``_decode_wav`` for soundfile/
+    libsndfile is a one-function change — schema, batching, and
+    partitioning are codec-agnostic.
+
+    Scale shape: two chained ``mapInPandas`` kernels fuse into one
+    narrow per-row stage — no shuffle, payload bytes never leave the
+    executor.
+
+    Oracle: sample count and rate derive from ``n_chars``/``doc_id``,
+    samples cycle the text's codepoints, so DuckDB recomputes every
+    decoded field from codepoint arithmetic alone — the compare fails
+    if the decoder misreads any chunk header, skips word-alignment
+    padding, or mis-signs a sample."""
+    import pandas as pd  # noqa: F401 — required on executors
+
+    docs = t_par(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                _encode_wav(
+                    8000 + int(d) % 3 * 4000,
+                    int(n) % 50 + 20,
+                    t.encode("utf-8"),
+                )
+                for d, n, t in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            decoded = [_decode_wav(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_samples": [d[1] for d in decoded],
+                    "duration_us": [d[2] for d in decoded],
+                    "sum_samples": [d[3] for d in decoded],
+                    "peak_abs": [d[4] for d in decoded],
+                }
+            )
+
+    manifest = docs.mapInPandas(encode, "doc_id bigint, payload binary")
+    return manifest.mapInPandas(
+        decode,
+        "doc_id bigint, sample_rate int, n_samples bigint, duration_us bigint, "
+        "sum_samples bigint, peak_abs int",
+    )
+
+
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-signature BLOCKING over binary payloads — the
     candidate-generation stage of multimodal near-dup detection: an
@@ -426,6 +553,7 @@ QUERIES = {
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample_plan": mm_frame_sample_plan,
     "mm_phash_neardup": mm_phash_neardup,
+    "mm_wav_decode": mm_wav_decode,
 }
 
 ORACLE = {
@@ -458,6 +586,34 @@ ORACLE = {
                        if (i - 1) % 3 = 2]),
                    (a, x) -> a + x) END AS BIGINT) AS c2_sum
         FROM src
+    """,
+    # decoded stream geometry from the n_chars/doc_id rules; sample values
+    # cycle the codepoint list (sample_j = cp[(j-1) % L + 1] * 256 - 32768,
+    # text is pure ASCII so byte == codepoint) — exactly what the RIFF
+    # round-trip must yield; duration is the same integer division
+    "mm_wav_decode": """
+        WITH src AS (
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+                   CAST(n_chars % 50 + 20 AS BIGINT) AS ns,
+                   [unicode(c) for c in string_split(text, '') if c <> ''] AS cp
+            FROM documents
+        ), s AS (
+            SELECT doc_id, sample_rate, ns,
+                   CASE WHEN len(cp) = 0
+                        THEN [-32768 for j in range(1, CAST(ns AS INTEGER) + 1)]
+                        ELSE [cp[((j - 1) % len(cp)) + 1] * 256 - 32768
+                              for j in range(1, CAST(ns AS INTEGER) + 1)]
+                   END AS samples
+            FROM src
+        )
+        SELECT doc_id, sample_rate, ns AS n_samples,
+               CAST(ns * 1000000 // sample_rate AS BIGINT) AS duration_us,
+               CAST(list_reduce(list_prepend(0, samples), (a, x) -> a + x)
+                    AS BIGINT) AS sum_samples,
+               CAST(list_reduce(list_prepend(0, [abs(x) for x in samples]),
+                    (a, x) -> greatest(a, x)) AS INTEGER) AS peak_abs
+        FROM s
     """,
     "mm_shard_plan": f"""
         WITH m AS (

@@ -1855,3 +1855,32 @@ def test_bmp_encode_decode_roundtrip_hand_computed():
     w, h, bpp, c0, c1, c2 = _decode_bmp(p2)
     assert (w, h) == (5, 5)
     assert c0 + c1 + c2 == 5 * 5 * 3 * 90  # ord('Z') = 90
+
+
+def test_wav_encode_decode_roundtrip_hand_computed():
+    """WAV codec pin: 3 samples of b'AB' cycled = bytes [65, 66, 65] →
+    samples [-16128, -15872, -16128]; odd count inserts the LIST filler
+    chunk, so a passing decode proves the chunk walk skips it. Sum and
+    peak are hand-computed; duration is the exact integer division."""
+    import pytest
+
+    from datalake_on_prem_system_spark.operators.multimodal import (
+        _decode_wav,
+        _encode_wav,
+    )
+
+    payload = _encode_wav(8000, 3, b"AB")
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert b"LIST" in payload  # odd n_samples → filler chunk present
+    rate, n, dur, s, peak = _decode_wav(payload)
+    assert (rate, n) == (8000, 3)
+    assert dur == 3 * 1_000_000 // 8000
+    assert s == -16128 - 15872 - 16128
+    assert peak == 16128
+
+    # even count: no filler, empty-text fallback pads a zero byte
+    rate, n, dur, s, peak = _decode_wav(_encode_wav(16000, 2, b""))
+    assert (rate, n, s, peak) == (16000, 2, -65536, 32768)
+
+    with pytest.raises(ValueError):
+        _decode_wav(b"RIFX" + b"\x00" * 40)
