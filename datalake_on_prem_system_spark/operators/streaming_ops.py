@@ -259,6 +259,37 @@ def st_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING-window aggregate (2-day window, 1-day slide) with
+    a watermark — the overlapping-window tier between the tumbling
+    ``st_watermark_window`` and the dynamic ``st_session_window``: every
+    event lands in size/slide = 2 windows, the moving-aggregate shape
+    every rate/trend dashboard reads. State per key is (size/slide)
+    concurrent windows, evicted as the watermark passes each window end.
+
+    Determinism: the value sum accumulates as integer CENTS (exact,
+    order-independent) and divides once at the end — not a double sum —
+    so the compare is exact, not rounded-into-agreement. Window starts
+    are epoch-aligned multiples of the slide, which for a 1-day slide is
+    exactly ``date_trunc('day')`` — the oracle assigns each event to its
+    two enclosing windows by that rule."""
+    stream = _events_stream(spark, _events_json_dir(spark, sf_dir))
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    return _run_to_memory(agg, "slw", "complete").select(
+        F.col("w.start").alias("win_start"),
+        F.col("w.end").alias("win_end"),
+        "n_events",
+        F.round(F.col("cents") / 100.0, 2).alias("sum_value"),
+    )
+
+
 def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user SESSION windows (30-min inactivity gap) via the
     native ``session_window`` operator — dynamic-length windows merged in
@@ -874,6 +905,7 @@ QUERIES = {
     "st_scd2_stream": st_scd2_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
     "st_watermark_window": st_watermark_window,
+    "st_sliding_window": st_sliding_window,
     "st_session_window": st_session_window,
     "st_funnel_stream": st_funnel_stream,
     "st_ema_stream": st_ema_stream,
@@ -914,6 +946,22 @@ ORACLE = {
         SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1
+    """,
+    # every event belongs to the 2 sliding windows starting at
+    # date_trunc(day) and date_trunc(day) - 1 day (slide = 1 day aligns
+    # window starts to day boundaries); cents sum mirrors the exact
+    # integer accumulation
+    "st_sliding_window": """
+        WITH assigned AS (
+            SELECT date_trunc('day', ts) - k * INTERVAL 1 DAY AS win_start,
+                   value
+            FROM events, (SELECT unnest([0, 1]) AS k)
+        )
+        SELECT win_start, win_start + INTERVAL 2 DAY AS win_end,
+               count(*) AS n_events,
+               round(sum(CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
+                   AS sum_value
+        FROM assigned GROUP BY 1
     """,
     "st_session_window": """
         WITH flagged AS (

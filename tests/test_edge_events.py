@@ -120,6 +120,9 @@ def test_edge_events_windows_match_oracle(spark, tmp_path):
         # and the stateful funnel must match ev_funnel's oracle verbatim
         "st_session_window",
         "st_funnel_stream",
+        # sliding windows over the same corpus: same-timestamp pairs and
+        # negative values land in BOTH enclosing 2-day windows
+        "st_sliding_window",
     ]
     for name in names:
         spark.catalog.clearCache()
