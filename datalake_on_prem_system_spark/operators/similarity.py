@@ -1467,6 +1467,87 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE planner — the rebalance stage that completes
+    the index lifecycle (build → probe → append → recall-audit →
+    REBALANCE): after incremental appends against a frozen quantizer,
+    cell sizes drift; this op reports each cell's occupancy and plans
+    ``split`` for cells over 2× the mean, ``merge`` (with the nearest
+    sibling centroid as target) for cells under ¼ of the mean — the same
+    skew report a compaction planner (``lh_compaction_plan``) produces
+    for file sizes, applied to ANN cells. A skewed cell is a latency
+    outlier at probe time: probe cost is per-cell, so the 2× rule bounds
+    the worst probed-cell scan.
+
+    Determinism: thresholds are integer CROSS-MULTIPLICATIONS
+    (n·nlist > 2·total, n·nlist·4 < total) — no float shares; the
+    nearest-sibling choice uses the fold-ordered squared distance with
+    the lower-cell tie-break (the `_assign_cells` rule).
+
+    Scale shape: ONE partial-aggregated count over the cell-partitioned
+    index (the scan reads only the ``cell`` partition column), a
+    nlist-bounded left join to include EMPTY cells (merge candidates the
+    assignment table alone can't see), and a nlist² centroid-pair join
+    that is pure driver-side metadata (allow-listed literal-frame BNLJ,
+    bounded by the quantizer — never by the corpus)."""
+    path, centers = build_ivf_index(spark, sf_dir)
+    counts = (
+        spark.read.parquet(path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    cdf = _centers_df(spark, centers)
+    base = (
+        cdf.select("cell")
+        .join(counts, "cell", "left_outer")
+        .fillna(0, ["n_vecs"])
+    )
+    tot = F.broadcast(
+        base.agg(
+            F.sum("n_vecs").alias("total"), F.count(F.lit(1)).alias("nl")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    near = (
+        cdf.alias("a")
+        .join(F.broadcast(cdf.alias("b")), F.col("a.cell") != F.col("b.cell"))
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("b.cell").alias("nbr"),
+            _sqdist(F.col("a.cv"), F.col("b.cv")).alias("d"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("cell").orderBy(F.asc("d"), F.asc("nbr"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cell", "nbr")
+    )
+    status = (
+        F.when(F.col("n_vecs") * F.col("nl") > 2 * F.col("total"), "split")
+        .when(F.col("n_vecs") * F.col("nl") * 4 < F.col("total"), "merge")
+        .otherwise("ok")
+    )
+    return (
+        base.crossJoin(tot)
+        .join(near, "cell")
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.expr("n_vecs * 1000000 div total").alias("share_ppm"),
+            status.alias("status"),
+            F.when(
+                F.col("n_vecs") * F.col("nl") * 4 < F.col("total"),
+                F.col("nbr"),
+            ).cast("int").alias("merge_target"),
+        )
+        .orderBy("cell")
+    )
+
+
 QUERIES = {
     "sim_brute_topk": sim_brute_topk,
     "sim_range_search": sim_range_search,
@@ -1485,6 +1566,7 @@ QUERIES = {
     "sim_ivfpq_batch_join": sim_ivfpq_batch_join,
     "sim_recall_eval": sim_recall_eval,
     "sim_knn_graph": sim_knn_graph,
+    "sim_cell_rebalance": sim_cell_rebalance,
 }
 
 
@@ -2224,3 +2306,51 @@ def _knn_graph_oracle_sql() -> str:
 
 
 ORACLE["sim_knn_graph"] = _knn_graph_oracle_sql()
+
+
+def _cell_rebalance_oracle_sql() -> str:
+    """DuckDB replay of sim_cell_rebalance: index build via
+    ``ivf_assign_ctes`` (scale-aware nlist), per-cell occupancy with
+    empty cells preserved (cents LEFT JOIN counts), the integer
+    cross-multiplication split/merge rules, and the nearest-sibling
+    centroid via the fold-ordered distance with the lower-cell
+    tie-break."""
+    dist = _dist_sql
+    return f"""
+        WITH {_VECS_SQL}, {ivf_assign_ctes()},
+        cnt AS (
+            SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM af GROUP BY cell
+        ),
+        base AS (
+            SELECT c.cell, coalesce(cnt.n_vecs, 0) AS n_vecs
+            FROM cents c LEFT JOIN cnt USING (cell)
+        ),
+        tot AS (
+            SELECT sum(n_vecs) AS total, count(*) AS nl FROM base
+        ),
+        near AS (
+            SELECT cell, nbr FROM (
+                SELECT a.cell, b.cell AS nbr,
+                       row_number() OVER (PARTITION BY a.cell
+                           ORDER BY {dist("a.cvec", "b.cvec")} ASC,
+                                    b.cell ASC) AS rn
+                FROM cents a JOIN cents b ON a.cell != b.cell
+            ) WHERE rn = 1
+        )
+        SELECT CAST(base.cell AS INTEGER) AS cell,
+               n_vecs,
+               CAST(n_vecs * 1000000 // total AS BIGINT) AS share_ppm,
+               CASE WHEN n_vecs * nl > 2 * total THEN 'split'
+                    WHEN n_vecs * nl * 4 < total THEN 'merge'
+                    ELSE 'ok' END AS status,
+               CASE WHEN n_vecs * nl * 4 < total
+                    THEN CAST(near.nbr AS INTEGER) END AS merge_target
+        FROM base
+        JOIN near ON near.cell = base.cell
+        CROSS JOIN tot
+        ORDER BY cell
+    """
+
+
+ORACLE["sim_cell_rebalance"] = _cell_rebalance_oracle_sql()

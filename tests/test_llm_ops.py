@@ -1884,3 +1884,33 @@ def test_wav_encode_decode_roundtrip_hand_computed():
 
     with pytest.raises(ValueError):
         _decode_wav(b"RIFX" + b"\x00" * 40)
+
+
+def test_sim_cell_rebalance_rules_self_consistent(spark):
+    """The split/merge statuses must be exactly the integer
+    cross-multiplication rules applied to the returned occupancies, every
+    quantizer cell must appear exactly once (empty cells included), and a
+    merge target must name a DIFFERENT cell. The oracle compare proves
+    Spark == DuckDB; this pins the planner semantics themselves."""
+    from datalake_on_prem_system_spark.operators.similarity import (
+        sim_cell_rebalance,
+    )
+
+    rows = sim_cell_rebalance(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_vecs for r in rows)
+    nl = len(rows)
+    assert sorted(r.cell for r in rows) == list(range(nl))
+    assert total > 0
+    for r in rows:
+        if r.n_vecs * nl > 2 * total:
+            expect = "split"
+        elif r.n_vecs * nl * 4 < total:
+            expect = "merge"
+        else:
+            expect = "ok"
+        assert r.status == expect, (r.cell, r.status, expect)
+        if expect == "merge":
+            assert r.merge_target is not None and r.merge_target != r.cell
+        else:
+            assert r.merge_target is None
+        assert r.share_ppm == r.n_vecs * 1_000_000 // total

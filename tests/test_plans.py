@@ -241,6 +241,10 @@ _BNLJ_ALLOWED = {
     # over the corpus with a non-equi self-exclusion (the sim_knn_join
     # shape); the ANN side under audit stays equi-joined
     "sim_recall_eval",
+    # rebalance planner: nlist² centroid-pair non-equi self-join plus the
+    # ONE-ROW (total, nlist) anchor — both bounded by the quantizer size
+    # (driver-side metadata), never by the corpus
+    "sim_cell_rebalance",
 } | {
     "q11_important_stock",
     "q22_sales_opportunity",
