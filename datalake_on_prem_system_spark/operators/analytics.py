@@ -1860,6 +1860,86 @@ def a_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the market-segment × order-priority
+    contingency table (does segment predict priority?) plus Cramér's V
+    effect size — the categorical counterpart of ``a_mann_whitney``/
+    ``ev_ab_test`` in the testing toolkit.
+
+    The full R×C grid is materialized (distinct segments × distinct
+    priorities, both vocabulary-bounded broadcasts) so EMPTY cells still
+    contribute their expected counts — computing chi² only over observed
+    cells understates it. Exact integer sufficient statistics (cell,
+    row, column, grand counts); each cell's (n−e)²/e term converts to
+    double with an identical expression tree in both engines, and the
+    25-term sum runs as a canonical (seg, prio)-ordered sequential fold
+    (``sort_array(collect_list)`` + ``F.aggregate`` ↔ DuckDB
+    ``list(... ORDER BY)`` + ``list_reduce``) — order-pinned doubles,
+    no summation nondeterminism.
+
+    Scale shape: ONE fact-table shuffle (the groupBy), everything after
+    runs on the R×C grid — bounded by the category vocabularies, not the
+    data."""
+    oc = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+    cells = oc.groupBy("seg", "prio").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        cells.select("seg")
+        .distinct()
+        .crossJoin(F.broadcast(cells.select("prio").distinct()))
+        .join(cells, ["seg", "prio"], "left_outer")
+        .fillna(0, ["n"])
+    )
+    rows_t = cells.groupBy("seg").agg(F.sum("n").alias("r"))
+    cols_t = cells.groupBy("prio").agg(F.sum("n").alias("c"))
+    nn = F.broadcast(cells.agg(F.sum("n").alias("nn")))
+    e = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("nn").cast("double")
+    )
+    term = (
+        (F.col("n").cast("double") - e)
+        * (F.col("n").cast("double") - e)
+        / e
+    )
+    per_cell = (
+        grid.join(rows_t, "seg")
+        .join(cols_t, "prio")
+        .crossJoin(nn)
+        .select("seg", "prio", "nn", term.alias("term"))
+    )
+    folded = per_cell.groupBy().agg(
+        F.first("nn").alias("n_obs"),
+        F.countDistinct("seg").alias("nr"),
+        F.countDistinct("prio").alias("nc"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("seg", "prio", "term"))),
+            F.lit(0.0),
+            lambda a, x: a + x["term"],
+        ).alias("chi2"),
+    )
+    dof = (F.col("nr") - 1) * (F.col("nc") - 1)
+    minrc = F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+    return folded.select(
+        F.col("n_obs").cast("long").alias("n_obs"),
+        dof.cast("int").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n_obs").cast("double") * minrc)), 6
+        ).alias("cramers_v"),
+    )
+
+
 QUERIES = {
     "a_rfm_segments": a_rfm_segments,
     "ev_funnel": ev_funnel,
@@ -1897,7 +1977,52 @@ QUERIES = {
     "a_approx_quantiles": a_approx_quantiles,
     "ts_autocorrelation": ts_autocorrelation,
     "a_mann_whitney": a_mann_whitney,
+    "a_chi_square": a_chi_square,
 }
+
+_CHI2_ORACLE = """
+    WITH oc AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS prio
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), cells AS (
+        SELECT seg, prio, CAST(count(*) AS BIGINT) AS n
+        FROM oc GROUP BY 1, 2
+    ), grid AS (
+        SELECT s.seg, p.prio, coalesce(cells.n, 0) AS n
+        FROM (SELECT DISTINCT seg FROM cells) s
+        CROSS JOIN (SELECT DISTINCT prio FROM cells) p
+        LEFT JOIN cells ON cells.seg = s.seg AND cells.prio = p.prio
+    ), rt AS (SELECT seg, sum(n) AS r FROM cells GROUP BY seg),
+    ct AS (SELECT prio, sum(n) AS c FROM cells GROUP BY prio),
+    nt AS (SELECT sum(n) AS nn FROM cells),
+    terms AS (
+        SELECT g.seg, g.prio, nt.nn,
+               (CAST(g.n AS DOUBLE)
+                - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                  / CAST(nt.nn AS DOUBLE))
+               * (CAST(g.n AS DOUBLE)
+                  - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                    / CAST(nt.nn AS DOUBLE))
+               / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                  / CAST(nt.nn AS DOUBLE)) AS term
+        FROM grid g JOIN rt ON rt.seg = g.seg
+        JOIN ct ON ct.prio = g.prio CROSS JOIN nt
+    ), folded AS (
+        SELECT max(nn) AS n_obs,
+               count(DISTINCT seg) AS nr, count(DISTINCT prio) AS nc,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list(term ORDER BY seg, prio)),
+                   (a, x) -> a + x) AS chi2
+        FROM terms
+    )
+    SELECT CAST(n_obs AS BIGINT) AS n_obs,
+           CAST((nr - 1) * (nc - 1) AS INTEGER) AS dof,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (CAST(n_obs AS DOUBLE)
+                 * CAST(least(nr - 1, nc - 1) AS DOUBLE))), 6) AS cramers_v
+    FROM folded
+"""
 
 _ACF_ORACLE = f"""
     WITH daily AS (
@@ -1970,6 +2095,7 @@ _MWU_ORACLE = """
 ORACLE = {
     "ts_autocorrelation": _ACF_ORACLE,
     "a_mann_whitney": _MWU_ORACLE,
+    "a_chi_square": _CHI2_ORACLE,
     "a_linear_trend": """
         WITH monthly AS (
             SELECT o_orderpriority,

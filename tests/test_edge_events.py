@@ -650,3 +650,39 @@ def test_a_mann_whitney_hand_computed(spark, tmp_path):
     assert row["u_stat"] == 1.5
     sigma2 = (3 * 2 / 12.0) * ((5 + 1.0) - 6 / (5.0 * 4.0))
     assert row["z_score"] == round((3.0 - 6.0) / (2.0 * math.sqrt(sigma2)), 6)
+
+
+def test_a_chi_square_hand_computed(spark, tmp_path):
+    """Chi-square pin on two constructed 2x2 contingency tables. The
+    diagonal table (X only URGENT, Y only LOW, 10 each) has the closed
+    form chi2 = N*(ad-bc)^2/(r1*r2*c1*c2) = 20*(100)^2/10^4 = 20 and
+    Cramer's V = 1."""
+    import datetime as _dt
+
+    d = _dt.date(1995, 6, 1)
+    custs = [(1, "X"), (2, "Y")]
+    spark.createDataFrame(
+        custs, "c_custkey bigint, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    rows = []
+    for k in range(10):
+        rows.append((k, 1, "1-URGENT", d, 100.0))
+        rows.append((100 + k, 2, "5-LOW", d, 100.0))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet/*.parquet'"
+        )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_chi_square"](spark, str(tmp_path)).toPandas()
+    msg = compare("a_chi_square", sdf, con.sql(oracles["a_chi_square"]).df())
+    assert not msg, msg
+    row = sdf.iloc[0]
+    assert (row["n_obs"], row["dof"]) == (20, 1)
+    assert row["chi2"] == 20.0
+    assert row["cramers_v"] == 1.0

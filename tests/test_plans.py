@@ -268,6 +268,9 @@ _BNLJ_ALLOWED = {
     # series anchor (n, Σx): a ONE-ROW aggregate cross-joined into the
     # |days|-bounded daily series — constant cost at any fact size
     "ts_autocorrelation",
+    # grand-total anchor + the R×C vocabulary grid cross join — both
+    # bounded by the category vocabularies, never by the fact table
+    "a_chi_square",
     # global band distribution: a ONE-ROW aggregate cross-joined to every
     # quasi-identifier class — constant cost at any fact size
     "cur_t_closeness",
