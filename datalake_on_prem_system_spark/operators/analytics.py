@@ -1940,6 +1940,169 @@ def a_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MARKOV_SCALE = 1_000_000_000_000  # picounits of probability mass
+_MARKOV_ITERS = 20  # fixed chain-walk depth (both engines replay exactly)
+
+
+def _markov_journeys(spark: SparkSession, sf_dir: str):
+    """Shared journey derivation for Markov attribution: journey touches
+    (events strictly before the user's FIRST purchase, purchase events
+    excluded; all events when the user never purchases), the per-user
+    (src, dst) transition stream with START/CONV/NULL boundary states,
+    and the has-purchase flag. Returns (journey_touches, transitions)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w_user = Window.partitionBy("user_id")
+    fpo = F.min(
+        F.when(
+            F.col("event_type") == "purchase", F.struct("ts_us", "event_id")
+        )
+    ).over(w_user)
+    tagged = ev.withColumn("fpo", fpo)
+    jt = tagged.filter(
+        (F.col("event_type") != "purchase")
+        & (
+            F.col("fpo").isNull()
+            | (F.struct("ts_us", "event_id") < F.col("fpo"))
+        )
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = jt.select(
+        F.coalesce(F.lag("event_type").over(w_ord), F.lit("START")).alias(
+            "src"
+        ),
+        F.col("event_type").alias("dst"),
+    )
+    has_p = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_p")
+    )
+    lt = jt.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("ts_us", "event_id")).alias("lt")
+    )
+    term = (
+        has_p.join(lt, "user_id", "left_outer")
+        .select(
+            F.coalesce(F.col("lt"), F.lit("START")).alias("src"),
+            F.when(F.col("has_p") == 1, "CONV").otherwise("NULL").alias("dst"),
+        )
+    )
+    return jt, trans.unionByName(term)
+
+
+def _markov_walk(
+    counts: list[tuple[str, str, int]]
+) -> tuple[dict[str, int], int]:
+    """Exact integer chain walk over a vocabulary-bounded transition
+    matrix (driver-side — the matrix is ≤ (|channels|+3)² rows of
+    METADATA, the same bounded-anchor rule as the IVF centroid list).
+    For the full chain and each single-channel-removed variant (the
+    removed channel's out-edges collapse to NULL), runs
+    ``_MARKOV_ITERS`` steps of p'(d) = Σ_s p(s)·n(s,d) div out(s)
+    (per-edge truncation — order-independent integer arithmetic the
+    DuckDB oracle replays verbatim) and reads the absorbed CONV mass.
+    Returns ({channel: removal_ppm}, p_conv_full)."""
+    base = [(s, d, n) for s, d, n in counts]
+    base += [("CONV", "CONV", 1), ("NULL", "NULL", 1)]
+    channels = sorted(
+        {d for _, d, _ in counts if d not in ("CONV", "NULL")}
+    )
+
+    def pconv(removed: str | None) -> int:
+        edges = [
+            (s, d, n) for s, d, n in base if removed is None or s != removed
+        ]
+        if removed is not None:
+            edges.append((removed, "NULL", 1))
+        out: dict[str, int] = {}
+        for s, _, n in edges:
+            out[s] = out.get(s, 0) + n
+        p = {"START": _MARKOV_SCALE}
+        for _ in range(_MARKOV_ITERS):
+            nxt: dict[str, int] = {}
+            for s, d, n in edges:
+                if s in p:
+                    nxt[d] = nxt.get(d, 0) + p[s] * n // out[s]
+            p = nxt
+        return p.get("CONV", 0)
+
+    full = pconv(None)
+    removal = {
+        c: (0 if full == 0 else 1_000_000 - pconv(c) * 1_000_000 // full)
+        for c in channels
+    }
+    return removal, full
+
+
+def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) multi-touch attribution — the
+    data-driven model that replaces ``ev_attribution``'s last-touch
+    heuristic: build the first-order channel-transition chain from user
+    journeys (START → touches → CONV/NULL), compute the conversion
+    probability of the full chain and of each chain with one channel
+    removed (its out-edges collapse to NULL — "what if this channel
+    didn't exist"), and credit purchase revenue proportionally to each
+    channel's removal effect. The standard Shapley-adjacent attribution
+    every marketing-science stack ships.
+
+    Determinism: the walk is pure integer fixed point (picounit mass,
+    per-edge truncating division), the removal shares are integer ppm,
+    and the revenue split is an integer cents division — DuckDB replays
+    the identical {_MARKOV_ITERS}-step recurrence (variant-vectorized
+    unrolled CTEs), so the compare is exact.
+
+    Scale shape: journeys and transitions are ONE user-keyed shuffle
+    (window + lag — the ev_attribution shape); the transition matrix is
+    vocabulary-bounded (≤ (|channels|+3)² rows) and collected as a
+    bounded driver anchor; the chain walk costs O(edges · iters) on
+    that metadata; the output re-joins the DISTRIBUTED per-channel
+    touch counts with the literal removal table plus a ONE-ROW revenue
+    anchor (allow-listed scalar cross join)."""
+    jt, trans = _markov_journeys(spark, sf_dir)
+    counts = [
+        (r.src, r.dst, int(r.n))
+        for r in trans.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    removal, _full = _markov_walk(counts)
+    sppm = sum(removal.values())
+    rm = spark.createDataFrame(
+        sorted(removal.items()), "channel string, removal_ppm long"
+    )
+    nt = jt.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    tot = F.broadcast(
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("value") * 100).cast("long")), F.lit(0)
+            ).alias("cents")
+        )
+    )
+    return (
+        nt.join(F.broadcast(rm), "channel")
+        .crossJoin(tot)
+        .select(
+            "channel",
+            "n_touches",
+            "removal_ppm",
+            F.expr(
+                f"CAST(CASE WHEN {sppm}L = 0 THEN 0 ELSE "
+                f"(CAST(cents AS DECIMAL(38,0)) * removal_ppm) div {sppm}L "
+                f"END AS BIGINT)"
+            ).alias("attributed_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
 QUERIES = {
     "a_rfm_segments": a_rfm_segments,
     "ev_funnel": ev_funnel,
@@ -1978,6 +2141,7 @@ QUERIES = {
     "ts_autocorrelation": ts_autocorrelation,
     "a_mann_whitney": a_mann_whitney,
     "a_chi_square": a_chi_square,
+    "ev_markov_attribution": ev_markov_attribution,
 }
 
 _CHI2_ORACLE = """
@@ -2092,10 +2256,132 @@ _MWU_ORACLE = """
     FROM stats
 """
 
+def _markov_oracle_sql() -> str:
+    """DuckDB replay of ev_markov_attribution INCLUDING the chain walk:
+    journeys → transition counts → variant edge sets ('__full__' plus one
+    per removable channel, the removed channel's out-edges collapsed to
+    NULL) → {_MARKOV_ITERS} unrolled vector×matrix steps in HUGEINT with
+    the identical per-edge truncating division → removal ppm → revenue
+    split. Variant-vectorized: one CTE chain walks ALL variants at once,
+    keyed by ``removed``."""
+    # every step MATERIALIZED: DuckDB's subquery optimizer grows
+    # super-linearly on deep inlined CTE chains (measured ~2× per level);
+    # materialization keeps the 20-step walk linear
+    step = """p{k} AS MATERIALIZED (
+        SELECT ve.removed, ve.dst AS state,
+               sum(p.p * ve.n // vo.o) AS p
+        FROM p{j} p
+        JOIN ve ON ve.removed = p.removed AND ve.src = p.state
+        JOIN vout vo ON vo.removed = ve.removed AND vo.src = ve.src
+        GROUP BY 1, 2
+    )"""
+    steps = ",\n    ".join(
+        step.format(k=k, j=k - 1) for k in range(1, _MARKOV_ITERS + 1)
+    )
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        FROM events
+    ), fp AS (
+        SELECT user_id, ts_us AS fts, event_id AS fid FROM (
+            SELECT user_id, ts_us, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS rn
+            FROM ev WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ), jt AS (
+        SELECT e.user_id, e.event_id, e.event_type, e.ts_us
+        FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
+        WHERE e.event_type != 'purchase'
+          AND (fp.user_id IS NULL OR (e.ts_us, e.event_id) < (fp.fts, fp.fid))
+    ), trans AS (
+        SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id), 'START') AS src,
+               event_type AS dst
+        FROM jt
+    ), lt AS (
+        SELECT user_id, event_type AS lt FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts_us DESC, event_id DESC) AS rn
+            FROM jt
+        ) WHERE rn = 1
+    ), term AS (
+        SELECT coalesce(lt.lt, 'START') AS src,
+               CASE WHEN fp.user_id IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+                   AS dst
+        FROM (SELECT DISTINCT user_id FROM ev) u
+        LEFT JOIN lt ON lt.user_id = u.user_id
+        LEFT JOIN fp ON fp.user_id = u.user_id
+    ), edges0 AS (
+        SELECT src, dst, CAST(count(*) AS HUGEINT) AS n
+        FROM (SELECT src, dst FROM trans UNION ALL SELECT src, dst FROM term)
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT src, dst, n FROM edges0
+        UNION ALL SELECT 'CONV', 'CONV', CAST(1 AS HUGEINT)
+        UNION ALL SELECT 'NULL', 'NULL', CAST(1 AS HUGEINT)
+    ), vars AS (
+        SELECT DISTINCT dst AS removed FROM edges0
+        WHERE dst NOT IN ('CONV', 'NULL')
+        UNION ALL SELECT '__full__'
+    ), ve AS MATERIALIZED (
+        -- MATERIALIZED: every unrolled step references ve/vout, and an
+        -- inlined CTE would re-expand the whole journey pipeline per
+        -- step (exponential plan growth across 20 levels)
+        SELECT v.removed, e.src, e.dst, e.n
+        FROM vars v JOIN edges e
+          ON (v.removed = '__full__' OR e.src != v.removed)
+        UNION ALL
+        SELECT v.removed, v.removed AS src, 'NULL' AS dst,
+               CAST(1 AS HUGEINT) AS n
+        FROM vars v WHERE v.removed != '__full__'
+    ), vout AS MATERIALIZED (
+        SELECT removed, src, sum(n) AS o FROM ve GROUP BY 1, 2
+    ), p0 AS (
+        SELECT removed, 'START' AS state,
+               CAST({_MARKOV_SCALE} AS HUGEINT) AS p
+        FROM vars
+    ),
+    {steps},
+    pc AS (
+        SELECT removed,
+               coalesce(max(CASE WHEN state = 'CONV' THEN p END), 0) AS pconv
+        FROM p{_MARKOV_ITERS} GROUP BY removed
+    ), pf AS (
+        SELECT pconv AS pfull FROM pc WHERE removed = '__full__'
+    ), re AS (
+        SELECT removed AS channel,
+               CASE WHEN pf.pfull = 0 THEN 0
+                    ELSE 1000000 - pconv * 1000000 // pf.pfull
+               END AS removal_ppm
+        FROM pc, pf WHERE removed != '__full__'
+    ), tot AS (
+        SELECT CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0)
+               AS HUGEINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), sppm AS (
+        SELECT sum(removal_ppm) AS s FROM re
+    ), nt AS (
+        SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches
+        FROM jt GROUP BY 1
+    )
+    SELECT nt.channel, nt.n_touches,
+           CAST(re.removal_ppm AS BIGINT) AS removal_ppm,
+           CAST(CASE WHEN sppm.s = 0 THEN 0
+                     ELSE tot.cents * re.removal_ppm // sppm.s
+                END AS BIGINT) AS attributed_cents
+    FROM nt JOIN re ON re.channel = nt.channel
+    CROSS JOIN tot CROSS JOIN sppm
+    ORDER BY nt.channel
+    """
+
+
 ORACLE = {
     "ts_autocorrelation": _ACF_ORACLE,
     "a_mann_whitney": _MWU_ORACLE,
     "a_chi_square": _CHI2_ORACLE,
+    "ev_markov_attribution": _markov_oracle_sql(),
     "a_linear_trend": """
         WITH monthly AS (
             SELECT o_orderpriority,

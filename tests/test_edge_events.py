@@ -686,3 +686,31 @@ def test_a_chi_square_hand_computed(spark, tmp_path):
     assert (row["n_obs"], row["dof"]) == (20, 1)
     assert row["chi2"] == 20.0
     assert row["cramers_v"] == 1.0
+
+
+def test_ev_markov_attribution_hand_computed(spark, tmp_path):
+    """Markov removal-effect pin on a 3-user chain whose truncating
+    fixed-point walk is hand-traceable: u1 view->purchase, u2 view->end,
+    u3 click->purchase. P(conv|full) = 2/3 exactly in picounits
+    (666666666666); removing either channel leaves only the other path
+    (333333333333), so both removal effects are exactly 500000 ppm and
+    the 2000 purchase cents split 1000/1000."""
+    events = [
+        (1, _ts(0), 1, "view", 0.0),
+        (2, _ts(1), 1, "purchase", 10.0),
+        (3, _ts(0), 2, "view", 0.0),
+        (4, _ts(0), 3, "click", 0.0),
+        (5, _ts(1), 3, "purchase", 10.0),
+    ]
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ev_markov_attribution"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ev_markov_attribution", sdf, con.sql(oracles["ev_markov_attribution"]).df()
+    )
+    assert not msg, msg
+    got = {
+        r["channel"]: (r["n_touches"], r["removal_ppm"], r["attributed_cents"])
+        for _, r in sdf.iterrows()
+    }
+    assert got == {"view": (2, 500000, 1000), "click": (1, 500000, 1000)}

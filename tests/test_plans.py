@@ -271,6 +271,9 @@ _BNLJ_ALLOWED = {
     # grand-total anchor + the R×C vocabulary grid cross join — both
     # bounded by the category vocabularies, never by the fact table
     "a_chi_square",
+    # purchase-revenue anchor: a ONE-ROW sum cross-joined into the
+    # vocabulary-bounded per-channel frame — constant cost at any size
+    "ev_markov_attribution",
     # global band distribution: a ONE-ROW aggregate cross-joined to every
     # quasi-identifier class — constant cost at any fact size
     "cur_t_closeness",
