@@ -128,6 +128,29 @@ HEADLINERS = [
     "sim_knn_graph",
     "st_neardup_stream",
     "ev_top_paths",
+    # round-11 additions: broadcast-centroid ANN rework beneficiaries are
+    # already timed above (sim_ivfpq_*, sim_knn_graph); new shapes this
+    # round — frontier BFS + min-label components + fixed-point HITS
+    # (three iterative-join tiers over the trade graphs), the two-level
+    # prefix-sum rank test, the journey-chain Markov walk, the real
+    # BMP/WAV Arrow codec kernels, posting-index more-like-this, the
+    # manifest-only orphan/WAP planners, and the sliding-window stream
+    "g_bfs_hops",
+    "g_connected_components",
+    "g_hits",
+    "a_mann_whitney",
+    "ev_markov_attribution",
+    "a_linear_trend",
+    "ts_autocorrelation",
+    "a_chi_square",
+    "mm_image_decode",
+    "mm_wav_decode",
+    "search_more_like_this",
+    "g_resource_allocation",
+    "lh_orphan_files",
+    "lh_write_audit_publish",
+    "sim_cell_rebalance",
+    "st_sliding_window",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

@@ -948,6 +948,107 @@ def lh_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COMPACT_PLAN_CACHE: dict[str, str] = {}
+# sf_dir → (overlapping-layout root, sorted-layout root)
+_CLUSTER_DEPTH_CACHE: dict[str, tuple[str, str]] = {}
+_CD_SEGMENTS = 7
+
+
+def lh_cluster_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth AUDIT over ``$files`` metadata — the metric
+    Delta's OPTIMIZE ZORDER reports to decide whether a rewrite is worth
+    it: for each data file, how many files' [min, max] key ranges cover
+    its lower bound (overlap depth); a perfectly clustered table has
+    depth 1 everywhere, an append-only table converges to depth ≈
+    n_files. The audit side of ``lh_zorder_skipping`` — that op proves
+    pruning works on a sorted layout, this one MEASURES how far a layout
+    is from prunable, reading only recorded column stats (no data files
+    opened).
+
+    Two real tables are built and audited side-by-side: 7 hash-sliced
+    appends (``o_orderkey % 7`` — every segment spans the whole key
+    domain, depth 7) and 7 range-sliced appends (rank-partitioned —
+    disjoint ranges, depth 1), so the metric demonstrably discriminates
+    layout quality, and the oracle recomputing the ranges from the
+    SAME slicing rules cross-checks the manifest's recorded stats
+    end-to-end.
+
+    Depth via the interval SWEEP, not an O(files²) overlap self-join:
+    each manifest entry contributes (+1 at min, −1 after max); the
+    running event sum at each file's start event IS its overlap depth.
+    The cumulative window runs over 2·n_files manifest-bounded rows
+    (ends sort after starts at equal positions, so touching ranges
+    count as overlapping — both engines apply the same (pos, is_end)
+    order). Integer arithmetic throughout (ppm share via integer
+    division)."""
+    from pyspark.sql import Window
+
+    if sf_dir not in _CLUSTER_DEPTH_CACHE:
+        keys = t(spark, sf_dir, "orders").select("o_orderkey")
+        n = keys.count()
+        w_rank = Window.orderBy("o_orderkey")
+        sliced = keys.select(
+            "o_orderkey",
+            (F.col("o_orderkey") % _CD_SEGMENTS).alias("b_mod"),
+            F.expr(
+                f"(row_number() OVER (ORDER BY o_orderkey) - 1) "
+                f"* {_CD_SEGMENTS} div {n}"
+            ).alias("b_rng"),
+        ).localCheckpoint()
+        roots = []
+        for col in ("b_mod", "b_rng"):
+            root = index_tempdir("lake_clusterdepth_")
+            table = LakeTable(spark, root)
+            for b in range(_CD_SEGMENTS):
+                part = sliced.filter(F.col(col) == b).select("o_orderkey")
+                if b == 0:
+                    table.create_or_replace(part)
+                else:
+                    table.append(part)
+            roots.append(root)
+        _CLUSTER_DEPTH_CACHE[sf_dir] = (roots[0], roots[1])
+    out = []
+    for layout, root in zip(
+        ("append-overlapping", "range-sorted"), _CLUSTER_DEPTH_CACHE[sf_dir]
+    ):
+        segs = (
+            LakeTable(spark, root)
+            .files()
+            .filter(~F.col("is_delta"))
+            .select(
+                F.get_json_object("stats_json", "$.o_orderkey[0]")
+                .cast("long")
+                .alias("mn"),
+                F.get_json_object("stats_json", "$.o_orderkey[1]")
+                .cast("long")
+                .alias("mx"),
+            )
+        )
+        events = segs.select(
+            F.col("mn").alias("pos"),
+            F.lit(1).alias("delta"),
+            F.lit(0).alias("is_end"),
+        ).unionByName(
+            segs.select(
+                F.col("mx").alias("pos"),
+                F.lit(-1).alias("delta"),
+                F.lit(1).alias("is_end"),
+            )
+        )
+        w_sweep = Window.orderBy("pos", "is_end").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        depths = events.withColumn("d", F.sum("delta").over(w_sweep)).filter(
+            F.col("is_end") == 0
+        )
+        out.append(
+            depths.agg(
+                F.lit(layout).alias("layout"),
+                F.count(F.lit(1)).alias("n_files"),
+                F.max("d").cast("long").alias("max_depth"),
+                F.expr("sum(d) * 1000000 div count(1)").alias("avg_depth_ppm"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("layout")
 
 
 def lh_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1217,6 +1318,7 @@ def lh_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "lh_compaction_plan": lh_compaction_plan,
+    "lh_cluster_depth": lh_cluster_depth,
     "lh_vacuum_plan": lh_vacuum_plan,
     "lh_orphan_files": lh_orphan_files,
     "lh_write_audit_publish": lh_write_audit_publish,
@@ -1248,6 +1350,44 @@ QUERIES = {
 }
 
 ORACLE = {
+    # recomputes each layout's segment [min, max] ranges from the SAME
+    # slicing rules the fixture build used (o_orderkey % 7 /
+    # rank-partitioned), then the identical (pos, is_end)-ordered sweep —
+    # a mismatch means the manifest recorded wrong column stats
+    "lh_cluster_depth": f"""
+        WITH k AS (SELECT o_orderkey AS key FROM orders),
+        st AS (SELECT count(*) AS n FROM k),
+        rk AS (SELECT key, row_number() OVER (ORDER BY key) AS r FROM k),
+        seg_mod AS (
+            SELECT key % {_CD_SEGMENTS} AS b, min(key) AS mn, max(key) AS mx
+            FROM k GROUP BY 1
+        ),
+        seg_rng AS (
+            SELECT (r - 1) * {_CD_SEGMENTS} // n AS b,
+                   min(key) AS mn, max(key) AS mx
+            FROM rk, st GROUP BY 1
+        ),
+        ev AS (
+            SELECT 'append-overlapping' AS layout, mn AS pos,
+                   1 AS delta, 0 AS is_end FROM seg_mod
+            UNION ALL SELECT 'append-overlapping', mx, -1, 1 FROM seg_mod
+            UNION ALL SELECT 'range-sorted', mn, 1, 0 FROM seg_rng
+            UNION ALL SELECT 'range-sorted', mx, -1, 1 FROM seg_rng
+        ),
+        run AS (
+            SELECT layout, is_end,
+                   sum(delta) OVER (PARTITION BY layout
+                       ORDER BY pos, is_end
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS d
+            FROM ev
+        )
+        SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+               CAST(max(d) AS BIGINT) AS max_depth,
+               CAST(sum(d) * 1000000 // count(*) AS BIGINT) AS avg_depth_ppm
+        FROM run WHERE is_end = 0 GROUP BY layout
+        ORDER BY layout
+    """,
     "lh_write_audit_publish": """
         WITH base AS (
             SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS bal
