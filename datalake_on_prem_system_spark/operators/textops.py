@@ -995,7 +995,131 @@ _TOKENIZE_APPLY_SQL = f"""
     """
 
 
+_HEAPS_DECILES = 10
+
+
+def tx_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law fit: vocabulary growth V(N) ≈ K·N^β measured at 10
+    corpus-prefix checkpoints (doc_id order) — the scaling diagnostic
+    behind every "how big must the tokenizer vocab be at 10× data"
+    estimate, and the empirical basis for the Heaps-bounded shuffle
+    claims the tokenizer family documents (β < 1 ⇒ vocabulary shuffles
+    grow sublinearly).
+
+    Distributed shape: doc ranks come from the TWO-LEVEL prefix rule
+    (intra-bucket ``row_number`` partitioned by ``doc_id div 1e6`` +
+    cumulative bucket offsets — the a_mann_whitney recipe; no global
+    single-partition sort of the corpus). Each doc folds into its decile
+    group; cumulative token counts and first-occurrence vocabulary
+    counts then live on a 10-row frame. The OLS fit runs as a
+    decile-ordered sequential fold over 10 (ln N, ln V) points — exact
+    integer sufficient statistics upstream, order-pinned doubles in the
+    fit, same expression tree in DuckDB.
+
+    The total doc count enters as a collected scalar (one count job —
+    the build_ivf_index nlist rule: a bounded anchor, not data)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(_tokens(), lambda x: x != "").alias("toks"),
+    )
+    n_docs = docs.count()
+    from pyspark.sql import Window as W
+
+    intra = W.partitionBy("bkt").orderBy("doc_id")
+    per_doc = (
+        docs.withColumn("bkt", F.expr("doc_id div 1000000"))
+        .withColumn("ir", F.row_number().over(intra))
+    )
+    boff = (
+        per_doc.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bn").over(
+                    W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "off")
+    )
+    ranked = per_doc.join(boff, "bkt").select(
+        "doc_id",
+        "toks",
+        F.expr(
+            f"CAST((off + ir - 1) * {_HEAPS_DECILES} div {n_docs} + 1 AS INT)"
+        ).alias("dd"),
+        F.size("toks").alias("n_toks"),
+    )
+    gtok = ranked.groupBy("dd").agg(F.sum("n_toks").alias("g_toks"))
+    wfirst = (
+        ranked.select("dd", F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.min("dd").alias("fd"))
+        .groupBy(F.col("fd").alias("dd"))
+        .agg(F.count(F.lit(1)).alias("g_vocab"))
+    )
+    wd = W.orderBy("dd").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pts = (
+        gtok.join(wfirst, "dd", "full_outer")
+        .fillna(0, ["g_toks", "g_vocab"])
+        .select(
+            "dd",
+            F.sum("g_toks").over(wd).alias("cn"),
+            F.sum("g_vocab").over(wd).alias("cv"),
+        )
+    )
+    init = F.struct(
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxy"),
+        F.lit(0.0).alias("sxx"),
+        F.lit(0.0).alias("k"),
+    )
+
+    def step(acc, e):
+        x, y = F.log(e["cn"].cast("double")), F.log(e["cv"].cast("double"))
+        return F.struct(
+            (acc["sx"] + x).alias("sx"),
+            (acc["sy"] + y).alias("sy"),
+            (acc["sxy"] + x * y).alias("sxy"),
+            (acc["sxx"] + x * x).alias("sxx"),
+            (acc["k"] + 1).alias("k"),
+        )
+
+    fitted = pts.agg(
+        F.max(F.when(F.col("dd") == _HEAPS_DECILES, F.col("cn"))).alias(
+            "n_tokens"
+        ),
+        F.max(F.when(F.col("dd") == _HEAPS_DECILES, F.col("cv"))).alias(
+            "vocab_size"
+        ),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("dd", "cn", "cv"))),
+            init,
+            step,
+        ).alias("st"),
+    )
+    slope = (
+        F.col("st.k") * F.col("st.sxy") - F.col("st.sx") * F.col("st.sy")
+    ) / (
+        F.col("st.k") * F.col("st.sxx") - F.col("st.sx") * F.col("st.sx")
+    )
+    return fitted.select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("st.sy") - slope * F.col("st.sx")) / F.col("st.k")),
+            6,
+        ).alias("heaps_k"),
+    )
+
+
 QUERIES = {
+    "tx_heaps_law": tx_heaps_law,
     "tx_vocab_build": tx_vocab_build,
     "tx_tokenize_apply": tx_tokenize_apply,
     "tx_tokenizer_stats": tx_tokenizer_stats,
@@ -1040,7 +1164,67 @@ _LANGID_SQL = """
         FROM scored
     """
 
+_HEAPS_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+               row_number() OVER (ORDER BY doc_id) AS r
+        FROM documents
+    ), st AS (SELECT count(*) AS n FROM documents),
+    rk AS (
+        SELECT doc_id, toks,
+               CAST((r - 1) * {_HEAPS_DECILES} // n + 1 AS INTEGER) AS dd,
+               len(toks) AS n_toks
+        FROM d, st
+    ),
+    gtok AS (SELECT dd, sum(n_toks) AS g_toks FROM rk GROUP BY dd),
+    wfirst AS (
+        SELECT fd AS dd, count(*) AS g_vocab FROM (
+            SELECT w, min(dd) AS fd FROM (
+                SELECT dd, unnest(toks) AS w FROM rk
+            ) GROUP BY w
+        ) GROUP BY fd
+    ),
+    pts AS (
+        SELECT dd,
+               sum(coalesce(g_toks, 0)) OVER (ORDER BY dd
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+               sum(coalesce(g_vocab, 0)) OVER (ORDER BY dd
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+        FROM gtok FULL OUTER JOIN wfirst USING (dd)
+    ),
+    fit AS (
+        SELECT
+            max(CASE WHEN dd = {_HEAPS_DECILES} THEN cn END) AS n_tokens,
+            max(CASE WHEN dd = {_HEAPS_DECILES} THEN cv END) AS vocab_size,
+            CAST(count(*) AS DOUBLE) AS k,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(ln(CAST(cn AS DOUBLE)) ORDER BY dd)),
+                (a, x) -> a + x) AS sx,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(ln(CAST(cv AS DOUBLE)) ORDER BY dd)),
+                (a, x) -> a + x) AS sy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(ln(CAST(cn AS DOUBLE)) * ln(CAST(cv AS DOUBLE))
+                     ORDER BY dd)),
+                (a, x) -> a + x) AS sxy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(ln(CAST(cn AS DOUBLE)) * ln(CAST(cn AS DOUBLE))
+                     ORDER BY dd)),
+                (a, x) -> a + x) AS sxx
+        FROM pts
+    )
+    SELECT CAST(st.n AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab_size AS BIGINT) AS vocab_size,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS heaps_beta,
+           round(exp((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+                 / k), 6) AS heaps_k
+    FROM fit, st
+"""
+
 ORACLE = {
+    "tx_heaps_law": _HEAPS_ORACLE,
     "tx_tokenize_apply": _TOKENIZE_APPLY_SQL,
     "tx_tokenizer_stats": _TOKENIZER_STATS_SQL,
     "tx_zipf_fit": """

@@ -714,3 +714,31 @@ def test_ev_markov_attribution_hand_computed(spark, tmp_path):
         for _, r in sdf.iterrows()
     }
     assert got == {"view": (2, 500000, 1000), "click": (1, 500000, 1000)}
+
+
+def test_tx_heaps_law_power_fixture(spark, tmp_path):
+    """Heaps pin on a constructed corpus lying exactly on a power law:
+    after decile d the corpus holds d^4 tokens and d^2 distinct words, so
+    all 10 (ln N, ln V) points are collinear with slope exactly 0.5 and
+    intercept 0 (K = 1). OLS on collinear points recovers both."""
+    docs = []
+    for d in range(1, 11):
+        new_words = [f"w_{d}_{j}" for j in range(2 * d - 1)]
+        n_toks = d**4 - (d - 1) ** 4
+        toks = new_words + ["w_1_0"] * (n_toks - len(new_words))
+        docs.append((d - 1, " ".join(toks), "en", "synth", len(toks)))
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["tx_heaps_law"](spark, str(tmp_path)).toPandas()
+    msg = compare("tx_heaps_law", sdf, con.sql(oracles["tx_heaps_law"]).df())
+    assert not msg, msg
+    row = sdf.iloc[0]
+    assert (row["n_docs"], row["n_tokens"], row["vocab_size"]) == (10, 10000, 100)
+    assert abs(row["heaps_beta"] - 0.5) < 1e-9
+    assert abs(row["heaps_k"] - 1.0) < 1e-9
