@@ -1548,6 +1548,72 @@ def sim_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization-DISTORTION audit: per-subspace sum/mean of squared
+    reconstruction error between each vector's subslice and its assigned
+    codebook centroid — the compression-quality twin of
+    ``sim_recall_eval`` (recall measures end-to-end ranking loss; this
+    localizes WHICH subspace's codebook under-fits, the metric that
+    decides K per subspace before a production rollout).
+
+    Determinism: the per-vector error is the fold-ordered squared
+    distance (identical doubles in both engines), QUANTIZED to integer
+    nano-units per row before the corpus-sized sum — a raw double sum
+    over the corpus would be summation-order-dependent; the integer sum
+    is exact and order-free. MSE divides once at the end.
+
+    Scale shape: one scan of the persisted code table, M broadcast
+    codebook hash joins (codebooks as DATA — the production-K rule), one
+    equi-join to the primary vectors on vec_id, then a partial-aggregated
+    M-row reduce. No driver loops, no all-pairs anything."""
+    path, books = build_pq_index(spark, sf_dir)
+    codes = spark.read.parquet(path)
+    for m, book in enumerate(books):
+        bdf = spark.createDataFrame(
+            [(int(ci), [float(x) for x in cv]) for ci, cv in book],
+            f"code{m} int, b{m} array<double>",
+        )
+        codes = codes.join(F.broadcast(bdf), f"code{m}")
+    joined = codes.join(
+        _vecs(spark, sf_dir).select("vec_id", "v"), "vec_id"
+    )
+    errs = [
+        F.floor(
+            _sqdist(
+                F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                F.col(f"b{m}"),
+            )
+            * 1_000_000_000
+        )
+        .cast("long")
+        .alias(f"e{m}")
+        for m in range(_PQ_M)
+    ]
+    stacked = joined.select(*errs).select(
+        F.expr(
+            f"stack({_PQ_M}, "
+            + ", ".join(f"{m}, e{m}" for m in range(_PQ_M))
+            + ") AS (subspace, e_nano)"
+        )
+    )
+    return (
+        stacked.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("e_nano").alias("sse_nano"),
+        )
+        .select(
+            F.col("subspace").cast("int").alias("subspace"),
+            "n_vecs",
+            "sse_nano",
+            F.round(
+                F.col("sse_nano") / 1.0e9 / F.col("n_vecs"), 6
+            ).alias("mse"),
+        )
+        .orderBy("subspace")
+    )
+
+
 QUERIES = {
     "sim_brute_topk": sim_brute_topk,
     "sim_range_search": sim_range_search,
@@ -1567,6 +1633,7 @@ QUERIES = {
     "sim_recall_eval": sim_recall_eval,
     "sim_knn_graph": sim_knn_graph,
     "sim_cell_rebalance": sim_cell_rebalance,
+    "sim_pq_distortion": sim_pq_distortion,
 }
 
 
@@ -2354,3 +2421,44 @@ def _cell_rebalance_oracle_sql() -> str:
 
 
 ORACLE["sim_cell_rebalance"] = _cell_rebalance_oracle_sql()
+
+
+def _pq_distortion_oracle_sql() -> str:
+    """DuckDB replay of sim_pq_distortion: all M per-subspace codebook
+    trainings (the shared ``ivf_assign_ctes`` recipe), each vector's
+    fold-ordered squared error to its assigned centroid, quantized to
+    integer nano-units per row, summed exactly, MSE divided once."""
+    sub_ctes = []
+    arms = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        sub_ctes.append(
+            f"sub{m} AS (SELECT vec_id, vec[{lo}:{hi}] AS vec FROM n)"
+        )
+        sub_ctes.append(
+            ivf_assign_ctes(_PQ_K, _PQ_SUBDIM, f"sub{m}", f"_m{m}")
+        )
+        dist = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[(s.vec[i] - c.cvec[i]) * (s.vec[i] - c.cvec[i]) "
+            f"for i in range(1, {_PQ_SUBDIM} + 1)]), (a, x) -> a + x)"
+        )
+        arms.append(
+            f"SELECT {m} AS subspace, "
+            f"CAST(floor({dist} * 1000000000) AS BIGINT) AS e "
+            f"FROM sub{m} s "
+            f"JOIN af_m{m} a ON a.vec_id = s.vec_id "
+            f"JOIN cents_m{m} c ON c.cell = a.cell"
+        )
+    return f"""
+        WITH {_VECS_SQL}, {", ".join(sub_ctes)},
+        errs AS ({" UNION ALL ".join(arms)})
+        SELECT CAST(subspace AS INTEGER) AS subspace,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(e) AS BIGINT) AS sse_nano,
+               round(CAST(sum(e) AS BIGINT) / 1e9 / count(*), 6) AS mse
+        FROM errs GROUP BY subspace ORDER BY subspace
+    """
+
+
+ORACLE["sim_pq_distortion"] = _pq_distortion_oracle_sql()

@@ -1914,3 +1914,45 @@ def test_sim_cell_rebalance_rules_self_consistent(spark):
         else:
             assert r.merge_target is None
         assert r.share_ppm == r.n_vecs * 1_000_000 // total
+
+
+def test_sim_pq_distortion_assignment_is_optimal(spark):
+    """The audited per-vector error must equal the distance to the
+    NEAREST codebook centroid — if any vector sits closer to a centroid
+    it wasn't assigned, either the encode argmin or the audit join is
+    wrong. Verified exhaustively for subspace 0 at sf0.001."""
+    from datalake_on_prem_system_spark.operators.similarity import (
+        _PQ_SUBDIM,
+        _vecs,
+        build_pq_index,
+        sim_pq_distortion,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _, books = build_pq_index(spark, sf)
+    vs = {
+        int(r.vec_id): [float(x) for x in r.v[:_PQ_SUBDIM]]
+        for r in _vecs(spark, sf).select("vec_id", "v").collect()
+    }
+    codes = {
+        int(r.vec_id): int(r.code0)
+        for r in spark.read.parquet(
+            build_pq_index(spark, sf)[0]
+        ).select("vec_id", "code0").collect()
+    }
+
+    def sq(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    book0 = dict(books[0])
+    for vid, v in vs.items():
+        assigned = sq(v, book0[codes[vid]])
+        best = min(sq(v, c) for c in book0.values())
+        assert assigned <= best + 1e-12, (vid, assigned, best)
+
+    rows = sim_pq_distortion(spark, sf).collect()
+    assert [r.subspace for r in rows] == list(range(8))
+    assert all(r.mse >= 0 and r.sse_nano >= 0 for r in rows)
