@@ -2103,6 +2103,109 @@ def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series
+    (STL-lite): trend = centered 7-day moving average, seasonal = mean
+    DETRENDED value per weekday, plus the seasonal-STRENGTH statistic
+    1 − Var(remainder)/Var(detrended) — the decomposition
+    ``ts_seasonality``'s raw weekday index skips (a trending series
+    fakes raw weekday effects; detrending removes that bias), and the
+    standard pre-model diagnostic (strength ≈ 0 ⇒ don't bother with a
+    seasonal term).
+
+    Exactness: revenue is integer cents; the centered trend is a 7-day
+    integer SUM, so the detrended value d_t = 7·x_t − trend_sum_t stays
+    an exact integer (no division inside the series). Per-weekday sums
+    Σd, Σd², counts are exact; Var(remainder) uses the closed form
+    Σd² − Σ_w (Σ_w d)²/c_w, whose seven per-weekday terms fold in dow
+    order (order-pinned doubles). One division per output value.
+
+    Scale shape: one fact shuffle (groupBy day) reduces to the
+    |days|-bounded series (~2.5k rows at any SF — the ts_autocorrelation
+    rule); window, weekday aggregate, and the one-row strength anchor
+    all run on bounded frames."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("x"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    det = (
+        daily.withColumn("tsum", F.sum("x").over(w7))
+        .withColumn("tcnt", F.count(F.lit(1)).over(w7))
+        .filter(F.col("tcnt") == 7)
+        .select(
+            F.weekday("day").alias("dow"),
+            (F.lit(7).cast("decimal(38,0)") * F.col("x") - F.col("tsum")).alias("d"),
+        )
+    )
+    per_dow = det.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("d").alias("sn"),
+        F.sum(F.col("d") * F.col("d")).alias("sn2"),
+    )
+    init = F.struct(
+        F.lit(0.0).alias("sd2"),
+        F.lit(0.0).alias("swn"),
+        F.lit(0.0).alias("sd"),
+        F.lit(0.0).alias("n"),
+    )
+
+    def step(acc, e):
+        return F.struct(
+            (acc["sd2"] + e["sn2"].cast("double")).alias("sd2"),
+            (
+                acc["swn"]
+                + e["sn"].cast("double")
+                * e["sn"].cast("double")
+                / e["n_days"].cast("double")
+            ).alias("swn"),
+            (acc["sd"] + e["sn"].cast("double")).alias("sd"),
+            (acc["n"] + e["n_days"].cast("double")).alias("n"),
+        )
+
+    strength = F.broadcast(
+        per_dow.agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct("dow", "n_days", "sn", "sn2"))
+                ),
+                init,
+                step,
+            ).alias("st")
+        ).select(
+            F.round(
+                F.lit(1.0)
+                - (F.col("st.sd2") - F.col("st.swn"))
+                / (
+                    F.col("st.sd2")
+                    - F.col("st.sd") * F.col("st.sd") / F.col("st.n")
+                ),
+                6,
+            ).alias("seasonal_strength")
+        )
+    )
+    return (
+        per_dow.crossJoin(strength)
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            F.round(
+                F.col("sn").cast("double")
+                / (7.0 * F.col("n_days").cast("double"))
+                / 100.0,
+                6,
+            ).alias("seasonal_dollars"),
+            "seasonal_strength",
+        )
+        .orderBy("dow")
+    )
+
+
 QUERIES = {
     "a_rfm_segments": a_rfm_segments,
     "ev_funnel": ev_funnel,
@@ -2142,7 +2245,53 @@ QUERIES = {
     "a_mann_whitney": a_mann_whitney,
     "a_chi_square": a_chi_square,
     "ev_markov_attribution": ev_markov_attribution,
+    "ts_decompose": ts_decompose,
 }
+
+_DECOMP_ORACLE = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ), det AS (
+        SELECT isodow(day) - 1 AS dow, 7 * x - tsum AS d
+        FROM (
+            SELECT day, x,
+                   sum(x) OVER w AS tsum, count(*) OVER w AS tcnt
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ) WHERE tcnt = 7
+    ), per_dow AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+               sum(d) AS sn, sum(d * d) AS sn2
+        FROM det GROUP BY dow
+    ), folded AS (
+        SELECT
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CAST(sn2 AS DOUBLE) ORDER BY dow)),
+                (a, x) -> a + x) AS sd2,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                     / CAST(n_days AS DOUBLE) ORDER BY dow)),
+                (a, x) -> a + x) AS swn,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CAST(sn AS DOUBLE) ORDER BY dow)),
+                (a, x) -> a + x) AS sd,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CAST(n_days AS DOUBLE) ORDER BY dow)),
+                (a, x) -> a + x) AS n
+        FROM per_dow
+    )
+    SELECT CAST(dow AS INTEGER) AS dow, n_days,
+           round(CAST(sn AS DOUBLE) / (7.0 * CAST(n_days AS DOUBLE))
+                 / 100.0, 6) AS seasonal_dollars,
+           round(1.0 - (sd2 - swn) / (sd2 - sd * sd / n), 6)
+               AS seasonal_strength
+    FROM per_dow, folded
+    ORDER BY dow
+"""
 
 _CHI2_ORACLE = """
     WITH oc AS (
@@ -2382,6 +2531,7 @@ ORACLE = {
     "a_mann_whitney": _MWU_ORACLE,
     "a_chi_square": _CHI2_ORACLE,
     "ev_markov_attribution": _markov_oracle_sql(),
+    "ts_decompose": _DECOMP_ORACLE,
     "a_linear_trend": """
         WITH monthly AS (
             SELECT o_orderpriority,

@@ -742,3 +742,37 @@ def test_tx_heaps_law_power_fixture(spark, tmp_path):
     assert (row["n_docs"], row["n_tokens"], row["vocab_size"]) == (10, 10000, 100)
     assert abs(row["heaps_beta"] - 0.5) < 1e-9
     assert abs(row["heaps_k"] - 1.0) < 1e-9
+
+
+def test_ts_decompose_hand_computed(spark, tmp_path):
+    """Decomposition pin on a constructed trend+seasonal series with NO
+    noise: daily revenue = 100 + 10*t + weekday dollars over 4 Monday-
+    aligned weeks. Any centered 7-day window spans all weekdays, so the
+    linear trend cancels exactly: seasonal_dollars(dow) = dow - 3 and
+    the remainder is identically zero => seasonal_strength = 1.0."""
+    import datetime as _dt
+
+    start = _dt.date(1995, 1, 2)  # a Monday
+    rows = [
+        (t, 1, "1-URGENT", start + _dt.timedelta(days=t),
+         100.0 + 10.0 * t + float(t % 7))
+        for t in range(28)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ts_decompose"](spark, str(tmp_path)).toPandas()
+    msg = compare("ts_decompose", sdf, con.sql(oracles["ts_decompose"]).df())
+    assert not msg, msg
+    got = {int(r["dow"]): r for _, r in sdf.iterrows()}
+    assert len(got) == 7
+    for w in range(7):
+        assert got[w]["seasonal_dollars"] == float(w - 3), (w, got[w])
+        assert got[w]["seasonal_strength"] == 1.0

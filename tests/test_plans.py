@@ -274,6 +274,9 @@ _BNLJ_ALLOWED = {
     # purchase-revenue anchor: a ONE-ROW sum cross-joined into the
     # vocabulary-bounded per-channel frame — constant cost at any size
     "ev_markov_attribution",
+    # seasonal-strength anchor: a ONE-ROW fold over the 7 weekday rows
+    # cross-joined back — constant cost at any fact size
+    "ts_decompose",
     # global band distribution: a ONE-ROW aggregate cross-joined to every
     # quasi-identifier class — constant cost at any fact size
     "cur_t_closeness",
