@@ -143,6 +143,88 @@ def _run_stream(spark: SparkSession, sf_dir: str, n_files: int, max_files: int |
     return table
 
 
+_DLQ_SRC_CACHE: dict[str, str] = {}
+
+
+def _dlq_envelope_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Envelope corpus with deterministic POISON rows injected:
+    event_id % 7 == 3 → the line is prefixed with junk (unparseable
+    JSON); event_id % 7 == 5 → a structurally valid envelope with the
+    ``op`` field omitted. Everything else is the healthy mixed
+    wrapped/flat corpus."""
+    if sf_dir not in _DLQ_SRC_CACHE:
+        src = os.path.join(index_tempdir("cdc_dlqsrc_"), "events")
+        ch = _changes(spark, sf_dir)
+        row = F.struct("event_id", "user_id", "event_type", "value", "ts_us")
+        null_row = F.lit(None).cast(_ROW_STRUCT)
+        before = F.when(F.col("op") == "d", row).otherwise(null_row)
+        after = F.when(F.col("op") != "d", row).otherwise(null_row)
+        flat = F.struct(
+            before.alias("before"), after.alias("after"), F.col("op").alias("op")
+        )
+        wrapped = F.struct(flat.alias("payload"))
+        healthy = (
+            F.when(F.col("event_id") % 2 == 0, F.to_json(wrapped))
+            .otherwise(F.to_json(flat))
+        )
+        opless = F.to_json(F.struct(before.alias("before"), after.alias("after")))
+        value = (
+            F.when(
+                F.col("event_id") % 7 == 3, F.concat(F.lit("{poison"), healthy)
+            )
+            .when(F.col("event_id") % 7 == 5, opless)
+            .otherwise(healthy)
+        )
+        ch.select(value.alias("value")).write.mode("overwrite").text(src)
+        _DLQ_SRC_CACHE[sf_dir] = src
+    return _DLQ_SRC_CACHE[sf_dir]
+
+
+def st_cdc_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC pipeline with a DEAD-LETTER QUEUE: the change corpus carries
+    deterministic poison rows (unparseable lines, op-less envelopes);
+    the stream routes them to a DLQ table with a reason instead of
+    silently dropping them, while healthy rows merge exactly as in
+    ``st_cdc_merge_stream``. Output: the applied-row count plus the DLQ
+    census — the poison-message observability contract every production
+    consumer needs (a growing DLQ is the page; a silent drop is the
+    outage you find a quarter later).
+
+    Scale shape: classification is one extra narrow projection per
+    micro-batch (same superset ``from_json`` as the normalize path — no
+    second code path to drift, pinned by ``dlq_classify``'s docstring
+    contract); the DLQ write is an O(rejects) bucketless append."""
+    work = index_tempdir("cdc_dlq_")
+    src = _dlq_envelope_dir(spark, sf_dir)
+    table = _seed_target(spark, sf_dir, os.path.join(work, "tbl"))
+    dlq = LakeTable(spark, os.path.join(work, "dlq"))
+    run_cdc_file_stream(
+        spark,
+        table,
+        pk="user_id",
+        row_ddl=_ROW_DDL,
+        src_dir=src,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        order_cols=["ts_us", "event_id"],
+        drop_cols=["event_id", "ts_us"],
+        dlq_table=dlq,
+    )
+    counts = (
+        dlq.read()
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.lit("dlq_"), F.col("reason")).alias("metric"), "n"
+        )
+    )
+    applied = (
+        table.read()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("applied_rows").alias("metric"), "n")
+    )
+    return counts.unionByName(applied).orderBy("metric")
+
+
 def st_cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CDC pipeline, one micro-batch: file stream of mixed
     wrapped/flat envelopes → sniff/flatten/dedup/MERGE → final state."""
@@ -904,6 +986,7 @@ QUERIES = {
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_scd2_stream": st_scd2_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
+    "st_cdc_dlq": st_cdc_dlq,
     "st_watermark_window": st_watermark_window,
     "st_sliding_window": st_sliding_window,
     "st_session_window": st_session_window,
@@ -942,6 +1025,45 @@ _CDC_FINAL_SQL = """
 ORACLE = {
     "st_cdc_merge_stream": _CDC_FINAL_SQL,
     "st_cdc_multibatch": _CDC_FINAL_SQL,
+    # the merge-final count EXCLUDING the poison slices (they went to the
+    # DLQ, not the table) plus the poison census by injection rule
+    "st_cdc_dlq": """
+        WITH ranked_before AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        ), target AS (
+            SELECT user_id FROM ranked_before WHERE rn = 1
+        ), ranked_changes AS (
+            SELECT *, CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END
+                       AS op,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15'
+              AND event_id % 7 != 3 AND event_id % 7 != 5
+        ), changes AS (
+            SELECT * FROM ranked_changes WHERE rn = 1
+        ), final AS (
+            SELECT user_id FROM changes WHERE op != 'd'
+            UNION ALL
+            SELECT t.user_id FROM target t
+            WHERE NOT EXISTS (SELECT 1 FROM changes c
+                              WHERE c.user_id = t.user_id)
+        ), post AS (
+            SELECT event_id FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        )
+        SELECT 'applied_rows' AS metric, CAST(count(*) AS BIGINT) AS n
+        FROM final
+        UNION ALL
+        SELECT 'dlq_missing_op', CAST(count(*) AS BIGINT)
+        FROM post WHERE event_id % 7 = 5
+        UNION ALL
+        SELECT 'dlq_unparseable', CAST(count(*) AS BIGINT)
+        FROM post WHERE event_id % 7 = 3
+        ORDER BY metric
+    """,
     "st_watermark_window": """
         SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
                round(sum(value), 2) AS sum_value

@@ -95,6 +95,42 @@ def normalize_envelope(raw: DataFrame, row_ddl: str, value_col: str = "value") -
     )
 
 
+def dlq_classify(raw: DataFrame, row_ddl: str, value_col: str = "value") -> DataFrame:
+    """Classify each raw envelope line for dead-letter routing: reason =
+    'unparseable' (from_json rejects the line entirely), 'missing_op'
+    (valid JSON, no op in either envelope shape), or NULL (a healthy row
+    ``normalize_envelope`` will process). Uses the SAME superset schema
+    and op coalesce as ``normalize_envelope``, so a line this function
+    calls healthy can never be dropped by the normalize filter — the two
+    classifications agree by construction."""
+    _, flat_schema = debezium_schemas(row_ddl)
+    from pyspark.sql.types import StructField
+
+    superset = StructType(
+        [StructField("payload", flat_schema, True), *flat_schema.fields]
+    )
+    p = F.from_json(F.col(value_col).cast("string"), superset)
+    op = F.coalesce(p["payload"]["op"], p["op"])
+    # PERMISSIVE from_json yields an ALL-NULL struct (not a NULL struct)
+    # for a corrupt line — so "unparseable" is every-field-null, and
+    # "missing_op" is a line that parsed some envelope field but no op
+    parsed_nothing = (
+        p.isNull()
+        | (
+            p["payload"].isNull()
+            & p["before"].isNull()
+            & p["after"].isNull()
+            & p["op"].isNull()
+        )
+    )
+    reason = F.when(parsed_nothing, "unparseable").when(
+        op.isNull(), "missing_op"
+    )
+    return raw.select(
+        F.col(value_col).cast("string").alias("value"), reason.alias("reason")
+    )
+
+
 def last_writer_wins(df: DataFrame, pk: str, order_cols: list[str]) -> DataFrame:
     """W1 within-batch dedup (cdc_merger_optimized.py:160-161): per pk keep
     the row that sorts highest on ``order_cols`` (lexicographic, descending).
@@ -144,9 +180,15 @@ def cdc_apply_batch(
     batch_df: DataFrame,
     batch_id: int,
     stream_id: str | None = None,
+    dlq_table: LakeTable | None = None,
 ) -> None:
     """The foreachBatch body (cdc_merger_optimized.py:114-183): replay
     guard → guard empty batch (P12) → normalize → dedup → MERGE.
+    With ``dlq_table`` set, lines ``normalize_envelope`` would silently
+    drop (unparseable / op-less) are appended there with a reason
+    instead — the dead-letter contract a production CDC consumer needs
+    (poison messages must surface, not vanish). The default-None path is
+    byte-identical to the original pipeline.
 
     Exactly-once across crash replays (the SURVEY §7 risk-register item):
     Structured Streaming re-runs the last in-flight micro-batch after a
@@ -170,6 +212,15 @@ def cdc_apply_batch(
     # partitions (often one); spread the parse across the cluster BEFORE
     # the JSON work — otherwise the whole batch parses on one core
     spread = batch_df.repartition(batch_df.sparkSession.sparkContext.defaultParallelism)
+    if dlq_table is not None:
+        rejects = dlq_classify(spread, row_ddl).filter(
+            F.col("reason").isNotNull()
+        )
+        if not rejects.isEmpty():
+            if dlq_table.exists():
+                dlq_table.append(rejects)
+            else:
+                dlq_table.create_or_replace(rejects)
     flat = normalize_envelope(spread, row_ddl)
     dedup = last_writer_wins(flat, pk, order_cols).drop(*drop_cols)
     if table.mor_ready(pk):
@@ -198,6 +249,7 @@ def _drive_cdc(
     order_cols: list[str],
     drop_cols: list[str] | None,
     checkpoint_dir: str,
+    dlq_table: LakeTable | None = None,
 ) -> None:
     """The single CDC drive path: ANY source that yields a ``value`` string
     column (file or Kafka) funnels through here into ``cdc_apply_batch``,
@@ -219,7 +271,7 @@ def _drive_cdc(
         raw.writeStream.foreachBatch(
             lambda df, bid: cdc_apply_batch(
                 table, pk, row_ddl, order_cols, drop_cols or [], df, bid,
-                stream_id=stream_id,
+                stream_id=stream_id, dlq_table=dlq_table,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -239,6 +291,7 @@ def run_cdc_file_stream(
     order_cols: list[str],
     drop_cols: list[str] | None = None,
     max_files_per_trigger: int | None = None,
+    dlq_table: LakeTable | None = None,
 ) -> None:
     """Run the CDC pipeline over a directory of JSON-line envelope files
     (the test stand-in for the Kafka source; T1–T4) until all available
@@ -247,7 +300,10 @@ def run_cdc_file_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.text(src_dir)
-    _drive_cdc(raw, table, pk, row_ddl, order_cols, drop_cols, checkpoint_dir)
+    _drive_cdc(
+        raw, table, pk, row_ddl, order_cols, drop_cols, checkpoint_dir,
+        dlq_table=dlq_table,
+    )
 
 
 def kafka_source_options(

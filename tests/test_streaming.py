@@ -446,3 +446,25 @@ def test_cdc_batch_replay_guard_skips_applied_batch(spark, tmp_path):
     cdc_apply_batch(table, batch_df=other, batch_id=0, stream_id="s2", **kw)
     assert {r.id: r.name for r in table.read().collect()}[1] == "v3"
     assert table.properties()["cdc.applied"] == "s2:0"
+
+
+def test_dlq_classify_reasons(spark):
+    """dlq_classify pins: healthy wrapped/flat lines get NULL reason (the
+    normalize path keeps them), a corrupt line is 'unparseable' (PERMISSIVE
+    from_json yields an all-null struct, not a NULL struct), and valid
+    JSON without an op in either envelope shape is 'missing_op'."""
+    from datalake_on_prem_system_spark.streaming.cdc import dlq_classify
+
+    ddl = "k bigint, v string"
+    rows = [
+        ('{"payload": {"after": {"k": 1, "v": "a"}, "op": "u"}}',),
+        ('{"after": {"k": 2, "v": "b"}, "op": "u"}',),
+        ('{poison{"after": {"k": 3}}',),
+        ('{"after": {"k": 4, "v": "d"}}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    got = {r.value: r.reason for r in dlq_classify(df, ddl).collect()}
+    assert got[rows[0][0]] is None  # healthy wrapped
+    assert got[rows[1][0]] is None  # healthy flat
+    assert got[rows[2][0]] == "unparseable"
+    assert got[rows[3][0]] == "missing_op"
