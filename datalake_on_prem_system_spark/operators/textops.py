@@ -1118,8 +1118,67 @@ def tx_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_TOP_K = 10
+
+
+def tx_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary DRIFT report: Jensen–Shannon contribution per term
+    between two corpus halves (doc_id parity — a scale-stable split),
+    top-{_DRIFT_TOP_K} drifted terms — the text-distribution sibling of
+    ``ev_drift_psi``: PSI watches a numeric feature, this watches the
+    token distribution itself (the first thing that moves when a crawl
+    source shifts domains or a scraper breaks).
+
+    Determinism: term counts and the (N_early, N_late, |V|) anchors are
+    exact integers; each term's add-1-smoothed probabilities and JS
+    contribution are computed with one identical double expression tree
+    per term, then QUANTIZED to integer picounits per term
+    (``floor(c·1e12)``) so the ranking key is an exact integer — no
+    corpus-ordered double summation anywhere.
+
+    Scale shape: one token-explode shuffle partial-aggregated on
+    (term, half) — Heaps-bounded, the tx_term_freq shape; the anchor is
+    a ONE-ROW aggregate cross join (allow-listed); top-k is
+    TakeOrderedAndProject on (js_pico DESC, term)."""
+    docs = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2 == 0).alias("early"),
+        F.explode(F.filter(_tokens(), lambda x: x != "")).alias("w"),
+    )
+    counts = docs.groupBy("w").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("ce"),
+        F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("cl"),
+    )
+    anchor = F.broadcast(
+        counts.agg(
+            F.sum("ce").alias("ne"),
+            F.sum("cl").alias("nl"),
+            F.count(F.lit(1)).alias("v"),
+        )
+    )
+    pe = (F.col("ce") + 1).cast("double") / (F.col("ne") + F.col("v")).cast(
+        "double"
+    )
+    pl = (F.col("cl") + 1).cast("double") / (F.col("nl") + F.col("v")).cast(
+        "double"
+    )
+    m = (pe + pl) / 2.0
+    contrib = 0.5 * (pe * F.log(pe / m)) + 0.5 * (pl * F.log(pl / m))
+    return (
+        counts.crossJoin(anchor)
+        .select(
+            F.col("w").alias("term"),
+            F.col("ce").cast("long").alias("n_early"),
+            F.col("cl").cast("long").alias("n_late"),
+            F.floor(contrib * 1_000_000_000_000).cast("long").alias("js_pico"),
+        )
+        .orderBy(F.desc("js_pico"), F.asc("term"))
+        .limit(_DRIFT_TOP_K)
+    )
+
+
 QUERIES = {
     "tx_heaps_law": tx_heaps_law,
+    "tx_vocab_drift": tx_vocab_drift,
     "tx_vocab_build": tx_vocab_build,
     "tx_tokenize_apply": tx_tokenize_apply,
     "tx_tokenizer_stats": tx_tokenizer_stats,
@@ -1223,8 +1282,44 @@ _HEAPS_ORACLE = f"""
     FROM fit, st
 """
 
+_DRIFT_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id % 2 = 0 AS early, w
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                            x -> x <> '')) AS w
+              FROM documents)
+    ), counts AS (
+        SELECT w,
+               CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+               CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS cl
+        FROM tok GROUP BY w
+    ), anchor AS (
+        SELECT sum(ce) AS ne, sum(cl) AS nl, count(*) AS v FROM counts
+    ), scored AS (
+        SELECT w AS term, ce AS n_early, cl AS n_late,
+               0.5 * ((CAST(ce + 1 AS DOUBLE) / CAST(ne + v AS DOUBLE))
+                      * ln((CAST(ce + 1 AS DOUBLE) / CAST(ne + v AS DOUBLE))
+                           / ((CAST(ce + 1 AS DOUBLE) / CAST(ne + v AS DOUBLE)
+                               + CAST(cl + 1 AS DOUBLE)
+                                 / CAST(nl + v AS DOUBLE)) / 2.0)))
+               + 0.5 * ((CAST(cl + 1 AS DOUBLE) / CAST(nl + v AS DOUBLE))
+                      * ln((CAST(cl + 1 AS DOUBLE) / CAST(nl + v AS DOUBLE))
+                           / ((CAST(ce + 1 AS DOUBLE) / CAST(ne + v AS DOUBLE)
+                               + CAST(cl + 1 AS DOUBLE)
+                                 / CAST(nl + v AS DOUBLE)) / 2.0)))
+                   AS contrib
+        FROM counts, anchor
+    )
+    SELECT term, n_early, n_late,
+           CAST(floor(contrib * 1000000000000) AS BIGINT) AS js_pico
+    FROM scored
+    ORDER BY js_pico DESC, term ASC LIMIT {_DRIFT_TOP_K}
+"""
+
 ORACLE = {
     "tx_heaps_law": _HEAPS_ORACLE,
+    "tx_vocab_drift": _DRIFT_ORACLE,
     "tx_tokenize_apply": _TOKENIZE_APPLY_SQL,
     "tx_tokenizer_stats": _TOKENIZER_STATS_SQL,
     "tx_zipf_fit": """

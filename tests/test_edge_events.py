@@ -776,3 +776,33 @@ def test_ts_decompose_hand_computed(spark, tmp_path):
     for w in range(7):
         assert got[w]["seasonal_dollars"] == float(w - 3), (w, got[w])
         assert got[w]["seasonal_strength"] == 1.0
+
+
+def test_tx_vocab_drift_hand_computed(spark, tmp_path):
+    """Drift pin: early docs (even ids) say 'a b', late docs (odd ids)
+    say 'a c' — 'b' and 'c' are the drifted terms (each exclusive to one
+    half, symmetric so equal js), 'a' is perfectly balanced and its JS
+    contribution is exactly zero (p_early = p_late => both logs are 0)."""
+    docs = [
+        (0, "a b", "en", "s", 3),
+        (1, "a c", "en", "s", 3),
+        (2, "a b", "en", "s", 3),
+        (3, "a c", "en", "s", 3),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["tx_vocab_drift"](spark, str(tmp_path)).toPandas()
+    msg = compare("tx_vocab_drift", sdf, con.sql(oracles["tx_vocab_drift"]).df())
+    assert not msg, msg
+    got = {r["term"]: r for _, r in sdf.iterrows()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["b"]["js_pico"] == got["c"]["js_pico"] > 0
+    assert got["a"]["js_pico"] == 0
+    assert (got["b"]["n_early"], got["b"]["n_late"]) == (2, 0)
+    assert (got["c"]["n_early"], got["c"]["n_late"]) == (0, 2)

@@ -277,6 +277,9 @@ _BNLJ_ALLOWED = {
     # seasonal-strength anchor: a ONE-ROW fold over the 7 weekday rows
     # cross-joined back — constant cost at any fact size
     "ts_decompose",
+    # (N_early, N_late, |V|) anchor: a ONE-ROW aggregate cross-joined
+    # into the vocabulary-bounded term frame — constant cost at any size
+    "tx_vocab_drift",
     # global band distribution: a ONE-ROW aggregate cross-joined to every
     # quasi-identifier class — constant cost at any fact size
     "cur_t_closeness",
