@@ -151,6 +151,17 @@ HEADLINERS = [
     "lh_write_audit_publish",
     "sim_cell_rebalance",
     "st_sliding_window",
+    # round-11 session-2: the poisoned-corpus CDC DLQ stream, the
+    # manifest sweep-line clustering audit, the Heaps-law fit (two-level
+    # rank + decile fold), per-subspace PQ distortion, STL-lite
+    # decomposition, and the JS vocabulary-drift report
+    "st_cdc_dlq",
+    "lh_cluster_depth",
+    "tx_heaps_law",
+    "sim_pq_distortion",
+    "ts_decompose",
+    "tx_vocab_drift",
+    "g_max_spanning_forest",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

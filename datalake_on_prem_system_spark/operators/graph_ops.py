@@ -1173,6 +1173,160 @@ _CC_ORACLE = f"""
 """
 
 
+def _cosupply_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED co-supply edges (u, v, w) — the same edge set as
+    ``_cosupply_edges`` (which memoizes the weight cut as a side effect)
+    but keeping the shared-order weight the MSF needs."""
+    _cosupply_edges(spark, sf_dir)  # resolves + memoizes the weight cut
+    pw = persist_bounded(
+        _cosupply_pairs(spark, sf_dir), f"g_cosupply_pw:{sf_dir}"
+    )
+    return persist_bounded(
+        pw.filter(F.col("w") >= _COSUPPLY_MIN_W[_cosupply_key(sf_dir)]),
+        f"g_cosupply_wedges:{sf_dir}",
+    )
+
+
+_MSF_ROUND_CAP = 16  # Borůvka halves the component count per round: log2(n)
+
+
+def g_max_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM spanning forest of the weighted co-supply graph (Borůvka)
+    — the strongest-backbone subgraph: the tree of co-supply relations a
+    network planner keeps if forced to retain n−1 edges per component
+    (dependency backbones, dedup-cluster canonical trees, single-link
+    clustering all reduce to this).
+
+    Determinism: edge weights are made STRICTLY totally ordered by the
+    packed integer key ``w·10¹² + u·10⁶ + v``, so the max spanning
+    forest is UNIQUE — which lets the oracle verify by the cycle
+    property (an edge is in the unique MaxSF iff no path of strictly
+    stronger edges connects its endpoints) instead of replaying
+    Borůvka: two different algorithms, one theorem, exact equality.
+
+    Scale shape (the textbook distributed MSF): per round each
+    component picks its strongest incident edge (edge ⋈ labels twice,
+    one partial-aggregated max per component — shuffles bounded by
+    edges), the picked edges' component graph contracts via
+    ``components_of`` (label propagation on a component-count-sized
+    frame, halving per round), cap {_MSF_ROUND_CAP} rounds = log₂(n).
+    localCheckpoint per round bounds lineage."""
+    wedges = _cosupply_wedges(spark, sf_dir)
+    ew = wedges.select(
+        "u",
+        "v",
+        "w",
+        (
+            F.col("w") * F.lit(1_000_000_000_000)
+            + F.col("u") * F.lit(1_000_000)
+            + F.col("v")
+        ).alias("wk"),
+    ).localCheckpoint()
+    msf = boruvka_msf(spark, ew)
+    if msf is None:
+        return spark.createDataFrame([], "u bigint, v bigint, w bigint")
+    return (
+        msf.select("u", "v", F.col("w").cast("long").alias("w"))
+        .distinct()
+        .orderBy("u", "v")
+    )
+
+
+def boruvka_msf(spark: SparkSession, ew: DataFrame) -> DataFrame | None:
+    """Borůvka rounds over a weighted edge list ``(u, v, w, wk)`` with
+    ``wk`` a STRICT total order; returns the unique max-spanning-forest
+    edges (or None on an empty graph). Hand-pinned in tests/test_graph.py
+    against Kruskal on a toy graph."""
+    comp = (
+        ew.select(F.col("u").alias("node"))
+        .unionByName(ew.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("c", F.col("node"))
+        .localCheckpoint()
+    )
+    msf = None
+    for _ in range(_MSF_ROUND_CAP):
+        labeled = (
+            ew.join(
+                comp.select(F.col("node").alias("u"), F.col("c").alias("cu")),
+                "u",
+            )
+            .join(
+                comp.select(F.col("node").alias("v"), F.col("c").alias("cv")),
+                "v",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        if labeled.isEmpty():
+            break
+        incident = labeled.select(
+            F.col("cu").alias("comp"), "u", "v", "w", "wk"
+        ).unionByName(
+            labeled.select(F.col("cv").alias("comp"), "u", "v", "w", "wk")
+        )
+        sel = (
+            incident.groupBy("comp")
+            .agg(F.max(F.struct("wk", "u", "v", "w")).alias("b"))
+            .select("b.u", "b.v", "b.w", "b.wk")
+            .distinct()
+            .localCheckpoint()
+        )
+        msf = sel if msf is None else msf.unionByName(sel).localCheckpoint()
+        picked_pairs = (
+            sel.join(
+                comp.select(F.col("node").alias("u"), F.col("c").alias("cu")),
+                "u",
+            )
+            .join(
+                comp.select(F.col("node").alias("v"), F.col("c").alias("cv")),
+                "v",
+            )
+            .select(F.col("cu").alias("cp_u"), F.col("cv").alias("cp_v"))
+        )
+        sym = picked_pairs.select(
+            F.col("cp_u").alias("u"), F.col("cp_v").alias("v")
+        ).unionByName(
+            picked_pairs.select(F.col("cp_v").alias("u"), F.col("cp_u").alias("v"))
+        )
+        merged = components_of(sym).select(
+            F.col("node").alias("c"), F.col("lbl").alias("c_new")
+        )
+        comp = (
+            comp.join(merged, "c", "left_outer")
+            .select("node", F.coalesce("c_new", "c").alias("c"))
+            .localCheckpoint()
+        )
+    return msf
+
+
+_MSF_ORACLE = f"""
+    WITH RECURSIVE {_COSUPPLY_CTES},
+    ewk AS (
+        SELECT u, v, CAST(w AS BIGINT) AS w,
+               w * 1000000000000 + u * 1000000 + v AS wk
+        FROM pw, th WHERE w >= min_w
+    ),
+    sym2 AS (
+        SELECT u, v, wk FROM ewk
+        UNION ALL
+        SELECT v AS u, u AS v, wk FROM ewk
+    ),
+    walk(eu, ev, ewk_key, node) AS (
+        SELECT u, v, wk, u FROM ewk
+        UNION
+        SELECT x.eu, x.ev, x.ewk_key, s.v
+        FROM walk x JOIN sym2 s ON s.u = x.node AND s.wk > x.ewk_key
+    )
+    SELECT e.u, e.v, e.w FROM ewk e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM walk x
+        WHERE x.eu = e.u AND x.ev = e.v AND x.ewk_key = e.wk
+          AND x.node = e.v
+    )
+    ORDER BY e.u, e.v
+"""
+
+
 _HITS_SCALE = 1_000_000_000_000  # picounits, the g_pagerank fixed-point rule
 _HITS_ITERS = 2
 _HITS_TOP_K = 25
@@ -1231,10 +1385,14 @@ def hits_authorities(tp: DataFrame) -> DataFrame:
             .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("ar"))
         )
         am = F.broadcast(ar.agg(F.max("ar").alias("am")))
+        # localCheckpoint per half-step: each one-row normalizer anchor is
+        # its own broadcast-build job, and without truncation the hm/final
+        # jobs would re-execute the whole upstream lineage (ar recomputed
+        # 3×) — the k-core/LPA iteration rule applied to node-bounded state
         auth = ar.crossJoin(am).select(
             "s",
             F.expr(f"CAST((ar * {_HITS_SCALE}) div am AS BIGINT)").alias("a"),
-        )
+        ).localCheckpoint()
         hr = (
             tp.join(auth, "s")
             .groupBy("c")
@@ -1244,7 +1402,7 @@ def hits_authorities(tp: DataFrame) -> DataFrame:
         hub = hr.crossJoin(hm).select(
             "c",
             F.expr(f"CAST((hr * {_HITS_SCALE}) div hm AS BIGINT)").alias("h"),
-        )
+        ).localCheckpoint()
     deg = tp.groupBy("s").agg(F.count(F.lit(1)).alias("n_customers"))
     return auth.join(deg, "s").select(
         F.col("s").alias("s_suppkey"),
@@ -1293,6 +1451,7 @@ QUERIES = {
     "g_edge_embeddedness": g_edge_embeddedness,
     "g_connected_components": g_connected_components,
     "g_hits": g_hits,
+    "g_max_spanning_forest": g_max_spanning_forest,
 }
 
 # exact-decimal sufficient statistics; the r expression appears verbatim in
@@ -1386,4 +1545,5 @@ ORACLE = {
     "g_kcore": _kcore_oracle_sql(),
     "g_connected_components": _CC_ORACLE,
     "g_hits": _HITS_ORACLE,
+    "g_max_spanning_forest": _MSF_ORACLE,
 }

@@ -380,3 +380,49 @@ def test_hits_authorities_hand_computed(spark):
         for r in hits_authorities(tp).collect()
     }
     assert got == {10: (3, _HITS_SCALE), 20: (1, 400_000_000_000)}
+
+
+def test_boruvka_msf_matches_kruskal(spark):
+    """MSF pin: Borůvka's distributed rounds must select the exact edge
+    set greedy Kruskal picks under the same strict total order, on a toy
+    graph with a cycle, a tie-prone square, and an isolated edge."""
+    from datalake_on_prem_system_spark.operators.graph_ops import boruvka_msf
+
+    edges = [
+        # triangle 1-2-3 with a weak 1-3 edge (must be cut)
+        (1, 2, 9), (2, 3, 8), (1, 3, 1),
+        # square 4-5-6-7 with equal weights (tie-break on (u, v))
+        (4, 5, 5), (5, 6, 5), (6, 7, 5), (4, 7, 5),
+        # isolated strong edge
+        (10, 11, 7),
+    ]
+
+    def wk(u, v, w):
+        return w * 1_000_000_000_000 + u * 1_000_000 + v
+
+    ew = spark.createDataFrame(
+        [(u, v, w, wk(u, v, w)) for u, v, w in edges],
+        "u bigint, v bigint, w bigint, wk bigint",
+    )
+    got = {
+        (r.u, r.v) for r in boruvka_msf(spark, ew).select("u", "v").collect()
+    }
+
+    # greedy Kruskal under the same total order (strongest wk first)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    expected = set()
+    for u, v, w in sorted(edges, key=lambda e: -wk(*e)):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            expected.add((u, v))
+    assert got == expected
+    assert (1, 3) not in got  # the weak triangle edge was cut
