@@ -171,6 +171,63 @@ def in_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+_FW_WIDTHS = (12, 12, 1, 16, 10)  # orderkey, custkey, status, cents, date
+
+
+def in_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text ingest (S4 breadth — the mainframe/COBOL export
+    format ETL stacks still receive): render orders as zero-padded
+    fixed-offset records, read back as raw text, and parse by pure
+    ``substring`` + ``cast`` column slicing — JVM-side expressions the
+    optimizer folds into the scan projection, no UDF, no per-row Python.
+    Totalprice travels as integer CENTS (fixed-point is the native
+    fixed-width convention, and it keeps the round trip exact).
+
+    Scale shape: both directions are narrow per-row maps; the text file
+    splits by line across the cluster like any other text source. The
+    oracle re-derives every field from the orders table directly, so a
+    wrong offset, width, or padding rule breaks the compare."""
+    work = index_tempdir("ingest_fw_")
+    src = os.path.join(work, "orders.fw")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    )
+    w1, w2, w3, w4, _ = _FW_WIDTHS
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), w1, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), w2, "0"),
+        F.col("o_orderstatus"),
+        F.lpad(F.col("cents").cast("string"), w4, "0"),
+        F.col("d"),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(src)
+
+    raw = spark.read.text(src)
+    p1, p2, p3, p4 = (
+        1,
+        1 + w1,
+        1 + w1 + w2,
+        1 + w1 + w2 + w3,
+    )
+    p5 = p4 + w4
+    parsed = raw.select(
+        F.substring("value", p1, w1).cast("bigint").alias("o_orderkey"),
+        F.substring("value", p2, w2).cast("bigint").alias("o_custkey"),
+        F.substring("value", p3, w3).alias("o_orderstatus"),
+        (F.substring("value", p4, w4).cast("long") / 100.0).alias(
+            "total_dollars"
+        ),
+        F.substring("value", p5, 10).cast("date").alias("o_orderdate"),
+    )
+    table = LakeTable(spark, os.path.join(work, "tbl"))
+    table.create_or_replace(parsed)
+    return table.read().orderBy("o_orderkey")
+
+
 def in_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC format-path scan (S4 breadth beyond parquet/CSV/JSON): write
     orders as ORC, read back through the columnar reader with a pushed
@@ -304,9 +361,19 @@ QUERIES = {
     "in_jsonl_roundtrip": in_jsonl_roundtrip,
     "in_orc_roundtrip": in_orc_roundtrip,
     "in_jdbc_roundtrip": in_jdbc_roundtrip,
+    "in_fixedwidth_roundtrip": in_fixedwidth_roundtrip,
 }
 
 ORACLE = {
+    # re-derives every parsed field from orders directly: a wrong offset,
+    # width, or padding rule in the fixed-width round trip fails this
+    "in_fixedwidth_roundtrip": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100) AS BIGINT) / 100.0
+                   AS total_dollars,
+               o_orderdate
+        FROM orders ORDER BY o_orderkey
+    """,
     "in_csv_badrecords": """
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(CASE WHEN c_custkey % 10 = 7 THEN 1 ELSE 0 END)
