@@ -2206,6 +2206,69 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the single-number inequality
+    summary under ``ev_pareto_share``'s decile view (G = 0 everyone
+    spends alike, G → 1 one whale carries the book).
+
+    Closed form over ascending ranks: G = (2·Σ i·sᵢ − (n+1)·Σs)/(n·Σs).
+    The rank-weighted sum is tie-order-INVARIANT (a tie group's
+    contribution depends only on the sum of its ranks), so ranks can
+    come from the scalable TWO-LEVEL prefix recipe (intra-bucket
+    row_number partitioned by ``cents div 1e9`` + cumulative bucket
+    offsets — the a_mann_whitney shape, no global single-partition
+    sort). All sufficient statistics accumulate as decimal(38,0) ↔
+    HUGEINT; ONE double division at the end."""
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("s"))
+    )
+    bkt = per_cust.withColumn("bkt", F.expr("s div 1000000000"))
+    intra = Window.partitionBy("bkt").orderBy("s", "o_custkey")
+    bkt = bkt.withColumn("ir", F.row_number().over(intra))
+    boff = (
+        bkt.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "off")
+    )
+    ranked = bkt.join(boff, "bkt").select(
+        "s", ((F.col("off") + F.col("ir")).cast("decimal(38,0)")).alias("i")
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("s").alias("ts"),
+        F.sum(F.col("i") * F.col("s")).alias("ws"),
+    )
+    gini = (
+        (
+            F.lit(2).cast("decimal(38,0)") * F.col("ws")
+            - (F.col("n") + 1) * F.col("ts")
+        ).cast("double")
+        / (F.col("n") * F.col("ts")).cast("double")
+    )
+    return stats.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("ts").cast("long").alias("total_cents"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
 QUERIES = {
     "a_rfm_segments": a_rfm_segments,
     "ev_funnel": ev_funnel,
@@ -2246,7 +2309,30 @@ QUERIES = {
     "a_chi_square": a_chi_square,
     "ev_markov_attribution": ev_markov_attribution,
     "ts_decompose": ts_decompose,
+    "a_gini": a_gini,
 }
+
+_GINI_ORACLE = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS s
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT s, CAST(row_number() OVER (ORDER BY s, o_custkey)
+                       AS HUGEINT) AS i
+        FROM per_cust
+    ), stats AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, sum(s) AS ts,
+               sum(i * s) AS ws
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(ts AS BIGINT) AS total_cents,
+           round(CAST(2 * ws - (n + 1) * ts AS DOUBLE)
+                 / CAST(n * ts AS DOUBLE), 6) AS gini
+    FROM stats
+"""
 
 _DECOMP_ORACLE = """
     WITH daily AS (
@@ -2532,6 +2618,7 @@ ORACLE = {
     "a_chi_square": _CHI2_ORACLE,
     "ev_markov_attribution": _markov_oracle_sql(),
     "ts_decompose": _DECOMP_ORACLE,
+    "a_gini": _GINI_ORACLE,
     "a_linear_trend": """
         WITH monthly AS (
             SELECT o_orderpriority,

@@ -806,3 +806,31 @@ def test_tx_vocab_drift_hand_computed(spark, tmp_path):
     assert got["a"]["js_pico"] == 0
     assert (got["b"]["n_early"], got["b"]["n_late"]) == (2, 0)
     assert (got["c"]["n_early"], got["c"]["n_late"]) == (0, 2)
+
+
+def test_a_gini_hand_computed(spark, tmp_path):
+    """Gini pin: customer spends of 1, 2, 3, 4 dollars give the closed
+    form (2*(1+4+9+16) - 5*10)/(4*10) = 0.25; scale-invariance means
+    cents quantization does not move it."""
+    import datetime as _dt
+
+    d = _dt.date(1995, 6, 1)
+    rows = [
+        (k, k, "1-URGENT", d, float(k)) for k in (1, 2, 3, 4)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_gini"](spark, str(tmp_path)).toPandas()
+    msg = compare("a_gini", sdf, con.sql(oracles["a_gini"]).df())
+    assert not msg, msg
+    row = sdf.iloc[0]
+    assert (row["n_customers"], row["total_cents"]) == (4, 1000)
+    assert row["gini"] == 0.25
