@@ -1080,6 +1080,92 @@ _BFS_ORACLE = f"""
 """
 
 
+def g_diameter_lb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diameter LOWER BOUND by the classic double BFS sweep: BFS
+    from the max-degree hub, hop to the farthest reachable node (ties to
+    the lowest suppkey), BFS again — the second eccentricity bounds the
+    diameter from below and is exact on trees, near-exact on most real
+    graphs. The O(m) answer to "how many hops across is this network"
+    that an all-pairs BFS (O(n·m)) can't afford at scale.
+
+    Reuses ``bfs_from`` (frontier joins + localCheckpoint per round), so
+    the iteration contract and the shared symmetric-edge cache are the
+    g_bfs_hops ones; the two hop anchors are one-row collects. DuckDB
+    replays both sweeps as recursive CTEs — integer hops, exact."""
+    edges = _cosupply_edges(spark, sf_dir)
+    sym = persist_bounded(
+        edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        f"g_bfs_sym:{sf_dir}",
+    )
+    deg1 = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("u"))
+        .limit(1)
+        .head()
+    )
+    if deg1 is None:
+        return spark.createDataFrame(
+            [], "src bigint, ecc_src int, far_node bigint, diameter_lb int"
+        )
+    src = int(deg1.u)
+    far = (
+        bfs_from(spark, sym, src)
+        .orderBy(F.desc("hops"), F.asc("node"))
+        .limit(1)
+        .head()
+    )
+    return (
+        bfs_from(spark, sym, int(far.node))
+        .agg(F.max("hops").alias("diameter_lb"))
+        .select(
+            F.lit(src).cast("bigint").alias("src"),
+            F.lit(int(far.hops)).cast("int").alias("ecc_src"),
+            F.lit(int(far.node)).cast("bigint").alias("far_node"),
+            F.col("diameter_lb").cast("int").alias("diameter_lb"),
+        )
+    )
+
+
+_DIAM_ORACLE = f"""
+    WITH RECURSIVE {_COSUPPLY_CTES},
+    sym AS (
+        SELECT u, v FROM cos_edges
+        UNION ALL
+        SELECT v AS u, u AS v FROM cos_edges
+    ),
+    srcn AS (
+        SELECT u AS node FROM (
+            SELECT u, count(*) AS deg FROM sym GROUP BY u
+        ) ORDER BY deg DESC, u ASC LIMIT 1
+    ),
+    walk1(node, dist) AS (
+        SELECT node, 0 FROM srcn
+        UNION
+        SELECT e.v, w.dist + 1 FROM walk1 w JOIN sym e ON e.u = w.node
+        WHERE w.dist < {_BFS_CAP}
+    ),
+    d1 AS (SELECT node, min(dist) AS hops FROM walk1 GROUP BY node),
+    far AS (
+        SELECT node, hops FROM d1 ORDER BY hops DESC, node ASC LIMIT 1
+    ),
+    walk2(node, dist) AS (
+        SELECT node, 0 FROM far
+        UNION
+        SELECT e.v, w.dist + 1 FROM walk2 w JOIN sym e ON e.u = w.node
+        WHERE w.dist < {_BFS_CAP}
+    ),
+    d2 AS (SELECT node, min(dist) AS hops FROM walk2 GROUP BY node)
+    SELECT CAST(srcn.node AS BIGINT) AS src,
+           CAST(far.hops AS INTEGER) AS ecc_src,
+           CAST(far.node AS BIGINT) AS far_node,
+           CAST((SELECT max(hops) FROM d2) AS INTEGER) AS diameter_lb
+    FROM srcn, far
+"""
+
+
 _CC_CAP = 32  # round cap: min-label propagation converges in <= diameter rounds
 
 
@@ -1452,6 +1538,7 @@ QUERIES = {
     "g_connected_components": g_connected_components,
     "g_hits": g_hits,
     "g_max_spanning_forest": g_max_spanning_forest,
+    "g_diameter_lb": g_diameter_lb,
 }
 
 # exact-decimal sufficient statistics; the r expression appears verbatim in
@@ -1546,4 +1633,5 @@ ORACLE = {
     "g_connected_components": _CC_ORACLE,
     "g_hits": _HITS_ORACLE,
     "g_max_spanning_forest": _MSF_ORACLE,
+    "g_diameter_lb": _DIAM_ORACLE,
 }

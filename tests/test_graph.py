@@ -426,3 +426,22 @@ def test_boruvka_msf_matches_kruskal(spark):
             expected.add((u, v))
     assert got == expected
     assert (1, 3) not in got  # the weak triangle edge was cut
+
+
+def test_double_sweep_on_path_graph(spark):
+    """Double-sweep pin on a path 1-2-3-4-5 with a hub spur (3-6, 3-7):
+    the max-degree source is 3, whose farthest nodes are the hop-2 set
+    {1, 5}; the lowest-id tie rule picks 1. The second sweep from 1
+    reaches 5 at 4 hops — the true tree diameter (the double sweep is
+    exact on trees)."""
+    from datalake_on_prem_system_spark.operators.graph_ops import bfs_from
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6), (3, 7)]
+    sym = spark.createDataFrame(
+        und + [(v, u) for u, v in und], "u bigint, v bigint"
+    )
+    d1 = {r.node: r.hops for r in bfs_from(spark, sym, 3).collect()}
+    far = min(n for n, h in d1.items() if h == max(d1.values()))
+    assert far == 1 and d1[1] == 2
+    d2 = {r.node: r.hops for r in bfs_from(spark, sym, far).collect()}
+    assert max(d2.values()) == 4  # true diameter of the tree
