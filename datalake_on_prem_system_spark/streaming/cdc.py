@@ -190,6 +190,13 @@ def cdc_apply_batch(
     (poison messages must surface, not vanish). The default-None path is
     byte-identical to the original pipeline.
 
+    Delivery semantics: the MERGE stays exactly-once (the replay guard
+    below covers it, and a replayed batch skips the DLQ append too), but
+    a crash BETWEEN the DLQ append and the merge commit re-appends that
+    batch's rejects on replay — the DLQ is AT-LEAST-ONCE, the standard
+    tradeoff (Kafka Connect DLQs behave the same); DLQ consumers dedup
+    on (value, reason) if they need set semantics.
+
     Exactly-once across crash replays (the SURVEY §7 risk-register item):
     Structured Streaming re-runs the last in-flight micro-batch after a
     crash with the SAME ``batch_id``. MERGE is idempotent for this
