@@ -1318,71 +1318,172 @@ def g_max_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MSF_JUMP_CAP = 20  # pointer-jumping halves chain height per step: log2
+# filter-and-finish threshold (Karloff–Suri–Vassilvitskii MST recipe):
+# once the CONTRACTED component graph has at most this many edges, solve
+# the remainder with driver-side Kruskal — a config-bounded anchor (a few
+# MB), the same finish rule every production distributed-MST uses. Also a
+# planner-pathology guard: repeated tiny-frame checkpoint rounds sent
+# Catalyst's BigInteger size estimation into minutes-long spins (observed
+# via jstack: Thread cpu-bound in BigInteger.multiplyToomCook3), so the
+# distributed loop only ever runs on genuinely large frames.
+_MSF_LOCAL_EDGES = 100_000
+
+
+def _kruskal(rows: list) -> list[tuple[int, int, int, int]]:
+    """Greedy Kruskal over collected component-graph edges
+    (cu, cv, u, v, w, wk), strongest wk first, union-find on component
+    ids; returns the picked ORIGINAL edges (u, v, w, wk)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for r in sorted(rows, key=lambda r: -r.wk):
+        ru, rv = find(int(r.cu)), find(int(r.cv))
+        if ru != rv:
+            parent[ru] = rv
+            out.append((int(r.u), int(r.v), int(r.w), int(r.wk)))
+    return out
+
+
 def boruvka_msf(spark: SparkSession, ew: DataFrame) -> DataFrame | None:
     """Borůvka rounds over a weighted edge list ``(u, v, w, wk)`` with
     ``wk`` a STRICT total order; returns the unique max-spanning-forest
     edges (or None on an empty graph). Hand-pinned in tests/test_graph.py
-    against Kruskal on a toy graph."""
-    comp = (
-        ew.select(F.col("u").alias("node"))
-        .unionByName(ew.select(F.col("v").alias("node")))
-        .distinct()
-        .withColumn("c", F.col("node"))
-        .localCheckpoint()
-    )
-    msf = None
+    against Kruskal on a toy graph.
+
+    CONTRACTED formulation (the scalable Borůvka): the working frame is
+    the COMPONENT graph — each surviving edge carries its endpoint
+    component ids plus the strongest ORIGINAL edge between that
+    component pair. Per round: (1) per-component best incident edge
+    (one partial-aggregated max); (2) contraction via the pick-graph's
+    parent pointers — with strict weights every pick-cycle is a
+    2-cycle, broken by rooting the smaller id, then POINTER JUMPING
+    (log₂(height) self-joins on the component-count-sized frame, not a
+    diameter-round label propagation); (3) endpoints re-map through the
+    roots and PARALLEL EDGES REDUCE to the per-pair max (the cycle
+    property says non-max parallels can never join the forest). Both
+    the edge frame and the component frame shrink geometrically, so
+    unlike the naive loop no round re-joins the full edge set."""
+    cedges = ew.select(
+        F.col("u").alias("cu"), F.col("v").alias("cv"), "u", "v", "w", "wk"
+    ).localCheckpoint()
+    picks: list[DataFrame] = []
     for _ in range(_MSF_ROUND_CAP):
-        labeled = (
-            ew.join(
-                comp.select(F.col("node").alias("u"), F.col("c").alias("cu")),
-                "u",
-            )
-            .join(
-                comp.select(F.col("node").alias("v"), F.col("c").alias("cv")),
-                "v",
-            )
-            .filter(F.col("cu") != F.col("cv"))
-        )
-        if labeled.isEmpty():
+        n_edges = cedges.count()
+        if n_edges == 0:
             break
-        incident = labeled.select(
-            F.col("cu").alias("comp"), "u", "v", "w", "wk"
+        if n_edges <= _MSF_LOCAL_EDGES:
+            # KSV filter-and-finish: the contracted graph fits the local
+            # threshold — Kruskal the remainder on the driver (same strict
+            # total order ⇒ same unique forest the rounds would build)
+            local = _kruskal(cedges.collect())
+            if local:
+                picks.append(
+                    spark.createDataFrame(
+                        local, "u bigint, v bigint, w bigint, wk bigint"
+                    )
+                )
+            break
+        both = cedges.select(
+            F.col("cu").alias("c"), F.col("cv").alias("o"), "u", "v", "w", "wk"
         ).unionByName(
-            labeled.select(F.col("cv").alias("comp"), "u", "v", "w", "wk")
+            cedges.select(
+                F.col("cv").alias("c"), F.col("cu").alias("o"),
+                "u", "v", "w", "wk",
+            )
         )
-        sel = (
-            incident.groupBy("comp")
-            .agg(F.max(F.struct("wk", "u", "v", "w")).alias("b"))
-            .select("b.u", "b.v", "b.w", "b.wk")
-            .distinct()
+        bestc = (
+            both.groupBy("c")
+            .agg(F.max(F.struct("wk", "u", "v", "w", "o")).alias("b"))
+            .select("c", "b.o", "b.u", "b.v", "b.w", "b.wk")
             .localCheckpoint()
         )
-        msf = sel if msf is None else msf.unionByName(sel).localCheckpoint()
-        picked_pairs = (
-            sel.join(
-                comp.select(F.col("node").alias("u"), F.col("c").alias("cu")),
-                "u",
+        # sel stays LAZY over the checkpointed bestc — the final union
+        # re-reads the checkpoints, no per-round materialization of the
+        # accumulated forest
+        picks.append(bestc.select("u", "v", "w", "wk"))
+        # parent pointers; mutual picks (the only cycles under strict
+        # weights) root at the smaller id
+        par0 = bestc.select("c", F.col("o").alias("p"))
+        mutual = (
+            par0.alias("a")
+            .join(
+                par0.alias("b"),
+                (F.col("a.p") == F.col("b.c")) & (F.col("b.p") == F.col("a.c")),
+            )
+            .select(F.col("a.c").alias("c"), F.lit(1).alias("m"))
+        )
+        par = (
+            par0.join(mutual, "c", "left_outer")
+            .select(
+                "c",
+                F.when(
+                    (F.col("m") == 1) & (F.col("c") < F.col("p")), F.col("c")
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+            .localCheckpoint()
+        )
+        for _ in range(_MSF_JUMP_CAP):
+            # one self-join per jump; the convergence probe is a NARROW
+            # filter on the checkpointed result (p_old carried along), not
+            # a second join
+            nxt = (
+                par.alias("x")
+                .join(
+                    par.select(
+                        F.col("c").alias("pc"), F.col("p").alias("pp")
+                    ),
+                    F.col("x.p") == F.col("pc"),
+                )
+                .select(
+                    F.col("x.c").alias("c"),
+                    F.col("x.p").alias("p_old"),
+                    F.col("pp").alias("p"),
+                )
+                .localCheckpoint()
+            )
+            converged = nxt.filter(F.col("p") != F.col("p_old")).isEmpty()
+            par = nxt.select("c", "p")
+            if converged:
+                break
+        cedges = (
+            cedges.join(
+                par.select(F.col("c").alias("cu"), F.col("p").alias("ru")),
+                "cu",
             )
             .join(
-                comp.select(F.col("node").alias("v"), F.col("c").alias("cv")),
-                "v",
+                par.select(F.col("c").alias("cv"), F.col("p").alias("rv")),
+                "cv",
             )
-            .select(F.col("cu").alias("cp_u"), F.col("cv").alias("cp_v"))
-        )
-        sym = picked_pairs.select(
-            F.col("cp_u").alias("u"), F.col("cp_v").alias("v")
-        ).unionByName(
-            picked_pairs.select(F.col("cp_v").alias("u"), F.col("cp_u").alias("v"))
-        )
-        merged = components_of(sym).select(
-            F.col("node").alias("c"), F.col("lbl").alias("c_new")
-        )
-        comp = (
-            comp.join(merged, "c", "left_outer")
-            .select("node", F.coalesce("c_new", "c").alias("c"))
+            .filter(F.col("ru") != F.col("rv"))
+            .select(
+                F.least("ru", "rv").alias("cu"),
+                F.greatest("ru", "rv").alias("cv"),
+                "u",
+                "v",
+                "w",
+                "wk",
+            )
+            .groupBy("cu", "cv")
+            .agg(F.max(F.struct("wk", "u", "v", "w")).alias("b"))
+            .select("cu", "cv", "b.u", "b.v", "b.w", "b.wk")
             .localCheckpoint()
         )
-    return msf
+    if not picks:
+        return None
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
 
 
 _MSF_ORACLE = f"""

@@ -408,6 +408,21 @@ def test_boruvka_msf_matches_kruskal(spark):
         (r.u, r.v) for r in boruvka_msf(spark, ew).select("u", "v").collect()
     }
 
+    # force the fully DISTRIBUTED contraction rounds too (the default
+    # threshold sends a toy graph straight to the local Kruskal finish)
+    from datalake_on_prem_system_spark.operators import graph_ops as G
+
+    old = G._MSF_LOCAL_EDGES
+    G._MSF_LOCAL_EDGES = 0
+    try:
+        got_dist = {
+            (r.u, r.v)
+            for r in boruvka_msf(spark, ew).select("u", "v").collect()
+        }
+    finally:
+        G._MSF_LOCAL_EDGES = old
+    assert got_dist == got
+
     # greedy Kruskal under the same total order (strongest wk first)
     parent = {}
 
