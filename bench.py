@@ -500,14 +500,16 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     # Driver-proof output (round-6 lesson: the driver's stdout tail window
-    # truncated the single long JSON line once "scaling" grew, leaving
-    # BENCH_r06.json unparseable). Three defenses:
+    # truncated the single long JSON line once "scaling" grew; round-11
+    # repeat: 74 headliners pushed the full per-query map past the ~2000-char
+    # tail window and BENCH_r11 lost its headline). Defenses:
     #   1. the bulky per-SF scaling map goes to a sidecar file + stderr,
     #      never the headline stdout line;
-    #   2. the compact headline line is ALSO written to BENCH_LINE.json, so
-    #      a harness can recover it even if its pipe window clips stdout;
-    #   3. the headline line prints LAST, so a tail-capture window always
-    #      contains it whole.
+    #   2. the FULL record (all per-query times) is written to
+    #      BENCH_LINE.json and stderr, never the final stdout line;
+    #   3. the final stdout line is COMPACT: headline totals plus only the
+    #      fixed 22-query r6 comparison set (bounded forever, ~1.2 KB), so
+    #      a tail-capture window always contains it whole, and prints LAST.
     here = os.path.dirname(os.path.abspath(__file__))
     if scaling:
         print(f"# scaling (full): {json.dumps(scaling)}", file=sys.stderr)
@@ -522,7 +524,18 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError as exc:
         print(f"# BENCH_LINE.json write failed: {exc}", file=sys.stderr)
-    print(line)
+    print(f"# full record: {line}", file=sys.stderr)
+    compact = dict(out)
+    compact["queries"] = {k: v for k, v in times.items() if k in r6_set}
+    compact["n_queries"] = len(times)
+    if errors:
+        compact["errors"] = {k: v for k, v in list(errors.items())[:3]}
+        compact["n_errors"] = len(errors)
+    compact_line = json.dumps(compact)
+    if len(compact_line) > 1900:  # belt-and-braces: never exceed the window
+        compact.pop("queries", None)
+        compact_line = json.dumps(compact)
+    print(compact_line)
 
 
 def cdc_worker() -> None:

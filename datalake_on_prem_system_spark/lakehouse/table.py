@@ -1495,6 +1495,26 @@ class LakeTable:
             return {}
         return self._read_commit(latest).properties or {}
 
+    def set_properties(self, props: dict[str, str]) -> Commit:
+        """Metadata-only commit: merge ``props`` into the table's
+        properties without touching data (Iceberg ``UpdateProperties`` /
+        Delta ``SET TBLPROPERTIES``). Carries the parent's file list
+        verbatim — O(metadata). The CDC driver uses this to record its
+        (stream, batch) watermark for a batch whose merge had nothing to
+        write, so crash-replay detection covers empty batches too."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(f"set_properties: no committed table at {self.root}")
+        prev = self._read_commit(latest)
+        commit = self._recommit(
+            prev,
+            latest + 1,
+            latest,
+            "set_properties",
+            properties={**(prev.properties or {}), **props},
+        )
+        return self._publish_commit(commit, [])
+
     def read_as_of(self, ts: float) -> DataFrame:
         """P11: commit-time travel — the state as of wall-clock ``ts``
         (latest commit with committed_at <= ts), the Hudi

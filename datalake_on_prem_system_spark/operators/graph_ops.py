@@ -1213,7 +1213,15 @@ def g_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def components_of(sym: DataFrame) -> DataFrame:
     """Min-label propagation over a SYMMETRIC edge list ``(u, v)``;
     returns (node, lbl) with lbl = min node id in the component.
-    Hand-pinned in tests/test_graph.py on known topologies."""
+    Hand-pinned in tests/test_graph.py on known topologies.
+
+    Convergence is PROVEN, not assumed: labels decrease monotonically, so
+    an unchanged label sum means no node moved — a fixed point. If the
+    round cap is hit first (a component with diameter > ``_CC_CAP``), the
+    labeling is incomplete and would silently diverge from the uncapped
+    oracle — raise instead of returning a wrong answer (the escalation
+    path at that diameter is large-star/small-star rounds, which this
+    loop structure admits without changing the data layout)."""
     lbl = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -1235,6 +1243,12 @@ def components_of(sym: DataFrame) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"components_of: min-label propagation did not converge in "
+            f"{_CC_CAP} rounds (component diameter exceeds the cap); "
+            "refusing to return a partial labeling"
+        )
     return lbl
 
 

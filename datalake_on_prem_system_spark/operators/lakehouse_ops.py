@@ -1215,11 +1215,12 @@ def lh_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the referenced-path set is the distributed union of every
     retained snapshot's $files frame (same manifest relation as
-    lh_vacuum_plan); the disk listing is O(#segment dirs) driver-side
-    metadata (at warehouse scale: an object-store LIST, itself a
-    DataFrame); a left anti-join splits orphans from referenced, and
-    per-segment stats come from one footer-sized aggregate per directory.
-    Data files are never row-scanned beyond the orphan's own stats read.
+    lh_vacuum_plan — O(versions x entries) stays on executors, never a
+    driver fold); the disk side is ONE recursive parquet read of the
+    whole ``data/`` dir (at warehouse scale: an object-store LIST feeding
+    a single scan), grouped by the owning segment dir derived from
+    ``input_file_name()``. Liveness is a broadcast left join against the
+    manifest-path relation — plan size is independent of segment count.
 
     Oracle: segment contents derive exactly from the staging filters, so
     DuckDB rebuilds the report from the orders table."""
@@ -1239,29 +1240,41 @@ def lh_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ORPHAN_CACHE[sf_dir] = root
     root = _ORPHAN_CACHE[sf_dir]
     table = LakeTable(spark, root)
-    referenced = {
-        r.path
-        for v in table.versions()
-        for r in table.files(v).select("path").collect()
-    }
-    data_dir = os.path.join(root, "data")
-    frames = []
-    for d in sorted(os.listdir(data_dir)):
-        seg = os.path.join(data_dir, d)
-        frames.append(
-            spark.read.parquet(seg).agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.min("o_orderkey").alias("min_orderkey"),
-                F.lit(seg in referenced).alias("referenced"),
-            )
+    referenced = (
+        _reduce(
+            DataFrame.unionByName,
+            [table.files(v).select("path") for v in table.versions()],
         )
+        .distinct()
+        .select(F.col("path").alias("seg"), F.lit(True).alias("referenced"))
+    )
+    data_dir = os.path.join(root, "data")
+    on_disk = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+        .withColumn(
+            "seg",
+            F.regexp_replace(
+                F.regexp_extract(
+                    F.input_file_name(), "^(.*?/data/[^/]+)/", 1
+                ),
+                "^file:(//)?",
+                "",
+            ),
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_orderkey"),
+        )
+    )
     return (
-        _reduce(DataFrame.unionByName, frames)
+        on_disk.join(F.broadcast(referenced), "seg", "left")
         .select(
             "n_rows",
             "min_orderkey",
-            "referenced",
-            (~F.col("referenced")).alias("reclaimable"),
+            F.coalesce("referenced", F.lit(False)).alias("referenced"),
+            (~F.coalesce("referenced", F.lit(False))).alias("reclaimable"),
         )
         .orderBy(F.desc("n_rows"))
     )

@@ -97,33 +97,36 @@ def normalize_envelope(raw: DataFrame, row_ddl: str, value_col: str = "value") -
 
 def dlq_classify(raw: DataFrame, row_ddl: str, value_col: str = "value") -> DataFrame:
     """Classify each raw envelope line for dead-letter routing: reason =
-    'unparseable' (from_json rejects the line entirely), 'missing_op'
-    (valid JSON, no op in either envelope shape), or NULL (a healthy row
-    ``normalize_envelope`` will process). Uses the SAME superset schema
-    and op coalesce as ``normalize_envelope``, so a line this function
-    calls healthy can never be dropped by the normalize filter — the two
-    classifications agree by construction."""
+    'unparseable' (the JSON parser rejects the line), 'missing_op' (valid
+    JSON — envelope-shaped or not — with no op in either envelope shape),
+    or NULL (a healthy row ``normalize_envelope`` will process). Uses the
+    SAME superset schema and op coalesce as ``normalize_envelope``, so a
+    line this function calls healthy can never be dropped by the
+    normalize filter — the two classifications agree by construction.
+
+    Parse failure vs schema mismatch are separated by a real
+    ``columnNameOfCorruptRecord`` field in the superset schema: PERMISSIVE
+    ``from_json`` yields an all-null struct for BOTH a corrupt line and a
+    valid JSON object carrying none of the envelope fields (e.g.
+    ``{"foo": 1}``), so null-field probing alone cannot tell them apart —
+    the corrupt-record column is populated only on true parse failure."""
     _, flat_schema = debezium_schemas(row_ddl)
-    from pyspark.sql.types import StructField
+    from pyspark.sql.types import StringType, StructField
 
     superset = StructType(
-        [StructField("payload", flat_schema, True), *flat_schema.fields]
+        [
+            StructField("payload", flat_schema, True),
+            *flat_schema.fields,
+            StructField("_corrupt", StringType(), True),
+        ]
     )
-    p = F.from_json(F.col(value_col).cast("string"), superset)
+    p = F.from_json(
+        F.col(value_col).cast("string"),
+        superset,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
     op = F.coalesce(p["payload"]["op"], p["op"])
-    # PERMISSIVE from_json yields an ALL-NULL struct (not a NULL struct)
-    # for a corrupt line — so "unparseable" is every-field-null, and
-    # "missing_op" is a line that parsed some envelope field but no op
-    parsed_nothing = (
-        p.isNull()
-        | (
-            p["payload"].isNull()
-            & p["before"].isNull()
-            & p["after"].isNull()
-            & p["op"].isNull()
-        )
-    )
-    reason = F.when(parsed_nothing, "unparseable").when(
+    reason = F.when(p.isNull() | p["_corrupt"].isNotNull(), "unparseable").when(
         op.isNull(), "missing_op"
     )
     return raw.select(
@@ -170,6 +173,15 @@ def last_writer_wins(df: DataFrame, pk: str, order_cols: list[str]) -> DataFrame
 
 _CDC_WATERMARK_PROP = "cdc.applied"  # "<stream_id>:<batch_id>" of the last applied batch
 
+# In-process fast path for the replay guard: (table root, stream_id) → last
+# applied batch_id. The durable record stays the commit-carried table
+# property (read once per process on a memo miss, and still what a fresh
+# process consults after a crash); the memo only saves the per-batch
+# commit-file read + listdir on the streaming hot path. Updated AFTER the
+# commit that carries the watermark succeeds, so a failed batch is never
+# memoized as applied.
+_APPLIED_MEMO: dict[tuple[str, str], int] = {}
+
 
 def cdc_apply_batch(
     table: LakeTable,
@@ -191,11 +203,16 @@ def cdc_apply_batch(
     byte-identical to the original pipeline.
 
     Delivery semantics: the MERGE stays exactly-once (the replay guard
-    below covers it, and a replayed batch skips the DLQ append too), but
-    a crash BETWEEN the DLQ append and the merge commit re-appends that
-    batch's rejects on replay — the DLQ is AT-LEAST-ONCE, the standard
-    tradeoff (Kafka Connect DLQs behave the same); DLQ consumers dedup
-    on (value, reason) if they need set semantics.
+    below covers it, and a replayed batch whose watermark committed skips
+    the DLQ append too), but a crash BETWEEN the DLQ append and the
+    watermark commit re-appends that batch's rejects on replay — the DLQ
+    is AT-LEAST-ONCE, the standard tradeoff (Kafka Connect DLQs behave
+    the same); DLQ consumers dedup on (value, reason) if they need set
+    semantics. A batch whose healthy rows dedup to EMPTY records its
+    watermark via a metadata-only commit (``set_properties``), so replay
+    skipping covers all-poison batches too — the one remaining
+    at-least-once corner is an empty batch arriving BEFORE the target
+    table's first commit (nothing to hang a watermark on yet).
 
     Exactly-once across crash replays (the SURVEY §7 risk-register item):
     Structured Streaming re-runs the last in-flight micro-batch after a
@@ -208,42 +225,76 @@ def cdc_apply_batch(
     contract means a new stream (new checkpoint → new ``stream_id``)
     legitimately restarts at batch 0 and must not be blocked by a previous
     stream's counter."""
-    if stream_id is not None and table.exists():
-        rec = (table.properties() or {}).get(_CDC_WATERMARK_PROP)
-        if rec:
-            rs, _, rb = rec.partition(":")
-            if rs == stream_id and batch_id <= int(rb):
-                return  # crash-replay of an already-applied batch
+    memo_key = (table.root, stream_id or "")
+    if stream_id is not None:
+        last = _APPLIED_MEMO.get(memo_key)
+        if last is None and table.exists():
+            # memo miss (fresh process / first batch): one durable read
+            rec = (table.properties() or {}).get(_CDC_WATERMARK_PROP)
+            if rec:
+                rs, _, rb = rec.partition(":")
+                if rs == stream_id:
+                    last = int(rb)
+        if last is not None and batch_id <= last:
+            return  # crash-replay of an already-applied batch
+
+    def _applied() -> None:
+        if stream_id is not None:
+            _APPLIED_MEMO[memo_key] = batch_id
+
+    def _record_empty() -> None:
+        # healthy rows deduped to nothing (e.g. an all-poison batch): no
+        # merge commit carries the watermark, so record it with a
+        # metadata-only commit — otherwise a crash replay of this batch
+        # cannot be detected and the DLQ rejects would re-append
+        if stream_id is not None and table.exists():
+            table.set_properties({_CDC_WATERMARK_PROP: f"{stream_id}:{batch_id}"})
+            _applied()
+
     extra = {_CDC_WATERMARK_PROP: f"{stream_id}:{batch_id}"} if stream_id else None
     # the file/Kafka source typically delivers a batch as very few input
     # partitions (often one); spread the parse across the cluster BEFORE
     # the JSON work — otherwise the whole batch parses on one core
     spread = batch_df.repartition(batch_df.sparkSession.sparkContext.defaultParallelism)
     if dlq_table is not None:
+        # persist around the probe + write: classification otherwise runs
+        # twice per micro-batch (isEmpty re-executes under the append)
         rejects = dlq_classify(spread, row_ddl).filter(
             F.col("reason").isNotNull()
-        )
-        if not rejects.isEmpty():
-            if dlq_table.exists():
-                dlq_table.append(rejects)
-            else:
-                dlq_table.create_or_replace(rejects)
+        ).persist()
+        try:
+            if not rejects.isEmpty():
+                if dlq_table.exists():
+                    dlq_table.append(rejects)
+                else:
+                    dlq_table.create_or_replace(rejects)
+        finally:
+            rejects.unpersist()
     flat = normalize_envelope(spread, row_ddl)
     dedup = last_writer_wins(flat, pk, order_cols).drop(*drop_cols)
     if table.mor_ready(pk):
         # merge-on-read hot path: ONE Spark job — parse → dedup → bucketed
         # delta write. The empty/unparseable-batch guard (P12) is the
         # write's own footer count inside merge (no commit when 0 rows),
-        # so no separate probe job runs per micro-batch.
-        table.merge(dedup, pk=pk, op_col="op", extra_properties=extra)
+        # so no separate probe job runs per micro-batch. An elided empty
+        # commit is detected from the RETURNED commit (it is the parent,
+        # whose properties lack this batch's watermark) — driver-side
+        # metadata only, no extra Spark job.
+        commit = table.merge(dedup, pk=pk, op_col="op", extra_properties=extra)
+        if extra and (commit.properties or {}).get(_CDC_WATERMARK_PROP) != extra[_CDC_WATERMARK_PROP]:
+            _record_empty()
+        else:
+            _applied()
         return
     # copy-on-write path: probe emptiness once on a persisted parse so an
     # empty batch never publishes a full-rewrite commit (P12)
     cached = dedup.persist()
     try:
         if cached.isEmpty():
+            _record_empty()
             return
         table.merge(cached, pk=pk, op_col="op", extra_properties=extra)
+        _applied()
     finally:
         cached.unpersist()
 

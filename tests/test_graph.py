@@ -359,6 +359,25 @@ def test_connected_components_hand_computed(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_raises_when_cap_exceeded(spark, monkeypatch):
+    """A component whose diameter exceeds the round cap must raise — the
+    uncapped recursive-CTE oracle would diverge from a silently partial
+    labeling (round-11 ADVICE). Pinned with the cap patched tiny so the
+    guard path runs in two rounds."""
+    import pytest
+
+    from datalake_on_prem_system_spark.operators import graph_ops
+
+    monkeypatch.setattr(graph_ops, "_CC_CAP", 2)
+    # a path of 6 nodes: min-label needs 5 rounds to reach the far end
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    sym = spark.createDataFrame(
+        und + [(v, u) for u, v in und], "u bigint, v bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph_ops.components_of(sym)
+
+
 def test_hits_authorities_hand_computed(spark):
     """HITS pin on a hand-traceable bipartite graph: customers {1,2,3},
     suppliers {10,20}; edges (1,10),(2,10),(3,10),(3,20).

@@ -135,16 +135,24 @@ def test_cdc_new_file_after_restart_processes_incrementally(spark, tmp_path):
 
 
 def test_empty_batch_guard(spark, tmp_path):
-    """A stream over only-unparseable lines must not commit (P12)."""
+    """A stream over only-unparseable lines must not commit DATA (P12):
+    no rewrite, no delta segment — the only commit the batch may leave is
+    the metadata-only watermark record (set_properties), which carries
+    the parent's file list verbatim and makes a crash replay of the empty
+    batch detectable."""
     src = str(tmp_path / "src_empty")
     _write_events(os.path.join(src, "bad.json"), [{"noise": True}])
     table = LakeTable(spark, str(tmp_path / "tbl_empty"))
     table.create_or_replace(spark.createDataFrame([(1, "x", 0)], ROW_DDL))
+    files_before = [dict(e) for e in table.commit_at().files]
     run_cdc_file_stream(
         spark, table, pk="id", row_ddl=ROW_DDL, src_dir=src,
         checkpoint_dir=str(tmp_path / "ckpt_empty"), order_cols=["seq"],
     )
-    assert table.versions() == [0]  # nothing merged
+    latest = table.commit_at()
+    assert latest.files == files_before  # no data written, nothing merged
+    assert latest.operation in ("create_or_replace", "set_properties")
+    assert table.read().count() == 1
 
 
 def test_stateful_running_totals_across_batches(spark, tmp_path):
@@ -461,6 +469,7 @@ def test_dlq_classify_reasons(spark):
         ('{"after": {"k": 2, "v": "b"}, "op": "u"}',),
         ('{poison{"after": {"k": 3}}',),
         ('{"after": {"k": 4, "v": "d"}}',),
+        ('{"foo": 1}',),
     ]
     df = spark.createDataFrame(rows, "value string")
     got = {r.value: r.reason for r in dlq_classify(df, ddl).collect()}
@@ -468,3 +477,54 @@ def test_dlq_classify_reasons(spark):
     assert got[rows[1][0]] is None  # healthy flat
     assert got[rows[2][0]] == "unparseable"
     assert got[rows[3][0]] == "missing_op"
+    # valid JSON with NO envelope fields parses to an all-null struct just
+    # like a corrupt line — the corrupt-record column is what tells them
+    # apart: this is a schema mismatch (missing_op), not a parse failure
+    assert got[rows[4][0]] == "missing_op"
+
+
+def test_empty_merge_batch_records_watermark(spark, tmp_path):
+    """A batch whose healthy rows dedup to EMPTY (all-poison) must still
+    record its (stream, batch) watermark — via a metadata-only commit —
+    so a crash replay of that batch is detected and the DLQ rejects are
+    not re-appended (round-11 ADVICE)."""
+    from datalake_on_prem_system_spark.streaming.cdc import cdc_apply_batch
+
+    table = LakeTable(spark, str(tmp_path / "tbl_empty_wm"))
+    table.create_or_replace(
+        spark.createDataFrame([(1, "base1", 0)], ROW_DDL)
+    )
+    dlq = LakeTable(spark, str(tmp_path / "dlq_empty_wm"))
+    poison = spark.createDataFrame(
+        [('{poison',), ('{"foo": 1}',)], "value string"
+    )
+    kw = dict(pk="id", row_ddl=ROW_DDL, order_cols=["seq"], drop_cols=[])
+    cdc_apply_batch(
+        table, batch_df=poison, batch_id=0, stream_id="s1", dlq_table=dlq, **kw
+    )
+    # the merge wrote nothing, but the watermark committed (metadata-only)
+    assert table.properties()["cdc.applied"] == "s1:0"
+    assert table.read().count() == 1  # data untouched
+    assert dlq.read().count() == 2
+    # crash replay of the same batch: DLQ must NOT re-append
+    cdc_apply_batch(
+        table, batch_df=poison, batch_id=0, stream_id="s1", dlq_table=dlq, **kw
+    )
+    assert dlq.read().count() == 2
+
+
+def test_set_properties_metadata_only_commit(spark, tmp_path):
+    """set_properties publishes a new version carrying the parent's file
+    list verbatim: data identical, properties merged, one more version."""
+    table = LakeTable(spark, str(tmp_path / "tbl_props"))
+    table.create_or_replace(
+        spark.createDataFrame([(1, "a", 0), (2, "b", 0)], ROW_DDL)
+    )
+    v0 = table.latest_version()
+    table.set_properties({"x.y": "1"})
+    assert table.latest_version() == v0 + 1
+    assert table.properties()["x.y"] == "1"
+    assert sorted(r.id for r in table.read().collect()) == [1, 2]
+    # merging keeps earlier properties
+    table.set_properties({"x.z": "2"})
+    assert table.properties() == {"x.y": "1", "x.z": "2"}
