@@ -205,7 +205,7 @@ _COSUPPLY_CTES = f"""
 """
 
 
-def triangle_participation(edges: DataFrame) -> DataFrame:
+def triangle_participation(edges: DataFrame, cache_key: str | None = None) -> DataFrame:
     """Per-node triangle participation over an undirected edge list
     (``u`` < ``v``, no duplicates) — the degree-ordered triangle algorithm
     (the MapReduce classic): each edge is ORIENTED from its lower-(deg, id)
@@ -224,7 +224,17 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     table carries NO broadcast hint: it has one row per graph NODE, which
     grows with the data (billions at full scale) — a baked-in hint would
     OOM the driver. The joins are equi-keyed on u/v, so AQE picks
-    broadcast on its own whenever the degree table is genuinely small."""
+    broadcast on its own whenever the degree table is genuinely small.
+
+    ``cache_key`` persists the ORIENTED edge frame through the bounded
+    registry: it is O(m) (one row per edge, three ints) and feeds three
+    consumers in the plan (both wedge legs and the closing join), each of
+    which would otherwise re-derive the degree rollup + orientation joins
+    — at fixture scale that re-derivation is 2–3 extra shuffle-stage
+    waves per run (measured ~1.7 s/wave on a loaded 32-core box), and at
+    100 TB it is two redundant O(m) shuffles. Same persist-the-shared-
+    producer rationale as the edges contract above; tests over ad-hoc
+    frames pass no key and keep the uncached plan."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -247,6 +257,8 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
         # rank of dst — the wedge join orders its two legs by it
         F.when(u_lower, F.col("dv")).otherwise(F.col("du")).alias("dd"),
     )
+    if cache_key is not None:
+        oriented = persist_bounded(oriented, cache_key)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = (
         e1.join(e2, F.col("e1.src") == F.col("e2.src"))
@@ -417,6 +429,7 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # an older generation of the same sf_dir.
         _cache.release(f"g_cosupply_pw:{sf_dir}")
         _cache.release(f"g_cosupply_edges:{sf_dir}")
+        _cache.release(f"g_tri_oriented:{sf_dir}")  # derived from the edges
         for stale in [k for k in _COSUPPLY_MIN_W if k[0] == key[0]]:
             del _COSUPPLY_MIN_W[stale]
     pw = persist_bounded(
@@ -452,7 +465,7 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_graph.py``)."""
     edges = _cosupply_edges(spark, sf_dir)
     return (
-        triangle_participation(edges)
+        triangle_participation(edges, cache_key=f"g_tri_oriented:{sf_dir}")
         .select(F.col("node").alias("s_suppkey"), "n_triangles")
         .orderBy(F.desc("n_triangles"), F.asc("s_suppkey"))
         .limit(_TRI_TOP_K)
@@ -499,7 +512,7 @@ def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = triangle_participation(edges)
+    tri = triangle_participation(edges, cache_key=f"g_tri_oriented:{sf_dir}")
     joined = deg.join(tri, "node", "left_outer").fillna(0, ["n_triangles"])
     coeff = F.when(
         F.col("degree") >= 2,

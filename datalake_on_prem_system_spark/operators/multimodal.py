@@ -6,13 +6,16 @@ one ``binary`` column holding the encoded media, one typed metadata struct
 feature-extract work running as Arrow-batched ``mapInPandas`` — never
 row-at-a-time Python.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic fake (byte-level arithmetic over the payload) or an explicit
-``NotImplementedError`` stub — but the Spark-side plumbing (schema, struct
-column, Arrow batch shape, partitioning) is real and oracle-checked:
-``documents.text`` (pure ASCII) is utf-8-encoded into the payload, so the
-byte-sum the pandas code computes equals the codepoint-sum the DuckDB oracle
-computes.
+The container has no codec LIBRARIES, so the formats decoded here are the
+ones a few hundred lines of byte-level parsing cover honestly: real BMP
+(``mm_image_decode``), real RIFF/WAVE PCM (``mm_wav_decode``), and a real
+RIFF/AVI container of uncompressed DIB frames with idx1 random access
+(``mm_video_decode``). Compressed codecs (JPEG/H.264/Opus) would swap one
+leaf function for a library call — schema, struct column, Arrow batch
+shape, and partitioning are format-agnostic and oracle-checked:
+``documents.text`` (pure ASCII) is utf-8-encoded into the payload, so every
+decoded reduction equals a codepoint-arithmetic reduction the DuckDB oracle
+recomputes.
 
 Scale notes: every operator is a narrow per-row map (no shuffle);
 ``mapInPandas`` moves data executor→Python worker via Arrow in columnar
@@ -110,7 +113,8 @@ def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan for 'video' assets: derive a deterministic frame
     count from metadata, emit every 24th frame index (keyframe cadence).
     The plan (explode of a sequence) is the real distributed shape; actual
-    frame decode is `decode_frame` below — a stub in this container."""
+    frame decode is ``decode_frame``/``mm_video_decode`` below — real
+    idx1-indexed random access into an AVI container."""
     m = _manifest(t(spark, sf_dir, "documents"))
     vids = m.filter(F.col("media.format") == "wav").select(
         "doc_id", (F.col("media.width").cast("bigint") * 4).alias("n_frames")
@@ -128,16 +132,238 @@ def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack("<4sI", cid, len(body))
+        + body
+        + (b"\x00" if len(body) % 2 else b"")
+    )
+
+
+def _encode_avi(
+    width: int, height: int, fps: int, n_frames: int, text_bytes: bytes
+) -> bytes:
+    """Build a REAL AVI file — RIFF container with LIST hdrl (``avih``
+    main header + LIST strl with ``strh``/``strf``), LIST movi of
+    uncompressed bottom-up DIB frames (``00db``), and an ``idx1`` frame
+    index (offset/size per frame, relative to the ``movi`` fourcc — the
+    random-access path every AVI player uses). Frame *f*'s logical
+    top-down pixel bytes cycle the document's ASCII bytes with PHASE f
+    (byte j = text[(f + j) % len]), so every frame is distinct and the
+    oracle can recompute any frame's pixel sum from codepoints alone."""
+    import struct
+
+    import numpy as np
+
+    src = np.frombuffer(text_bytes if text_bytes else b"\x00", dtype=np.uint8)
+    n = width * height * 3
+    stride = (width * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - width * 3)
+    frames = []
+    for f in range(n_frames):
+        flat = (
+            src[(f + np.arange(n)) % len(src)]
+            if text_bytes
+            else np.zeros(n, dtype=np.uint8)
+        )
+        img = flat.reshape(height, width * 3)
+        frames.append(
+            b"".join(img[height - 1 - y].tobytes() + pad for y in range(height))
+        )
+    fsize = stride * height
+    avih = _riff_chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            1_000_000 // fps, fsize * fps, 0, 0x10, n_frames, 0, 1, fsize,
+            width, height, 0, 0, 0, 0,
+        ),
+    )
+    strh = _riff_chunk(
+        b"strh",
+        struct.pack(
+            "<4s4sIHHIIIIIIiIhhhh",
+            b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n_frames, fsize, -1, 0,
+            0, 0, width, height,
+        ),
+    )
+    strf = _riff_chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, fsize, 2835, 2835, 0, 0
+        ),
+    )
+    strl = _riff_chunk(b"LIST", b"strl" + strh + strf)
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + avih + strl)
+    movi_body = b"movi"
+    idx_entries = []
+    for px in frames:
+        idx_entries.append((len(movi_body), len(px)))  # offset of chunk header
+        movi_body += _riff_chunk(b"00db", px)
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            struct.pack("<4sIII", b"00db", 0x10, off, sz)
+            for off, sz in idx_entries
+        ),
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _avi_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the AVI main + stream headers by WALKING the RIFF lists (no
+    fixed offsets — real muxers reorder/insert chunks). Returns
+    (width, height, fps, n_frames)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError(f"not an AVI payload (signature {payload[:4]!r})")
+    width = height = n_frames = None
+    scale = rate = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal width, height, n_frames, scale, rate
+        pos = lo
+        while pos + 8 <= hi:
+            cid, sz = struct.unpack_from("<4sI", payload, pos)
+            if cid == b"LIST":
+                walk(pos + 12, pos + 8 + sz)
+            elif cid == b"avih":
+                vals = struct.unpack_from("<14I", payload, pos + 8)
+                n_frames, width, height = vals[4], vals[8], vals[9]
+            elif cid == b"strh":
+                fcc, _h, _fl, _pr, _la, _init, scale, rate = struct.unpack_from(
+                    "<4s4sIHHIII", payload, pos + 8
+                )
+                if fcc != b"vids":
+                    scale = rate = None  # not the video stream
+            pos += 8 + sz + (sz % 2)
+
+    walk(12, len(payload))
+    if None in (width, height, n_frames, scale, rate):
+        raise ValueError("AVI missing avih/strh headers")
+    return width, height, rate // scale, n_frames
+
+
 def decode_frame(payload: bytes, frame_idx: int) -> bytes:
-    """VIDEO frame decode — requires codec libraries (av/ffmpeg) not
-    present in this container, so this leaf stays a stub. IMAGE decode is
-    REAL: ``mm_image_decode`` parses actual BMP bytes (header fields +
-    pixel array) with no external codec — plug av in here for video when
-    deploying."""
-    raise NotImplementedError(
-        "video codecs unavailable in this environment; "
-        "plug in av/ffmpeg here when deploying — still images decode via "
-        "mm_image_decode's real BMP parser"
+    """REAL video-frame random access — no codec library: verify the
+    RIFF/AVI signature, walk the top-level chunk list to locate the
+    ``movi`` LIST and the ``idx1`` index, then jump straight to frame
+    ``frame_idx``'s ``00db`` chunk via its index entry (offset relative
+    to the ``movi`` fourcc) and return the raw bottom-up padded DIB pixel
+    array. Raises IndexError past the last frame — the caller's sampling
+    plan (``mm_frame_sample_plan``) must stay inside ``n_frames``.
+    Compressed codecs (H.264 etc.) would replace the DIB slice with a
+    library call; the container walk is the same."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError(f"not an AVI payload (signature {payload[:4]!r})")
+    movi_pos = None
+    index: list[tuple[int, int]] = []
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+            movi_pos = pos + 8  # position of the 'movi' fourcc
+        elif cid == b"idx1":
+            for off in range(pos + 8, pos + 8 + sz, 16):
+                ckid, _flags, coff, csz = struct.unpack_from("<4sIII", payload, off)
+                if ckid == b"00db":
+                    index.append((coff, csz))
+        pos += 8 + sz + (sz % 2)
+    if movi_pos is None or not index:
+        raise ValueError("AVI missing movi list or idx1 index")
+    coff, csz = index[frame_idx]
+    start = movi_pos + coff + 8  # skip the frame chunk's own 8-byte header
+    return payload[start : start + csz]
+
+
+def _dib_pixel_sum(frame: bytes, width: int, height: int) -> int:
+    """Strip the DIB stride padding, un-flip the bottom-up rows, and sum
+    the logical pixel bytes."""
+    import numpy as np
+
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(frame, dtype=np.uint8, count=stride * height).reshape(
+        height, stride
+    )[:, : width * 3]
+    return int(rows[::-1].astype(np.int64).sum())
+
+
+def mm_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video decode over binary payloads — the VIDEO sibling
+    of ``mm_image_decode``/``mm_wav_decode``, retiring the last codec
+    stub: an Arrow-batched kernel muxes each document into an actual AVI
+    file (RIFF lists, real ``avih``/``strh``/``strf`` headers,
+    uncompressed ``00db`` DIB frames, an ``idx1`` random-access index), a
+    second Arrow kernel parses the headers back, samples every 3rd frame
+    (``mm_frame_sample_plan``'s keyframe-cadence shape), random-accesses
+    each sampled frame THROUGH the index (never a sequential scan of
+    ``movi``), and emits one row per sampled frame with the decoded
+    geometry and the frame's exact pixel-byte sum. Swapping the DIB slice
+    for av/ffmpeg is a one-function change — container walk, schema,
+    batching, and partitioning are codec-agnostic.
+
+    Scale shape: two chained ``mapInPandas`` kernels fuse into one narrow
+    per-row stage — no shuffle; payload bytes never leave the executor,
+    and the per-frame fan-out is bounded by n_frames/3 ≤ 3 rows per asset.
+
+    Oracle: geometry derives from ``n_chars``/``doc_id``; frame *f*'s
+    pixels cycle the text's codepoints with phase f, so DuckDB recomputes
+    every sampled frame's pixel sum from codepoint arithmetic alone — the
+    compare fails if the decoder misreads a header, the idx1 offsets, the
+    stride padding, or the row order."""
+    import pandas as pd  # noqa: F401 — required on executors
+
+    docs = t_par(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                _encode_avi(
+                    int(n) % 9 + 4,
+                    int(n) % 5 + 4,
+                    8 + int(d) % 3 * 4,
+                    int(d) % 5 + 4,
+                    t.encode("utf-8"),
+                )
+                for d, n, t in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "width": [], "height": [],
+                "fps": [], "n_frames": [], "px_sum": [],
+            }
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, fps, nf = _avi_header(payload)
+                for f in range(0, nf, 3):
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["fps"].append(fps)
+                    out["n_frames"].append(nf)
+                    out["px_sum"].append(
+                        _dib_pixel_sum(decode_frame(payload, f), w, h)
+                    )
+            yield pd.DataFrame(out)
+
+    manifest = docs.mapInPandas(encode, "doc_id bigint, payload binary")
+    return manifest.mapInPandas(
+        decode,
+        "doc_id bigint, frame_idx int, width int, height int, fps int, "
+        "n_frames int, px_sum bigint",
     )
 
 
@@ -390,7 +616,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the median; thresholding on the population statistic is what makes
     homogeneous corpora separate at all). Assets block on equal
     signatures; clusters of ≥ 2 are the candidates the decode-based
-    verifier (the codec stub) would confirm.
+    verifier (``decode_frame``) would confirm.
 
     Determinism: the global shares are exact integer sums, and each bit
     is an integer CROSS-MULTIPLICATION (count_i · total_len >
@@ -554,6 +780,7 @@ QUERIES = {
     "mm_frame_sample_plan": mm_frame_sample_plan,
     "mm_phash_neardup": mm_phash_neardup,
     "mm_wav_decode": mm_wav_decode,
+    "mm_video_decode": mm_video_decode,
 }
 
 ORACLE = {
@@ -614,6 +841,29 @@ ORACLE = {
                CAST(list_reduce(list_prepend(0, [abs(x) for x in samples]),
                     (a, x) -> greatest(a, x)) AS INTEGER) AS peak_abs
         FROM s
+    """,
+    # decoded geometry from the n_chars/doc_id rules; frame f's pixel
+    # bytes cycle the codepoints with PHASE f (byte j = cp[(f + j) % L]),
+    # sampled at the every-3rd-frame cadence — exactly what the AVI
+    # round-trip (headers → idx1 random access → DIB strip) must yield
+    "mm_video_decode": """
+        WITH src AS (
+            SELECT doc_id,
+                   CAST(n_chars % 9 + 4 AS INTEGER) AS width,
+                   CAST(n_chars % 5 + 4 AS INTEGER) AS height,
+                   CAST(8 + (doc_id % 3) * 4 AS INTEGER) AS fps,
+                   CAST(doc_id % 5 + 4 AS INTEGER) AS n_frames,
+                   [unicode(c) for c in string_split(text, '') if c <> ''] AS cp
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(f AS INTEGER) AS frame_idx,
+               width, height, fps, n_frames,
+               CAST(CASE WHEN len(cp) = 0 THEN 0 ELSE list_reduce(
+                   list_prepend(0, [cp[((f + i - 1) % len(cp)) + 1]
+                       for i in range(1, width * height * 3 + 1)]),
+                   (a, x) -> a + x) END AS BIGINT) AS px_sum
+        FROM src, unnest(range(0, CAST(n_frames AS BIGINT), 3)) AS t(f)
     """,
     "mm_shard_plan": f"""
         WITH m AS (
