@@ -1772,6 +1772,99 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lag")
 
 
+_XCF_MAX_LAG = 7
+
+
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily CLICK series and the
+    daily PURCHASE series at lags −{_XCF_MAX_LAG}..+{_XCF_MAX_LAG} — the
+    lead/lag diagnostic every growth stack runs ("do clicks lead
+    purchases, and by how many days?"): a positive-lag peak means clicks
+    at day t co-move with purchases at day t+k. The two-series sibling of
+    ``ts_autocorrelation``, sharing its exactness recipe.
+
+    Exactness: daily counts are integers; the one-row (n, Σx, Σy) anchor
+    turns each deviation into the exact integer n·x_t − Σx (no
+    fractional means), lagged products and both denominator sums
+    accumulate as decimal(38,0) ↔ HUGEINT, and only the final
+    num/sqrt(den_x·den_y) ratio converts to double — identical
+    expression tree in DuckDB. Negative lags reuse the positive-lag
+    machinery with the series swapped (r_xy(−k) = r_yx(k)), so one
+    window pass serves both directions.
+
+    Scale shape: ONE shuffle (groupBy day) reduces the fact table to a
+    |days|-bounded series; the lag window and reduce run on that bounded
+    frame. The anchor is a ONE-ROW cross join (allow-listed)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("day").agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    stat = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    dev = daily.crossJoin(stat).select(
+        "day",
+        (F.col("n") * F.col("x") - F.col("sx")).alias("dx"),
+        (F.col("n") * F.col("y") - F.col("sy")).alias("dy"),
+    )
+    w = Window.orderBy("day")
+    cols = ["dx", "dy"]
+    for k in range(1, _XCF_MAX_LAG + 1):
+        cols.append(F.lag("dy", k).over(w).alias(f"dy_m{k}"))  # y at t-k
+        cols.append(F.lag("dx", k).over(w).alias(f"dx_m{k}"))  # x at t-k
+    lagged = dev.select(*cols)
+    aggs = [
+        F.sum(F.col("dx") * F.col("dx")).alias("den_x"),
+        F.sum(F.col("dy") * F.col("dy")).alias("den_y"),
+        F.sum(F.col("dx") * F.col("dy")).alias("num_0"),
+        F.count(F.col("dx")).alias("np_0"),
+    ]
+    for k in range(1, _XCF_MAX_LAG + 1):
+        # lag +k: x at t leads y at t+k ⇔ pair (x_{t-k}, y_t)
+        aggs.append(F.sum(F.col(f"dx_m{k}") * F.col("dy")).alias(f"num_p{k}"))
+        aggs.append(F.count(F.col(f"dx_m{k}")).alias(f"np_p{k}"))
+        # lag −k: purchases lead clicks ⇔ pair (x_t, y_{t-k})
+        aggs.append(F.sum(F.col("dx") * F.col(f"dy_m{k}")).alias(f"num_m{k}"))
+        aggs.append(F.count(F.col(f"dy_m{k}")).alias(f"np_m{k}"))
+    red = lagged.agg(*aggs)
+    terms = [f"0, np_0, num_0"]
+    for k in range(1, _XCF_MAX_LAG + 1):
+        terms.append(f"{k}, np_p{k}, num_p{k}")
+        terms.append(f"-{k}, np_m{k}, num_m{k}")
+    return (
+        red.select(
+            F.expr(
+                f"stack({len(terms)}, {', '.join(terms)}) AS (lag, n_pairs, num)"
+            ),
+            "den_x",
+            "den_y",
+        )
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(
+                F.col("num").cast("double")
+                / F.sqrt(
+                    F.col("den_x").cast("double") * F.col("den_y").cast("double")
+                ),
+                6,
+            ).alias("xcf"),
+        )
+        .orderBy("lag")
+    )
+
+
 def a_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test: do URGENT orders carry a different
     totalprice distribution than LOW-priority orders? The standard
@@ -1857,6 +1950,248 @@ def a_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.sqrt(sigma2)),
             6,
         ).alias("z_score"),
+    )
+
+
+def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: does the account-balance
+    DISTRIBUTION differ between the BUILDING and MACHINERY customer
+    segments? The distribution-shape sibling of ``a_mann_whitney`` (which
+    only sees location shift) — the pair every experimentation stack runs
+    together.
+
+    Scalable ECDF without a global sort: per distinct value, counts
+    (ca, cb) roll up once; the inclusive cumulative count is the same
+    TWO-LEVEL prefix sum as the Mann-Whitney recipe (intra-bucket window
+    on ``v div 1e6`` + cumulative over the one-row-per-bucket totals), so
+    no partition ever holds the whole distinct domain. The KS statistic
+    stays INTEGER until the last step: D = max |Fa − Fb| is computed as
+    max |ca_le·n2 − cb_le·n1| over HUGEINT-exact cross-multiplications,
+    then divided by n1·n2 ONCE — no per-row double ECDFs to drift.
+    z = D·sqrt(n1·n2/(n1+n2)), the large-sample KS scaling."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("v"),
+            (F.col("c_mktsegment") == "BUILDING").cast("long").alias("is_a"),
+        )
+    )
+    pv = c.groupBy("v").agg(
+        F.sum("is_a").cast("decimal(38,0)").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("decimal(38,0)").alias("cb"),
+    )
+    pv = pv.withColumn("bkt", F.expr("v div 1000000"))
+    intra = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = (
+        pv.withColumn("ca_in", F.sum("ca").over(intra))
+        .withColumn("cb_in", F.sum("cb").over(intra))
+    )
+    btot = pv.groupBy("bkt").agg(
+        F.sum("ca").alias("ca_bkt"), F.sum("cb").alias("cb_bkt")
+    )
+    pre = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bkt",
+        F.coalesce(F.sum("ca_bkt").over(pre), F.lit(0).cast("decimal(38,0)")).alias("ca_off"),
+        F.coalesce(F.sum("cb_bkt").over(pre), F.lit(0).cast("decimal(38,0)")).alias("cb_off"),
+    )
+    enriched = pv.join(boff, "bkt").select(
+        (F.col("ca_in") + F.col("ca_off")).alias("ca_le"),
+        (F.col("cb_in") + F.col("cb_off")).alias("cb_le"),
+    )
+    # the cross-multiplied sup-distance needs n1/n2 per row: broadcast the
+    # one-row totals back (a one-row aggregate cross join — the standard
+    # bounded anchor; allow-listed BNLJ). max cumulative = group size.
+    totals = enriched.agg(
+        F.max("ca_le").alias("n1"), F.max("cb_le").alias("n2")
+    )
+    d_num = (
+        enriched.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(
+                F.abs(F.col("ca_le") * F.col("n2") - F.col("cb_le") * F.col("n1"))
+            ).alias("d_num"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d = F.col("d_num").cast("double") / (n1d * n2d)
+    return d_num.select(
+        F.col("n1").cast("long").alias("n_building"),
+        F.col("n2").cast("long").alias("n_machinery"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(d * F.sqrt(n1d * n2d / (n1d + n2d)), 6).alias("ks_z"),
+    )
+
+
+def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test: does account balance differ across ALL five
+    market segments at once? The k-group generalization of
+    ``a_mann_whitney`` (one-way ANOVA on ranks, no normality assumption).
+
+    Rank sums without a global sort: with per-value counts c_v and
+    exclusive cumulative cum_v (the two-level prefix recipe), every row at
+    value v has midrank cum_v + (c_v+1)/2, so each group's DOUBLED rank
+    sum 2·R_g = Σ_v cg_v·(2·cum_v + c_v + 1) is exactly integral —
+    HUGEINT-exact on both engines. The k per-group (2R)²/n terms are a
+    BOUNDED list (k = 5 segments): folded in pinned segment order via
+    sort_array + F.aggregate ↔ DuckDB list(ORDER BY) + list_reduce, per
+    the oracle-exactness conventions. Tie correction Σ(c³−c) as in MWU."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("v"),
+    )
+    cell = c.groupBy("v", "seg").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cg")
+    )
+    pv = cell.groupBy("v").agg(F.sum("cg").alias("c"))
+    pv = pv.withColumn("bkt", F.expr("v div 1000000"))
+    intra = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = pv.withColumn(
+        "c_in", F.coalesce(F.sum("c").over(intra), F.lit(0).cast("decimal(38,0)"))
+    )
+    btot = pv.groupBy("bkt").agg(F.sum("c").alias("c_bkt"))
+    boff = btot.select(
+        "bkt",
+        F.coalesce(
+            F.sum("c_bkt").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("c_off"),
+    )
+    ranked = pv.join(boff, "bkt").select(
+        "v", "c", (F.col("c_in") + F.col("c_off")).alias("cum")
+    )
+    per_group = (
+        cell.join(ranked, "v")
+        .groupBy("seg")
+        .agg(
+            F.sum("cg").alias("n_g"),
+            F.sum(
+                F.col("cg")
+                * (F.lit(2).cast("decimal(38,0)") * F.col("cum") + F.col("c") + 1)
+            ).alias("r2_g"),  # 2 * rank sum of group g
+        )
+    )
+    ties = ranked.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("ties_t"),
+    )
+    # fold the 5 bounded group terms in pinned (segment) order
+    folded = per_group.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("seg").alias("seg"),
+                        F.col("r2_g").cast("double").alias("r2"),
+                        F.col("n_g").cast("double").alias("ng"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + (s["r2"] * s["r2"]) / s["ng"],
+        ).alias("sum_r2_over_n4"),  # Σ (2R)²/n = 4·Σ R²/n
+        F.count(F.lit(1)).alias("k"),
+    )
+    out = folded.crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    h = (F.lit(12.0) / (nd * (nd + 1.0))) * (
+        F.col("sum_r2_over_n4") / 4.0
+    ) - 3.0 * (nd + 1.0)
+    corr = 1.0 - F.col("ties_t").cast("double") / (nd * nd * nd - nd)
+    return out.select(
+        F.col("n").cast("long").alias("n_total"),
+        F.col("k").cast("int").alias("k_groups"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / corr, 6).alias("h_tie_corrected"),
+    )
+
+
+def a_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b rank correlation between line-item quantity and
+    discount — the tie-robust alternative to Pearson (``a_correlation``)
+    for ordinal pairs.
+
+    The naive definition is O(n²) pairs; HERE both variables live in
+    BOUNDED DOMAINS (quantity: 50 ints, discount: 11 cents values), so
+    the sufficient statistic is the 550-cell contingency table, and
+    concordant/discordant pair counts are cell-pair cross products —
+    O(cells²) ≈ 3·10⁵ regardless of row count (the same bounded-domain
+    collapse as ``a_chi_square``). The cell-pair join is a broadcast
+    non-equi join over the tiny cell frame (allow-listed BNLJ); counts
+    stay HUGEINT-exact, τ-b does its two sqrt divisions once."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    cells = li.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    c2 = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("n").alias("n2")
+    )
+    pairs = cells.join(
+        F.broadcast(c2), F.col("x") < F.col("x2"), "inner"
+    )
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("y") < F.col("y2"), F.col("n") * F.col("n2")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("concordant"),
+        F.sum(
+            F.when(F.col("y") > F.col("y2"), F.col("n") * F.col("n2")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("discordant"),
+    )
+    margins = cells.agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("txy2"),  # 2·Σ C(cell,2)
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("n").alias("nx"))
+        .agg(F.sum(F.col("nx") * (F.col("nx") - 1)).alias("tx2"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("n").alias("ny"))
+        .agg(F.sum(F.col("ny") * (F.col("ny") - 1)).alias("ty2"))
+    )
+    out = (
+        cd.crossJoin(F.broadcast(margins))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    nd = F.col("n").cast("double")
+    n0_2 = nd * (nd - 1.0)  # 2·C(n,2)
+    denom = F.sqrt(n0_2 - F.col("tx2").cast("double")) * F.sqrt(
+        n0_2 - F.col("ty2").cast("double")
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.round(
+            2.0
+            * (F.col("concordant") - F.col("discordant")).cast("double")
+            / denom,
+            6,
+        ).alias("tau_b"),
     )
 
 
@@ -2310,6 +2645,10 @@ QUERIES = {
     "ev_markov_attribution": ev_markov_attribution,
     "ts_decompose": ts_decompose,
     "a_gini": a_gini,
+    "a_ks_test": a_ks_test,
+    "a_kruskal_wallis": a_kruskal_wallis,
+    "a_kendall_tau": a_kendall_tau,
+    "ts_cross_correlation": ts_cross_correlation,
 }
 
 _GINI_ORACLE = """
@@ -2454,6 +2793,58 @@ _ACF_ORACLE = f"""
     )
     ORDER BY lag
 """
+
+def _xcf_oracle_sql() -> str:
+    """DuckDB replay of ts_cross_correlation: same integer-deviation
+    construction (n·x − Σx), same lag windows over the day-ordered
+    bounded series, same single double conversion per term."""
+    lag_cols = ", ".join(
+        f"lag(dx, {k}) OVER (ORDER BY day) AS dx_m{k}, "
+        f"lag(dy, {k}) OVER (ORDER BY day) AS dy_m{k}"
+        for k in range(1, _XCF_MAX_LAG + 1)
+    )
+    red_aggs = ["sum(dx * dx) AS den_x", "sum(dy * dy) AS den_y",
+                "sum(dx * dy) AS num_0", "count(dx) AS np_0"]
+    for k in range(1, _XCF_MAX_LAG + 1):
+        red_aggs.append(f"sum(dx_m{k} * dy) AS num_p{k}")
+        red_aggs.append(f"count(dx_m{k}) AS np_p{k}")
+        red_aggs.append(f"sum(dx * dy_m{k}) AS num_m{k}")
+        red_aggs.append(f"count(dy_m{k}) AS np_m{k}")
+    rows = ["SELECT 0 AS lag, np_0 AS n_pairs, num_0 AS num FROM red"]
+    for k in range(1, _XCF_MAX_LAG + 1):
+        rows.append(f"SELECT {k}, np_p{k}, num_p{k} FROM red")
+        rows.append(f"SELECT -{k}, np_m{k}, num_m{k} FROM red")
+    unpivot = "\n        UNION ALL ".join(rows)
+    return f"""
+        WITH ev AS (
+            SELECT CAST(ts AS DATE) AS day, event_type FROM events
+        ), daily AS (
+            SELECT day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS x,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS y
+            FROM ev GROUP BY day
+        ), stat AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy
+            FROM daily
+        ), dev AS (
+            SELECT day, n * x - sx AS dx, n * y - sy AS dy FROM daily, stat
+        ), lagged AS (
+            SELECT dx, dy, {lag_cols} FROM dev
+        ), red AS (
+            SELECT {", ".join(red_aggs)} FROM lagged
+        )
+        SELECT CAST(lag AS INTEGER) AS lag,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               round(CAST(num AS DOUBLE)
+                     / sqrt(CAST((SELECT den_x FROM red) AS DOUBLE)
+                            * CAST((SELECT den_y FROM red) AS DOUBLE)), 6)
+                   AS xcf
+        FROM ({unpivot})
+        ORDER BY lag
+    """
+
 
 _MWU_ORACLE = """
     WITH o AS (
@@ -2615,6 +3006,131 @@ def _markov_oracle_sql() -> str:
 ORACLE = {
     "ts_autocorrelation": _ACF_ORACLE,
     "a_mann_whitney": _MWU_ORACLE,
+    "ts_cross_correlation": _xcf_oracle_sql(),
+    # two-sample KS: integer cross-multiplied sup-distance over the joint
+    # inclusive ECDF counts, ONE double division at the end (same two-level
+    # prefix recipe as MWU — the oracle's window is the uncapped equivalent)
+    "a_ks_test": """
+        WITH c AS (
+            SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS v,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ), pv AS (
+            SELECT v, CAST(sum(ia) AS HUGEINT) AS ca,
+                   CAST(sum(1 - ia) AS HUGEINT) AS cb
+            FROM c GROUP BY v
+        ), pre AS (
+            SELECT sum(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca_le,
+                   sum(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb_le
+            FROM pv
+        ), tot AS (
+            SELECT max(ca_le) AS n1, max(cb_le) AS n2 FROM pre
+        ), d AS (
+            SELECT max(abs(ca_le * (SELECT n2 FROM tot)
+                           - cb_le * (SELECT n1 FROM tot))) AS d_num
+            FROM pre
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_building,
+               CAST(n2 AS BIGINT) AS n_machinery,
+               round(CAST(d_num AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat,
+               round(CAST(d_num AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                     * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                            / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6)
+                   AS ks_z
+        FROM d, tot
+    """,
+    # Kruskal-Wallis: doubled midrank sums are HUGEINT-exact
+    # (2R_g = Σ cg·(2·cum + c + 1)); the k bounded per-group terms fold in
+    # pinned segment order (list ORDER BY seg + list_reduce ↔ sort_array +
+    # F.aggregate) per the oracle-exactness conventions
+    "a_kruskal_wallis": """
+        WITH c AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+            FROM customer
+        ), cell AS (
+            SELECT v, seg, CAST(count(*) AS HUGEINT) AS cg
+            FROM c GROUP BY v, seg
+        ), pv AS (
+            SELECT v, sum(cg) AS cnt FROM cell GROUP BY v
+        ), ranked AS (
+            SELECT v, cnt,
+                   coalesce(sum(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum
+            FROM pv
+        ), per_group AS (
+            SELECT seg, sum(cg) AS n_g,
+                   sum(cg * (2 * r.cum + r.cnt + 1)) AS r2_g
+            FROM cell JOIN ranked r USING (v)
+            GROUP BY seg
+        ), folded AS (
+            SELECT list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+                                / CAST(n_g AS DOUBLE) ORDER BY seg)),
+                       (a, x) -> a + x) AS sum_r2_over_n4,
+                   count(*) AS k
+            FROM per_group
+        ), ties AS (
+            SELECT sum(cnt) AS n, sum(cnt * cnt * cnt - cnt) AS ties_t
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_total,
+               CAST(k AS INTEGER) AS k_groups,
+               round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
+                     * (sum_r2_over_n4 / 4.0)
+                     - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat,
+               round(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
+                      * (sum_r2_over_n4 / 4.0)
+                      - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                     / (1.0 - CAST(ties_t AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+                   AS h_tie_corrected
+        FROM folded, ties
+    """,
+    # Kendall tau-b: bounded-domain contingency collapse (50×11 cells);
+    # concordant/discordant are cell-pair cross products, HUGEINT-exact
+    "a_kendall_tau": """
+        WITH li AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(floor(l_discount * 100) AS BIGINT) AS y
+            FROM lineitem
+        ), cells AS (
+            SELECT x, y, CAST(count(*) AS HUGEINT) AS n
+            FROM li GROUP BY x, y
+        ), cd AS (
+            SELECT sum(CASE WHEN a.y < b.y THEN a.n * b.n
+                            ELSE CAST(0 AS HUGEINT) END) AS concordant,
+                   sum(CASE WHEN a.y > b.y THEN a.n * b.n
+                            ELSE CAST(0 AS HUGEINT) END) AS discordant
+            FROM cells a JOIN cells b ON a.x < b.x
+        ), margins AS (
+            SELECT sum(n) AS n FROM cells
+        ), tx AS (
+            SELECT sum(nx * (nx - 1)) AS tx2
+            FROM (SELECT sum(n) AS nx FROM cells GROUP BY x)
+        ), ty AS (
+            SELECT sum(ny * (ny - 1)) AS ty2
+            FROM (SELECT sum(n) AS ny FROM cells GROUP BY y)
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               CAST(concordant AS BIGINT) AS concordant,
+               CAST(discordant AS BIGINT) AS discordant,
+               round(2.0 * (CAST(concordant AS DOUBLE)
+                            - CAST(discordant AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                             - CAST(tx2 AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                               - CAST(ty2 AS DOUBLE))), 6) AS tau_b
+        FROM cd, margins, tx, ty
+    """,
     "a_chi_square": _CHI2_ORACLE,
     "ev_markov_attribution": _markov_oracle_sql(),
     "ts_decompose": _DECOMP_ORACLE,

@@ -1652,8 +1652,109 @@ _HITS_ORACLE = f"""
 """
 
 
+def g_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve over the co-supply graph: for each
+    degree threshold k, RC(k) = 2·E_k / (N_k·(N_k−1)) where N_k counts
+    nodes with degree > k and E_k counts edges BETWEEN them — the
+    classic "do the hubs preferentially interconnect" diagnostic
+    (Colizza et al. 2006) read next to assortativity.
+
+    Scale shape: the per-k recompute the textbook definition implies is
+    O(|k-grid|·E); HERE both curves collapse to SUFFIX COUNTS over
+    value histograms — a node enters N_k for every k below its degree,
+    an edge enters E_k for every k below min(deg_u, deg_v) — so the
+    whole curve costs two bounded histograms (distinct degree values —
+    a few hundred at any scale) plus non-equi joins BETWEEN those
+    histograms (broadcast, domain-bounded; allow-listed BNLJ). The fact
+    table is touched once for degrees and once for edge minima.
+
+    Exactness: every count is integer; RC does its one double division
+    per k at the end."""
+    edges = _cosupply_edges(spark, sf_dir)
+    return rich_club_curve(edges, cache_key=f"g_rc_deg:{sf_dir}")
+
+
+def rich_club_curve(edges: DataFrame, cache_key: str | None = None) -> DataFrame:
+    """RC(k) curve over an undirected edge list (u < v, distinct); see
+    ``g_rich_club``. Hand-pinned in tests/test_graph.py."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    if cache_key is not None:
+        deg = persist_bounded(deg, cache_key)
+    edge_min = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(F.least("du", "dv").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    dh = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nc"))
+    grid = dh.select(F.col("deg").alias("k"))
+    nk = (
+        grid.join(F.broadcast(dh), dh["deg"] > grid["k"])
+        .groupBy("k")
+        .agg(F.sum("nc").alias("n_rich_nodes"))
+    )
+    ek = (
+        grid.join(F.broadcast(edge_min), edge_min["m"] > grid["k"], "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("ec"), F.lit(0)).alias("n_rich_edges"))
+    )
+    nd = F.col("n_rich_nodes").cast("double")
+    return (
+        nk.join(ek, "k")
+        .filter(F.col("n_rich_nodes") >= 2)
+        .select(
+            "k",
+            "n_rich_nodes",
+            "n_rich_edges",
+            F.round(
+                2.0 * F.col("n_rich_edges").cast("double") / (nd * (nd - 1.0)), 6
+            ).alias("rc"),
+        )
+        .orderBy("k")
+    )
+
+
+_RICH_CLUB_ORACLE = f"""
+    WITH {_COSUPPLY_CTES},
+    sym AS (SELECT u FROM cos_edges UNION ALL SELECT v FROM cos_edges),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+    em AS (
+        SELECT least(d1.deg, d2.deg) AS m, CAST(count(*) AS BIGINT) AS ec
+        FROM cos_edges e
+        JOIN deg d1 ON d1.node = e.u
+        JOIN deg d2 ON d2.node = e.v
+        GROUP BY 1
+    ),
+    dh AS (SELECT deg, CAST(count(*) AS BIGINT) AS nc FROM deg GROUP BY deg),
+    grid AS (SELECT DISTINCT deg AS k FROM dh),
+    nk AS (
+        SELECT g.k, sum(dh.nc) AS n_rich_nodes
+        FROM grid g JOIN dh ON dh.deg > g.k GROUP BY g.k
+    ),
+    ek AS (
+        SELECT g.k, coalesce(sum(em.ec), 0) AS n_rich_edges
+        FROM grid g LEFT JOIN em ON em.m > g.k GROUP BY g.k
+    )
+    SELECT k, CAST(n_rich_nodes AS BIGINT) AS n_rich_nodes,
+           CAST(n_rich_edges AS BIGINT) AS n_rich_edges,
+           round(2.0 * CAST(n_rich_edges AS DOUBLE)
+                 / (CAST(n_rich_nodes AS DOUBLE)
+                    * (CAST(n_rich_nodes AS DOUBLE) - 1.0)), 6) AS rc
+    FROM nk JOIN ek USING (k)
+    WHERE n_rich_nodes >= 2
+    ORDER BY k
+"""
+
+
 QUERIES = {
     "g_pagerank": g_pagerank,
+    "g_rich_club": g_rich_club,
     "g_triangle_count": g_triangle_count,
     "g_common_neighbors": g_common_neighbors,
     "g_resource_allocation": g_resource_allocation,
@@ -1749,6 +1850,7 @@ _EMBED_ORACLE = f"""
 
 ORACLE = {
     "g_assortativity": _ASSORT_ORACLE,
+    "g_rich_club": _RICH_CLUB_ORACLE,
     "g_clustering_coefficient": _CLUSTER_ORACLE,
     "g_edge_embeddedness": _EMBED_ORACLE,
     "g_pagerank": _pagerank_oracle_sql(),

@@ -834,3 +834,127 @@ def test_a_gini_hand_computed(spark, tmp_path):
     row = sdf.iloc[0]
     assert (row["n_customers"], row["total_cents"]) == (4, 1000)
     assert row["gini"] == 0.25
+
+
+def test_a_ks_test_hand_computed(spark, tmp_path):
+    """KS pin: BUILDING balances {1, 2, 3}, MACHINERY {2, 4} (plus an
+    excluded segment). ECDF gaps at the 4 distinct values are 1/3, 1/6,
+    1/2, 0 → D = 0.5 (cross-multiplied: max|ca_le·n2 − cb_le·n1| = 3 over
+    n1·n2 = 6); z = 0.5·sqrt(6/5)."""
+    import math
+
+    rows = [
+        (1, "BUILDING", 1.0),
+        (2, "BUILDING", 2.0),
+        (3, "BUILDING", 3.0),
+        (4, "MACHINERY", 2.0),
+        (5, "MACHINERY", 4.0),
+        (6, "FURNITURE", 99.0),  # excluded segment must not leak in
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW customer AS SELECT * FROM '{tmp_path}/customer.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_ks_test"](spark, str(tmp_path)).toPandas()
+    msg = compare("a_ks_test", sdf, con.sql(oracles["a_ks_test"]).df())
+    assert not msg, msg
+    row = sdf.iloc[0]
+    assert (row["n_building"], row["n_machinery"]) == (3, 2)
+    assert row["d_stat"] == 0.5
+    assert row["ks_z"] == round(0.5 * math.sqrt(6.0 / 5.0), 6)
+
+
+def test_a_kruskal_wallis_hand_computed(spark, tmp_path):
+    """KW pin: groups A={1,2}, B={2,3}, C={5}. Midranks 1, 2.5, 2.5, 4, 5
+    → rank sums 3.5, 6.5, 5 → H = 12/(5·6)·(3.5²/2 + 6.5²/2 + 25) − 18
+    = 2.9; tie term 2³−2 = 6 → H_corr = 2.9 / (1 − 6/120)."""
+    rows = [
+        (1, "A", 1.0),
+        (2, "A", 2.0),
+        (3, "B", 2.0),
+        (4, "B", 3.0),
+        (5, "C", 5.0),
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW customer AS SELECT * FROM '{tmp_path}/customer.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_kruskal_wallis"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "a_kruskal_wallis", sdf, con.sql(oracles["a_kruskal_wallis"]).df()
+    )
+    assert not msg, msg
+    row = sdf.iloc[0]
+    assert (row["n_total"], row["k_groups"]) == (5, 3)
+    assert row["h_stat"] == 2.9
+    assert row["h_tie_corrected"] == round(2.9 / (1.0 - 6.0 / 120.0), 6)
+
+
+def test_a_kendall_tau_hand_computed(spark, tmp_path):
+    """Tau-b pin: (quantity, discount) rows (1,.00),(2,.01),(3,.02),(3,.00)
+    → concordant 3, discordant 1, tie terms tx2 = ty2 = 2 →
+    tau_b = 2·(3−1)/(sqrt(12−2)·sqrt(12−2)) = 0.4."""
+    rows = [(1.0, 0.00), (2.0, 0.01), (3.0, 0.02), (3.0, 0.00)]
+    spark.createDataFrame(
+        rows, "l_quantity double, l_discount double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_kendall_tau"](spark, str(tmp_path)).toPandas()
+    msg = compare("a_kendall_tau", sdf, con.sql(oracles["a_kendall_tau"]).df())
+    assert not msg, msg
+    row = sdf.iloc[0]
+    assert (row["n_rows"], row["concordant"], row["discordant"]) == (4, 3, 1)
+    assert row["tau_b"] == 0.4
+
+
+def test_ts_cross_correlation_hand_computed(spark, tmp_path):
+    """XCF pin: clicks x = [2,0,1,1], purchases y = [1,1,0,2] over 4 days
+    → deviations dx = [4,−4,0,0], dy = [0,0,−4,4], den = 32 each side.
+    Hand products: lag 0 → 0; +1 → 16/32 = 0.5; +2 → −32/32 = −1;
+    +3 → 16/32 = 0.5; all negative lags 0; lags ≥ 4 have no pairs."""
+    rows = []
+    eid = 0
+    day_counts = {1: (2, 1), 2: (0, 1), 3: (1, 0), 4: (1, 2)}
+    for d, (clicks, buys) in day_counts.items():
+        for _ in range(clicks):
+            eid += 1
+            rows.append((eid, _ts(60 * 24 * d), 1, "click", 1.0))
+        for _ in range(buys):
+            eid += 1
+            rows.append((eid, _ts(60 * 24 * d), 1, "purchase", 1.0))
+        eid += 1
+        rows.append((eid, _ts(60 * 24 * d), 1, "error", 1.0))  # ignored type
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ts_cross_correlation"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ts_cross_correlation", sdf, con.sql(oracles["ts_cross_correlation"]).df()
+    )
+    assert not msg, msg
+    got = {int(r["lag"]): (r["n_pairs"], r["xcf"]) for _, r in sdf.iterrows()}
+    assert got[0] == (4, 0.0)
+    assert got[1] == (3, 0.5)
+    assert got[2] == (2, -1.0)
+    assert got[3] == (1, 0.5)
+    assert got[-1][1] == 0.0 and got[-2][1] == 0.0 and got[-3][1] == 0.0
+    assert got[5][0] == 0  # no pairs at |lag| > series span

@@ -479,3 +479,18 @@ def test_double_sweep_on_path_graph(spark):
     assert far == 1 and d1[1] == 2
     d2 = {r.node: r.hops for r in bfs_from(spark, sym, far).collect()}
     assert max(d2.values()) == 4  # true diameter of the tree
+
+
+def test_rich_club_hand_computed(spark):
+    """Rich-club pin on K4 + pendant: degrees {1,2,3: 3, 4: 4, 5: 1};
+    grid k ∈ {1, 3, 4}. k=1: 4 rich nodes, all 6 K4 edges (min-deg 3) →
+    RC = 2·6/(4·3) = 1.0; k=3 leaves a single node and k=4 none — both
+    below the N_k ≥ 2 report floor."""
+    from datalake_on_prem_system_spark.operators.graph_ops import rich_club_curve
+
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(und, "u bigint, v bigint")
+    rows = rich_club_curve(edges).collect()
+    assert [(r.k, r.n_rich_nodes, r.n_rich_edges, r.rc) for r in rows] == [
+        (1, 4, 6, 1.0)
+    ]

@@ -268,9 +268,24 @@ _BNLJ_ALLOWED = {
     # series anchor (n, Σx): a ONE-ROW aggregate cross-joined into the
     # |days|-bounded daily series — constant cost at any fact size
     "ts_autocorrelation",
+    # two-series anchor (n, Σx, Σy): same ONE-ROW shape
+    "ts_cross_correlation",
     # grand-total anchor + the R×C vocabulary grid cross join — both
     # bounded by the category vocabularies, never by the fact table
     "a_chi_square",
+    # (n1, n2) anchor: a ONE-ROW aggregate cross-joined into the
+    # distinct-value ECDF frame — constant cost at any fact size
+    "a_ks_test",
+    # tie/fold anchors: ONE-ROW aggregates cross-joined onto the ONE-ROW
+    # folded group terms — constant cost at any fact size
+    "a_kruskal_wallis",
+    # cell-pair non-equi join over the 550-cell bounded-domain contingency
+    # table (50 quantities × 11 discounts) + ONE-ROW margin anchors —
+    # bounded by the value domains, never by the fact table
+    "a_kendall_tau",
+    # suffix-count non-equi joins BETWEEN the degree-value histograms —
+    # bounded by distinct degree values, never by nodes or edges
+    "g_rich_club",
     # purchase-revenue anchor: a ONE-ROW sum cross-joined into the
     # vocabulary-bounded per-channel frame — constant cost at any size
     "ev_markov_attribution",
