@@ -606,6 +606,74 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESAMPLE_K = 3  # integer decimation factor (keep every k-th sample)
+
+
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLING over binary payloads — the transform stage a
+    training-data pipeline runs after decode (every speech model wants one
+    canonical sample rate): each document's real RIFF/WAVE payload is
+    decoded by the same chunk-walking parser as ``mm_wav_decode``, then
+    integer-DECIMATED (keep every {_RESAMPLE_K}rd sample — the exact,
+    filterless downsample; a production resampler adds an anti-alias FIR
+    in front, same batch shape) and the output stream's geometry + exact
+    sample reductions are emitted. rate_out = rate // k, duration is
+    preserved up to quantization.
+
+    Scale shape: one ``mapInPandas`` chain — encode, decode, decimate all
+    fuse into a single narrow per-row stage; no shuffle, payloads never
+    leave the executor.
+
+    Oracle: the kept samples are positions 1, k+1, 2k+1, … of the
+    codepoint-cycled int16 series, so DuckDB recomputes count, sum, and
+    peak from codepoint arithmetic alone."""
+    import pandas as pd  # noqa: F401 — required on executors
+
+    docs = t_par(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "rate_in": [], "rate_out": [],
+                "n_in": [], "n_out": [], "sum_out": [], "peak_out": [],
+            }
+            for d, n, txt in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"]):
+                payload = _encode_wav(
+                    8000 + int(d) % 3 * 4000, int(n) % 50 + 20, txt.encode("utf-8")
+                )
+                rate, n_in, _dur, _s, _p = _decode_wav(payload)
+                # re-walk to get the raw samples (decode returns reductions)
+                import struct
+
+                pos, samples = 12, None
+                while pos + 8 <= len(payload):
+                    cid, sz = struct.unpack_from("<4sI", payload, pos)
+                    pos += 8
+                    if cid == b"data":
+                        samples = np.frombuffer(
+                            payload, dtype="<i2", count=sz // 2, offset=pos
+                        )
+                    pos += sz + (sz % 2)
+                kept = samples[::_RESAMPLE_K].astype(np.int64)
+                out["doc_id"].append(d)
+                out["rate_in"].append(rate)
+                out["rate_out"].append(rate // _RESAMPLE_K)
+                out["n_in"].append(n_in)
+                out["n_out"].append(len(kept))
+                out["sum_out"].append(int(kept.sum()))
+                out["peak_out"].append(int(np.abs(kept).max()) if len(kept) else 0)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id bigint, rate_in int, rate_out int, n_in bigint, n_out bigint, "
+        "sum_out bigint, peak_out int",
+    )
+
+
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-signature BLOCKING over binary payloads — the
     candidate-generation stage of multimodal near-dup detection: an
@@ -781,6 +849,7 @@ QUERIES = {
     "mm_phash_neardup": mm_phash_neardup,
     "mm_wav_decode": mm_wav_decode,
     "mm_video_decode": mm_video_decode,
+    "mm_audio_resample": mm_audio_resample,
 }
 
 ORACLE = {
@@ -840,6 +909,36 @@ ORACLE = {
                     AS BIGINT) AS sum_samples,
                CAST(list_reduce(list_prepend(0, [abs(x) for x in samples]),
                     (a, x) -> greatest(a, x)) AS INTEGER) AS peak_abs
+        FROM s
+    """,
+    # decimated stream: kept samples are the 1st, (k+1)th, (2k+1)th, … of
+    # the codepoint-cycled int16 series — exactly what decode + [::k] yields
+    "mm_audio_resample": f"""
+        WITH src AS (
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate_in,
+                   CAST(n_chars % 50 + 20 AS BIGINT) AS ns,
+                   [unicode(c) for c in string_split(text, '') if c <> ''] AS cp
+            FROM documents
+        ), s AS (
+            SELECT doc_id, rate_in, ns,
+                   CASE WHEN len(cp) = 0
+                        THEN [-32768 for j in range(1, CAST(ns AS INTEGER) + 1)
+                              if (j - 1) % {_RESAMPLE_K} = 0]
+                        ELSE [cp[((j - 1) % len(cp)) + 1] * 256 - 32768
+                              for j in range(1, CAST(ns AS INTEGER) + 1)
+                              if (j - 1) % {_RESAMPLE_K} = 0]
+                   END AS kept
+            FROM src
+        )
+        SELECT doc_id, rate_in,
+               CAST(rate_in // {_RESAMPLE_K} AS INTEGER) AS rate_out,
+               ns AS n_in,
+               CAST(len(kept) AS BIGINT) AS n_out,
+               CAST(list_reduce(list_prepend(0, kept), (a, x) -> a + x)
+                    AS BIGINT) AS sum_out,
+               CAST(list_reduce(list_prepend(0, [abs(x) for x in kept]),
+                    (a, x) -> greatest(a, x)) AS INTEGER) AS peak_out
         FROM s
     """,
     # decoded geometry from the n_chars/doc_id rules; frame f's pixel

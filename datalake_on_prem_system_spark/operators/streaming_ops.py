@@ -180,6 +180,79 @@ def _dlq_envelope_dir(spark: SparkSession, sf_dir: str) -> str:
     return _DLQ_SRC_CACHE[sf_dir]
 
 
+_ROW_DDL_V2 = _ROW_DDL + ", channel string"
+_ROW_STRUCT_V2 = _ROW_STRUCT[:-1] + ",channel:string>"
+
+
+def st_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC SCHEMA DRIFT through the streaming merge — the day-2 operation
+    every Debezium consumer eventually hits: the upstream table gains a
+    column, the connector's registry bumps the envelope schema, and the
+    redeployed consumer must keep merging WITHOUT a target rewrite. Phase
+    1 streams even-user changes under the v1 row schema; the consumer is
+    then 'redeployed' with a v2 schema (+``channel``) and phase 2 streams
+    odd-user changes carrying it. The MERGE's union-schema evolution adds
+    the column as metadata: pre-drift rows read ``channel`` as NULL, v2
+    rows carry it, deletes keep working across the boundary — and the
+    whole history is two ordinary streaming runs over the SAME
+    merge-on-read table (delta segments of the two shapes coexist).
+
+    Scale shape: identical to ``st_cdc_merge_stream`` per batch; the
+    evolution itself is O(metadata) (no data rewrite — pinned by the
+    lakehouse evolution tests).
+
+    Oracle: the channel value derives from ``user_id % 3``, so DuckDB
+    rebuilds the final evolved state from the events fixture alone."""
+    work = index_tempdir("cdc_drift_")
+    table = _seed_target(spark, sf_dir, os.path.join(work, "tbl"))
+    ch = _changes(spark, sf_dir)
+    kw = dict(
+        pk="user_id",
+        order_cols=["ts_us", "event_id"],
+        drop_cols=["event_id", "ts_us"],
+    )
+    # phase 1: the v1 consumer (no channel anywhere)
+    src1 = os.path.join(work, "src1")
+    _envelope_json(ch.filter(F.col("user_id") % 2 == 0)).write.mode(
+        "overwrite"
+    ).text(src1)
+    run_cdc_file_stream(
+        spark, table, row_ddl=_ROW_DDL, src_dir=src1,
+        checkpoint_dir=os.path.join(work, "ckpt1"), **kw,
+    )
+    # phase 2: redeployed v2 consumer — envelopes carry `channel`
+    ch2 = ch.filter(F.col("user_id") % 2 == 1).withColumn(
+        "channel",
+        F.element_at(
+            F.array(F.lit("web"), F.lit("app"), F.lit("api")),
+            (F.col("user_id") % 3 + 1).cast("int"),
+        ),
+    )
+    row = F.struct(
+        "event_id", "user_id", "event_type", "value", "ts_us", "channel"
+    )
+    null_row = F.lit(None).cast(_ROW_STRUCT_V2)
+    before = F.when(F.col("op") == "d", row).otherwise(null_row)
+    after = F.when(F.col("op") != "d", row).otherwise(null_row)
+    flat = F.struct(
+        before.alias("before"), after.alias("after"), F.col("op").alias("op")
+    )
+    wrapped = F.struct(flat.alias("payload"))
+    src2 = os.path.join(work, "src2")
+    ch2.select(
+        F.when(F.col("event_id") % 2 == 0, F.to_json(wrapped))
+        .otherwise(F.to_json(flat))
+        .alias("value")
+    ).write.mode("overwrite").text(src2)
+    run_cdc_file_stream(
+        spark, table, row_ddl=_ROW_DDL_V2, src_dir=src2,
+        checkpoint_dir=os.path.join(work, "ckpt2"), **kw,
+    )
+    return table.read().select(
+        "user_id", "event_type", F.round("value", 6).alias("value"), "channel"
+    )
+
+
 def st_cdc_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC pipeline with a DEAD-LETTER QUEUE: the change corpus carries
     deterministic poison rows (unparseable lines, op-less envelopes);
@@ -987,6 +1060,7 @@ QUERIES = {
     "st_scd2_stream": st_scd2_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
     "st_cdc_dlq": st_cdc_dlq,
+    "st_cdc_schema_drift": st_cdc_schema_drift,
     "st_watermark_window": st_watermark_window,
     "st_sliding_window": st_sliding_window,
     "st_session_window": st_session_window,
@@ -1025,6 +1099,35 @@ _CDC_FINAL_SQL = """
 ORACLE = {
     "st_cdc_merge_stream": _CDC_FINAL_SQL,
     "st_cdc_multibatch": _CDC_FINAL_SQL,
+    # evolved final state: even users merged under v1 (channel NULL), odd
+    # users under v2 (channel from user_id % 3), seed-only users NULL;
+    # last-writer + delete semantics identical to _CDC_FINAL_SQL
+    "st_cdc_schema_drift": """
+        WITH ranked_before AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        ), target AS (
+            SELECT user_id, event_type, round(value, 6) AS value
+            FROM ranked_before WHERE rn = 1
+        ), ranked_changes AS (
+            SELECT *, CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        ), changes AS (
+            SELECT * FROM ranked_changes WHERE rn = 1
+        )
+        SELECT user_id, event_type, round(value, 6) AS value,
+               CASE WHEN user_id % 2 = 1
+                    THEN ['web', 'app', 'api'][CAST(user_id % 3 + 1 AS INT)]
+               END AS channel
+        FROM changes WHERE op != 'd'
+        UNION ALL
+        SELECT t.user_id, t.event_type, t.value, NULL AS channel
+        FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.user_id = t.user_id)
+    """,
     # the merge-final count EXCLUDING the poison slices (they went to the
     # DLQ, not the table) plus the poison census by injection rule
     "st_cdc_dlq": """
