@@ -1772,6 +1772,125 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lag")
 
 
+# Poisson(1) CDF cut points scaled to exact 60-bit integers
+# (floor(cdf_k · 2^60) for k = 0..5): the bootstrap weight is the count of
+# cut points at or below the row's 60-bit uniform — integer comparisons
+# only, so Spark and DuckDB draw IDENTICAL weights with no float compare.
+_POIS1_CUTS = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+)
+_BOOT_R = 40  # bootstrap replicates
+
+
+def a_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order price via the
+    POISSON BOOTSTRAP — the distributed-systems standard (per-row
+    independent Poisson(1) weights replace the with-replacement resample,
+    so no pass ever needs the global row count or a shared sample
+    index; this is how bootstrap runs at 100 TB). R = {_BOOT_R}
+    replicates in ONE pass: each row fans out to (replicate, weight)
+    pairs, weights drawn from the seeded portable 60-bit md5 uniform
+    (the cur_dp_release convention) against EXACT integer CDF cut
+    points, and each replicate's weighted mean reduces with map-side
+    combine — one R-keyed aggregate shuffle of R·|rows| narrow pairs,
+    output R rows.
+
+    Exactness: weights and weighted cent-sums are integers (HUGEINT ↔
+    decimal(38,0)); each replicate mean is ONE double division; the
+    bootstrap SE and the percentile CI fold the R-bounded replicate-mean
+    list in pinned replicate order (sort_array + F.aggregate ↔ DuckDB
+    list(ORDER BY r) + list_reduce)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    fan = o.select(
+        "c",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_R))).alias("r"),
+        F.col("o_orderkey").alias("k"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = sum(
+        (u >= F.lit(cut)).cast("long") for cut in _POIS1_CUTS
+    )  # Poisson(1) inverse-CDF count, capped at 6
+    reps = (
+        fan.select("r", w.alias("w"), "c")
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)")).alias("n_eff"),
+            F.sum(
+                (F.col("w") * F.col("c")).cast("decimal(38,0)")
+            ).alias("wc"),
+        )
+        # a replicate whose weights all drew 0 resampled NOTHING — its mean
+        # is undefined; drop it and size every downstream fold on the
+        # VALID replicate count (standard Poisson-bootstrap treatment;
+        # P(empty) = e^(-n) per replicate, only visible on tiny fixtures)
+        .filter(F.col("n_eff") > 0)
+        .select(
+            "r",
+            (F.col("wc").cast("double") / F.col("n_eff").cast("double") / 100.0)
+            .alias("m"),
+        )
+    )
+    point = F.broadcast(
+        o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.col("c").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 100.0
+            ).alias("point_mean"),
+        )
+    )
+    means = F.sort_array(F.collect_list(F.struct("r", "m")))
+    mlist = F.transform(means, lambda s: s["m"])
+    rv = F.size(mlist).cast("double")  # valid replicate count
+    mbar = F.aggregate(mlist, F.lit(0.0), lambda a, x: a + x) / rv
+    var = F.aggregate(
+        F.transform(mlist, lambda x: (x - mbar) * (x - mbar)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / (rv - 1.0)
+    sorted_means = F.array_sort(mlist)
+    lo_i = F.greatest(F.lit(1), F.round(F.lit(0.025) * rv).cast("int"))
+    hi_i = F.least(F.size(mlist), F.round(F.lit(0.975) * rv).cast("int"))
+    return (
+        reps.agg(
+            F.round(F.sqrt(var), 6).alias("boot_se"),
+            F.round(F.get(sorted_means, lo_i - 1), 6).alias("ci_lo"),
+            F.round(F.get(sorted_means, hi_i - 1), 6).alias("ci_hi"),
+        )
+        .crossJoin(point)
+        .select(
+            "n_rows",
+            F.round("point_mean", 6).alias("point_mean"),
+            "boot_se",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
 _XCF_MAX_LAG = 7
 
 
@@ -2649,6 +2768,7 @@ QUERIES = {
     "a_kruskal_wallis": a_kruskal_wallis,
     "a_kendall_tau": a_kendall_tau,
     "ts_cross_correlation": ts_cross_correlation,
+    "a_poisson_bootstrap": a_poisson_bootstrap,
 }
 
 _GINI_ORACLE = """
@@ -3007,6 +3127,63 @@ ORACLE = {
     "ts_autocorrelation": _ACF_ORACLE,
     "a_mann_whitney": _MWU_ORACLE,
     "ts_cross_correlation": _xcf_oracle_sql(),
+    # Poisson bootstrap: identical 60-bit md5 uniforms, identical integer
+    # CDF cut points, identical fold order for SE/CI over the R means
+    "a_poisson_bootstrap": f"""
+        WITH o AS (
+            SELECT o_orderkey AS k,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders
+        ), fan AS (
+            SELECT k, c, r FROM o, unnest(range(1, {_BOOT_R + 1})) AS t(r)
+        ), seeded AS (
+            SELECT r, c,
+                   CAST('0x' || substr(md5('boot:' || CAST(r AS VARCHAR)
+                                           || ':' || CAST(k AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS u
+            FROM fan
+        ), wtd AS (
+            SELECT r, c,
+                   ({" + ".join(f"CASE WHEN u >= {cut} THEN 1 ELSE 0 END"
+                                for cut in _POIS1_CUTS)}) AS w
+            FROM seeded
+        ), reps AS (
+            SELECT r,
+                   CAST(sum(CAST(w AS HUGEINT) * c) AS DOUBLE)
+                   / CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE) / 100.0 AS m
+            FROM wtd GROUP BY r
+            HAVING sum(CAST(w AS HUGEINT)) > 0
+        ), folded AS (
+            SELECT list(m ORDER BY r) AS ml FROM reps
+        ), stats AS (
+            SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), ml),
+                       (a, x) -> a + x) / CAST(len(ml) AS DOUBLE) AS mbar,
+                   ml
+            FROM folded
+        ), se AS (
+            SELECT list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           [(x - mbar) * (x - mbar) for x in ml]),
+                       (a, x) -> a + x)
+                   / (CAST(len(ml) AS DOUBLE) - 1.0) AS var,
+                   list_sort(ml) AS sm,
+                   CAST(greatest(1, round(0.025 * CAST(len(ml) AS DOUBLE)))
+                        AS INTEGER) AS lo_i,
+                   CAST(least(len(ml), round(0.975 * CAST(len(ml) AS DOUBLE)))
+                        AS INTEGER) AS hi_i
+            FROM stats
+        ), point AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 100.0 AS point_mean
+            FROM o
+        )
+        SELECT n_rows, round(point_mean, 6) AS point_mean,
+               round(sqrt(var), 6) AS boot_se,
+               round(sm[lo_i], 6) AS ci_lo,
+               round(sm[hi_i], 6) AS ci_hi
+        FROM se, point
+    """,
     # two-sample KS: integer cross-multiplied sup-distance over the joint
     # inclusive ECDF counts, ONE double division at the end (same two-level
     # prefix recipe as MWU — the oracle's window is the uncapped equivalent)

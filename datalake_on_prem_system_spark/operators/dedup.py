@@ -875,6 +875,31 @@ def dd_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication — the reweight-don't-delete policy modern LLM
+    data recipes use instead of hard dedup: every document stays in the
+    corpus, but each near-dup cluster's total sampling mass is normalized
+    to one (train_weight = 1/cluster_size), so a document duplicated N
+    times contributes the same expected gradient signal as a unique one
+    while all N surface forms stay available. The canonical member
+    (min-id, the ``pl_dedup_canonical`` rule) is flagged so a hard-dedup
+    consumer can filter on the same output.
+
+    Scale shape: everything on top of ``dd_components``' near-dup
+    components (O(log diameter) label rounds) is one size aggregate and a
+    narrow projection; the weight is ONE exact IEEE division per row."""
+    comp = dd_components(spark, sf_dir)
+    return comp.select(
+        "doc_id",
+        "component_id",
+        "component_size",
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+        F.round(
+            F.lit(1.0) / F.col("component_size").cast("double"), 6
+        ).alias("train_weight"),
+    )
+
+
 COSINE_PAIR_THRESHOLD = 0.45
 _GRID_BLOCKS = 8  # B: a cell holds two n/B blocks; size so a cell fits a task
 
@@ -1289,6 +1314,7 @@ QUERIES = {
     "dd_sketch_quality": dd_sketch_quality,
     "dd_lsh_recall": dd_lsh_recall,
     "dd_components": dd_components,
+    "dd_soft_dedup": dd_soft_dedup,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_minhash_incremental": dd_minhash_incremental,
     "dd_simhash": dd_simhash,
@@ -1596,6 +1622,15 @@ ORACLE = {
         {COMPONENTS_CTE_SQL}
         SELECT doc_id, component_id,
                count(*) OVER (PARTITION BY component_id) AS component_size
+        FROM comp
+    """,
+    "dd_soft_dedup": f"""
+        {COMPONENTS_CTE_SQL}
+        SELECT doc_id, component_id,
+               count(*) OVER (PARTITION BY component_id) AS component_size,
+               doc_id = component_id AS is_canonical,
+               round(1.0 / CAST(count(*) OVER (PARTITION BY component_id)
+                                AS DOUBLE), 6) AS train_weight
         FROM comp
     """,
     # LSH + exact verify equals the exact result w.p. ~1 at the fixture's

@@ -449,7 +449,60 @@ def pl_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pl_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over the concat-then-chunk layout — the
+    QA report a training-data team reads before shipping shards: per
+    source, how many {_CTX_TOKENS}-token windows the corpus fills, how
+    many tokens the final partial window wastes (tail padding the loader
+    pays), and how many documents STRADDLE a window boundary (each one
+    is a split/mask decision for the loader; a high straddle ratio says
+    the corpus's document length interacts badly with the context size).
+
+    Exactness: token counts, window counts, and waste are pure integer
+    arithmetic on the same whitespace proxy ``pl_sequence_pack`` budgets
+    with; the straddle test compares integer window indexes of a doc's
+    first and last token (``div``); the ratio is ONE double division.
+
+    Scale shape: the same per-source cumsum window as the packer (shuffle
+    on source), then one partial-aggregated groupBy — no second pass."""
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.select("source", "doc_id", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    straddle = (
+        F.expr(f"(cum - n_tok) div {_CTX_TOKENS}")
+        != F.expr(f"(cum - 1) div {_CTX_TOKENS}")
+    ).cast("long")
+    per_src = cum.select("source", "n_tok", straddle.alias("straddles")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("straddles").alias("n_straddling"),
+    )
+    n_windows = F.expr(f"(total_tokens + {_CTX_TOKENS - 1}) div {_CTX_TOKENS}")
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        n_windows.alias("n_windows"),
+        (n_windows * _CTX_TOKENS - F.col("total_tokens")).alias("tail_waste"),
+        "n_straddling",
+        F.round(
+            F.col("n_straddling").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("straddle_ratio"),
+    )
+
+
 QUERIES = {
+    "pl_packing_audit": pl_packing_audit,
     "pl_curation": pl_curation,
     "pl_curation_funnel": pl_curation_funnel,
     "pl_incremental_ingest": pl_incremental_ingest,
@@ -587,6 +640,34 @@ def _dataloader_shards_sql() -> str:
 
 
 ORACLE = {
+    "pl_packing_audit": f"""
+        WITH d AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT source, n_tok,
+                   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d
+        ), per_src AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   sum(n_tok) AS total_tokens,
+                   sum(CASE WHEN (cum - n_tok) // {_CTX_TOKENS}
+                            <> (cum - 1) // {_CTX_TOKENS}
+                       THEN 1 ELSE 0 END) AS n_straddling
+            FROM c GROUP BY source
+        )
+        SELECT source, n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
+               CAST((total_tokens + {_CTX_TOKENS - 1}) // {_CTX_TOKENS}
+                    AS BIGINT) AS n_windows,
+               CAST(((total_tokens + {_CTX_TOKENS - 1}) // {_CTX_TOKENS})
+                    * {_CTX_TOKENS} - total_tokens AS BIGINT) AS tail_waste,
+               CAST(n_straddling AS BIGINT) AS n_straddling,
+               round(CAST(n_straddling AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                   AS straddle_ratio
+        FROM per_src
+    """,
     "pl_sequence_pack_subword": _pack_subword_sql(),
     "pl_dataloader_shards": _dataloader_shards_sql(),
     "pl_training_manifest": _training_manifest_sql(),

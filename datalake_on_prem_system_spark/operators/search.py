@@ -665,6 +665,69 @@ def search_typo_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MLT_SEED_DOC = 7
+_BOOL_MUST = ["merge"]
+_BOOL_SHOULD = ["stream", "window"]
+_BOOL_MUST_NOT = ["sort"]
+
+
+def search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean query (the Lucene/ES ``bool`` clause tree): MUST terms are
+    required, MUST_NOT terms exclude, SHOULD terms are optional and only
+    raise the score (minimum_should_match = 0 — the ES default when a
+    MUST clause is present). score = 1 (the must hit) + matched SHOULD
+    count; deterministic (score DESC, doc_id ASC) order.
+
+    Primary path = inverted index: ONE ``_doc_qidx_sets`` pass over the
+    postings covers every clause of the tree at once (the per-doc
+    matched-query-index SET answers must/should/must_not with three set
+    tests — no per-clause posting scan, no text scan). Docs holding NO
+    query term never surface from the posting join, which is exactly
+    right: they cannot satisfy MUST. Falls back to the flat LIKE scan
+    when postings are absent (E5 chain).
+
+    Scale shape: one posting scan + one pk-keyed partial agg regardless
+    of clause count; the dictionary expansion is vocabulary-sized and
+    broadcast."""
+    uniq = sorted(set(_BOOL_MUST + _BOOL_SHOULD + _BOOL_MUST_NOT))
+    idx_of = {tk: i for i, tk in enumerate(uniq)}
+    posting = _posting_frames(spark, sf_dir)
+    if posting is not None:
+        sets = _doc_qidx_sets(posting[0], posting[1], uniq, "doc_id")
+        must_ok = F.lit(True)
+        for tk in _BOOL_MUST:
+            must_ok = must_ok & F.array_contains("qidxs", idx_of[tk])
+        not_ok = F.lit(True)
+        for tk in _BOOL_MUST_NOT:
+            not_ok = not_ok & ~F.array_contains("qidxs", idx_of[tk])
+        score = F.lit(1)
+        for tk in _BOOL_SHOULD:
+            score = score + F.array_contains("qidxs", idx_of[tk]).cast("int")
+        hits = sets.filter(must_ok & not_ok).select(
+            "doc_id", score.alias("score")
+        )
+    else:
+        text = F.col("text")
+        must_ok = F.lit(True)
+        for tk in _BOOL_MUST:
+            must_ok = must_ok & text.contains(tk)
+        for tk in _BOOL_MUST_NOT:
+            must_ok = must_ok & ~text.contains(tk)
+        score = F.lit(1)
+        for tk in _BOOL_SHOULD:
+            score = score + text.contains(tk).cast("int")
+        hits = (
+            search_source(spark, sf_dir)
+            .filter(must_ok)
+            .select("doc_id", score.alias("score"))
+        )
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.join(hits, "doc_id")
+        .select("doc_id", "score", "lang", "n_chars")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 _MLT_MAX_TERMS = 25
 _MLT_MIN_DF = 2  # ES min_doc_freq: a term must match someone else
 _MLT_MIN_TF = 2  # ES min_term_freq: a term must matter IN the seed doc
@@ -741,6 +804,7 @@ def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "search_typo_tolerant": search_typo_tolerant,
     "search_allwords": search_allwords,
+    "search_boolean": search_boolean,
     "search_faceted": search_faceted,
     "search_phrase_ranked": search_phrase_ranked,
     "search_rejoin": search_rejoin,
@@ -824,6 +888,16 @@ ORACLE = {
     "search_allwords": f"""
         SELECT doc_id, lang, n_chars FROM documents
         WHERE {_TEXT} LIKE '%spark%' AND {_TEXT} LIKE '%merge%'
+    """,
+    "search_boolean": f"""
+        SELECT doc_id,
+               CAST(1 + (CASE WHEN {_TEXT} LIKE '%stream%' THEN 1 ELSE 0 END)
+                      + (CASE WHEN {_TEXT} LIKE '%window%' THEN 1 ELSE 0 END)
+                    AS INTEGER) AS score,
+               lang, n_chars
+        FROM documents
+        WHERE {_TEXT} LIKE '%merge%' AND {_TEXT} NOT LIKE '%sort%'
+        ORDER BY score DESC, doc_id ASC
     """,
     "search_faceted": f"""
         SELECT source, lang,

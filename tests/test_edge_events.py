@@ -958,3 +958,34 @@ def test_ts_cross_correlation_hand_computed(spark, tmp_path):
     assert got[3] == (1, 0.5)
     assert got[-1][1] == 0.0 and got[-2][1] == 0.0 and got[-3][1] == 0.0
     assert got[5][0] == 0  # no pairs at |lag| > series span
+
+
+def test_a_poisson_bootstrap_mechanism(spark, tmp_path):
+    """Bootstrap pin on a 6-order fixture: the point mean is exact
+    (prices 1..6 → 3.5); replicate means are deterministic functions of
+    the seeded md5 weights, verified Spark-vs-DuckDB by the driver
+    compare; the CI brackets are ordered and the SE is positive (weights
+    vary across replicates by construction)."""
+    import datetime as _dt
+
+    d = _dt.date(1995, 6, 1)
+    rows = [(k, 1, "1-URGENT", d, float(k)) for k in range(1, 7)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_poisson_bootstrap"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "a_poisson_bootstrap", sdf, con.sql(oracles["a_poisson_bootstrap"]).df()
+    )
+    assert not msg, msg
+    row = sdf.iloc[0]
+    assert (row["n_rows"], row["point_mean"]) == (6, 3.5)
+    assert row["boot_se"] > 0
+    assert row["ci_lo"] <= row["ci_hi"]

@@ -270,6 +270,9 @@ _BNLJ_ALLOWED = {
     "ts_autocorrelation",
     # two-series anchor (n, Σx, Σy): same ONE-ROW shape
     "ts_cross_correlation",
+    # point-estimate anchor: a ONE-ROW aggregate cross-joined onto the
+    # ONE-ROW bootstrap summary — constant cost at any fact size
+    "a_poisson_bootstrap",
     # grand-total anchor + the R×C vocabulary grid cross join — both
     # bounded by the category vocabularies, never by the fact table
     "a_chi_square",
