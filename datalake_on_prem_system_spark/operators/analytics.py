@@ -1772,6 +1772,81 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lag")
 
 
+def ev_survival_censored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-CENSORED Kaplan–Meier survival over user lifetimes — the
+    variant ``ev_churn_curve``'s docstring defers: a user whose last
+    event falls on the corpus's final observed day was still alive when
+    observation ended, so they leave the risk set at their age WITHOUT
+    counting as churn. The estimator is the true KM product
+    S(t) = Π_{a ≤ t} (1 − d_a / n_a), which no longer telescopes to a
+    counting identity once censoring removes users from later risk sets.
+
+    Cross-engine product determinism: the per-age factors are one double
+    division each; the PREFIX products are folded over the age-ordered
+    BOUNDED factor list (ages are calendar-bounded) via sort_array +
+    posexplode + per-row slice-fold — multiplication order is pinned, so
+    DuckDB's list(ORDER BY) + list_reduce replays bit-identical doubles.
+
+    Scale shape: one user-keyed partial agg (first/last day), one
+    age-keyed rollup bounded by the day span, ONE-ROW anchors for the
+    observation boundary, and the fold runs on the bounded per-age list."""
+    ev = t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    horizon = F.broadcast(ev.agg(F.max("day").alias("last_day")))
+    ages = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .crossJoin(horizon)
+        .select(
+            F.datediff("d1", "d0").alias("age_days"),
+            (F.col("d1") == F.col("last_day")).cast("long").alias("censored"),
+        )
+    )
+    per_age = ages.groupBy("age_days").agg(
+        F.sum(1 - F.col("censored")).alias("n_churned"),
+        F.sum("censored").alias("n_censored"),
+    )
+    w_ge = (
+        Window.orderBy(F.desc("age_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_age = per_age.withColumn(
+        "n_at_risk", F.sum(F.col("n_churned") + F.col("n_censored")).over(w_ge)
+    ).withColumn(
+        "factor",
+        F.lit(1.0) - F.col("n_churned").cast("double") / F.col("n_at_risk").cast("double"),
+    )
+    one = per_age.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("age_days", "n_at_risk", "n_churned", "n_censored", "factor")
+            )
+        ).alias("rows")
+    )
+    r = F.col("r")
+    return (
+        one.select(F.col("rows"), F.posexplode("rows").alias("i", "r"))
+        .select(
+            r["age_days"].cast("int").alias("age_days"),
+            r["n_at_risk"].alias("n_at_risk"),
+            r["n_churned"].alias("n_churned"),
+            r["n_censored"].alias("n_censored"),
+            F.round(r["factor"], 6).alias("hazard_factor"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.slice("rows", F.lit(1), F.col("i") + 1),
+                        lambda s: s["factor"],
+                    ),
+                    F.lit(1.0),
+                    lambda a, x: a * x,
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("age_days")
+    )
+
+
 # Poisson(1) CDF cut points scaled to exact 60-bit integers
 # (floor(cdf_k · 2^60) for k = 0..5): the bootstrap weight is the count of
 # cut points at or below the row's 60-bit uniform — integer comparisons
@@ -2769,6 +2844,7 @@ QUERIES = {
     "a_kendall_tau": a_kendall_tau,
     "ts_cross_correlation": ts_cross_correlation,
     "a_poisson_bootstrap": a_poisson_bootstrap,
+    "ev_survival_censored": ev_survival_censored,
 }
 
 _GINI_ORACLE = """
@@ -3127,6 +3203,55 @@ ORACLE = {
     "ts_autocorrelation": _ACF_ORACLE,
     "a_mann_whitney": _MWU_ORACLE,
     "ts_cross_correlation": _xcf_oracle_sql(),
+    # censored KM: per-age factors are one double division; prefix products
+    # fold the age-ordered bounded list in pinned order on both engines
+    "ev_survival_censored": """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        ), horizon AS (
+            SELECT max(day) AS last_day FROM ev
+        ), ages AS (
+            SELECT datediff('day', min(day), max(day)) AS age_days,
+                   CASE WHEN max(day) = (SELECT last_day FROM horizon)
+                        THEN 1 ELSE 0 END AS censored
+            FROM ev GROUP BY user_id
+        ), per_age AS (
+            SELECT age_days,
+                   CAST(sum(1 - censored) AS BIGINT) AS n_churned,
+                   CAST(sum(censored) AS BIGINT) AS n_censored
+            FROM ages GROUP BY age_days
+        ), risked AS (
+            SELECT *,
+                   sum(n_churned + n_censored) OVER (ORDER BY age_days DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n_at_risk
+            FROM per_age
+        ), factored AS (
+            SELECT age_days, n_at_risk, n_churned, n_censored,
+                   1.0 - CAST(n_churned AS DOUBLE)
+                         / CAST(n_at_risk AS DOUBLE) AS factor
+            FROM risked
+        ), packed AS (
+            SELECT list(factor ORDER BY age_days) AS fl,
+                   list(struct_pack(age_days := age_days,
+                                    n_at_risk := n_at_risk,
+                                    n_churned := n_churned,
+                                    n_censored := n_censored,
+                                    factor := factor)
+                        ORDER BY age_days) AS rows
+            FROM factored
+        )
+        SELECT CAST(rows[i].age_days AS INTEGER) AS age_days,
+               CAST(rows[i].n_at_risk AS BIGINT) AS n_at_risk,
+               rows[i].n_churned AS n_churned,
+               rows[i].n_censored AS n_censored,
+               round(rows[i].factor, 6) AS hazard_factor,
+               round(list_reduce(
+                   list_prepend(CAST(1.0 AS DOUBLE), fl[1:i]),
+                   (a, x) -> a * x), 6) AS survival
+        FROM packed, unnest(range(1, len(rows) + 1)) AS t(i)
+        ORDER BY age_days
+    """,
     # Poisson bootstrap: identical 60-bit md5 uniforms, identical integer
     # CDF cut points, identical fold order for SE/CI over the R means
     "a_poisson_bootstrap": f"""

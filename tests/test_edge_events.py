@@ -989,3 +989,36 @@ def test_a_poisson_bootstrap_mechanism(spark, tmp_path):
     assert (row["n_rows"], row["point_mean"]) == (6, 3.5)
     assert row["boot_se"] > 0
     assert row["ci_lo"] <= row["ci_hi"]
+
+
+def test_ev_survival_censored_hand_computed(spark, tmp_path):
+    """Censored KM pin: u1 age 1 (churn), u2 age 3 (censored at the
+    horizon), u3 age 0 (churn), u4 age 0 (censored) → risk sets 4, 2, 1;
+    factors .75, .5, 1 → survival .75, .375, .375 (the product does NOT
+    telescope once u4's censoring removes it from later risk sets)."""
+    day = 24 * 60.0
+    events = [
+        (1, _ts(0), 1, "click", 1.0),
+        (2, _ts(1 * day), 1, "click", 1.0),
+        (3, _ts(0), 2, "view", 1.0),
+        (4, _ts(3 * day), 2, "view", 1.0),
+        (5, _ts(1 * day), 3, "click", 1.0),
+        (6, _ts(3 * day), 4, "click", 1.0),
+    ]
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ev_survival_censored"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ev_survival_censored", sdf,
+        con.sql(oracles["ev_survival_censored"]).df(),
+    )
+    assert not msg, msg
+    got = {
+        int(r["age_days"]): (
+            r["n_at_risk"], r["n_churned"], r["n_censored"], r["survival"]
+        )
+        for _, r in sdf.iterrows()
+    }
+    assert got[0] == (4, 1, 1, 0.75)
+    assert got[1] == (2, 1, 0, 0.375)
+    assert got[3] == (1, 0, 1, 0.375)

@@ -273,6 +273,9 @@ _BNLJ_ALLOWED = {
     # point-estimate anchor: a ONE-ROW aggregate cross-joined onto the
     # ONE-ROW bootstrap summary — constant cost at any fact size
     "a_poisson_bootstrap",
+    # observation-horizon anchor: a ONE-ROW max-day aggregate cross-joined
+    # to the per-user lifetime frame — constant cost at any fact size
+    "ev_survival_censored",
     # grand-total anchor + the R×C vocabulary grid cross join — both
     # bounded by the category vocabularies, never by the fact table
     "a_chi_square",
