@@ -1720,6 +1720,66 @@ def rich_club_curve(edges: DataFrame, cache_key: str | None = None) -> DataFrame
     )
 
 
+def g_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cycle (rectangle) census over the co-supply graph — the motif one
+    step past triangles: a square a–b–c–d–a is two suppliers (a, c) tied
+    through TWO disjoint intermediaries, the redundant-paths signal
+    supply-chain risk teams read (a pair with many disjoint 2-paths
+    survives any single intermediary's failure). Every 4-cycle is a pair
+    of distinct common neighbors of an (unordered) endpoint pair, and
+    each cycle is seen from exactly TWO such pairs — so
+    n_squares = Σ_pairs C(cn, 2) / 2, an exact integer identity.
+
+    Scale shape: the wedge generation is the sym-adjacency self-join
+    grouped by endpoint pair — Σ_b C(deg_b, 2) wedge rows, the same
+    quadratic-in-degree term every wedge algorithm pays, bounded here by
+    the density-targeted edge rule (a raw hub graph would first cap
+    degrees the way ``common_neighbor_pairs`` does); the census is one
+    partial-aggregated groupBy + one scalar reduce. Pure integers."""
+    return square_census(_cosupply_edges(spark, sf_dir))
+
+
+def square_census(edges: DataFrame) -> DataFrame:
+    """4-cycle census over an undirected edge list (u < v, distinct); see
+    ``g_square_count``. Hand-pinned in tests/test_graph.py."""
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # wedges centered at u: unordered endpoint pairs (v1 < v2)
+    pair_cn = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.u") == F.col("b.u"))
+        .filter(F.col("a.v") < F.col("b.v"))
+        .groupBy(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return pair_cn.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("cn") >= 2).cast("long")).alias("n_pairs_multi"),
+        F.expr("sum(cn * (cn - 1) div 2) div 2").alias("n_squares"),
+    )
+
+
+_SQUARE_ORACLE = f"""
+    WITH {_COSUPPLY_CTES},
+    sym AS (
+        SELECT u, v FROM cos_edges
+        UNION ALL
+        SELECT v AS u, u AS v FROM cos_edges
+    ),
+    pair_cn AS (
+        SELECT a.v AS x, b.v AS y, CAST(count(*) AS BIGINT) AS cn
+        FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+        GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN cn >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_multi,
+           CAST(sum(cn * (cn - 1) // 2) // 2 AS BIGINT) AS n_squares
+    FROM pair_cn
+"""
+
+
 _RICH_CLUB_ORACLE = f"""
     WITH {_COSUPPLY_CTES},
     sym AS (SELECT u FROM cos_edges UNION ALL SELECT v FROM cos_edges),
@@ -1755,6 +1815,7 @@ _RICH_CLUB_ORACLE = f"""
 QUERIES = {
     "g_pagerank": g_pagerank,
     "g_rich_club": g_rich_club,
+    "g_square_count": g_square_count,
     "g_triangle_count": g_triangle_count,
     "g_common_neighbors": g_common_neighbors,
     "g_resource_allocation": g_resource_allocation,
@@ -1851,6 +1912,7 @@ _EMBED_ORACLE = f"""
 ORACLE = {
     "g_assortativity": _ASSORT_ORACLE,
     "g_rich_club": _RICH_CLUB_ORACLE,
+    "g_square_count": _SQUARE_ORACLE,
     "g_clustering_coefficient": _CLUSTER_ORACLE,
     "g_edge_embeddedness": _EMBED_ORACLE,
     "g_pagerank": _pagerank_oracle_sql(),

@@ -494,3 +494,21 @@ def test_rich_club_hand_computed(spark):
     assert [(r.k, r.n_rich_nodes, r.n_rich_edges, r.rc) for r in rows] == [
         (1, 4, 6, 1.0)
     ]
+
+
+def test_square_census_hand_computed(spark):
+    """4-cycle pins: C4 has exactly 1 square (only the two diagonal pairs
+    share 2 common neighbors); K4 has 3 (all 6 pairs share the other two
+    vertices: 6·C(2,2)/2); a path has none."""
+    from datalake_on_prem_system_spark.operators.graph_ops import square_census
+
+    def census(pairs):
+        edges = spark.createDataFrame(pairs, "u bigint, v bigint")
+        return square_census(edges).collect()[0]
+
+    c4 = census([(1, 2), (2, 3), (3, 4), (1, 4)])
+    assert (c4.n_pairs_multi, c4.n_squares) == (2, 1)
+    k4 = census([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    assert (k4.n_pairs, k4.n_pairs_multi, k4.n_squares) == (6, 6, 3)
+    path = census([(1, 2), (2, 3), (3, 4)])
+    assert path.n_squares == 0
