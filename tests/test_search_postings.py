@@ -341,3 +341,20 @@ def test_faceted_counts_conserve_allwords_hits(spark, sf_dir):
     }
     for r in facets:
         assert docs[(r.source, r.lang)] == r.sum_chars
+
+
+def test_search_boolean_fallback_matches_posting_path(spark, monkeypatch):
+    """E5 degradation for the boolean clause tree: with the posting index
+    unavailable the flat LIKE scan must produce the IDENTICAL hit set and
+    scores (the two paths share the contains-semantics contract)."""
+    from datalake_on_prem_system_spark.operators import search as s
+
+    sf = "/root/testdata/sf0.001"
+    via_postings = {
+        (r.doc_id, r.score) for r in s.search_boolean(spark, sf).collect()
+    }
+    monkeypatch.setattr(s, "_posting_frames", lambda *a, **k: None)
+    via_flat = {
+        (r.doc_id, r.score) for r in s.search_boolean(spark, sf).collect()
+    }
+    assert via_flat == via_postings and via_postings
