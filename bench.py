@@ -162,6 +162,26 @@ HEADLINERS = [
     "ts_decompose",
     "tx_vocab_drift",
     "g_max_spanning_forest",
+    # round-12 additions: the Poisson bootstrap (R=40 replicate fan-out
+    # with map-side-combined weighted means — the heaviest new aggregate
+    # shape), the two-level-rank KS / Kruskal-Wallis tests and the
+    # bounded-contingency Kendall tau, the two-series lag correlation,
+    # the suffix-count rich-club curve, the real AVI mux/demux Arrow
+    # kernels + WAV decimation, the mid-stream schema-drift CDC run, the
+    # component-reweighting soft dedup, the one-pass boolean posting
+    # query, and the packing fill audit
+    "a_poisson_bootstrap",
+    "a_ks_test",
+    "a_kruskal_wallis",
+    "a_kendall_tau",
+    "ts_cross_correlation",
+    "g_rich_club",
+    "mm_video_decode",
+    "mm_audio_resample",
+    "st_cdc_schema_drift",
+    "dd_soft_dedup",
+    "search_boolean",
+    "pl_packing_audit",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —
