@@ -182,6 +182,9 @@ HEADLINERS = [
     "dd_soft_dedup",
     "search_boolean",
     "pl_packing_audit",
+    # round-12 session-2: the iterative support-peel (wedge join + edge
+    # agg per shrinking round — the deepest iterative graph shape yet)
+    "g_ktruss",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

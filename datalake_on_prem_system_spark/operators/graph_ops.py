@@ -1720,6 +1720,139 @@ def rich_club_curve(edges: DataFrame, cache_key: str | None = None) -> DataFrame
     )
 
 
+_TRUSS_K = 4  # surviving edges sit in >= k-2 = 2 triangles of the truss
+# Peel-round cap, mirrored by the oracle's unrolled CTEs. The cascade
+# depth is data-dependent (measured: 7 rounds at sf0.01, 3 at sf0.1 —
+# SMALLER graphs cascade deeper because each edge's support rests on
+# fewer triangles); 12 gives margin, and non-convergence RAISES.
+_TRUSS_ROUNDS = 12
+
+
+def _edge_support(cur: DataFrame) -> DataFrame:
+    """Per-edge triangle support WITHIN the given edge set — the
+    degree-ordered triple list exploded to its three canonical edges and
+    partial-aggregated (the g_edge_embeddedness shape)."""
+    pair = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("u"), F.greatest(x, y).alias("v")
+    )
+    return (
+        triangle_triples(cur)
+        .select(
+            F.explode(
+                F.array(
+                    pair(F.col("a"), F.col("b")),
+                    pair(F.col("a"), F.col("c")),
+                    pair(F.col("b"), F.col("c")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def ktruss_edges(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Iterative k-truss peel over an undirected edge list (u < v,
+    distinct): drop every edge in fewer than k−2 triangles, recompute
+    supports on the survivors, repeat to fixpoint. Returns the surviving
+    edges with their final (within-truss) support. Raises when the round
+    cap is hit without convergence — a silently partial peel would
+    diverge from the oracle's unrolled replay (the components_of rule).
+    Hand-pinned in tests/test_graph.py."""
+    cur = edges.select("u", "v").localCheckpoint()
+    n_cur = cur.count()
+    for _ in range(rounds):
+        kept = (
+            cur.join(_edge_support(cur), ["u", "v"])
+            .filter(F.col("support") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_kept = kept.count()
+        if n_kept == n_cur:
+            cur = kept
+            break
+        cur, n_cur = kept, n_kept
+    else:
+        raise RuntimeError(
+            f"ktruss_edges: peel did not converge in {rounds} rounds"
+        )
+    return cur.join(_edge_support(cur), ["u", "v"], "left_outer").fillna(
+        0, ["support"]
+    )
+
+
+def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_TRUSS_K}-truss decomposition of the co-supply graph — the
+    community-density backbone one notch above k-core (a k-truss is the
+    maximal subgraph where every EDGE sits in ≥ k−2 triangles of the
+    subgraph; cores bound degrees, trusses bound cohesion, and the truss
+    survives the spurious-hub edges a core keeps). Computed by the
+    standard support-peel fixpoint: recompute per-edge triangle support
+    WITHIN the surviving subgraph, drop light edges, repeat — each
+    deletion can cascade (an edge's support falls when its triangles'
+    other edges peel), which is what a single-pass embeddedness filter
+    gets wrong.
+
+    Scale shape: each round is the O(m^1.5) degree-ordered wedge join +
+    one edge-keyed partial agg, on a monotonically SHRINKING edge set;
+    rounds are capped (raise on non-convergence, never a partial answer)
+    and each round's frame is localCheckpointed against lineage blowup.
+
+    Oracle: the peel unrolls to {_TRUSS_ROUNDS} materialized CTE rounds —
+    once Spark's fixpoint lands inside the cap, the oracle's extra rounds
+    are no-ops, so both sides compute the identical fixpoint."""
+    return (
+        ktruss_edges(_cosupply_edges(spark, sf_dir), _TRUSS_K, _TRUSS_ROUNDS)
+        .orderBy("u", "v")
+    )
+
+
+def _ktruss_oracle_sql() -> str:
+    """DuckDB replay of g_ktruss: unrolled peel rounds, each MATERIALIZED
+    (the Markov-walk CTE rule), each recomputing within-set supports via
+    the symmetric wedge-closing join."""
+    rounds = []
+    for r in range(_TRUSS_ROUNDS):
+        rounds.append(f"""sym{r} AS MATERIALIZED (
+        SELECT u, v FROM e{r} UNION ALL SELECT v AS u, u AS v FROM e{r}
+    ),
+    s{r} AS MATERIALIZED (
+        SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS support
+        FROM e{r} e
+        JOIN sym{r} a ON a.u = e.u
+        JOIN sym{r} b ON b.u = e.v AND b.v = a.v
+        GROUP BY e.u, e.v
+    ),
+    e{r + 1} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{r} e
+        JOIN s{r} s ON s.u = e.u AND s.v = e.v
+        WHERE s.support >= {_TRUSS_K - 2}
+    )""")
+    last = _TRUSS_ROUNDS
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH {_COSUPPLY_CTES},
+    e0 AS MATERIALIZED (SELECT u, v FROM cos_edges),
+    {chain},
+    symf AS (
+        SELECT u, v FROM e{last} UNION ALL SELECT v AS u, u AS v FROM e{last}
+    ),
+    sf AS (
+        SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS support
+        FROM e{last} e
+        JOIN symf a ON a.u = e.u
+        JOIN symf b ON b.u = e.v AND b.v = a.v
+        GROUP BY e.u, e.v
+    )
+    SELECT e.u, e.v, coalesce(sf.support, 0) AS support
+    FROM e{last} e
+    LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v
+    ORDER BY e.u, e.v
+"""
+
+
 def g_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-cycle (rectangle) census over the co-supply graph — the motif one
     step past triangles: a square a–b–c–d–a is two suppliers (a, c) tied
@@ -1816,6 +1949,7 @@ QUERIES = {
     "g_pagerank": g_pagerank,
     "g_rich_club": g_rich_club,
     "g_square_count": g_square_count,
+    "g_ktruss": g_ktruss,
     "g_triangle_count": g_triangle_count,
     "g_common_neighbors": g_common_neighbors,
     "g_resource_allocation": g_resource_allocation,
@@ -1913,6 +2047,7 @@ ORACLE = {
     "g_assortativity": _ASSORT_ORACLE,
     "g_rich_club": _RICH_CLUB_ORACLE,
     "g_square_count": _SQUARE_ORACLE,
+    "g_ktruss": _ktruss_oracle_sql(),
     "g_clustering_coefficient": _CLUSTER_ORACLE,
     "g_edge_embeddedness": _EMBED_ORACLE,
     "g_pagerank": _pagerank_oracle_sql(),

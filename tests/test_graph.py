@@ -512,3 +512,27 @@ def test_square_census_hand_computed(spark):
     assert (k4.n_pairs, k4.n_pairs_multi, k4.n_squares) == (6, 6, 3)
     path = census([(1, 2), (2, 3), (3, 4)])
     assert path.n_squares == 0
+
+
+def test_ktruss_hand_computed(spark):
+    """4-truss pins: K4 survives whole (every edge in exactly 2 triangles
+    of the subgraph); a pendant chain peels in round 1. The diamond (two
+    triangles glued on edge 1-2) pins the CASCADE a one-pass embeddedness
+    filter gets wrong: round 1 keeps only the shared edge (support 2),
+    round 2 peels it too (its triangles' other edges are gone) — the
+    4-truss is EMPTY."""
+    from datalake_on_prem_system_spark.operators.graph_ops import ktruss_edges
+
+    k4_plus_tail = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "u bigint, v bigint",
+    )
+    got = {
+        (r.u, r.v): r.support for r in ktruss_edges(k4_plus_tail, 4, 8).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 2, (1, 4): 2, (2, 3): 2, (2, 4): 2, (3, 4): 2}
+
+    diamond = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "u bigint, v bigint"
+    )
+    assert ktruss_edges(diamond, 4, 8).count() == 0
