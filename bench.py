@@ -184,7 +184,9 @@ HEADLINERS = [
     "pl_packing_audit",
     # round-12 session-2: the iterative support-peel (wedge join + edge
     # agg per shrinking round — the deepest iterative graph shape yet)
+    # and the exact-quartile Tukey-fence census
     "g_ktruss",
+    "a_iqr_outliers",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

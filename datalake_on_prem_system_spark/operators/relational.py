@@ -572,6 +572,60 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per market segment — the robust data-QA
+    screen every profiling pass runs before modeling (1.5·IQR fences are
+    distribution-free, unlike z-scores): exact interpolated quartiles per
+    segment, fences, and the count of rows outside each fence.
+
+    Determinism: the exact ``percentile`` interpolation is cross-engine
+    stable on this data (the a_percentiles precedent) and both quartiles
+    round to 4 before the fence arithmetic, so the fences are identical
+    doubles in both engines and every comparison agrees. Scale shape: one
+    segment-keyed sort-aggregate for the quartiles (the approximate
+    sibling at 100 TB is percentile_approx — same plan shape), then ONE
+    broadcast of the 5-row fence table back onto the scan for the census;
+    the fact table is read twice, shuffled once."""
+    cust = t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    q = cust.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("q3"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fences = q.select(
+        "c_mktsegment",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        cust.join(F.broadcast(fences), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("q1").alias("q1"),
+            F.first("q3").alias("q3"),
+            # fences stay UNROUNDED: they are bit-identical doubles in both
+            # engines (identical rounded inputs + identical IEEE ops), while
+            # a display round can land exactly on a .5 boundary where Spark
+            # (BigDecimal HALF_UP on the binary value) and DuckDB disagree
+            # by one final-digit ulp — observed at sf0.01
+            F.first("lo").alias("lo_fence"),
+            F.first("hi").alias("hi_fence"),
+            F.sum((F.col("c_acctbal") < F.col("lo")).cast("long")).alias(
+                "n_low_outliers"
+            ),
+            F.sum((F.col("c_acctbal") > F.col("hi")).cast("long")).alias(
+                "n_high_outliers"
+            ),
+        )
+        .withColumnRenamed("c_mktsegment", "segment")
+        .orderBy("segment")
+    )
+
+
 # 3x the documented relative standard error of a lgConfigK=12 HLL sketch
 # (1.04 / sqrt(2^12) ~= 1.6%) -- the P(outside) ~ 1e-3 envelope
 _HLL_REL_BOUND = 3 * 1.04 / (2**12) ** 0.5
@@ -757,6 +811,7 @@ QUERIES = {
     "a_date_window": a_date_window,
     "a_skew_salted": a_skew_salted,
     "a_percentiles": a_percentiles,
+    "a_iqr_outliers": a_iqr_outliers,
     "f_json_extract": f_json_extract,
     "a_hll_distinct": a_hll_distinct,  # hash-checked via the within_bound contract
     "a_heavy_hitters": a_heavy_hitters,  # same contract shape (CMS bound)
@@ -894,6 +949,29 @@ ORACLE = {
                round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
                count(*) AS n
         FROM orders GROUP BY o_orderstatus
+    """,
+    # quartiles rounded to 4 BEFORE the fence arithmetic, so the fences
+    # are identical doubles in both engines and every comparison agrees
+    "a_iqr_outliers": """
+        WITH q AS (
+            SELECT c_mktsegment AS segment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(c_acctbal, 0.25), 4) AS q1,
+                   round(quantile_cont(c_acctbal, 0.75), 4) AS q3
+            FROM customer GROUP BY 1
+        ), f AS (
+            SELECT *, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+            FROM q
+        )
+        SELECT f.segment, f.n, f.q1, f.q3,
+               f.lo AS lo_fence, f.hi AS hi_fence,
+               CAST(sum(CASE WHEN c.c_acctbal < f.lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low_outliers,
+               CAST(sum(CASE WHEN c.c_acctbal > f.hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high_outliers
+        FROM f JOIN customer c ON c.c_mktsegment = f.segment
+        GROUP BY 1, 2, 3, 4, 5, 6
+        ORDER BY f.segment
     """,
     "s5_sql_passthrough": """
         WITH seg_avg AS (

@@ -1022,3 +1022,25 @@ def test_ev_survival_censored_hand_computed(spark, tmp_path):
     assert got[0] == (4, 1, 1, 0.75)
     assert got[1] == (2, 1, 0, 0.375)
     assert got[3] == (1, 0, 1, 0.375)
+
+
+def test_a_iqr_outliers_hand_computed(spark, tmp_path):
+    """Tukey-fence pin: balances 1..9 plus 100 in one segment →
+    interpolated q1 = 3.25, q3 = 7.75, fences (−3.5, 14.5) → exactly one
+    high outlier (the 100) and no low outliers."""
+    rows = [(k, "AUTO", float(k)) for k in range(1, 10)] + [(10, "AUTO", 100.0)]
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW customer AS SELECT * FROM '{tmp_path}/customer.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_iqr_outliers"](spark, str(tmp_path)).toPandas()
+    msg = compare("a_iqr_outliers", sdf, con.sql(oracles["a_iqr_outliers"]).df())
+    assert not msg, msg
+    row = sdf.iloc[0]
+    assert (row["q1"], row["q3"]) == (3.25, 7.75)
+    assert (row["lo_fence"], row["hi_fence"]) == (-3.5, 14.5)
+    assert (row["n_low_outliers"], row["n_high_outliers"]) == (0, 1)
