@@ -323,8 +323,39 @@ def _machine_load() -> dict:
     return info
 
 
+# Ambient-load gate (round-12 verdict item #2): the r12 record shipped
+# loadavg-9.58 numbers as the official cross-round history — CDC halved,
+# every query +30-80% — and the next round nearly chased phantom
+# regressions. A loaded box can't be fixed from here, but it CAN be
+# waited out (bounded) and, failing that, FLAGGED so the record is
+# self-describing.
+_LOAD_QUIET_1M = 2.0
+_LOAD_RETRIES = 6
+_LOAD_RETRY_SLEEP_S = 30
+
+
+def _await_quiet_box() -> tuple[dict, bool]:
+    """Poll the load probe until loadavg_1m drops under the quiet
+    threshold, or the bounded retries run out. Returns (last probe,
+    caveat) — caveat True means the bench ran on a contended box and the
+    recorded timings must not be compared round-over-round."""
+    probe = _machine_load()
+    for _ in range(_LOAD_RETRIES):
+        if probe.get("loadavg_1m", 0.0) <= _LOAD_QUIET_1M:
+            return probe, False
+        print(
+            f"# load gate: loadavg_1m={probe.get('loadavg_1m')} > "
+            f"{_LOAD_QUIET_1M}, sleeping {_LOAD_RETRY_SLEEP_S}s",
+            file=sys.stderr,
+        )
+        time.sleep(_LOAD_RETRY_SLEEP_S)
+        probe = _machine_load()
+    caveat = probe.get("loadavg_1m", 0.0) > _LOAD_QUIET_1M
+    return probe, caveat
+
+
 def main() -> None:
-    load_before = _machine_load()
+    load_before, load_caveat = _await_quiet_box()
     spark = get_spark(app_name="bench")
     qs = entry_mod.queries()
 
@@ -522,6 +553,10 @@ def main() -> None:
         "load_before": load_before,
         "load_after": _machine_load(),
     }
+    if load_caveat:
+        # survives into BOTH the full record and the compact stdout line
+        # (dict(out) copy below): a contended-box run is self-describing
+        out["load_caveat"] = True
     if errors:
         out["errors"] = errors
     # Driver-proof output (round-6 lesson: the driver's stdout tail window

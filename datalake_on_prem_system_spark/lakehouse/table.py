@@ -75,6 +75,19 @@ DEFAULT_DELTA_COMPACT_THRESHOLD = 8
 # keyed write instead of being silently mis-pruned.
 BUCKET_HASH_ID = "murmur3-pmod-v1"
 
+# In-process listeners fired when a table root is wholesale REPLACED
+# (create_or_replace). Higher layers that memoize per-root state keyed on
+# durable table properties (the CDC applied-batch watermark memo) register
+# here so a re-created table at the same root cannot be served a stale
+# memo — the durable property is gone, the memo must go with it.
+_REPLACE_LISTENERS: list[Callable[[str], None]] = []
+
+
+def on_table_replace(listener: Callable[[str], None]) -> None:
+    """Register a callback invoked with ``table.root`` on create_or_replace."""
+    if listener not in _REPLACE_LISTENERS:
+        _REPLACE_LISTENERS.append(listener)
+
 
 def _bucket_expr(pk: str, n: int):
     # pmod(hash(pk), n) is EXACTLY Spark's HashPartitioning partition-id
@@ -1475,6 +1488,8 @@ class LakeTable:
         if bucket_by and partition_by:
             raise ValueError("bucket_by and partition_by are mutually exclusive")
         self._enforce_constraints(df, properties, "create_or_replace")
+        for listener in _REPLACE_LISTENERS:
+            listener(self.root)  # drop per-root memos tied to old properties
         spec = None
         if bucket_by:
             # bucket_by=("k", n) or (("k1","k2"), n) — composite keys lay

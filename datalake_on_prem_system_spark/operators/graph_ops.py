@@ -430,6 +430,7 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cache.release(f"g_cosupply_pw:{sf_dir}")
         _cache.release(f"g_cosupply_edges:{sf_dir}")
         _cache.release(f"g_tri_oriented:{sf_dir}")  # derived from the edges
+        _cache.release(f"g_rc_deg:{sf_dir}")  # rich-club degrees, same edges
         for stale in [k for k in _COSUPPLY_MIN_W if k[0] == key[0]]:
             del _COSUPPLY_MIN_W[stale]
     pw = persist_bounded(
@@ -1784,7 +1785,7 @@ def ktruss_edges(edges: DataFrame, k: int, rounds: int) -> DataFrame:
 
 
 def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{_TRUSS_K}-truss decomposition of the co-supply graph — the
+    """k-truss decomposition (k = 4, _TRUSS_K) of the co-supply graph — the
     community-density backbone one notch above k-core (a k-truss is the
     maximal subgraph where every EDGE sits in ≥ k−2 triangles of the
     subgraph; cores bound degrees, trusses bound cohesion, and the truss
@@ -1800,7 +1801,7 @@ def g_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds are capped (raise on non-convergence, never a partial answer)
     and each round's frame is localCheckpointed against lineage blowup.
 
-    Oracle: the peel unrolls to {_TRUSS_ROUNDS} materialized CTE rounds —
+    Oracle: the peel unrolls to 12 (_TRUSS_ROUNDS) materialized CTE rounds —
     once Spark's fixpoint lands inside the cap, the oracle's extra rounds
     are no-ops, so both sides compute the identical fixpoint."""
     return (

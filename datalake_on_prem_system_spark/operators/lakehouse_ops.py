@@ -1216,15 +1216,26 @@ def lh_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the referenced-path set is the distributed union of every
     retained snapshot's $files frame (same manifest relation as
     lh_vacuum_plan — O(versions x entries) stays on executors, never a
-    driver fold); the disk side is ONE recursive parquet read of the
-    whole ``data/`` dir (at warehouse scale: an object-store LIST feeding
-    a single scan), grouped by the owning segment dir derived from
-    ``input_file_name()``. Liveness is a broadcast left join against the
-    manifest-path relation — plan size is independent of segment count.
+    driver fold); the disk side is ONE recursive FILE LISTING of the
+    whole ``data/`` dir (binaryFile source, content column pruned — at
+    warehouse scale: an object-store LIST) fed to an Arrow-batched
+    footer reader: per file, only the parquet FOOTER is opened
+    (num_rows + o_orderkey min/max statistics), never row data. Each
+    file's footer is parsed independently, so orphan segments whose
+    schema drifted from the live table cannot break the scan (a unified
+    ``spark.read.parquet`` over mixed-schema segments would). The
+    segment key is anchored on the known ``data/`` root (not the first
+    '/data/' substring — a warehouse path containing 'data' elsewhere
+    would mis-group every file). Liveness is a broadcast left join
+    against the manifest-path relation — plan size is independent of
+    segment count.
 
     Oracle: segment contents derive exactly from the staging filters, so
-    DuckDB rebuilds the report from the orders table."""
+    DuckDB rebuilds the report from the orders table (footer min/max of
+    an int64 column is exact, so the stats-derived min equals the data
+    min)."""
     import os
+    import re as _re
     from functools import reduce as _reduce
 
     if sf_dir not in _ORPHAN_CACHE:
@@ -1238,7 +1249,16 @@ def lh_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(root, "data", "99-deadbeef.parquet")
         )
         _ORPHAN_CACHE[sf_dir] = root
-    root = _ORPHAN_CACHE[sf_dir]
+    return orphan_report(spark, _ORPHAN_CACHE[sf_dir])
+
+
+def orphan_report(spark: SparkSession, root: str) -> DataFrame:
+    """The report core of :func:`lh_orphan_files`, reusable against any
+    table root (tests stage a schema-evolved orphan through this)."""
+    import os
+    import re as _re
+    from functools import reduce as _reduce
+
     table = LakeTable(spark, root)
     referenced = (
         _reduce(
@@ -1249,23 +1269,53 @@ def lh_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("path").alias("seg"), F.lit(True).alias("referenced"))
     )
     data_dir = os.path.join(root, "data")
-    on_disk = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(data_dir)
+    listing = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .load(data_dir)
+        .select(F.regexp_replace("path", "^file:(//)?", "").alias("fpath"))
         .withColumn(
             "seg",
-            F.regexp_replace(
-                F.regexp_extract(
-                    F.input_file_name(), "^(.*?/data/[^/]+)/", 1
-                ),
-                "^file:(//)?",
-                "",
+            F.regexp_extract(
+                "fpath", "^(" + _re.escape(data_dir) + "/[^/]+)", 1
             ),
+        )
+    )
+
+    def _footer_stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            segs, counts, mins = [], [], []
+            for fpath, seg in zip(pdf["fpath"], pdf["seg"]):
+                md = pq.ParquetFile(fpath).metadata
+                mn = None
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        if col.path_in_schema != "o_orderkey":
+                            continue
+                        st = col.statistics
+                        if st is not None and st.has_min_max:
+                            mn = st.min if mn is None else min(mn, st.min)
+                segs.append(seg)
+                counts.append(md.num_rows)
+                mins.append(mn)
+            yield pd.DataFrame(
+                {"seg": segs, "n_rows": counts, "min_orderkey": mins}
+            )
+
+    on_disk = (
+        listing.mapInPandas(
+            _footer_stats, "seg string, n_rows long, min_orderkey long"
         )
         .groupBy("seg")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("o_orderkey").alias("min_orderkey"),
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_orderkey").alias("min_orderkey"),
         )
     )
     return (

@@ -614,7 +614,7 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline runs after decode (every speech model wants one
     canonical sample rate): each document's real RIFF/WAVE payload is
     decoded by the same chunk-walking parser as ``mm_wav_decode``, then
-    integer-DECIMATED (keep every {_RESAMPLE_K}rd sample — the exact,
+    integer-DECIMATED (keep every 3rd sample, _RESAMPLE_K — the exact,
     filterless downsample; a production resampler adds an anti-alias FIR
     in front, same batch shape) and the output stream's geometry + exact
     sample reductions are emitted. rate_out = rate // k, duration is

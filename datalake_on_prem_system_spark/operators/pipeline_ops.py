@@ -452,7 +452,7 @@ def pl_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pl_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency audit over the concat-then-chunk layout — the
     QA report a training-data team reads before shipping shards: per
-    source, how many {_CTX_TOKENS}-token windows the corpus fills, how
+    source, how many 2048-token (_CTX_TOKENS) windows the corpus fills, how
     many tokens the final partial window wastes (tail padding the loader
     pays), and how many documents STRADDLE a window boundary (each one
     is a split/mask decision for the loader; a high straddle ratio says

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..lakehouse import table as table_mod
 from ..lakehouse.table import LakeTable
 
 
@@ -181,6 +182,18 @@ _CDC_WATERMARK_PROP = "cdc.applied"  # "<stream_id>:<batch_id>" of the last appl
 # commit that carries the watermark succeeds, so a failed batch is never
 # memoized as applied.
 _APPLIED_MEMO: dict[tuple[str, str], int] = {}
+
+
+def _purge_applied_memo(root: str) -> None:
+    # a create_or_replace at the same root wipes the durable watermark
+    # property; a new stream reusing the same checkpoint dir (same
+    # stream_id) must NOT be told batches 0..N were already applied
+    # against the fresh table (round-12 ADVICE)
+    for key in [k for k in _APPLIED_MEMO if k[0] == root]:
+        del _APPLIED_MEMO[key]
+
+
+table_mod.on_table_replace(_purge_applied_memo)
 
 
 def cdc_apply_batch(

@@ -456,6 +456,41 @@ def test_cdc_batch_replay_guard_skips_applied_batch(spark, tmp_path):
     assert table.properties()["cdc.applied"] == "s2:0"
 
 
+def test_cdc_replay_memo_invalidated_by_table_recreate(spark, tmp_path):
+    """Round-12 ADVICE: the in-process applied-batch memo must not outlive
+    a create_or_replace at the same root — a new stream reusing the same
+    checkpoint dir (hence the same stream_id) legitimately restarts at
+    batch 0 against the FRESH table, and the stale memo would wrongly
+    skip it (the durable property the memo mirrors is gone)."""
+    from datalake_on_prem_system_spark.streaming.cdc import cdc_apply_batch
+
+    table = LakeTable(spark, str(tmp_path / "tbl_memo"))
+    table.create_or_replace(
+        spark.createDataFrame([(1, "base1", 0)], ROW_DDL)
+    )
+    kw = dict(pk="id", row_ddl=ROW_DDL, order_cols=["seq"], drop_cols=[])
+    b0 = spark.createDataFrame(
+        [(json.dumps(_wrapped(None, {"id": 1, "name": "v1", "seq": 1}, "u")),)],
+        "value string",
+    )
+    cdc_apply_batch(table, batch_df=b0, batch_id=0, stream_id="s1", **kw)
+    assert {r.id: r.name for r in table.read().collect()}[1] == "v1"
+
+    # table wholesale re-created at the same root: durable watermark gone
+    table.create_or_replace(
+        spark.createDataFrame([(1, "fresh", 0)], ROW_DDL)
+    )
+    assert "cdc.applied" not in (table.properties() or {})
+
+    # same stream_id restarts at batch 0 — must APPLY, not memo-skip
+    restart = spark.createDataFrame(
+        [(json.dumps(_wrapped(None, {"id": 1, "name": "v2", "seq": 2}, "u")),)],
+        "value string",
+    )
+    cdc_apply_batch(table, batch_df=restart, batch_id=0, stream_id="s1", **kw)
+    assert {r.id: r.name for r in table.read().collect()}[1] == "v2"
+
+
 def test_dlq_classify_reasons(spark):
     """dlq_classify pins: healthy wrapped/flat lines get NULL reason (the
     normalize path keeps them), a corrupt line is 'unparseable' (PERMISSIVE
