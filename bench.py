@@ -187,6 +187,11 @@ HEADLINERS = [
     # and the exact-quartile Tukey-fence census
     "g_ktruss",
     "a_iqr_outliers",
+    # round-13 additions: the two-table delta-join incremental view
+    # (appended_between change feeds from both sides) and the multi-batch
+    # streaming bootstrap twin
+    "lh_incremental_join_view",
+    "st_bootstrap_stream",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

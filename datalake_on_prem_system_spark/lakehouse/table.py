@@ -1584,6 +1584,45 @@ class LakeTable:
             segment_bucketed=bucketable,
         )
 
+    def appended_between(self, v_from: int, v_to: int) -> DataFrame:
+        """Rows ADDED by the commits in ``(v_from, v_to]``, read ONLY from
+        the segments those commits introduced — the O(batch) change input
+        of an append-only ingest stream (Delta CDF's add-file fast path;
+        what incremental view maintenance consumes instead of re-diffing
+        snapshots). Every commit in the range must be an append/insert:
+        an operation that rewrites or logically shadows prior rows
+        (merge/update/delete/replace/compact) makes added-segment reads
+        an unfaithful delta, so those raise instead of returning a wrong
+        feed. Scale shape: O(segments added in range) — no scan of the
+        pre-existing table, pinned by ``inputFiles()`` in tests."""
+        retained = self.versions()
+        for v in (v_from, v_to):
+            if v not in retained:
+                raise ExpiredVersionError(
+                    f"appended_between endpoints must be retained versions "
+                    f"(got {v_from}..{v_to}, retained {retained})"
+                )
+        new_entries: list[dict] = []
+        commit = None
+        for v in range(v_from + 1, v_to + 1):
+            commit = self._commit_at(v, False)
+            if commit.operation not in ("append", "insert"):
+                raise ValueError(
+                    f"appended_between requires append-only history; "
+                    f"version {v} is '{commit.operation}'"
+                )
+            parent_paths = {
+                e["path"] for e in self._commit_at(v - 1, False).files
+            }
+            new_entries.extend(
+                e for e in commit.files if e["path"] not in parent_paths
+            )
+        if not new_entries:
+            return self.read(version=v_to).limit(0)
+        return self._resolve(
+            new_entries, commit.schema_json, commit.bucket_spec
+        )
+
     def merge(
         self,
         source: DataFrame,

@@ -1895,6 +1895,30 @@ def a_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t_par(spark, sf_dir, "orders").select(
         "o_orderkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
     )
+    base = o.select("c", boot_weight_array().alias("warr"))
+    packed = base.agg(
+        *boot_rep_aggs()
+    )  # ONE result row: 2R map-side-combined sums
+    point = F.broadcast(
+        o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.col("c").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 100.0
+            ).alias("point_mean"),
+        )
+    )
+    return boot_report(boot_reps(packed), point)
+
+
+def boot_weight_array():
+    """R-length Poisson(1) weight array for the current row: weights drawn
+    from the seeded portable 60-bit md5 uniform of (replicate,
+    o_orderkey) against exact integer CDF cut points — the shared kernel
+    of ``a_poisson_bootstrap`` and ``st_bootstrap_stream`` (one rule, two
+    tiers)."""
+
     def _w(r):  # Poisson(1) inverse-CDF count for replicate r, capped at 6
         u = F.conv(
             F.substring(
@@ -1924,10 +1948,13 @@ def a_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             0,
         )
 
-    base = o.select(
-        "c",
-        F.transform(F.sequence(F.lit(1), F.lit(_BOOT_R)), _w).alias("warr"),
-    )
+    return F.transform(F.sequence(F.lit(1), F.lit(_BOOT_R)), _w)
+
+
+def boot_rep_aggs() -> list:
+    """The 2R per-replicate sufficient-statistic aggregates (Σw, Σw·c)
+    over a frame carrying (warr, c) — decimal(38,0) exact, map-side
+    combined; additive across any micro-batch split of the rows."""
     aggs = []
     for r in range(1, _BOOT_R + 1):
         wi = F.get(F.col("warr"), r - 1)
@@ -1935,8 +1962,13 @@ def a_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.sum((wi * F.col("c")).cast("decimal(38,0)")).alias(f"wc{r}")
         )
-    packed = base.agg(*aggs)  # ONE result row: 2R map-side-combined sums
-    reps = (
+    return aggs
+
+
+def boot_reps(packed: DataFrame) -> DataFrame:
+    """Unpack the single 2R-column sufficient-statistic row into R
+    (replicate, mean) rows."""
+    return (
         packed.select(
             F.explode(
                 F.array(
@@ -1963,16 +1995,13 @@ def a_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("m"),
         )
     )
-    point = F.broadcast(
-        o.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            (
-                F.sum(F.col("c").cast("decimal(38,0)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-                / 100.0
-            ).alias("point_mean"),
-        )
-    )
+
+
+def boot_report(reps: DataFrame, point: DataFrame) -> DataFrame:
+    """SE + percentile CI over the R-bounded replicate means, folded in
+    pinned replicate order (sort_array + F.aggregate ↔ DuckDB
+    list(ORDER BY r) + list_reduce); ``point`` is a one-row broadcast
+    (n_rows, point_mean) anchor."""
     means = F.sort_array(F.collect_list(F.struct("r", "m")))
     mlist = F.transform(means, lambda s: s["m"])
     rv = F.size(mlist).cast("double")  # valid replicate count
@@ -1983,8 +2012,9 @@ def a_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     ) / (rv - 1.0)
     sorted_means = F.array_sort(mlist)
+    rv_i = F.size(mlist)
     lo_i = F.greatest(F.lit(1), F.round(F.lit(0.025) * rv).cast("int"))
-    hi_i = F.least(F.size(mlist), F.round(F.lit(0.975) * rv).cast("int"))
+    hi_i = F.least(rv_i, F.round(F.lit(0.975) * rv).cast("int"))
     return (
         reps.agg(
             F.round(F.sqrt(var), 6).alias("boot_se"),

@@ -818,6 +818,102 @@ def lh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lh_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a TWO-TABLE JOIN view (the classic
+    materialized-view delta-join rule; Delta Live Tables / Materialize
+    semantics): a revenue-by-priority rollup over orders ⋈ lineitem,
+    maintained O(batch) from BOTH sides' append feeds via
+
+        Δ(O ⋈ L) = ΔO ⋈ L₀  ∪  O₀ ⋈ ΔL  ∪  ΔO ⋈ ΔL
+
+    (the three terms are disjoint, so their aggregate partials ADD). The
+    change inputs come from ``LakeTable.appended_between`` — the added
+    segments of each side's append commit, never a re-diff or rescan of
+    prior batches (``inputFiles``-pinned in tests/test_lakehouse.py).
+    The refresh joins each batch against the OTHER side's pre-batch
+    snapshot plus the batch-batch term, aggregates partials, and
+    full-outer-merges them into the stored view state on the group key
+    — the two-table generalization of ``lh_incremental_rollup``.
+
+    Exactness: per-row revenue quantizes to integer cents with the
+    identical double expression on both engines; sums ride
+    decimal(38,0) ↔ HUGEINT; ONE double division at the end.
+
+    Scale shape: the batch-side joins are O(|Δ| + matching keys) with
+    the delta side broadcastable; the snapshot sides are ordinary pruned
+    scans (at scale: pk-bucketed co-located joins). The view merge is a
+    full-outer on the GROUP key — bounded by the priority vocabulary,
+    not the fact tables.
+
+    Oracle: final states are the WHOLE orders/lineitem tables (the two
+    batches partition each side), so DuckDB recomputes the view from
+    scratch."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+        "l_linenumber",
+    )
+    o_tbl = LakeTable(spark, index_tempdir("lake_ivm_o_"))
+    l_tbl = LakeTable(spark, index_tempdir("lake_ivm_l_"))
+    o_tbl.create_or_replace(orders.filter(F.col("o_orderkey") % 3 < 2))
+    l_tbl.create_or_replace(
+        li.filter(F.col("l_linenumber") <= 3).drop("l_linenumber")
+    )
+    o_tbl.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    l_tbl.append(li.filter(F.col("l_linenumber") > 3).drop("l_linenumber"))
+
+    def partial(joined: DataFrame) -> DataFrame:
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("cents"),
+        )
+
+    view = LakeTable(spark, index_tempdir("lake_ivm_v_"))
+    o0, l0 = o_tbl.read(version=0), l_tbl.read(version=0)
+    view.create_or_replace(
+        partial(o0.join(l0, o0.o_orderkey == l0.l_orderkey))
+    )
+    # ---- the incremental refresh: O(batch) from both change feeds
+    d_o = o_tbl.appended_between(0, 1)
+    d_l = l_tbl.appended_between(0, 1)
+    delta = (
+        partial(d_o.join(l0, d_o.o_orderkey == l0.l_orderkey))
+        .unionByName(partial(o0.join(d_l, o0.o_orderkey == d_l.l_orderkey)))
+        .unionByName(partial(d_o.join(d_l, d_o.o_orderkey == d_l.l_orderkey)))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_items").alias("inc_n"),
+            F.sum("cents").alias("inc_cents"),
+        )
+    )
+    state = view.read()
+    zero = F.lit(0).cast("decimal(38,0)")
+    view.create_or_replace(
+        state.join(delta, "o_orderpriority", "full_outer").select(
+            "o_orderpriority",
+            (
+                F.coalesce("n_items", F.lit(0)) + F.coalesce("inc_n", F.lit(0))
+            ).alias("n_items"),
+            (
+                F.coalesce(F.col("cents"), zero)
+                + F.coalesce(F.col("inc_cents"), zero)
+            ).alias("cents"),
+        )
+    )
+    return (
+        view.read()
+        .select(
+            "o_orderpriority",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # three-commit table for the change-data-feed query (separate from
 # _MERGED_CACHE — the feed's extra commit must not shift the five queries
 # reading that table's latest state)
@@ -1402,6 +1498,7 @@ QUERIES = {
     "lh_zorder_skipping": lh_zorder_skipping,
     "lh_merge_upsert": lh_merge_upsert,
     "lh_incremental_rollup": lh_incremental_rollup,
+    "lh_incremental_join_view": lh_incremental_join_view,
     "lh_time_travel": lh_time_travel,
     "lh_expired_fallback": lh_expired_fallback,
     "lh_history": lh_history,
@@ -1661,6 +1758,16 @@ ORACLE = {
         SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1
+    """,
+    "lh_incremental_join_view": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                          * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0, 2) AS revenue
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
     "lh_time_travel": f"WITH {_MERGED_SQL} SELECT * FROM base",
     "lh_expired_fallback": f"WITH {_MERGED_SQL} SELECT * FROM merged",

@@ -967,6 +967,69 @@ def st_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# orders fixture as multi-file JSON-lines (forces a REAL multi-batch run
+# under maxFilesPerTrigger) — same lifetime contract as _EVENTS_JSON_CACHE
+_ORDERS_JSON_CACHE: dict[str, str] = {}
+
+
+def _orders_json_dir(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _ORDERS_JSON_CACHE:
+        src = os.path.join(index_tempdir("ord_json_"), "orders")
+        t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        ).repartition(4).write.mode("overwrite").json(src)
+        _ORDERS_JSON_CACHE[sf_dir] = src
+    return _ORDERS_JSON_CACHE[sf_dir]
+
+
+def st_bootstrap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tier of the Poisson bootstrap — the statistics family's
+    last batch-only member gets its twin: order rows arrive as a live
+    JSON stream FORCED through multiple micro-batches
+    (maxFilesPerTrigger=2 over a 4-file corpus), each batch contributes
+    its per-replicate (Σw, Σw·c) sufficient-statistic partials to ONE
+    complete-mode global aggregate (bounded state: a single 2R+2-column
+    row), and the harvested totals feed the identical SE/CI fold as the
+    batch tier. Correct under ANY batch split by construction: each
+    row's weights depend only on (replicate, o_orderkey) — the shared
+    ``boot_weight_array`` kernel — and the statistics are sums, so
+    micro-batch partials compose exactly; the oracle is the batch SQL
+    verbatim, and tier equality is pinned in tests.
+
+    Scale shape: per batch O(batch) weight evaluation + a map-side
+    combined global aggregate; nothing keyed, nothing fact-sized in
+    state; the fold runs over the R-bounded harvested row."""
+    from .analytics import boot_rep_aggs, boot_reps, boot_report, boot_weight_array
+
+    stream = (
+        spark.readStream.schema("o_orderkey long, c long")
+        .option("maxFilesPerTrigger", "2")
+        .json(_orders_json_dir(spark, sf_dir))
+    )
+    agg = (
+        stream.select("c", boot_weight_array().alias("warr"))
+        .groupBy()
+        .agg(
+            *boot_rep_aggs(),
+            F.count(F.lit(1)).alias("nrows_"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("sumc_"),
+        )
+    )
+    packed = _run_to_memory(agg, "stboot", "complete")
+    point = F.broadcast(
+        packed.select(
+            F.col("nrows_").alias("n_rows"),
+            (
+                F.col("sumc_").cast("double")
+                / F.col("nrows_").cast("double")
+                / 100.0
+            ).alias("point_mean"),
+        )
+    )
+    return boot_report(boot_reps(packed), point)
+
+
 def st_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup GATE: new documents arrive as a live JSON stream
     and every micro-batch probes the corpus' PERSISTED MinHash band index
@@ -1064,6 +1127,7 @@ QUERIES = {
     "st_drift_stream": st_drift_stream,
     "st_ohlc_stream": st_ohlc_stream,
     "st_ltv_stream": st_ltv_stream,
+    "st_bootstrap_stream": st_bootstrap_stream,
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_scd2_stream": st_scd2_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
@@ -1294,6 +1358,8 @@ ORACLE["st_drift_stream"] = _ANALYTICS_ORACLE["ev_drift_psi"]
 ORACLE["st_ohlc_stream"] = _ANALYTICS_ORACLE["ts_ohlc_resample"]
 # streaming tier of the cohort-LTV curves: batch SQL is the oracle
 ORACLE["st_ltv_stream"] = _ANALYTICS_ORACLE["ev_ltv_cohort"]
+# one rule, two tiers: the streaming bootstrap is batch-SQL-equivalent
+ORACLE["st_bootstrap_stream"] = _ANALYTICS_ORACLE["a_poisson_bootstrap"]
 
 # the streamed SCD2 dimension must equal the batch-maintained one — one
 # oracle, two execution tiers (foreachBatch merges vs direct merges)

@@ -958,3 +958,44 @@ def test_orphan_report_survives_schema_drifted_orphan(spark, tmp_path):
     }
     assert (10, 1, True, False) in rows  # live segment, footer min == data min
     assert (3, None, False, True) in rows  # drifted orphan: scanned, flagged
+
+
+def test_appended_between_reads_only_added_segments(spark, tmp_path):
+    """Round-12 verdict item #5: the incremental-view change input must be
+    O(batch) — `appended_between` resolves ONLY the segments the append
+    commits introduced (inputFiles pin), returns exactly the appended
+    rows, and refuses non-append history (a merge rewrites rows, so
+    added-segment reads would be an unfaithful delta)."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    t.append(spark.createDataFrame([(4, "d"), (5, "e")], "k long, v string"))
+
+    v0_paths = {e["path"] for e in t.commit_at(0).files}
+    delta = t.appended_between(0, 2)
+    assert sorted((r.k, r.v) for r in delta.collect()) == [
+        (3, "c"), (4, "d"), (5, "e"),
+    ]
+    touched = {
+        f.replace("file:", "").replace("///", "/") for f in delta.inputFiles()
+    }
+    assert touched  # non-empty: the pin below must actually bite
+    assert not any(
+        f.startswith(p) for f in touched for p in v0_paths
+    ), "refresh read a base segment"
+
+    # single-batch slice reads only THAT batch's segment
+    one = t.appended_between(1, 2)
+    assert sorted(r.k for r in one.collect()) == [4, 5]
+
+    # empty range → empty frame, stable schema
+    assert t.appended_between(2, 2).count() == 0
+
+    # non-append history refuses
+    t.merge(
+        spark.createDataFrame([(1, "A")], "k long, v string"), pk="k"
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        t.appended_between(0, 3)

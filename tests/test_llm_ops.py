@@ -1981,3 +1981,20 @@ def test_sim_pq_distortion_assignment_is_optimal(spark):
     rows = sim_pq_distortion(spark, sf).collect()
     assert [r.subspace for r in rows] == list(range(8))
     assert all(r.mse >= 0 and r.sse_nano >= 0 for r in rows)
+
+
+def test_bootstrap_stream_matches_batch_tier(spark, sf_dir):
+    """One rule, two tiers: the streaming Poisson bootstrap (multi-batch
+    complete-mode partials) must reproduce the batch tier's report
+    exactly — same weights (shared boot_weight_array kernel), same
+    sufficient statistics, same fold."""
+    from datalake_on_prem_system_spark.operators.analytics import (
+        a_poisson_bootstrap,
+    )
+    from datalake_on_prem_system_spark.operators.streaming_ops import (
+        st_bootstrap_stream,
+    )
+
+    batch = [r.asDict() for r in a_poisson_bootstrap(spark, sf_dir).collect()]
+    stream = [r.asDict() for r in st_bootstrap_stream(spark, sf_dir).collect()]
+    assert stream == batch

@@ -273,6 +273,9 @@ _BNLJ_ALLOWED = {
     # point-estimate anchor: a ONE-ROW aggregate cross-joined onto the
     # ONE-ROW bootstrap summary — constant cost at any fact size
     "a_poisson_bootstrap",
+    # same anchor shape, streaming tier: the harvested ONE-ROW totals
+    # cross-joined onto the ONE-ROW SE/CI summary
+    "st_bootstrap_stream",
     # observation-horizon anchor: a ONE-ROW max-day aggregate cross-joined
     # to the per-user lifetime frame — constant cost at any fact size
     "ev_survival_censored",
