@@ -2695,6 +2695,205 @@ def ev_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value multi-touch attribution — the game-theoretic
+    gold standard next to ``ev_markov_attribution``'s removal-effect
+    model: each converting user's pre-purchase journey reduces to its
+    DISTINCT-channel coalition, the characteristic function v(S) counts
+    conversions whose coalition is covered by S, and each channel's
+    Shapley value φ_i = Σ_{S∌i} |S|!·(n−1−|S|)!·(v(S∪i) − v(S)) / n!
+    credits purchase revenue. v is monotone by construction, so every
+    φ_i ≥ 0.
+
+    Determinism: φ is computed in EXACT integer arithmetic scaled by n!
+    (``shapley_num``), the revenue split is one integer division, and
+    the share is one double division — DuckDB replays the identical
+    coalition algebra (bit_or masks, subset-sum v table, factorial
+    weights), so the compare is exact.
+
+    Scale shape: journeys are the shared ``_markov_journeys`` user-keyed
+    shuffle; per-user coalition masks are ONE bit_or aggregate; the
+    (mask → count) table is bounded by 2^|channels| (vocabulary-bounded;
+    guarded ≤ 2^12) and collected as a driver anchor, where the 2^n·n
+    Shapley sweep is metadata arithmetic; the output re-joins the
+    DISTRIBUTED per-channel user counts with the literal φ table plus
+    the ONE-ROW revenue anchor (allow-listed scalar cross join)."""
+    import math
+
+    jt, _ = _markov_journeys(spark, sf_dir)
+    buyers = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    touches = jt.join(buyers, "user_id").select(
+        "user_id", F.col("event_type").alias("channel")
+    )
+    chans = sorted(
+        r.channel for r in touches.select("channel").distinct().collect()
+    )
+    if len(chans) > 12:
+        raise ValueError(
+            f"shapley attribution needs a bounded channel vocabulary; "
+            f"got {len(chans)} channels (cap 12: 2^n coalition table)"
+        )
+    n = len(chans)
+    bits = {c: 1 << i for i, c in enumerate(chans)}
+    bit_col = F.lit(None).cast("int")
+    for c, b in bits.items():
+        bit_col = F.when(F.col("channel") == c, F.lit(b)).otherwise(bit_col)
+    masks = (
+        touches.select("user_id", bit_col.alias("b"))
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(b)").alias("mask"))
+    )
+    mcnt = {
+        int(r.mask): int(r.n)
+        for r in masks.groupBy("mask").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    v = [0] * (1 << n)
+    for s in range(1 << n):
+        v[s] = sum(c for m, c in mcnt.items() if m & s == m)
+    phi = {}
+    for c in chans:
+        b = bits[c]
+        acc = 0
+        for s in range(1 << n):
+            if s & b:
+                continue
+            k = bin(s).count("1")
+            acc += (
+                math.factorial(k)
+                * math.factorial(n - 1 - k)
+                * (v[s | b] - v[s])
+            )
+        phi[c] = acc  # exact, in units of conversions / n!
+    sphi = sum(phi.values())
+    lit = spark.createDataFrame(
+        sorted(phi.items()), "channel string, shapley_num long"
+    )
+    nu = touches.groupBy("channel").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    cents = F.broadcast(
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("value") * 100).cast("long")), F.lit(0)
+            ).alias("cents")
+        )
+    )
+    return (
+        nu.join(F.broadcast(lit), "channel")
+        .crossJoin(cents)
+        .select(
+            "channel",
+            F.col("n_users").cast("long").alias("n_users"),
+            "shapley_num",
+            F.round(
+                F.col("shapley_num").cast("double") / F.lit(float(sphi)), 6
+            ).alias("shapley_share"),
+            F.expr(
+                f"CAST(CASE WHEN {sphi}L = 0 THEN 0 ELSE "
+                f"(CAST(cents AS DECIMAL(38,0)) * shapley_num) div {sphi}L "
+                f"END AS BIGINT)"
+            ).alias("attributed_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily order-revenue series: the
+    MEDIAN of all pairwise slopes (x_j − x_i)/(t_j − t_i), plus the
+    median-residual intercept — the outlier-resistant complement of
+    ``a_linear_trend``'s OLS line (a single promotional spike day moves
+    OLS but not Theil–Sen; breakdown point 29%).
+
+    Exactness: revenue quantizes to integer cents per day; each slope is
+    ONE double division of exact integers (identical expression tree in
+    DuckDB); the median is EXACT LOWER-MEDIAN SELECTION by rank (group
+    slopes by value → ordered prefix counts → first value whose
+    cumulative count reaches ⌈n/2⌉) — no interpolated percentile, no
+    summation nondeterminism. The intercept repeats the same selection
+    over per-day residuals x_t/100 − slope·t.
+
+    Scale shape: ONE fact-table shuffle (the groupBy day) reduces to the
+    CALENDAR-BOUNDED daily series (~2.5k rows at any SF); the pairwise
+    grid is days² — bounded by the calendar, never by the fact table —
+    built as a broadcast non-equi self-join (allow-listed, domain-
+    bounded), and the two rank selections run over value-grouped frames
+    no larger than the grid. The (min-day, count) and median anchors are
+    one-row broadcast cross joins."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("x"))
+    )
+    anchor = F.broadcast(
+        daily.agg(
+            F.min("day").alias("d0"), F.count(F.lit(1)).alias("n_days")
+        )
+    )
+    pts = daily.crossJoin(anchor).select(
+        F.datediff("day", "d0").alias("ti"), "x", "n_days"
+    )
+    a = pts.select(F.col("ti").alias("ti"), F.col("x").alias("xi"))
+    b = pts.select(F.col("ti").alias("tj"), F.col("x").alias("xj"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("ti") < F.col("tj"))
+        .select(
+            (
+                (F.col("xj") - F.col("xi")).cast("double")
+                / (F.col("tj") - F.col("ti")).cast("double")
+            ).alias("s")
+        )
+    )
+
+    def lower_median(vals: DataFrame, col: str) -> DataFrame:
+        """Exact lower-median by rank selection over value groups (one
+        row per DISTINCT value; the ordered prefix runs on that bounded
+        frame)."""
+        byv = vals.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        tot = F.broadcast(vals.agg(F.count(F.lit(1)).alias("nv")))
+        return (
+            byv.select(col, F.sum("cnt").over(w).alias("cum"))
+            .crossJoin(tot)
+            .filter(F.col("cum") >= F.expr("(nv + 1) div 2"))
+            .agg(F.min(col).alias("med"), F.first("nv").alias("nv"))
+        )
+
+    med_s = F.broadcast(lower_median(slopes, "s"))
+    resid = pts.crossJoin(med_s).select(
+        (
+            F.col("x").cast("double") / 100.0
+            - (F.col("med") / 100.0) * F.col("ti").cast("double")
+        ).alias("r")
+    )
+    med_r = F.broadcast(lower_median(resid, "r"))
+    return (
+        anchor.crossJoin(
+            med_s.select(
+                F.col("med").alias("ms"), F.col("nv").alias("n_pairs")
+            )
+        )
+        .crossJoin(med_r.select(F.col("med").alias("mr")))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("ms") / 100.0, 6).alias("slope_per_day"),
+            F.round("mr", 6).alias("intercept"),
+        )
+    )
+
+
 def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition of the daily revenue series
     (STL-lite): trend = centered 7-day moving average, seasonal = mean
@@ -2900,7 +3099,9 @@ QUERIES = {
     "a_mann_whitney": a_mann_whitney,
     "a_chi_square": a_chi_square,
     "ev_markov_attribution": ev_markov_attribution,
+    "ev_shapley_attribution": ev_shapley_attribution,
     "ts_decompose": ts_decompose,
+    "ts_theil_sen": ts_theil_sen,
     "a_gini": a_gini,
     "a_ks_test": a_ks_test,
     "a_kruskal_wallis": a_kruskal_wallis,
@@ -3498,6 +3699,123 @@ ORACLE = {
     """,
     "a_chi_square": _CHI2_ORACLE,
     "ev_markov_attribution": _markov_oracle_sql(),
+    # exact Shapley: identical coalition algebra (bit_or masks,
+    # subset-sum v, factorial weights, integer revenue division)
+    "ev_shapley_attribution": """
+        WITH ev AS (
+            SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+            FROM events
+        ), fp AS (
+            SELECT user_id, ts_us AS fts, event_id AS fid FROM (
+                SELECT user_id, ts_us, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS rn
+                FROM ev WHERE event_type = 'purchase'
+            ) WHERE rn = 1
+        ), jt AS (
+            SELECT e.user_id, e.event_type FROM ev e
+            LEFT JOIN fp ON fp.user_id = e.user_id
+            WHERE e.event_type != 'purchase'
+              AND (fp.user_id IS NULL
+                   OR (e.ts_us, e.event_id) < (fp.fts, fp.fid))
+        ), buyers AS (
+            SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'
+        ), touches AS (
+            SELECT jt.user_id, jt.event_type AS channel
+            FROM jt JOIN buyers USING (user_id)
+        ), chans AS (
+            SELECT channel,
+                   CAST(1 << (CAST(row_number() OVER (ORDER BY channel)
+                                   AS INTEGER) - 1) AS INTEGER) AS bit
+            FROM (SELECT DISTINCT channel FROM touches)
+        ), nch AS (SELECT CAST(count(*) AS INTEGER) AS n FROM chans
+        ), umask AS (
+            SELECT t.user_id, bit_or(c.bit) AS mask
+            FROM touches t JOIN chans c USING (channel)
+            GROUP BY t.user_id
+        ), mcnt AS (SELECT mask, count(*) AS cnt FROM umask GROUP BY mask
+        ), coal AS (
+            SELECT CAST(u.s AS INTEGER) AS s
+            FROM nch, unnest(range(0, 1 << n)) AS u(s)
+        ), vtab AS (
+            SELECT coal.s, coalesce(sum(m.cnt), 0) AS v
+            FROM coal LEFT JOIN mcnt m ON (m.mask & coal.s) = m.mask
+            GROUP BY coal.s
+        ), phi AS (
+            SELECT c.channel,
+                   CAST(sum(factorial(bit_count(CAST(vs.s AS BIGINT)))
+                            * factorial(n - 1
+                                        - bit_count(CAST(vs.s AS BIGINT)))
+                            * (vi.v - vs.v)) AS BIGINT) AS shapley_num
+            FROM chans c, nch, vtab vs, vtab vi
+            WHERE (vs.s & c.bit) = 0 AND vi.s = (vs.s | c.bit)
+            GROUP BY c.channel
+        ), sphi AS (SELECT sum(shapley_num) AS sp FROM phi
+        ), nu AS (
+            SELECT channel, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM touches GROUP BY channel
+        ), cents AS (
+            SELECT coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0)
+                   AS cents
+            FROM ev WHERE event_type = 'purchase'
+        )
+        SELECT nu.channel, nu.n_users, phi.shapley_num,
+               round(CAST(phi.shapley_num AS DOUBLE) / CAST(sp AS DOUBLE), 6)
+                   AS shapley_share,
+               CAST(CASE WHEN sp = 0 THEN 0
+                    ELSE CAST(cents AS HUGEINT) * phi.shapley_num // sp
+                    END AS BIGINT) AS attributed_cents
+        FROM nu JOIN phi USING (channel), sphi, cents
+        ORDER BY channel
+    """,
+
+    # Theil-Sen: exact lower-median rank selection over the bounded
+    # pairwise-slope grid; identical double expression trees
+    "ts_theil_sen": """
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   sum(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                            AS HUGEINT)) AS x
+            FROM orders GROUP BY 1
+        ), anchor AS (
+            SELECT min(day) AS d0, CAST(count(*) AS BIGINT) AS n_days
+            FROM daily
+        ), pts AS (
+            SELECT CAST(date_diff('day', d0, day) AS INTEGER) AS ti, x
+            FROM daily, anchor
+        ), slopes AS (
+            SELECT CAST(b.x - a.x AS DOUBLE)
+                   / CAST(b.ti - a.ti AS DOUBLE) AS s
+            FROM pts a JOIN pts b ON a.ti < b.ti
+        ), sv AS (
+            SELECT s, count(*) AS cnt FROM slopes GROUP BY s
+        ), sc AS (
+            SELECT s, sum(cnt) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM sv
+        ), stot AS (SELECT count(*) AS nv FROM slopes
+        ), med_s AS (
+            SELECT min(s) AS ms, CAST(min(nv) AS BIGINT) AS n_pairs
+            FROM sc, stot WHERE cum >= (nv + 1) // 2
+        ), resid AS (
+            SELECT CAST(x AS DOUBLE) / 100.0
+                   - (ms / 100.0) * CAST(ti AS DOUBLE) AS r
+            FROM pts, med_s
+        ), rv AS (
+            SELECT r, count(*) AS cnt FROM resid GROUP BY r
+        ), rc AS (
+            SELECT r, sum(cnt) OVER (ORDER BY r
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM rv
+        ), rtot AS (SELECT count(*) AS nv FROM resid
+        ), med_r AS (
+            SELECT min(r) AS mr FROM rc, rtot WHERE cum >= (nv + 1) // 2
+        )
+        SELECT n_days, n_pairs,
+               round(ms / 100.0, 6) AS slope_per_day,
+               round(mr, 6) AS intercept
+        FROM anchor, med_s, med_r
+    """,
     "ts_decompose": _DECOMP_ORACLE,
     "a_gini": _GINI_ORACLE,
     "a_linear_trend": """

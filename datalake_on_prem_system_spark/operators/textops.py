@@ -1176,7 +1176,90 @@ def tx_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAKE_MAX_PHRASE = 3  # standard RAKE candidate cap
+_RAKE_TOP_K = 15
+
+
+def tx_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus: split
+    each document's token stream into candidate phrases at STOPWORD
+    boundaries (phrases capped at 3 words), score each word by
+    degree/frequency over the candidate set (degree = summed length of
+    phrases it occurs in), score each phrase as the sum of its words'
+    scores, and emit the corpus' top-15 keyphrases — the unsupervised
+    keyword tagger between raw term-frequency and the TF-IDF family.
+
+    Exactness: word degree/frequency are exact decimal(38,0) ↔ HUGEINT
+    counts; each word score is ONE double division; the ≤3-term phrase
+    score folds in PINNED word-position order (sort_array(collect_list)
+    + F.aggregate ↔ DuckDB list(ORDER BY pos) + list_reduce); the final
+    ordering is a total order (score, n_occurrences, phrase).
+
+    Scale shape: phrase candidates come from per-row array expressions
+    (mark stopwords → rejoin → split — no UDF, no shuffle); the word
+    stats and phrase rollups are vocabulary-bounded map-side-combined
+    aggregates; the word-score join is vocab-sized; the top-k plans as
+    TakeOrderedAndProject, never a global sort."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda x: x != F.lit(""))
+    marked = F.transform(
+        toks,
+        lambda x: F.when(
+            x.isin(*_STOPWORDS), F.lit("|")
+        ).otherwise(x),
+    )
+    phrases = F.filter(
+        F.transform(
+            F.split(F.array_join(marked, " "), "\\|"), lambda p: F.trim(p)
+        ),
+        lambda p: (p != F.lit(""))
+        & (F.size(F.split(p, " ")) <= _RAKE_MAX_PHRASE),
+    )
+    pc = (
+        docs.select(F.explode(phrases).alias("phrase"))
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"))
+    )
+    pw = pc.select(
+        "phrase",
+        "cnt",
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.posexplode(F.split("phrase", " ")).alias("pos0", "word"),
+    )
+    ws = pw.groupBy("word").agg(
+        (
+            F.sum(F.col("cnt") * F.col("plen")).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("wscore")
+    )
+    psc = (
+        pw.join(ws, "word")
+        .groupBy("phrase")
+        .agg(
+            F.min("cnt").alias("cnt"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos0", "wscore"))),
+                    lambda s: s["wscore"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("score"),
+        )
+    )
+    return (
+        psc.select(
+            "phrase",
+            F.col("cnt").cast("long").alias("n_occurrences"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("n_occurrences"), F.asc("phrase"))
+        .limit(_RAKE_TOP_K)
+    )
+
+
 QUERIES = {
+    "tx_rake_keywords": tx_rake_keywords,
     "tx_heaps_law": tx_heaps_law,
     "tx_vocab_drift": tx_vocab_drift,
     "tx_vocab_build": tx_vocab_build,
@@ -1318,6 +1401,52 @@ _DRIFT_ORACLE = f"""
 """
 
 ORACLE = {
+    # RAKE: identical phrase segmentation (mark stopwords -> rejoin ->
+    # split), HUGEINT degree/frequency, pinned-order phrase-score fold
+    "tx_rake_keywords": """
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '), t -> t != '') AS tk
+            FROM documents
+        ), marked AS (
+            SELECT list_transform(tk, t -> CASE WHEN t IN
+                       ('the', 'a', 'of', 'and', 'in')
+                       THEN '|' ELSE t END) AS mk
+            FROM toks
+        ), segs AS (
+            SELECT trim(u.seg) AS phrase
+            FROM marked,
+                 unnest(string_split(array_to_string(mk, ' '), '|')) AS u(seg)
+        ), cand AS (
+            SELECT phrase FROM segs
+            WHERE phrase != '' AND len(string_split(phrase, ' ')) <= 3
+        ), pc AS (
+            SELECT phrase, CAST(count(*) AS HUGEINT) AS cnt
+            FROM cand GROUP BY phrase
+        ), pw AS (
+            SELECT phrase, cnt, CAST(len(wl) AS HUGEINT) AS plen,
+                   wl[CAST(x.i AS INTEGER)] AS word, CAST(x.i AS INTEGER) AS pos0
+            FROM (SELECT phrase, cnt, string_split(phrase, ' ') AS wl FROM pc),
+                 unnest(range(1, len(wl) + 1)) AS x(i)
+        ), ws AS (
+            SELECT word,
+                   CAST(sum(cnt * plen) AS DOUBLE)
+                   / CAST(sum(cnt) AS DOUBLE) AS wscore
+            FROM pw GROUP BY word
+        ), psc AS (
+            SELECT pw.phrase, min(pw.cnt) AS cnt,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(ws.wscore ORDER BY pw.pos0)),
+                       (a, x) -> a + x) AS score
+            FROM pw JOIN ws USING (word)
+            GROUP BY pw.phrase
+        )
+        SELECT phrase, CAST(cnt AS BIGINT) AS n_occurrences,
+               round(score, 6) AS score
+        FROM psc
+        ORDER BY score DESC, n_occurrences DESC, phrase
+        LIMIT 15
+    """,
     "tx_heaps_law": _HEAPS_ORACLE,
     "tx_vocab_drift": _DRIFT_ORACLE,
     "tx_tokenize_apply": _TOKENIZE_APPLY_SQL,

@@ -1044,3 +1044,73 @@ def test_a_iqr_outliers_hand_computed(spark, tmp_path):
     assert (row["q1"], row["q3"]) == (3.25, 7.75)
     assert (row["lo_fence"], row["hi_fence"]) == (-3.5, 14.5)
     assert (row["n_low_outliers"], row["n_high_outliers"]) == (0, 1)
+
+
+def test_ev_shapley_attribution_hand_computed(spark, tmp_path):
+    """Exact-Shapley pin on a 2-user coalition game: u1 touches
+    {click, view} then converts, u2 touches {click} then converts.
+    v(∅)=0, v({click})=1, v({view})=0, v({click,view})=2 →
+    φ_click = 0!1!(1−0) + 1!0!(2−0) = 3, φ_view = 0 + 1!0!(2−1) = 1
+    (units 1/2!); shares 0.75/0.25; the 2000 purchase cents split
+    1500/500."""
+    events = [
+        (1, _ts(0), 1, "click", 0.0),
+        (2, _ts(1), 1, "view", 0.0),
+        (3, _ts(2), 1, "purchase", 10.0),
+        (4, _ts(0), 2, "click", 0.0),
+        (5, _ts(1), 2, "purchase", 10.0),
+    ]
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ev_shapley_attribution"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ev_shapley_attribution",
+        sdf,
+        con.sql(oracles["ev_shapley_attribution"]).df(),
+    )
+    assert not msg, msg
+    got = {
+        r["channel"]: (
+            r["n_users"], r["shapley_num"], r["shapley_share"],
+            r["attributed_cents"],
+        )
+        for _, r in sdf.iterrows()
+    }
+    assert got == {
+        "click": (2, 3, 0.75, 1500),
+        "view": (1, 1, 0.25, 500),
+    }
+
+
+def test_ts_theil_sen_hand_computed(spark, tmp_path):
+    """Theil–Sen pin on a 4-day series with one outlier day: daily dollars
+    1, 3, 2 at t=0,1,2 and an outlier 10 at t=4. The six pairwise slopes
+    (cents/day) sort to [−100, 50, 200, 225, 233.33…, 400]; the lower
+    median (rank (6+1) div 2 = 3) is 200 → slope 2.0 $/day (the outlier
+    does NOT drag it). Residuals x/100 − 2t = [1, 1, −2, 2] → lower
+    median (rank 2) = 1.0 intercept."""
+    import datetime as _dt
+
+    rows = [
+        (1, 1, _dt.date(2024, 1, 1), 1.0),
+        (2, 1, _dt.date(2024, 1, 2), 3.0),
+        (3, 1, _dt.date(2024, 1, 3), 2.0),
+        (4, 1, _dt.date(2024, 1, 5), 10.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date, "
+        "o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ts_theil_sen"](spark, str(tmp_path)).toPandas()
+    msg = compare("ts_theil_sen", sdf, con.sql(oracles["ts_theil_sen"]).df())
+    assert not msg, msg
+    row = sdf.iloc[0]
+    assert row["n_days"] == 4 and row["n_pairs"] == 6
+    assert row["slope_per_day"] == 2.0
+    assert row["intercept"] == 1.0

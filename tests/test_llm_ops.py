@@ -379,6 +379,10 @@ def test_edge_corpus_matches_oracle_and_does_not_crash(spark, tmp_path):
         "tx_vocab_build", "tx_tokenize_apply", "tx_tokenizer_stats",
         "tx_entropy", "pl_sequence_pack_subword", "cur_temperature_mix",
         "search_typo_tolerant",
+        # round-13: RAKE over the edge corpus — empty docs contribute no
+        # phrases, consecutive stopwords collapse to empty segments,
+        # multi-space runs must not create empty words, digits are words
+        "tx_rake_keywords",
     ]
     for name in names:
         spark.catalog.clearCache()

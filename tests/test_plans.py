@@ -276,6 +276,13 @@ _BNLJ_ALLOWED = {
     # same anchor shape, streaming tier: the harvested ONE-ROW totals
     # cross-joined onto the ONE-ROW SE/CI summary
     "st_bootstrap_stream",
+    # Theil-Sen: the pairwise-slope grid is a broadcast non-equi self-join
+    # of the CALENDAR-BOUNDED daily series (days^2 at any SF), plus the
+    # one-row min-day/count and median anchors
+    "ts_theil_sen",
+    # revenue anchor: the ONE-ROW purchase-cents aggregate cross-joined
+    # onto the vocabulary-bounded per-channel Shapley frame
+    "ev_shapley_attribution",
     # observation-horizon anchor: a ONE-ROW max-day aggregate cross-joined
     # to the per-user lifetime frame — constant cost at any fact size
     "ev_survival_censored",
