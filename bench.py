@@ -188,10 +188,18 @@ HEADLINERS = [
     "g_ktruss",
     "a_iqr_outliers",
     # round-13 additions: the two-table delta-join incremental view
-    # (appended_between change feeds from both sides) and the multi-batch
-    # streaming bootstrap twin
+    # (appended_between change feeds from both sides), the multi-batch
+    # streaming bootstrap + stream-static join-view twins, incremental
+    # ANALYZE (mergeable HLL segment stats), Theil-Sen robust trend,
+    # exact Shapley attribution, RAKE keyphrases, AVI scene-cut detection
     "lh_incremental_join_view",
     "st_bootstrap_stream",
+    "st_join_view_stream",
+    "lh_analyze_incremental",
+    "ts_theil_sen",
+    "ev_shapley_attribution",
+    "tx_rake_keywords",
+    "mm_scene_cuts",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..lakehouse import LakeCatalog, LakeTable, snapshot_diff
 from ..lakehouse.diff import changes_feed
 from .common import index_tempdir, t
+from .relational import _HLL_REL_BOUND
 
 
 def _base_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,6 +819,69 @@ def lh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lh_analyze_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANALYZE TABLE (Iceberg `compute table stats` / Delta
+    `ANALYZE` parity, maintained O(batch)): every write appends a stats
+    row for ITS batch only — rowcount, min/max, and a MERGEABLE
+    HyperLogLog NDV sketch (Apache DataSketches via ``hll_sketch_agg``,
+    stored as a binary column in a stats side-table). Reading table-level
+    statistics is then a segments-bounded rollup: counts SUM, min/max
+    fold exactly, and the NDV sketches combine with ``hll_union_agg`` —
+    register-wise max, so the merged estimate is IDENTICAL to a
+    single-pass whole-table sketch (pinned in tests). This is how column
+    stats stay fresh at 100 TB without ever rescanning history — the
+    stats twin of ``lh_incremental_rollup``.
+
+    Oracle: exact n_rows/NDV/min/max recompute; the engine-specific HLL
+    estimate is checked through its error-bound CONTRACT column (the
+    ``a_hll_distinct`` recipe — DuckDB emits literal TRUE)."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tbl = LakeTable(spark, index_tempdir("lake_anl_"))
+    stats_tbl = LakeTable(spark, index_tempdir("lake_anl_stats_"))
+
+    def stats_of(batch: DataFrame) -> DataFrame:
+        return batch.agg(
+            F.lit("o_custkey").alias("col"),
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    for i in range(3):
+        batch = orders.filter(F.col("o_orderkey") % 3 == i)
+        if i == 0:
+            tbl.create_or_replace(batch)
+            stats_tbl.create_or_replace(stats_of(batch))
+        else:
+            tbl.append(batch)
+            stats_tbl.append(stats_of(batch))
+    merged = stats_tbl.read().groupBy("col").agg(
+        F.hll_sketch_estimate(F.expr("hll_union_agg(sk)")).alias("approx_ndv"),
+        F.sum("n").alias("n_rows"),
+        F.min("mn").alias("min_price"),
+        F.max("mx").alias("max_price"),
+    )
+    exact = F.broadcast(
+        tbl.read().agg(F.countDistinct("o_custkey").alias("exact_ndv"))
+    )
+    return merged.crossJoin(exact).select(
+        "col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("exact_ndv").cast("long").alias("exact_ndv"),
+        (
+            F.abs(F.col("approx_ndv") - F.col("exact_ndv"))
+            <= F.greatest(
+                F.lit(1.0), F.lit(_HLL_REL_BOUND) * F.col("exact_ndv")
+            )
+        ).alias("within_bound"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
 def lh_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of a TWO-TABLE JOIN view (the classic
     materialized-view delta-join rule; Delta Live Tables / Materialize
@@ -1499,6 +1563,7 @@ QUERIES = {
     "lh_merge_upsert": lh_merge_upsert,
     "lh_incremental_rollup": lh_incremental_rollup,
     "lh_incremental_join_view": lh_incremental_join_view,
+    "lh_analyze_incremental": lh_analyze_incremental,
     "lh_time_travel": lh_time_travel,
     "lh_expired_fallback": lh_expired_fallback,
     "lh_history": lh_history,
@@ -1758,6 +1823,15 @@ ORACLE = {
         SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1
+    """,
+    "lh_analyze_incremental": """
+        SELECT 'o_custkey' AS col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_ndv,
+               true AS within_bound,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders
     """,
     "lh_incremental_join_view": """
         SELECT o_orderpriority,

@@ -367,6 +367,94 @@ def mm_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dib_flat(frame: bytes, width: int, height: int):
+    """Strip the DIB stride padding and un-flip the bottom-up rows —
+    the logical top-down pixel byte array."""
+    import numpy as np
+
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(frame, dtype=np.uint8, count=stride * height).reshape(
+        height, stride
+    )[:, : width * 3]
+    return rows[::-1].reshape(-1)
+
+
+_SCENE_CUT_MAD = 33  # mean-abs-diff threshold (pixel-byte units)
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the real AVI corpus — the shot-boundary
+    pass a video curation pipeline runs before frame sampling (sample
+    per SHOT, not per fixed cadence): decode every CONSECUTIVE frame
+    pair through the idx1 index, compute the sum of absolute pixel-byte
+    differences (SAD — the classic shot-boundary metric), and flag a cut
+    where the mean absolute difference exceeds 33 (_SCENE_CUT_MAD)
+    pixel-byte units. Each frame decodes ONCE per asset (the kernel
+    diffs neighbours in sequence), so the cost is O(frames), not
+    O(pairs·frame).
+
+    Exactness: SAD is an exact integer; ``mad`` is its single double
+    division by the pixel count; ``is_cut`` compares integers
+    (sad > thresh·npix), so the boundary row is deterministic.
+
+    Scale shape: one fused ``mapInPandas`` stage per row (mux → demux →
+    SAD), no shuffle; per-asset fan-out bounded by n_frames ≤ 8.
+
+    Oracle: frame *f* pixel *j* is codepoint[(f + j) % len], so DuckDB
+    recomputes every boundary's SAD from codepoint arithmetic alone."""
+    import pandas as pd  # noqa: F401 — required on executors
+
+    docs = t_par(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_a": [], "frame_b": [],
+                "sad": [], "npix": [],
+            }
+            for d, n, txt in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"]):
+                payload = _encode_avi(
+                    int(n) % 9 + 4,
+                    int(n) % 5 + 4,
+                    8 + int(d) % 3 * 4,
+                    int(d) % 5 + 4,
+                    txt.encode("utf-8"),
+                )
+                w, h, _fps, nf = _avi_header(payload)
+                prev = _dib_flat(decode_frame(payload, 0), w, h)
+                for f in range(1, nf):
+                    cur = _dib_flat(decode_frame(payload, f), w, h)
+                    sad = int(
+                        np.abs(cur.astype(np.int64) - prev.astype(np.int64)).sum()
+                    )
+                    out["doc_id"].append(d)
+                    out["frame_a"].append(f - 1)
+                    out["frame_b"].append(f)
+                    out["sad"].append(sad)
+                    out["npix"].append(w * h * 3)
+                    prev = cur
+            yield pd.DataFrame(out)
+
+    raw = docs.mapInPandas(
+        kernel,
+        "doc_id bigint, frame_a int, frame_b int, sad bigint, npix int",
+    )
+    # mad / is_cut as engine expressions: the SQL round convention (not
+    # Python's banker's rounding) and an exact integer cut compare
+    return raw.select(
+        "doc_id",
+        "frame_a",
+        "frame_b",
+        "sad",
+        F.round(F.col("sad").cast("double") / F.col("npix").cast("double"), 6)
+        .alias("mad"),
+        (F.col("sad") > F.lit(_SCENE_CUT_MAD) * F.col("npix")).alias("is_cut"),
+    )
+
+
 def _encode_bmp(width: int, height: int, text_bytes: bytes) -> bytes:
     """Build a REAL 24-bpp uncompressed BMP file: 14-byte file header,
     40-byte BITMAPINFOHEADER, bottom-up pixel rows padded to 4-byte
@@ -849,6 +937,7 @@ QUERIES = {
     "mm_phash_neardup": mm_phash_neardup,
     "mm_wav_decode": mm_wav_decode,
     "mm_video_decode": mm_video_decode,
+    "mm_scene_cuts": mm_scene_cuts,
     "mm_audio_resample": mm_audio_resample,
 }
 
@@ -945,6 +1034,34 @@ ORACLE = {
     # bytes cycle the codepoints with PHASE f (byte j = cp[(f + j) % L]),
     # sampled at the every-3rd-frame cadence — exactly what the AVI
     # round-trip (headers → idx1 random access → DIB strip) must yield
+    "mm_scene_cuts": """
+        WITH src AS (
+            SELECT doc_id,
+                   CAST(n_chars % 9 + 4 AS INTEGER) AS width,
+                   CAST(n_chars % 5 + 4 AS INTEGER) AS height,
+                   CAST(doc_id % 5 + 4 AS INTEGER) AS n_frames,
+                   [unicode(c) for c in string_split(text, '') if c <> ''] AS cp
+            FROM documents
+        ), pairs AS (
+            SELECT doc_id, CAST(f - 1 AS INTEGER) AS frame_a,
+                   CAST(f AS INTEGER) AS frame_b,
+                   width * height * 3 AS npix, cp
+            FROM src, unnest(range(1, CAST(n_frames AS BIGINT))) AS t(f)
+        ), sads AS (
+            SELECT doc_id, frame_a, frame_b, npix,
+                   CAST(CASE WHEN len(cp) = 0 THEN 0 ELSE list_reduce(
+                       list_prepend(0,
+                           [abs(cp[((frame_b + i - 1) % len(cp)) + 1]
+                                - cp[((frame_a + i - 1) % len(cp)) + 1])
+                            for i in range(1, npix + 1)]),
+                       (a, x) -> a + x) END AS BIGINT) AS sad
+            FROM pairs
+        )
+        SELECT doc_id, frame_a, frame_b, sad,
+               round(CAST(sad AS DOUBLE) / CAST(npix AS DOUBLE), 6) AS mad,
+               sad > 33 * npix AS is_cut
+        FROM sads
+    """,
     "mm_video_decode": """
         WITH src AS (
             SELECT doc_id,

@@ -1030,6 +1030,112 @@ def st_bootstrap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boot_report(boot_reps(packed), point)
 
 
+# lineitem change feed as multi-file JSON-lines (forces real multi-batch
+# maintenance) — same lifetime contract as _EVENTS_JSON_CACHE
+_LI_JSON_CACHE: dict[str, str] = {}
+
+
+def _lineitem_json_dir(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _LI_JSON_CACHE:
+        src = os.path.join(index_tempdir("li_json_"), "li")
+        t(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("cents"),
+        ).repartition(4).write.mode("overwrite").json(src)
+        _LI_JSON_CACHE[sf_dir] = src
+    return _LI_JSON_CACHE[sf_dir]
+
+
+def st_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the orders⋈lineitem revenue view — the
+    live tier of ``lh_incremental_join_view`` (one side streams, the
+    other is the static dimension — the Materialize/DLT stream-static
+    join): lineitem changes arrive as a JSON stream FORCED through 4
+    micro-batches (maxFilesPerTrigger=1 over a 4-file feed); every
+    ``foreachBatch`` joins ITS batch against the static orders side,
+    aggregates partials on the group key, and full-outer-merges them
+    into the stored view table — per batch O(|Δ| + group keys), never a
+    rescan of prior batches. Correct under ANY batch split: the join is
+    row-local in lineitem and the aggregates are sums.
+
+    Exactness: the ``lh_incremental_join_view`` recipe verbatim
+    (integer-cent quantization, decimal(38,0) sums, one double division)
+    — its full-recompute oracle IS this query's oracle.
+
+    Scale shape: each micro-batch shuffles only itself (the static side
+    broadcast or co-partitioned by AQE); view state is bounded by the
+    group-key vocabulary; the merge is a metadata-cheap
+    create_or_replace of a vocabulary-sized table."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    view = LakeTable(spark, index_tempdir("lake_jvs_"))
+    stream = (
+        spark.readStream.schema("l_orderkey long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .json(_lineitem_json_dir(spark, sf_dir))
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        part = (
+            orders.join(batch, orders.o_orderkey == batch.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("inc_n"),
+                F.sum(F.col("cents").cast("decimal(38,0)")).alias(
+                    "inc_cents"
+                ),
+            )
+        )
+        if not view.exists():
+            view.create_or_replace(
+                part.select(
+                    "o_orderpriority",
+                    F.col("inc_n").alias("n_items"),
+                    F.col("inc_cents").alias("cents"),
+                )
+            )
+            return
+        state = view.read()
+        zero = F.lit(0).cast("decimal(38,0)")
+        view.create_or_replace(
+            state.join(part, "o_orderpriority", "full_outer").select(
+                "o_orderpriority",
+                (
+                    F.coalesce("n_items", F.lit(0))
+                    + F.coalesce("inc_n", F.lit(0))
+                ).alias("n_items"),
+                (
+                    F.coalesce(F.col("cents"), zero)
+                    + F.coalesce(F.col("inc_cents"), zero)
+                ).alias("cents"),
+            )
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", index_tempdir("jvs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        view.read()
+        .select(
+            "o_orderpriority",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def st_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup GATE: new documents arrive as a live JSON stream
     and every micro-batch probes the corpus' PERSISTED MinHash band index
@@ -1128,6 +1234,7 @@ QUERIES = {
     "st_ohlc_stream": st_ohlc_stream,
     "st_ltv_stream": st_ltv_stream,
     "st_bootstrap_stream": st_bootstrap_stream,
+    "st_join_view_stream": st_join_view_stream,
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_scd2_stream": st_scd2_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
@@ -1360,6 +1467,9 @@ ORACLE["st_ohlc_stream"] = _ANALYTICS_ORACLE["ts_ohlc_resample"]
 ORACLE["st_ltv_stream"] = _ANALYTICS_ORACLE["ev_ltv_cohort"]
 # one rule, two tiers: the streaming bootstrap is batch-SQL-equivalent
 ORACLE["st_bootstrap_stream"] = _ANALYTICS_ORACLE["a_poisson_bootstrap"]
+# stream-static join view == the batch incremental view's full recompute
+from .lakehouse_ops import ORACLE as _LAKEHOUSE_ORACLE  # noqa: E402
+ORACLE["st_join_view_stream"] = _LAKEHOUSE_ORACLE["lh_incremental_join_view"]
 
 # the streamed SCD2 dimension must equal the batch-maintained one — one
 # oracle, two execution tiers (foreachBatch merges vs direct merges)

@@ -999,3 +999,41 @@ def test_appended_between_reads_only_added_segments(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="append-only"):
         t.appended_between(0, 3)
+
+
+def test_incremental_stats_merge_equals_single_pass(spark, tmp_path):
+    """The property lh_analyze_incremental rests on: HLL sketches built
+    per batch and combined with hll_union_agg produce the IDENTICAL
+    estimate as one whole-table sketch (register-wise max), so O(batch)
+    stats maintenance loses nothing vs a full rescan. Also pins one
+    stats row per commit and exact count/min/max folds."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 731).alias("k"),
+        (F.col("id") % 97 * 1.5).alias("p"),
+    )
+    batches = [df.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    stats = LakeTable(spark, str(tmp_path / "stats"))
+    for i, b in enumerate(batches):
+        row = b.agg(
+            F.hll_sketch_agg("k").alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("p").alias("mn"),
+            F.max("p").alias("mx"),
+        )
+        (stats.create_or_replace if i == 0 else stats.append)(row)
+    assert stats.read().count() == 3  # one stats row per commit
+    merged = stats.read().agg(
+        F.hll_sketch_estimate(F.expr("hll_union_agg(sk)")).alias("e"),
+        F.sum("n").alias("n"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    ).head()
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("e")
+    ).head().e
+    assert merged.e == whole  # union of partials == single pass, exactly
+    assert merged.n == 5000
+    assert merged.mn == 0.0 and merged.mx == 96 * 1.5

@@ -255,6 +255,35 @@ def test_decode_frame_avi_roundtrip():
     assert _dib_pixel_sum(decode_frame(empty, 2), 4, 4) == 0
 
 
+def test_scene_cut_sad_hand_computed():
+    """SAD pin through the real demux: consecutive phase-cycled frames
+    differ by |text[(f+1+j)%L] − text[(f+j)%L]| per pixel; verify the
+    kernel's decode-and-diff equals the codepoint arithmetic for every
+    boundary of a known clip."""
+    import numpy as np
+
+    from datalake_on_prem_system_spark.operators.multimodal import (
+        _dib_flat,
+        _encode_avi,
+        decode_frame,
+    )
+
+    text = b"scene cut test"
+    w, h, nf = 4, 4, 5
+    payload = _encode_avi(w, h, 8, nf, text)
+    src = np.frombuffer(text, dtype=np.uint8).astype(np.int64)
+    n = w * h * 3
+    for f in range(1, nf):
+        a = _dib_flat(decode_frame(payload, f - 1), w, h).astype(np.int64)
+        b = _dib_flat(decode_frame(payload, f), w, h).astype(np.int64)
+        got = int(np.abs(b - a).sum())
+        j = np.arange(n)
+        expect = int(
+            np.abs(src[(f + j) % len(src)] - src[(f - 1 + j) % len(src)]).sum()
+        )
+        assert got == expect, (f, got, expect)
+
+
 def test_simhash_skewed_bucket_is_capped_not_exploded(spark, tmp_path):
     """1k docs with IDENTICAL text (one degenerate signature -> one hot
     bucket per band) must not seed an O(k^2) pair explosion: the bucket
@@ -2001,4 +2030,21 @@ def test_bootstrap_stream_matches_batch_tier(spark, sf_dir):
 
     batch = [r.asDict() for r in a_poisson_bootstrap(spark, sf_dir).collect()]
     stream = [r.asDict() for r in st_bootstrap_stream(spark, sf_dir).collect()]
+    assert stream == batch
+
+
+def test_join_view_stream_matches_batch_tier(spark, sf_dir):
+    """One contract, two tiers: the stream-static join view must equal the
+    batch delta-join view exactly (same quantization, same folds)."""
+    from datalake_on_prem_system_spark.operators.lakehouse_ops import (
+        lh_incremental_join_view,
+    )
+    from datalake_on_prem_system_spark.operators.streaming_ops import (
+        st_join_view_stream,
+    )
+
+    batch = [
+        r.asDict() for r in lh_incremental_join_view(spark, sf_dir).collect()
+    ]
+    stream = [r.asDict() for r in st_join_view_stream(spark, sf_dir).collect()]
     assert stream == batch

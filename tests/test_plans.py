@@ -283,6 +283,9 @@ _BNLJ_ALLOWED = {
     # revenue anchor: the ONE-ROW purchase-cents aggregate cross-joined
     # onto the vocabulary-bounded per-channel Shapley frame
     "ev_shapley_attribution",
+    # exact-NDV anchor: the ONE-ROW countDistinct aggregate cross-joined
+    # onto the one-row merged-stats frame (segments-bounded)
+    "lh_analyze_incremental",
     # observation-horizon anchor: a ONE-ROW max-day aggregate cross-joined
     # to the per-user lifetime frame — constant cost at any fact size
     "ev_survival_censored",
