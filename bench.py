@@ -200,6 +200,8 @@ HEADLINERS = [
     "ev_shapley_attribution",
     "tx_rake_keywords",
     "mm_scene_cuts",
+    "sim_mmr_rerank",
+    "st_hll_stream",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

@@ -1614,7 +1614,144 @@ def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 20
+_MMR_K = 5
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    the diversity pass a retrieval stack runs over its top-k: from the
+    exact top-20 cosine candidates of the anchor query, greedily select
+    5 maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) (λ=0.7), so the
+    result covers the embedding space instead of returning 5 near-
+    duplicates of the best hit. Step 1's score is λ·relevance (S empty).
+
+    Determinism: relevance comes from the DISTRIBUTED candidate scan
+    (the sim_brute_topk fold); the greedy runs on the driver over the
+    20-row candidate anchor (k·|C| pairwise dots — metadata arithmetic)
+    with the SAME left-fold dot order Python-side, so every double
+    equals DuckDB's ``list_reduce`` replay; ties break on vec_id. The
+    oracle unrolls the 5 selection steps as materialized CTEs.
+
+    Scale shape: the only data-sized work is the candidate scan (ONE
+    broadcast-query pass + TakeOrdered top-20); selection cost is
+    k·|C|·dim on a bounded anchor regardless of corpus size."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    cand = (
+        vecs.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .withColumn(
+            "rel", _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_CAND)
+        .select("vec_id", "label", "v", "norm", "rel")
+        .collect()
+    )
+    pool = [
+        (int(r.vec_id), int(r.label), list(r.v), float(r.norm), float(r.rel))
+        for r in cand
+    ]
+
+    def _cos(a, b):  # identical left-fold order as the engine/oracle folds
+        s = 0.0
+        for x, y in zip(a[2], b[2]):
+            s = s + x * y
+        return s / (a[3] * b[3])
+
+    selected: list[tuple] = []
+    out_rows = []
+    for rank in range(1, min(_MMR_K, len(pool)) + 1):
+        best = None
+        for c in pool:
+            if any(c[0] == s[0] for s in selected):
+                continue
+            if selected:
+                score = _MMR_LAMBDA * c[4] - (1 - _MMR_LAMBDA) * max(
+                    _cos(c, s) for s in selected
+                )
+            else:
+                score = _MMR_LAMBDA * c[4]
+            key = (-score, c[0])
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        selected.append(best[1])
+        out_rows.append(
+            (rank, best[1][0], best[1][1], best[1][4], best[2])
+        )
+    lit = spark.createDataFrame(
+        out_rows,
+        "rank int, vec_id bigint, label int, rel double, score double",
+    )
+    return lit.select(
+        "rank",
+        "vec_id",
+        "label",
+        F.round("rel", 6).alias("relevance"),
+        F.round("score", 6).alias("mmr_score"),
+    ).orderBy("rank")
+
+
+def _mmr_oracle_sql() -> str:
+    """DuckDB replay of sim_mmr_rerank: top-20 candidates, then the 5
+    greedy selection steps unrolled as materialized CTEs — each step
+    scores the remaining pool against the selected set with the
+    identical fold/λ arithmetic and takes the (score, vec_id) argmax."""
+    pair_cos = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "[c.vec[i] * s.vec[i] for i in range(1, len(c.vec) + 1)]), "
+        "(acc, x) -> acc + x) / (c.norm * s.norm)"
+    )
+    steps = []
+    prev_sel = "sel1"
+    steps.append(
+        f"""sel1 AS MATERIALIZED (
+        SELECT 1 AS rank, vec_id, label, vec, norm, rel,
+               {_MMR_LAMBDA} * rel AS score
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    )
+    for k in range(2, _MMR_K + 1):
+        steps.append(
+            f"""m{k} AS MATERIALIZED (
+        SELECT c.vec_id, c.label, c.vec, c.norm, c.rel,
+               {_MMR_LAMBDA} * c.rel - (1 - {_MMR_LAMBDA}) * max(
+                   {pair_cos}) AS score
+        FROM cand c, {prev_sel} s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_sel})
+        GROUP BY c.vec_id, c.label, c.vec, c.norm, c.rel
+    ),
+    pick{k} AS MATERIALIZED (
+        SELECT {k} AS rank, vec_id, label, vec, norm, rel, score
+        FROM m{k} ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    sel{k} AS MATERIALIZED (
+        SELECT * FROM {prev_sel} UNION ALL SELECT * FROM pick{k}
+    )"""
+        )
+        prev_sel = f"sel{k}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH {_VECS_SQL}, cand AS MATERIALIZED (
+        SELECT a.vec_id, a.label, a.vec, a.norm, {_COS} AS rel
+        FROM n a, (SELECT vec, norm FROM n WHERE vec_id = 0) q
+        WHERE a.vec_id != 0
+        ORDER BY {_COS} DESC, a.vec_id LIMIT {_MMR_CAND}
+    ),
+    {steps_sql}
+    SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+           CAST(label AS INTEGER) AS label,
+           round(rel, 6) AS relevance, round(score, 6) AS mmr_score
+    FROM {prev_sel} ORDER BY rank
+    """
+
+
 QUERIES = {
+    "sim_mmr_rerank": sim_mmr_rerank,
     "sim_brute_topk": sim_brute_topk,
     "sim_range_search": sim_range_search,
     "sim_label_centroids": sim_label_centroids,
@@ -1918,6 +2055,7 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+ORACLE["sim_mmr_rerank"] = _mmr_oracle_sql()
 ORACLE["sim_ann_ivf"] = _ivf_oracle_sql()
 
 

@@ -1030,6 +1030,45 @@ def st_bootstrap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boot_report(boot_reps(packed), point)
 
 
+def st_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user sketch — the live tier of
+    ``a_hll_distinct``: the event stream maintains per-event-type
+    HyperLogLog sketches in ONE complete-mode aggregate (bounded state:
+    one fixed-size sketch per type — the 100 TB replacement for exact
+    streaming COUNT DISTINCT), and the harvested estimates are checked
+    against the exact batch counts through the same 3σ error-bound
+    contract column. Mergeability ACROSS micro-batches is the property
+    under test: register-wise max makes any batch split produce the
+    identical final sketch (the ``lh_analyze_incremental`` pin, live).
+
+    Oracle: exact distinct counts + literal TRUE (the a_hll_distinct
+    recipe — the estimate is engine-specific, its contract is not)."""
+    from .relational import _HLL_REL_BOUND
+
+    stream = _events_stream(spark, _events_json_dir(spark, sf_dir))
+    agg = stream.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "approx_users"
+        )
+    )
+    harvested = _run_to_memory(agg, "sthll", "complete")
+    exact = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return harvested.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(
+                F.lit(1.0), F.lit(_HLL_REL_BOUND) * F.col("exact_users")
+            )
+        ).alias("within_bound"),
+    )
+
+
 # lineitem change feed as multi-file JSON-lines (forces real multi-batch
 # maintenance) — same lifetime contract as _EVENTS_JSON_CACHE
 _LI_JSON_CACHE: dict[str, str] = {}
@@ -1235,6 +1274,7 @@ QUERIES = {
     "st_ltv_stream": st_ltv_stream,
     "st_bootstrap_stream": st_bootstrap_stream,
     "st_join_view_stream": st_join_view_stream,
+    "st_hll_stream": st_hll_stream,
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_scd2_stream": st_scd2_stream,
     "st_cdc_multibatch": st_cdc_multibatch,
@@ -1470,6 +1510,9 @@ ORACLE["st_bootstrap_stream"] = _ANALYTICS_ORACLE["a_poisson_bootstrap"]
 # stream-static join view == the batch incremental view's full recompute
 from .lakehouse_ops import ORACLE as _LAKEHOUSE_ORACLE  # noqa: E402
 ORACLE["st_join_view_stream"] = _LAKEHOUSE_ORACLE["lh_incremental_join_view"]
+# sketch contract is engine-side; the oracle checks exact counts + TRUE
+from .relational import ORACLE as _RELATIONAL_ORACLE  # noqa: E402
+ORACLE["st_hll_stream"] = _RELATIONAL_ORACLE["a_hll_distinct"]
 
 # the streamed SCD2 dimension must equal the batch-maintained one — one
 # oracle, two execution tiers (foreachBatch merges vs direct merges)

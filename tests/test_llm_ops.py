@@ -2048,3 +2048,78 @@ def test_join_view_stream_matches_batch_tier(spark, sf_dir):
     ]
     stream = [r.asDict() for r in st_join_view_stream(spark, sf_dir).collect()]
     assert stream == batch
+
+
+def test_mmr_rerank_diversifies_over_pure_relevance(spark, tmp_path):
+    """MMR pin on a constructed corpus: v1=[.8,.6,0,0] (rel .8), v2 a
+    near-duplicate of v1 (sim≈1), v3=[.8,0,.6,0] (same rel .8, but
+    sim(v3,v1)=.64). Pure relevance ranks [1,2,3]; MMR must demote the
+    near-duplicate: step-2 scores are .7·.8−.3·1≈.26 for v2 vs
+    .7·.8−.3·.64=.368 for v3 → selection order [1, 3, 2]. The oracle
+    compare runs on the same fixture (unrolled greedy CTEs)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_correctness import compare
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.8, 0.6, 0.0, 0.0], 0),
+        (2, [0.8, 0.6, 0.0001, 0.0], 1),
+        (3, [0.8, 0.0, 0.6, 0.0], 2),
+    ]
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    spark.createDataFrame(vecs, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["sim_mmr_rerank"](spark, str(tmp_path)).toPandas()
+    msg = compare("sim_mmr_rerank", sdf, con.sql(oracles["sim_mmr_rerank"]).df())
+    assert not msg, msg
+    assert list(sdf["vec_id"]) == [1, 3, 2]  # near-dup demoted to last
+
+
+def test_hll_stream_matches_batch_sketch_exactly(spark, sf_dir):
+    """The streaming sketch's cross-batch merge must equal the batch
+    single-pass sketch estimate per key — register-wise max loses
+    nothing to the micro-batch split."""
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.operators.common import t
+    from datalake_on_prem_system_spark.operators.streaming_ops import (
+        _events_json_dir,
+        _events_stream,
+        _run_to_memory,
+    )
+
+    stream = _events_stream(spark, _events_json_dir(spark, sf_dir))
+    agg = stream.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    )
+    live = {
+        r.event_type: r.e
+        for r in _run_to_memory(agg, "sthll_pin", "complete").collect()
+    }
+    batch = {
+        r.event_type: r.e
+        for r in t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"))
+        .collect()
+    }
+    assert live == batch
