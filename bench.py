@@ -202,6 +202,9 @@ HEADLINERS = [
     "mm_scene_cuts",
     "sim_mmr_rerank",
     "st_hll_stream",
+    "a_welch_ttest",
+    "search_highlight",
+    "mm_audio_vad",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

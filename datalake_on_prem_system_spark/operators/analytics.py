@@ -2125,6 +2125,68 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (URGENT vs LOW order totals) — the
+    parametric partner of ``a_mann_whitney`` over the same two samples,
+    with the Welch–Satterthwaite degrees of freedom. What an
+    experimentation stack reports when the normal approximation is
+    acceptable but variances are not poolable.
+
+    Exactness: per-group sufficient statistics (n, Σv, Σv²) accumulate
+    as decimal(38,0) ↔ HUGEINT over integer cents; the sample-variance
+    NUMERATOR n·Σv² − (Σv)² stays exact integer; each group then pays
+    exactly two double divisions (variance, then /n), and t / df are
+    built from those with an IDENTICAL expression tree in DuckDB —
+    rounded to 6 once at the end.
+
+    Scale shape: ONE map-side-combined aggregate over the filtered fact
+    table (two grouped rows); everything after is one-row arithmetic
+    (allow-listed scalar cross join)."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("s2"),
+    )
+    a = g.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("s2").alias("q1")
+    )
+    b = g.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("n").alias("n2"), F.col("s").alias("s2_"), F.col("s2").alias("q2")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    # exact integer variance numerators, ONE division each, then /n
+    var1 = (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n1") * (F.col("n1") - 1)).cast("double")
+    var2 = (F.col("n2") * F.col("q2") - F.col("s2_") * F.col("s2_")).cast(
+        "double"
+    ) / (F.col("n2") * (F.col("n2") - 1)).cast("double")
+    vn1 = var1 / n1d
+    vn2 = var2 / n2d
+    m1 = F.col("s1").cast("double") / n1d
+    m2 = F.col("s2_").cast("double") / n2d
+    tstat = (m1 - m2) / F.sqrt(vn1 + vn2)
+    df = (vn1 + vn2) * (vn1 + vn2) / (
+        vn1 * vn1 / (n1d - 1.0) + vn2 * vn2 / (n2d - 1.0)
+    )
+    return j.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round((m1 - m2) / 100.0, 6).alias("mean_diff"),
+        F.round(tstat, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+    )
+
+
 def a_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test: do URGENT orders carry a different
     totalprice distribution than LOW-priority orders? The standard
@@ -3097,6 +3159,7 @@ QUERIES = {
     "a_approx_quantiles": a_approx_quantiles,
     "ts_autocorrelation": ts_autocorrelation,
     "a_mann_whitney": a_mann_whitney,
+    "a_welch_ttest": a_welch_ttest,
     "a_chi_square": a_chi_square,
     "ev_markov_attribution": ev_markov_attribution,
     "ev_shapley_attribution": ev_shapley_attribution,
@@ -3699,6 +3762,43 @@ ORACLE = {
     """,
     "a_chi_square": _CHI2_ORACLE,
     "ev_markov_attribution": _markov_oracle_sql(),
+    # Welch t: exact HUGEINT sufficient statistics, identical double tree
+    "a_welch_ttest": """
+        WITH g AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                            AS HUGEINT)) AS s,
+                   sum(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                            AS HUGEINT)
+                       * CAST(floor(o_totalprice * 100) AS BIGINT)) AS q
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            GROUP BY o_orderpriority
+        ), a AS (SELECT n AS n1, s AS s1, q AS q1 FROM g
+                 WHERE o_orderpriority = '1-URGENT'),
+           b AS (SELECT n AS n2, s AS s2_, q AS q2 FROM g
+                 WHERE o_orderpriority = '5-LOW'),
+           x AS (
+            SELECT n1, n2,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                   CAST(s2_ AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                   CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                   / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE) AS vn1,
+                   CAST(n2 * q2 - s2_ * s2_ AS DOUBLE)
+                   / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE) AS vn2
+            FROM a, b
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               round((m1 - m2) / 100.0, 6) AS mean_diff,
+               round((m1 - m2) / sqrt(vn1 + vn2), 6) AS t_stat,
+               round((vn1 + vn2) * (vn1 + vn2)
+                     / (vn1 * vn1 / (CAST(n1 AS DOUBLE) - 1.0)
+                        + vn2 * vn2 / (CAST(n2 AS DOUBLE) - 1.0)), 6)
+                   AS welch_df
+        FROM x
+    """,
+
     # exact Shapley: identical coalition algebra (bit_or masks,
     # subset-sum v, factorial weights, integer revenue division)
     "ev_shapley_attribution": """

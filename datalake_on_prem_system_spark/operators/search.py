@@ -456,6 +456,42 @@ def search_phrase_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
 
 
+def search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet generation over the ranked hit set — the highlight pass a
+    search UI runs after ranking (ES ``highlight`` parity): for each
+    phrase-ranked hit, locate the FIRST occurrence of the query's head
+    token in the indexed text and emit the ±3-token window around it
+    plus the match position. Completes the serve flow: postings →
+    rank → rejoin → highlight.
+
+    Determinism: token arrays are the same whitespace split both
+    engines use; the window is pure integer arithmetic
+    (greatest/least-clamped slice) and the snippet a join of that exact
+    slice — no scoring doubles anywhere.
+
+    Scale shape: the hit set is top-50 → broadcast semi-ish join into
+    the two-column index table; tokenize/slice run only on the ≤50
+    joined rows (candidates-only, the E2 verify shape)."""
+    idx = search_source(spark, sf_dir)
+    hits = search_phrase_ranked(spark, sf_dir).select("doc_id")
+    tk = idx.join(F.broadcast(hits), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    p = F.array_position(F.col("tk"), "table").cast("int")
+    tk = tk.select("doc_id", "tk", p.alias("first_pos")).filter(
+        F.col("first_pos") > 0
+    )
+    start = F.greatest(F.lit(1), F.col("first_pos") - 3)
+    end = F.least(F.size("tk"), F.col("first_pos") + 3)
+    return tk.select(
+        "doc_id",
+        "first_pos",
+        F.array_join(F.slice("tk", start, end - start + 1), " ").alias(
+            "snippet"
+        ),
+    ).orderBy("doc_id")
+
+
 def search_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: top-50 ranked hit ids rejoined (semi) to the authoritative table —
     the ES-hits → SQL IN-list flow (api_poc.py:397-403). Hit set is tiny ⇒
@@ -808,6 +844,7 @@ QUERIES = {
     "search_faceted": search_faceted,
     "search_phrase_ranked": search_phrase_ranked,
     "search_rejoin": search_rejoin,
+    "search_highlight": search_highlight,
     "search_bm25": search_bm25,
     "search_more_like_this": search_more_like_this,
     "search_incremental_sync": search_incremental_sync,
@@ -907,6 +944,34 @@ ORACLE = {
         WHERE {_TEXT} LIKE '%spark%' AND {_TEXT} LIKE '%merge%'
         GROUP BY 1, 2
         ORDER BY n_hits DESC, source ASC, lang ASC
+    """,
+    "search_highlight": f"""
+        WITH hits AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       10 * (CASE WHEN {_TEXT} LIKE '%table scan%'
+                             THEN 1 ELSE 0 END)
+                       + (CASE WHEN {_TEXT} LIKE '%table%' THEN 1 ELSE 0 END)
+                       + (CASE WHEN {_TEXT} LIKE '%scan%' THEN 1 ELSE 0 END)
+                           AS score
+                FROM documents)
+            WHERE score > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 50
+        ), tok AS (
+            SELECT d.doc_id, string_split({_TEXT}, ' ') AS tk
+            FROM documents d JOIN hits USING (doc_id)
+        ), pos AS (
+            SELECT doc_id, tk,
+                   CAST(list_position(tk, 'table') AS INTEGER) AS first_pos
+            FROM tok
+        )
+        SELECT doc_id, first_pos,
+               array_to_string(
+                   tk[greatest(1, first_pos - 3)
+                      :least(len(tk), first_pos + 3)], ' ') AS snippet
+        FROM pos
+        WHERE first_pos IS NOT NULL AND first_pos > 0
+        ORDER BY doc_id
     """,
     "search_phrase_ranked": f"""
         SELECT doc_id, score FROM (

@@ -1114,3 +1114,37 @@ def test_ts_theil_sen_hand_computed(spark, tmp_path):
     assert row["n_days"] == 4 and row["n_pairs"] == 6
     assert row["slope_per_day"] == 2.0
     assert row["intercept"] == 1.0
+
+
+def test_a_welch_ttest_hand_computed(spark, tmp_path):
+    """Welch pin: URGENT cents [100,200,300] (mean 200, var 10000), LOW
+    [100,500] (mean 300, var 80000) → mean_diff −1.00 dollars,
+    t = −100/√(10000/3 + 40000) ≈ −0.480384, Welch–Satterthwaite
+    df ≈ 1.16955."""
+    import datetime as _dt
+
+    rows = [
+        (1, 1, "1-URGENT", _dt.date(2024, 1, 1), 1.0),
+        (2, 1, "1-URGENT", _dt.date(2024, 1, 2), 2.0),
+        (3, 1, "1-URGENT", _dt.date(2024, 1, 3), 3.0),
+        (4, 1, "5-LOW", _dt.date(2024, 1, 1), 1.0),
+        (5, 1, "5-LOW", _dt.date(2024, 1, 2), 5.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["a_welch_ttest"](spark, str(tmp_path)).toPandas()
+    msg = compare("a_welch_ttest", sdf, con.sql(oracles["a_welch_ttest"]).df())
+    assert not msg, msg
+    row = sdf.iloc[0]
+    assert row["n1"] == 3 and row["n2"] == 2
+    assert row["mean_diff"] == -1.0
+    assert row["t_stat"] == -0.480384
+    assert row["welch_df"] == 1.16955

@@ -412,6 +412,14 @@ def test_edge_corpus_matches_oracle_and_does_not_crash(spark, tmp_path):
         # phrases, consecutive stopwords collapse to empty segments,
         # multi-space runs must not create empty words, digits are words
         "tx_rake_keywords",
+        # highlight: substring-of-token hits (tablescan) have NO token
+        # match and must drop; the double-space phrase doc still windows
+        "search_highlight",
+        # audio/video edge parity: the empty doc encodes as silence
+        # (all -32768 samples / zero pixels) — VAD marks it fully active
+        # by |x| (both engines agree), scene diffs are all zero
+        "mm_audio_vad",
+        "mm_scene_cuts",
     ]
     for name in names:
         spark.catalog.clearCache()

@@ -286,6 +286,9 @@ _BNLJ_ALLOWED = {
     # exact-NDV anchor: the ONE-ROW countDistinct aggregate cross-joined
     # onto the one-row merged-stats frame (segments-bounded)
     "lh_analyze_incremental",
+    # two ONE-ROW per-group sufficient-statistic frames cross-joined —
+    # constant cost at any fact size
+    "a_welch_ttest",
     # observation-horizon anchor: a ONE-ROW max-day aggregate cross-joined
     # to the per-user lifetime frame — constant cost at any fact size
     "ev_survival_censored",
