@@ -205,6 +205,8 @@ HEADLINERS = [
     "a_welch_ttest",
     "search_highlight",
     "mm_audio_vad",
+    "ts_trend_outliers",
+    "g_powerlaw_fit",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

@@ -2956,6 +2956,70 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_trend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend-adjusted outlier DAYS — ``ts_decompose``'s detrending
+    composed with ``a_iqr_outliers``'s Tukey fences (the decomposition →
+    anomaly lifecycle): a raw-revenue fence flags every day of a growth
+    period, so the census runs on the DETRENDED series d_t = 7·x_t −
+    Σ_{t−3..t+3} x (exact integers, no division inside the series), and
+    emits the days whose detrended value falls outside the 1.5·IQR
+    fences with their direction.
+
+    Determinism: quartiles of d use the exact cross-engine-stable
+    ``percentile`` interpolation rounded to 4 (the a_iqr precedent);
+    fences stay unrounded (identical IEEE arithmetic from identical
+    inputs); membership compares doubles both engines derived the same
+    way.
+
+    Scale shape: one fact shuffle reduces to the calendar-bounded daily
+    series; the window, quartiles, and census all run on that bounded
+    frame; output is the outlier days only."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("x"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    det = (
+        daily.withColumn("tsum", F.sum("x").over(w7))
+        .withColumn("tcnt", F.count(F.lit(1)).over(w7))
+        .filter(F.col("tcnt") == 7)
+        .select(
+            "day",
+            "x",
+            (F.lit(7).cast("decimal(38,0)") * F.col("x") - F.col("tsum"))
+            .cast("double")
+            .alias("d"),
+        )
+    )
+    fences = F.broadcast(
+        det.agg(
+            F.round(F.percentile("d", F.lit(0.25)), 4).alias("q1"),
+            F.round(F.percentile("d", F.lit(0.75)), 4).alias("q3"),
+        ).select(
+            (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+            (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+        )
+    )
+    return (
+        det.crossJoin(fences)
+        .filter((F.col("d") < F.col("lo")) | (F.col("d") > F.col("hi")))
+        .select(
+            "day",
+            F.round(F.col("x").cast("double") / 100.0, 2).alias("revenue"),
+            F.col("d").cast("long").alias("detrended_x7"),
+            F.when(F.col("d") < F.col("lo"), F.lit("low"))
+            .otherwise(F.lit("high"))
+            .alias("direction"),
+        )
+        .orderBy("day")
+    )
+
+
 def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition of the daily revenue series
     (STL-lite): trend = centered 7-day moving average, seasonal = mean
@@ -3164,6 +3228,7 @@ QUERIES = {
     "ev_markov_attribution": ev_markov_attribution,
     "ev_shapley_attribution": ev_shapley_attribution,
     "ts_decompose": ts_decompose,
+    "ts_trend_outliers": ts_trend_outliers,
     "ts_theil_sen": ts_theil_sen,
     "a_gini": a_gini,
     "a_ks_test": a_ks_test,
@@ -3915,6 +3980,38 @@ ORACLE = {
                round(ms / 100.0, 6) AS slope_per_day,
                round(mr, 6) AS intercept
         FROM anchor, med_s, med_r
+    """,
+    # detrended Tukey census: exact integer detrending, a_iqr quartile rule
+    "ts_trend_outliers": """
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   sum(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                            AS HUGEINT)) AS x
+            FROM orders GROUP BY 1
+        ), tr AS (
+            SELECT day, x,
+                   sum(x) OVER (ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tsum,
+                   count(*) OVER (ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tcnt
+            FROM daily
+        ), det AS (
+            SELECT day, x, CAST(7 * x - tsum AS DOUBLE) AS d
+            FROM tr WHERE tcnt = 7
+        ), q AS (
+            SELECT round(quantile_cont(d, 0.25), 4) AS q1,
+                   round(quantile_cont(d, 0.75), 4) AS q3
+            FROM det
+        ), f AS (
+            SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+            FROM q
+        )
+        SELECT day, round(CAST(x AS DOUBLE) / 100.0, 2) AS revenue,
+               CAST(d AS BIGINT) AS detrended_x7,
+               CASE WHEN d < lo THEN 'low' ELSE 'high' END AS direction
+        FROM det, f
+        WHERE d < lo OR d > hi
+        ORDER BY day
     """,
     "ts_decompose": _DECOMP_ORACLE,
     "a_gini": _GINI_ORACLE,

@@ -1653,6 +1653,119 @@ _HITS_ORACLE = f"""
 """
 
 
+def g_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law fit over the co-supply graph: OLS of
+    ln n_k on ln k across the degree histogram (n_k ∝ k^−α ⇒ slope −α)
+    — the scale-free diagnostic read next to ``g_rich_club`` and
+    ``g_assortativity``, and the graph sibling of ``tx_heaps_law``'s
+    log-log fit (shared recipe: exact integer histogram upstream, a
+    pinned-order fold of the bounded points, one slope division).
+
+    Scale shape: ONE degree aggregate over the shared edge frame, then a
+    histogram bounded by the number of DISTINCT degree values (a few
+    hundred at any scale); the fit folds those points in degree order —
+    no data-sized sort, no unbounded window.
+
+    Exactness: n_nodes/n_edges/max_degree are exact integers
+    (Σn_k, Σk·n_k/2, max k); the fold adds ln doubles in pinned degree
+    order with the identical expression tree in DuckDB."""
+    return degree_powerlaw(_cosupply_edges(spark, sf_dir))
+
+
+def degree_powerlaw(edges: DataFrame) -> DataFrame:
+    """The fit over any undirected edge list (u < v, distinct); see
+    ``g_powerlaw_fit``. Hand-pinned in tests/test_graph.py."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hist = deg.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_k")
+    )
+    init = F.struct(
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxy"),
+        F.lit(0.0).alias("sxx"),
+        F.lit(0.0).alias("k"),
+    )
+
+    def step(acc, e):
+        x = F.log(e["deg"].cast("double"))
+        y = F.log(e["n_k"].cast("double"))
+        return F.struct(
+            (acc["sx"] + x).alias("sx"),
+            (acc["sy"] + y).alias("sy"),
+            (acc["sxy"] + x * y).alias("sxy"),
+            (acc["sxx"] + x * x).alias("sxx"),
+            (acc["k"] + 1).alias("k"),
+        )
+
+    fitted = hist.agg(
+        F.sum("n_k").alias("n_nodes"),
+        (
+            F.sum(F.col("deg").cast("decimal(38,0)") * F.col("n_k"))
+            / F.lit(2).cast("decimal(38,0)")
+        ).alias("n_edges"),
+        F.max("deg").alias("max_degree"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("deg", "n_k"))), init, step
+        ).alias("st"),
+    )
+    slope = (
+        F.col("st.k") * F.col("st.sxy") - F.col("st.sx") * F.col("st.sy")
+    ) / (
+        F.col("st.k") * F.col("st.sxx") - F.col("st.sx") * F.col("st.sx")
+    )
+    return fitted.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("max_degree").cast("int").alias("max_degree"),
+        F.round(-slope, 6).alias("alpha"),
+    )
+
+
+_POWERLAW_ORACLE = f"""
+    WITH {_COSUPPLY_CTES},
+    nodes AS (
+        SELECT u AS node FROM cos_edges
+        UNION ALL SELECT v AS node FROM cos_edges
+    ),
+    deg AS (SELECT node, count(*) AS deg FROM nodes GROUP BY node),
+    hist AS (
+        SELECT deg, CAST(count(*) AS HUGEINT) AS n_k FROM deg GROUP BY deg
+    ),
+    fit AS (
+        SELECT sum(n_k) AS n_nodes,
+               sum(CAST(deg AS HUGEINT) * n_k) // 2 AS n_edges,
+               max(deg) AS max_degree,
+               CAST(count(*) AS DOUBLE) AS k,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(ln(CAST(deg AS DOUBLE)) ORDER BY deg)),
+                   (a, x) -> a + x) AS sx,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(ln(CAST(n_k AS DOUBLE)) ORDER BY deg)),
+                   (a, x) -> a + x) AS sy,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(ln(CAST(deg AS DOUBLE)) * ln(CAST(n_k AS DOUBLE))
+                        ORDER BY deg)),
+                   (a, x) -> a + x) AS sxy,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(ln(CAST(deg AS DOUBLE)) * ln(CAST(deg AS DOUBLE))
+                        ORDER BY deg)),
+                   (a, x) -> a + x) AS sxx
+        FROM hist
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(max_degree AS INTEGER) AS max_degree,
+           round(-((k * sxy - sx * sy) / (k * sxx - sx * sx)), 6) AS alpha
+    FROM fit
+"""
+
+
 def g_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficient curve over the co-supply graph: for each
     degree threshold k, RC(k) = 2·E_k / (N_k·(N_k−1)) where N_k counts
@@ -1949,6 +2062,7 @@ _RICH_CLUB_ORACLE = f"""
 QUERIES = {
     "g_pagerank": g_pagerank,
     "g_rich_club": g_rich_club,
+    "g_powerlaw_fit": g_powerlaw_fit,
     "g_square_count": g_square_count,
     "g_ktruss": g_ktruss,
     "g_triangle_count": g_triangle_count,
@@ -2047,6 +2161,7 @@ _EMBED_ORACLE = f"""
 ORACLE = {
     "g_assortativity": _ASSORT_ORACLE,
     "g_rich_club": _RICH_CLUB_ORACLE,
+    "g_powerlaw_fit": _POWERLAW_ORACLE,
     "g_square_count": _SQUARE_ORACLE,
     "g_ktruss": _ktruss_oracle_sql(),
     "g_clustering_coefficient": _CLUSTER_ORACLE,

@@ -1148,3 +1148,38 @@ def test_a_welch_ttest_hand_computed(spark, tmp_path):
     assert row["mean_diff"] == -1.0
     assert row["t_stat"] == -0.480384
     assert row["welch_df"] == 1.16955
+
+
+def test_ts_trend_outliers_hand_computed(spark, tmp_path):
+    """Detrended-fence pin: 15 flat $1.00 days with a $10.00 spike at day
+    8. Full 7-day windows exist for days 4–12; detrended values are 0 at
+    the edges (spike outside the window), 100−1000 = −900 for the six
+    spike-adjacent flat days, and 6·1000−600 = 5400 for the spike. The
+    fences from q1=−900, q3=0 are [−2250, 1350], so ONLY the spike day
+    flags, direction 'high'."""
+    import datetime as _dt
+
+    rows = [
+        (i, 1, _dt.date(2024, 1, i), 10.0 if i == 8 else 1.0)
+        for i in range(1, 16)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date, "
+        "o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ts_trend_outliers"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ts_trend_outliers", sdf, con.sql(oracles["ts_trend_outliers"]).df()
+    )
+    assert not msg, msg
+    assert len(sdf) == 1
+    row = sdf.iloc[0]
+    assert row["revenue"] == 10.0
+    assert row["detrended_x7"] == 5400
+    assert row["direction"] == "high"

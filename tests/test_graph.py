@@ -536,3 +536,18 @@ def test_ktruss_hand_computed(spark):
         [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "u bigint, v bigint"
     )
     assert ktruss_edges(diamond, 4, 8).count() == 0
+
+
+def test_degree_powerlaw_hand_computed(spark):
+    """Power-law fit pin on the star K1,4: histogram {deg 1: 4 nodes,
+    deg 4: 1 node} gives log-log points (0, ln4) and (ln4, 0) — a line
+    of slope exactly −1, so alpha = 1.0; n_nodes 5, n_edges 4,
+    max_degree 4."""
+    from datalake_on_prem_system_spark.operators.graph_ops import degree_powerlaw
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "u bigint, v bigint"
+    )
+    row = degree_powerlaw(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.max_degree) == (5, 4, 4)
+    assert row.alpha == 1.0

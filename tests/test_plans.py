@@ -289,6 +289,9 @@ _BNLJ_ALLOWED = {
     # two ONE-ROW per-group sufficient-statistic frames cross-joined —
     # constant cost at any fact size
     "a_welch_ttest",
+    # fence anchor: the ONE-ROW quartile aggregate cross-joined onto the
+    # calendar-bounded detrended series
+    "ts_trend_outliers",
     # observation-horizon anchor: a ONE-ROW max-day aggregate cross-joined
     # to the per-user lifetime frame — constant cost at any fact size
     "ev_survival_censored",
