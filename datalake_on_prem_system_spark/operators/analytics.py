@@ -2906,7 +2906,14 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = daily.crossJoin(anchor).select(
         F.datediff("day", "d0").alias("ti"), "x", "n_days"
     )
-    a = pts.select(F.col("ti").alias("ti"), F.col("x").alias("xi"))
+    # spread the stream side BEFORE the broadcast non-equi join: AQE
+    # coalesces the 2.4k-row daily frame to ONE partition, which would put
+    # all days² predicate evaluations + slope divisions on one core
+    # (measured 3s+4s single-core at sf0.1)
+    par = spark.sparkContext.defaultParallelism
+    a = pts.repartition(par).select(
+        F.col("ti").alias("ti"), F.col("x").alias("xi")
+    )
     b = pts.select(F.col("ti").alias("tj"), F.col("x").alias("xj"))
     slopes = (
         a.join(F.broadcast(b), F.col("ti") < F.col("tj"))
@@ -2918,41 +2925,89 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def lower_median(vals: DataFrame, col: str) -> DataFrame:
-        """Exact lower-median by rank selection over value groups (one
-        row per DISTINCT value; the ordered prefix runs on that bounded
-        frame)."""
-        byv = vals.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-        tot = F.broadcast(vals.agg(F.count(F.lit(1)).alias("nv")))
+    def lower_median(vals: DataFrame, col: str, cache_key: str) -> DataFrame:
+        """Exact lower-median by rank selection over value groups, with
+        the TWO-LEVEL prefix rule (the a_mann_whitney recipe): the value
+        range splits into ~4096 width-buckets from a one-row (min, max)
+        anchor, the running count is an intra-bucket window
+        (distributed) plus cumulative offsets over the ~4096 one-row
+        bucket totals — no single partition ever sorts the full distinct
+        domain (days² slope values here). Selection semantics are
+        UNCHANGED (first value whose global rank reaches ⌈n/2⌉), so the
+        oracle keeps its plain single-window form. Raw rows rank
+        directly (cnt=1 — slope values are nearly all distinct, so a
+        value-grouping shuffle would save nothing); the frame is
+        PERSISTED because it feeds the range anchor, the bucket totals,
+        and the intra ranks — the days² pair join above it must derive
+        once, not once per consumer."""
+        from ._cache import persist_bounded
+
+        byv = persist_bounded(
+            vals.select(F.col(col), F.lit(1).alias("cnt")), cache_key
+        )
+        rng = F.broadcast(
+            byv.agg(
+                F.min(col).alias("mn"),
+                F.max(col).alias("mx"),
+                F.sum("cnt").alias("nv"),
+            )
+        )
+        width = F.greatest(
+            (F.col("mx") - F.col("mn")) / F.lit(4096.0), F.lit(1e-12)
+        )
+        bucketed = byv.crossJoin(rng).withColumn(
+            "b", F.floor((F.col(col) - F.col("mn")) / width).cast("long")
+        )
+        intra = (
+            Window.partitionBy("b")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        boff = (
+            bucketed.groupBy("b")
+            .agg(F.sum("cnt").alias("bn"))
+            .withColumn(
+                "off",
+                F.coalesce(
+                    F.sum("bn").over(
+                        Window.orderBy("b").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("b", "off")
+        )
         return (
-            byv.select(col, F.sum("cnt").over(w).alias("cum"))
-            .crossJoin(tot)
-            .filter(F.col("cum") >= F.expr("(nv + 1) div 2"))
+            bucketed.withColumn("icum", F.sum("cnt").over(intra))
+            .join(boff, "b")
+            .filter(
+                F.col("off") + F.col("icum") >= F.expr("(nv + 1) div 2")
+            )
             .agg(F.min(col).alias("med"), F.first("nv").alias("nv"))
         )
 
-    med_s = F.broadcast(lower_median(slopes, "s"))
-    resid = pts.crossJoin(med_s).select(
+    # each median is ONE ROW — collect it as a bounded scalar anchor (the
+    # a_heavy_hitters rule) so the days² pair join derives exactly once;
+    # left as a broadcast frame, its three downstream consumers would each
+    # re-derive the whole slope pipeline (measured 3× cost at sf0.1)
+    ms_row = lower_median(slopes, "s", f"ts_theil_s:{sf_dir}").head()
+    med_s, n_pairs = float(ms_row.med), int(ms_row.nv)
+    resid = pts.select(
         (
             F.col("x").cast("double") / 100.0
-            - (F.col("med") / 100.0) * F.col("ti").cast("double")
+            - (F.lit(med_s) / 100.0) * F.col("ti").cast("double")
         ).alias("r")
     )
-    med_r = F.broadcast(lower_median(resid, "r"))
-    return (
-        anchor.crossJoin(
-            med_s.select(
-                F.col("med").alias("ms"), F.col("nv").alias("n_pairs")
-            )
-        )
-        .crossJoin(med_r.select(F.col("med").alias("mr")))
-        .select(
-            F.col("n_days").cast("long").alias("n_days"),
-            F.col("n_pairs").cast("long").alias("n_pairs"),
-            F.round(F.col("ms") / 100.0, 6).alias("slope_per_day"),
-            F.round("mr", 6).alias("intercept"),
-        )
+    med_r = float(
+        lower_median(resid, "r", f"ts_theil_r:{sf_dir}").head().med
+    )
+    return anchor.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        F.round(F.lit(med_s) / 100.0, 6).alias("slope_per_day"),
+        F.round(F.lit(med_r), 6).alias("intercept"),
     )
 
 

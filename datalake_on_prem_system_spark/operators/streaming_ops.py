@@ -975,10 +975,13 @@ _ORDERS_JSON_CACHE: dict[str, str] = {}
 def _orders_json_dir(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _ORDERS_JSON_CACHE:
         src = os.path.join(index_tempdir("ord_json_"), "orders")
+        # 16 files / 8 per trigger: two real micro-batches, each scanning
+        # 8 input splits — the R-md5s-per-row weight kernel parallelizes
+        # across cores instead of running a whole batch on 2 splits
         t(spark, sf_dir, "orders").select(
             "o_orderkey",
             F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
-        ).repartition(4).write.mode("overwrite").json(src)
+        ).repartition(16).write.mode("overwrite").json(src)
         _ORDERS_JSON_CACHE[sf_dir] = src
     return _ORDERS_JSON_CACHE[sf_dir]
 
@@ -1004,7 +1007,7 @@ def st_bootstrap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema("o_orderkey long, c long")
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", "8")
         .json(_orders_json_dir(spark, sf_dir))
     )
     agg = (
