@@ -207,6 +207,7 @@ HEADLINERS = [
     "mm_audio_vad",
     "ts_trend_outliers",
     "g_powerlaw_fit",
+    "g_modularity",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

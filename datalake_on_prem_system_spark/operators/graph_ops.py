@@ -1653,6 +1653,123 @@ _HITS_ORACLE = f"""
 """
 
 
+def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA communities over the co-supply
+    graph — the detect → SCORE half of the community lifecycle (is the
+    partition ``g_label_propagation`` found actually better than random
+    rewiring?). Q = Σ_c [e_c/m − (d_c/2m)²] collapses to PURE INTEGER
+    sufficient statistics: Q = (4m·E_intra − Σ_c d_c²) / (4m²), where
+    E_intra counts intra-community edges and d_c sums member degrees —
+    so the whole score is three exact integer aggregates and ONE double
+    division (no per-community double fold, no community-count bound
+    anywhere in the arithmetic).
+
+    Scale shape: the 3-round deterministic LPA (shared kernel), one
+    edge×labels join for E_intra (two broadcast-able label lookups), one
+    degree join for the d_c rollup; anchors are one-row cross joins
+    (allow-listed).
+
+    Oracle: replays the unrolled LPA CTE chain and the identical integer
+    formula."""
+    return modularity_score(_cosupply_edges(spark, sf_dir))
+
+
+def modularity_score(edges: DataFrame) -> DataFrame:
+    """Q over any undirected edge list (u < v, distinct) with 3-round
+    LPA labels; see ``g_modularity``. Hand-pinned in tests/test_graph.py
+    (two disjoint triangles → perfect partition, Q = 0.5)."""
+    lab = label_propagation(edges)
+    lu = lab.select(F.col("node").alias("u"), F.col("label").alias("lab_u"))
+    lv = lab.select(F.col("node").alias("v"), F.col("label").alias("lab_v"))
+    em = F.broadcast(
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+            F.sum(
+                (F.col("lab_u") == F.col("lab_v")).cast("decimal(38,0)")
+            ).alias("e_in"),
+        )
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dc = (
+        deg.join(lab, "node")
+        .groupBy("label")
+        .agg(F.sum(F.col("deg").cast("decimal(38,0)")).alias("d_c"))
+    )
+    dstats = F.broadcast(
+        dc.agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(F.col("d_c") * F.col("d_c")).alias("sum_dc2"),
+        )
+    )
+    four_m2 = F.lit(4).cast("decimal(38,0)") * F.col("m") * F.col("m")
+    num = (
+        F.lit(4).cast("decimal(38,0)") * F.col("m") * F.col("e_in")
+        - F.col("sum_dc2")
+    )
+    return em.crossJoin(dstats).select(
+        F.col("n_communities").cast("long").alias("n_communities"),
+        F.col("m").cast("long").alias("n_edges"),
+        F.col("e_in").cast("long").alias("intra_edges"),
+        F.round(
+            num.cast("double") / four_m2.cast("double"), 6
+        ).alias("modularity"),
+    )
+
+
+_MODULARITY_ORACLE_TMPL = """
+    WITH {ctes},
+    bi AS (
+        SELECT u AS src, v AS dst FROM cos_edges
+        UNION ALL SELECT v, u FROM cos_edges
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM bi),
+    {steps},
+    lab AS (SELECT node, label FROM l{iters}),
+    em AS (
+        SELECT CAST(count(*) AS HUGEINT) AS m,
+               CAST(sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS e_in
+        FROM cos_edges e
+        JOIN lab a ON a.node = e.u
+        JOIN lab b ON b.node = e.v
+    ),
+    deg AS (
+        SELECT src AS node, count(*) AS deg FROM bi GROUP BY src
+    ),
+    dc AS (
+        SELECT lab.label, CAST(sum(deg) AS HUGEINT) AS d_c
+        FROM deg JOIN lab USING (node) GROUP BY lab.label
+    ),
+    ds AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_communities,
+               sum(d_c * d_c) AS sum_dc2
+        FROM dc
+    )
+    SELECT n_communities, CAST(m AS BIGINT) AS n_edges,
+           CAST(e_in AS BIGINT) AS intra_edges,
+           round(CAST(4 * m * e_in - sum_dc2 AS DOUBLE)
+                 / CAST(4 * m * m AS DOUBLE), 6) AS modularity
+    FROM em, ds
+"""
+
+
+def _modularity_oracle_sql() -> str:
+    steps = ", ".join(
+        f"l{k} AS ({_LPA_ORACLE_STEP.format(prev=('l0' if k == 1 else f'l{k - 1}'))})"
+        for k in range(1, _LPA_ITERS + 1)
+    )
+    return _MODULARITY_ORACLE_TMPL.format(
+        ctes=_COSUPPLY_CTES, steps=steps, iters=_LPA_ITERS
+    )
+
+
 def g_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-distribution power-law fit over the co-supply graph: OLS of
     ln n_k on ln k across the degree histogram (n_k ∝ k^−α ⇒ slope −α)
@@ -2063,6 +2180,7 @@ QUERIES = {
     "g_pagerank": g_pagerank,
     "g_rich_club": g_rich_club,
     "g_powerlaw_fit": g_powerlaw_fit,
+    "g_modularity": g_modularity,
     "g_square_count": g_square_count,
     "g_ktruss": g_ktruss,
     "g_triangle_count": g_triangle_count,
@@ -2162,6 +2280,7 @@ ORACLE = {
     "g_assortativity": _ASSORT_ORACLE,
     "g_rich_club": _RICH_CLUB_ORACLE,
     "g_powerlaw_fit": _POWERLAW_ORACLE,
+    "g_modularity": _modularity_oracle_sql(),
     "g_square_count": _SQUARE_ORACLE,
     "g_ktruss": _ktruss_oracle_sql(),
     "g_clustering_coefficient": _CLUSTER_ORACLE,

@@ -551,3 +551,18 @@ def test_degree_powerlaw_hand_computed(spark):
     row = degree_powerlaw(edges).collect()[0]
     assert (row.n_nodes, row.n_edges, row.max_degree) == (5, 4, 4)
     assert row.alpha == 1.0
+
+
+def test_modularity_hand_computed(spark):
+    """Modularity pin on two disjoint triangles: 3-round deterministic
+    LPA converges to the perfect 2-community partition (labels 1 and 4);
+    m=6, per community e_c=3 and d_c=6, so
+    Q = 2·(3/6 − (6/12)²) = 0.5 exactly."""
+    from datalake_on_prem_system_spark.operators.graph_ops import modularity_score
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)], "u bigint, v bigint"
+    )
+    row = modularity_score(edges).collect()[0]
+    assert (row.n_communities, row.n_edges, row.intra_edges) == (2, 6, 6)
+    assert row.modularity == 0.5

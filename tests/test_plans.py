@@ -292,6 +292,9 @@ _BNLJ_ALLOWED = {
     # fence anchor: the ONE-ROW quartile aggregate cross-joined onto the
     # calendar-bounded detrended series
     "ts_trend_outliers",
+    # modularity anchors: the ONE-ROW (m, E_intra) and (n_comm, Σd_c²)
+    # aggregates cross-joined — constant cost at any graph size
+    "g_modularity",
     # observation-horizon anchor: a ONE-ROW max-day aggregate cross-joined
     # to the per-user lifetime frame — constant cost at any fact size
     "ev_survival_censored",
