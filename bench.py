@@ -208,6 +208,8 @@ HEADLINERS = [
     "ts_trend_outliers",
     "g_powerlaw_fit",
     "g_modularity",
+    "ev_conversion_lag",
+    "lh_constraint_report",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

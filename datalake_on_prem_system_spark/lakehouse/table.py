@@ -1510,6 +1510,76 @@ class LakeTable:
             return {}
         return self._read_commit(latest).properties or {}
 
+    def validate_constraints(self) -> DataFrame:
+        """Audit the CURRENT table state against every declared
+        ``constraint.<name>`` property — the validation half of Delta's
+        two-step ``ALTER TABLE ADD CONSTRAINT`` flow (a constraint added
+        via ``set_properties`` is metadata-only; write-time enforcement
+        only covers rows written AFTER it). Returns one row per
+        constraint: total rows, definite-FALSE violations, NULL/unknown
+        rows (which PASS under SQL CHECK three-valued logic), and
+        whether enforcement could be enabled losslessly.
+
+        Scale shape: ONE table scan with all constraints evaluated as
+        map-side-combined conditional sums; the per-constraint unpack is
+        an explode of a constraints-bounded one-row struct array."""
+        props = self.properties() or {}
+        checks = {
+            k[len(CONSTRAINT_PREFIX):]: v
+            for k, v in props.items()
+            if k.startswith(CONSTRAINT_PREFIX)
+        }
+        names = sorted(checks)
+        df = self.read()
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for i, name in enumerate(names):
+            cond = F.expr(checks[name])
+            aggs.append(
+                F.sum(F.when(cond == F.lit(False), 1).otherwise(0)).alias(
+                    f"v{i}"
+                )
+            )
+            aggs.append(
+                F.sum(F.when(cond.isNull(), 1).otherwise(0)).alias(f"u{i}")
+            )
+        packed = df.agg(*aggs)
+        if not names:
+            return packed.select(
+                F.lit(None).cast("string").alias("constraint"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+            ).limit(0).select(
+                "constraint",
+                "n_rows",
+                F.lit(0).cast("long").alias("n_violations"),
+                F.lit(0).cast("long").alias("n_unknown"),
+                F.lit(True).alias("would_pass"),
+            )
+        return (
+            packed.select(
+                "n_rows",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(name).alias("constraint"),
+                                F.col(f"v{i}").alias("n_violations"),
+                                F.col(f"u{i}").alias("n_unknown"),
+                            )
+                            for i, name in enumerate(names)
+                        ]
+                    )
+                ).alias("s"),
+            )
+            .select(
+                F.col("s.constraint").alias("constraint"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("s.n_violations").cast("long").alias("n_violations"),
+                F.col("s.n_unknown").cast("long").alias("n_unknown"),
+                (F.col("s.n_violations") == 0).alias("would_pass"),
+            )
+            .orderBy("constraint")
+        )
+
     def set_properties(self, props: dict[str, str]) -> Commit:
         """Metadata-only commit: merge ``props`` into the table's
         properties without touching data (Iceberg ``UpdateProperties`` /

@@ -2867,6 +2867,58 @@ def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert histogram: for every converting user, the lag from
+    their FIRST event of any type to their FIRST purchase, bucketed into
+    whole days, with the cumulative share of converters per bucket — the
+    "how long does the funnel take" curve every growth stack reads next
+    to ``ev_funnel`` (median-lag targeting, re-engagement timing).
+
+    Exactness: first-event/first-purchase resolve on the (ts, event_id)
+    tiebreak (the _markov_journeys rule); the lag is integer microseconds
+    bucketed by integer division; the cumulative share is ONE double
+    division per bucket over exact integer prefix counts.
+
+    Scale shape: ONE user-keyed aggregate (both firsts in the same
+    groupBy — no join), then a day-bounded histogram; the cumulative
+    window runs on that bounded frame."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts_us", "event_id")).alias("fa"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.struct("ts_us", "event_id"),
+            )
+        ).alias("fp"),
+    )
+    lags = firsts.filter(F.col("fp").isNotNull()).select(
+        F.expr("(fp.ts_us - fa.ts_us) div 86400000000").alias("lag_days")
+    )
+    hist = lags.groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = Window.orderBy("lag_days").rowsBetween(Window.unboundedPreceding, 0)
+    tot = F.broadcast(lags.agg(F.count(F.lit(1)).alias("nv")))
+    return (
+        hist.withColumn("cum", F.sum("n_users").over(w))
+        .crossJoin(tot)
+        .select(
+            F.col("lag_days").cast("long").alias("lag_days"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(
+                F.col("cum").cast("double") / F.col("nv").cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+_THEIL_GEN: dict[str, float] = {}
+
+
 def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend of the daily order-revenue series: the
     MEDIAN of all pairwise slopes (x_j − x_i)/(t_j − t_i), plus the
@@ -2992,6 +3044,21 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a_heavy_hitters rule) so the days² pair join derives exactly once;
     # left as a broadcast frame, its three downstream consumers would each
     # re-derive the whole slope pipeline (measured 3× cost at sf0.1)
+    # mtime-guarded cache generation: a fixture regenerated IN PLACE must
+    # not be served stale ranked slopes — Spark's cache is keyed by
+    # LOGICAL PLAN (unchanged on an in-place rewrite), so the old
+    # generation's entries are explicitly RELEASED on an mtime change
+    # (the _cosupply_edges rule), not merely re-keyed
+    import os as _os
+
+    from ._cache import release as _release
+
+    _src = _os.path.join(sf_dir, "orders.parquet")
+    _gen = _os.path.getmtime(_src) if _os.path.exists(_src) else 0.0
+    if _THEIL_GEN.get(sf_dir) not in (None, _gen):
+        _release(f"ts_theil_s:{sf_dir}")
+        _release(f"ts_theil_r:{sf_dir}")
+    _THEIL_GEN[sf_dir] = _gen
     ms_row = lower_median(slopes, "s", f"ts_theil_s:{sf_dir}").head()
     med_s, n_pairs = float(ms_row.med), int(ms_row.nv)
     resid = pts.select(
@@ -3281,6 +3348,7 @@ QUERIES = {
     "a_welch_ttest": a_welch_ttest,
     "a_chi_square": a_chi_square,
     "ev_markov_attribution": ev_markov_attribution,
+    "ev_conversion_lag": ev_conversion_lag,
     "ev_shapley_attribution": ev_shapley_attribution,
     "ts_decompose": ts_decompose,
     "ts_trend_outliers": ts_trend_outliers,
@@ -3882,6 +3950,33 @@ ORACLE = {
     """,
     "a_chi_square": _CHI2_ORACLE,
     "ev_markov_attribution": _markov_oracle_sql(),
+    # conversion-lag histogram: (ts, event_id)-tiebroken firsts, integer
+    # day buckets, exact prefix counts
+    "ev_conversion_lag": """
+        WITH ev AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+            FROM events
+        ), firsts AS (
+            SELECT user_id,
+                   min({'ts_us': ts_us, 'event_id': event_id}) AS fa,
+                   min(CASE WHEN event_type = 'purchase'
+                       THEN {'ts_us': ts_us, 'event_id': event_id} END) AS fp
+            FROM ev GROUP BY user_id
+        ), lags AS (
+            SELECT (fp.ts_us - fa.ts_us) // 86400000000 AS lag_days
+            FROM firsts WHERE fp IS NOT NULL
+        ), hist AS (
+            SELECT lag_days, CAST(count(*) AS BIGINT) AS n_users
+            FROM lags GROUP BY lag_days
+        ), tot AS (SELECT count(*) AS nv FROM lags)
+        SELECT CAST(lag_days AS BIGINT) AS lag_days, n_users,
+               round(CAST(sum(n_users) OVER (ORDER BY lag_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS DOUBLE) / CAST(nv AS DOUBLE), 6) AS cum_share
+        FROM hist, tot
+        ORDER BY lag_days
+    """,
+
     # Welch t: exact HUGEINT sufficient statistics, identical double tree
     "a_welch_ttest": """
         WITH g AS (

@@ -819,6 +819,43 @@ def lh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lh_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation audit — the missing half of the CHECK-
+    constraint lifecycle (write-time enforcement is live via
+    ``constraint.*`` properties; this is Delta's "ADD CONSTRAINT must
+    validate existing rows" step): stage a customer table, attach three
+    CANDIDATE constraints via a metadata-only ``set_properties`` commit
+    (deliberately NOT enforced retroactively), and report per constraint
+    the definite-FALSE violations, the NULL/unknown rows (which PASS
+    under SQL CHECK three-valued logic — exercised by a NULLIF
+    expression), and whether enforcement could be enabled losslessly.
+
+    Scale shape: ONE scan, all constraints as map-side-combined
+    conditional sums (``LakeTable.validate_constraints``); the unpack is
+    a constraints-bounded explode.
+
+    Oracle: the staged state is exactly the customer table, so DuckDB
+    recomputes each census directly."""
+    table = LakeTable(spark, index_tempdir("lake_ck_"))
+    table.create_or_replace(
+        t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+        )
+    )
+    table.set_properties(
+        {
+            "constraint.bal_nonneg": "bal >= 0",
+            "constraint.key_positive": "c_custkey > 0",
+            # NULL for BUILDING rows (unknown → passes), FALSE for
+            # MACHINERY — pins the three-valued CHECK semantics
+            "constraint.seg_rule": (
+                "nullif(c_mktsegment, 'BUILDING') != 'MACHINERY'"
+            ),
+        }
+    )
+    return table.validate_constraints()
+
+
 def lh_analyze_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANALYZE TABLE (Iceberg `compute table stats` / Delta
     `ANALYZE` parity, maintained O(batch)): every write appends a stats
@@ -1564,6 +1601,7 @@ QUERIES = {
     "lh_incremental_rollup": lh_incremental_rollup,
     "lh_incremental_join_view": lh_incremental_join_view,
     "lh_analyze_incremental": lh_analyze_incremental,
+    "lh_constraint_report": lh_constraint_report,
     "lh_time_travel": lh_time_travel,
     "lh_expired_fallback": lh_expired_fallback,
     "lh_history": lh_history,
@@ -1823,6 +1861,41 @@ ORACLE = {
         SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1
+    """,
+    "lh_constraint_report": """
+        WITH c AS (
+            SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+            FROM customer
+        ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM c)
+        SELECT 'bal_nonneg' AS "constraint",
+               n_rows,
+               (SELECT CAST(sum(CASE WHEN NOT (bal >= 0) THEN 1 ELSE 0 END)
+                       AS BIGINT) FROM c) AS n_violations,
+               CAST(0 AS BIGINT) AS n_unknown,
+               (SELECT sum(CASE WHEN NOT (bal >= 0) THEN 1 ELSE 0 END) = 0
+                FROM c) AS would_pass
+        FROM n
+        UNION ALL
+        SELECT 'key_positive', n_rows,
+               (SELECT CAST(sum(CASE WHEN NOT (c_custkey > 0) THEN 1 ELSE 0
+                            END) AS BIGINT) FROM c),
+               CAST(0 AS BIGINT),
+               (SELECT sum(CASE WHEN NOT (c_custkey > 0) THEN 1 ELSE 0
+                           END) = 0 FROM c)
+        FROM n
+        UNION ALL
+        SELECT 'seg_rule', n_rows,
+               (SELECT CAST(sum(CASE WHEN (nullif(c_mktsegment, 'BUILDING')
+                                           != 'MACHINERY') = false
+                                     THEN 1 ELSE 0 END) AS BIGINT) FROM c),
+               (SELECT CAST(sum(CASE WHEN (nullif(c_mktsegment, 'BUILDING')
+                                           != 'MACHINERY') IS NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) FROM c),
+               (SELECT sum(CASE WHEN (nullif(c_mktsegment, 'BUILDING')
+                                      != 'MACHINERY') = false
+                           THEN 1 ELSE 0 END) = 0 FROM c)
+        FROM n
+        ORDER BY "constraint"
     """,
     "lh_analyze_incremental": """
         SELECT 'o_custkey' AS col,

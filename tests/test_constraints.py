@@ -122,3 +122,53 @@ def test_malformed_constraint_raises_loudly_never_skips(spark, tmp_path):
             _df(spark, [(1, 1.0)]), properties={"constraint.bad": "x >< 0"}
         )
     assert not t.exists()
+
+
+def test_validate_constraints_three_valued_and_lifecycle(spark, tmp_path):
+    """The ADD CONSTRAINT validation flow: constraints attached via
+    set_properties are metadata-only (existing violations survive, clean
+    appends still enforce batch-locally), and validate_constraints
+    reports definite-FALSE violations separately from NULL/unknown rows
+    (which pass, SQL CHECK semantics)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datalake_on_prem_system_spark.lakehouse import LakeTable
+    from datalake_on_prem_system_spark.lakehouse.table import CheckViolation
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(1, 5.0, "A"), (2, -3.0, "B"), (3, None, "A")],
+            "k long, bal double, seg string",
+        )
+    )
+    # no constraints declared -> empty report with a stable schema
+    assert t.validate_constraints().count() == 0
+
+    t.set_properties(
+        {
+            "constraint.bal_nonneg": "bal >= 0",
+            "constraint.key_positive": "k > 0",
+        }
+    )
+    rep = {
+        r.constraint: (r.n_rows, r.n_violations, r.n_unknown, r.would_pass)
+        for r in t.validate_constraints().collect()
+    }
+    # row 2 violates; row 3's NULL bal is UNKNOWN and passes
+    assert rep["bal_nonneg"] == (3, 1, 1, False)
+    assert rep["key_positive"] == (3, 0, 0, True)
+
+    # write-time enforcement covers NEW batches only: a clean append
+    # succeeds despite the pre-existing violation...
+    t.append(spark.createDataFrame([(4, 1.0, "C")], "k long, bal double, seg string"))
+    # ...and a violating append is rejected
+    with _pytest.raises(CheckViolation):
+        t.append(
+            spark.createDataFrame([(5, -9.0, "C")], "k long, bal double, seg string")
+        )
+    rep2 = {
+        r.constraint: r.n_violations for r in t.validate_constraints().collect()
+    }
+    assert rep2["bal_nonneg"] == 1  # still just the legacy row

@@ -1183,3 +1183,25 @@ def test_ts_trend_outliers_hand_computed(spark, tmp_path):
     assert row["revenue"] == 10.0
     assert row["detrended_x7"] == 5400
     assert row["direction"] == "high"
+
+
+def test_ev_conversion_lag_hand_computed(spark, tmp_path):
+    """Lag pin: u1's first event precedes their purchase by 2 days 1 h →
+    bucket 2; u2's FIRST event is the purchase itself → lag 0; u3 never
+    converts and is excluded. Cum shares 0.5 then 1.0."""
+    events = [
+        (1, _ts(0), 1, "click", 0.0),
+        (2, _ts(60 * 24 * 2 + 60), 1, "purchase", 5.0),
+        (3, _ts(0), 2, "purchase", 5.0),
+        (4, _ts(10), 2, "view", 0.0),
+        (5, _ts(0), 3, "view", 0.0),
+    ]
+    con = _write_events(spark, tmp_path, events)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ev_conversion_lag"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ev_conversion_lag", sdf, con.sql(oracles["ev_conversion_lag"]).df()
+    )
+    assert not msg, msg
+    got = [tuple(r) for r in sdf.itertuples(index=False)]
+    assert got == [(0, 1, 0.5), (2, 1, 1.0)]

@@ -295,6 +295,9 @@ _BNLJ_ALLOWED = {
     # modularity anchors: the ONE-ROW (m, E_intra) and (n_comm, Σd_c²)
     # aggregates cross-joined — constant cost at any graph size
     "g_modularity",
+    # converter-total anchor: the ONE-ROW count cross-joined onto the
+    # day-bounded lag histogram
+    "ev_conversion_lag",
     # observation-horizon anchor: a ONE-ROW max-day aggregate cross-joined
     # to the per-user lifetime frame — constant cost at any fact size
     "ev_survival_censored",
