@@ -210,6 +210,7 @@ HEADLINERS = [
     "g_modularity",
     "ev_conversion_lag",
     "lh_constraint_report",
+    "ts_mann_kendall",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

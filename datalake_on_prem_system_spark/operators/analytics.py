@@ -2867,6 +2867,76 @@ def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on the daily revenue series — the
+    nonparametric "is there a monotone trend at all" hypothesis test
+    read BEFORE ``ts_theil_sen``'s slope estimate (the two are the
+    classic pair: MK decides, Theil–Sen quantifies). S = Σ_{i<j}
+    sign(x_j − x_i) with the tie-corrected normal approximation
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 and the standard
+    continuity correction on z.
+
+    Exactness: S and both variance terms are EXACT integers (the sign
+    sum over the calendar-bounded pair grid, the tie fold over the
+    value histogram); z is one sqrt + one division on doubles built
+    from those integers — identical tree in DuckDB.
+
+    Scale shape: the same spread broadcast pair grid as ``ts_theil_sen``
+    (days² bounded by the calendar at any SF); ties reduce on a
+    value-bounded histogram; everything else is one-row arithmetic
+    (allow-listed scalar cross joins)."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("x"))
+    )
+    par = spark.sparkContext.defaultParallelism
+    a = daily.repartition(par).select(
+        F.col("day").alias("di"), F.col("x").alias("xi")
+    )
+    b = daily.select(F.col("day").alias("dj"), F.col("x").alias("xj"))
+    s_row = F.broadcast(
+        a.join(F.broadcast(b), F.col("di") < F.col("dj"))
+        .agg(
+            F.sum(
+                F.when(F.col("xj") > F.col("xi"), 1)
+                .when(F.col("xj") < F.col("xi"), -1)
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("s_stat")
+        )
+    )
+    nt = F.broadcast(
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("tsize"))
+        .agg(
+            F.sum("tsize").alias("n"),
+            F.sum(
+                F.col("tsize")
+                * (F.col("tsize") - 1)
+                * (2 * F.col("tsize") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    nd = F.col("n")
+    var18 = nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")
+    s = F.col("s_stat")
+    zs = F.when(s > 0, (s - 1).cast("double")).when(
+        s < 0, (s + 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    z = zs / F.sqrt(var18.cast("double") / 18.0)
+    return s_row.crossJoin(nt).select(
+        nd.cast("long").alias("n_days"),
+        s.cast("long").alias("s_stat"),
+        var18.cast("long").alias("var_s_x18"),
+        F.round(z, 6).alias("z"),
+    )
+
+
 def ev_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert histogram: for every converting user, the lag from
     their FIRST event of any type to their FIRST purchase, bucketed into
@@ -3353,6 +3423,7 @@ QUERIES = {
     "ts_decompose": ts_decompose,
     "ts_trend_outliers": ts_trend_outliers,
     "ts_theil_sen": ts_theil_sen,
+    "ts_mann_kendall": ts_mann_kendall,
     "a_gini": a_gini,
     "a_ks_test": a_ks_test,
     "a_kruskal_wallis": a_kruskal_wallis,
@@ -4086,6 +4157,37 @@ ORACLE = {
 
     # Theil-Sen: exact lower-median rank selection over the bounded
     # pairwise-slope grid; identical double expression trees
+    # Mann-Kendall: exact integer S + tie-corrected variance, one z
+    "ts_mann_kendall": """
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   sum(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                            AS HUGEINT)) AS x
+            FROM orders GROUP BY 1
+        ), s_row AS (
+            SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                                 WHEN b.x < a.x THEN -1 ELSE 0 END)
+                        AS HUGEINT) AS s_stat
+            FROM daily a JOIN daily b ON a.day < b.day
+        ), nt AS (
+            SELECT sum(tsize) AS n,
+                   sum(tsize * (tsize - 1) * (2 * tsize + 5)) AS tie_term
+            FROM (SELECT CAST(count(*) AS HUGEINT) AS tsize
+                  FROM daily GROUP BY x)
+        ), v AS (
+            SELECT s_stat, n,
+                   n * (n - 1) * (2 * n + 5) - tie_term AS var18
+            FROM s_row, nt
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(s_stat AS BIGINT) AS s_stat,
+               CAST(var18 AS BIGINT) AS var_s_x18,
+               round((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                           WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                           ELSE 0.0 END)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) AS z
+        FROM v
+    """,
     "ts_theil_sen": """
         WITH daily AS (
             SELECT o_orderdate AS day,

@@ -1205,3 +1205,36 @@ def test_ev_conversion_lag_hand_computed(spark, tmp_path):
     assert not msg, msg
     got = [tuple(r) for r in sdf.itertuples(index=False)]
     assert got == [(0, 1, 0.5), (2, 1, 1.0)]
+
+
+def test_ts_mann_kendall_hand_computed(spark, tmp_path):
+    """MK pin on [1, 2, 2, 3] dollars across 4 days: five +1 sign pairs
+    and one tie → S = 5; n(n−1)(2n+5) = 156 minus the one tie group's
+    2·1·9 = 18 → Var·18 = 138; z = (5−1)/√(138/18)."""
+    import datetime as _dt
+    import math
+
+    rows = [
+        (1, 1, _dt.date(2024, 1, 1), 1.0),
+        (2, 1, _dt.date(2024, 1, 2), 2.0),
+        (3, 1, _dt.date(2024, 1, 3), 2.0),
+        (4, 1, _dt.date(2024, 1, 4), 3.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date, "
+        "o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ts_mann_kendall"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ts_mann_kendall", sdf, con.sql(oracles["ts_mann_kendall"]).df()
+    )
+    assert not msg, msg
+    row = sdf.iloc[0]
+    assert (row["n_days"], row["s_stat"], row["var_s_x18"]) == (4, 5, 138)
+    assert row["z"] == round(4 / math.sqrt(138 / 18), 6)

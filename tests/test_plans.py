@@ -298,6 +298,9 @@ _BNLJ_ALLOWED = {
     # converter-total anchor: the ONE-ROW count cross-joined onto the
     # day-bounded lag histogram
     "ev_conversion_lag",
+    # MK pair grid (calendar-bounded broadcast non-equi self-join) plus
+    # the ONE-ROW S and tie anchors
+    "ts_mann_kendall",
     # observation-horizon anchor: a ONE-ROW max-day aggregate cross-joined
     # to the per-user lifetime frame — constant cost at any fact size
     "ev_survival_censored",
