@@ -405,41 +405,28 @@ def main() -> None:
     errors: dict[str, str] = {}
     total = 0.0
     runs = _bench_runs()
-    for name in HEADLINERS:
-        # a typo'd SPARK_GRAFT_BENCH_EXTRA name must not crash the bench
-        # after every measurement and before the JSON line
-        fn = qs.get(name)
-        if fn is None:
-            errors[name] = "unknown query name (not in queries())"
-            print(f"# {name}: SKIPPED — {errors[name]}", file=sys.stderr)
-            continue
-        # per-query fault isolation: one broken query must never erase the
-        # round's other measurements (round-4 lesson — a single
-        # AnalysisException killed the whole bench before the JSON print)
-        samples: list[float] = []
-        try:
-            for _ in range(runs):
-                sec, n = _time_query(spark, fn, name, SF_DIR)
-                samples.append(sec)
-            dt = round(statistics.median(samples), 3)
-        except Exception as exc:  # noqa: BLE001 - record and move on
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-            continue
-        times[name] = dt
-        total += dt
-        print(
-            f"# {name}: {dt:.3f}s median of {len(samples)} ({n} rows)",
-            file=sys.stderr,
-        )
 
+    # CDC throughput runs FIRST (right after warmup, before 100+ headliner
+    # executions fill the main JVM with cached frames and old-gen garbage):
+    # the dedicated worker subprocess still coexists with this JVM, and a
+    # heap full of a whole bench's persisted state measurably contends with
+    # it (in-bench 6.6-10.4 s/pass vs 2.0 s for the identical standalone
+    # worker on the same quiet box — round-13 measurement). Caches are
+    # dropped around the launch for the same reason.
+    cdc_rps: int | None = None
+    try:
+        from datalake_on_prem_system_spark.operators import _cache as _opcache
+
+        spark.catalog.clearCache()
+        _opcache.release_all()
+    except Exception:  # noqa: BLE001 — cache hygiene must not kill the bench
+        pass
     # sustained CDC merge throughput (reference headline: ~50k rows/sec,
     # OZONE_ARCHITECTURE.md:75): envelope corpus pre-generated at 10x the
     # sf change-set (shifted key ranges), seed table pre-committed; timed
     # region = the streaming consume + MOR merge only. 10x amortizes the
     # one-shot availableNow query setup, so this measures the sustained
     # rate a long-running stream sees, not cold-start.
-    cdc_rps: int | None = None
     try:
         import subprocess
 
@@ -487,6 +474,34 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["cdc_throughput"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"# cdc_throughput: ERROR {errors['cdc_throughput']}", file=sys.stderr)
+
+    for name in HEADLINERS:
+        # a typo'd SPARK_GRAFT_BENCH_EXTRA name must not crash the bench
+        # after every measurement and before the JSON line
+        fn = qs.get(name)
+        if fn is None:
+            errors[name] = "unknown query name (not in queries())"
+            print(f"# {name}: SKIPPED — {errors[name]}", file=sys.stderr)
+            continue
+        # per-query fault isolation: one broken query must never erase the
+        # round's other measurements (round-4 lesson — a single
+        # AnalysisException killed the whole bench before the JSON print)
+        samples: list[float] = []
+        try:
+            for _ in range(runs):
+                sec, n = _time_query(spark, fn, name, SF_DIR)
+                samples.append(sec)
+            dt = round(statistics.median(samples), 3)
+        except Exception as exc:  # noqa: BLE001 - record and move on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
+        times[name] = dt
+        total += dt
+        print(
+            f"# {name}: {dt:.3f}s median of {len(samples)} ({n} rows)",
+            file=sys.stderr,
+        )
 
     # ---- MOR read-amplification profile: full-read seconds at 0/4/8
     # pending delta commits and right after the ninth merge triggers the
