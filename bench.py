@@ -211,6 +211,7 @@ HEADLINERS = [
     "ev_conversion_lag",
     "lh_constraint_report",
     "ts_mann_kendall",
+    "dd_threshold_curve",
 ]
 
 # opt-in extra headliners (comma-separated registered query names) —

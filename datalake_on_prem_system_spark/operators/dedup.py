@@ -240,6 +240,111 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_pairs(cands, sh)
 
 
+_CURVE_FLOOR = 0.5
+_CURVE_TS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dd_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield curve — the threshold-TUNING audit run before fixing
+    ``JACCARD_THRESHOLD``: exact n-gram-jaccard pairs mined once at the
+    curve's floor (0.5) with the same PPJoin prefix+length filtering as
+    ``dd_ngram_jaccard``, then for each candidate threshold in
+    {0.5 … 0.9} the number of pairs and DISTINCT documents that would be
+    near-dup-flagged. Reads as "how much of the corpus does each
+    threshold implicate" — the yield/precision trade every dedup rollout
+    sweeps.
+
+    Scale shape: ONE candidate mine at the floor (prefix filtering gets
+    WEAKER as t drops — the floor is the honest cost and it is still
+    prefix-pruned, never all-pairs); the census joins the verified pairs
+    against the 5-row literal grid (broadcast non-equi, allow-listed,
+    bounded side) — per-threshold recomputation never happens.
+
+    Exactness: jaccard doubles come from the one shared formula; the
+    grid comparisons and counts are exact; thresholds are identical
+    literals in both engines."""
+    sh = _shingle_frame(spark, sf_dir)
+    ex = sh.select(
+        "doc_id",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
+    )
+    df_cnt = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(df_cnt, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("o")
+        )
+    )
+    prefix_len = (
+        F.size("o") - F.ceil(F.lit(_CURVE_FLOOR) * F.size("o")) + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        "doc_id",
+        F.size("o").alias("sz"),
+        F.explode(
+            F.transform(
+                F.slice(F.col("o"), F.lit(1), prefix_len),
+                lambda x: x["shingle"],
+            )
+        ).alias("shingle"),
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") * F.lit(1.0) >= F.lit(_CURVE_FLOOR) * F.col("a.sz"))
+            & (F.col("a.sz") * F.lit(1.0) >= F.lit(_CURVE_FLOOR) * F.col("b.sz")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    ver = (
+        cands.join(sh.withColumnsRenamed({"doc_id": "a_id", "sh": "sh_a"}), "a_id")
+        .join(sh.withColumnsRenamed({"doc_id": "b_id", "sh": "sh_b"}), "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jr",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jr") >= _CURVE_FLOOR)
+        .select("a_id", "b_id", "jr")
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in _CURVE_TS], "threshold double"
+    )
+    pc = (
+        F.broadcast(grid)
+        .join(ver, F.col("jr") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(F.count("a_id").alias("n_pairs"))
+    )
+    docs = ver.select(
+        "jr", F.explode(F.array("a_id", "b_id")).alias("d")
+    )
+    dc = (
+        F.broadcast(grid)
+        .join(docs, F.col("jr") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        pc.join(dc, "threshold")
+        .select(
+            "threshold",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def _shingle_key(sf_dir: str) -> str:
     """Registry key for the shared shingle frame. ABSPATH-normalized so
     invalidation (``build_minhash_index``'s rebuild release) and
@@ -1311,6 +1416,7 @@ QUERIES = {
     "dd_span_dedup": dd_span_dedup,
     "dd_containment": dd_containment,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_threshold_curve": dd_threshold_curve,
     "dd_sketch_quality": dd_sketch_quality,
     "dd_lsh_recall": dd_lsh_recall,
     "dd_components": dd_components,
@@ -1612,6 +1718,50 @@ ORACLE = {
         WHERE inter / CAST(size_a AS DOUBLE) >= {_CONT_THRESHOLD}
     """,
     "dd_ngram_jaccard": _PAIR_JACCARD_SQL,
+    # yield curve: the floor-0.5 pair mine + 5-threshold census
+    "dd_threshold_curve": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') w FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) s
+            FROM toks WHERE len(w) >= 3
+        ), sizes AS (
+            SELECT doc_id, len(s) sz FROM sh
+        ), ex AS (
+            SELECT doc_id, unnest(s) shingle FROM sh
+        ), pairs AS (
+            SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle
+                                AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), j AS (
+            SELECT a_id, b_id,
+                   inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jr
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+        ), grid AS (
+            SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+        ), jd AS (
+            SELECT jr, a_id AS d FROM j
+            UNION ALL SELECT jr, b_id FROM j
+        ), pc AS (
+            SELECT g.threshold, CAST(count(j.a_id) AS BIGINT) AS n_pairs
+            FROM grid g LEFT JOIN j ON j.jr >= g.threshold
+            GROUP BY g.threshold
+        ), dc AS (
+            SELECT g.threshold, CAST(count(DISTINCT jd.d) AS BIGINT) AS n_docs
+            FROM grid g LEFT JOIN jd ON jd.jr >= g.threshold
+            GROUP BY g.threshold
+        )
+        SELECT threshold, n_pairs, n_docs
+        FROM pc JOIN dc USING (threshold)
+        ORDER BY threshold
+    """,
+
     "dd_sketch_quality": _SKETCH_QUALITY_SQL,
     "dd_lsh_recall": _LSH_RECALL_SQL,
     # connected components = min reachable doc_id — deterministic, so the

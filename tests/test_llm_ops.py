@@ -2131,3 +2131,41 @@ def test_hll_stream_matches_batch_sketch_exactly(spark, sf_dir):
         .collect()
     }
     assert live == batch
+
+
+def test_threshold_curve_hand_computed(spark, tmp_path):
+    """Yield-curve pin: A and C are exact copies (j=1.0), B differs in
+    the last word (7 shared of 9 union shingles → j≈0.778), D is
+    unrelated. Thresholds ≤0.7 implicate all three of A/B/C (3 pairs);
+    0.8/0.9 keep only the exact pair (A,C)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_correctness import compare
+
+    base = "a b c d e f g h i j"
+    docs = [
+        (1, base, "en", "w"),
+        (2, "a b c d e f g h i k", "en", "w"),
+        (3, base, "en", "w"),
+        (4, "completely different words entirely here now ok yes no maybe", "en", "w"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["dd_threshold_curve"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "dd_threshold_curve", sdf, con.sql(oracles["dd_threshold_curve"]).df()
+    )
+    assert not msg, msg
+    got = {r["threshold"]: (r["n_pairs"], r["n_docs"]) for _, r in sdf.iterrows()}
+    assert got == {
+        0.5: (3, 3), 0.6: (3, 3), 0.7: (3, 3), 0.8: (1, 2), 0.9: (1, 2),
+    }

@@ -301,6 +301,9 @@ _BNLJ_ALLOWED = {
     # MK pair grid (calendar-bounded broadcast non-equi self-join) plus
     # the ONE-ROW S and tie anchors
     "ts_mann_kendall",
+    # 5-row literal threshold grid broadcast onto the verified pair frame
+    # (vocabulary-bounded non-equi census join)
+    "dd_threshold_curve",
     # observation-horizon anchor: a ONE-ROW max-day aggregate cross-joined
     # to the per-user lifetime frame — constant cost at any fact size
     "ev_survival_censored",
