@@ -1534,13 +1534,19 @@ class LakeTable:
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         for i, name in enumerate(names):
             cond = F.expr(checks[name])
+            # coalesce: F.sum over ZERO rows is NULL, and an empty table
+            # must report 0 violations / 0 unknown / would_pass=true, not
+            # NULL (NULL == 0 is NULL, so would_pass would go NULL too)
             aggs.append(
-                F.sum(F.when(cond == F.lit(False), 1).otherwise(0)).alias(
-                    f"v{i}"
-                )
+                F.coalesce(
+                    F.sum(F.when(cond == F.lit(False), 1).otherwise(0)),
+                    F.lit(0),
+                ).alias(f"v{i}")
             )
             aggs.append(
-                F.sum(F.when(cond.isNull(), 1).otherwise(0)).alias(f"u{i}")
+                F.coalesce(
+                    F.sum(F.when(cond.isNull(), 1).otherwise(0)), F.lit(0)
+                ).alias(f"u{i}")
             )
         packed = df.agg(*aggs)
         if not names:

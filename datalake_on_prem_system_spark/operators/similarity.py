@@ -1712,7 +1712,7 @@ def _mmr_oracle_sql() -> str:
         f"""sel1 AS MATERIALIZED (
         SELECT 1 AS rank, vec_id, label, vec, norm, rel,
                {_MMR_LAMBDA} * rel AS score
-        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+        FROM cand ORDER BY {_MMR_LAMBDA} * rel DESC, vec_id LIMIT 1
     )"""
     )
     for k in range(2, _MMR_K + 1):

@@ -325,19 +325,33 @@ def st_cdc_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _src_gen(sf_dir: str, table: str) -> float:
+    """Source-parquet mtime, the fixture GENERATION stamp. Every derived
+    JSON corpus cache below keys on it: if the sf_dir fixture is
+    regenerated IN PLACE, a path-only key would silently replay stale
+    JSON to the streaming tiers while the batch tiers read fresh parquet
+    — the staleness class the ``_THEIL_GEN`` / ``_cosupply_edges``
+    guards close elsewhere."""
+    try:
+        return os.path.getmtime(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        return 0.0
+
+
 # raw-event JSON corpora shared by the non-CDC streaming queries, keyed on
-# (sf_dir, copies) — same lifetime contract as _ENVELOPE_CACHE above: built
-# once per process, reused by every sweep/bench/pytest invocation instead of
-# re-materializing the full corpus (twice, for the dedup variant) into a
-# fresh never-deleted temp dir per call
-_EVENTS_JSON_CACHE: dict[tuple[str, int], str] = {}
+# (sf_dir, copies, fixture generation) — same lifetime contract as
+# _ENVELOPE_CACHE above: built once per process, reused by every
+# sweep/bench/pytest invocation instead of re-materializing the full corpus
+# (twice, for the dedup variant) into a fresh never-deleted temp dir per
+# call; a regenerated fixture changes the generation stamp and re-derives
+_EVENTS_JSON_CACHE: dict[tuple[str, int, float], str] = {}
 
 
 def _events_json_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
     """Events fixture as JSON-lines files; ``copies > 1`` writes the SAME
     rows into ``copies`` subdirectories (duplicate delivery of every
     event — the at-least-once corpus for the dedup query)."""
-    key = (sf_dir, copies)
+    key = (sf_dir, copies, _src_gen(sf_dir, "events"))
     if key not in _EVENTS_JSON_CACHE:
         src = os.path.join(index_tempdir("ev_json_"), "events")
         ev = t(spark, sf_dir, "events").select(
@@ -968,12 +982,14 @@ def st_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # orders fixture as multi-file JSON-lines (forces a REAL multi-batch run
-# under maxFilesPerTrigger) — same lifetime contract as _EVENTS_JSON_CACHE
-_ORDERS_JSON_CACHE: dict[str, str] = {}
+# under maxFilesPerTrigger) — same lifetime + generation-key contract as
+# _EVENTS_JSON_CACHE
+_ORDERS_JSON_CACHE: dict[tuple[str, float], str] = {}
 
 
 def _orders_json_dir(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _ORDERS_JSON_CACHE:
+    key = (sf_dir, _src_gen(sf_dir, "orders"))
+    if key not in _ORDERS_JSON_CACHE:
         src = os.path.join(index_tempdir("ord_json_"), "orders")
         # 16 files / 8 per trigger: two real micro-batches, each scanning
         # 8 input splits — the R-md5s-per-row weight kernel parallelizes
@@ -982,15 +998,16 @@ def _orders_json_dir(spark: SparkSession, sf_dir: str) -> str:
             "o_orderkey",
             F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
         ).repartition(16).write.mode("overwrite").json(src)
-        _ORDERS_JSON_CACHE[sf_dir] = src
-    return _ORDERS_JSON_CACHE[sf_dir]
+        _ORDERS_JSON_CACHE[key] = src
+    return _ORDERS_JSON_CACHE[key]
 
 
 def st_bootstrap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tier of the Poisson bootstrap — the statistics family's
     last batch-only member gets its twin: order rows arrive as a live
     JSON stream FORCED through multiple micro-batches
-    (maxFilesPerTrigger=2 over a 4-file corpus), each batch contributes
+    (maxFilesPerTrigger=8 over a 16-file corpus — two real micro-batches,
+    each scanning 8 input splits), each batch contributes
     its per-replicate (Σw, Σw·c) sufficient-statistic partials to ONE
     complete-mode global aggregate (bounded state: a single 2R+2-column
     row), and the harvested totals feed the identical SE/CI fold as the
@@ -1073,12 +1090,14 @@ def st_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # lineitem change feed as multi-file JSON-lines (forces real multi-batch
-# maintenance) — same lifetime contract as _EVENTS_JSON_CACHE
-_LI_JSON_CACHE: dict[str, str] = {}
+# maintenance) — same lifetime + generation-key contract as
+# _EVENTS_JSON_CACHE
+_LI_JSON_CACHE: dict[tuple[str, float], str] = {}
 
 
 def _lineitem_json_dir(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _LI_JSON_CACHE:
+    key = (sf_dir, _src_gen(sf_dir, "lineitem"))
+    if key not in _LI_JSON_CACHE:
         src = os.path.join(index_tempdir("li_json_"), "li")
         t(spark, sf_dir, "lineitem").select(
             "l_orderkey",
@@ -1088,8 +1107,8 @@ def _lineitem_json_dir(spark: SparkSession, sf_dir: str) -> str:
             .cast("long")
             .alias("cents"),
         ).repartition(4).write.mode("overwrite").json(src)
-        _LI_JSON_CACHE[sf_dir] = src
-    return _LI_JSON_CACHE[sf_dir]
+        _LI_JSON_CACHE[key] = src
+    return _LI_JSON_CACHE[key]
 
 
 def st_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -172,3 +172,30 @@ def test_validate_constraints_three_valued_and_lifecycle(spark, tmp_path):
         r.constraint: r.n_violations for r in t.validate_constraints().collect()
     }
     assert rep2["bal_nonneg"] == 1  # still just the legacy row
+
+
+def test_validate_constraints_empty_table_reports_zero_not_null(
+    spark, tmp_path
+):
+    """An EMPTY table with declared constraints must report
+    n_violations=0 / n_unknown=0 / would_pass=true — F.sum over zero
+    rows is NULL and NULL == 0 is NULL, so without the coalesce the
+    report's booleans went NULL (round-13 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(
+        _df(spark, [(1, 1.0)]),
+        properties={"constraint.x_pos": "x > 0"},
+    )
+    t.delete_where(F.col("id") == 1)
+    assert t.read().count() == 0
+    rows = t.validate_constraints().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_rows, r.n_violations, r.n_unknown, r.would_pass) == (
+        0,
+        0,
+        0,
+        True,
+    )
