@@ -431,6 +431,7 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cache.release(f"g_cosupply_edges:{sf_dir}")
         _cache.release(f"g_tri_oriented:{sf_dir}")  # derived from the edges
         _cache.release(f"g_rc_deg:{sf_dir}")  # rich-club degrees, same edges
+        _cache.release(f"g_lpa_labels:{sf_dir}")  # LPA labels, same edges
         for stale in [k for k in _COSUPPLY_MIN_W if k[0] == key[0]]:
             del _COSUPPLY_MIN_W[stale]
     pw = persist_bounded(
@@ -540,7 +541,9 @@ def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ITERS = 3
 
 
-def label_propagation(edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iters: int = _LPA_ITERS, cache_key: str | None = None
+) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et al.
     2007) with a DETERMINISTIC update: labels start as node ids; each
     round every node adopts the label most frequent among its neighbors,
@@ -553,7 +556,14 @@ def label_propagation(edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
     to the (undirected, so doubled) edge list on the neighbor key and one
     partial-aggregated (node, label) count; state is one row per node.
     Lineage stays shallow at fixed iters (checkpoint every ~5 rounds
-    otherwise, as dd_components documents). Returns (node, label)."""
+    otherwise, as dd_components documents). Returns (node, label).
+
+    ``cache_key`` registers the FINAL label frame in the bounded persist
+    registry (the ``g_tri_oriented`` recipe): the labels feed multiple
+    downstream consumers (``g_label_propagation``'s size rollup AND
+    ``g_modularity``'s three aggregates — 2 joins + a degree rollup),
+    and without the cache each one re-runs the whole 3-round Pregel loop
+    (~3 s at bench scale, per consumer)."""
     both = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -573,6 +583,8 @@ def label_propagation(edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
                 "neg"
             ].alias("label")
         ).select("node", (-F.col("label")).alias("label"))
+    if cache_key is not None:
+        labels = persist_bounded(labels, cache_key)
     return labels
 
 
@@ -585,7 +597,7 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     member count, size-desc."""
     edges = _cosupply_edges(spark, sf_dir)
     return (
-        label_propagation(edges)
+        label_propagation(edges, cache_key=f"g_lpa_labels:{sf_dir}")
         .groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy(F.desc("n_members"), F.asc("community"))
@@ -1671,14 +1683,25 @@ def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: replays the unrolled LPA CTE chain and the identical integer
     formula."""
-    return modularity_score(_cosupply_edges(spark, sf_dir))
+    return modularity_score(
+        _cosupply_edges(spark, sf_dir),
+        lpa_cache_key=f"g_lpa_labels:{sf_dir}",
+    )
 
 
-def modularity_score(edges: DataFrame) -> DataFrame:
+def modularity_score(
+    edges: DataFrame, lpa_cache_key: str | None = None
+) -> DataFrame:
     """Q over any undirected edge list (u < v, distinct) with 3-round
     LPA labels; see ``g_modularity``. Hand-pinned in tests/test_graph.py
-    (two disjoint triangles → perfect partition, Q = 0.5)."""
-    lab = label_propagation(edges)
+    (two disjoint triangles → perfect partition, Q = 0.5).
+
+    ``lpa_cache_key`` shares the label frame with ``g_label_propagation``
+    (same key ⇒ same Spark cache entry), so scoring a partition that was
+    just detected never re-runs the Pregel loop — and Q's own two label
+    joins + degree rollup read the persisted frame instead of re-deriving
+    the 3-round lineage three times."""
+    lab = label_propagation(edges, cache_key=lpa_cache_key)
     lu = lab.select(F.col("node").alias("u"), F.col("label").alias("lab_u"))
     lv = lab.select(F.col("node").alias("v"), F.col("label").alias("lab_v"))
     em = F.broadcast(

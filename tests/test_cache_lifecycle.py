@@ -108,3 +108,43 @@ def test_pq_refit_removes_superseded_code_table(spark, sf_dir, tmp_path):
     assert path2 != path1
     assert not os.path.exists(dir1), "superseded code table must be GC'd"
     assert os.path.isdir(os.path.dirname(path2))
+
+
+def test_lpa_label_cache_shared_and_invalidated(spark, sf_dir, tmp_path):
+    """g_label_propagation and g_modularity share ONE persisted LPA label
+    frame (same registry key ⇒ same Spark cache entry), so scoring the
+    partition never re-runs the 3-round Pregel loop; and the cosupply
+    mtime-invalidation releases the label frame along with the edge
+    frames it derives from (a regenerated fixture must not serve stale
+    labels)."""
+    import os
+    import shutil
+
+    from datalake_on_prem_system_spark.operators import graph_ops
+
+    # private corpus copy so touching the mtime can't perturb other tests
+    work = tmp_path / "sf_copy"
+    work.mkdir()
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, work / "lineitem.parquet")
+    else:
+        shutil.copy2(src, work / "lineitem.parquet")
+    wdir = str(work)
+    key = f"g_lpa_labels:{wdir}"
+
+    _cache.release_all()
+    graph_ops.QUERIES["g_label_propagation"](spark, wdir).collect()
+    assert key in _cache._live, "LPA labels must register for reuse"
+    sizes = graph_ops.QUERIES["g_modularity"](spark, wdir).collect()
+    assert len(sizes) == 1
+    assert key in _cache._live
+
+    # fixture regenerated in place ⇒ mtime-key miss ⇒ labels released
+    li = work / "lineitem.parquet"
+    bump = os.path.getmtime(li) + 10
+    os.utime(li, (bump, bump))
+    graph_ops._cosupply_edges(spark, wdir)
+    assert key not in _cache._live, (
+        "stale LPA labels must be released on fixture regeneration"
+    )
