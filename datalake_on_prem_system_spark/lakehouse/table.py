@@ -1216,6 +1216,48 @@ class LakeTable:
             ).filter(condition)
         return self._read_data(commit).filter(condition)
 
+    def read_for_join(
+        self,
+        col: str,
+        keys_df: DataFrame,
+        keys_col: str | None = None,
+        max_keys: int = 10_000,
+    ) -> DataFrame:
+        """Membership file skipping on a JOIN key — dynamic partition
+        pruning for the unpartitioned case (DPP-lite): collect the SMALL
+        side's distinct join keys and serve the fact read through
+        ``read_where(col IN keys)``, so every manifest layer that prunes
+        an IN-list (pk buckets, [min, max] stats, per-entry blooms)
+        drops base segments provably holding none of the keys before the
+        join ever scans them. The 100 TB shape of "join the fact table
+        to a filtered dimension": O(segments containing the dim's keys),
+        not O(fact table).
+
+        The key collect is the same driver-side materialization a
+        broadcast join performs on the same side — bounded by
+        ``max_keys``, raising beyond it (a dimension too big to
+        enumerate is too big to probe blooms with; fall back to
+        ``read()`` + an ordinary co-located join). NULL keys drop: SQL
+        equality never matches NULL. Result-invariance vs the unpruned
+        scan is oracle-proven, segment skipping ``inputFiles``-pinned in
+        tests/test_bloom.py."""
+        kc = keys_col or col
+        rows = (
+            keys_df.select(F.col(kc).alias("k"))
+            .where(F.col("k").isNotNull())
+            .distinct()
+            .limit(max_keys + 1)
+            .collect()
+        )
+        if len(rows) > max_keys:
+            raise ValueError(
+                f"read_for_join: small side exceeds max_keys={max_keys} "
+                f"distinct join keys — use read() with a co-located join"
+            )
+        if not rows:
+            return self.read().limit(0)
+        return self.read_where(F.col(col).isin([r.k for r in rows]))
+
     def _schema(self, commit: Commit):
         from pyspark.sql.types import StructType
 
@@ -1698,6 +1740,73 @@ class LakeTable:
         return self._resolve(
             new_entries, commit.schema_json, commit.bucket_spec
         )
+
+    def signed_changes_between(self, v_from: int, v_to: int) -> DataFrame:
+        """Signed row deltas (``_weight`` ±1 multiplicity) of the commits
+        in ``(v_from, v_to]``, read ONLY from the segments those commits
+        added or removed — the Z-set change input incremental view
+        maintenance consumes when the feed is NOT append-only (deletes,
+        updates, MERGE): the DBSP / differential-dataflow contract, and
+        the generalization of ``appended_between`` (whose added-segment
+        read is the weight-+1 special case).
+
+        Per commit the delta is the FILE-LEVEL symmetric difference vs
+        its parent: rows of newly-added segments carry +1, rows of
+        removed (rewritten-away) segments carry -1. A rewritten segment
+        contributes its unchanged rows as cancelling -1/+1 pairs —
+        harmless to any LINEAR consumer (aggregate partials, delta-join
+        terms: bilinearity cancels them exactly), and the read cost stays
+        O(segments the commits touched): bucket-pruned DML rewrites only
+        buckets containing changed keys, so carried-forward base segments
+        are never opened (``inputFiles``-pinned in tests).
+
+        Schema evolution inside the range is unioned by name (rows from
+        pre-evolution segments read absent columns as NULL, exactly as a
+        snapshot read would). Merge-on-read delta commits raise: a delta
+        file logically shadows rows written before it rather than
+        physically replacing segments, so its file-level diff is not a
+        faithful row multiset — compact to a COW state first."""
+        retained = self.versions()
+        for v in (v_from, v_to):
+            if v not in retained:
+                raise ExpiredVersionError(
+                    f"signed_changes_between endpoints must be retained "
+                    f"versions (got {v_from}..{v_to}, retained {retained})"
+                )
+        parts: list[DataFrame] = []
+        for v in range(v_from + 1, v_to + 1):
+            commit = self._commit_at(v, False)
+            parent = self._commit_at(v - 1, False)
+            parent_paths = {e["path"] for e in parent.files}
+            commit_paths = {e["path"] for e in commit.files}
+            added = [e for e in commit.files if e["path"] not in parent_paths]
+            removed = [e for e in parent.files if e["path"] not in commit_paths]
+            if any(e.get("delta") is not None for e in added + removed):
+                raise ValueError(
+                    f"signed_changes_between requires a copy-on-write "
+                    f"history; version {v} ('{commit.operation}') touches "
+                    f"merge-on-read delta segments — compact first"
+                )
+            if added:
+                parts.append(
+                    self._read_entries(added, commit.schema_json).withColumn(
+                        "_weight", F.lit(1)
+                    )
+                )
+            if removed:
+                parts.append(
+                    self._read_entries(removed, parent.schema_json).withColumn(
+                        "_weight", F.lit(-1)
+                    )
+                )
+        if not parts:
+            return self.read(version=v_to).limit(0).withColumn(
+                "_weight", F.lit(1)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def merge(
         self,

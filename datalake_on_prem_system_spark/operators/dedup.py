@@ -242,6 +242,13 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURVE_FLOOR = 0.5
 _CURVE_TS = (0.5, 0.6, 0.7, 0.8, 0.9)
+# drop shingles appearing in more corpus docs than this from the curve's
+# shingle UNIVERSE (sets, sizes, prefixes, postings alike) — the
+# dd_containment df-cap rule applied symmetrically. Without it, a
+# boilerplate shingle sitting in thousands of docs lands in thousands of
+# PREFIXES at the 0.5 floor (prefix filtering weakens as t drops), and
+# its posting list alone degrades the candidate join toward quadratic.
+_CURVE_DF_CAP = 100
 
 
 def dd_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,29 +261,56 @@ def dd_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold implicate" — the yield/precision trade every dedup rollout
     sweeps.
 
+    Similarity is jaccard over the DF-RETAINED shingle vocabulary
+    (corpus df ≤ _CURVE_DF_CAP): ultra-common boilerplate shingles are dropped
+    from sets, sizes, prefixes, and postings alike — the standard df-cap
+    estimator ``dd_containment`` already applies, here made symmetric.
+    This is a SEMANTIC choice, not an approximation of the uncapped
+    curve: within the retained universe the PPJoin prefix property holds
+    exactly (prefix lengths and length filters are computed on retained
+    sizes), so the mine is lossless for the capped similarity and the
+    oracle stays an independent all-pairs ground truth over the same
+    retained sets. A tuning audit WANTS this metric — pairs glued only
+    by boilerplate are exactly the false yield the cap exists to remove.
+
     Scale shape: ONE candidate mine at the floor (prefix filtering gets
     WEAKER as t drops — the floor is the honest cost and it is still
-    prefix-pruned, never all-pairs); the census joins the verified pairs
-    against the 5-row literal grid (broadcast non-equi, allow-listed,
-    bounded side) — per-threshold recomputation never happens.
+    prefix-pruned, never all-pairs) with every posting list bounded by
+    the df cap; the census joins the verified pairs against the 5-row
+    literal grid (broadcast non-equi, allow-listed, bounded side) —
+    per-threshold recomputation never happens.
 
     Exactness: jaccard doubles come from the one shared formula; the
-    grid comparisons and counts are exact; thresholds are identical
-    literals in both engines."""
+    grid comparisons and counts are exact; thresholds and the cap are
+    identical literals in both engines (df counted per hashed shingle on
+    the Spark side, per shingle string in DuckDB — identical modulo
+    xxhash64 collisions, P ≈ pairs·2⁻⁶⁴)."""
     sh = _shingle_frame(spark, sf_dir)
-    ex = sh.select(
+    ex0 = sh.select(
         "doc_id",
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
     )
-    df_cnt = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
-        ex.join(df_cnt, "shingle")
-        .groupBy("doc_id")
-        .agg(
+    df_cnt = ex0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # retained universe: every downstream structure (per-doc sets, sizes,
+    # prefixes, postings, verify) derives from this one frame
+    ex = ex0.join(df_cnt, "shingle").filter(F.col("df") <= _CURVE_DF_CAP)
+    # the df-retained ordered-set frame feeds THREE consumers (both sides
+    # of the prefix self-join and the verify's hash sets) — without the
+    # persist the shingle→df→sort chain re-runs per consumer (the
+    # _shingle_frame / g_tri_oriented rule). mtime in the key invalidates
+    # on in-place fixture regeneration (the _THEIL_GEN guard).
+    import os as _os
+
+    _gen = _os.path.getmtime(
+        _os.path.join(_os.path.abspath(sf_dir), "documents.parquet")
+    )
+    ordered = persist_bounded(
+        ex.groupBy("doc_id").agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("df"), F.col("shingle")))
             ).alias("o")
-        )
+        ),
+        key=f"curve_ordered:{_os.path.abspath(sf_dir)}:{_gen}",
     )
     prefix_len = (
         F.size("o") - F.ceil(F.lit(_CURVE_FLOOR) * F.size("o")) + 1
@@ -304,9 +338,19 @@ def dd_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
+    # retained hash sets for the exact verify (sorted struct array →
+    # sorted hash array; array_intersect over 64-bit hashes)
+    rsets = ordered.select(
+        "doc_id",
+        F.transform("o", lambda x: x["shingle"]).alias("rsh"),
+    )
     ver = (
-        cands.join(sh.withColumnsRenamed({"doc_id": "a_id", "sh": "sh_a"}), "a_id")
-        .join(sh.withColumnsRenamed({"doc_id": "b_id", "sh": "sh_b"}), "b_id")
+        cands.join(
+            rsets.withColumnsRenamed({"doc_id": "a_id", "rsh": "sh_a"}), "a_id"
+        )
+        .join(
+            rsets.withColumnsRenamed({"doc_id": "b_id", "rsh": "sh_b"}), "b_id"
+        )
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jr",
@@ -315,6 +359,12 @@ def dd_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jr") >= _CURVE_FLOOR)
         .select("a_id", "b_id", "jr")
+    )
+    # the verified floor set is TINY (true pairs only) but its plan is the
+    # whole mine — the pair census and the doc census would each re-run
+    # the 300k-candidate verify without this persist (measured 2× cost)
+    ver = persist_bounded(
+        ver, key=f"curve_ver:{_os.path.abspath(sf_dir)}:{_gen}"
     )
     grid = spark.createDataFrame(
         [(t,) for t in _CURVE_TS], "threshold double"
@@ -1718,8 +1768,10 @@ ORACLE = {
         WHERE inter / CAST(size_a AS DOUBLE) >= {_CONT_THRESHOLD}
     """,
     "dd_ngram_jaccard": _PAIR_JACCARD_SQL,
-    # yield curve: the floor-0.5 pair mine + 5-threshold census
-    "dd_threshold_curve": """
+    # yield curve: the floor-0.5 pair mine + 5-threshold census; ground
+    # truth is ALL-PAIRS jaccard over the df-retained (df <= cap) shingle
+    # sets — the capped-PPJoin mine must find exactly these pairs
+    "dd_threshold_curve": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') w FROM documents
         ), sh AS (
@@ -1727,10 +1779,16 @@ ORACLE = {
                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                   for i in range(1, len(w) - 1)]) s
             FROM toks WHERE len(w) >= 3
-        ), sizes AS (
-            SELECT doc_id, len(s) sz FROM sh
-        ), ex AS (
+        ), ex0 AS (
             SELECT doc_id, unnest(s) shingle FROM sh
+        ), dfc AS (
+            SELECT shingle, count(*) df FROM ex0 GROUP BY 1
+        ), ex AS (
+            SELECT e.doc_id, e.shingle
+            FROM ex0 e JOIN dfc USING (shingle)
+            WHERE df <= {_CURVE_DF_CAP}
+        ), sizes AS (
+            SELECT doc_id, count(*) sz FROM ex GROUP BY 1
         ), pairs AS (
             SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
             FROM ex a JOIN ex b ON a.shingle = b.shingle

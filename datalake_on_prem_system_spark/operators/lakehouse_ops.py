@@ -465,16 +465,10 @@ def lh_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_CACHE: dict[str, tuple[str, int]] = {}
 
 
-def lh_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter file skipping on the serve path ("find this customer's
-    orders" over an append-only table): orders land in 8 epoch segments
-    whose o_custkey [min, max] ranges all span the whole domain — min/max
-    stats can prune NOTHING for a custkey point predicate — but each
-    segment's manifest entry carries a per-column bloom
-    (``bloom.columns=o_custkey``), so ``read_where`` drops every epoch the
-    customer never ordered in. The 100 TB shape: a point lookup on a
-    high-cardinality non-layout column costs O(segments containing the
-    key), not O(table). Soundness + parity pinned in tests/test_bloom.py."""
+def _bloom_orders_table(spark: SparkSession, sf_dir: str) -> tuple[LakeTable, int]:
+    """The 8-epoch bloom-indexed orders table shared by the point-lookup
+    and join-pruning serve paths; built once per fixture (the lookup
+    target — min custkey — is SETUP, not the measured operator)."""
     if sf_dir not in _BLOOM_CACHE:
         root = index_tempdir("lake_bloom_")
         table = LakeTable(spark, root)
@@ -489,14 +483,78 @@ def lh_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for epoch in range(1, 8):
             table.append(base.filter(F.col("o_orderkey") % 8 == epoch))
-        # the lookup target is SETUP, not the measured operator: computing
-        # min(o_custkey) per call would bill an O(table) scan to every
-        # timed run of what is a point-lookup benchmark
         target = int(table.read().agg(F.min("o_custkey")).collect()[0][0])
         _BLOOM_CACHE[sf_dir] = (root, target)
     root, target = _BLOOM_CACHE[sf_dir]
-    table = LakeTable(spark, root)
+    return LakeTable(spark, root), target
+
+
+def lh_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping on the serve path ("find this customer's
+    orders" over an append-only table): orders land in 8 epoch segments
+    whose o_custkey [min, max] ranges all span the whole domain — min/max
+    stats can prune NOTHING for a custkey point predicate — but each
+    segment's manifest entry carries a per-column bloom
+    (``bloom.columns=o_custkey``), so ``read_where`` drops every epoch the
+    customer never ordered in. The 100 TB shape: a point lookup on a
+    high-cardinality non-layout column costs O(segments containing the
+    key), not O(table). Soundness + parity pinned in tests/test_bloom.py."""
+    table, target = _bloom_orders_table(spark, sf_dir)
     return table.read_where(F.col("o_custkey") == target)
+
+
+_BLOOM_JOIN_KEYS: dict[str, list[int]] = {}
+
+
+def lh_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-probe JOIN pruning — dynamic partition pruning for the
+    UNPARTITIONED fact case (``LakeTable.read_for_join``): a two-row
+    customer dimension (the two smallest custkeys that ever ordered —
+    setup, cached like ``lh_bloom_skipping``'s lookup target) probes the
+    8-epoch bloom-indexed orders fact's manifest, and only segments
+    whose bloom admits SOME probe key are scanned before the broadcast
+    join. The epochs' o_custkey [min, max] ranges all span the domain —
+    range stats prune nothing here; bloom membership IS the skipping.
+
+    Scale shape: the key collect is the broadcast materialization the
+    join performs anyway (max_keys-guarded); the fact read costs
+    O(segments containing the dim's keys); the join broadcasts the
+    dimension. Result-invariance: the oracle joins the UNPRUNED tables —
+    identical output proves pruning dropped only provably-empty
+    segments. Segment skipping itself is ``inputFiles``-pinned in
+    tests/test_bloom.py.
+
+    Exactness: o_totalprice sums ride decimal(18,4) on both engines;
+    ONE round + double cast at the end."""
+    table, _ = _bloom_orders_table(spark, sf_dir)
+    if sf_dir not in _BLOOM_JOIN_KEYS:
+        _BLOOM_JOIN_KEYS[sf_dir] = [
+            int(r.o_custkey)
+            for r in table.read()
+            .select("o_custkey")
+            .distinct()
+            .orderBy("o_custkey")
+            .limit(2)
+            .collect()
+        ]
+    keys = _BLOOM_JOIN_KEYS[sf_dir]
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isin(keys))
+        .select("c_custkey", "c_name")
+    )
+    fact = table.read_for_join("o_custkey", dim, keys_col="c_custkey")
+    return (
+        fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_custkey")
+    )
 
 
 _ZORDER_CACHE: dict[str, str] = {}
@@ -1003,6 +1061,143 @@ def lh_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.coalesce(F.col("inc_cents"), zero)
             ).alias("cents"),
         )
+    )
+    return (
+        view.read()
+        .select(
+            "o_orderpriority",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def lh_incremental_join_view_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the orders ⋈ lineitem revenue-by-
+    priority view through a CDC batch containing DELETES and UPDATES —
+    the retraction half ``lh_incremental_join_view`` leaves out (real
+    CDC feeds are not append-only). The change inputs are SIGNED row
+    deltas (``LakeTable.signed_changes_between`` — ±1 Z-set
+    multiplicities from the file-level commit diff, the DBSP /
+    differential-dataflow contract), and the same delta-join rule
+    applies with weight products:
+
+        Δ(O ⋈ L) = ΔO ⋈ L₀  ∪  O₀ ⋈ ΔL  ∪  ΔO ⋈ ΔL,   w = w_o · w_l
+
+    so a deleted order RETRACTS its items from the view (negative
+    partials subtract in the same full-outer merge) and an updated
+    priority retracts under the old group and re-inserts under the new
+    one — no rescan of either base table.
+
+    The batch: orders takes a keyed MERGE deleting every o_orderkey
+    divisible by 9, re-prioritizing keys ≡4 (mod 9) to '0-RUSH', and
+    inserting the keys ≡2 (mod 3) held out of v0; lineitem takes a
+    delete of line numbers ≥ 5. Unchanged rows of rewritten buckets
+    enter Δ as cancelling -1/+1 pairs — bilinearity cancels them exactly
+    (pinned in tests), and the read stays O(touched segments).
+
+    Exactness: identical integer-cents quantization as the append-only
+    view; weighted counts/sums ride BIGINT/decimal(38,0) ↔ HUGEINT; ONE
+    double division at the end. Groups whose weighted count reaches 0
+    drop out of the view (none do here — every priority class keeps
+    members).
+
+    Scale shape: Δ sides are O(touched buckets) and broadcastable; the
+    snapshot sides are ordinary pruned scans; the view merge is bounded
+    by the priority vocabulary.
+
+    Oracle: the two batches leave final states that are pure predicates
+    over the source tables, so DuckDB recomputes the view from
+    scratch."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    o_tbl = LakeTable(spark, index_tempdir("lake_ivmc_o_"))
+    l_tbl = LakeTable(spark, index_tempdir("lake_ivmc_l_"))
+    o_tbl.create_or_replace(
+        orders.filter(F.col("o_orderkey") % 3 < 2),
+        bucket_by=("o_orderkey", 8),
+    )
+    l_tbl.create_or_replace(li, bucket_by=("l_orderkey", 8))
+    # ---- the CDC batch: deletes + updates + inserts via MERGE / DELETE
+    cdc = (
+        orders.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("op", F.lit("d"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 9 == 4)
+            .withColumn("o_orderpriority", F.lit("0-RUSH"))
+            .withColumn("op", F.lit("u"))
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+                "op", F.lit("c")
+            )
+        )
+    )
+    o_tbl.merge(cdc, pk="o_orderkey", op_col="op")
+    l_tbl.delete_where(F.col("l_linenumber") >= 5)
+
+    def wpartial(joined: DataFrame, weight) -> DataFrame:
+        return joined.groupBy("o_orderpriority").agg(
+            F.sum(weight).cast("long").alias("inc_n"),
+            F.sum(
+                (weight * F.col("cents")).cast("decimal(38,0)")
+            ).alias("inc_cents"),
+        )
+
+    view = LakeTable(spark, index_tempdir("lake_ivmc_v_"))
+    o0, l0 = o_tbl.read(version=0), l_tbl.read(version=0)
+    view.create_or_replace(
+        wpartial(o0.join(l0, o0.o_orderkey == l0.l_orderkey), F.lit(1))
+        .withColumnsRenamed({"inc_n": "n_items", "inc_cents": "cents"})
+    )
+    # ---- the signed refresh: O(touched segments) from both change feeds
+    d_o = o_tbl.signed_changes_between(0, 1).withColumnsRenamed(
+        {"_weight": "w_o"}
+    )
+    d_l = l_tbl.signed_changes_between(0, 1).withColumnsRenamed(
+        {"_weight": "w_l"}
+    )
+    delta = (
+        wpartial(d_o.join(l0, d_o.o_orderkey == l0.l_orderkey), F.col("w_o"))
+        .unionByName(
+            wpartial(
+                o0.join(d_l, o0.o_orderkey == d_l.l_orderkey), F.col("w_l")
+            )
+        )
+        .unionByName(
+            wpartial(
+                d_o.join(d_l, d_o.o_orderkey == d_l.l_orderkey),
+                F.col("w_o") * F.col("w_l"),
+            )
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("inc_n").alias("inc_n"),
+            F.sum("inc_cents").alias("inc_cents"),
+        )
+    )
+    state = view.read()
+    zero = F.lit(0).cast("decimal(38,0)")
+    view.create_or_replace(
+        state.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce("n_items", F.lit(0)) + F.coalesce("inc_n", F.lit(0))
+            ).alias("n_items"),
+            (
+                F.coalesce(F.col("cents"), zero)
+                + F.coalesce(F.col("inc_cents"), zero)
+            ).alias("cents"),
+        )
+        .filter(F.col("n_items") != 0)
     )
     return (
         view.read()
@@ -1592,6 +1787,7 @@ QUERIES = {
     "lh_partitions_meta": lh_partitions_meta,
     "lh_stats_skipping": lh_stats_skipping,
     "lh_bloom_skipping": lh_bloom_skipping,
+    "lh_bloom_join_pruning": lh_bloom_join_pruning,
     "lh_restore": lh_restore,
     "lh_branch_merge": lh_branch_merge,
     "lh_partition_evolution": lh_partition_evolution,
@@ -1600,6 +1796,7 @@ QUERIES = {
     "lh_merge_upsert": lh_merge_upsert,
     "lh_incremental_rollup": lh_incremental_rollup,
     "lh_incremental_join_view": lh_incremental_join_view,
+    "lh_incremental_join_view_cdc": lh_incremental_join_view_cdc,
     "lh_analyze_incremental": lh_analyze_incremental,
     "lh_constraint_report": lh_constraint_report,
     "lh_time_travel": lh_time_travel,
@@ -1814,6 +2011,21 @@ ORACLE = {
         FROM orders
         WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
     """,
+    # join pruning result-invariance: the oracle joins the UNPRUNED
+    # tables — equality proves the bloom probe dropped only segments
+    # provably empty of the dim's keys
+    "lh_bloom_join_pruning": """
+        WITH ks AS (
+            SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 2
+        )
+        SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,4))),
+                          2) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_custkey IN (SELECT o_custkey FROM ks)
+        GROUP BY c_custkey, c_name
+        ORDER BY c_custkey
+    """,
     "lh_restore": """
         SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS p_retailprice
         FROM part WHERE p_partkey < 150
@@ -1913,6 +2125,31 @@ ORACLE = {
                                           * 100) AS BIGINT)) AS DOUBLE)
                      / 100.0, 2) AS revenue
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    # retraction IVM: the CDC batch leaves final states that are pure
+    # predicates over the sources — orders minus the %9==0 deletes plus
+    # the %3==2 inserts with the %9==4 re-prioritization, lineitem minus
+    # line numbers >= 5 — so the view recomputes from scratch
+    "lh_incremental_join_view_cdc": """
+        WITH o AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 9 = 4 THEN '0-RUSH'
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM orders
+            WHERE (o_orderkey % 3 < 2 AND o_orderkey % 9 <> 0)
+               OR o_orderkey % 3 = 2
+        ), l AS (
+            SELECT l_orderkey,
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS cents
+            FROM lineitem WHERE l_linenumber <= 4
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue
+        FROM o JOIN l ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,

@@ -1197,6 +1197,165 @@ def st_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORD_PRI_JSON_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _orders_pri_json_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir, _src_gen(sf_dir, "orders"))
+    if key not in _ORD_PRI_JSON_CACHE:
+        src = os.path.join(index_tempdir("ordp_json_"), "orders")
+        t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).repartition(4).write.mode("overwrite").json(src)
+        _ORD_PRI_JSON_CACHE[key] = src
+    return _ORD_PRI_JSON_CACHE[key]
+
+
+def st_join_view_bidir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the orders⋈lineitem revenue view with
+    BOTH sides streaming — the completion of ``st_join_view_stream``
+    (whose orders side was static): two file-source CDC feeds (orders
+    keys+priorities, lineitem keys+cents, each forced through
+    maxFilesPerTrigger=1 over a 4-file corpus) union into ONE tagged
+    stream, and a single ``foreachBatch`` coordinator applies the same
+    delta-join rule as the batch tier per micro-batch:
+
+        Δ(O ⋈ L) = ΔO ⋈ L_state  ∪  O_state ⋈ ΔL  ∪  ΔO ⋈ ΔL
+
+    where O_state/L_state are the PRE-batch accumulations of each feed
+    (lake tables appended after the view merge forces the terms — write
+    ordering, not snapshot pinning, keeps the lazy reads consistent).
+    Correct under ANY interleaving of the two feeds: the three terms
+    telescope to the full join whatever the batch split, and the
+    aggregate partials are sums — pinned tier-equal to
+    ``lh_incremental_join_view`` in tests.
+
+    Exactness: the ``lh_incremental_join_view`` recipe verbatim
+    (integer-cent quantization, decimal(38,0) sums, ONE double
+    division); its full-recompute oracle IS this query's oracle.
+
+    Scale shape: per batch two Δ-sized joins against pruned state scans
+    (Δ sides broadcastable) plus the Δ×Δ term; state grows as the feeds'
+    union (exactly what a two-sided streaming join must retain); view
+    state stays group-key-bounded."""
+    o_stream = (
+        spark.readStream.schema("o_orderkey long, o_orderpriority string")
+        .option("maxFilesPerTrigger", "1")
+        .json(_orders_pri_json_dir(spark, sf_dir))
+        .select(
+            F.lit("o").alias("side"),
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderpriority").alias("pri"),
+            F.lit(None).cast("long").alias("cents"),
+        )
+    )
+    l_stream = (
+        spark.readStream.schema("l_orderkey long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .json(_lineitem_json_dir(spark, sf_dir))
+        .select(
+            F.lit("l").alias("side"),
+            F.col("l_orderkey").alias("key"),
+            F.lit(None).cast("string").alias("pri"),
+            "cents",
+        )
+    )
+    o_state = LakeTable(spark, index_tempdir("lake_jvb_o_"))
+    l_state = LakeTable(spark, index_tempdir("lake_jvb_l_"))
+    view = LakeTable(spark, index_tempdir("lake_jvb_v_"))
+
+    def partial(joined: DataFrame) -> DataFrame:
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("inc_n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("inc_cents"),
+        )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            d_o = batch.filter(F.col("side") == "o").select(
+                F.col("key").alias("o_orderkey"),
+                F.col("pri").alias("o_orderpriority"),
+            )
+            d_l = batch.filter(F.col("side") == "l").select(
+                F.col("key").alias("l_orderkey"), "cents"
+            )
+            terms = [partial(d_o.join(d_l, d_o.o_orderkey == d_l.l_orderkey))]
+            if l_state.exists():
+                l0 = l_state.read()
+                terms.append(
+                    partial(d_o.join(l0, d_o.o_orderkey == l0.l_orderkey))
+                )
+            if o_state.exists():
+                o0 = o_state.read()
+                terms.append(
+                    partial(o0.join(d_l, o0.o_orderkey == d_l.l_orderkey))
+                )
+            part = terms[0]
+            for x in terms[1:]:
+                part = part.unionByName(x)
+            part = part.groupBy("o_orderpriority").agg(
+                F.sum("inc_n").alias("inc_n"),
+                F.sum("inc_cents").alias("inc_cents"),
+            )
+            if not view.exists():
+                view.create_or_replace(
+                    part.select(
+                        "o_orderpriority",
+                        F.col("inc_n").alias("n_items"),
+                        F.col("inc_cents").alias("cents"),
+                    )
+                )
+            else:
+                state = view.read()
+                zero = F.lit(0).cast("decimal(38,0)")
+                view.create_or_replace(
+                    state.join(part, "o_orderpriority", "full_outer").select(
+                        "o_orderpriority",
+                        (
+                            F.coalesce("n_items", F.lit(0))
+                            + F.coalesce("inc_n", F.lit(0))
+                        ).alias("n_items"),
+                        (
+                            F.coalesce(F.col("cents"), zero)
+                            + F.coalesce(F.col("inc_cents"), zero)
+                        ).alias("cents"),
+                    )
+                )
+            # the view merge above already FORCED every term against the
+            # pre-batch states — only now may the feeds land in state
+            if o_state.exists():
+                o_state.append(d_o)
+            else:
+                o_state.create_or_replace(d_o)
+            if l_state.exists():
+                l_state.append(d_l)
+            else:
+                l_state.create_or_replace(d_l)
+        finally:
+            batch.unpersist()
+
+    q = (
+        o_stream.unionByName(l_stream)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", index_tempdir("jvb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        view.read()
+        .select(
+            "o_orderpriority",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def st_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup GATE: new documents arrive as a live JSON stream
     and every micro-batch probes the corpus' PERSISTED MinHash band index
@@ -1296,6 +1455,7 @@ QUERIES = {
     "st_ltv_stream": st_ltv_stream,
     "st_bootstrap_stream": st_bootstrap_stream,
     "st_join_view_stream": st_join_view_stream,
+    "st_join_view_bidir_stream": st_join_view_bidir_stream,
     "st_hll_stream": st_hll_stream,
     "st_cdc_merge_stream": st_cdc_merge_stream,
     "st_scd2_stream": st_scd2_stream,
@@ -1532,6 +1692,11 @@ ORACLE["st_bootstrap_stream"] = _ANALYTICS_ORACLE["a_poisson_bootstrap"]
 # stream-static join view == the batch incremental view's full recompute
 from .lakehouse_ops import ORACLE as _LAKEHOUSE_ORACLE  # noqa: E402
 ORACLE["st_join_view_stream"] = _LAKEHOUSE_ORACLE["lh_incremental_join_view"]
+# both feeds partition their whole tables, so the two-sided view's final
+# state is the same full-recompute ground truth
+ORACLE["st_join_view_bidir_stream"] = _LAKEHOUSE_ORACLE[
+    "lh_incremental_join_view"
+]
 # sketch contract is engine-side; the oracle checks exact counts + TRUE
 from .relational import ORACLE as _RELATIONAL_ORACLE  # noqa: E402
 ORACLE["st_hll_stream"] = _RELATIONAL_ORACLE["a_hll_distinct"]

@@ -279,3 +279,41 @@ def test_bloom_config_validation():
     assert cols == ["a", "b"] and m == 1024 and k == 2
     with pytest.raises(ValueError):
         bloom_config({"bloom.columns": "a", "bloom.k": "9"})  # 9*12 > 64 hex
+
+
+def test_read_for_join_prunes_by_dim_membership(spark, bloom_table):
+    """DPP-lite (round-13 verdict #8): the small side's distinct join
+    keys probe the fact manifest's blooms — segments holding none of the
+    dim's keys are never scanned (inputFiles pin), the joined result is
+    identical to the unpruned join, and an over-cap dimension raises
+    instead of silently collecting a fact-sized side."""
+    dim = spark.createDataFrame(
+        [("c", 1), ("c", 2), ("e", 3), (None, 4)], "clerk string, x long"
+    )
+    fact = bloom_table.read_for_join("clerk", dim)
+    # c lives only in v0, e in v0+v2 — v1 ({a,b,f}) must never be read
+    assert sorted(r["pk"] for r in fact.collect()) == [1, 2, 21]
+    commit = bloom_table.commit_at()
+    v1 = next(e for e in commit.files if int(e["seq"]) == 1)
+    touched = {
+        f.replace("file:", "").replace("///", "/") for f in fact.inputFiles()
+    }
+    assert touched and not any(f.startswith(v1["path"]) for f in touched)
+
+    full = (
+        bloom_table.read()
+        .join(dim.select("clerk").distinct(), "clerk")
+        .select("pk")
+    )
+    assert sorted(r["pk"] for r in full.collect()) == sorted(
+        r["pk"] for r in fact.join(dim.select("clerk").distinct(), "clerk").select("pk").collect()
+    )
+
+    # all-NULL key side → empty frame, no scan
+    nulls = spark.createDataFrame([(None,)], "clerk string")
+    assert bloom_table.read_for_join("clerk", nulls).count() == 0
+
+    # over-cap guard
+    big = spark.range(50).select(F.col("id").cast("string").alias("clerk"))
+    with pytest.raises(ValueError, match="max_keys"):
+        bloom_table.read_for_join("clerk", big, max_keys=10)

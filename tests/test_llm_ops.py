@@ -2169,3 +2169,67 @@ def test_threshold_curve_hand_computed(spark, tmp_path):
     assert got == {
         0.5: (3, 3), 0.6: (3, 3), 0.7: (3, 3), 0.8: (1, 2), 0.9: (1, 2),
     }
+
+
+def test_threshold_curve_boilerplate_df_cap(spark, tmp_path):
+    """Planted common-shingle skew: one boilerplate trigram sits in 120
+    docs (df > _CURVE_DF_CAP=100) whose remaining shingles are unique —
+    without the df cap that single posting list alone contributes
+    120·119/2 candidate probes and glues zero-similarity docs into the
+    0.5 floor. With the cap the shingle leaves the retained universe:
+    the only surviving pair is the planted exact dup, at every
+    threshold, and the Spark result stays hash-identical to the
+    all-pairs oracle over the same retained sets."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_correctness import compare
+
+    docs = [
+        (i, f"common boiler plate u{i} v{i} w{i}", "en", "w")
+        for i in range(120)
+    ]
+    docs += [
+        (200, "x y z q r s", "en", "w"),
+        (201, "x y z q r s", "en", "w"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["dd_threshold_curve"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "dd_threshold_curve", sdf, con.sql(oracles["dd_threshold_curve"]).df()
+    )
+    assert not msg, msg
+    got = {r["threshold"]: (r["n_pairs"], r["n_docs"]) for _, r in sdf.iterrows()}
+    assert got == {t: (1, 2) for t in (0.5, 0.6, 0.7, 0.8, 0.9)}
+
+
+def test_join_view_bidir_stream_matches_batch_tier(spark, sf_dir):
+    """One delta-join contract, three tiers: the two-sided streaming view
+    (both feeds micro-batched, one foreachBatch coordinator) must equal
+    the batch incremental view's final state exactly — the rule
+    telescopes to the full join under any interleaving."""
+    from datalake_on_prem_system_spark.operators.lakehouse_ops import (
+        lh_incremental_join_view,
+    )
+    from datalake_on_prem_system_spark.operators.streaming_ops import (
+        st_join_view_bidir_stream,
+    )
+
+    batch = {
+        r.o_orderpriority: (r.n_items, r.revenue)
+        for r in lh_incremental_join_view(spark, sf_dir).collect()
+    }
+    stream = {
+        r.o_orderpriority: (r.n_items, r.revenue)
+        for r in st_join_view_bidir_stream(spark, sf_dir).collect()
+    }
+    assert stream == batch
