@@ -285,6 +285,7 @@ def _prune_by_disjuncts(entries: list[dict], condition) -> list[dict]:
         e
         for e in entries
         if e.get("delta") is not None
+        or e.get("dv")  # DV tombstones decide OTHER rows' survival
         or any(_entry_may_match(e, d) for d in disjuncts)
     ]
 
@@ -1283,6 +1284,31 @@ class LakeTable:
         Deltas are written in the same bucket layout as the base, so
         resolving any bucket-subset of entries is self-contained — the
         window shuffle only moves rows of the touched buckets."""
+        dv_entries = [e for e in entries if e.get("dv")]
+        if dv_entries:
+            # positional deletion vectors (delete_vectors enforces a
+            # plain-layout pure-COW state, so every other entry is a flat
+            # parquet segment): attach per-file row positions to the base
+            # scan and anti-join the tombstones out. The DV side is tiny
+            # (matched positions only) — broadcastable; base bytes are
+            # never rewritten.
+            from pyspark.sql.types import StructType
+
+            base = [e for e in entries if not e.get("dv")]
+            schema = StructType.fromJson(json.loads(schema_json))
+            scan = (
+                self.spark.read.schema(schema)
+                .parquet(*[e["path"] for e in base])
+                .withColumn("__fp", F.col("_metadata.file_path"))
+                .withColumn("__pos", F.col("_metadata.row_index"))
+            )
+            dv = (
+                self.spark.read.parquet(*[e["path"] for e in dv_entries])
+                .select("__fp", "__pos")
+            )
+            return scan.join(
+                F.broadcast(dv), ["__fp", "__pos"], "left_anti"
+            ).drop("__fp", "__pos")
         deltas = [e for e in entries if e.get("delta") is not None]
         base_entries = [e for e in entries if e.get("delta") is None]
         if not deltas:
@@ -1781,11 +1807,15 @@ class LakeTable:
             commit_paths = {e["path"] for e in commit.files}
             added = [e for e in commit.files if e["path"] not in parent_paths]
             removed = [e for e in parent.files if e["path"] not in commit_paths]
-            if any(e.get("delta") is not None for e in added + removed):
+            if any(
+                e.get("delta") is not None or e.get("dv")
+                for e in added + removed
+            ):
                 raise ValueError(
                     f"signed_changes_between requires a copy-on-write "
                     f"history; version {v} ('{commit.operation}') touches "
-                    f"merge-on-read delta segments — compact first"
+                    f"merge-on-read delta or deletion-vector segments — "
+                    f"compact first"
                 )
             if added:
                 parts.append(
@@ -1902,6 +1932,7 @@ class LakeTable:
                 upserts, "merge", bucket_spec=_bucket_spec(lead, n, pks=pks),
                 properties=_props_with_extra(None),
             )
+        self._assert_no_dv("merge")
         prev = self._read_commit(self.latest_version())
         target_schema = self._schema(prev)
         self._enforce_constraints(upserts, prev.properties, "merge", target_schema)
@@ -2089,6 +2120,7 @@ class LakeTable:
         table I/O — instead of scanning the table. At 100 TB that is the
         difference between a point DML costing O(1 bucket) and O(table).
         Arbitrary predicates keep the scan."""
+        self._assert_no_dv(operation)
         prev = self._read_commit(self.latest_version())
         spec = prev.bucket_spec
         if spec is None or prev.partition_by or not _spec_current(spec):
@@ -2168,6 +2200,103 @@ class LakeTable:
         return self._keyed_rewrite(
             "delete", condition, lambda df: df.filter(~condition.eqNullSafe(True))
         )
+
+    def delete_vectors(self, condition) -> Commit:
+        """DELETE WHERE via positional deletion vectors (Iceberg v2
+        position deletes / Delta Lake deletion vectors): no data file is
+        rewritten — the commit carries every parent entry untouched plus
+        ONE DV sidecar entry of (file, row position) tombstones, and
+        reads anti-join the tombstones back out (``_resolve``). The
+        third DML granularity next to COW rewrite (``delete_where``,
+        write-amplified) and keyed MOR row deltas (``merge(mode="mor")``,
+        key-shuffled): a DV commit costs O(matching rows) longs, leaves
+        base bytes byte-identical (inputFiles-pinned in tests), and the
+        read-side overhead is one broadcast anti-join.
+
+        Stacking: a second ``delete_vectors`` writes only NEWLY-matching
+        positions (already-tombstoned rows are subtracted), so
+        ``n_rows`` accounting stays exact and DV sidecars never
+        double-count. SQL semantics match ``delete_where``: only rows
+        where the condition is definitely TRUE are tombstoned.
+
+        Restrictions (enforced, not documented-away): the parent state
+        must be plain-layout pure-COW (no hive partitioning, no bucket
+        layout, no pending MOR deltas) — positions index flat parquet
+        segments. Rewriting DML on a DV-bearing table raises
+        (``_assert_no_dv``): a bucket rewrite would carry stale
+        tombstones pointing at replaced files; compact first (compaction
+        materializes the DV-applied read and drops the sidecars)."""
+        parent_v = self.latest_version()
+        if parent_v is None:
+            raise ValueError("delete_vectors on a never-created table")
+        prev = self._read_commit(parent_v)
+        if prev.partition_by or prev.bucket_spec or any(
+            e.get("delta") is not None for e in prev.files
+        ):
+            raise ValueError(
+                "delete_vectors requires a plain-layout pure-COW table "
+                "state (no hive partitioning / buckets / pending MOR "
+                "deltas) — positions index flat parquet segments"
+            )
+        schema = self._schema(prev)
+        base_paths = [e["path"] for e in prev.files if not e.get("dv")]
+        dv_prev = [e for e in prev.files if e.get("dv")]
+        scan = (
+            self.spark.read.schema(schema)
+            .parquet(*base_paths)
+            .withColumn("__fp", F.col("_metadata.file_path"))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        hits = scan.filter(condition.eqNullSafe(True)).select("__fp", "__pos")
+        if dv_prev:
+            old = (
+                self.spark.read.parquet(*[e["path"] for e in dv_prev])
+                .select("__fp", "__pos")
+            )
+            hits = hits.join(F.broadcast(old), ["__fp", "__pos"], "left_anti")
+        version = parent_v + 1
+        dv_dir = os.path.join(
+            self._data_dir, f"dv_{version}_{uuid.uuid4().hex[:8]}"
+        )
+        hits.write.parquet(dv_dir)
+        n_del = self.spark.read.parquet(dv_dir).count()
+        files = list(prev.files) + [
+            {
+                "path": dv_dir,
+                "bucket": None,
+                "n_rows": n_del,
+                "seq": version,
+                "delta": None,
+                "dv": True,
+            }
+        ]
+        commit = Commit(
+            version=version,
+            parent=parent_v,
+            operation="delete_dv",
+            files=files,
+            n_rows=prev.n_rows - n_del,
+            schema_json=prev.schema_json,
+            committed_at=time.time(),
+            bucket_spec=None,
+            partition_by=None,
+            properties=prev.properties,
+        )
+        return self._publish_commit(commit, [dv_dir])
+
+    def _assert_no_dv(self, operation: str) -> None:
+        """Rewriting DML refuses on a DV-bearing state: a selective
+        rewrite would carry tombstones whose positions point at replaced
+        files. Compaction materializes the DV-applied read instead."""
+        latest = self.latest_version()
+        if latest is None:
+            return
+        if any(e.get("dv") for e in self._read_commit(latest).files):
+            raise ValueError(
+                f"{operation} on a deletion-vector-bearing table is not "
+                f"supported — compact() first to materialize the "
+                f"DV-applied state"
+            )
 
     def update_where(self, condition, assignments: dict[str, Any]) -> Commit:
         """UPDATE t SET c=v,... WHERE cond (api_poc.py:743-756; pk never

@@ -1458,6 +1458,122 @@ def _semantic_inc_oracle_sql() -> str:
     """
 
 
+_NOVELTY_DECILES = 10
+# a doc is "arriving duplicate" when >= 4/5 of its shingles were already
+# seen in earlier docs — integer cross-multiplication, no float compare
+_NOVELTY_DUP_NUM, _NOVELTY_DUP_DEN = 4, 5
+
+
+def dd_novelty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl novelty-decay audit: slice the corpus into 10 ingestion
+    deciles (doc_id order — the crawl-time proxy) and report, per decile,
+    how many shingles are FIRST seen there, what fraction of each
+    arriving doc's shingles earlier docs already contributed, and how
+    many docs arrive ≥80% pre-seen — the "is the marginal crawl batch
+    still adding content?" curve every continued-pretraining data buy
+    reads (``dd_threshold_curve``'s yield over THRESHOLDS, here over
+    TIME).
+
+    Distributed shape: one shingle explode (the shared persisted
+    ``_shingle_frame``), a vocabulary-keyed min-doc aggregate for first
+    occurrences, the TWO-LEVEL prefix-rank decile rule (intra-bucket
+    row_number by ``doc_id div 1e6`` + cumulative bucket offsets — the
+    a_mann_whitney recipe, no global single-partition sort), and
+    decile-bounded rollups. The total doc count enters as one collected
+    scalar (a bounded anchor).
+
+    Exactness: all censuses are integers; per-doc seen-fractions
+    quantize to ppm via integer division BEFORE the corpus-sized sum
+    (the no-double-sums rule); the dup flag is an integer
+    cross-multiplication; two double divisions at the end, round 6.
+    Spark mines on xxhash64 shingle ids, the oracle on strings —
+    identical modulo 64-bit collisions (P ≈ |vocab|²·2⁻⁶⁴)."""
+    sh = _shingle_frame(spark, sf_dir)
+    n_docs_total = sh.count()
+    ex = sh.select(
+        "doc_id",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
+    )
+    first = ex.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
+    intra = Window.partitionBy("bkt").orderBy("doc_id")
+    per = (
+        sh.select("doc_id")
+        .withColumn("bkt", F.expr("doc_id div 1000000"))
+        .withColumn("ir", F.row_number().over(intra))
+    )
+    boff = (
+        per.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "off")
+    )
+    dec = per.join(boff, "bkt").select(
+        "doc_id",
+        F.expr(
+            f"CAST((off + ir - 1) * {_NOVELTY_DECILES} div {n_docs_total}"
+            f" + 1 AS INT)"
+        ).alias("dd"),
+    )
+    pd_ = (
+        ex.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("fd") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_seen"),
+        )
+    )
+    per_dec = (
+        pd_.join(dec, "doc_id")
+        .groupBy("dd")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_seen") * _NOVELTY_DUP_DEN
+                    >= F.col("n_sh") * _NOVELTY_DUP_NUM,
+                    1,
+                ).otherwise(0)
+            ).alias("n_dup_docs"),
+            F.sum(F.expr("n_seen * 1000000 div n_sh")).alias("ppm"),
+            F.sum("n_sh").alias("occ"),
+        )
+    )
+    nov = (
+        first.join(dec, first.fd == dec.doc_id)
+        .groupBy("dd")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        per_dec.join(nov, "dd", "left")
+        .fillna(0, ["n_novel"])
+        .select(
+            F.col("dd").alias("decile"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(
+                F.col("n_novel").cast("double") / F.col("occ"), 6
+            ).alias("novelty_rate"),
+            F.round(
+                F.col("ppm").cast("double") / F.col("n_docs") / F.lit(1e6), 6
+            ).alias("mean_seen_frac"),
+        )
+        .orderBy("decile")
+    )
+
+
 QUERIES = {
     "dd_exact": dd_exact,
     "dd_semantic": dd_semantic,
@@ -1467,6 +1583,7 @@ QUERIES = {
     "dd_containment": dd_containment,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_threshold_curve": dd_threshold_curve,
+    "dd_novelty_deciles": dd_novelty_deciles,
     "dd_sketch_quality": dd_sketch_quality,
     "dd_lsh_recall": dd_lsh_recall,
     "dd_components": dd_components,
@@ -1819,7 +1936,56 @@ ORACLE = {
         FROM pc JOIN dc USING (threshold)
         ORDER BY threshold
     """,
-
+    # crawl novelty decay: string shingles, row_number deciles, per-doc
+    # ppm quantization BEFORE the sum — the engine's integer recipe
+    # replayed verbatim
+    "dd_novelty_deciles": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') w FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) s
+            FROM toks WHERE len(w) >= 3
+        ), ex AS (
+            SELECT doc_id, unnest(s) shingle FROM sh
+        ), fo AS (
+            SELECT shingle, min(doc_id) fd FROM ex GROUP BY 1
+        ), nd AS (
+            SELECT count(*) n FROM sh
+        ), rk AS (
+            SELECT doc_id, row_number() OVER (ORDER BY doc_id) r FROM sh
+        ), dec AS (
+            SELECT doc_id,
+                   CAST((r - 1) * {_NOVELTY_DECILES} // n + 1 AS INT) dd
+            FROM rk, nd
+        ), pd AS (
+            SELECT e.doc_id, count(*) n_sh,
+                   sum(CASE WHEN fd < e.doc_id THEN 1 ELSE 0 END) n_seen
+            FROM ex e JOIN fo USING (shingle) GROUP BY 1
+        ), per_dec AS (
+            SELECT dd, count(*) n_docs,
+                   sum(CASE WHEN n_seen * {_NOVELTY_DUP_DEN}
+                             >= n_sh * {_NOVELTY_DUP_NUM}
+                        THEN 1 ELSE 0 END) n_dup_docs,
+                   sum(n_seen * 1000000 // n_sh) ppm,
+                   sum(n_sh) occ
+            FROM pd JOIN dec USING (doc_id) GROUP BY 1
+        ), nov AS (
+            SELECT d.dd, count(*) n_novel
+            FROM fo f JOIN dec d ON f.fd = d.doc_id GROUP BY 1
+        )
+        SELECT p.dd AS decile,
+               CAST(p.n_docs AS BIGINT) AS n_docs,
+               CAST(p.n_dup_docs AS BIGINT) AS n_dup_docs,
+               CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+               round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / p.occ, 6)
+                   AS novelty_rate,
+               round(CAST(p.ppm AS DOUBLE) / p.n_docs / 1000000.0, 6)
+                   AS mean_seen_frac
+        FROM per_dec p LEFT JOIN nov n ON n.dd = p.dd
+        ORDER BY decile
+    """,
     "dd_sketch_quality": _SKETCH_QUALITY_SQL,
     "dd_lsh_recall": _LSH_RECALL_SQL,
     # connected components = min reachable doc_id — deterministic, so the

@@ -557,6 +557,55 @@ def lh_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DV_CACHE: dict[str, str] = {}
+
+
+def lh_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional deletion vectors on the DML path
+    (``LakeTable.delete_vectors`` — Iceberg v2 position deletes / Delta
+    DV parity): two STACKED DV deletes land on the even-orderkey half of
+    orders (every orderkey ≡4 mod 10, then every remaining '1-URGENT'
+    row — the second sidecar subtracts already-tombstoned positions), an
+    append follows AFTER the DVs (its urgent rows survive: tombstones are
+    position-scoped to the files that existed when they were cut), and
+    the serve read anti-joins the tiny sidecars against the untouched
+    base bytes. No data file is rewritten across the four commits —
+    byte-identity is inputFiles-pinned in tests/test_lakehouse.py.
+
+    Scale shape: a DV commit costs O(matching rows) longs + one manifest
+    entry; the read pays one broadcast anti-join on (file, pos) — the
+    delete path a 100 TB table wants when COW write amplification and
+    MOR key shuffles are both too expensive.
+
+    Exactness: o_totalprice sums ride decimal(18,4) both engines; the
+    oracle recomputes the final state as pure predicates over orders."""
+    if sf_dir not in _DV_CACHE:
+        root = index_tempdir("lake_dv_")
+        table = LakeTable(spark, root)
+        base = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        table.create_or_replace(base.filter(F.col("o_orderkey") % 2 == 0))
+        table.delete_vectors(F.col("o_orderkey") % 10 == 4)
+        table.delete_vectors(F.col("o_orderpriority") == "1-URGENT")
+        table.append(base.filter(F.col("o_orderkey") % 2 == 1))
+        _DV_CACHE[sf_dir] = root
+    table = LakeTable(spark, _DV_CACHE[sf_dir])
+    return (
+        table.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _ZORDER_CACHE: dict[str, str] = {}
 
 
@@ -1788,6 +1837,7 @@ QUERIES = {
     "lh_stats_skipping": lh_stats_skipping,
     "lh_bloom_skipping": lh_bloom_skipping,
     "lh_bloom_join_pruning": lh_bloom_join_pruning,
+    "lh_deletion_vectors": lh_deletion_vectors,
     "lh_restore": lh_restore,
     "lh_branch_merge": lh_branch_merge,
     "lh_partition_evolution": lh_partition_evolution,
@@ -2010,6 +2060,22 @@ ORACLE = {
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         FROM orders
         WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+    """,
+    # deletion vectors: the stacked DV deletes hit only the pre-append
+    # even half; the odd half appended after the tombstones keeps its
+    # urgent rows — final state is a pure predicate over orders
+    "lh_deletion_vectors": """
+        WITH st AS (
+            SELECT o_orderpriority, round(o_totalprice, 2) AS p
+            FROM orders
+            WHERE (o_orderkey % 2 = 0 AND o_orderkey % 10 <> 4
+                   AND o_orderpriority <> '1-URGENT')
+               OR o_orderkey % 2 = 1
+        )
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(p AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS revenue
+        FROM st GROUP BY 1 ORDER BY 1
     """,
     # join pruning result-invariance: the oracle joins the UNPRUNED
     # tables — equality proves the bloom probe dropped only segments

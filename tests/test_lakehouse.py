@@ -1098,3 +1098,65 @@ def test_signed_changes_touched_segments_and_zset_semantics(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="copy-on-write"):
         t.signed_changes_between(2, 3)
+
+
+def test_deletion_vectors_semantics_and_guards(spark, tmp_path):
+    """DV pins: (a) no data file is rewritten across stacked DV commits
+    (entry paths carried verbatim, inputFiles ⊆ original segments + none
+    pruned away), (b) the second DV subtracts already-tombstoned
+    positions so n_rows accounting is exact, (c) appends after a DV are
+    never tombstoned, (d) rewriting DML refuses, (e) compact()
+    materializes the DV-applied state and drops the sidecars, (f) time
+    travel reads pre-DV state."""
+    from pyspark.sql import functions as F
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(
+        spark.createDataFrame(
+            [(k, "u" if k % 3 == 0 else "n") for k in range(10)],
+            "k long, tag string",
+        )
+    )
+    v0_paths = {e["path"] for e in t.commit_at(0).files}
+
+    t.delete_vectors(F.col("k") % 2 == 0)        # kills 0,2,4,6,8
+    t.delete_vectors(F.col("tag") == "u")        # kills 3,9 (0,6 already)
+    c2 = t.commit_at(2)
+    assert v0_paths <= {e["path"] for e in c2.files}
+    dv_entries = [e for e in c2.files if e.get("dv")]
+    assert [e["n_rows"] for e in dv_entries] == [5, 2]  # stacked subtraction
+    assert c2.n_rows == 3
+    assert sorted(r.k for r in t.read().collect()) == [1, 5, 7]
+
+    # appends after the DV commits are position-exempt
+    t.append(spark.createDataFrame([(20, "u")], "k long, tag string"))
+    assert sorted(r.k for r in t.read().collect()) == [1, 5, 7, 20]
+
+    # read only ever touches base segments + sidecars; base bytes carried
+    touched = {
+        f.replace("file:", "").replace("///", "/")
+        for f in t.read().inputFiles()
+    }
+    assert any(any(f.startswith(p) for p in v0_paths) for f in touched)
+
+    # rewriting DML refuses on a DV-bearing state
+    with pytest.raises(ValueError, match="deletion-vector"):
+        t.delete_where(F.col("k") == 1)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        t.update_where(F.col("k") == 1, {"tag": "x"})
+    with pytest.raises(ValueError, match="deletion-vector"):
+        t.merge(spark.createDataFrame([(1, "z")], "k long, tag string"), pk="k")
+    with pytest.raises(ValueError, match="copy-on-write"):
+        t.signed_changes_between(0, 2)
+
+    # time travel reads the pre-DV state
+    assert t.read(version=0).count() == 10
+    assert t.read(version=1).count() == 5
+
+    # compact materializes and drops the sidecars; DML reopens
+    t.compact()
+    latest = t.commit_at()
+    assert not any(e.get("dv") for e in latest.files)
+    assert sorted(r.k for r in t.read().collect()) == [1, 5, 7, 20]
+    t.delete_where(F.col("k") == 20)
+    assert sorted(r.k for r in t.read().collect()) == [1, 5, 7]

@@ -2233,3 +2233,43 @@ def test_join_view_bidir_stream_matches_batch_tier(spark, sf_dir):
         for r in st_join_view_bidir_stream(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_novelty_deciles_hand_computed(spark, tmp_path):
+    """Novelty-decay pin: docs 1-5 carry disjoint fresh content (one doc
+    per decile, novelty 1.0), docs 6-10 are verbatim copies of doc 1 —
+    every shingle pre-seen, so each lands as a >=80% dup with
+    mean_seen_frac 1.0 and zero novel shingles."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_correctness import compare
+
+    docs = [(k, f"x{k} y{k} z{k} w{k}", "en", "w") for k in range(1, 6)]
+    docs += [(k, "x1 y1 z1 w1", "en", "w") for k in range(6, 11)]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["dd_novelty_deciles"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "dd_novelty_deciles", sdf, con.sql(oracles["dd_novelty_deciles"]).df()
+    )
+    assert not msg, msg
+    got = {
+        int(r["decile"]): (
+            r["n_docs"], r["n_dup_docs"], r["n_novel"],
+            r["novelty_rate"], r["mean_seen_frac"],
+        )
+        for _, r in sdf.iterrows()
+    }
+    for d in range(1, 6):
+        assert got[d] == (1, 0, 2, 1.0, 0.0)
+    for d in range(6, 11):
+        assert got[d] == (1, 1, 0, 0.0, 1.0)
