@@ -2125,6 +2125,146 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _granger_f_expr(e: str, u: str, v: str, pair: dict[tuple[str, str], str]) -> str:
+    """ONE SQL expression string for the lag-1 Granger F statistic, used
+    VERBATIM by both the Spark plan (``F.expr``) and the DuckDB oracle —
+    same parse, same double tree, same rounding. Inputs are the double
+    columns ``n``, ``s_<col>`` (sums), ``s_<a><b>`` (product sums, names
+    via ``pair``). Restricted model: e_t ~ 1 + u_t; unrestricted adds v_t
+    (u = effect's own lag, v = the candidate cause's lag); F with 1
+    numerator df and n-3 denominator df via the centered-Cramer solve.
+    All centered second moments are scaled by n (the n's cancel in F)."""
+    def p(a: str, b: str) -> str:
+        return pair[(a, b)] if (a, b) in pair else pair[(b, a)]
+
+    suu = f"(n*s_{p(u, u)} - s_{u}*s_{u})"
+    svv = f"(n*s_{p(v, v)} - s_{v}*s_{v})"
+    suv = f"(n*s_{p(u, v)} - s_{u}*s_{v})"
+    sue = f"(n*s_{p(u, e)} - s_{u}*s_{e})"
+    sve = f"(n*s_{p(v, e)} - s_{v}*s_{e})"
+    see = f"(n*s_{p(e, e)} - s_{e}*s_{e})"
+    det = f"({suu}*{svv} - {suv}*{suv})"
+    rss_r = f"({see} - {sue}*{sue}/{suu})"
+    rss_u = (
+        f"({see} - ({sue}*({sue}*{svv} - {sve}*{suv})"
+        f" + {sve}*({sve}*{suu} - {sue}*{suv}))/{det})"
+    )
+    return f"round((n - 3) * ({rss_r} - {rss_u}) / {rss_u}, 6)"
+
+
+# canonical product-sum column names over {y, x, ly, lx}
+_GRANGER_PAIRS: dict[tuple[str, str], str] = {
+    ("y", "y"): "yy",
+    ("x", "x"): "xx",
+    ("ly", "ly"): "lyly",
+    ("lx", "lx"): "lxlx",
+    ("ly", "y"): "lyy",
+    ("lx", "y"): "lxy",
+    ("ly", "x"): "lyx",
+    ("lx", "x"): "lxx",
+    ("ly", "lx"): "lylx",
+}
+
+
+def _granger_oracle_sql() -> str:
+    """DuckDB replay: identical daily series, identical integer sums
+    (HUGEINT), and the IDENTICAL F expression strings Spark parses."""
+    f1 = _granger_f_expr("y", "ly", "lx", _GRANGER_PAIRS)
+    f2 = _granger_f_expr("x", "lx", "ly", _GRANGER_PAIRS)
+    base = ["CAST(count(*) AS HUGEINT) AS n"] + [
+        f"sum(CAST({c} AS HUGEINT)) AS s_{c}" for c in ("y", "x", "ly", "lx")
+    ] + [
+        f"sum(CAST({a} * {b} AS HUGEINT)) AS s_{nm}"
+        for (a, b), nm in _GRANGER_PAIRS.items()
+    ]
+    names = ["n"] + [f"s_{c}" for c in ("y", "x", "ly", "lx")] + [
+        f"s_{nm}" for nm in _GRANGER_PAIRS.values()
+    ]
+    casts = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in names)
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+            FROM events GROUP BY 1
+        ), lagged AS (
+            SELECT day, x, y,
+                   lag(x) OVER (ORDER BY day) AS lx,
+                   lag(y) OVER (ORDER BY day) AS ly
+            FROM daily
+        ), lf AS (
+            SELECT * FROM lagged WHERE lx IS NOT NULL
+        ), sums AS (
+            SELECT {', '.join(base)} FROM lf
+        ), d AS (
+            SELECT {casts} FROM sums
+        )
+        SELECT 'click' AS cause, 'purchase' AS effect,
+               CAST(n AS BIGINT) AS n_pairs, {f1} AS f_stat FROM d
+        UNION ALL
+        SELECT 'purchase', 'click', CAST(n AS BIGINT), {f2} FROM d
+        ORDER BY cause
+    """
+
+
+def ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality between the daily CLICK and PURCHASE
+    count series, BOTH directions — the decide-step on top of
+    ``ts_cross_correlation``'s lead/lag picture ("do yesterday's clicks
+    predict today's purchases beyond purchases' own history?"): F-test
+    of the restricted AR(1) model against the unrestricted model with
+    the other series' lag added.
+
+    Exactness: daily counts are integers, so every base sum (Σe, Σe²,
+    Σuv, …) is an exact integer riding decimal(38,0) ↔ HUGEINT; the
+    F statistic is ONE shared SQL expression string (``_granger_f_expr``)
+    evaluated by both engines over those sums — identical parse,
+    identical IEEE tree, one round(6). Coefficient algebra is
+    numerically pinned against an independent least-squares solve in
+    tests.
+
+    Scale shape: ONE groupBy(day) shuffle reduces the fact table to a
+    calendar-bounded series; the lag window and the single aggregate row
+    run on that bounded frame (the ts_cross_correlation rule)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("day").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    w = Window.orderBy("day")
+    lagged = (
+        daily.select(
+            "day",
+            "x",
+            "y",
+            F.lag("x", 1).over(w).alias("lx"),
+            F.lag("y", 1).over(w).alias("ly"),
+        )
+        .filter(F.col("lx").isNotNull())
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for c in ("y", "x", "ly", "lx"):
+        aggs.append(F.sum(dec(F.col(c))).alias(f"s_{c}"))
+    for (a, b), nm in _GRANGER_PAIRS.items():
+        aggs.append(F.sum(dec(F.col(a) * F.col(b))).alias(f"s_{nm}"))
+    sums = lagged.agg(*aggs)
+    as_double = sums.select(
+        *[F.col(c).cast("double").alias(c) for c in sums.columns]
+    )
+    f1 = _granger_f_expr("y", "ly", "lx", _GRANGER_PAIRS)
+    f2 = _granger_f_expr("x", "lx", "ly", _GRANGER_PAIRS)
+    return as_double.select(
+        F.expr(
+            "stack(2, 'click', 'purchase', CAST(n AS BIGINT), "
+            f"{f1}, 'purchase', 'click', CAST(n AS BIGINT), {f2}) "
+            "AS (cause, effect, n_pairs, f_stat)"
+        )
+    ).orderBy("cause")
+
+
 def a_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test (URGENT vs LOW order totals) — the
     parametric partner of ``a_mann_whitney`` over the same two samples,
@@ -3424,6 +3564,7 @@ QUERIES = {
     "ts_trend_outliers": ts_trend_outliers,
     "ts_theil_sen": ts_theil_sen,
     "ts_mann_kendall": ts_mann_kendall,
+    "ts_granger": ts_granger,
     "a_gini": a_gini,
     "a_ks_test": a_ks_test,
     "a_kruskal_wallis": a_kruskal_wallis,
@@ -3789,6 +3930,7 @@ ORACLE = {
     "ts_autocorrelation": _ACF_ORACLE,
     "a_mann_whitney": _MWU_ORACLE,
     "ts_cross_correlation": _xcf_oracle_sql(),
+    "ts_granger": _granger_oracle_sql(),
     # censored KM: per-age factors are one double division; prefix products
     # fold the age-ordered bounded list in pinned order on both engines
     "ev_survival_censored": """

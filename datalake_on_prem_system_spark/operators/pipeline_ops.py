@@ -340,6 +340,57 @@ def pl_dataloader_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pl_resume_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader CHECKPOINT/RESUME plan — the restart contract of every
+    preemptible training job: with the striped worker assignment of
+    ``pl_dataloader_shards`` (one contract) and a global round-robin
+    checkpoint at half the pack count, report per worker what is already
+    consumed, what remains, the remaining token backlog, and the exact
+    NEXT pack each worker must open — so a resumed job replays nothing
+    and skips nothing. Workers that finished report NULL next-pack.
+
+    Determinism: the same (n_tokens DESC, source, pack_id) total order as
+    the shard assignment; the checkpoint step is ``n_packs div 2``
+    (integer); everything is integer censuses plus a min-struct argmin.
+    Scale shape: manifest-sized frames (the bounded rank window the
+    shards operator documents) + the one-row step anchor cross-join
+    (allow-listed)."""
+    packs = pl_sequence_pack_subword(spark, sf_dir).select(
+        "source", "pack_id", "n_docs", "n_tokens"
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("source"), F.asc("pack_id"))
+    ranked = packs.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "worker_id", ((F.col("rnk") - 1) % _N_WORKERS).cast("int")
+    )
+    tot = ranked.agg(F.count(F.lit(1)).alias("n_packs"))
+    st = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "step", F.expr("n_packs div 2")
+    )
+    pend = F.col("rnk") > F.col("step")
+    return (
+        st.groupBy("worker_id")
+        .agg(
+            F.sum((~pend).cast("long")).alias("n_consumed"),
+            F.sum(pend.cast("long")).alias("n_remaining"),
+            F.sum(F.when(pend, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("remaining_tokens"),
+            F.min(F.when(pend, F.struct("rnk", "source", "pack_id"))).alias(
+                "nxt"
+            ),
+        )
+        .select(
+            "worker_id",
+            "n_consumed",
+            "n_remaining",
+            "remaining_tokens",
+            F.col("nxt.source").alias("next_source"),
+            F.col("nxt.pack_id").alias("next_pack_id"),
+        )
+        .orderBy("worker_id")
+    )
+
+
 def pl_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE end-to-end pipeline composition: curate (quality gate → exact
     dedup → near-dup drop, pl_curation's exact chain) → tokenize (greedy
@@ -510,6 +561,7 @@ QUERIES = {
     "pl_sequence_pack": pl_sequence_pack,
     "pl_sequence_pack_subword": pl_sequence_pack_subword,
     "pl_dataloader_shards": pl_dataloader_shards,
+    "pl_resume_plan": pl_resume_plan,
     "pl_corpus_shuffle": pl_corpus_shuffle,
     "pl_training_manifest": pl_training_manifest,
 }
@@ -670,6 +722,37 @@ ORACLE = {
     """,
     "pl_sequence_pack_subword": _pack_subword_sql(),
     "pl_dataloader_shards": _dataloader_shards_sql(),
+    "pl_resume_plan": f"""
+        WITH packs AS (
+            SELECT source, pack_id, n_docs, n_tokens
+            FROM ({_pack_subword_sql()})
+        ), assigned AS (
+            SELECT *,
+                   row_number() OVER (
+                       ORDER BY n_tokens DESC, source ASC, pack_id ASC)
+                       AS rnk,
+                   CAST((row_number() OVER (
+                        ORDER BY n_tokens DESC, source ASC, pack_id ASC) - 1)
+                        % {_N_WORKERS} AS INTEGER) AS worker_id
+            FROM packs
+        ), st AS (
+            SELECT count(*) // 2 AS step FROM packs
+        )
+        SELECT worker_id,
+               CAST(sum(CASE WHEN rnk <= step THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_consumed,
+               CAST(sum(CASE WHEN rnk > step THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_remaining,
+               CAST(coalesce(sum(CASE WHEN rnk > step THEN n_tokens END), 0)
+                    AS BIGINT) AS remaining_tokens,
+               arg_min(source, rnk) FILTER (WHERE rnk > step)
+                   AS next_source,
+               arg_min(pack_id, rnk) FILTER (WHERE rnk > step)
+                   AS next_pack_id
+        FROM assigned CROSS JOIN st
+        GROUP BY worker_id
+        ORDER BY worker_id
+    """,
     "pl_training_manifest": _training_manifest_sql(),
     "pl_corpus_shuffle": f"""
         WITH k AS (

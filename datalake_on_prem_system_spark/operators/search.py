@@ -49,7 +49,7 @@ from __future__ import annotations
 import os
 import tempfile
 from functools import reduce
-from operator import and_
+from operator import add, and_, or_
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -503,6 +503,95 @@ def search_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# synonym graph: each query term expands to its group (OR inside the
+# group, AND across groups) — the ES synonym_graph token-filter shape.
+# Picked from the corpus vocabulary so both match paths light up.
+_SYN_GROUPS: list[tuple[str, list[str]]] = [
+    ("merge", ["join"]),
+    ("scan", ["filter"]),
+]
+
+
+def search_synonym_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym-expanded all-words search (ES ``synonym_graph`` parity):
+    each query term is an OR-group of {primary, synonyms}; a doc matches
+    when EVERY group matches through some member. ``n_exact`` counts the
+    groups the PRIMARY term itself matched — the signal a ranker uses to
+    prefer literal hits over synonym hits.
+
+    Primary path = the inverted posting index: ONE posting scan resolves
+    every member of every group via the shared ``_doc_qidx_sets`` kernel
+    (member tokens are just more query indexes — same dictionary
+    broadcast, same single shuffle), then group coverage is an
+    arrays_overlap against each group's member-index literal. Flat-scan
+    LIKE fallback preserves the exact same semantics (E5 chain).
+
+    Scale shape: identical to ``search_allwords`` — the (pk, text) table
+    is never scanned on the primary path; group logic runs on the
+    per-doc matched-index SET, bounded by query size."""
+    members: list[tuple[str, int]] = []
+    for g, (prim, syns) in enumerate(_SYN_GROUPS):
+        for tok in [prim] + syns:
+            members.append((tok, g))
+    uniq = [m[0] for m in members]
+    posting = _posting_frames(spark, sf_dir)
+    if posting is not None:
+        sets = _doc_qidx_sets(posting[0], posting[1], uniq, "doc_id")
+        group_idx = [
+            F.array(
+                *[F.lit(i) for i, m in enumerate(members) if m[1] == g]
+            )
+            for g in range(len(_SYN_GROUPS))
+        ]
+        prim_idx = [
+            next(i for i, m in enumerate(members) if m[1] == g)
+            for g in range(len(_SYN_GROUPS))
+        ]
+        covered = reduce(
+            and_, [F.arrays_overlap("qidxs", gi) for gi in group_idx]
+        )
+        n_exact = reduce(
+            add,
+            [
+                F.array_contains("qidxs", pi).cast("int")
+                for pi in prim_idx
+            ],
+        )
+        hits = sets.filter(covered).select(
+            "doc_id", n_exact.alias("n_exact")
+        )
+    else:
+        idx = search_source(spark, sf_dir)
+        covered = reduce(
+            and_,
+            [
+                reduce(
+                    or_,
+                    [
+                        F.col("text").contains(tok)
+                        for tok, gg in members
+                        if gg == g
+                    ],
+                )
+                for g in range(len(_SYN_GROUPS))
+            ],
+        )
+        n_exact = reduce(
+            add,
+            [
+                F.col("text").contains(prim).cast("int")
+                for prim, _ in _SYN_GROUPS
+            ],
+        )
+        hits = idx.filter(covered).select(
+            "doc_id", n_exact.alias("n_exact")
+        )
+    docs = t(spark, sf_dir, "documents")
+    return docs.join(hits, "doc_id").select(
+        "doc_id", "lang", "n_chars", "n_exact"
+    )
+
+
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_QUERY = ["stream", "merge", "window"]
@@ -842,6 +931,7 @@ QUERIES = {
     "search_allwords": search_allwords,
     "search_boolean": search_boolean,
     "search_faceted": search_faceted,
+    "search_synonym_expand": search_synonym_expand,
     "search_phrase_ranked": search_phrase_ranked,
     "search_rejoin": search_rejoin,
     "search_highlight": search_highlight,
@@ -925,6 +1015,17 @@ ORACLE = {
     "search_allwords": f"""
         SELECT doc_id, lang, n_chars FROM documents
         WHERE {_TEXT} LIKE '%spark%' AND {_TEXT} LIKE '%merge%'
+    """,
+    # synonym graph: OR inside each {primary, synonyms} group, AND across
+    # groups; n_exact counts groups the PRIMARY literal matched
+    "search_synonym_expand": f"""
+        SELECT doc_id, lang, n_chars,
+               CAST((CASE WHEN {_TEXT} LIKE '%merge%' THEN 1 ELSE 0 END)
+                  + (CASE WHEN {_TEXT} LIKE '%scan%' THEN 1 ELSE 0 END)
+                 AS INT) AS n_exact
+        FROM documents
+        WHERE ({_TEXT} LIKE '%merge%' OR {_TEXT} LIKE '%join%')
+          AND ({_TEXT} LIKE '%scan%' OR {_TEXT} LIKE '%filter%')
     """,
     "search_boolean": f"""
         SELECT doc_id,

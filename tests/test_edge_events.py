@@ -1238,3 +1238,62 @@ def test_ts_mann_kendall_hand_computed(spark, tmp_path):
     row = sdf.iloc[0]
     assert (row["n_days"], row["s_stat"], row["var_s_x18"]) == (4, 5, 138)
     assert row["z"] == round(4 / math.sqrt(138 / 18), 6)
+
+
+def test_ts_granger_matches_independent_lstsq(spark, tmp_path):
+    """Granger pin: the closed-form centered-Cramer F must match an
+    independent numpy least-squares solve of both models on a planted
+    30-day series where purchases partially follow yesterday's clicks —
+    and the Spark result must hash-match the DuckDB oracle."""
+    import duckdb
+    import numpy as np
+
+    clicks = [(d * 7) % 13 + 1 for d in range(30)]
+    purch = [
+        ((d * 5) % 3) + 1 + (clicks[d - 1] if d > 0 else 0)
+        for d in range(30)
+    ]
+    rows, eid = [], 0
+    for d in range(30):
+        for _ in range(clicks[d]):
+            rows.append((eid, d, "click")); eid += 1
+        for _ in range(purch[d]):
+            rows.append((eid, d, "purchase")); eid += 1
+    spark.createDataFrame(
+        [
+            (e, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d),
+             1, et, 1.0, "{}")
+            for e, d, et in rows
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ts_granger"](spark, str(tmp_path)).toPandas()
+    msg = compare("ts_granger", sdf, con.sql(oracles["ts_granger"]).df())
+    assert not msg, msg
+
+    def f_stat(effect, own_lag, cause_lag):
+        y = np.array(effect[1:], dtype=float)
+        u = np.array(own_lag[:-1], dtype=float)
+        v = np.array(cause_lag[:-1], dtype=float)
+        n = len(y)
+        Xr = np.column_stack([np.ones(n), u])
+        Xu = np.column_stack([np.ones(n), u, v])
+        rss = lambda X: float(  # noqa: E731
+            np.sum((y - X @ np.linalg.lstsq(X, y, rcond=None)[0]) ** 2)
+        )
+        rr, ru = rss(Xr), rss(Xu)
+        return (n - 3) * (rr - ru) / ru
+
+    got = {r["cause"]: r["f_stat"] for _, r in sdf.iterrows()}
+    assert abs(got["click"] - f_stat(purch, purch, clicks)) < 1e-4
+    assert abs(got["purchase"] - f_stat(clicks, clicks, purch)) < 1e-4
+    assert int(sdf["n_pairs"].iloc[0]) == 29
+    # the planted coupling must make clicks->purchases the stronger claim
+    assert got["click"] > got["purchase"]

@@ -346,6 +346,9 @@ _BNLJ_ALLOWED = {
     # token total: a ONE-ROW sum cross-joined onto the manifest-sized
     # pack relation
     "pl_dataloader_shards",
+    # checkpoint step: a ONE-ROW pack count cross-joined onto the same
+    # manifest-sized pack relation
+    "pl_resume_plan",
     # user total: a ONE-ROW count cross-joined onto the age-bounded curve
     "ev_churn_curve",
     # week anchor: a ONE-ROW min-day aggregate cross-joined to the

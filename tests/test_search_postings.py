@@ -358,3 +358,24 @@ def test_search_boolean_fallback_matches_posting_path(spark, monkeypatch):
         (r.doc_id, r.score) for r in s.search_boolean(spark, sf).collect()
     }
     assert via_flat == via_postings and via_postings
+
+
+def test_synonym_expand_postings_equals_flat_scan(spark, sf_dir, monkeypatch):
+    """The synonym-group coverage computed from the posting index must
+    equal the flat LIKE fallback row-for-row (including n_exact), and a
+    synonym-only match must report fewer exact groups than a literal
+    match."""
+    from datalake_on_prem_system_spark.operators import search as S
+
+    via_postings = {
+        (r.doc_id, r.n_exact)
+        for r in S.search_synonym_expand(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(S, "_posting_frames", lambda *_: None)
+    via_flat = {
+        (r.doc_id, r.n_exact)
+        for r in S.search_synonym_expand(spark, sf_dir).collect()
+    }
+    assert via_postings == via_flat
+    assert via_postings  # non-vacuous
+    assert {n for _, n in via_postings} <= {0, 1, 2}
