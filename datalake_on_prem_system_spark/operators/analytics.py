@@ -747,6 +747,156 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HW_M = 7  # weekly additive seasonality
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per event_type over the
+    daily mean-value series (α=0.2, β=0.1, γ=0.3, m=7) — the seasonal
+    completion of ``ts_holt_forecast`` (one recursion family, rounded
+    per step): level and trend as before, plus a 7-slot seasonal state
+    updated at slot (t−1) mod 7, forecasting 1 and 7 days out with the
+    matching seasonal added back. Init: l=y₁, b=0, all seasonals 0 (the
+    smoother earns its seasonals — deterministic, no back-fitted
+    warmup).
+
+    Determinism: the w_ema/Holt bit-stability rule — every l/b/s update
+    rounds to 6dp, so DuckDB's recursive CTE (seasonal state as 7
+    columns, slot dispatch by CASE) replays the array fold exactly.
+
+    Scale shape: one |types|·|days| rollup; the fold is per type over a
+    calendar-bounded series with O(m) state."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.round(F.sum("c") / (100.0 * F.count(F.lit(1))), 6).alias("y")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("days"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), _HW_M).alias("s"),
+        F.lit(0).alias("k"),
+    )
+
+    def step(acc, e):
+        slot = acc["k"] % _HW_M  # updating t = k+1 ⇒ slot (t-1) mod m
+        sprev = F.get(acc["s"], slot)
+        lvl = F.round(
+            F.lit(0.2) * (e["y"] - sprev)
+            + F.lit(0.8) * (acc["l"] + acc["b"]),
+            6,
+        )
+        trd = F.round(F.lit(0.1) * (lvl - acc["l"]) + F.lit(0.9) * acc["b"], 6)
+        snew = F.round(F.lit(0.3) * (e["y"] - lvl) + F.lit(0.7) * sprev, 6)
+        supd = F.transform(
+            acc["s"],
+            lambda x, i: F.when(i == slot, snew).otherwise(x),
+        )
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(
+                e["y"].alias("l"),
+                F.lit(0.0).alias("b"),
+                acc["s"].alias("s"),
+                F.lit(1).alias("k"),
+            ),
+        ).otherwise(
+            F.struct(
+                lvl.alias("l"),
+                trd.alias("b"),
+                supd.alias("s"),
+                (acc["k"] + 1).alias("k"),
+            )
+        )
+
+    fitted = series.select(
+        "event_type", "n_days", F.aggregate("days", init, step).alias("st")
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        F.get(F.col("st.s"), F.col("n_days") % _HW_M).alias("seasonal_next"),
+        F.round(
+            F.col("st.l")
+            + F.col("st.b")
+            + F.get(F.col("st.s"), F.col("n_days") % _HW_M),
+            6,
+        ).alias("forecast_1d"),
+        F.round(
+            F.col("st.l")
+            + 7 * F.col("st.b")
+            + F.get(F.col("st.s"), (F.col("n_days") + 6) % _HW_M),
+            6,
+        ).alias("forecast_7d"),
+    )
+
+
+def _holt_winters_oracle_sql() -> str:
+    """Recursive-CTE replay of the Holt-Winters fold: the 7-slot seasonal
+    array becomes 7 columns with CASE slot dispatch; every l/b/s step
+    reuses the IDENTICAL rounded expressions."""
+    sprev = (
+        "CASE r.k % 7 "
+        + " ".join(f"WHEN {j} THEN r.s{j}" for j in range(_HW_M))
+        + " END"
+    )
+    lvl = f"round(0.2 * (d.y - {sprev}) + 0.8 * (r.l + r.b), 6)"
+    trd = f"round(0.1 * ({lvl} - r.l) + 0.9 * r.b, 6)"
+    snew = f"round(0.3 * (d.y - {lvl}) + 0.7 * {sprev}, 6)"
+    supd = ", ".join(
+        f"CASE WHEN r.k % 7 = {j} THEN {snew} ELSE r.s{j} END"
+        for j in range(_HW_M)
+    )
+    s_init = ", ".join(f"CAST(0.0 AS DOUBLE) AS s{j}" for j in range(_HW_M))
+    s_next = (
+        "CASE nd.n_days % 7 "
+        + " ".join(f"WHEN {j} THEN r.s{j}" for j in range(_HW_M))
+        + " END"
+    )
+    s_7d = (
+        "CASE (nd.n_days + 6) % 7 "
+        + " ".join(f"WHEN {j} THEN r.s{j}" for j in range(_HW_M))
+        + " END"
+    )
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   round(sum(CAST(floor(value * 100) AS BIGINT))
+                         / (100.0 * count(*)), 6) AS y
+            FROM events GROUP BY 1, 2
+        ), d AS (
+            SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily
+        ), nd AS (
+            SELECT event_type, count(*) AS n_days FROM d GROUP BY 1
+        ), r AS (
+            SELECT event_type, 1 AS k, y AS l, CAST(0.0 AS DOUBLE) AS b,
+                   {s_init}
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.event_type, r.k + 1, {lvl}, {trd}, {supd}
+            FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.k + 1
+        )
+        SELECT r.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+               r.l AS level, r.b AS trend,
+               {s_next} AS seasonal_next,
+               round(r.l + r.b + {s_next}, 6) AS forecast_1d,
+               round(r.l + 7 * r.b + {s_7d}, 6) AS forecast_7d
+        FROM r JOIN nd ON nd.event_type = r.event_type AND r.k = nd.n_days
+    """
+
+
 _BACKTEST_H = 7  # holdout horizon (days)
 
 
@@ -3533,6 +3683,7 @@ QUERIES = {
     "ev_peak_concurrency": ev_peak_concurrency,
     "ev_anomaly_mad": ev_anomaly_mad,
     "ts_holt_forecast": ts_holt_forecast,
+    "ts_holt_winters": ts_holt_winters,
     "ts_forecast_backtest": ts_forecast_backtest,
     "ts_seasonality": ts_seasonality,
     "ev_ltv_cohort": ev_ltv_cohort,
@@ -3931,6 +4082,7 @@ ORACLE = {
     "a_mann_whitney": _MWU_ORACLE,
     "ts_cross_correlation": _xcf_oracle_sql(),
     "ts_granger": _granger_oracle_sql(),
+    "ts_holt_winters": _holt_winters_oracle_sql(),
     # censored KM: per-age factors are one double division; prefix products
     # fold the age-ordered bounded list in pinned order on both engines
     "ev_survival_censored": """

@@ -1297,3 +1297,55 @@ def test_ts_granger_matches_independent_lstsq(spark, tmp_path):
     assert int(sdf["n_pairs"].iloc[0]) == 29
     # the planted coupling must make clicks->purchases the stronger claim
     assert got["click"] > got["purchase"]
+
+
+def test_ts_holt_winters_matches_python_fold(spark, tmp_path):
+    """Holt-Winters pin: a planted 21-day single-type series with weekly
+    structure, replayed by an independent Python fold implementing the
+    same recursion (6dp half-away rounding per step) — and hash-matched
+    against the DuckDB oracle."""
+    import math
+
+    import duckdb
+
+    vals = [((d % 7) * 3 + d // 7 + 1) for d in range(21)]  # season + drift
+    rows = []
+    for d, v in enumerate(vals):
+        rows.append(
+            (d, datetime.datetime(2024, 3, 1) + datetime.timedelta(days=d),
+             1, "click", float(v), "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ts_holt_winters"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "ts_holt_winters", sdf, con.sql(oracles["ts_holt_winters"]).df()
+    )
+    assert not msg, msg
+
+    def r6(x):
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    lvl, trd, s = float(vals[0]), 0.0, [0.0] * 7
+    for k in range(1, 21):
+        y, slot = float(vals[k]), k % 7
+        nl = r6(0.2 * (y - s[slot]) + 0.8 * (lvl + trd))
+        trd = r6(0.1 * (nl - lvl) + 0.9 * trd)
+        s[slot] = r6(0.3 * (y - nl) + 0.7 * s[slot])
+        lvl = nl
+    row = sdf.iloc[0]
+    assert row["event_type"] == "click" and row["n_days"] == 21
+    assert abs(row["level"] - lvl) < 1e-9
+    assert abs(row["trend"] - trd) < 1e-9
+    assert abs(row["seasonal_next"] - s[21 % 7]) < 1e-9
+    assert abs(row["forecast_1d"] - r6(lvl + trd + s[0])) < 1e-9
+    assert abs(row["forecast_7d"] - r6(lvl + 7 * trd + s[6])) < 1e-9
