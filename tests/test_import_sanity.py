@@ -60,3 +60,20 @@ def test_subpackages_advertised_exist():
     import datalake_on_prem_system_spark.plans  # noqa: F401
     import datalake_on_prem_system_spark.sources  # noqa: F401
     import datalake_on_prem_system_spark.streaming  # noqa: F401
+
+
+def test_readme_operator_count_matches_registry():
+    """Round-13 verdict #7: the README's advertised operator count must
+    equal len(all_queries()) — generated prose drifts, a pinned number
+    cannot."""
+    import os
+    import re
+
+    from datalake_on_prem_system_spark import operators
+
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as fh:
+        text = fh.read()
+    m = re.search(r"`queries\(\)` → (\d+) operators", text)
+    assert m, "README must state the `queries()` → N operators count"
+    assert int(m.group(1)) == len(operators.all_queries())
