@@ -1793,6 +1793,146 @@ def _modularity_oracle_sql() -> str:
     )
 
 
+_COND_TOP = 10
+
+
+def g_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community CONDUCTANCE over the LPA partition of the co-supply
+    graph — the local quality metric next to ``g_modularity``'s global
+    score (a partition can have high Q while individual communities leak:
+    φ(c) = cut(c) / min(vol(c), 2m − vol(c)) says which ones). Reported
+    for the ``_COND_TOP`` largest communities.
+
+    Shares the SAME persisted LPA label frame as ``g_label_propagation``
+    and ``g_modularity`` (one cache key ⇒ the 3-round Pregel loop runs
+    once per fixture generation, the round-13 verdict recipe).
+
+    Exactness: cut/vol/e_in are pure integer censuses (a cut edge is
+    charged to BOTH its communities via one explode); ONE double
+    division, round 6; φ is NULL when min(vol, 2m−vol) = 0 (the
+    everything-in-one-community degenerate).
+
+    Scale shape: one edge×labels join (broadcast-able label lookups),
+    community-bounded rollups, TakeOrdered top-10."""
+    return conductance_scores(
+        _cosupply_edges(spark, sf_dir),
+        lpa_cache_key=f"g_lpa_labels:{sf_dir}",
+    )
+
+
+def conductance_scores(
+    edges: DataFrame, lpa_cache_key: str | None = None
+) -> DataFrame:
+    """φ over any undirected edge list (u < v, distinct) with 3-round LPA
+    labels; see ``g_conductance``. Hand-pinned in tests/test_graph.py
+    (two triangles + one bridge edge → φ = 1/7 each side)."""
+    lab = label_propagation(edges, cache_key=lpa_cache_key)
+    lu = lab.select(F.col("node").alias("u"), F.col("label").alias("lab_u"))
+    lv = lab.select(F.col("node").alias("v"), F.col("label").alias("lab_v"))
+    tagged = edges.join(lu, "u").join(lv, "v")
+    m_row = F.broadcast(edges.agg(F.count(F.lit(1)).alias("m")))
+    intra = (
+        tagged.filter(F.col("lab_u") == F.col("lab_v"))
+        .groupBy(F.col("lab_u").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    cut = (
+        tagged.filter(F.col("lab_u") != F.col("lab_v"))
+        .select(
+            F.explode(F.array("lab_u", "lab_v")).alias("community")
+        )
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    sizes = lab.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    j = (
+        sizes.join(intra, "community", "left")
+        .join(cut, "community", "left")
+        .fillna(0, ["e_in", "cut"])
+        .crossJoin(m_row)
+    )
+    vol = 2 * F.col("e_in") + F.col("cut")
+    denom = F.least(vol, 2 * F.col("m") - vol)
+    return (
+        j.select(
+            F.col("community").cast("long").alias("community"),
+            F.col("n_members").cast("long").alias("n_members"),
+            vol.cast("long").alias("volume"),
+            F.col("cut").cast("long").alias("cut_edges"),
+            F.when(
+                denom > 0,
+                F.round(F.col("cut").cast("double") / denom.cast("double"), 6),
+            ).alias("conductance"),
+        )
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(_COND_TOP)
+    )
+
+
+_CONDUCTANCE_ORACLE_TMPL = """
+    WITH {ctes},
+    bi AS (
+        SELECT u AS src, v AS dst FROM cos_edges
+        UNION ALL SELECT v, u FROM cos_edges
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM bi),
+    {steps},
+    lab AS (SELECT node, label FROM l{iters}),
+    em AS (SELECT CAST(count(*) AS BIGINT) AS m FROM cos_edges),
+    tag AS (
+        SELECT a.label AS lu, b.label AS lv
+        FROM cos_edges e
+        JOIN lab a ON a.node = e.u
+        JOIN lab b ON b.node = e.v
+    ),
+    intra AS (
+        SELECT lu AS community, CAST(count(*) AS BIGINT) AS e_in
+        FROM tag WHERE lu = lv GROUP BY 1
+    ),
+    cut AS (
+        SELECT community, CAST(count(*) AS BIGINT) AS cut
+        FROM (SELECT unnest([lu, lv]) AS community FROM tag WHERE lu <> lv)
+        GROUP BY 1
+    ),
+    sizes AS (
+        SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+        FROM lab GROUP BY 1
+    ),
+    j AS (
+        SELECT s.community, s.n_members,
+               coalesce(i.e_in, 0) AS e_in, coalesce(c.cut, 0) AS cut, m
+        FROM sizes s
+        LEFT JOIN intra i ON i.community = s.community
+        LEFT JOIN cut c ON c.community = s.community
+        CROSS JOIN em
+    )
+    SELECT CAST(community AS BIGINT) AS community, n_members,
+           CAST(2 * e_in + cut AS BIGINT) AS volume,
+           cut AS cut_edges,
+           CASE WHEN least(2 * e_in + cut, 2 * m - (2 * e_in + cut)) > 0
+                THEN round(CAST(cut AS DOUBLE)
+                           / CAST(least(2 * e_in + cut,
+                                        2 * m - (2 * e_in + cut)) AS DOUBLE),
+                           6)
+           END AS conductance
+    FROM j
+    ORDER BY n_members DESC, community ASC
+    LIMIT {top}
+"""
+
+
+def _conductance_oracle_sql() -> str:
+    steps = ", ".join(
+        f"l{k} AS ({_LPA_ORACLE_STEP.format(prev=('l0' if k == 1 else f'l{k - 1}'))})"
+        for k in range(1, _LPA_ITERS + 1)
+    )
+    return _CONDUCTANCE_ORACLE_TMPL.format(
+        ctes=_COSUPPLY_CTES, steps=steps, iters=_LPA_ITERS, top=_COND_TOP
+    )
+
+
 def g_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-distribution power-law fit over the co-supply graph: OLS of
     ln n_k on ln k across the degree histogram (n_k ∝ k^−α ⇒ slope −α)
@@ -2204,6 +2344,7 @@ QUERIES = {
     "g_rich_club": g_rich_club,
     "g_powerlaw_fit": g_powerlaw_fit,
     "g_modularity": g_modularity,
+    "g_conductance": g_conductance,
     "g_square_count": g_square_count,
     "g_ktruss": g_ktruss,
     "g_triangle_count": g_triangle_count,
@@ -2304,6 +2445,7 @@ ORACLE = {
     "g_rich_club": _RICH_CLUB_ORACLE,
     "g_powerlaw_fit": _POWERLAW_ORACLE,
     "g_modularity": _modularity_oracle_sql(),
+    "g_conductance": _conductance_oracle_sql(),
     "g_square_count": _SQUARE_ORACLE,
     "g_ktruss": _ktruss_oracle_sql(),
     "g_clustering_coefficient": _CLUSTER_ORACLE,

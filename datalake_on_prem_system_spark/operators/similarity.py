@@ -1343,6 +1343,91 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NPROBE_GRID = (1, 2, 4, 8)
+
+
+def sim_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe TUNING CURVE: candidate recall@k of the coarse
+    quantizer at nprobe ∈ {1,2,4,8} against the exact brute-force top-k
+    — the probe-budget trade every IVF deployment sweeps before picking
+    its serving nprobe (``sim_recall_eval`` audits ONE shipped config;
+    this maps the curve). Candidate recall asks "is the true neighbor in
+    the probed cells at all" — the quantity nprobe actually controls,
+    monotone in p by construction.
+
+    The dd_threshold_curve pattern: ONE mine (exact top-k + each true
+    neighbor's cell rank in its query's centroid ordering), then a 4-row
+    literal-grid census (broadcast non-equi, allow-listed) — the probe
+    is never re-run per setting.
+
+    Exactness: the exact side is the shared fold-ordered cosine with the
+    vec_id tie-break; cell ranks use the fold-ordered squared distance
+    with the lower-cell tie-break; censuses are integers with ONE
+    division, round 6. The oracle replays the full deterministic IVF
+    training (``ivf_assign_ctes``).
+
+    Scale shape: brute side broadcasts the bounded query batch (corpus
+    never shuffles); the rank frame is |queries|·nlist rows; the census
+    is grid-bounded."""
+    from pyspark.sql import Window
+
+    path, centers = build_ivf_index(spark, sf_dir)
+    idx = spark.read.parquet(path).select("vec_id", "cell")
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < _BATCH_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_raw"), F.asc("vec_id")
+    )
+    exact = (
+        vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cosine_raw",
+            _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id")
+    )
+    cents = _centers_df(spark, centers).withColumn(
+        "__one", (F.col("cell") % F.lit(1)).cast("int")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cell"))
+    cr = (
+        queries.withColumn("__one", (F.col("q_id") % F.lit(1)).cast("int"))
+        .join(F.broadcast(cents), "__one")
+        .withColumn("d2", _sqdist(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(wq))
+        .select("q_id", "cell", "rn")
+    )
+    hits0 = (
+        exact.join(idx, "vec_id").join(cr, ["q_id", "cell"]).select("q_id", "rn")
+    )
+    tot = F.broadcast(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+    grid = spark.createDataFrame(
+        [(p,) for p in _NPROBE_GRID], "nprobe int"
+    )
+    return (
+        F.broadcast(grid)
+        .join(hits0, F.col("rn") <= F.col("nprobe"), "left")
+        .groupBy("nprobe")
+        .agg(F.count("q_id").alias("n_hits"))
+        .crossJoin(tot)
+        .select(
+            "nprobe",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits") / F.col("n_exact").cast("double"), 6
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
 _RANGE_THRESHOLD = 0.2  # cosine radius sized to the fixture's similarity mass
 
 
@@ -1768,6 +1853,7 @@ QUERIES = {
     "sim_filtered_topk": sim_filtered_topk,
     "sim_ivfpq_batch_join": sim_ivfpq_batch_join,
     "sim_recall_eval": sim_recall_eval,
+    "sim_nprobe_curve": sim_nprobe_curve,
     "sim_knn_graph": sim_knn_graph,
     "sim_cell_rebalance": sim_cell_rebalance,
     "sim_pq_distortion": sim_pq_distortion,
@@ -2057,6 +2143,50 @@ def _ivf_oracle_sql() -> str:
 
 ORACLE["sim_mmr_rerank"] = _mmr_oracle_sql()
 ORACLE["sim_ann_ivf"] = _ivf_oracle_sql()
+
+
+def _nprobe_curve_oracle_sql() -> str:
+    """DuckDB replay of sim_nprobe_curve: full IVF training
+    (``ivf_assign_ctes``), the same fold-ordered exact top-k and
+    per-query cell ranking, then the 4-row grid census."""
+    return f"""
+        WITH {_VECS_SQL}, {ivf_assign_ctes()}, q AS (
+            SELECT vec_id AS q_id, vec, norm FROM n
+            WHERE vec_id < {_BATCH_NQ}
+        ), exact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, a.vec_id,
+                       row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY {_COS} DESC, a.vec_id ASC) AS rnk
+                FROM n a JOIN q ON a.vec_id != q.q_id
+            ) WHERE rnk <= {_TOP_K}
+        ), cr AS (
+            SELECT q_id, cell, rn FROM (
+                SELECT q.q_id, c.cell,
+                       row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY {_dist_sql("q.vec", "c.cvec")} ASC,
+                                    c.cell ASC) AS rn
+                FROM q CROSS JOIN cents c
+            )
+        ), hits0 AS (
+            SELECT e.q_id, cr.rn
+            FROM exact e
+            JOIN af ON af.vec_id = e.vec_id
+            JOIN cr ON cr.q_id = e.q_id AND cr.cell = af.cell
+        )
+        SELECT g.nprobe, t.n_exact,
+               CAST(count(h.q_id) AS BIGINT) AS n_hits,
+               round(count(h.q_id) / CAST(t.n_exact AS DOUBLE), 6) AS recall
+        FROM (SELECT unnest([{", ".join(str(p) for p in _NPROBE_GRID)}])
+                  AS nprobe) g
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact) t
+        LEFT JOIN hits0 h ON h.rn <= g.nprobe
+        GROUP BY g.nprobe, t.n_exact
+        ORDER BY g.nprobe
+    """
+
+
+ORACLE["sim_nprobe_curve"] = _nprobe_curve_oracle_sql()
 
 
 def _ivf_inc_oracle_sql() -> str:

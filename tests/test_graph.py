@@ -566,3 +566,26 @@ def test_modularity_hand_computed(spark):
     row = modularity_score(edges).collect()[0]
     assert (row.n_communities, row.n_edges, row.intra_edges) == (2, 6, 6)
     assert row.modularity == 0.5
+
+
+def test_conductance_hand_computed(spark):
+    """Conductance pin on two triangles joined by one bridge (3-4):
+    3-round LPA lands on communities {1,2,3} (label 1) and {4,5,6}
+    (label 3); m=7, each side has e_in=3, cut=1, vol=7, so
+    φ = 1/min(7, 14-7) = 1/7 on both sides."""
+    from datalake_on_prem_system_spark.operators.graph_ops import (
+        conductance_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)],
+        "u bigint, v bigint",
+    )
+    rows = conductance_scores(edges).collect()
+    assert [
+        (r.community, r.n_members, r.volume, r.cut_edges, r.conductance)
+        for r in rows
+    ] == [
+        (1, 3, 7, 1, round(1 / 7, 6)),
+        (3, 3, 7, 1, round(1 / 7, 6)),
+    ]

@@ -295,6 +295,9 @@ _BNLJ_ALLOWED = {
     # modularity anchors: the ONE-ROW (m, E_intra) and (n_comm, Σd_c²)
     # aggregates cross-joined — constant cost at any graph size
     "g_modularity",
+    # edge-count anchor: the ONE-ROW m aggregate cross-joined onto the
+    # community-bounded conductance rollup
+    "g_conductance",
     # converter-total anchor: the ONE-ROW count cross-joined onto the
     # day-bounded lag histogram
     "ev_conversion_lag",
@@ -349,6 +352,9 @@ _BNLJ_ALLOWED = {
     # checkpoint step: a ONE-ROW pack count cross-joined onto the same
     # manifest-sized pack relation
     "pl_resume_plan",
+    # nprobe census: the 4-row literal grid broadcast non-equi onto the
+    # query-bounded hit ranks, plus the ONE-ROW exact-total anchor
+    "sim_nprobe_curve",
     # user total: a ONE-ROW count cross-joined onto the age-bounded curve
     "ev_churn_curve",
     # week anchor: a ONE-ROW min-day aggregate cross-joined to the
