@@ -1627,6 +1627,59 @@ def ev_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly REACH curve: per week (anchored on the corpus' first event
+    day, the ev_stickiness convention) the weekly-active user count, the
+    users appearing for the FIRST time ever, the cumulative audience
+    reached so far, and the new-user share of the week's actives — the
+    acquisition-vs-return decomposition growth teams read next to
+    retention (a reach curve that flattens while WAU holds is a product
+    living off its base).
+
+    Determinism: first-ever week per user is an exact min; every census
+    is an integer; the cumulative sum runs over the WEEKS-bounded frame
+    (never data-sized); ONE double division, round 6.
+
+    Scale shape: one (user → min day) partial-agg shuffle, one
+    (week, user) distinct shuffle, then weeks-bounded rollups + the
+    one-row min-day anchor (allow-listed)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    anchor = ev.agg(F.min("day").alias("day0"))
+    days = (
+        ev.distinct()
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr("datediff(day, day0) div 7").cast("int").alias("week"),
+        )
+        .distinct()
+    )
+    wau = days.groupBy("week").agg(F.count(F.lit(1)).alias("wau"))
+    new = (
+        days.groupBy("user_id")
+        .agg(F.min("week").alias("week"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    wk = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        wau.join(new, "week", "left")
+        .fillna(0, ["n_new"])
+        .select(
+            "week",
+            F.col("wau").cast("long").alias("wau"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.sum("n_new").over(wk).cast("long").alias("cum_reach"),
+            F.round(F.col("n_new") / F.col("wau").cast("double"), 6).alias(
+                "new_share"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
 def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly STICKINESS (mean DAU / WAU) — the engagement-depth ratio
     product teams track next to retention: 1.0 means every weekly-active
@@ -3678,6 +3731,7 @@ QUERIES = {
     "ev_top_paths": ev_top_paths,
     "ev_churn_curve": ev_churn_curve,
     "ev_stickiness": ev_stickiness,
+    "ev_reach_curve": ev_reach_curve,
     "ev_pareto_share": ev_pareto_share,
     "ev_attribution": ev_attribution,
     "ev_peak_concurrency": ev_peak_concurrency,
@@ -4621,6 +4675,35 @@ ORACLE = {
                      AS BIGINT) / CAST(tot AS DOUBLE), 6) AS cum_share
         FROM per
         ORDER BY decile
+    """,
+    # weekly reach: anchored weeks, first-ever week per user, cumulative
+    # over the weeks-bounded frame
+    "ev_reach_curve": """
+        WITH ev AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), a AS (
+            SELECT min(day) AS day0 FROM ev
+        ), days AS (
+            SELECT DISTINCT user_id,
+                   CAST(datediff('day', day0, day) // 7 AS INT) AS week
+            FROM ev, a
+        ), wau AS (
+            SELECT week, CAST(count(*) AS BIGINT) AS wau
+            FROM days GROUP BY 1
+        ), nw AS (
+            SELECT week, CAST(count(*) AS BIGINT) AS n_new FROM (
+                SELECT user_id, min(week) AS week FROM days GROUP BY 1
+            ) GROUP BY 1
+        )
+        SELECT w.week, w.wau, coalesce(n.n_new, 0) AS n_new,
+               CAST(sum(coalesce(n.n_new, 0)) OVER (
+                   ORDER BY w.week
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_reach,
+               round(coalesce(n.n_new, 0) / CAST(w.wau AS DOUBLE), 6)
+                   AS new_share
+        FROM wau w LEFT JOIN nw n ON n.week = w.week
+        ORDER BY w.week
     """,
     "ev_stickiness": """
         WITH ud AS (

@@ -1458,6 +1458,118 @@ def _semantic_inc_oracle_sql() -> str:
     """
 
 
+_BAND_CONFIGS = ((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
+
+
+def _collision_sql(b: int, r: int) -> str:
+    """The banding S-curve 1 − (1 − j^r)^b over the ``jaccard`` column as
+    EXPLICIT left-associated multiplication chains — pow() is libm and
+    not guaranteed cross-engine-identical in the last ulp, but IEEE
+    multiplication is, so the SAME string parsed by Spark (``F.expr``)
+    and DuckDB yields bit-identical doubles. Quantized to ppm BEFORE the
+    corpus-sized sum (the no-double-sums rule)."""
+    jr = "(" + " * ".join(["jaccard"] * r) + ")"
+    q = f"(1 - {jr})"
+    qb = "(" + " * ".join([q] * b) + ")"
+    return f"CAST(floor((1 - {qb}) * 1000000) AS BIGINT)"
+
+
+def dd_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding TUNING curve: empirical recall of five (bands, rows)
+    splits of the SAME 64-permutation MinHash signature — (64,1), (32,2),
+    (16,4), (8,8), (4,16) — over the exact near-dup pair set, next to
+    the theoretical S-curve expectation 1−(1−j^r)^b averaged over the
+    same pairs. ``dd_lsh_recall`` audits the SHIPPED banding per jaccard
+    bin; this maps the whole b/r trade before picking one (more bands =
+    higher recall + more candidate noise), and the empirical−theory gap
+    is the sketch-health signal (a healthy sketch tracks the curve).
+
+    One signature computation serves all five configs (signatures are
+    config-independent; banding is just a re-grouping), one pair join,
+    a 5-row stack — the mine-once-census-per-setting recipe
+    (``dd_threshold_curve``, ``sim_nprobe_curve``).
+
+    Exactness: signatures are the portable md5 sketch replayed by DuckDB
+    bit-for-bit; band hits are integer equality; the expectation uses
+    explicit multiplication chains (``_collision_sql``, shared verbatim
+    by both engines — no libm pow) quantized to ppm per pair before the
+    sum; two divisions at the end, round 6."""
+    from functools import reduce
+    from operator import and_, or_
+
+    exact = dd_ngram_jaccard(spark, sf_dir).select("a_id", "b_id", "jaccard")
+    ids = (
+        exact.select(F.col("a_id").alias("doc_id"))
+        .unionAll(exact.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    docs = t_par(spark, sf_dir, "documents").join(ids, "doc_id", "left_semi")
+    hs = F.transform(
+        _shingles(),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(_P),
+        ),
+    )
+
+    def _perm_min(h: Column, a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(h, lambda x: F.pmod(a * x + b, F.lit(_P)))
+        )
+
+    sig = bind(hs, lambda h: F.array(*[_perm_min(h, a, b) for a, b in _PERMS]))
+    sigs = docs.select("doc_id", sig.alias("sig"))
+    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    paired = exact.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    for k, (b, r) in enumerate(_BAND_CONFIGS):
+        hit = reduce(
+            or_,
+            [
+                reduce(
+                    and_,
+                    [
+                        F.col("sig_a")[i * r + j] == F.col("sig_b")[i * r + j]
+                        for j in range(r)
+                    ],
+                )
+                for i in range(b)
+            ],
+        )
+        aggs.append(F.sum(hit.cast("long")).alias(f"cov{k}"))
+        aggs.append(F.sum(F.expr(_collision_sql(b, r))).alias(f"exp{k}"))
+    red = paired.agg(*aggs)
+    terms = ", ".join(
+        f"{b}, {r}, cov{k}, exp{k}" for k, (b, r) in enumerate(_BAND_CONFIGS)
+    )
+    return (
+        red.select(
+            F.expr(
+                f"stack({len(_BAND_CONFIGS)}, {terms}) "
+                "AS (bands, rows_per_band, n_covered, exp_ppm)"
+            ),
+            "n_pairs",
+        )
+        .select(
+            F.col("bands").cast("int").alias("bands"),
+            F.col("rows_per_band").cast("int").alias("rows_per_band"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_covered").cast("long").alias("n_covered"),
+            F.round(
+                F.col("n_covered") / F.col("n_pairs").cast("double"), 6
+            ).alias("recall"),
+            F.round(
+                F.col("exp_ppm").cast("double")
+                / F.col("n_pairs")
+                / F.lit(1e6),
+                6,
+            ).alias("expected_recall"),
+        )
+        .orderBy(F.desc("bands"))
+    )
+
+
 _NOVELTY_DECILES = 10
 # a doc is "arriving duplicate" when >= 4/5 of its shingles were already
 # seen in earlier docs — integer cross-multiplication, no float compare
@@ -1584,6 +1696,7 @@ QUERIES = {
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_threshold_curve": dd_threshold_curve,
     "dd_novelty_deciles": dd_novelty_deciles,
+    "dd_band_tuning_curve": dd_band_tuning_curve,
     "dd_sketch_quality": dd_sketch_quality,
     "dd_lsh_recall": dd_lsh_recall,
     "dd_components": dd_components,
@@ -1734,6 +1847,65 @@ _LSH_RECALL_SQL = f"""
     FROM paired GROUP BY bin_id
     ORDER BY bin_id
 """
+
+def _band_tuning_oracle_sql() -> str:
+    """DuckDB replay of dd_band_tuning_curve: the _LSH_RECALL_SQL
+    signature CTEs, per-config band-hit SQL generated from the same
+    (b, r) grid, and the IDENTICAL ``_collision_sql`` multiplication
+    chains."""
+    cols = ["CAST(count(*) AS BIGINT) AS n_pairs"]
+    for k, (b, r) in enumerate(_BAND_CONFIGS):
+        hit = " OR ".join(
+            "("
+            + " AND ".join(
+                f"siga[{i * r + j + 1}] = sigb[{i * r + j + 1}]"
+                for j in range(r)
+            )
+            + ")"
+            for i in range(b)
+        )
+        cols.append(f"sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS cov{k}")
+        cols.append(f"sum({_collision_sql(b, r)}) AS exp{k}")
+    rows = " UNION ALL ".join(
+        f"SELECT {b} AS bands, {r} AS rows_per_band, n_pairs, "
+        f"CAST(cov{k} AS BIGINT) AS n_covered, exp{k} AS exp_ppm FROM red"
+        for k, (b, r) in enumerate(_BAND_CONFIGS)
+    )
+    return f"""
+        WITH qp AS ({_PAIR_JACCARD_SQL}
+        ), ids AS (
+            SELECT a_id AS doc_id FROM qp UNION SELECT b_id FROM qp
+        ), toks2 AS (
+            SELECT doc_id, string_split(text, ' ') w FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM ids)
+        ), sh2 AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) s
+            FROM toks2 WHERE len(w) >= 3
+        ), hsrc AS (
+            SELECT doc_id,
+                   [CAST('0x' || substr(md5(s2), 1, 15) AS BIGINT) % {_P}
+                    for s2 in s] AS hs
+            FROM sh2
+        ), sig AS (
+            SELECT doc_id, {_SKETCH_SIG} AS sig FROM hsrc
+        ), paired AS (
+            SELECT q.jaccard AS jaccard, sa.sig AS siga, sb.sig AS sigb
+            FROM qp q
+            JOIN sig sa ON sa.doc_id = q.a_id
+            JOIN sig sb ON sb.doc_id = q.b_id
+        ), red AS (
+            SELECT {", ".join(cols)} FROM paired
+        )
+        SELECT bands, rows_per_band, n_pairs, n_covered,
+               round(n_covered / CAST(n_pairs AS DOUBLE), 6) AS recall,
+               round(CAST(exp_ppm AS DOUBLE) / n_pairs / 1000000.0, 6)
+                   AS expected_recall
+        FROM ({rows})
+        ORDER BY bands DESC
+    """
+
 
 _SKETCH_QUALITY_SQL = f"""
     WITH qp AS ({_PAIR_JACCARD_SQL}
@@ -1987,6 +2159,7 @@ ORACLE = {
         ORDER BY decile
     """,
     "dd_sketch_quality": _SKETCH_QUALITY_SQL,
+    "dd_band_tuning_curve": _band_tuning_oracle_sql(),
     "dd_lsh_recall": _LSH_RECALL_SQL,
     # connected components = min reachable doc_id — deterministic, so the
     # oracle replays it with a recursive reachability CTE over the same

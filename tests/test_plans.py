@@ -360,6 +360,8 @@ _BNLJ_ALLOWED = {
     # week anchor: a ONE-ROW min-day aggregate cross-joined to the
     # distinct (user, day) frame
     "ev_stickiness",
+    # same ONE-ROW min-day week anchor, feeding the reach rollups
+    "ev_reach_curve",
     # corpus total: a ONE-ROW count cross-joined onto the boilerplate
     # candidates
     "dd_boilerplate_lines",
