@@ -226,6 +226,10 @@ HEADLINERS = [
     "pl_resume_plan",
     "ts_granger",
     "ts_holt_winters",
+    "g_conductance",
+    "sim_nprobe_curve",
+    "ev_reach_curve",
+    "dd_band_tuning_curve",
 ]
 
 # the fixed r6 comparison set: always measured, and the only per-query
@@ -253,7 +257,8 @@ ROUND_NEW = [
     "lh_incremental_join_view_cdc", "st_join_view_bidir_stream",
     "lh_bloom_join_pruning", "lh_deletion_vectors", "dd_novelty_deciles",
     "search_synonym_expand", "pl_resume_plan", "ts_granger",
-    "ts_holt_winters",
+    "ts_holt_winters", "g_conductance", "sim_nprobe_curve",
+    "ev_reach_curve", "dd_band_tuning_curve",
 ]
 ROTATION_OFFSET = 0  # bump by 1 each round
 ROTATE_N = 50
