@@ -2273,3 +2273,60 @@ def test_novelty_deciles_hand_computed(spark, tmp_path):
         assert got[d] == (1, 0, 2, 1.0, 0.0)
     for d in range(6, 11):
         assert got[d] == (1, 1, 0, 0.0, 1.0)
+
+
+def test_band_tuning_identical_docs_all_configs_hit(spark, tmp_path):
+    """Banding pin: two identical docs have identical signatures, so every
+    (bands, rows) split collides deterministically — recall 1.0 and
+    expected_recall 1.0 (j=1 ⇒ 1−(1−1^r)^b = 1) across the whole grid —
+    and the Spark result hash-matches the oracle."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_correctness import compare
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "w"),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "w"),
+        (3, "one two three four five six seven", "en", "w"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["dd_band_tuning_curve"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "dd_band_tuning_curve",
+        sdf,
+        con.sql(oracles["dd_band_tuning_curve"]).df(),
+    )
+    assert not msg, msg
+    assert list(sdf["n_pairs"]) == [1] * 5
+    assert list(sdf["recall"]) == [1.0] * 5
+    assert list(sdf["expected_recall"]) == [1.0] * 5
+
+
+def test_nprobe_curve_monotone_and_bounded(spark, sf_dir):
+    """nprobe-curve property pin: candidate recall is monotone
+    nondecreasing in nprobe by construction (probed cell sets nest), the
+    exact denominator is the full query-batch top-k, and hits never
+    exceed the denominator."""
+    import __spark_entry__ as entry
+
+    rows = (
+        entry.queries()["sim_nprobe_curve"](spark, sf_dir)
+        .orderBy("nprobe")
+        .collect()
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls)
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_exact
+        assert r.n_exact == rows[0].n_exact
