@@ -212,24 +212,6 @@ HEADLINERS = [
     "lh_constraint_report",
     "ts_mann_kendall",
     "dd_threshold_curve",
-    # round-14 additions: retraction IVM (signed Z-set deltas through a
-    # delete/update CDC batch), the two-sided streaming join view, DV
-    # position deletes, bloom join-key pruning, crawl novelty deciles,
-    # synonym-expanded search, loader resume plan, lag-1 Granger, and
-    # the seasonal Holt-Winters fold
-    "lh_incremental_join_view_cdc",
-    "st_join_view_bidir_stream",
-    "lh_bloom_join_pruning",
-    "lh_deletion_vectors",
-    "dd_novelty_deciles",
-    "search_synonym_expand",
-    "pl_resume_plan",
-    "ts_granger",
-    "ts_holt_winters",
-    "g_conductance",
-    "sim_nprobe_curve",
-    "ev_reach_curve",
-    "dd_band_tuning_curve",
 ]
 
 # the fixed r6 comparison set: always measured, and the only per-query
@@ -253,13 +235,23 @@ R6_SET = {
 # advanced by ROTATION_OFFSET (bumped once per round alongside the new
 # block). Cross-round comparability lives in the fixed core;
 # SPARK_GRAFT_BENCH_ALL=1 restores the exhaustive run.
+# ONE bookkeeping site per round: replace this list (and bump
+# ROTATION_OFFSET) — the names are appended to HEADLINERS below, so a
+# round's additions are always in the measured fixed core.
 ROUND_NEW = [
+    # round-14: retraction IVM (signed Z-set deltas through a
+    # delete/update CDC batch), the two-sided streaming join view, DV
+    # position deletes, bloom join-key pruning, crawl novelty deciles,
+    # synonym-expanded search, loader resume plan, lag-1 Granger, the
+    # seasonal Holt-Winters fold, community conductance, the IVF nprobe
+    # curve, the weekly reach curve, and the LSH banding tuning curve
     "lh_incremental_join_view_cdc", "st_join_view_bidir_stream",
     "lh_bloom_join_pruning", "lh_deletion_vectors", "dd_novelty_deciles",
     "search_synonym_expand", "pl_resume_plan", "ts_granger",
     "ts_holt_winters", "g_conductance", "sim_nprobe_curve",
     "ev_reach_curve", "dd_band_tuning_curve",
 ]
+HEADLINERS += [q for q in ROUND_NEW if q not in HEADLINERS]
 ROTATION_OFFSET = 0  # bump by 1 each round
 ROTATE_N = 50
 

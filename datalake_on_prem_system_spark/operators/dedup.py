@@ -242,6 +242,36 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURVE_FLOOR = 0.5
 _CURVE_TS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _abs_sf(sf_dir: str) -> str:
+    import os
+
+    return os.path.abspath(sf_dir)
+
+
+# fixture generation witnessed per sf_dir by the curve/band-audit caches;
+# on drift the PLAN-keyed persists release (the build_minhash_index rule:
+# Spark's cache is keyed by logical plan, which does not change when file
+# content does — re-keying would serve stale rows AND leak the old entry
+# into the bounded registry, whose eventual eviction unpersists the
+# shared plan the live key relies on)
+_CURVE_GEN: dict[str, float] = {}
+_CURVE_GEN_KEYS = ("curve_ordered", "curve_ver", "band_audit_pairs")
+
+
+def _curve_gen_guard(sf_dir: str) -> None:
+    import os
+
+    from ._cache import release
+
+    base = _abs_sf(sf_dir)
+    docs_file = os.path.join(base, "documents.parquet")
+    stamp = os.path.getmtime(docs_file) if os.path.exists(docs_file) else 0.0
+    if _CURVE_GEN.get(base) != stamp:
+        for prefix in _CURVE_GEN_KEYS:
+            release(f"{prefix}:{base}")
+        _CURVE_GEN[base] = stamp
 # drop shingles appearing in more corpus docs than this from the curve's
 # shingle UNIVERSE (sets, sizes, prefixes, postings alike) — the
 # dd_containment df-cap rule applied symmetrically. Without it, a
@@ -297,20 +327,19 @@ def dd_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the df-retained ordered-set frame feeds THREE consumers (both sides
     # of the prefix self-join and the verify's hash sets) — without the
     # persist the shingle→df→sort chain re-runs per consumer (the
-    # _shingle_frame / g_tri_oriented rule). mtime in the key invalidates
-    # on in-place fixture regeneration (the _THEIL_GEN guard).
-    import os as _os
-
-    _gen = _os.path.getmtime(
-        _os.path.join(_os.path.abspath(sf_dir), "documents.parquet")
-    )
+    # _shingle_frame / g_tri_oriented rule). Keys are PLAN-keyed (the
+    # persist_bounded contract); _curve_gen_guard releases them when the
+    # fixture regenerates in place (the build_minhash_index guard — the
+    # Spark cache is keyed by logical plan, which does not change when
+    # file content does).
+    _curve_gen_guard(sf_dir)
     ordered = persist_bounded(
         ex.groupBy("doc_id").agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("df"), F.col("shingle")))
             ).alias("o")
         ),
-        key=f"curve_ordered:{_os.path.abspath(sf_dir)}:{_gen}",
+        key=f"curve_ordered:{_abs_sf(sf_dir)}",
     )
     prefix_len = (
         F.size("o") - F.ceil(F.lit(_CURVE_FLOOR) * F.size("o")) + 1
@@ -363,9 +392,7 @@ def dd_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verified floor set is TINY (true pairs only) but its plan is the
     # whole mine — the pair census and the doc census would each re-run
     # the 300k-candidate verify without this persist (measured 2× cost)
-    ver = persist_bounded(
-        ver, key=f"curve_ver:{_os.path.abspath(sf_dir)}:{_gen}"
-    )
+    ver = persist_bounded(ver, key=f"curve_ver:{_abs_sf(sf_dir)}")
     grid = spark.createDataFrame(
         [(t,) for t in _CURVE_TS], "threshold double"
     )
@@ -524,6 +551,53 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key-hash split convention as tx_train_split / cur_decontaminate
 _CORPUS_MOD, _CORPUS_KEEP = 10, 8  # doc_id % 10 < 8 → corpus; >= 8 → new batch
 
+def _audit_pair_sigs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared setup of the three sketch audits (``dd_sketch_quality``,
+    ``dd_lsh_recall``, ``dd_band_tuning_curve``): the exact near-dup pair
+    set and PORTABLE md5-60bit MinHash signatures for exactly its
+    participant docs, as ``(pairs, sa, sb)``. ONE definition site for the
+    cross-engine-critical sketch construction (15-hex-char md5 slice →
+    (a·h + b) mod P mins — must stay bit-identical to the oracle's
+    ``_SKETCH_SIG``). The tiny pair frame is persisted (its plan is the
+    whole PPJoin mine + verify, and it feeds the ids semi-join, both
+    signature sides, and the caller's pair join); ``_curve_gen_guard``
+    releases it on in-place fixture regeneration."""
+    _curve_gen_guard(sf_dir)
+    pairs = persist_bounded(
+        dd_ngram_jaccard(spark, sf_dir).select("a_id", "b_id", "jaccard"),
+        key=f"band_audit_pairs:{_abs_sf(sf_dir)}",
+    )
+    ids = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    docs = t_par(spark, sf_dir, "documents").join(ids, "doc_id", "left_semi")
+    hs = F.transform(
+        _shingles(),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(_P),
+        ),
+    )
+
+    def _perm_min(h: Column, a: int, b: int) -> Column:
+        # closure factory, NOT default-arg lambdas: F.transform hands a
+        # second lambda parameter the element INDEX (the `lambda x, a=a:`
+        # trap), so the perm constants must close over function scope
+        return F.array_min(
+            F.transform(h, lambda x: F.pmod(a * x + b, F.lit(_P)))
+        )
+
+    sig = bind(hs, lambda h: F.array(*[_perm_min(h, a, b) for a, b in _PERMS]))
+    sigs = docs.select("doc_id", sig.alias("sig"))
+    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    return pairs, sa, sb
+
+
 def dd_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash sketch-quality audit: for every verified near-dup pair,
     the 64-permutation signature agreement (matches/64 estimates jaccard
@@ -538,33 +612,7 @@ def dd_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: signatures are computed ONLY for documents appearing in
     verified pairs (a tiny set — never the corpus); the exact-pair mining
     reuses the inverted-index join."""
-    pairs = dd_ngram_jaccard(spark, sf_dir).select("a_id", "b_id", "jaccard")
-    ids = (
-        pairs.select(F.col("a_id").alias("doc_id"))
-        .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    docs = t_par(spark, sf_dir, "documents").join(ids, "doc_id", "left_semi")
-    hs = F.transform(
-        _shingles(),
-        lambda s: F.pmod(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-            F.lit(_P),
-        ),
-    )
-    def _perm_min(h: Column, a: int, b: int) -> Column:
-        # closure factory, NOT default-arg lambdas: F.transform hands a
-        # second lambda parameter the element INDEX (the `lambda x, a=a:`
-        # trap), so the perm constants must close over function scope
-        return F.array_min(F.transform(h, lambda x: F.pmod(a * x + b, F.lit(_P))))
-
-    sig = bind(
-        hs,
-        lambda h: F.array(*[_perm_min(h, a, b) for a, b in _PERMS]),
-    )
-    sigs = docs.select("doc_id", sig.alias("sig"))
-    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    pairs, sa, sb = _audit_pair_sigs(spark, sf_dir)
     matches = F.aggregate(
         F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -607,28 +655,7 @@ def dd_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
     from operator import and_, or_
 
-    exact = dd_ngram_jaccard(spark, sf_dir).select("a_id", "b_id", "jaccard")
-    ids = (
-        exact.select(F.col("a_id").alias("doc_id"))
-        .unionAll(exact.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    docs = t_par(spark, sf_dir, "documents").join(ids, "doc_id", "left_semi")
-    hs = F.transform(
-        _shingles(),
-        lambda s: F.pmod(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-            F.lit(_P),
-        ),
-    )
-
-    def _perm_min(h: Column, a: int, b: int) -> Column:
-        return F.array_min(F.transform(h, lambda x: F.pmod(a * x + b, F.lit(_P))))
-
-    sig = bind(hs, lambda h: F.array(*[_perm_min(h, a, b) for a, b in _PERMS]))
-    sigs = docs.select("doc_id", sig.alias("sig"))
-    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    exact, sa, sb = _audit_pair_sigs(spark, sf_dir)
     band_hit = reduce(
         or_,
         [
@@ -1497,30 +1524,7 @@ def dd_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
     from operator import and_, or_
 
-    exact = dd_ngram_jaccard(spark, sf_dir).select("a_id", "b_id", "jaccard")
-    ids = (
-        exact.select(F.col("a_id").alias("doc_id"))
-        .unionAll(exact.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    docs = t_par(spark, sf_dir, "documents").join(ids, "doc_id", "left_semi")
-    hs = F.transform(
-        _shingles(),
-        lambda s: F.pmod(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-            F.lit(_P),
-        ),
-    )
-
-    def _perm_min(h: Column, a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(h, lambda x: F.pmod(a * x + b, F.lit(_P)))
-        )
-
-    sig = bind(hs, lambda h: F.array(*[_perm_min(h, a, b) for a, b in _PERMS]))
-    sigs = docs.select("doc_id", sig.alias("sig"))
-    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    exact, sa, sb = _audit_pair_sigs(spark, sf_dir)
     paired = exact.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
     aggs = [F.count(F.lit(1)).alias("n_pairs")]
     for k, (b, r) in enumerate(_BAND_CONFIGS):

@@ -1026,6 +1026,56 @@ def lh_analyze_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_view_state(view: LakeTable, delta: DataFrame, drop_empty: bool = False) -> None:
+    """THE view-merge rule of the revenue-by-priority join view, shared
+    by all four tiers (batch append-only, batch CDC-retraction,
+    stream-static, two-sided streaming): full-outer-merge a
+    ``(o_orderpriority, inc_n, inc_cents)`` partial frame into the
+    stored view state — group-key-bounded, decimal(38,0) cents. A
+    never-created view bootstraps from the partials; ``drop_empty``
+    removes groups whose weighted count reaches 0 (the retraction
+    tier)."""
+    if not view.exists():
+        first = delta.select(
+            "o_orderpriority",
+            F.col("inc_n").alias("n_items"),
+            F.col("inc_cents").alias("cents"),
+        )
+        if drop_empty:
+            first = first.filter(F.col("n_items") != 0)
+        view.create_or_replace(first)
+        return
+    state = view.read()
+    zero = F.lit(0).cast("decimal(38,0)")
+    merged = state.join(delta, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (
+            F.coalesce("n_items", F.lit(0)) + F.coalesce("inc_n", F.lit(0))
+        ).alias("n_items"),
+        (
+            F.coalesce(F.col("cents"), zero)
+            + F.coalesce(F.col("inc_cents"), zero)
+        ).alias("cents"),
+    )
+    if drop_empty:
+        merged = merged.filter(F.col("n_items") != 0)
+    view.create_or_replace(merged)
+
+
+def view_revenue(view: LakeTable) -> DataFrame:
+    """The shared serve read of the join view's state: priority, item
+    count, revenue (ONE double division from integer cents)."""
+    return (
+        view.read()
+        .select(
+            "o_orderpriority",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def lh_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of a TWO-TABLE JOIN view (the classic
     materialized-view delta-join rule; Delta Live Tables / Materialize
@@ -1075,14 +1125,14 @@ def lh_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def partial(joined: DataFrame) -> DataFrame:
         return joined.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("cents").cast("decimal(38,0)")).alias("cents"),
+            F.count(F.lit(1)).alias("inc_n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("inc_cents"),
         )
 
     view = LakeTable(spark, index_tempdir("lake_ivm_v_"))
     o0, l0 = o_tbl.read(version=0), l_tbl.read(version=0)
-    view.create_or_replace(
-        partial(o0.join(l0, o0.o_orderkey == l0.l_orderkey))
+    merge_view_state(
+        view, partial(o0.join(l0, o0.o_orderkey == l0.l_orderkey))
     )
     # ---- the incremental refresh: O(batch) from both change feeds
     d_o = o_tbl.appended_between(0, 1)
@@ -1093,33 +1143,12 @@ def lh_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(partial(d_o.join(d_l, d_o.o_orderkey == d_l.l_orderkey)))
         .groupBy("o_orderpriority")
         .agg(
-            F.sum("n_items").alias("inc_n"),
-            F.sum("cents").alias("inc_cents"),
+            F.sum("inc_n").alias("inc_n"),
+            F.sum("inc_cents").alias("inc_cents"),
         )
     )
-    state = view.read()
-    zero = F.lit(0).cast("decimal(38,0)")
-    view.create_or_replace(
-        state.join(delta, "o_orderpriority", "full_outer").select(
-            "o_orderpriority",
-            (
-                F.coalesce("n_items", F.lit(0)) + F.coalesce("inc_n", F.lit(0))
-            ).alias("n_items"),
-            (
-                F.coalesce(F.col("cents"), zero)
-                + F.coalesce(F.col("inc_cents"), zero)
-            ).alias("cents"),
-        )
-    )
-    return (
-        view.read()
-        .select(
-            "o_orderpriority",
-            F.col("n_items").cast("long").alias("n_items"),
-            F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
-        )
-        .orderBy("o_orderpriority")
-    )
+    merge_view_state(view, delta)
+    return view_revenue(view)
 
 
 def lh_incremental_join_view_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1202,9 +1231,8 @@ def lh_incremental_join_view_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = LakeTable(spark, index_tempdir("lake_ivmc_v_"))
     o0, l0 = o_tbl.read(version=0), l_tbl.read(version=0)
-    view.create_or_replace(
-        wpartial(o0.join(l0, o0.o_orderkey == l0.l_orderkey), F.lit(1))
-        .withColumnsRenamed({"inc_n": "n_items", "inc_cents": "cents"})
+    merge_view_state(
+        view, wpartial(o0.join(l0, o0.o_orderkey == l0.l_orderkey), F.lit(1))
     )
     # ---- the signed refresh: O(touched segments) from both change feeds
     d_o = o_tbl.signed_changes_between(0, 1).withColumnsRenamed(
@@ -1232,31 +1260,8 @@ def lh_incremental_join_view_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("inc_cents").alias("inc_cents"),
         )
     )
-    state = view.read()
-    zero = F.lit(0).cast("decimal(38,0)")
-    view.create_or_replace(
-        state.join(delta, "o_orderpriority", "full_outer")
-        .select(
-            "o_orderpriority",
-            (
-                F.coalesce("n_items", F.lit(0)) + F.coalesce("inc_n", F.lit(0))
-            ).alias("n_items"),
-            (
-                F.coalesce(F.col("cents"), zero)
-                + F.coalesce(F.col("inc_cents"), zero)
-            ).alias("cents"),
-        )
-        .filter(F.col("n_items") != 0)
-    )
-    return (
-        view.read()
-        .select(
-            "o_orderpriority",
-            F.col("n_items").cast("long").alias("n_items"),
-            F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
-        )
-        .orderBy("o_orderpriority")
-    )
+    merge_view_state(view, delta, drop_empty=True)
+    return view_revenue(view)
 
 
 # three-commit table for the change-data-feed query (separate from

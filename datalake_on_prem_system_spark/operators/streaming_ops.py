@@ -1131,6 +1131,8 @@ def st_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast or co-partitioned by AQE); view state is bounded by the
     group-key vocabulary; the merge is a metadata-cheap
     create_or_replace of a vocabulary-sized table."""
+    from .lakehouse_ops import merge_view_state, view_revenue
+
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
@@ -1152,30 +1154,7 @@ def st_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        if not view.exists():
-            view.create_or_replace(
-                part.select(
-                    "o_orderpriority",
-                    F.col("inc_n").alias("n_items"),
-                    F.col("inc_cents").alias("cents"),
-                )
-            )
-            return
-        state = view.read()
-        zero = F.lit(0).cast("decimal(38,0)")
-        view.create_or_replace(
-            state.join(part, "o_orderpriority", "full_outer").select(
-                "o_orderpriority",
-                (
-                    F.coalesce("n_items", F.lit(0))
-                    + F.coalesce("inc_n", F.lit(0))
-                ).alias("n_items"),
-                (
-                    F.coalesce(F.col("cents"), zero)
-                    + F.coalesce(F.col("inc_cents"), zero)
-                ).alias("cents"),
-            )
-        )
+        merge_view_state(view, part)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -1184,17 +1163,7 @@ def st_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return (
-        view.read()
-        .select(
-            "o_orderpriority",
-            F.col("n_items").cast("long").alias("n_items"),
-            F.round(F.col("cents").cast("double") / 100.0, 2).alias(
-                "revenue"
-            ),
-        )
-        .orderBy("o_orderpriority")
-    )
+    return view_revenue(view)
 
 
 _ORD_PRI_JSON_CACHE: dict[tuple[str, float], str] = {}
@@ -1238,6 +1207,8 @@ def st_join_view_bidir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Δ sides broadcastable) plus the Δ×Δ term; state grows as the feeds'
     union (exactly what a two-sided streaming join must retain); view
     state stays group-key-bounded."""
+    from .lakehouse_ops import merge_view_state, view_revenue
+
     o_stream = (
         spark.readStream.schema("o_orderkey long, o_orderpriority string")
         .option("maxFilesPerTrigger", "1")
@@ -1298,30 +1269,7 @@ def st_join_view_bidir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("inc_n").alias("inc_n"),
                 F.sum("inc_cents").alias("inc_cents"),
             )
-            if not view.exists():
-                view.create_or_replace(
-                    part.select(
-                        "o_orderpriority",
-                        F.col("inc_n").alias("n_items"),
-                        F.col("inc_cents").alias("cents"),
-                    )
-                )
-            else:
-                state = view.read()
-                zero = F.lit(0).cast("decimal(38,0)")
-                view.create_or_replace(
-                    state.join(part, "o_orderpriority", "full_outer").select(
-                        "o_orderpriority",
-                        (
-                            F.coalesce("n_items", F.lit(0))
-                            + F.coalesce("inc_n", F.lit(0))
-                        ).alias("n_items"),
-                        (
-                            F.coalesce(F.col("cents"), zero)
-                            + F.coalesce(F.col("inc_cents"), zero)
-                        ).alias("cents"),
-                    )
-                )
+            merge_view_state(view, part)
             # the view merge above already FORCED every term against the
             # pre-batch states — only now may the feeds land in state
             if o_state.exists():
@@ -1343,17 +1291,7 @@ def st_join_view_bidir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return (
-        view.read()
-        .select(
-            "o_orderpriority",
-            F.col("n_items").cast("long").alias("n_items"),
-            F.round(F.col("cents").cast("double") / 100.0, 2).alias(
-                "revenue"
-            ),
-        )
-        .orderBy("o_orderpriority")
-    )
+    return view_revenue(view)
 
 
 def st_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

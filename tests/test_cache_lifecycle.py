@@ -148,3 +148,52 @@ def test_lpa_label_cache_shared_and_invalidated(spark, sf_dir, tmp_path):
     assert key not in _cache._live, (
         "stale LPA labels must be released on fixture regeneration"
     )
+
+
+def test_curve_caches_plan_keyed_and_released_on_drift(spark, sf_dir, tmp_path):
+    """The dd_threshold_curve / sketch-audit persists are PLAN-keyed (the
+    persist_bounded contract — no mtime in the key) and the generation
+    guard RELEASES them when documents.parquet is regenerated in place:
+    re-keying alone would serve stale cached rows, since Spark's cache is
+    keyed by logical plan, which does not change with file content. Also
+    pins that the curve result actually changes after the corpus does
+    (end-to-end staleness check, not just registry bookkeeping)."""
+    import os
+    import shutil
+
+    from datalake_on_prem_system_spark.operators import dedup
+
+    work = tmp_path / "sf_copy"
+    work.mkdir()
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, work / "documents.parquet")
+    else:
+        shutil.copy2(src, work / "documents.parquet")
+    wdir = str(work)
+
+    _cache.release_all()
+    dedup._CURVE_GEN.pop(os.path.abspath(wdir), None)
+    before = {
+        r.threshold: r.n_pairs
+        for r in dedup.QUERIES["dd_threshold_curve"](spark, wdir).collect()
+    }
+    okey = f"curve_ordered:{os.path.abspath(wdir)}"
+    assert okey in _cache._live and ":" not in okey.split(wdir)[-1], (
+        "curve persist must register under the plan key (no mtime suffix)"
+    )
+
+    # regenerate the corpus IN PLACE (same path, different content)
+    spark.createDataFrame(
+        [(1, "a b c d", "en", "w", 7), (2, "a b c d", "en", "w", 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(str(work / "documents.parquet"))
+    bump = os.path.getmtime(work / "documents.parquet") + 10
+    os.utime(work / "documents.parquet", (bump, bump))
+
+    after = {
+        r.threshold: r.n_pairs
+        for r in dedup.QUERIES["dd_threshold_curve"](spark, wdir).collect()
+    }
+    assert after[0.9] == 1, "post-drift curve must reflect the NEW corpus"
+    assert after != before
