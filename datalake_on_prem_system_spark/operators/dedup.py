@@ -257,7 +257,12 @@ def _abs_sf(sf_dir: str) -> str:
 # into the bounded registry, whose eventual eviction unpersists the
 # shared plan the live key relies on)
 _CURVE_GEN: dict[str, float] = {}
-_CURVE_GEN_KEYS = ("curve_ordered", "curve_ver", "band_audit_pairs")
+_CURVE_GEN_KEYS = (
+    "curve_ordered",
+    "curve_ver",
+    "band_audit_pairs",
+    "band_audit_sigs",
+)
 
 
 def _curve_gen_guard(sf_dir: str) -> None:
@@ -592,7 +597,13 @@ def _audit_pair_sigs(
         )
 
     sig = bind(hs, lambda h: F.array(*[_perm_min(h, a, b) for a, b in _PERMS]))
-    sigs = docs.select("doc_id", sig.alias("sig"))
+    # the signature computation (md5 + 64 interpreted HOF perm-mins per
+    # participant doc) feeds BOTH broadcast sides — persist so it runs
+    # once per invocation, not per side
+    sigs = persist_bounded(
+        docs.select("doc_id", sig.alias("sig")),
+        key=f"band_audit_sigs:{_abs_sf(sf_dir)}",
+    )
     sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
     return pairs, sa, sb
