@@ -1342,6 +1342,161 @@ def _corr_oracle_sql() -> str:
 _AB_CONV_MIN_PURCHASES = 16
 
 
+def _cuped_exprs() -> dict[str, str]:
+    """The CUPED arithmetic as shared SQL expression strings (the
+    ts_granger trick — one parse, one IEEE tree in both engines) over
+    double columns: pooled (n, sx, sy, sxx, sxy, syy) + per-arm
+    (n_a, sx_a, sy_a). θ = cov(x,y)/var(x); ρ² is the variance-reduction
+    fraction CUPED delivers; the adjusted mean subtracts
+    θ·(mean_x_arm − mean_x_pooled). Cents → currency via /100 INSIDE the
+    rounded expression."""
+    theta = "((n*sxy - sx*sy) / (n*sxx - sx*sx))"
+    rho2 = (
+        "((n*sxy - sx*sy) * (n*sxy - sx*sy)"
+        " / ((n*sxx - sx*sx) * (n*syy - sy*sy)))"
+    )
+    mean_adj = (
+        f"(sy_a/n_a - {theta} * (sx_a/n_a - sx/n))"
+    )
+    return {
+        "theta": f"round({theta}, 6)",
+        "rho2": f"round({rho2}, 6)",
+        "mean_y": "round(sy_a/n_a/100, 6)",
+        "mean_adj": f"round({mean_adj}/100, 6)",
+    }
+
+
+def ev_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013 — the
+    pre-experiment-covariate adjustment every large experimentation
+    platform applies before ``ev_ab_test``-style readouts): the corpus
+    splits at its date midpoint into PRE (covariate x = each user's
+    pre-period spend) and POST (metric y = post-period spend), users
+    split into parity arms, θ = pooled cov(x,y)/var(x), and each arm
+    reports its raw and CUPED-adjusted mean spend plus ρ² — the fraction
+    of metric variance the covariate removes (the whole point: the same
+    experiment needs (1−ρ²)× the traffic).
+
+    Exactness: x/y are integer cents from ONE user-keyed conditional
+    aggregate (the pre/post split compares integer datediffs — no date
+    construction); per-arm and pooled sufficient statistics ride
+    decimal(38,0) ↔ HUGEINT; θ/ρ²/means evaluate through SHARED SQL
+    expression strings (``_cuped_exprs``, the ts_granger recipe) so both
+    engines run the identical IEEE tree.
+
+    Scale shape: one groupBy(user) with map-side combine, a 2-row arm
+    rollup, and one-row pooled/date anchors (allow-listed)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    anchor = F.broadcast(
+        ev.agg(F.min("day").alias("d0"), F.max("day").alias("dn"))
+    )
+    per_user = (
+        ev.crossJoin(anchor)
+        .withColumn(
+            "pre",
+            F.datediff("day", "d0")
+            <= F.expr("datediff(dn, d0) div 2"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("pre"), F.col("c")).otherwise(0)).alias("x"),
+            F.sum(F.when(~F.col("pre"), F.col("c")).otherwise(0)).alias("y"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_a"),
+        F.sum(dec("x")).alias("sx_a"),
+        F.sum(dec("y")).alias("sy_a"),
+        F.sum(dec("x") * dec("x")).alias("sxx_a"),
+        F.sum(dec("x") * dec("y")).alias("sxy_a"),
+        F.sum(dec("y") * dec("y")).alias("syy_a"),
+    )
+    pooled = F.broadcast(
+        arms.agg(
+            F.sum("n_a").alias("n"),
+            F.sum("sx_a").alias("sx"),
+            F.sum("sy_a").alias("sy"),
+            F.sum("sxx_a").alias("sxx"),
+            F.sum("sxy_a").alias("sxy"),
+            F.sum("syy_a").alias("syy"),
+        )
+    )
+    joined = arms.crossJoin(pooled)
+    as_double = joined.select(
+        "arm",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("n_a", "sx_a", "sy_a", "n", "sx", "sy", "sxx", "sxy", "syy")
+        ],
+    )
+    e = _cuped_exprs()
+    return as_double.select(
+        "arm",
+        F.col("n_a").cast("long").alias("n_users"),
+        F.expr(e["mean_y"]).alias("mean_y"),
+        F.expr(e["mean_adj"]).alias("mean_adj"),
+        F.expr(e["theta"]).alias("theta"),
+        F.expr(e["rho2"]).alias("rho2"),
+    ).orderBy("arm")
+
+
+def _cuped_oracle_sql() -> str:
+    """DuckDB replay: identical integer pre/post split, HUGEINT
+    sufficient statistics, and the IDENTICAL expression strings."""
+    e = _cuped_exprs()
+    return f"""
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(floor(value * 100) AS BIGINT) AS c
+            FROM events
+        ), a AS (
+            SELECT min(day) AS d0, max(day) AS dn FROM ev
+        ), pu AS (
+            SELECT user_id,
+                   sum(CASE WHEN datediff('day', d0, day)
+                             <= datediff('day', d0, dn) // 2
+                        THEN c ELSE 0 END) AS x,
+                   sum(CASE WHEN datediff('day', d0, day)
+                             > datediff('day', d0, dn) // 2
+                        THEN c ELSE 0 END) AS y,
+                   CAST(user_id % 2 AS INTEGER) AS arm
+            FROM ev, a GROUP BY user_id
+        ), arms AS (
+            SELECT arm, CAST(count(*) AS HUGEINT) AS n_a,
+                   sum(CAST(x AS HUGEINT)) AS sx_a,
+                   sum(CAST(y AS HUGEINT)) AS sy_a,
+                   sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx_a,
+                   sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy_a,
+                   sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy_a
+            FROM pu GROUP BY arm
+        ), pooled AS (
+            SELECT sum(n_a) AS n, sum(sx_a) AS sx, sum(sy_a) AS sy,
+                   sum(sxx_a) AS sxx, sum(sxy_a) AS sxy, sum(syy_a) AS syy
+            FROM arms
+        ), d AS (
+            SELECT arm,
+                   CAST(n_a AS DOUBLE) AS n_a, CAST(sx_a AS DOUBLE) AS sx_a,
+                   CAST(sy_a AS DOUBLE) AS sy_a,
+                   CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+                   CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx,
+                   CAST(sxy AS DOUBLE) AS sxy, CAST(syy AS DOUBLE) AS syy
+            FROM arms CROSS JOIN pooled
+        )
+        SELECT arm, CAST(n_a AS BIGINT) AS n_users,
+               {e["mean_y"]} AS mean_y,
+               {e["mean_adj"]} AS mean_adj,
+               {e["theta"]} AS theta,
+               {e["rho2"]} AS rho2
+        FROM d ORDER BY arm
+    """
+
+
 def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion experiment readout — the A/B analysis every product
     team runs: users split into deterministic arms (user_id parity — the
@@ -3732,6 +3887,7 @@ QUERIES = {
     "ev_churn_curve": ev_churn_curve,
     "ev_stickiness": ev_stickiness,
     "ev_reach_curve": ev_reach_curve,
+    "ev_cuped": ev_cuped,
     "ev_pareto_share": ev_pareto_share,
     "ev_attribution": ev_attribution,
     "ev_peak_concurrency": ev_peak_concurrency,
@@ -4137,6 +4293,7 @@ ORACLE = {
     "ts_cross_correlation": _xcf_oracle_sql(),
     "ts_granger": _granger_oracle_sql(),
     "ts_holt_winters": _holt_winters_oracle_sql(),
+    "ev_cuped": _cuped_oracle_sql(),
     # censored KM: per-age factors are one double division; prefix products
     # fold the age-ordered bounded list in pinned order on both engines
     "ev_survival_censored": """

@@ -1349,3 +1349,53 @@ def test_ts_holt_winters_matches_python_fold(spark, tmp_path):
     assert abs(row["seasonal_next"] - s[21 % 7]) < 1e-9
     assert abs(row["forecast_1d"] - r6(lvl + trd + s[0])) < 1e-9
     assert abs(row["forecast_7d"] - r6(lvl + 7 * trd + s[6])) < 1e-9
+
+
+def test_ev_cuped_matches_independent_numpy(spark, tmp_path):
+    """CUPED pin: planted users whose post spend tracks pre spend plus an
+    arm effect; θ, ρ², and the adjusted means must match an independent
+    numpy computation, and the adjustment must shrink the arm gap toward
+    the true effect (the pre-period imbalance is removed)."""
+    import duckdb
+    import numpy as np
+
+    rows, eid = [], 0
+    xs, ys, arms = [], [], []
+    for u in range(1, 41):
+        x = (u * 13) % 29 + 3            # pre-period spend (imbalanced)
+        y = 2 * x + ((u * 7) % 5) + (10 if u % 2 == 1 else 0)
+        xs.append(x); ys.append(y); arms.append(u % 2)
+        rows.append((eid, datetime.datetime(2024, 5, 1), u, "click",
+                     float(x), "{}")); eid += 1
+        rows.append((eid, datetime.datetime(2024, 5, 9), u, "purchase",
+                     float(y), "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["ev_cuped"](spark, str(tmp_path)).toPandas()
+    msg = compare("ev_cuped", sdf, con.sql(oracles["ev_cuped"]).df())
+    assert not msg, msg
+
+    x = np.array(xs, float) * 100   # cents
+    y = np.array(ys, float) * 100
+    a = np.array(arms)
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    got = {int(r["arm"]): r for _, r in sdf.iterrows()}
+    assert abs(got[0]["theta"] - round(theta, 6)) < 1e-4
+    assert abs(got[0]["rho2"] - round(rho2, 6)) < 1e-4
+    for arm in (0, 1):
+        adj = (y[a == arm].mean()
+               - theta * (x[a == arm].mean() - x.mean())) / 100
+        assert abs(got[arm]["mean_adj"] - adj) < 1e-4
+    raw_gap = got[1]["mean_y"] - got[0]["mean_y"]
+    adj_gap = got[1]["mean_adj"] - got[0]["mean_adj"]
+    assert abs(adj_gap - 10.0) < abs(raw_gap - 10.0) + 1e-9

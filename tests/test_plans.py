@@ -362,6 +362,9 @@ _BNLJ_ALLOWED = {
     "ev_stickiness",
     # same ONE-ROW min-day week anchor, feeding the reach rollups
     "ev_reach_curve",
+    # CUPED anchors: the ONE-ROW date-midpoint aggregate onto the fact
+    # scan, and the ONE-ROW pooled statistics onto the 2-row arm frame
+    "ev_cuped",
     # corpus total: a ONE-ROW count cross-joined onto the boilerplate
     # candidates
     "dd_boilerplate_lines",
