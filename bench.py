@@ -250,6 +250,7 @@ ROUND_NEW = [
     "search_synonym_expand", "pl_resume_plan", "ts_granger",
     "ts_holt_winters", "g_conductance", "sim_nprobe_curve",
     "ev_reach_curve", "dd_band_tuning_curve", "ev_cuped",
+    "w_rolling_median", "tx_burstiness",
 ]
 HEADLINERS += [q for q in ROUND_NEW if q not in HEADLINERS]
 ROTATION_OFFSET = 0  # bump by 1 each round

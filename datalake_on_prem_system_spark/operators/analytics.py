@@ -76,6 +76,47 @@ def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EXACT rolling median over the trailing 7-event frame —
+    the robust partner of ``w_moving_avg`` (one outlier event cannot drag
+    the window like it drags the mean): the frame collects as a sorted
+    integer-cent array and both middle elements are picked by INTEGER
+    division, so odd frames take the middle and even frames the exact
+    midpoint average — no engine median() semantics in play (DuckDB's
+    interpolation and Spark's approx paths never run; both engines
+    compute the identical explicit expression).
+
+    Exactness: cents are integers, indexes are `div` arithmetic, ONE
+    (a+b)/2 double at the end, round 6. Scale shape: the frame is a
+    ROWS-bounded user-partitioned window (k=7 values per row — constant
+    state), identical distribution cost to any windowed aggregate."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    fr = F.sort_array(
+        F.collect_list(F.floor(F.col("value") * 100).cast("long")).over(w)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", fr.alias("fr"))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                (
+                    F.get("fr", F.expr("(size(fr) - 1) div 2").cast("int"))
+                    + F.get("fr", F.expr("size(fr) div 2").cast("int"))
+                )
+                / 2.0
+                / 100.0,
+                6,
+            ).alias("rmed"),
+        )
+    )
+
+
 def w_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer balance distribution within market segment: PERCENT_RANK
     (integer-ratio — deterministic) + NTILE(4) over a totally-ordered
@@ -3907,6 +3948,7 @@ QUERIES = {
     "w_running_total": w_running_total,
     "w_lag_delta": w_lag_delta,
     "w_moving_avg": w_moving_avg,
+    "w_rolling_median": w_rolling_median,
     "w_quartiles": w_quartiles,
     "w_first_last": w_first_last,
     "w_gapfill_resample": w_gapfill_resample,
@@ -5430,6 +5472,21 @@ ORACLE = {
                n_trans / CAST(sum(n_trans) OVER (PARTITION BY prev_type)
                               AS DOUBLE) AS p
         FROM counts
+    """,
+    # rolling median: identical explicit middle-element arithmetic — no
+    # engine median() semantics on either side
+    "w_rolling_median": """
+        WITH fr AS (
+            SELECT event_id, user_id,
+                   list_sort(list(CAST(floor(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS f
+            FROM events
+        )
+        SELECT event_id, user_id,
+               round((f[(len(f) - 1) // 2 + 1] + f[len(f) // 2 + 1])
+                     / 2.0 / 100.0, 6) AS rmed
+        FROM fr
     """,
     "w_ema": """
         WITH ordered AS (

@@ -296,6 +296,61 @@ def tx_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BURST_TOP = 20
+
+
+def tx_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word BURSTINESS (Church & Gale): the variance-to-mean ratio of
+    per-document counts — over ALL docs, zeros included — for the
+    ``_BURST_TOP`` highest-df words. VMR ≈ 1 is Poisson dispersion (the
+    function-word signature); VMR ≫ 1 is bursty topical content. The
+    corpus-linguistics health check that separates a template farm
+    (everything near-Poisson) from real topical text, read next to
+    ``tx_entropy``'s source panel.
+
+    Exactness: per-(word, doc) counts, df, Σc, and Σc² are exact
+    integers riding decimal(38,0) ↔ HUGEINT; zeros enter through the
+    one-row doc-count anchor algebraically (VMR = (N·Σc² − (Σc)²)/(N·Σc)
+    — no zero rows materialize); the final mean/VMR evaluate through
+    SHARED expression strings (the ts_granger recipe).
+
+    Scale shape: one (word, doc) partial-agg shuffle, a vocab-bounded
+    rollup, TakeOrdered top-20, and the one-row anchor cross-join
+    (allow-listed)."""
+    docs = t(spark, sf_dir, "documents")
+    per = (
+        docs.select("doc_id", F.explode(_tokens()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = per.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(dec("c")).alias("tf"),
+        F.sum(dec("c") * dec("c")).alias("sq"),
+    )
+    top = stats.orderBy(F.desc("df"), F.asc("w")).limit(_BURST_TOP)
+    tot = F.broadcast(
+        docs.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("nd"))
+    )
+    d = top.crossJoin(tot).select(
+        F.col("w").alias("word"),
+        F.col("df").cast("long").alias("n_docs"),
+        F.col("tf").cast("long").alias("n_occurrences"),
+        F.col("nd").cast("double").alias("n"),
+        F.col("tf").cast("double").alias("tf"),
+        F.col("sq").cast("double").alias("sq"),
+    )
+    return d.select(
+        "word",
+        "n_docs",
+        "n_occurrences",
+        F.expr("round(tf / n, 6)").alias("mean_per_doc"),
+        F.expr("round((n * sq - tf * tf) / (n * tf), 6)").alias("vmr"),
+    ).orderBy(F.desc("n_docs"), F.asc("word"))
+
+
 def tx_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM cross-entropy per document — the cheap "perplexity"
     quality filter training pipelines run before the expensive model-based
@@ -1279,6 +1334,7 @@ QUERIES = {
     "tx_quality_score": tx_quality_score,
     "tx_fingerprint": tx_fingerprint,
     "tx_term_freq": tx_term_freq,
+    "tx_burstiness": tx_burstiness,
     "tx_train_split": tx_train_split,
     "tx_quality_bins": tx_quality_bins,
     "tx_chunk_overlap": tx_chunk_overlap,
@@ -1769,5 +1825,34 @@ ORACLE = {
         SELECT token, count(*) AS freq FROM (
             SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY token ORDER BY freq DESC, token ASC LIMIT 40
+    """,
+    # burstiness: zeros enter algebraically via the doc-count anchor;
+    # identical mean/VMR expression strings as the Spark plan
+    "tx_burstiness": f"""
+        WITH per AS (
+            SELECT w, doc_id, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+            WHERE w <> '' GROUP BY w, doc_id
+        ), st AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df,
+                   sum(CAST(c AS HUGEINT)) AS tf,
+                   sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sq
+            FROM per GROUP BY w
+        ), top AS (
+            SELECT * FROM st ORDER BY df DESC, w ASC LIMIT {_BURST_TOP}
+        ), nd AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n_total FROM documents
+        ), d AS (
+            SELECT w AS word, df AS n_docs, CAST(tf AS BIGINT)
+                       AS n_occurrences,
+                   CAST(n_total AS DOUBLE) AS n, CAST(tf AS DOUBLE) AS tf,
+                   CAST(sq AS DOUBLE) AS sq
+            FROM top CROSS JOIN nd
+        )
+        SELECT word, n_docs, n_occurrences,
+               round(tf / n, 6) AS mean_per_doc,
+               round((n * sq - tf * tf) / (n * tf), 6) AS vmr
+        FROM d ORDER BY n_docs DESC, word ASC
     """,
 }

@@ -1399,3 +1399,37 @@ def test_ev_cuped_matches_independent_numpy(spark, tmp_path):
     raw_gap = got[1]["mean_y"] - got[0]["mean_y"]
     adj_gap = got[1]["mean_adj"] - got[0]["mean_adj"]
     assert abs(adj_gap - 10.0) < abs(raw_gap - 10.0) + 1e-9
+
+
+def test_w_rolling_median_hand_computed(spark, tmp_path):
+    """Rolling-median pin: one user, values 1,5,3,9 in time order —
+    frames [1], [1,5], [1,3,5], [1,3,5,9] give medians 1, 3 (even-frame
+    midpoint), 3, 4 — and the frame stays per-user (a second user's
+    single event never mixes in)."""
+    import duckdb
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 0), 1, "click", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 0, 1, 0), 1, "click", 5.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 0, 2, 0), 1, "click", 3.0, "{}"),
+        (4, datetime.datetime(2024, 1, 1, 0, 3, 0), 1, "click", 9.0, "{}"),
+        (5, datetime.datetime(2024, 1, 1, 0, 0, 30), 2, "click", 100.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["w_rolling_median"](spark, str(tmp_path)).toPandas()
+    msg = compare(
+        "w_rolling_median", sdf, con.sql(oracles["w_rolling_median"]).df()
+    )
+    assert not msg, msg
+    got = {int(r["event_id"]): r["rmed"] for _, r in sdf.iterrows()}
+    assert got == {1: 1.0, 2: 3.0, 3: 3.0, 4: 4.0, 5: 100.0}

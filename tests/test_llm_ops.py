@@ -2330,3 +2330,37 @@ def test_nprobe_curve_monotone_and_bounded(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hits <= r.n_exact
         assert r.n_exact == rows[0].n_exact
+
+
+def test_burstiness_poisson_vs_bursty_hand_corpus(spark, tmp_path):
+    """Burstiness pin: a word spread one-per-doc across every doc has
+    VMR = (N·N − N²)/(N·N) = 0 (degenerate constant — below Poisson), a
+    word concentrated k-per-doc in one doc of N has
+    VMR = (N·k² − k²)/(N·k) = k(N−1)/N ≫ 1 — hand-checked exactly, and
+    hash-matched against the oracle."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from check_correctness import compare
+
+    # 5 docs; "base" once per doc (constant), "burst" 6× in doc 1 only
+    docs = [(1, "base " + " ".join(["burst"] * 6), "en", "w")]
+    docs += [(k, "base filler" + str(k), "en", "w") for k in range(2, 6)]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    sdf = qs["tx_burstiness"](spark, str(tmp_path)).toPandas()
+    msg = compare("tx_burstiness", sdf, con.sql(oracles["tx_burstiness"]).df())
+    assert not msg, msg
+    got = {r["word"]: r for _, r in sdf.iterrows()}
+    assert got["base"]["n_docs"] == 5 and got["base"]["vmr"] == 0.0
+    b = got["burst"]
+    # N=5, k=6: VMR = (5*36 - 36)/(5*6) = 144/30 = 4.8
+    assert (b["n_docs"], b["n_occurrences"], b["vmr"]) == (1, 6, 4.8)

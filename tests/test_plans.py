@@ -365,6 +365,9 @@ _BNLJ_ALLOWED = {
     # CUPED anchors: the ONE-ROW date-midpoint aggregate onto the fact
     # scan, and the ONE-ROW pooled statistics onto the 2-row arm frame
     "ev_cuped",
+    # doc-count anchor: the ONE-ROW corpus count cross-joined onto the
+    # 20-row top-df word frame
+    "tx_burstiness",
     # corpus total: a ONE-ROW count cross-joined onto the boilerplate
     # candidates
     "dd_boilerplate_lines",
