@@ -391,15 +391,33 @@ def _cosupply_key(sf_dir: str) -> tuple[str, float]:
 def _cosupply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted candidate pairs (u < v, w = shared orders, w >= floor).
     The per-order pair fan-out is bounded by items-per-order (TPC-H-ish:
-    <= 7 → <= 21 pairs per order)."""
+    <= 7 → <= 21 pairs per order).
+
+    Shape: ONE shuffle groups each order's distinct suppliers into a
+    sorted array (collect_set dedups (ok, sk) in the same pass — no
+    separate distinct), the i<j pairs are emitted narrowly in-array (the
+    ``_bucket_pairs`` recipe), and the pair rollup is the second shuffle.
+    The previous distinct + self-join + rollup form paid three shuffles
+    and scanned the distinct frame twice for the identical pair
+    multiset."""
     li = t(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
-    ).distinct()
+    per_order = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("sks"))
+        .filter(F.size("sks") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "sks",
+            lambda x, i: F.transform(
+                F.slice("sks", i + 2, F.size("sks")),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     return (
-        os_.join(os_.select("ok", F.col("sk").alias("sk2")), "ok")
-        .filter(F.col("sk") < F.col("sk2"))
-        .groupBy(F.col("sk").alias("u"), F.col("sk2").alias("v"))
+        per_order.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _COSUPPLY_W_FLOOR)
     )
