@@ -663,24 +663,10 @@ def dd_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed for the audit, because candidacy of (a, b) depends only on
     their two signatures. Scale shape: signatures only for docs appearing
     in verified pairs; one pair-keyed join; a bins-sized rollup."""
-    from functools import reduce
-    from operator import and_, or_
-
     exact, sa, sb = _audit_pair_sigs(spark, sf_dir)
-    band_hit = reduce(
-        or_,
-        [
-            reduce(
-                and_,
-                [
-                    F.col("sig_a")[i * _ROWS_PER_BAND + j]
-                    == F.col("sig_b")[i * _ROWS_PER_BAND + j]
-                    for j in range(_ROWS_PER_BAND)
-                ],
-            )
-            for i in range(_N_BANDS)
-        ],
-    )
+    # one parsed SQL string instead of ~380 py4j Column calls (identical
+    # OR-of-ANDs tree — see dd_band_tuning_curve's _band_hit_sql note)
+    band_hit = F.expr(_band_hit_sql(_N_BANDS, _ROWS_PER_BAND))
     paired = (
         exact.join(F.broadcast(sa), "a_id")
         .join(F.broadcast(sb), "b_id")
@@ -1499,6 +1485,20 @@ def _semantic_inc_oracle_sql() -> str:
 _BAND_CONFIGS = ((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
 
 
+def _band_hit_sql(b: int, r: int, a: str = "sig_a", bcol: str = "sig_b") -> str:
+    """``∃ band i: ∀ row j: a[i·r+j] = b[i·r+j]`` as a SQL string —
+    0-based [] indexing, OR of ANDs (left-associated by the parser,
+    matching the old ``functools.reduce`` construction exactly)."""
+    return " OR ".join(
+        "("
+        + " AND ".join(
+            f"{a}[{i * r + j}] = {bcol}[{i * r + j}]" for j in range(r)
+        )
+        + ")"
+        for i in range(b)
+    )
+
+
 def _collision_sql(b: int, r: int) -> str:
     """The banding S-curve 1 − (1 − j^r)^b over the ``jaccard`` column as
     EXPLICIT left-associated multiplication chains — pow() is libm and
@@ -1532,26 +1532,17 @@ def dd_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit multiplication chains (``_collision_sql``, shared verbatim
     by both engines — no libm pow) quantized to ppm per pair before the
     sum; two divisions at the end, round 6."""
-    from functools import reduce
-    from operator import and_, or_
-
     exact, sa, sb = _audit_pair_sigs(spark, sf_dir)
     paired = exact.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
     aggs = [F.count(F.lit(1)).alias("n_pairs")]
     for k, (b, r) in enumerate(_BAND_CONFIGS):
-        hit = reduce(
-            or_,
-            [
-                reduce(
-                    and_,
-                    [
-                        F.col("sig_a")[i * r + j] == F.col("sig_b")[i * r + j]
-                        for j in range(r)
-                    ],
-                )
-                for i in range(b)
-            ],
-        )
+        # the band-hit predicate as ONE parsed SQL string: the identical
+        # left-associated OR-of-ANDs tree the old functools.reduce over
+        # Column operators produced, but built with a single py4j round
+        # trip instead of ~1300 (Column operator calls each cross the
+        # py4j bridge; building the five config trees measured 2.6 s of
+        # pure driver-side construction time per invocation)
+        hit = F.expr(_band_hit_sql(b, r))
         aggs.append(F.sum(hit.cast("long")).alias(f"cov{k}"))
         aggs.append(F.sum(F.expr(_collision_sql(b, r))).alias(f"exp{k}"))
     red = paired.agg(*aggs)

@@ -1087,20 +1087,52 @@ def _recon_frame(
     codes = spark.read.parquet(path)
     if cells is not None:
         codes = codes.filter(F.col("cell").isin(cells))
-    # codebooks join in as broadcast DATA (one tiny hash join per
-    # subspace), not as M·K literal when-chains — the round-10 verdict's
-    # production-K rule: the plan stays O(M) join nodes at any K
-    for m, book in enumerate(books):
-        bdf = spark.createDataFrame(
-            [(int(ci), [float(x) for x in cv]) for ci, cv in book],
-            f"code{m} int, b{m} array<double>",
-        )
-        codes = codes.join(F.broadcast(bdf), f"code{m}")
-    recon = codes.select(
+    # codebooks join in as broadcast DATA, not as M·K literal when-chains
+    # — the round-10 verdict's production-K rule: the plan stays O(1) join
+    # nodes at any K. ONE long-format join against the (m, code, cv)
+    # codebook table (the ``_encode_pq`` shape) replaces the previous
+    # chain of M per-subspace joins: M broadcast builds + M join nodes
+    # were pure fixed overhead (~1.5 s of each timed ANN run at sf0.1),
+    # and the rollup that reassembles ``vhat`` in subspace order is one
+    # code-table-sized partial agg. The concatenated doubles are copied
+    # verbatim either way — bit-identical vhat/vn.
+    books_df = spark.createDataFrame(
+        [
+            (m, int(ci), [float(x) for x in cv])
+            for m, book in enumerate(books)
+            for ci, cv in book
+        ],
+        "m int, code int, cv array<double>",
+    )
+    long = codes.select(
         "vec_id",
         "cell",
-        F.concat(*[F.col(f"b{m}") for m in range(_PQ_M)]).alias("vhat"),
-    ).withColumn("vn", _norm(F.col("vhat")))
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"), F.col(f"code{m}").alias("code")
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "cell", "e.m", "e.code")
+    recon = (
+        long.join(F.broadcast(books_df), ["m", "code"])
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("m"), F.col("cv")))
+                    ),
+                    lambda s: s["cv"],
+                )
+            ).alias("vhat")
+        )
+        .withColumn("vn", _norm(F.col("vhat")))
+    )
     if cache_key is not None:
         recon = persist_bounded(recon, cache_key)
     return recon
