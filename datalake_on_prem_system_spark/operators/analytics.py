@@ -3135,6 +3135,7 @@ def a_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MARKOV_SCALE = 1_000_000_000_000  # picounits of probability mass
 _MARKOV_ITERS = 20  # fixed chain-walk depth (both engines replay exactly)
+_MARKOV_GEN: dict[str, float] = {}  # events.parquet mtime per sf_dir
 
 
 def _markov_journeys(spark: SparkSession, sf_dir: str):
@@ -3142,7 +3143,19 @@ def _markov_journeys(spark: SparkSession, sf_dir: str):
     (events strictly before the user's FIRST purchase, purchase events
     excluded; all events when the user never purchases), the per-user
     (src, dst) transition stream with START/CONV/NULL boundary states,
-    and the has-purchase flag. Returns (journey_touches, transitions)."""
+    and the has-purchase flag. Returns (journey_touches, transitions).
+
+    ``jt`` is PERSISTED (mtime-generation-guarded, the _THEIL_GEN rule):
+    every attribution consumer reads it through ≥ 2 plan branches
+    (transitions + per-channel touch counts in ev_markov_attribution;
+    three vocabulary/mask/count branches in ev_shapley_attribution), and
+    Catalyst shares nothing across branches — without the cache each
+    branch re-runs the first-purchase window over the whole event table."""
+    import os as _os
+
+    from ._cache import persist_bounded
+    from ._cache import release as _release
+
     ev = t(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -3157,12 +3170,21 @@ def _markov_journeys(spark: SparkSession, sf_dir: str):
         )
     ).over(w_user)
     tagged = ev.withColumn("fpo", fpo)
-    jt = tagged.filter(
-        (F.col("event_type") != "purchase")
-        & (
-            F.col("fpo").isNull()
-            | (F.struct("ts_us", "event_id") < F.col("fpo"))
-        )
+    _src = _os.path.join(sf_dir, "events.parquet")
+    _gen = _os.path.getmtime(_src) if _os.path.exists(_src) else 0.0
+    if _MARKOV_GEN.get(sf_dir) not in (None, _gen):
+        _release(f"markov_jt:{sf_dir}")
+        _release(f"shap_touch:{sf_dir}")
+    _MARKOV_GEN[sf_dir] = _gen
+    jt = persist_bounded(
+        tagged.filter(
+            (F.col("event_type") != "purchase")
+            & (
+                F.col("fpo").isNull()
+                | (F.struct("ts_us", "event_id") < F.col("fpo"))
+            )
+        ),
+        f"markov_jt:{sf_dir}",
     )
     w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     trans = jt.select(
@@ -3321,6 +3343,8 @@ def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ONE-ROW revenue anchor (allow-listed scalar cross join)."""
     import math
 
+    from ._cache import persist_bounded
+
     jt, _ = _markov_journeys(spark, sf_dir)
     buyers = (
         t(spark, sf_dir, "events")
@@ -3328,8 +3352,14 @@ def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
-    touches = jt.join(buyers, "user_id").select(
-        "user_id", F.col("event_type").alias("channel")
+    # persisted: THREE plan branches read it (channel vocabulary, the
+    # bit_or mask rollup, the per-channel user counts) — released by the
+    # _markov_journeys mtime guard alongside the jt frame it derives from
+    touches = persist_bounded(
+        jt.join(buyers, "user_id").select(
+            "user_id", F.col("event_type").alias("channel")
+        ),
+        f"shap_touch:{sf_dir}",
     )
     chans = sorted(
         r.channel for r in touches.select("channel").distinct().collect()
@@ -3586,68 +3616,59 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def lower_median(vals: DataFrame, col: str, cache_key: str) -> DataFrame:
-        """Exact lower-median by rank selection over value groups, with
-        the TWO-LEVEL prefix rule (the a_mann_whitney recipe): the value
-        range splits into ~4096 width-buckets from a one-row (min, max)
-        anchor, the running count is an intra-bucket window
-        (distributed) plus cumulative offsets over the ~4096 one-row
-        bucket totals — no single partition ever sorts the full distinct
-        domain (days² slope values here). Selection semantics are
-        UNCHANGED (first value whose global rank reaches ⌈n/2⌉), so the
-        oracle keeps its plain single-window form. Raw rows rank
-        directly (cnt=1 — slope values are nearly all distinct, so a
-        value-grouping shuffle would save nothing); the frame is
-        PERSISTED because it feeds the range anchor, the bucket totals,
-        and the intra ranks — the days² pair join above it must derive
+    def lower_median(
+        vals: DataFrame, col: str, cache_key: str
+    ) -> tuple[float, int]:
+        """Exact lower-median by rank selection over ~4096 value-range
+        buckets, with the bucket WALK on the driver: one (min, max,
+        count) anchor, one map-side-combined bucket histogram (≤ 4096
+        rows — a bounded scalar anchor, the _cosupply_edges weight-
+        histogram class), then ONE TakeOrdered over the single target
+        bucket (≈ n/4096 rows for any non-degenerate value spread) picks
+        the k-th smallest value. This replaces the previous full-frame
+        intra-bucket window (a days²-row shuffle + sort + bucket-offset
+        join per median — the dominant stage of this query) with two
+        tiny aggregates and a bounded top-k. Selection semantics are
+        UNCHANGED (first value whose global rank reaches ⌈n/2⌉ — any
+        monotone value bucketing yields the same k-th smallest value),
+        so the oracle keeps its plain single-window form. The frame is
+        PERSISTED because it feeds the range anchor, the histogram, and
+        the bucket top-k — the days² pair join above it must derive
         once, not once per consumer."""
         from ._cache import persist_bounded
 
-        byv = persist_bounded(
-            vals.select(F.col(col), F.lit(1).alias("cnt")), cache_key
+        byv = persist_bounded(vals.select(F.col(col)), cache_key)
+        rng = byv.agg(
+            F.min(col).alias("mn"),
+            F.max(col).alias("mx"),
+            F.count(F.lit(1)).alias("nv"),
+        ).head()
+        mn, nv = float(rng.mn), int(rng.nv)
+        # identical IEEE width arithmetic as the previous in-plan form
+        # (immaterial for correctness: bucketing only routes the rank walk)
+        width = max((float(rng.mx) - mn) / 4096.0, 1e-12)
+        b_col = F.floor((F.col(col) - F.lit(mn)) / F.lit(width)).cast("long")
+        hist = sorted(
+            (r.b, r.bn)
+            for r in byv.groupBy(b_col.alias("b"))
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .collect()
         )
-        rng = F.broadcast(
-            byv.agg(
-                F.min(col).alias("mn"),
-                F.max(col).alias("mx"),
-                F.sum("cnt").alias("nv"),
-            )
-        )
-        width = F.greatest(
-            (F.col("mx") - F.col("mn")) / F.lit(4096.0), F.lit(1e-12)
-        )
-        bucketed = byv.crossJoin(rng).withColumn(
-            "b", F.floor((F.col(col) - F.col("mn")) / width).cast("long")
-        )
-        intra = (
-            Window.partitionBy("b")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        boff = (
-            bucketed.groupBy("b")
-            .agg(F.sum("cnt").alias("bn"))
-            .withColumn(
-                "off",
-                F.coalesce(
-                    F.sum("bn").over(
-                        Window.orderBy("b").rowsBetween(
-                            Window.unboundedPreceding, -1
-                        )
-                    ),
-                    F.lit(0),
-                ),
-            )
-            .select("b", "off")
-        )
-        return (
-            bucketed.withColumn("icum", F.sum("cnt").over(intra))
-            .join(boff, "b")
-            .filter(
-                F.col("off") + F.col("icum") >= F.expr("(nv + 1) div 2")
-            )
-            .agg(F.min(col).alias("med"), F.first("nv").alias("nv"))
-        )
+        rank = (nv + 1) // 2
+        cum = 0
+        for b, bn in hist:
+            if cum + bn >= rank:
+                med = (
+                    byv.filter(b_col == b)
+                    .orderBy(col)
+                    .limit(rank - cum)
+                    .agg(F.max(col).alias("med"))
+                    .head()
+                    .med
+                )
+                return float(med), nv
+            cum += bn
+        raise RuntimeError("lower_median over an empty frame")
 
     # each median is ONE ROW — collect it as a bounded scalar anchor (the
     # a_heavy_hitters rule) so the days² pair join derives exactly once;
@@ -3668,17 +3689,14 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         _release(f"ts_theil_s:{sf_dir}")
         _release(f"ts_theil_r:{sf_dir}")
     _THEIL_GEN[sf_dir] = _gen
-    ms_row = lower_median(slopes, "s", f"ts_theil_s:{sf_dir}").head()
-    med_s, n_pairs = float(ms_row.med), int(ms_row.nv)
+    med_s, n_pairs = lower_median(slopes, "s", f"ts_theil_s:{sf_dir}")
     resid = pts.select(
         (
             F.col("x").cast("double") / 100.0
             - (F.lit(med_s) / 100.0) * F.col("ti").cast("double")
         ).alias("r")
     )
-    med_r = float(
-        lower_median(resid, "r", f"ts_theil_r:{sf_dir}").head().med
-    )
+    med_r, _ = lower_median(resid, "r", f"ts_theil_r:{sf_dir}")
     return anchor.select(
         F.col("n_days").cast("long").alias("n_days"),
         F.lit(n_pairs).cast("long").alias("n_pairs"),

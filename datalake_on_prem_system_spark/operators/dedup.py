@@ -262,6 +262,7 @@ _CURVE_GEN_KEYS = (
     "curve_ver",
     "band_audit_pairs",
     "band_audit_sigs",
+    "novelty_first",
 )
 
 
@@ -1612,7 +1613,16 @@ def dd_novelty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
     )
-    first = ex.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
+    # persisted: TWO plan branches read the first-occurrence table (the
+    # per-doc seen join and the per-decile novel census), and each branch
+    # would otherwise re-run the corpus-sized shingle explode + the
+    # vocabulary-keyed min aggregate behind it (_curve_gen_guard releases
+    # the key when the fixture regenerates in place)
+    _curve_gen_guard(sf_dir)
+    first = persist_bounded(
+        ex.groupBy("shingle").agg(F.min("doc_id").alias("fd")),
+        key=f"novelty_first:{_abs_sf(sf_dir)}",
+    )
     intra = Window.partitionBy("bkt").orderBy("doc_id")
     per = (
         sh.select("doc_id")

@@ -1618,37 +1618,57 @@ def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hits_authorities(tp: DataFrame) -> DataFrame:
     """Fixed-point HITS over a bipartite edge list ``(c, s)``; returns
     (s_suppkey, n_customers, auth_pico) for every authority. Hand-pinned
-    in tests/test_graph.py on a toy bipartite graph."""
-    hub = tp.select("c").distinct().withColumn(
-        "h", F.lit(_HITS_SCALE).cast("long")
-    )
-    auth = None
-    for _ in range(_HITS_ITERS):
-        ar = (
-            tp.join(hub, "c")
-            .groupBy("s")
-            .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("ar"))
-        )
-        am = F.broadcast(ar.agg(F.max("ar").alias("am")))
-        # localCheckpoint per half-step: each one-row normalizer anchor is
-        # its own broadcast-build job, and without truncation the hm/final
-        # jobs would re-execute the whole upstream lineage (ar recomputed
-        # 3×) — the k-core/LPA iteration rule applied to node-bounded state
-        auth = ar.crossJoin(am).select(
-            "s",
-            F.expr(f"CAST((ar * {_HITS_SCALE}) div am AS BIGINT)").alias("a"),
-        ).localCheckpoint()
+    in tests/test_graph.py on a toy bipartite graph.
+
+    Two algebraic collapses halve the contribution joins (2·ITERS → 2·ITERS−2)
+    without changing a single output bit:
+
+    - hub⁰ is the CONSTANT SCALE, so iteration 1's authority sum is
+      SCALE·indegree(s) — the first join folds into the degree aggregate
+      (which the final n_customers column needs anyway), and the rescale
+      cancels the common SCALE factor exactly:
+      ⌊deg·S·S / (S·max_deg)⌋ = ⌊deg·S / max_deg⌋ (floor is invariant
+      under cancelling a common positive integer factor of numerator and
+      divisor).
+    - the LAST hub half-step's output is never read (only authorities are
+      returned), so it is never built — the old loop eagerly
+      localCheckpoint'ed it per iteration."""
+    deg = tp.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    ).localCheckpoint()
+    dm = F.broadcast(deg.agg(F.max("n_customers").alias("am")))
+    auth = deg.crossJoin(dm).select(
+        "s",
+        F.expr(
+            f"CAST((CAST(n_customers AS DECIMAL(38,0)) * {_HITS_SCALE})"
+            " div am AS BIGINT)"
+        ).alias("a"),
+    ).localCheckpoint()
+    for _ in range(_HITS_ITERS - 1):
         hr = (
             tp.join(auth, "s")
             .groupBy("c")
             .agg(F.sum(F.col("a").cast("decimal(38,0)")).alias("hr"))
         )
         hm = F.broadcast(hr.agg(F.max("hr").alias("hm")))
+        # localCheckpoint per half-step: each one-row normalizer anchor is
+        # its own broadcast-build job, and without truncation the am/final
+        # jobs would re-execute the whole upstream lineage (hr recomputed
+        # 3×) — the k-core/LPA iteration rule applied to node-bounded state
         hub = hr.crossJoin(hm).select(
             "c",
             F.expr(f"CAST((hr * {_HITS_SCALE}) div hm AS BIGINT)").alias("h"),
         ).localCheckpoint()
-    deg = tp.groupBy("s").agg(F.count(F.lit(1)).alias("n_customers"))
+        ar = (
+            tp.join(hub, "c")
+            .groupBy("s")
+            .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("ar"))
+        )
+        am = F.broadcast(ar.agg(F.max("ar").alias("am")))
+        auth = ar.crossJoin(am).select(
+            "s",
+            F.expr(f"CAST((ar * {_HITS_SCALE}) div am AS BIGINT)").alias("a"),
+        ).localCheckpoint()
     return auth.join(deg, "s").select(
         F.col("s").alias("s_suppkey"),
         "n_customers",
@@ -1849,25 +1869,46 @@ def conductance_scores(
     lv = lab.select(F.col("node").alias("v"), F.col("label").alias("lab_v"))
     tagged = edges.join(lu, "u").join(lv, "v")
     m_row = F.broadcast(edges.agg(F.count(F.lit(1)).alias("m")))
-    intra = (
-        tagged.filter(F.col("lab_u") == F.col("lab_v"))
-        .groupBy(F.col("lab_u").alias("community"))
-        .agg(F.count(F.lit(1)).alias("e_in"))
+    # ONE pass over the labelled edges: each edge explodes into its
+    # community contributions (intra edge → one (c, e_in=1) row; cut edge
+    # → one (c, cut=1) row per side), so the e_in and cut censuses share
+    # a single edge×labels join and a single community shuffle — the old
+    # two-branch form re-ran the tagged join per census
+    contrib = tagged.select(
+        F.explode(
+            F.when(
+                F.col("lab_u") == F.col("lab_v"),
+                F.array(
+                    F.struct(
+                        F.col("lab_u").alias("community"),
+                        F.lit(1).alias("e"),
+                        F.lit(0).alias("k"),
+                    )
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.col("lab_u").alias("community"),
+                        F.lit(0).alias("e"),
+                        F.lit(1).alias("k"),
+                    ),
+                    F.struct(
+                        F.col("lab_v").alias("community"),
+                        F.lit(0).alias("e"),
+                        F.lit(1).alias("k"),
+                    ),
+                )
+            )
+        ).alias("x")
     )
-    cut = (
-        tagged.filter(F.col("lab_u") != F.col("lab_v"))
-        .select(
-            F.explode(F.array("lab_u", "lab_v")).alias("community")
-        )
-        .groupBy("community")
-        .agg(F.count(F.lit(1)).alias("cut"))
+    censo = contrib.groupBy(F.col("x.community").alias("community")).agg(
+        F.sum("x.e").alias("e_in"), F.sum("x.k").alias("cut")
     )
     sizes = lab.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
     j = (
-        sizes.join(intra, "community", "left")
-        .join(cut, "community", "left")
+        sizes.join(censo, "community", "left")
         .fillna(0, ["e_in", "cut"])
         .crossJoin(m_row)
     )

@@ -991,13 +991,16 @@ def _orders_json_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (sf_dir, _src_gen(sf_dir, "orders"))
     if key not in _ORDERS_JSON_CACHE:
         src = os.path.join(index_tempdir("ord_json_"), "orders")
-        # 16 files / 8 per trigger: two real micro-batches, each scanning
-        # 8 input splits — the R-md5s-per-row weight kernel parallelizes
-        # across cores instead of running a whole batch on 2 splits
+        # 64 files / 32 per trigger: two real micro-batches, each scanning
+        # 32 input splits — the R-md5s-per-row weight kernel parallelizes
+        # across ALL local cores (the former 16/8 split capped each batch
+        # at 8 tasks, leaving 3/4 of the box idle during the dominant
+        # weight-evaluation stage); the result is batch-split-invariant by
+        # construction (per-row weights + additive sufficient statistics)
         t(spark, sf_dir, "orders").select(
             "o_orderkey",
             F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
-        ).repartition(16).write.mode("overwrite").json(src)
+        ).repartition(64).write.mode("overwrite").json(src)
         _ORDERS_JSON_CACHE[key] = src
     return _ORDERS_JSON_CACHE[key]
 
@@ -1006,8 +1009,8 @@ def st_bootstrap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tier of the Poisson bootstrap — the statistics family's
     last batch-only member gets its twin: order rows arrive as a live
     JSON stream FORCED through multiple micro-batches
-    (maxFilesPerTrigger=8 over a 16-file corpus — two real micro-batches,
-    each scanning 8 input splits), each batch contributes
+    (maxFilesPerTrigger=32 over a 64-file corpus — two real micro-batches,
+    each scanning 32 input splits), each batch contributes
     its per-replicate (Σw, Σw·c) sufficient-statistic partials to ONE
     complete-mode global aggregate (bounded state: a single 2R+2-column
     row), and the harvested totals feed the identical SE/CI fold as the
@@ -1024,7 +1027,7 @@ def st_bootstrap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema("o_orderkey long, c long")
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", "32")
         .json(_orders_json_dir(spark, sf_dir))
     )
     agg = (
