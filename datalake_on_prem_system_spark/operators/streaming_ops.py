@@ -354,10 +354,16 @@ def _events_json_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
     key = (sf_dir, copies, _src_gen(sf_dir, "events"))
     if key not in _EVENTS_JSON_CACHE:
         src = os.path.join(index_tempdir("ev_json_"), "events")
+        # 32 files per copy: the file count IS the scan parallelism of
+        # every consumer's micro-batch (the events parquet fixture is one
+        # split, so an unrepartitioned write produced ONE json file and
+        # every streaming tier parsed the whole corpus on one core); all
+        # consumers aggregate, so the row-to-file assignment is
+        # result-irrelevant
         ev = t(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value",
             F.unix_micros("ts").alias("ts_us"),
-        )
+        ).repartition(32)
         for i in range(copies):
             ev.write.mode("overwrite").json(os.path.join(src, f"d{i}"))
         _EVENTS_JSON_CACHE[key] = src
@@ -715,18 +721,29 @@ def st_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "sam", "complete")
 
 
-_DOCS_JSON_CACHE: dict[str, str] = {}
+_DOCS_JSON_CACHE: dict[tuple[str, float], str] = {}
 _DOCS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
 
 def _docs_json_dir(spark: SparkSession, sf_dir: str) -> str:
     """Documents fixture as JSON-lines files — the live-ingest shape of the
-    corpus (crawler output landing as line-delimited JSON)."""
-    if sf_dir not in _DOCS_JSON_CACHE:
+    corpus (crawler output landing as line-delimited JSON).
+
+    32 files, not 1: the file count IS the micro-batch scan parallelism,
+    and everything downstream of the scan that has no shuffle (the
+    per-batch Arrow minhash kernel of ``st_neardup_stream``, the word
+    explode of ``st_tokenize_stream``) inherits it — a single-file corpus
+    ran those whole stages on ONE core. Keyed on the fixture generation
+    (the ``_EVENTS_JSON_CACHE`` mtime contract) so an in-place
+    regeneration never replays stale JSON."""
+    key = (sf_dir, _src_gen(sf_dir, "documents"))
+    if key not in _DOCS_JSON_CACHE:
         src = os.path.join(index_tempdir("doc_json_"), "documents")
-        t(spark, sf_dir, "documents").write.mode("overwrite").json(src)
-        _DOCS_JSON_CACHE[sf_dir] = src
-    return _DOCS_JSON_CACHE[sf_dir]
+        t(spark, sf_dir, "documents").repartition(32).write.mode(
+            "overwrite"
+        ).json(src)
+        _DOCS_JSON_CACHE[key] = src
+    return _DOCS_JSON_CACHE[key]
 
 
 def st_tokenize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
