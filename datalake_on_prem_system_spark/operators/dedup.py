@@ -1013,11 +1013,33 @@ def dd_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a recursive reachability CTE.
     """
     docs = t_par(spark, sf_dir, "documents").select("doc_id")
-    pairs = dd_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    # the PAIR list is what gets materialized (the expensive mine runs
+    # once); the symmetric edge list and the node set are cheap
+    # projections of the checkpointed RDD
+    pairs = dd_ngram_jaccard(spark, sf_dir).select(
+        "a_id", "b_id"
+    ).localCheckpoint()
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
+    )
+    # iterative state holds ONLY pair-graph nodes: a doc outside every
+    # near-dup pair can never change label (comp = doc_id forever), so
+    # singletons — the overwhelming corpus majority at any dup rate —
+    # join the result AFTER convergence instead of riding every round's
+    # join/agg/checkpoint. Same fixed point, state |V(pairs)| not |corpus|.
+    nodes = pairs.select(
+        F.explode(F.array("a_id", "b_id")).alias("doc_id")
+    ).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("comp"))
+    # labels only ever DECREASE, so Σcomp strictly decreases on any change
+    # — one tiny aggregate replaces the old per-round join+filter+count
+    # convergence probe (decimal: an id sum can overflow int64 at scale)
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).head().s
+
+    prev_sum = _label_sum(labels)
     for _ in range(_CC_MAX_ITERS):
         prop = edges.join(labels, F.col("a_id") == F.col("doc_id")).select(
             F.col("b_id").alias("doc_id"), "comp"
@@ -1038,17 +1060,17 @@ def dd_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.least("comp", "c_comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("comp", "old"), "doc_id")
-            .filter(F.col("comp") < F.col("old"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(new)
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(f"components did not converge in {_CC_MAX_ITERS} rounds")
+    singles = docs.join(nodes, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("comp")
+    )
+    labels = labels.unionByName(singles)
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
     return labels.join(sizes, "comp").select(
         "doc_id", F.col("comp").alias("component_id"), "component_size"

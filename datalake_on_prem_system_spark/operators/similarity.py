@@ -1307,6 +1307,12 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KNNG_K)
         .select("q_id", "vec_id", "cosine_raw")
     )
+    # materialize the directed top-k BEFORE the mutual filter: fwd and rev
+    # are two plan branches of knn, and Catalyst shares nothing across
+    # branches — without this the whole probe→ADC→window→rerank pipeline
+    # (the expensive 5/6 of the query) executes TWICE. knn is node-bounded
+    # (N·K rows), so the eager localCheckpoint is a metadata-cheap cut.
+    knn = knn.localCheckpoint()
     fwd = knn.filter(F.col("q_id") < F.col("vec_id")).select(
         F.col("q_id").alias("u"), F.col("vec_id").alias("v"), "cosine_raw"
     )
@@ -1354,6 +1360,10 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", "vec_id")
+        # two plan branches below (the hit join and the per-query k
+        # census) would each re-run the brute corpus×queries pass —
+        # the frame is k·N rows, so cut the lineage once
+        .localCheckpoint()
     )
     hits = (
         exact.join(ann, ["q_id", "vec_id"])
