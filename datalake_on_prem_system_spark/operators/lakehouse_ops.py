@@ -1035,6 +1035,12 @@ def merge_view_state(view: LakeTable, delta: DataFrame, drop_empty: bool = False
     never-created view bootstraps from the partials; ``drop_empty``
     removes groups whose weighted count reaches 0 (the retraction
     tier)."""
+    # coalesce(1) on every view write: the state is GROUP-KEY-BOUNDED (a
+    # handful of priority rows at any fact size), but the aggregate that
+    # produces it leaves it spread over the full shuffle-partition count —
+    # every merge was paying shuffle-partition-count write tasks (and tiny
+    # files) to store five rows, once per micro-batch in the streaming
+    # tiers. One task, one file, same rows.
     if not view.exists():
         first = delta.select(
             "o_orderpriority",
@@ -1043,7 +1049,7 @@ def merge_view_state(view: LakeTable, delta: DataFrame, drop_empty: bool = False
         )
         if drop_empty:
             first = first.filter(F.col("n_items") != 0)
-        view.create_or_replace(first)
+        view.create_or_replace(first.coalesce(1))
         return
     state = view.read()
     zero = F.lit(0).cast("decimal(38,0)")
@@ -1059,7 +1065,7 @@ def merge_view_state(view: LakeTable, delta: DataFrame, drop_empty: bool = False
     )
     if drop_empty:
         merged = merged.filter(F.col("n_items") != 0)
-    view.create_or_replace(merged)
+    view.create_or_replace(merged.coalesce(1))
 
 
 def view_revenue(view: LakeTable) -> DataFrame:
