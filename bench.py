@@ -367,6 +367,37 @@ def _is_descendant(pid: int, ancestor: int) -> bool:
     return False
 
 
+def _read_steal_jiffies() -> int | None:
+    """Cumulative host-steal jiffies: 9th field of the `cpu ` line in
+    /proc/stat. Host CPU steal is invisible to loadavg (this box's runqueue
+    only sees its own threads), and the r14 driver bench was contaminated by
+    exactly that — two runs whose per-query times contradicted each other
+    (q1 2x faster at 8 cores than 32) while both passed the loadavg gate.
+    Deltas of this counter around a timed region make steal measurable."""
+    try:
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if line.startswith("cpu "):
+                    fields = line.split()
+                    return int(fields[8]) if len(fields) > 8 else None
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
+
+
+def _steal_rate_jps(window_s: float = 3.0) -> float | None:
+    """Current steal rate in jiffies/sec over a short sampling window
+    (100 jiffies/s == one full stolen core)."""
+    s1 = _read_steal_jiffies()
+    if s1 is None:
+        return None
+    time.sleep(window_s)
+    s2 = _read_steal_jiffies()
+    if s2 is None:
+        return None
+    return (s2 - s1) / window_s
+
+
 def _machine_load() -> dict:
     """Self-identification for contaminated runs: driver r8 timings were up
     to 4× inflated by concurrent build activity (83.71 s vs the judge's
@@ -414,30 +445,52 @@ def _machine_load() -> dict:
 _LOAD_QUIET_1M = 2.0
 _LOAD_RETRIES = 6
 _LOAD_RETRY_SLEEP_S = 30
+# steal gate (round-14 verdict #1): one stolen core = 100 jiffies/s.
+# 25 j/s (~0.25 cores) is the noise floor observed on this VM when quiet;
+# a contaminated window runs at 300-500+ j/s.
+_STEAL_QUIET_JPS = 25.0
 
 
 def _await_quiet_box() -> tuple[dict, bool]:
     """Poll the load probe until loadavg_1m drops under the quiet
-    threshold, or the bounded retries run out. Returns (last probe,
-    caveat) — caveat True means the bench ran on a contended box and the
-    recorded timings must not be compared round-over-round."""
+    threshold AND the /proc/stat steal rate is below the quiet floor, or
+    the bounded retries run out. Returns (last probe, caveat) — caveat
+    True means the bench ran on a contended box and the recorded timings
+    must not be compared round-over-round. Host steal is checked because
+    loadavg cannot see it (the r14 bench passed the loadavg gate and was
+    still contaminated by hypervisor steal)."""
     probe = _machine_load()
     for _ in range(_LOAD_RETRIES):
         if probe.get("loadavg_1m", 0.0) <= _LOAD_QUIET_1M:
-            return probe, False
-        print(
-            f"# load gate: loadavg_1m={probe.get('loadavg_1m')} > "
-            f"{_LOAD_QUIET_1M}, sleeping {_LOAD_RETRY_SLEEP_S}s",
-            file=sys.stderr,
-        )
+            rate = _steal_rate_jps()
+            probe["steal_rate_jps"] = None if rate is None else round(rate, 1)
+            if rate is None or rate <= _STEAL_QUIET_JPS:
+                return probe, False
+            print(
+                f"# steal gate: {rate:.0f} jiffies/s > {_STEAL_QUIET_JPS}, "
+                f"sleeping {_LOAD_RETRY_SLEEP_S}s",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"# load gate: loadavg_1m={probe.get('loadavg_1m')} > "
+                f"{_LOAD_QUIET_1M}, sleeping {_LOAD_RETRY_SLEEP_S}s",
+                file=sys.stderr,
+            )
         time.sleep(_LOAD_RETRY_SLEEP_S)
         probe = _machine_load()
-    caveat = probe.get("loadavg_1m", 0.0) > _LOAD_QUIET_1M
+    rate = _steal_rate_jps()
+    probe["steal_rate_jps"] = None if rate is None else round(rate, 1)
+    caveat = probe.get("loadavg_1m", 0.0) > _LOAD_QUIET_1M or (
+        rate is not None and rate > _STEAL_QUIET_JPS
+    )
     return probe, caveat
 
 
 def main() -> None:
     load_before, load_caveat = _await_quiet_box()
+    run_t0 = time.perf_counter()
+    steal_run_start = _read_steal_jiffies()
     spark = get_spark(app_name="bench")
     qs = entry_mod.queries()
 
@@ -461,6 +514,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    steal_per_query: dict[str, int] = {}
     total = 0.0
     runs = _bench_runs()
 
@@ -545,6 +599,7 @@ def main() -> None:
         # round's other measurements (round-4 lesson — a single
         # AnalysisException killed the whole bench before the JSON print)
         samples: list[float] = []
+        q_steal0 = _read_steal_jiffies()
         try:
             for _ in range(runs):
                 sec, n = _time_query(spark, fn, name, SF_DIR)
@@ -554,10 +609,16 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
+        q_steal1 = _read_steal_jiffies()
+        if q_steal0 is not None and q_steal1 is not None:
+            steal_per_query[name] = q_steal1 - q_steal0
         times[name] = dt
         total += dt
+        steal_note = (
+            f", steal {steal_per_query[name]}j" if name in steal_per_query else ""
+        )
         print(
-            f"# {name}: {dt:.3f}s median of {len(samples)} ({n} rows)",
+            f"# {name}: {dt:.3f}s median of {len(samples)} ({n} rows{steal_note})",
             file=sys.stderr,
         )
 
@@ -641,6 +702,19 @@ def main() -> None:
         "load_before": load_before,
         "load_after": _machine_load(),
     }
+    # host-steal record (round-14 verdict #1): total steal jiffies over
+    # the whole run, the implied average stolen cores, and the per-query
+    # deltas (full record only). 100 jiffies/s of steal = 1 stolen core.
+    steal_run_end = _read_steal_jiffies()
+    if steal_run_start is not None and steal_run_end is not None:
+        wall = time.perf_counter() - run_t0
+        delta = steal_run_end - steal_run_start
+        out["steal_jiffies_delta"] = delta
+        out["steal_cores_avg"] = round(delta / 100.0 / max(wall, 1e-9), 3)
+        if steal_per_query:
+            out["steal_per_query"] = steal_per_query
+        if out["steal_cores_avg"] > _STEAL_QUIET_JPS / 100.0:
+            out["steal_caveat"] = True
     if load_caveat:
         # survives into BOTH the full record and the compact stdout line
         # (dict(out) copy below): a contended-box run is self-describing
@@ -675,6 +749,9 @@ def main() -> None:
     print(f"# full record: {line}", file=sys.stderr)
     compact = dict(out)
     compact["queries"] = {k: v for k, v in times.items() if k in r6_set}
+    # the per-query steal map is full-record-only (BENCH_LINE.json): ~124
+    # entries would push the compact line past the driver's tail window
+    compact.pop("steal_per_query", None)
     compact["n_queries"] = len(times)
     if errors:
         compact["errors"] = {k: v for k, v in list(errors.items())[:3]}

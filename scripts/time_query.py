@@ -37,16 +37,21 @@ def main() -> int:
     for name in names:
         fn = qs[name]
         samples = []
+        steals = []
         for _ in range(runs):
             bench._reset_memoized_work(spark, name)
+            s0 = bench._read_steal_jiffies()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = len(df.collect())
             samples.append(time.perf_counter() - t0)
+            s1 = bench._read_steal_jiffies()
+            steals.append(None if s0 is None or s1 is None else s1 - s0)
         med = sorted(samples)[len(samples) // 2]
         print(
             f"{name}: median {med:.3f}s of {runs} "
-            f"({[round(s, 3) for s in samples]}, {n} rows)"
+            f"({[round(s, 3) for s in samples]}, {n} rows, "
+            f"steal_jiffies={steals})"
         )
     return 0
 
